@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Star
+import graft.kpi.Kpis
+import graft.ops.RelationalOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * (plus scale extensions); `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver cross-checks against (graft.oracle.OracleSql).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): KPI-5, the
+    * deepest single query — scan → joins → SK build → decimal metrics →
+    * grouped agg → top-k (SURVEY.md §7.3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Kpis.kpi5TopProdutos(Star.fatoVendas(spark, dir), Star.dimProduto(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // star-schema ETL builds (reference dims + fact, SURVEY §2.1-2.3)
+    "star_dim_produto" -> ((s, d) =>
+      Star.dimProduto(s, d).orderBy("sk_produto")),
+    "star_dim_cliente" -> ((s, d) =>
+      Star.dimCliente(s, d).orderBy("sk_cliente")),
+    "star_dim_vendedor" -> ((s, d) =>
+      Star.dimVendedor(s, d).orderBy("sk_vendedor")),
+    "star_dim_tempo" -> ((s, _) => Star.dimTempo(s).orderBy("sk_tempo")),
+    // (orderkey, linenumber) is not unique in the generated lineitem, so
+    // order by the full row for a deterministic dump.
+    "star_fato_vendas" -> ((s, d) =>
+      Star.fatoVendas(s, d).orderBy("id_pedido", "numero_linha",
+        "sk_produto", "sk_vendedor", "qtd_vendida", "valor_bruto",
+        "valor_desconto")),
+    // the 10-KPI analytical surface (SURVEY §2.4-2.5)
+    "kpi1_faturamento_bruto" -> ((s, d) =>
+      Kpis.kpi1FaturamentoBruto(Star.fatoVendas(s, d))),
+    "kpi2_faturamento_liquido" -> ((s, d) =>
+      Kpis.kpi2FaturamentoLiquido(Star.fatoVendas(s, d))),
+    "kpi3_total_descontos" -> ((s, d) =>
+      Kpis.kpi3TotalDescontos(Star.fatoVendas(s, d))),
+    "kpi4_itens_vendidos" -> ((s, d) =>
+      Kpis.kpi4ItensVendidos(Star.fatoVendas(s, d))),
+    "kpi5_top_produtos" -> ((s, d) =>
+      Kpis.kpi5TopProdutos(Star.fatoVendas(s, d), Star.dimProduto(s, d))),
+    "kpi6_vendas_categoria" -> ((s, d) =>
+      Kpis.kpi6VendasPorCategoria(Star.fatoVendas(s, d), Star.dimProduto(s, d))),
+    "kpi7_vendas_nacao" -> ((s, d) =>
+      Kpis.kpi7PorNacao(Star.fatoVendas(s, d), Star.dimCliente(s, d))),
+    "kpi8_sazonalidade" -> ((s, d) =>
+      Kpis.kpi8Sazonalidade(Star.fatoVendas(s, d), Star.dimTempo(s))),
+    "kpi9_ranking_vendedores" -> ((s, d) =>
+      Kpis.kpi9RankingVendedores(Star.fatoVendas(s, d), Star.dimVendedor(s, d))),
+    "kpi10_ticket_medio" -> ((s, d) =>
+      Kpis.kpi10TicketMedio(Star.fatoVendas(s, d))),
+    // operator micro-suite (remaining SURVEY §2 rows + extensions)
+    "q_filter_project" -> (RelationalOps.filterProject _),
+    "q_conditional" -> (RelationalOps.conditionalColumns _),
+    "q_dedup_keepfirst" -> (RelationalOps.dedupKeepFirst _),
+    "q_topk" -> (RelationalOps.topKOrders _),
+    "q_window_running" -> (RelationalOps.windowRunning _),
+    "q_semi_anti" -> (RelationalOps.semiAntiJoin _),
+    "q_set_ops" -> (RelationalOps.setOps _),
+    "q_agg_stats" -> (RelationalOps.aggStats _),
+    "q_string_ops" -> (RelationalOps.stringOps _),
+    "q_date_ops" -> (RelationalOps.dateOps _),
+    "q_json_extract" -> (RelationalOps.jsonExtract _),
+    "q_events_hourly" -> (RelationalOps.eventsHourly _))
+
+  def oracleSql: Map[String, String] = graft.oracle.OracleSql.all
 }

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** One query per operator family from SURVEY.md §2 that isn't already
+  * exercised by the star/KPI pipeline — filters, conditional projection,
+  * keyed dedup, top-k, windows, semi/anti joins, set ops, string/date/JSON
+  * scalar functions, and the batch twin of the streaming hourly rollup.
+  *
+  * Every function is a pure DataFrame transform with a deterministic total
+  * ordering (driver hashes rows; grouped/joined output order is otherwise
+  * partition-dependent).
+  */
+object RelationalOps {
+
+  /** P1/P5 — projection + predicate; both reach the parquet scan
+    * (PushedFilters / narrow ReadSchema in the formatted plan).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_quantity").cast("int").as("qtd"),
+        col("l_returnflag").as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P6/F4 — conditional overwrite + null-test categorical (no UDF). */
+  def conditionalColumns(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        when(trim(col("c_name")) === "", lit("Cliente Corporativo / Loja"))
+          .otherwise(trim(col("c_name"))).as("nome"),
+        when(col("c_nationkey").isNotNull, lit("Individual"))
+          .otherwise(lit("Store")).as("tipo"),
+        when(col("c_acctbal") < 0, lit("devedor"))
+          .when(col("c_acctbal") < 5000, lit("regular"))
+          .otherwise(lit("vip")).as("faixa"))
+      .orderBy("c_custkey")
+
+  /** D1 — keep-FIRST dedup by key, made deterministic: the reference's
+    * pandas drop_duplicates keeps the first row in file order
+    * (etl_dim_cliente.py:47); Spark's dropDuplicates keeps an arbitrary
+    * row, so we pin "first" with row_number over an explicit ordering —
+    * here: each user's earliest event.
+    */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("first_event_id"),
+        col("event_type").as("first_event_type"))
+      .orderBy("user_id")
+  }
+
+  /** §2.5 — sort + limit top-k; Spark plans TakeOrderedAndProject
+    * (per-partition heap + driver merge — no global sort at any scale).
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("total"))
+      .orderBy(desc("total"), asc("o_orderkey"))
+      .limit(20)
+
+  /** Window functions (capability extension; reference expresses ranking as
+    * agg→sort→limit): rank + running total per customer.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, dir)
+      .select(col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("preco"),
+        row_number().over(byCust).as("n_pedido"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("acumulado"))
+      .withColumn("preco", col("preco").cast("double"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with ≥1 order vs
+    * customers with none. Anti/semi never widen rows — cheaper than a join
+    * + distinct at scale.
+    */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).select(col("o_custkey"))
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("com_pedido").as("status"))
+    val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("sem_pedido").as("status"))
+    withO.unionAll(noO)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("status"))
+      .orderBy("c_custkey")
+  }
+
+  /** Set operations (extension; none in the reference §2.5): nations that
+    * have customers ∪/∩/− nations that have suppliers.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val n = nation(spark, dir)
+    val custN = customer(spark, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey")).select("n_name")
+    val suppN = supplier(spark, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey")).select("n_name")
+    val u = custN.union(suppN).distinct()
+      .select(col("n_name"), lit("union").as("op"))
+    val i = custN.intersect(suppN)
+      .select(col("n_name"), lit("intersect").as("op"))
+    val e = custN.except(suppN)
+      .select(col("n_name"), lit("except").as("op"))
+    u.unionAll(i).unionAll(e).orderBy("op", "n_name")
+  }
+
+  /** TPC-H Q1-shaped multi-aggregate (partial+final HashAggregate with
+    * map-side combine; exact decimal sums).
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val ep = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val one = lit("1.00").cast("decimal(3,2)")
+    lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(ep).cast("double").as("sum_base_price"),
+        sum(ep * (one - disc)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** F1-F3-style string kernel: concat, trim, case, substring, regexp. */
+  def stringOps(spark: SparkSession, dir: String): DataFrame =
+    supplier(spark, dir)
+      .select(
+        col("s_suppkey").cast("long").as("s_suppkey"),
+        concat_ws(" ", trim(col("s_name")), lit("T")).as("etiqueta"),
+        upper(col("s_name")).as("maiuscula"),
+        lower(col("s_name")).as("minuscula"),
+        substring(col("s_name"), 1, 8).as("prefixo"),
+        length(col("s_name")).as("tam"),
+        trim(regexp_replace(col("s_name"), "[0-9]+", "#")).as("mascarado"))
+      .orderBy("s_suppkey")
+
+  /** F5-F9-style date kernel: parts, trunc, smart key, add/diff. */
+  def dateOps(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        year(col("o_orderdate")).as("ano"),
+        month(col("o_orderdate")).as("mes"),
+        dayofmonth(col("o_orderdate")).as("dia"),
+        quarter(col("o_orderdate")).as("trimestre"),
+        when(month(col("o_orderdate")) <= 6, 1).otherwise(2).as("semestre"),
+        graft.etl.Star.smartDateKey(col("o_orderdate")).as("sk_tempo"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mes_ref"),
+        date_add(col("o_orderdate").cast("date"), 30).as("prazo"))
+      .orderBy("o_orderkey")
+
+  /** JSON field extraction from the events.props payload (extension —
+    * training-data pipelines live on semi-structured columns).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id").cast("long").as("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Hourly rollup over the events table — the batch twin of the
+    * Structured Streaming job in graft.streaming (same logical plan; the
+    * stream adds a watermark).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hora"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
+      .orderBy("hora", "event_type")
+}

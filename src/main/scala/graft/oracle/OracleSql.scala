@@ -1,0 +1,250 @@
+package graft.oracle
+
+/** DuckDB-dialect oracle SQL for every entry in SparkEntry.queries.
+  *
+  * Each statement is semantically equivalent ANSI SQL over the same parquet
+  * tables, engineered for BIT-EXACT equality with the Spark result:
+  *   - money math in exact DECIMAL, cast to DOUBLE only at the end
+  *     (order-independent, so distributed vs single-node sums agree);
+  *   - explicit CASTs pin result dtypes (DuckDB SUM(int)→HUGEINT etc.);
+  *   - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *     replace-all semantics;
+  *   - every query has a deterministic total ORDER BY.
+  */
+object OracleSql {
+
+  /** Shared star-schema CTE block (the testdata mirror of the reference DW;
+    * see graft.etl.Star).
+    */
+  val starCte: String = """
+dim_produto AS (
+  SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INTEGER) AS sk_produto,
+         CAST(p_partkey AS BIGINT) AS id_produto_original,
+         p_name AS nome_produto,
+         coalesce(p_brand, 'N/A') AS marca,
+         coalesce(p_type, 'Sem Categoria') AS categoria,
+         CAST(p_size AS INTEGER) AS tamanho
+  FROM part
+),
+dim_cliente AS (
+  SELECT CAST(row_number() OVER (ORDER BY id_cliente_original) AS INTEGER) AS sk_cliente, *
+  FROM (
+    SELECT CAST(c_custkey AS BIGINT) AS id_cliente_original,
+           trim(c_name) AS nome_cliente,
+           CASE WHEN c_acctbal < 0 THEN 'Devedor' ELSE 'Regular' END AS tipo_cliente,
+           coalesce(n_name, 'Não Informado') AS nacao,
+           coalesce(r_name, 'Não Informado') AS regiao,
+           coalesce(c_mktsegment, 'N/A') AS segmento
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+  )
+),
+dim_vendedor AS (
+  SELECT CAST(row_number() OVER (ORDER BY id_vendedor_original) AS INTEGER) AS sk_vendedor, *
+  FROM (
+    SELECT CAST(s_suppkey AS BIGINT) AS id_vendedor_original,
+           trim(regexp_replace(s_name, '  +', ' ', 'g')) AS nome_vendedor,
+           coalesce(n_name, 'Não Informado') AS nacao
+    FROM supplier
+    LEFT JOIN nation ON s_nationkey = n_nationkey
+  )
+),
+dim_tempo AS (
+  SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INTEGER) AS sk_tempo,
+         d AS data_completa,
+         CAST(year(d) AS INTEGER) AS ano,
+         CAST(month(d) AS INTEGER) AS mes,
+         CASE CAST(month(d) AS INTEGER)
+           WHEN 1 THEN 'Janeiro' WHEN 2 THEN 'Fevereiro' WHEN 3 THEN 'Março'
+           WHEN 4 THEN 'Abril' WHEN 5 THEN 'Maio' WHEN 6 THEN 'Junho'
+           WHEN 7 THEN 'Julho' WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Setembro'
+           WHEN 10 THEN 'Outubro' WHEN 11 THEN 'Novembro' WHEN 12 THEN 'Dezembro'
+         END AS nome_mes,
+         CAST(quarter(d) AS INTEGER) AS trimestre,
+         CASE WHEN month(d) <= 6 THEN 1 ELSE 2 END AS semestre
+  FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+),
+fato AS (
+  SELECT CAST(l.l_orderkey AS BIGINT) AS id_pedido,
+         CAST(l.l_linenumber AS INTEGER) AS numero_linha,
+         dp.sk_produto AS sk_produto,
+         dc.sk_cliente AS sk_cliente,
+         dv.sk_vendedor AS sk_vendedor,
+         CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS sk_tempo,
+         CAST(l.l_quantity AS INTEGER) AS qtd_vendida,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS valor_bruto,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_discount AS DECIMAL(4,2)) AS DOUBLE) AS valor_desconto,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS valor_total
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  LEFT JOIN dim_produto dp ON l.l_partkey = dp.id_produto_original
+  LEFT JOIN dim_cliente dc ON o.o_custkey = dc.id_cliente_original
+  LEFT JOIN dim_vendedor dv ON l.l_suppkey = dv.id_vendedor_original
+  WHERE dp.sk_produto IS NOT NULL AND dc.sk_cliente IS NOT NULL
+)"""
+
+  private def withStar(sql: String): String = s"WITH $starCte\n$sql"
+
+  /** Decimal-exact SUM of a money column, surfaced as DOUBLE. */
+  private def sumd(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val all: Map[String, String] = Map(
+    // ------------------------------------------------ star-schema builds
+    "star_dim_produto" -> withStar(
+      "SELECT * FROM dim_produto ORDER BY sk_produto"),
+    "star_dim_cliente" -> withStar(
+      "SELECT * FROM dim_cliente ORDER BY sk_cliente"),
+    "star_dim_vendedor" -> withStar(
+      "SELECT * FROM dim_vendedor ORDER BY sk_vendedor"),
+    "star_dim_tempo" -> withStar(
+      "SELECT * FROM dim_tempo ORDER BY sk_tempo"),
+    "star_fato_vendas" -> withStar(
+      """SELECT * FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
+
+    // ------------------------------------------------ the 10 KPIs
+    "kpi1_faturamento_bruto" -> withStar(
+      s"SELECT ${sumd("valor_bruto")} AS faturamento_bruto FROM fato"),
+    "kpi2_faturamento_liquido" -> withStar(
+      s"SELECT ${sumd("valor_total")} AS faturamento_liquido FROM fato"),
+    "kpi3_total_descontos" -> withStar(
+      s"SELECT ${sumd("valor_desconto")} AS total_descontos FROM fato"),
+    "kpi4_itens_vendidos" -> withStar(
+      "SELECT CAST(SUM(CAST(qtd_vendida AS BIGINT)) AS BIGINT) AS total_itens_vendidos FROM fato"),
+    "kpi5_top_produtos" -> withStar(
+      s"""SELECT p.nome_produto, ${sumd("f.valor_total")} AS total_vendas
+FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
+GROUP BY p.nome_produto
+ORDER BY total_vendas DESC, nome_produto
+LIMIT 5"""),
+    "kpi6_vendas_categoria" -> withStar(
+      s"""SELECT p.categoria, ${sumd("f.valor_total")} AS total_vendas,
+       COUNT(*) AS quantidade_vendas
+FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
+GROUP BY p.categoria
+ORDER BY total_vendas DESC, categoria"""),
+    "kpi7_vendas_nacao" -> withStar(
+      s"""SELECT c.nacao, ${sumd("f.valor_total")} AS total_vendas
+FROM fato f JOIN dim_cliente c ON f.sk_cliente = c.sk_cliente
+GROUP BY c.nacao
+ORDER BY total_vendas DESC, nacao"""),
+    "kpi8_sazonalidade" -> withStar(
+      s"""SELECT t.ano, t.mes, t.nome_mes, ${sumd("f.valor_total")} AS total_vendas
+FROM fato f JOIN dim_tempo t ON f.sk_tempo = t.sk_tempo
+GROUP BY t.ano, t.mes, t.nome_mes
+ORDER BY t.ano, t.mes"""),
+    "kpi9_ranking_vendedores" -> withStar(
+      s"""SELECT v.nome_vendedor, ${sumd("f.valor_total")} AS total_gerado
+FROM fato f JOIN dim_vendedor v ON f.sk_vendedor = v.sk_vendedor
+WHERE v.nome_vendedor IS NOT NULL
+GROUP BY v.nome_vendedor
+ORDER BY total_gerado DESC, nome_vendedor
+LIMIT 10"""),
+    "kpi10_ticket_medio" -> withStar(
+      s"""SELECT ${sumd("valor_total")} / CAST(COUNT(*) AS DOUBLE) AS ticket_medio_item
+FROM fato"""),
+
+    // ------------------------------------------------ operator micro-suite
+    "q_filter_project" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS INTEGER) AS l_linenumber,
+       CAST(l_quantity AS INTEGER) AS qtd,
+       l_returnflag AS flag
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+ORDER BY l_orderkey, l_linenumber""",
+    "q_conditional" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE WHEN trim(c_name) = '' THEN 'Cliente Corporativo / Loja' ELSE trim(c_name) END AS nome,
+       CASE WHEN c_nationkey IS NOT NULL THEN 'Individual' ELSE 'Store' END AS tipo,
+       CASE WHEN c_acctbal < 0 THEN 'devedor' WHEN c_acctbal < 5000 THEN 'regular' ELSE 'vip' END AS faixa
+FROM customer
+ORDER BY c_custkey""",
+    "q_dedup_keepfirst" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS first_event_id,
+       event_type AS first_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+WHERE rn = 1
+ORDER BY user_id""",
+    "q_topk" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+FROM orders
+ORDER BY total DESC, o_orderkey
+LIMIT 20""",
+    "q_window_running" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS preco,
+       CAST(row_number() OVER w AS INTEGER) AS n_pedido,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS acumulado
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey""",
+    "q_semi_anti" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, status FROM (
+  SELECT c_custkey, 'com_pedido' AS status FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT c_custkey, 'sem_pedido' AS status FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+ORDER BY c_custkey""",
+    "q_set_ops" ->
+      """WITH custn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+     suppn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, op FROM (
+  SELECT DISTINCT n_name, 'union' AS op FROM (SELECT * FROM custn UNION SELECT * FROM suppn)
+  UNION ALL
+  SELECT n_name, 'intersect' AS op FROM (SELECT * FROM custn INTERSECT SELECT * FROM suppn)
+  UNION ALL
+  SELECT n_name, 'except' AS op FROM (SELECT * FROM custn EXCEPT SELECT * FROM suppn))
+ORDER BY op, n_name""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "q_string_ops" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       concat_ws(' ', trim(s_name), 'T') AS etiqueta,
+       upper(s_name) AS maiuscula,
+       lower(s_name) AS minuscula,
+       substring(s_name, 1, 8) AS prefixo,
+       CAST(length(s_name) AS INTEGER) AS tam,
+       trim(regexp_replace(s_name, '[0-9]+', '#', 'g')) AS mascarado
+FROM supplier
+ORDER BY s_suppkey""",
+    "q_date_ops" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS ano,
+       CAST(month(o_orderdate) AS INTEGER) AS mes,
+       CAST(day(o_orderdate) AS INTEGER) AS dia,
+       CAST(quarter(o_orderdate) AS INTEGER) AS trimestre,
+       CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 2 END AS semestre,
+       CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS INTEGER) AS sk_tempo,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS mes_ref,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS prazo
+FROM orders
+ORDER BY o_orderkey""",
+    "q_json_extract" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+ORDER BY event_id""",
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hora,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+FROM events
+GROUP BY 1, 2
+ORDER BY hora, event_type""")
+}
