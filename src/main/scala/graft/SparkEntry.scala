@@ -23,7 +23,10 @@ object SparkEntry {
     Kpis.kpi5TopProdutos(Star.fatoVendas(spark, dir), Star.dimProduto(spark, dir))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
+    graft.text.TextOps.queries ++ graft.sim.EmbeddingOps.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // star-schema ETL builds (reference dims + fact, SURVEY §2.1-2.3)
     "star_dim_produto" -> ((s, d) =>
       Star.dimProduto(s, d).orderBy("sk_produto")),
@@ -73,5 +76,6 @@ object SparkEntry {
     "q_json_extract" -> (RelationalOps.jsonExtract _),
     "q_events_hourly" -> (RelationalOps.eventsHourly _))
 
-  def oracleSql: Map[String, String] = graft.oracle.OracleSql.all
+  def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++
+    graft.text.TextOps.oracle ++ graft.sim.EmbeddingOps.oracle
 }

@@ -1,0 +1,126 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.embeddings
+import graft.text.TextExprs._
+
+/** Similarity search over the embeddings table (64-dim float vectors):
+  * exact norms, brute-force cosine top-k (the correctness baseline),
+  * random-hyperplane LSH bucketing (the scale path — candidates come from
+  * an equi-join on the bucket signature instead of a cross join), and
+  * blocked near-duplicate pairs.
+  *
+  * All vector math is accumulated left-to-right in double via shared
+  * Spark/DuckDB expression templates (TextExprs.dot) — verified
+  * bit-identical across engines, so cosine values and orderings agree
+  * exactly with the oracle.
+  *
+  * Scale notes: brute-force top-k is a broadcast of the (small) query set
+  * against a partitioned scan of the corpus — no shuffle of the big side;
+  * rank-k is a per-query window over (query × corpus) rows partitioned by
+  * query id. LSH bucketing replaces the quadratic candidate space with a
+  * groupBy on an 8-bit signature.
+  */
+object EmbeddingOps {
+
+  private val DIM = 64
+  private val N_QUERIES = 8  // vec_id < 8 are the demo query vectors
+  private val TOP_K = 5
+
+  private def norm(v: String) = s"sqrt(${dot(v, v, DIM).spark})"
+  private def normDuck(v: String) = s"sqrt(${dot(v, v, DIM).duck})"
+
+  def embedNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).selectExpr(
+      "CAST(vec_id AS BIGINT) AS vec_id",
+      "CAST(label AS INTEGER) AS label",
+      s"${norm("embedding")} AS norma")
+      .orderBy("vec_id")
+
+  /** Brute-force cosine top-k: exact baseline. The query side is tiny and
+    * broadcast; the corpus is scanned once.
+    */
+  def annBruteForce(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding",
+        s"${norm("embedding")} AS nrm")
+    val q = base.filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_emb", "q_nrm")
+    val joined = broadcast(q).crossJoin(base)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim",
+        expr(dot("q_emb", "embedding", DIM).spark) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("vec_id").as("vizinho"), col("sim"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** 8-bit random-hyperplane LSH signatures — the scale path for ANN:
+    * vectors sharing a bucket are join candidates.
+    */
+  def lshBuckets(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).selectExpr(
+      "CAST(vec_id AS BIGINT) AS vec_id",
+      "CAST(label AS INTEGER) AS label",
+      s"${lshBucket("embedding", 8, DIM).spark} AS bucket")
+      .orderBy("vec_id")
+
+  /** Near-duplicate vector pairs: blocked on label (stand-in for an IVF
+    * coarse quantizer cell), exact cosine within the block.
+    */
+  def embedNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    val base = embeddings(s, d)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(label AS INTEGER) AS label", "embedding",
+        s"${norm("embedding")} AS nrm")
+    val a = base.toDF("vec_a", "label", "emb_a", "nrm_a")
+    val b = base.toDF("vec_b", "label", "emb_b", "nrm_b")
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        expr(dot("emb_a", "emb_b", DIM).spark) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norm" -> (embedNorm _),
+    "q_ann_brute" -> (annBruteForce _),
+    "q_ann_lsh_buckets" -> (lshBuckets _),
+    "q_embed_neardup" -> (embedNearDup(_, _)))
+
+  val oracle: Map[String, String] = Map(
+    "q_embed_norm" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+${normDuck("embedding")} AS norma
+FROM embeddings ORDER BY vec_id""",
+    "q_ann_brute" ->
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+  ${normDuck("embedding")} AS nrm FROM embeddings),
+sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vizinho,
+  ${dot("q.embedding", "c.embedding", DIM).duck} / (q.nrm * c.nrm) AS sim
+  FROM base q CROSS JOIN base c
+  WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id)
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
+  FROM sims)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    "q_ann_lsh_buckets" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+${lshBucket("embedding", 8, DIM).duck} AS bucket
+FROM embeddings ORDER BY vec_id""",
+    "q_embed_neardup" ->
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+  embedding, ${normDuck("embedding")} AS nrm FROM embeddings)
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) AS sim
+FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) >= 0.4
+ORDER BY vec_a, vec_b""")
+}

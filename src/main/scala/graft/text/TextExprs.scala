@@ -1,0 +1,113 @@
+package graft.text
+
+/** Paired expression templates — one Spark-SQL string and one DuckDB-SQL
+  * string per primitive — so the engine and its oracle are generated from
+  * the same source and cannot drift.
+  *
+  * Everything here is built on primitives with IDENTICAL semantics in both
+  * engines: md5 (lowercase hex), instr (1-based), lexicographic min over
+  * hex strings, sequential left-to-right list folds (verified bit-exact for
+  * doubles), and regex classes both dialects share.
+  */
+object TextExprs {
+
+  /** A Spark/DuckDB expression pair. */
+  final case class X(spark: String, duck: String) {
+    def map(f: String => String): X = X(f(spark), f(duck))
+  }
+
+  /** Whitespace tokenization of a text column. */
+  def tokens(c: String): X = X(
+    spark = s"split(trim($c), '\\\\s+')",
+    duck = s"string_split_regex(trim($c), '\\s+')")
+
+  /** Word 3-shingles over a token-array expression (guarded for <3 tokens:
+    * the whole doc becomes the single shingle). Spark `sequence(1, n)` with
+    * n<1 counts DOWN, DuckDB `range(1, n)` returns empty — the CASE guard
+    * makes both sides take the same branch.
+    */
+  def shingles3(t: X): X = X(
+    spark = s"CASE WHEN size(${t.spark}) >= 3 THEN " +
+      s"transform(sequence(1, size(${t.spark}) - 2), i -> concat_ws(' ', slice(${t.spark}, i, 3))) " +
+      s"ELSE array(concat_ws(' ', ${t.spark})) END",
+    duck = s"CASE WHEN len(${t.duck}) >= 3 THEN " +
+      s"list_transform(range(1, len(${t.duck}) - 1), i -> array_to_string(list_slice(${t.duck}, i, i + 2), ' ')) " +
+      s"ELSE [array_to_string(${t.duck}, ' ')] END")
+
+  /** MinHash for one seed: min over shingles of md5(seed|shingle).
+    * md5-as-hash keeps both engines bit-identical; string min == numeric
+    * min of the underlying 128-bit value for fixed-width lowercase hex.
+    */
+  def minhash(sh: String, seed: Int): X = X(
+    spark = s"array_min(transform($sh, s -> md5(concat('$seed|', s))))",
+    duck = s"list_min(list_transform($sh, s -> md5(concat('$seed|', s))))")
+
+  /** One SimHash bit (position p in 1..16): majority vote over tokens of
+    * the parity of hex digit p of md5(token).
+    */
+  def simhashBit(t: String, p: Int): X = X(
+    spark = s"CASE WHEN aggregate($t, 0, (acc, x) -> acc + " +
+      s"(instr('0123456789abcdef', substring(md5(x), $p, 1)) - 1) % 2) * 2 " +
+      s"> size($t) THEN '1' ELSE '0' END",
+    duck = s"CASE WHEN list_sum(list_transform($t, x -> " +
+      s"(instr('0123456789abcdef', substring(md5(x), $p, 1)) - 1) % 2)) * 2 " +
+      s"> len($t) THEN '1' ELSE '0' END")
+
+  /** 16-bit SimHash as a bit-string. */
+  def simhash16(t: String): X = {
+    val bits = (1 to 16).map(simhashBit(t, _))
+    X(bits.map(_.spark).mkString("concat(", ", ", ")"),
+      bits.map(_.duck).mkString("concat(", ", ", ")"))
+  }
+
+  /** Count of tokens drawn from a marker set (language-ID scoring). */
+  def markerCount(t: String, markers: Seq[String]): X = {
+    val set = markers.map(m => s"'$m'").mkString(", ")
+    X(spark = s"size(filter($t, x -> x IN ($set)))",
+      duck = s"len(list_filter($t, x -> x IN ($set)))")
+  }
+
+  /** Sum of token lengths (for mean token length). */
+  def tokenLenSum(t: String): X = X(
+    spark = s"aggregate($t, 0, (a, x) -> a + length(x))",
+    duck = s"CAST(list_sum(list_transform($t, x -> length(x))) AS INTEGER)")
+
+  /** Distinct-element count of an array expression. */
+  def distinctCount(t: String): X = X(
+    spark = s"size(array_distinct($t))",
+    duck = s"len(list_distinct($t))")
+
+  /** Intersection size of two DISTINCT array expressions — spelled as a
+    * filter/contains scan in both engines so dedup behavior can't differ.
+    */
+  def interCount(a: String, b: String): X = X(
+    spark = s"size(filter($a, x -> array_contains($b, x)))",
+    duck = s"len(list_filter($a, x -> list_contains($b, x)))")
+
+  /** Dot product of two float-vector columns, accumulated strictly
+    * left-to-right in double (verified bit-identical across engines).
+    */
+  def dot(a: String, b: String, dim: Int = 64): X = X(
+    spark = s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (s, v) -> s + v)",
+    duck = s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))")
+
+  /** One random-hyperplane LSH bit: sign of <v, s_j> where s_j's components
+    * are ±1 derived from md5 parity of (seed_j, i) — a deterministic,
+    * engine-agnostic pseudo-random plane.
+    */
+  def lshBit(v: String, j: Int, dim: Int = 64): X = X(
+    spark = s"CASE WHEN aggregate(zip_with($v, transform(sequence(1, $dim), i -> " +
+      s"CAST((instr('0123456789abcdef', substring(md5(concat('$j', '_', i)), 1, 1)) - 1) % 2 * 2 - 1 AS DOUBLE)), " +
+      s"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (s, v2) -> s + v2) >= 0 THEN '1' ELSE '0' END",
+    duck = s"CASE WHEN list_sum(list_transform(generate_series(1, $dim), i -> " +
+      s"$v[i]::DOUBLE * ((instr('0123456789abcdef', substring(md5(concat('$j', '_', i)), 1, 1)) - 1) % 2 * 2 - 1)::DOUBLE)) " +
+      s">= 0 THEN '1' ELSE '0' END")
+
+  /** nBits-bit hyperplane bucket signature. */
+  def lshBucket(v: String, nBits: Int, dim: Int = 64): X = {
+    val bits = (0 until nBits).map(lshBit(v, _, dim))
+    X(bits.map(_.spark).mkString("concat(", ", ", ")"),
+      bits.map(_.duck).mkString("concat(", ", ", ")"))
+  }
+}

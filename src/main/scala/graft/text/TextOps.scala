@@ -1,0 +1,219 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import TextExprs._
+
+/** Text-analysis + document-dedup operators for LLM training-data
+  * pipelines, over the `documents` table: token stats, quality scoring,
+  * language-ID heuristic, fingerprinting (md5 / MinHash / SimHash), exact
+  * dedup, MinHash-LSH candidate pairs, shingle-Jaccard near-dup pairs.
+  *
+  * Each operator ships with a DuckDB oracle generated from the same
+  * expression templates (TextExprs), so Spark and oracle stay bit-exact.
+  *
+  * Scale design: every operator is a narrow per-row projection or an
+  * equi-join on a blocking key — no cross joins, no driver-side loops.
+  * LSH banding turns all-pairs dedup (O(n²)) into a shuffle on band keys
+  * (O(n·bands)), the standard shape for 100 TB corpora.
+  */
+object TextOps {
+
+  private val T = tokens("text")
+  private val SH = shingles3(T)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+  /** Per-language marker tokens for the n-gram/stopword language-ID
+    * heuristic (deterministic; priority order en,es,de,fr,zh on ties).
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"), "es" -> Seq("el", "la"),
+    "de" -> Seq("der", "und"), "fr" -> Seq("le", "les"),
+    "zh" -> Seq("的", "了"))
+
+  // ------------------------------------------------------------ queries
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id",
+      "lang",
+      s"size(${T.spark}) AS n_tokens",
+      "size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS n_tokens_re",
+      "length(text) AS n_chars_calc",
+      s"CAST(${tokenLenSum(T.spark).spark} AS DOUBLE) / CAST(size(${T.spark}) AS DOUBLE) AS media_tam_token")
+      .orderBy("doc_id")
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stops = markerCount(T.spark, stopwords).spark
+    val ttr = s"CAST(${distinctCount(T.spark).spark} AS DOUBLE) / CAST(size(${T.spark}) AS DOUBLE)"
+    val stopRatio = s"CAST($stops AS DOUBLE) / CAST(size(${T.spark}) AS DOUBLE)"
+    documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id",
+      s"size(${T.spark}) AS n_tokens",
+      s"$stopRatio AS razao_stopwords",
+      s"$ttr AS razao_tipo_token",
+      "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS razao_digitos",
+      s"CASE WHEN size(${T.spark}) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END AS qualidade")
+      .orderBy("doc_id")
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerCount(T.spark, ms).spark }
+    val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }
+    val allZero = scores.map(_._2).mkString(" + ") + " = 0"
+    val pred = scores.foldRight("'unknown'") { case ((l, e), rest) =>
+      val geAll = scores.filter(_._1 != l).map { case (_, e2) => s"$e >= $e2" }
+        .mkString(" AND ")
+      s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
+    }
+    documents(s, d).selectExpr(
+      Seq("CAST(doc_id AS BIGINT) AS doc_id", "lang") ++ scoreCols ++
+        Seq(s"$pred AS lang_pred",
+          s"CASE WHEN ($pred) = lang THEN 1 ELSE 0 END AS acerto"): _*)
+      .orderBy("doc_id")
+  }
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text",
+        s"${SH.spark} AS sh", s"${T.spark} AS toks")
+      .selectExpr(
+        "doc_id",
+        "md5(text) AS hash_exato",
+        "md5(lower(trim(text))) AS hash_norm",
+        s"${minhash("sh", 0).spark} AS minhash_0",
+        s"${minhash("sh", 1).spark} AS minhash_1",
+        s"${simhash16("toks").spark} AS simhash")
+      .orderBy("doc_id")
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("hash"))
+      .agg(min(col("doc_id")).cast("long").as("doc_mantido"),
+        count(lit(1)).as("n_copias"))
+      .orderBy("hash")
+
+  /** MinHash-LSH candidate pairs: 8 minhashes → 4 bands of 2 → equi-join
+    * on (band_idx, band_key). The join key is the band hash, so the
+    * shuffle is O(docs × 4) rows regardless of corpus size.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val mh = (0 until 8).map(i => s"${minhash("sh", i).spark} AS mh$i")
+    val bands = (0 until 4)
+      .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
+      .mkString("array(", ", ", ")")
+    val base = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${SH.spark} AS sh")
+      .selectExpr(Seq("doc_id") ++ mh: _*)
+      .selectExpr("doc_id", s"$bands AS bands")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
+    val a = base.toDF("doc_a", "band_idx", "bkey")
+    val b = base.toDF("doc_b", "band_idx", "bkey")
+    a.join(b, Seq("band_idx", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
+    * (lang, token-count bucket) — an equi-join, not a cross join, so it
+    * shuffles on the blocking key and parallelizes by block at scale.
+    */
+  def jaccardPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val base = documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", "lang",
+      s"array_distinct(${SH.spark}) AS shd",
+      s"CAST(floor(size(${T.spark}) / 20) AS INT) AS bucket")
+    val a = base.toDF("doc_a", "lang", "shd_a", "bucket")
+    val b = base.toDF("doc_b", "lang", "shd_b", "bucket")
+    val inter = expr(interCount("shd_a", "shd_b").spark)
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        inter.cast("double") /
+          (size(col("shd_a")) + size(col("shd_b")) - inter).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (textTokens _),
+    "q_text_quality" -> (textQuality _),
+    "q_lang_id" -> (langId _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_dedup_jaccard" -> (jaccardPairs(_, _)))
+
+  // ------------------------------------------------------------ oracles
+
+  val oracle: Map[String, String] = {
+    val stops = markerCount(T.duck, stopwords).duck
+    val ttr = s"CAST(${distinctCount(T.duck).duck} AS DOUBLE) / CAST(len(${T.duck}) AS DOUBLE)"
+    val stopRatio = s"CAST($stops AS DOUBLE) / CAST(len(${T.duck}) AS DOUBLE)"
+    val scores = langMarkers.map { case (l, ms) => l -> markerCount(T.duck, ms).duck }
+    val allZero = scores.map(_._2).mkString(" + ") + " = 0"
+    val pred = scores.foldRight("'unknown'") { case ((l, e), rest) =>
+      val geAll = scores.filter(_._1 != l).map { case (_, e2) => s"$e >= $e2" }
+        .mkString(" AND ")
+      s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
+    }
+    val mhDuck = (0 until 8).map(i => s"${minhash("sh", i).duck} AS mh$i")
+    val bandsDuck = (0 until 4)
+      .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
+      .mkString("[", ", ", "]")
+    val interD = interCount("a.shd", "b.shd").duck
+    Map(
+      "q_text_tokens" ->
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens_re,
+CAST(length(text) AS INTEGER) AS n_chars_calc,
+CAST(${tokenLenSum(T.duck).duck} AS DOUBLE) / CAST(len(${T.duck}) AS DOUBLE) AS media_tam_token
+FROM documents ORDER BY doc_id""",
+      "q_text_quality" ->
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+$stopRatio AS razao_stopwords,
+$ttr AS razao_tipo_token,
+CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS razao_digitos,
+CASE WHEN len(${T.duck}) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END AS qualidade
+FROM documents ORDER BY doc_id""",
+      "q_lang_id" ->
+        (s"SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, " +
+          scores.map { case (l, e) => s"CAST($e AS INTEGER) AS score_$l" }.mkString(", ") +
+          s", $pred AS lang_pred, CASE WHEN ($pred) = lang THEN 1 ELSE 0 END AS acerto " +
+          "FROM documents ORDER BY doc_id"),
+      "q_fingerprint" ->
+        s"""SELECT doc_id, md5(text) AS hash_exato, md5(lower(trim(text))) AS hash_norm,
+${minhash("sh", 0).duck} AS minhash_0,
+${minhash("sh", 1).duck} AS minhash_1,
+${simhash16("toks").duck} AS simhash
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, ${SH.duck} AS sh, ${T.duck} AS toks FROM documents)
+ORDER BY doc_id""",
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS hash, CAST(min(doc_id) AS BIGINT) AS doc_mantido, COUNT(*) AS n_copias
+FROM documents GROUP BY 1 ORDER BY hash""",
+      "q_dedup_minhash_lsh" ->
+        s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${SH.duck} AS sh FROM documents),
+mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM sh),
+bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
+expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
+         FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+      "q_dedup_jaccard" ->
+        s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  list_distinct(${SH.duck}) AS shd,
+  CAST(floor(len(${T.duck}) / 20) AS INTEGER) AS bucket FROM documents)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST($interD AS DOUBLE) / CAST(len(a.shd) + len(b.shd) - ($interD) AS DOUBLE) AS jaccard
+  FROM base a JOIN base b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")
+  }
+}
