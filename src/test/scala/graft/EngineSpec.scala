@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Star, SurrogateKeys}
+
+/** Engine-level invariants on the testdata star + operator suites.
+  * (Value-level correctness is covered by the DuckDB oracle gate —
+  * tools/check.py; these specs pin structural properties and the
+  * dense/distributed SK equivalence.)
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogate keys: dense == denseDistributed (contiguous, deterministic)") {
+    val df = spark.range(1000).select(
+      (col("id") * 7919 % 1000).as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .repartition(7)
+    val a = SurrogateKeys.dense(df, "sk", Seq(col("k"), col("v")))
+      .select("k", "v", "sk").as[(Long, String, Int)].collect().sortBy(_._3)
+    val b = SurrogateKeys.denseDistributed(df, "sk", Seq(col("k"), col("v")))
+      .select("k", "v", "sk").as[(Long, String, Long)].collect().sortBy(_._3)
+    assert(a.map { case (k, v, sk) => (k, v, sk.toLong) }.toSeq === b.toSeq)
+    assert(b.map(_._3).toSeq === (1L to 1000L))
+  }
+
+  test("star fact: row count = lineitem count (all keys matched), no null core SKs") {
+    val fato = Star.fatoVendas(spark, tiny)
+    assert(fato.count() === 6000)
+    assert(fato.filter($"sk_produto".isNull || $"sk_cliente".isNull ||
+      $"sk_tempo".isNull).count() === 0)
+  }
+
+  test("star fact: decimal metrics satisfy total + desconto == bruto") {
+    val bad = Star.fatoVendas(spark, tiny)
+      .filter(abs($"valor_total" + $"valor_desconto" - $"valor_bruto") > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("kpi consistency: kpi2 == sum over kpi7 nation rollup") {
+    val fato = Star.fatoVendas(spark, tiny)
+    val total = graft.kpi.Kpis.kpi2FaturamentoLiquido(fato).head.getDouble(0)
+    val byNation = graft.kpi.Kpis.kpi7PorNacao(fato, Star.dimCliente(spark, tiny))
+      .agg(sum("total_vendas")).head.getDouble(0)
+    assert(math.abs(total - byNation) < 1e-6)
+  }
+
+  test("text ops: fingerprints deterministic; jaccard self-similarity = 1") {
+    val f1 = graft.text.TextOps.fingerprint(spark, tiny).collect()
+    val f2 = graft.text.TextOps.fingerprint(spark, tiny).collect()
+    assert(f1 === f2)
+    assert(f1.forall(_.getAs[String]("simhash").length === 16))
+    // a doc joined with itself has jaccard exactly 1.0
+    val d = graft.Tables.documents(spark, tiny).limit(5)
+    val sh = graft.text.TextExprs.shingles3(graft.text.TextExprs.tokens("text"))
+    val t = d.selectExpr("doc_id", s"array_distinct(${sh.spark}) AS shd")
+    val self = t.as("a").join(t.as("b"), "doc_id")
+      .selectExpr("size(filter(a.shd, x -> array_contains(b.shd, x))) AS i",
+        "size(a.shd) AS n")
+    assert(self.filter($"i" =!= $"n").count() === 0)
+  }
+
+  test("embeddings: ann returns k neighbors per query with sims in [-1,1]") {
+    val ann = graft.sim.EmbeddingOps.annBruteForce(spark, tiny)
+    val perQuery = ann.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getAs[Long]("count") === 5L))
+    assert(ann.filter($"sim" > 1.0 || $"sim" < -1.0).count() === 0)
+    // ranks strictly ordered by sim within query
+    val bad = ann.as("x").join(ann.as("y"),
+      $"x.query_id" === $"y.query_id" && $"x.rank" < $"y.rank" &&
+        $"x.sim" < $"y.sim")
+    assert(bad.count() === 0)
+  }
+
+  test("dedup keep-first picks each user's earliest event") {
+    val got = graft.ops.RelationalOps.dedupKeepFirst(spark, tiny)
+    val manual = graft.Tables.events(spark, tiny)
+      .groupBy("user_id").agg(min(struct($"ts", $"event_id")).as("m"))
+      .select($"user_id", $"m.event_id".as("first_event_id"))
+    val diff = got.select("user_id", "first_event_id")
+      .except(manual.select("user_id", "first_event_id"))
+    assert(diff.count() === 0)
+  }
+}
