@@ -24,7 +24,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
-    graft.text.TextOps.queries ++ graft.sim.EmbeddingOps.queries
+    graft.text.TextOps.queries ++ graft.sim.EmbeddingOps.queries ++
+    graft.multimodal.Multimodal.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // star-schema ETL builds (reference dims + fact, SURVEY §2.1-2.3)
@@ -77,5 +78,6 @@ object SparkEntry {
     "q_events_hourly" -> (RelationalOps.eventsHourly _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++
-    graft.text.TextOps.oracle ++ graft.sim.EmbeddingOps.oracle
+    graft.text.TextOps.oracle ++ graft.sim.EmbeddingOps.oracle ++
+    graft.multimodal.Multimodal.oracle
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI demo of the streaming surface against real files: watches a
+  * directory, feeds it the testdata event files one at a time, and shows
+  * the watermarked hourly rollup updating per micro-batch; finally checks
+  * the streamed totals against the batch twin on the same rows.
+  *
+  * Usage: runMain graft.streaming.StreamRun [watchDir]
+  */
+object StreamRun {
+  def main(args: Array[String]): Unit = {
+    val watchDir = if (args.length > 0) args(0) else "/tmp/graft_stream_in"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-stream-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Paths.get(watchDir)
+    if (Files.exists(dir))
+      Files.list(dir).forEach(p => Files.delete(p))
+    Files.createDirectories(dir)
+
+    def feed(sf: String): Unit =
+      Files.copy(Paths.get(s"/root/testdata/$sf/events.parquet"),
+        dir.resolve(s"events_$sf.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    // schema from a static read of the same file layout (ts arrives as
+    // nanos-long; normalize exactly like Tables.events)
+    feed("sf0.001")
+    val schema = spark.read.parquet(watchDir).schema
+    val raw = spark.readStream.schema(schema).parquet(watchDir)
+    val events = raw.withColumn("ts",
+      timestamp_micros((col("ts") / 1000L).cast("long")))
+
+    val q = Streams.hourlyRollup(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup").start()
+
+    q.processAllAvailable()
+    val n1 = spark.table("rollup").count()
+    println(s"micro-batch 1 (sf0.001 file): $n1 rollup rows")
+
+    feed("sf0.01") // second file lands in the watched dir → incremental batch
+    q.processAllAvailable()
+    val n2 = spark.table("rollup").count()
+    println(s"micro-batch 2 (+sf0.01 file): $n2 rollup rows")
+    q.stop()
+
+    val streamed = spark.table("rollup")
+      .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head
+    val batchTwin = Streams.hourlyRollup(
+      graft.Tables.events(spark, "/root/testdata/sf0.001").unionAll(
+        graft.Tables.events(spark, "/root/testdata/sf0.01")))
+      .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head
+    println(s"streamed totals: $streamed | batch twin: $batchTwin | " +
+      s"match: ${streamed == batchTwin}")
+    spark.stop()
+  }
+}

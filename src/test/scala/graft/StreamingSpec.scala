@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Structured Streaming jobs driven synchronously through MemoryStream +
+  * memory sink; the windowed rollup is additionally checked against its
+  * batch twin on identical input.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Event(2, ts("2024-01-01 00:40:00"), 1, "click", 2.0),
+    Event(3, ts("2024-01-01 01:10:00"), 1, "purchase", 10.0),
+    Event(4, ts("2024-01-01 00:30:00"), 2, "click", 5.0),
+    // user 2: >30 min gap → second session
+    Event(5, ts("2024-01-01 02:00:00"), 2, "click", 7.0))
+
+  test("hourly rollup: streaming result == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.hourlyRollup(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("rollup_out")
+      .orderBy("hora", "event_type").collect().toSeq
+    val batch = Streams.hourlyRollup(sample.toDF())
+      .orderBy("hora", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(r => (r.getAs[Timestamp]("hora").toString,
+      r.getAs[String]("event_type"), r.getAs[Long]("n"))) === Seq(
+      ("2024-01-01 00:00:00.0", "click", 3L),
+      ("2024-01-01 01:00:00.0", "purchase", 1L),
+      ("2024-01-01 02:00:00.0", "click", 1L)))
+  }
+
+  test("stream-static fact append joins dims without reshuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimP = Seq((1, 101L), (2, 102L)).toDF("sk_produto", "id_produto_original")
+    val mem = MemoryStream[(Long, Long, Int, Double)]
+    mem.addData((1L, 101L, 2, 10.0), (2L, 999L, 1, 5.0)) // 999 unmatched
+    val lines = mem.toDF().toDF("line_id", "product_id", "qty", "price")
+    val q = Streams.factAppend(lines, dimP)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fact_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("fact_out").orderBy("line_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Int]("sk_produto") === 1)
+    assert(rows(0).getAs[java.math.BigDecimal]("valor_total").doubleValue() === 20.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("sk_produto"))) // left join keeps it
+  }
+
+  test("sessionization: 30-min gap closes a session (stateful)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+
+    // only CLOSED sessions are emitted; open sessions stay in state.
+    // user 1: 00:05→00:40 is a 35-min gap → first session (1 event) closes;
+    // 00:40→01:10 is exactly 30 min (not > gap) → second session stays open.
+    // user 2: 00:30→02:00 gap → first session (1 event) closes.
+    val rows = spark.table("sess_out").orderBy("user_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("user_id") === 1L)
+    assert(rows(0).getAs[Int]("n_events") === 1)
+    assert(rows(0).getAs[Double]("valor") === 1.0)
+    assert(rows(1).getAs[Long]("user_id") === 2L)
+    assert(rows(1).getAs[Int]("n_events") === 1)
+    assert(rows(1).getAs[Double]("valor") === 5.0)
+  }
+}
