@@ -34,13 +34,33 @@ object TextExprs {
       s"list_transform(range(1, len(${t.duck}) - 1), i -> array_to_string(list_slice(${t.duck}, i, i + 2), ' ')) " +
       s"ELSE [array_to_string(${t.duck}, ' ')] END")
 
-  /** MinHash for one seed: min over shingles of md5(seed|shingle).
-    * md5-as-hash keeps both engines bit-identical; string min == numeric
-    * min of the underlying 128-bit value for fixed-width lowercase hex.
+  /** md5 each element of a string-array expression — ONE digest pass per
+    * shingle; the k minhash functions below derive from this single digest
+    * with cheap arithmetic (classic (h1 + i·h2) mod p family) instead of k
+    * separate digest passes.
     */
-  def minhash(sh: String, seed: Int): X = X(
-    spark = s"array_min(transform($sh, s -> md5(concat('$seed|', s))))",
-    duck = s"list_min(list_transform($sh, s -> md5(concat('$seed|', s))))")
+  def md5List(sh: String): X = X(
+    spark = s"transform($sh, s -> md5(s))",
+    duck = s"list_transform($sh, s -> md5(s))")
+
+  private val P = 1000000007L
+
+  /** Parse one 15-hex-char half of each md5 in `hs` into bigints mod p —
+    * done ONCE; the k minhash functions below are pure arithmetic over
+    * these numeric arrays ((h1 + i·h2) mod p family).
+    */
+  def hashHalf(hs: String, from: Int): X = X(
+    spark = s"transform($hs, h -> CAST(conv(substring(h, $from, 15), 16, 10) AS BIGINT) % $P)",
+    duck = s"list_transform($hs, h -> ('0x' || substring(h, $from, 15))::BIGINT % $P)")
+
+  /** MinHash i from the two pre-parsed numeric halves `a1`,`a2`:
+    * min over shingles of (h1 + i·h2) mod p. Bit-identical across engines
+    * (64-bit int arithmetic only).
+    */
+  def minhash(a1: String, a2: String, seed: Int): X = X(
+    spark = s"array_min(zip_with($a1, $a2, (x, y) -> (x + $seed * y) % $P))",
+    duck = s"list_min(list_transform(range(1, len($a1) + 1), " +
+      s"j -> ($a1[j] + $seed * $a2[j]) % $P))")
 
   /** One SimHash bit (position p in 1..16): majority vote over tokens of
     * the parity of hex digit p of md5(token).

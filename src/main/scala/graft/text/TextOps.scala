@@ -77,13 +77,16 @@ object TextOps {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text",
-        s"${SH.spark} AS sh", s"${T.spark} AS toks")
+        s"${md5List(SH.spark).spark} AS hs", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "text", "toks",
+        s"${hashHalf("hs", 1).spark} AS a1",
+        s"${hashHalf("hs", 17).spark} AS a2")
       .selectExpr(
         "doc_id",
         "md5(text) AS hash_exato",
         "md5(lower(trim(text))) AS hash_norm",
-        s"${minhash("sh", 0).spark} AS minhash_0",
-        s"${minhash("sh", 1).spark} AS minhash_1",
+        s"${minhash("a1", "a2", 0).spark} AS minhash_0",
+        s"${minhash("a1", "a2", 1).spark} AS minhash_1",
         s"${simhash16("toks").spark} AS simhash")
       .orderBy("doc_id")
 
@@ -94,17 +97,32 @@ object TextOps {
         count(lit(1)).as("n_copias"))
       .orderBy("hash")
 
-  /** MinHash-LSH candidate pairs: 8 minhashes → 4 bands of 2 → equi-join
-    * on (band_idx, band_key). The join key is the band hash, so the
-    * shuffle is O(docs × 4) rows regardless of corpus size.
+  /** MinHash-LSH candidate pairs: 8 minhashes (one md5 pass + cheap
+    * (h1+i·h2) mod p derivations) → 4 bands of 2 → equi-join on
+    * (band_idx, band_key). The join key is the band hash, so the shuffle
+    * is O(docs × 4) rows regardless of corpus size.
+    *
+    * The parsed-halves stage is cache()d deliberately: it is (a) consumed
+    * by BOTH sides of the self-join (self-joins get no subplan reuse), and
+    * (b) an optimization BARRIER — without it CollapseProject inlines the
+    * a1/a2 aliases into all 8 minhash lambdas and the md5 pass into both
+    * halves, multiplying the digest work 16× (measured 48 s → 2 s at
+    * sf0.1). At cluster scale the same barrier would be a checkpoint or a
+    * persisted signature table.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val mh = (0 until 8).map(i => s"${minhash("sh", i).spark} AS mh$i")
+    val mh = (0 until 8).map(i => s"${minhash("a1", "a2", i).spark} AS mh$i")
     val bands = (0 until 4)
       .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
       .mkString("array(", ", ", ")")
-    val base = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${SH.spark} AS sh")
+    val halves = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"${md5List(SH.spark).spark} AS hs")
+      .selectExpr("doc_id",
+        s"${hashHalf("hs", 1).spark} AS a1",
+        s"${hashHalf("hs", 17).spark} AS a2")
+      .cache()
+    val base = halves
       .selectExpr(Seq("doc_id") ++ mh: _*)
       .selectExpr("doc_id", s"$bands AS bands")
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
@@ -118,22 +136,33 @@ object TextOps {
   }
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
-    * (lang, token-count bucket) — an equi-join, not a cross join, so it
-    * shuffles on the blocking key and parallelizes by block at scale.
+    * (lang, token-count bucket), computed as an INVERTED-INDEX
+    * set-similarity join: explode distinct shingles, equi-join on
+    * (shingle, block), count shared shingles per pair, derive Jaccard from
+    * |A∩B| and the per-doc set sizes. No per-pair array scans, no cross
+    * join — the shuffle key is the shingle, which is how SSJoin scales to
+    * corpus size (pairs sharing zero shingles are never materialized; they
+    * cannot pass the threshold anyway).
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     val base = documents(s, d).selectExpr(
       "CAST(doc_id AS BIGINT) AS doc_id", "lang",
       s"array_distinct(${SH.spark}) AS shd",
       s"CAST(floor(size(${T.spark}) / 20) AS INT) AS bucket")
-    val a = base.toDF("doc_a", "lang", "shd_a", "bucket")
-    val b = base.toDF("doc_b", "lang", "shd_b", "bucket")
-    val inter = expr(interCount("shd_a", "shd_b").spark)
-    a.join(b, Seq("lang", "bucket"))
+      .withColumn("n", size(col("shd")))
+    // cached: the inverted index feeds both sides of the self-join, and
+    // the cache stops the shingle pipeline from being recomputed per side
+    val ex = base.select(col("doc_id"), col("lang"), col("bucket"), col("n"),
+      explode(col("shd")).as("s"))
+      .cache()
+    val a = ex.toDF("doc_a", "lang", "bucket", "n_a", "s")
+    val b = ex.toDF("doc_b", "lang", "bucket", "n_b", "s")
+    a.join(b, Seq("s", "lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("shd_a")) + size(col("shd_b")) - inter).cast("double"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -161,11 +190,10 @@ object TextOps {
         .mkString(" AND ")
       s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
     }
-    val mhDuck = (0 until 8).map(i => s"${minhash("sh", i).duck} AS mh$i")
+    val mhDuck = (0 until 8).map(i => s"${minhash("a1", "a2", i).duck} AS mh$i")
     val bandsDuck = (0 until 4)
       .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
       .mkString("[", ", ", "]")
-    val interD = interCount("a.shd", "b.shd").duck
     Map(
       "q_text_tokens" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
@@ -189,17 +217,20 @@ FROM documents ORDER BY doc_id""",
           "FROM documents ORDER BY doc_id"),
       "q_fingerprint" ->
         s"""SELECT doc_id, md5(text) AS hash_exato, md5(lower(trim(text))) AS hash_norm,
-${minhash("sh", 0).duck} AS minhash_0,
-${minhash("sh", 1).duck} AS minhash_1,
+${minhash("a1", "a2", 0).duck} AS minhash_0,
+${minhash("a1", "a2", 1).duck} AS minhash_1,
 ${simhash16("toks").duck} AS simhash
-FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, ${SH.duck} AS sh, ${T.duck} AS toks FROM documents)
+FROM (SELECT doc_id, text, toks,
+  ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, ${md5List(SH.duck).duck} AS hs, ${T.duck} AS toks FROM documents))
 ORDER BY doc_id""",
       "q_dedup_exact" ->
         """SELECT md5(text) AS hash, CAST(min(doc_id) AS BIGINT) AS doc_mantido, COUNT(*) AS n_copias
 FROM documents GROUP BY 1 ORDER BY hash""",
       "q_dedup_minhash_lsh" ->
-        s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${SH.duck} AS sh FROM documents),
-mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM sh),
+        s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${md5List(SH.duck).duck} AS hs FROM documents),
+halves AS (SELECT doc_id, ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2 FROM sh),
+mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM halves),
 bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
 expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
          FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)
@@ -209,11 +240,14 @@ GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
       "q_dedup_jaccard" ->
         s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
   list_distinct(${SH.duck}) AS shd,
-  CAST(floor(len(${T.duck}) / 20) AS INTEGER) AS bucket FROM documents)
+  CAST(floor(len(${T.duck}) / 20) AS INTEGER) AS bucket FROM documents),
+sized AS (SELECT *, len(shd) AS n FROM base),
+ex AS (SELECT doc_id, lang, bucket, n, unnest(shd) AS s FROM sized)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST($interD AS DOUBLE) / CAST(len(a.shd) + len(b.shd) - ($interD) AS DOUBLE) AS jaccard
-  FROM base a JOIN base b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         CAST(COUNT(*) AS DOUBLE) / CAST(a.n + b.n - COUNT(*) AS DOUBLE) AS jaccard
+  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
 WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")
   }
 }
