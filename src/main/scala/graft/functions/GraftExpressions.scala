@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where composing built-in
+  * higher-order functions costs k interpreted array traversals per row.
+  * Both generate code that calls a tight static JVM kernel (the standard
+  * static-invoke pattern used by Spark's own collection expressions), so
+  * they stay inside WholeStageCodegen spans instead of falling back to
+  * interpreted lambda evaluation.
+  *
+  * Semantics are IDENTICAL to the composed-built-in forms in
+  * graft.text.TextExprs / graft.sim.EmbeddingOps (same (h1+i·h2) mod p
+  * family, same left-to-right double fold), so the DuckDB oracles verify
+  * these too.
+  */
+object Kernels {
+  val P: Long = 1000000007L
+
+  /** k minhashes in ONE pass over the md5-hex array: for each digest,
+    * parse the two 15-hex-char halves once, then update all k running
+    * minima. Replaces k zip_with traversals + 2 parse arrays.
+    */
+  def minhashes(hashes: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getUTF8String(i).toString
+      val h1 = java.lang.Long.parseLong(h.substring(0, 15), 16) % P
+      val h2 = java.lang.Long.parseLong(h.substring(16, 31), 16) % P
+      var s = 0
+      while (s < k) {
+        val v = (h1 + s * h2) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Cosine similarity over two float arrays: double accumulation,
+    * strictly left-to-right (bit-identical to the SQL aggregate/zip_with
+    * form and to the DuckDB oracle).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** minhashes(array<string md5-hex>, k) → array<long>: the k-function
+  * MinHash signature in a single array pass.
+  */
+case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhashes expects array<string>, got ${other.simpleString(10)}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.minhashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
+  override def prettyName: String = "minhashes"
+}
+
+/** cosine_sim(array<float>, array<float>) → double. */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects two array<float>, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Column-API wrappers + SQL registration. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftshim.Shim.{toColumn, toExpr}
+
+  def minhashes(c: Column, k: Int): Column = toColumn(MinHashes(toExpr(c), k))
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSim(toExpr(a), toExpr(b)))
+
+  /** Register for spark.sql use: minhashes(hs, k), cosine_sim(a, b). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("minhashes", exprs =>
+      MinHashes(exprs.head, exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => other.eval().asInstanceOf[Int]
+      }), "scala_udf")
+    registry.createOrReplaceTempFunction("cosine_sim", exprs =>
+      CosineSim(exprs.head, exprs(1)), "scala_udf")
+  }
+}
+
+/** SparkSessionExtensions hook — lets a deployment wire the functions in
+  * via spark.sql.extensions=graft.functions.GraftExtensions.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhashes"),
+      new ExpressionInfo("graft.functions.MinHashes", "minhashes"),
+      (exprs: Seq[Expression]) => MinHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.functions.CosineSim", "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+  }
+}

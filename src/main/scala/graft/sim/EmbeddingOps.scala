@@ -44,14 +44,12 @@ object EmbeddingOps {
     */
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d)
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding",
-        s"${norm("embedding")} AS nrm")
-    val q = base.filter(col("vec_id") < N_QUERIES)
-      .toDF("query_id", "q_emb", "q_nrm")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
     val joined = broadcast(q).crossJoin(base)
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim",
-        expr(dot("q_emb", "embedding", DIM).spark) / (col("q_nrm") * col("nrm")))
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TOP_K)
@@ -76,14 +74,13 @@ object EmbeddingOps {
   def embedNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
     val base = embeddings(s, d)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        "CAST(label AS INTEGER) AS label", "embedding",
-        s"${norm("embedding")} AS nrm")
-    val a = base.toDF("vec_a", "label", "emb_a", "nrm_a")
-    val b = base.toDF("vec_b", "label", "emb_b", "nrm_b")
+        "CAST(label AS INTEGER) AS label", "embedding")
+    val a = base.toDF("vec_a", "label", "emb_a")
+    val b = base.toDF("vec_b", "label", "emb_b")
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim",
-        expr(dot("emb_a", "emb_b", DIM).spark) / (col("nrm_a") * col("nrm_b")))
+        graft.functions.GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
       .orderBy("vec_a", "vec_b")

@@ -74,21 +74,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  def fingerprint(s: SparkSession, d: String): DataFrame =
+  /** Fingerprints via the native one-pass MinHashes kernel
+    * (graft.functions.MinHashes — codegen'd, same (h1+i·h2) mod p family
+    * as the SQL template, so the DuckDB oracle still matches bit-exact).
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text",
         s"${md5List(SH.spark).spark} AS hs", s"${T.spark} AS toks")
-      .selectExpr("doc_id", "text", "toks",
-        s"${hashHalf("hs", 1).spark} AS a1",
-        s"${hashHalf("hs", 17).spark} AS a2")
       .selectExpr(
         "doc_id",
         "md5(text) AS hash_exato",
         "md5(lower(trim(text))) AS hash_norm",
-        s"${minhash("a1", "a2", 0).spark} AS minhash_0",
-        s"${minhash("a1", "a2", 1).spark} AS minhash_1",
+        "element_at(minhashes(hs, 2), 1) AS minhash_0",
+        "element_at(minhashes(hs, 2), 2) AS minhash_1",
         s"${simhash16("toks").spark} AS simhash")
       .orderBy("doc_id")
+  }
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -97,33 +100,29 @@ object TextOps {
         count(lit(1)).as("n_copias"))
       .orderBy("hash")
 
-  /** MinHash-LSH candidate pairs: 8 minhashes (one md5 pass + cheap
-    * (h1+i·h2) mod p derivations) → 4 bands of 2 → equi-join on
+  /** MinHash-LSH candidate pairs: 8-function signature via the native
+    * one-pass MinHashes kernel → 4 bands of 2 → equi-join on
     * (band_idx, band_key). The join key is the band hash, so the shuffle
     * is O(docs × 4) rows regardless of corpus size.
     *
-    * The parsed-halves stage is cache()d deliberately: it is (a) consumed
-    * by BOTH sides of the self-join (self-joins get no subplan reuse), and
-    * (b) an optimization BARRIER — without it CollapseProject inlines the
-    * a1/a2 aliases into all 8 minhash lambdas and the md5 pass into both
-    * halves, multiplying the digest work 16× (measured 48 s → 2 s at
-    * sf0.1). At cluster scale the same barrier would be a checkpoint or a
+    * The signature stage is cache()d deliberately: it feeds BOTH sides of
+    * the self-join (self-joins get no subplan reuse) and acts as an
+    * optimization barrier so CollapseProject can't inline the digest
+    * pipeline into each band expression (measured 48 s → 2 s at sf0.1
+    * before the native kernel). At cluster scale the same barrier is a
     * persisted signature table.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val mh = (0 until 8).map(i => s"${minhash("a1", "a2", i).spark} AS mh$i")
+    graft.functions.GraftFunctions.register(s)
     val bands = (0 until 4)
-      .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
+      .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), element_at(mh, ${2 * j + 2})))")
       .mkString("array(", ", ", ")")
-    val halves = documents(s, d)
+    val sigs = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
         s"${md5List(SH.spark).spark} AS hs")
-      .selectExpr("doc_id",
-        s"${hashHalf("hs", 1).spark} AS a1",
-        s"${hashHalf("hs", 17).spark} AS a2")
+      .selectExpr("doc_id", "minhashes(hs, 8) AS mh")
       .cache()
-    val base = halves
-      .selectExpr(Seq("doc_id") ++ mh: _*)
+    val base = sigs
       .selectExpr("doc_id", s"$bands AS bands")
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
     val a = base.toDF("doc_a", "band_idx", "bkey")

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.text.TextExprs
+
+/** Native Catalyst expressions: SQL registration, codegen execution, and
+  * bit-equality with the composed-built-in template forms they replace.
+  */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhashes == template (h1 + i*h2) mod p form, via SQL and Column API") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, tiny).limit(50)
+    val T = TextExprs.tokens("text")
+    val hs = docs.selectExpr("doc_id", s"${TextExprs.md5List(TextExprs.shingles3(T).spark).spark} AS hs")
+    val native = hs.selectExpr("doc_id", "minhashes(hs, 8) AS mh")
+    val template = hs
+      .selectExpr("doc_id",
+        s"${TextExprs.hashHalf("hs", 1).spark} AS a1",
+        s"${TextExprs.hashHalf("hs", 17).spark} AS a2")
+      .selectExpr("doc_id", (0 until 8).map(i =>
+        TextExprs.minhash("a1", "a2", i).spark).mkString("array(", ",", ") AS mh"))
+    val diff = native.as("n").join(template.as("t"), "doc_id")
+      .filter($"n.mh" =!= $"t.mh")
+    assert(diff.count() === 0)
+  }
+
+  test("cosine_sim == aggregate/zip_with dot-product form, bit-exact") {
+    val e = Tables.embeddings(spark, tiny).limit(30)
+      .selectExpr("vec_id", "embedding")
+    val a = e.toDF("ia", "ea")
+    val b = e.toDF("ib", "eb")
+    val both = a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("native", GraftFunctions.cosine_sim($"ea", $"eb"))
+      .withColumn("template",
+        expr(TextExprs.dot("ea", "eb", 64).spark) /
+          (sqrt(expr(TextExprs.dot("ea", "ea", 64).spark)) *
+            sqrt(expr(TextExprs.dot("eb", "eb", 64).spark))))
+    assert(both.filter($"native" =!= $"template").count() === 0)
+  }
+
+  test("type checking rejects wrong inputs") {
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+}
