@@ -75,7 +75,10 @@ object SparkEntry {
     "q_string_ops" -> (RelationalOps.stringOps _),
     "q_date_ops" -> (RelationalOps.dateOps _),
     "q_json_extract" -> (RelationalOps.jsonExtract _),
-    "q_events_hourly" -> (RelationalOps.eventsHourly _))
+    "q_events_hourly" -> (RelationalOps.eventsHourly _),
+    "q_sessionize" -> (RelationalOps.sessionizeBatch _),
+    "q_salted_agg" -> (RelationalOps.saltedAgg _),
+    "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++
     graft.text.TextOps.oracle ++ graft.sim.EmbeddingOps.oracle ++

@@ -179,6 +179,66 @@ object RelationalOps {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Batch sessionization via window analytics (lag + cumulative sum) —
+    * the set-based twin of the stateful streaming sessionizer
+    * (graft.streaming.Streams.sessionize): a session break is a >30-min
+    * gap; session ids are running counts of breaks per user.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("quebra",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sessao", sum(col("quebra")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").cast("long").as("user_id"), col("sessao").cast("int").as("sessao"))
+      .agg(count(lit(1)).as("n_eventos"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("inicio"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("fim"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("valor"))
+      .orderBy("user_id", "sessao")
+  }
+
+  /** Salted two-phase aggregation — the skew pattern: event_type has only
+    * a handful of hot keys, so phase 1 spreads each key over 16 salt
+    * shards (shuffle is uniform), phase 2 merges the 16 partials per key.
+    * Results are identical to a direct groupBy (exact decimal sums).
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n_p"),
+        sum(col("value").cast("decimal(18,2)")).as("soma_p"))
+      .groupBy("event_type")
+      .agg(sum("n_p").as("n"),
+        sum("soma_p").cast("double").as("soma_valor"))
+      .orderBy("event_type")
+
+  /** SQL-frontend entry point (SURVEY §3.3): the same engine surface via
+    * spark.sql over registered views — multi-CTE revenue-by-nation.
+    */
+  def sqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "nation", "orders").foreach { t =>
+      table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT n_name, CAST(SUM(r) AS DOUBLE) AS receita,
+        |       COUNT(*) AS n_clientes
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN rev ON rev.o_custkey = c_custkey
+        |GROUP BY n_name
+        |ORDER BY receita DESC, n_name""".stripMargin)
+  }
+
   /** Hourly rollup over the events table — the batch twin of the
     * Structured Streaming job in graft.streaming (same logical plan; the
     * stream adds a watermark).

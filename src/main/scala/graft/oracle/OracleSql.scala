@@ -239,6 +239,45 @@ ORDER BY o_orderkey""",
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 ORDER BY event_id""",
+    "q_sessionize" ->
+      """WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS quebra
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(quebra) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS sessao
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sessao AS INTEGER) AS sessao,
+       COUNT(*) AS n_eventos,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS inicio,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS fim,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor
+FROM sess
+GROUP BY user_id, sessao
+ORDER BY user_id, sessao""",
+    "q_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+FROM events
+GROUP BY event_type
+ORDER BY event_type""",
+    "q_sql_frontend" ->
+      """WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, CAST(SUM(r) AS DOUBLE) AS receita, COUNT(*) AS n_clientes
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN rev ON rev.o_custkey = c_custkey
+GROUP BY n_name
+ORDER BY receita DESC, n_name""",
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hora,
        event_type,

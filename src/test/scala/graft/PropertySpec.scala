@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Kernels
+
+/** Property-based invariants (SURVEY §5): metric identities, smart-key
+  * round-trips, and kernel algebraic laws. (scalacheck generators driven
+  * directly — the scalatest bridge artifact isn't on the offline
+  * classpath.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (0 until n).foreach(_ => gen.sample.foreach(f))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 100).foreach(_ =>
+      for (a <- ga.sample; b <- gb.sample) f(a, b))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def arr(ss: Seq[String]) =
+    new GenericArrayData(ss.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  test("minhash signature: element-wise monotone under set growth, order-invariant") {
+    val gens = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    forAll(gens) { raw =>
+      val hs = raw.map(md5hex)
+      val sig = Kernels.minhashes(arr(hs), 8).toLongArray()
+      // order invariance
+      val sigR = Kernels.minhashes(arr(hs.reverse), 8).toLongArray()
+      assert(sig.toSeq === sigR.toSeq)
+      // growing the set can only lower (or keep) each signature slot
+      val sig2 = Kernels.minhashes(arr(hs :+ md5hex("extra")), 8).toLongArray()
+      assert(sig.zip(sig2).forall { case (a, b) => b <= a })
+      // identical sets → identical signatures (dedup-stability)
+      val sigDup = Kernels.minhashes(arr(hs ++ hs), 8).toLongArray()
+      assert(sig.toSeq === sigDup.toSeq)
+    }
+  }
+
+  test("cosine kernel: self-similarity 1, symmetry, scale invariance") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-10.0f, 10.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 0.01f))
+    def farr(v: Seq[Float]) = new GenericArrayData(v.toArray[Any])
+    forAll(vecGen, vecGen) { (a, b) =>
+      assert(math.abs(Kernels.cosine(farr(a), farr(a)) - 1.0) < 1e-12)
+      assert(Kernels.cosine(farr(a), farr(b)) ===
+        Kernels.cosine(farr(b), farr(a)))
+      val sim = Kernels.cosine(farr(a), farr(b))
+      assert(sim >= -1.0 - 1e-12 && sim <= 1.0 + 1e-12)
+    }
+  }
+
+  test("smart date key: YYYYMMDD round-trips through date parts") {
+    val dates = Gen.choose(0L, 365L * 30)
+      .map(d => java.time.LocalDate.of(1995, 1, 1).plusDays(d))
+    forAll(dates) { d =>
+      val key = d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+      assert(key / 10000 === d.getYear)
+      assert(key / 100 % 100 === d.getMonthValue)
+      assert(key % 100 === d.getDayOfMonth)
+    }
+  }
+
+  test("fact metric identity holds on generated rows in DecimalType") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random (price, qty, discount) rows through the Star metric formulas
+    val rows = (1 to 200).map { i =>
+      (i.toLong, 1, math.round((i * 77.77 % 10000) * 100) / 100.0,
+        (i % 10) / 100.0)
+    }.toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val ep = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val one = lit("1.00").cast("decimal(3,2)")
+    val m = rows.select(
+      ep.as("bruto"),
+      (ep * disc).as("desc"),
+      (ep * (one - disc)).as("total"))
+    // valor_total + valor_desconto == valor_bruto, exactly — in DECIMAL;
+    // (cast to double first and the identity only holds to 1 ulp)
+    assert(m.filter(col("total") + col("desc") =!= col("bruto")).count() === 0)
+  }
+}
