@@ -86,7 +86,50 @@ object EmbeddingOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN: labels stand in for a k-means coarse quantizer. The
+    * query is routed to its nearest centroid (cell), then searched
+    * exhaustively only within that cell — the probe pattern of an IVF
+    * index. Centroids are tiny (k rows) and broadcast; the corpus is
+    * scanned once, partitioned by cell. No DuckDB oracle (float centroid
+    * means are aggregation-order sensitive) → rows-only check.
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(label AS INTEGER) AS label", "embedding")
+    // centroid per cell: element-wise mean (posexplode → avg → rebuild)
+    val cents = base
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+      .select(col("label").as("cell"),
+        expr("transform(sm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+    val q = base.filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_label", "q_emb")
+    // route each query to its nearest centroid...
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("sim_c",
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim_c"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    // ...then search only that cell
+    val hits = routed.join(base, routed("cell") === base("label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
+    hits.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("cell"), col("vec_id").as("vizinho"),
+        col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf" -> (annIvf _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
     "q_ann_lsh_buckets" -> (lshBuckets _),

@@ -43,6 +43,17 @@ object Streams {
         (col("price").cast("decimal(18,2)") * col("qty").cast("decimal(9,0)"))
           .cast("decimal(18,2)").as("valor_total"))
 
+  /** Streaming exact dedup: drop replayed events by id within the
+    * watermark horizon — the incremental form of the batch exact-dedup
+    * operator (at-least-once sources → exactly-once facts). State is
+    * bounded by the watermark: ids older than the horizon are evicted.
+    */
+  def dedupStream(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour")
+              else events
+    src.dropDuplicates("event_id", "ts")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

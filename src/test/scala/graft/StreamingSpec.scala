@@ -62,6 +62,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("sk_produto"))) // left join keeps it
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    mem.addData(sample.take(3): _*) // replay first three events
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() === sample.length) // no dupes
+  }
+
   test("sessionization: 30-min gap closes a session (stateful)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
