@@ -128,14 +128,57 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Brute-force ANN expressed through the bounded TopKByScore aggregator
+    * instead of a window: the cross join streams into a partial+final
+    * HashAggregate whose per-query state is O(k) — at corpus scale nothing
+    * below the running top-k survives a partition, vs the window form
+    * which shuffles and sorts every candidate row. Same result as
+    * q_ann_brute (same deterministic ordering), hash-checked against the
+    * same style of oracle.
+    */
+  def annTopKAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = embeddings(s, d)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    val sims = broadcast(q).crossJoin(base)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("sim"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    val agg = graft.functions.TopKByScore(TOP_K).toColumn
+    sims.groupByKey(_._1)
+      .mapValues { case (_, sim, id) => (sim, id) }
+      .agg(agg.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._2").as("vizinho"), col("p._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "q_ann_topk_agg" ->
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+  ${normDuck("embedding")} AS nrm FROM embeddings),
+sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vizinho,
+  ${dot("q.embedding", "c.embedding", DIM).duck} / (q.nrm * c.nrm) AS sim
+  FROM base q CROSS JOIN base c
+  WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id)
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
+  FROM sims)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     "q_embed_norm" ->
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
 ${normDuck("embedding")} AS norma
