@@ -239,6 +239,62 @@ object RelationalOps {
         |ORDER BY receita DESC, n_name""".stripMargin)
   }
 
+  /** ROLLUP aggregation (extension; none in the reference): revenue at
+    * (nation, segment), (nation), and grand-total levels in one pass —
+    * Spark expands grouping sets in a single shuffle. Null grouping keys
+    * are labeled so ordering is engine-independent.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val o = orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("receita"),
+        count(lit(1)).as("n_pedidos"))
+      .select(coalesce(col("n_name"), lit("TOTAL")).as("nacao"),
+        coalesce(col("c_mktsegment"), lit("TOTAL")).as("segmento"),
+        col("receita"), col("n_pedidos"))
+      .orderBy("nacao", "segmento")
+  }
+
+  /** Exact distinct-count statistics (A-family extension): per order
+    * priority, how many distinct customers and order dates.
+    */
+  def distinctStats(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("clientes_distintos"),
+        countDistinct(col("o_orderdate")).as("datas_distintas"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** AS-OF join (the classic operator Spark lacks natively), composed from
+    * built-ins per the custom-operator preference order (SURVEY §4.3(a)):
+    * for each purchase event, the user's most recent STRICTLY-PRIOR click
+    * — one pass: tag clicks, carry the last non-null tag forward with a
+    * preceding-rows window, then keep purchases. No join at all on the
+    * Spark side; the oracle cross-checks against DuckDB's NATIVE ASOF JOIN,
+    * so two entirely different algorithms must agree.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("ultimo_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").cast("long").as("purchase_id"),
+        col("user_id").cast("long").as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_compra"),
+        col("ultimo_click_id").cast("long").as("click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Hourly rollup over the events table — the batch twin of the
     * Structured Streaming job in graft.streaming (same logical plan; the
     * stream adds a watermark).

@@ -239,6 +239,33 @@ ORDER BY o_orderkey""",
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 ORDER BY event_id""",
+    "q_rollup" ->
+      """SELECT coalesce(n_name, 'TOTAL') AS nacao,
+       coalesce(c_mktsegment, 'TOTAL') AS segmento,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS receita,
+       COUNT(*) AS n_pedidos
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+ORDER BY nacao, segmento""",
+    "q_distinct_stats" ->
+      """SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS clientes_distintos,
+       COUNT(DISTINCT o_orderdate) AS datas_distintas,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+    "q_asof_join" ->
+      """SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_compra,
+       CAST(c.event_id AS BIGINT) AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+ORDER BY purchase_id""",
     "q_sessionize" ->
       """WITH marked AS (
   SELECT user_id, event_id, ts, value,
