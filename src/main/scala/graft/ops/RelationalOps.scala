@@ -239,6 +239,18 @@ object RelationalOps {
         |ORDER BY receita DESC, n_name""".stripMargin)
   }
 
+  /** Pivot/crosstab (extension): per-user event-type counts as columns.
+    * The value list is explicit, so the output schema is static and
+    * oracle-comparable (and Spark skips the extra distinct-values job).
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** ROLLUP aggregation (extension; none in the reference): revenue at
     * (nation, segment), (nation), and grand-total levels in one pass —
     * Spark expands grouping sets in a single shuffle. Null grouping keys

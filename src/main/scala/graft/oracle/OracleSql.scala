@@ -239,6 +239,16 @@ ORDER BY o_orderkey""",
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 ORDER BY event_id""",
+    "q_pivot" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+FROM events
+GROUP BY user_id
+ORDER BY user_id""",
     "q_rollup" ->
       """SELECT coalesce(n_name, 'TOTAL') AS nacao,
        coalesce(c_mktsegment, 'TOTAL') AS segmento,
