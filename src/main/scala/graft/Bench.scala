@@ -101,7 +101,9 @@ object Bench {
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = times.values.sum
+    // -1 failure sentinels stay visible per-query but must not shrink the
+    // headline total
+    val total = times.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -28,9 +28,12 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: epoch nanos exceed 2^53, so double
+        // division both loses precision and rounds (≈12% of rows get a
+        // ±1µs error); truncating div matches DuckDB's ns→µs semantics.
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }

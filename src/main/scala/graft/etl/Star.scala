@@ -84,10 +84,10 @@ object Star {
         coalesce(n("n_name"), lit("Não Informado")).as("nacao"),
         coalesce(r("r_name"), lit("Não Informado")).as("regiao"),
         coalesce(c("c_mktsegment"), lit("N/A")).as("segmento"))
-      // keep-one dedup by business key, deterministic (etl_dim_cliente.py:47;
-      // Spark dropDuplicates keeps an arbitrary row, so we pin row_number=1)
-      .dropDuplicates("id_cliente_original")
-    SurrogateKeys.dense(joined, "sk_cliente", Seq(col("id_cliente_original")))
+    // keep-one dedup by business key (etl_dim_cliente.py:47), pinned to the
+    // deterministic smallest row — bare dropDuplicates keeps an arbitrary one
+    val deduped = SurrogateKeys.dedupKeepSmallest(joined, "id_cliente_original")
+    SurrogateKeys.dense(deduped, "sk_cliente", Seq(col("id_cliente_original")))
       .select(col("sk_cliente"), col("id_cliente_original"), col("nome_cliente"),
         col("tipo_cliente"), col("nacao"), col("regiao"), col("segmento"))
   }

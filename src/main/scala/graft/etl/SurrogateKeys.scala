@@ -32,23 +32,37 @@ object SurrogateKeys {
   def dense(df: DataFrame, skName: String, orderBy: Seq[Column]): DataFrame =
     df.withColumn(skName, row_number().over(Window.orderBy(orderBy: _*)))
 
-  /** Scale-out contiguous id: range-partitioned sort, then add each
-    * partition's start offset (prefix sum over per-partition counts).
-    * Deterministic for a deterministic sort key.
+  /** Deterministic keyed dedup: keep exactly one row per key — the one
+    * that sorts first over the remaining columns. Replaces bare
+    * dropDuplicates (which keeps an ARBITRARY, partition-dependent row)
+    * wherever the engine promises reproducible output. Matches pandas
+    * keep-first whenever keys are unique (asserted by the parity tests);
+    * with true duplicates it is still deterministic, unlike both.
+    */
+  def dedupKeepSmallest(df: DataFrame, key: String): DataFrame = {
+    val rest = df.columns.filter(_ != key).map(org.apache.spark.sql.functions.col)
+    val w = Window.partitionBy(key).orderBy(rest: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Scale-out contiguous id: range-partitioned sort, then zipWithIndex
+    * (a partition-count job + a prefix-sum-offset map — the driver only
+    * ever handles O(numPartitions) longs, never rows).
+    *
+    * The sorted RDD is cached first: zipWithIndex internally runs TWO jobs
+    * over it, and without pinning the evaluation the second job could
+    * recompute the sort over differently-ordered upstream output (task
+    * retries, nondeterministic shuffle order), mis-aligning offsets.
     */
   def denseDistributed(df: DataFrame, skName: String, orderBy: Seq[Column]): DataFrame = {
     val sorted = df.orderBy(orderBy: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(skName, LongType, nullable = false))
     val rdd = sorted.rdd
-    // One pass over partition sizes (cheap count job), prefix-sum on driver:
-    // the driver handles O(numPartitions) longs, never row data.
-    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(1L)(_ + _) // sk starts at 1
-    val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var k = offsets(i)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withId = rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L)) // sk starts at 1
     }
     df.sparkSession.createDataFrame(withId, schema)
   }

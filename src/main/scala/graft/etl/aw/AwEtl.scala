@@ -86,7 +86,7 @@ object AwEtl {
         when(col("PersonID").isNotNull, "Individual").otherwise("Store"))
       .select(col("CustomerID").as("id_cliente_original"),
         col("nome_completo"), col("tipo_cliente"))
-      .dropDuplicates("id_cliente_original")
+      .transform(SurrogateKeys.dedupKeepSmallest(_, "id_cliente_original"))
     SurrogateKeys.dense(joined, "sk_cliente", Seq(col("id_cliente_original")))
   }
 
@@ -108,7 +108,7 @@ object AwEtl {
         "cidade" -> "Desconhecida",
         "estado" -> "Não Informado",
         "pais" -> "Não Informado"))
-      .dropDuplicates("id_endereco_original")
+      .transform(SurrogateKeys.dedupKeepSmallest(_, "id_endereco_original"))
     SurrogateKeys.dense(joined, "sk_localidade", Seq(col("id_endereco_original")))
   }
 
@@ -130,7 +130,7 @@ object AwEtl {
             coalesce(col("LastName"), lit(""))), "  ", " ")))
       .select(col("BusinessEntityID").as("id_vendedor_original"),
         col("nome_vendedor"), col("JobTitle").as("cargo"))
-      .dropDuplicates("id_vendedor_original")
+      .transform(SurrogateKeys.dedupKeepSmallest(_, "id_vendedor_original"))
     SurrogateKeys.dense(joined, "sk_vendedor", Seq(col("id_vendedor_original")))
   }
 

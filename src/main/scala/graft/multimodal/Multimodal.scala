@@ -115,7 +115,10 @@ object Multimodal {
       "CAST(doc_id AS BIGINT) AS media_id",
       "length(CAST(text AS BINARY)) AS n_bytes",
       "md5(CAST(text AS BINARY)) AS hash",
-      "upper(hex(substring(CAST(text AS BINARY), 1, 4))) AS magic")
+      // first 4 BYTES (8 hex chars of the whole payload) — substring on
+      // the hex string, not the text: char-based slicing diverges from
+      // byte slicing on multi-byte UTF-8
+      "upper(substring(hex(CAST(text AS BINARY)), 1, 8)) AS magic")
       .orderBy("media_id")
 
   val oracle: Map[String, String] = Map(
@@ -123,7 +126,7 @@ object Multimodal {
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
 md5(text) AS hash,
-upper(hex(substring(text, 1, 4))) AS magic
+upper(substring(hex(encode(text)), 1, 8)) AS magic
 FROM documents ORDER BY media_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -290,6 +290,12 @@ object RelationalOps {
     * preceding-rows window, then keep purchases. No join at all on the
     * Spark side; the oracle cross-checks against DuckDB's NATIVE ASOF JOIN,
     * so two entirely different algorithms must agree.
+    *
+    * Boundary note: "strictly prior" is row-order-based here ((ts,
+    * event_id) preceding rows) vs timestamp-based (`p.ts > c.ts`) in the
+    * oracle — they can differ only when a click and a purchase share the
+    * exact same microsecond, which has measure zero in event data (and
+    * does not occur in the generated corpus at any scale factor).
     */
   def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -39,7 +39,7 @@ object StreamRun {
     val schema = spark.read.parquet(watchDir).schema
     val raw = spark.readStream.schema(schema).parquet(watchDir)
     val events = raw.withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+      timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
 
     val q = Streams.hourlyRollup(events)
       .writeStream.outputMode("complete")

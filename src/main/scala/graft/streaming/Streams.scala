@@ -65,9 +65,17 @@ object Streams {
   final case class SessionState(n: Int, start: Long, last: Long, total: Double)
 
   /** Gap-based sessionization with explicit state
-    * (flatMapGroupsWithState): a user's session closes after `gapMinutes`
-    * of inactivity (event-time timeout), emitting one summary row. State
-    * per key is O(1) — counts and bounds, not buffered events.
+    * (flatMapGroupsWithState): a session SUMMARY is emitted when a later
+    * event for the same user arrives more than `gapMinutes` after the
+    * previous one. State per key is O(1) — counts and bounds, not buffered
+    * events.
+    *
+    * Deliberate scope limits (the batch twin, RelationalOps.sessionizeBatch,
+    * has none of them): a user's final session stays in state until a
+    * further event arrives (production would add an event-time timeout +
+    * watermark to flush idle keys), and events are time-ordered only
+    * within a micro-batch — a cross-batch late event is appended to the
+    * current session rather than its true one.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._

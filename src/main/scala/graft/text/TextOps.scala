@@ -150,7 +150,10 @@ object TextOps {
       s"CAST(floor(size(${T.spark}) / 20) AS INT) AS bucket")
       .withColumn("n", size(col("shd")))
     // cached: the inverted index feeds both sides of the self-join, and
-    // the cache stops the shingle pipeline from being recomputed per side
+    // the cache stops the shingle pipeline from being recomputed per side.
+    // Scope note: the cache lives until the session ends (a pure
+    // query-builder can't unpersist after the caller's action); a
+    // long-running service would materialize the index instead.
     val ex = base.select(col("doc_id"), col("lang"), col("bucket"), col("n"),
       explode(col("shd")).as("s"))
       .cache()

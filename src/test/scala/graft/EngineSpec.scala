@@ -24,6 +24,13 @@ class EngineSpec extends SparkSpec {
     assert(b.map(_._3).toSeq === (1L to 1000L))
   }
 
+  test("driver contract: entry() returns rows; every query has runnable shape") {
+    assert(SparkEntry.entry(spark).count() > 0) // driver t1 smoke-check
+    // each declared oracle has a matching query entry
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
   test("star fact: row count = lineitem count (all keys matched), no null core SKs") {
     val fato = Star.fatoVendas(spark, tiny)
     assert(fato.count() === 6000)

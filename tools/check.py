@@ -62,7 +62,7 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        bad = []
+        bad, warns = [], []
         for c in got.columns:
             a, b = got[c], want[c]
             try:
@@ -70,10 +70,8 @@ def main() -> int:
                 if pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b):
                     eq = (a.astype("float64").fillna(-1e308) ==
                           b.astype("float64").fillna(-1e308)).all()
-                    exact = (a.fillna(-1).astype(str) == b.fillna(-1).astype(str)).all()
-                    if eq and not exact:
-                        bad.append(f"{c} (dtype-only: {a.dtype} vs {b.dtype})")
-                        eq = True  # value-level match; warn only
+                    if eq and str(a.dtype) != str(b.dtype):
+                        warns.append(f"{c} dtype {a.dtype} vs {b.dtype}")
                 else:
                     eq = (a.astype(str).fillna("∅") == b.astype(str).fillna("∅")).all()
                 if not eq:
@@ -82,11 +80,11 @@ def main() -> int:
                     bad.append(f"{c}: {n} diffs, first at row {i}: {a[i]!r} != {b[i]!r}")
             except Exception as e:
                 bad.append(f"{c}: compare error {e}")
-        if any(":" in b for b in bad):
+        if bad:
             print(f"FAIL {name}: " + "; ".join(bad))
             n_fail += 1
         else:
-            note = (" [" + "; ".join(bad) + "]") if bad else ""
+            note = (" [warn: " + "; ".join(warns) + "]") if warns else ""
             print(f"ok   {name} ({len(got)} rows){note}")
     print(f"\n{len(oracle) - n_fail}/{len(oracle)} queries match")
     return 1 if n_fail else 0
