@@ -76,6 +76,8 @@ object SparkEntry {
     "q_date_ops" -> (RelationalOps.dateOps _),
     "q_json_extract" -> (RelationalOps.jsonExtract _),
     "q_events_hourly" -> (RelationalOps.eventsHourly _),
+    "q_percentiles" -> (RelationalOps.percentiles _),
+    "q_scalar_subquery" -> (RelationalOps.scalarSubquery _),
     "q_pivot" -> (RelationalOps.pivotEvents _),
     "q_rollup" -> (RelationalOps.rollupRevenue _),
     "q_distinct_stats" -> (RelationalOps.distinctStats _),

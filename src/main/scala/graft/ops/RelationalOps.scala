@@ -239,6 +239,38 @@ object RelationalOps {
         |ORDER BY receita DESC, n_name""".stripMargin)
   }
 
+  /** Exact percentiles (extension): continuous-interpolation median/p90 —
+    * Spark `percentile` and DuckDB `quantile_cont` share the linear
+    * interpolation definition, verified bit-exact.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(CAST(l_quantity AS BIGINT), 0.25)").as("q25"))
+      .orderBy("l_returnflag")
+
+  /** Correlated scalar subquery (extension): customers above their own
+    * nation's average balance. The comparison is cross-multiplied
+    * (balance × count > sum) so it stays in exact decimal/integer math —
+    * no engine-specific decimal-division scale rules.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer")
+    nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, n.n_name,
+        |       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS saldo
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey) >
+        |      (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+        |       WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Pivot/crosstab (extension): per-user event-type counts as columns.
     * The value list is explicit, so the output schema is static and
     * oracle-comparable (and Spark skips the extra distinct-values job).

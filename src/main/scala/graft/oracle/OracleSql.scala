@@ -239,6 +239,24 @@ ORDER BY o_orderkey""",
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 ORDER BY event_id""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag""",
+    "q_scalar_subquery" ->
+      """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, n.n_name,
+       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS saldo
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM customer c2
+       WHERE c2.c_nationkey = c.c_nationkey) >
+      (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+       WHERE c3.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey""",
     "q_pivot" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id,
        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
