@@ -80,6 +80,28 @@ object TextExprs {
       bits.map(_.duck).mkString("concat(", ", ", ")"))
   }
 
+  /** Rabin-Karp rolling hash at every position of a text column:
+    * H(i) = Σ_{j=0..w-1} ascii(s[i-j]) · B^j  mod P — the content-defined
+    * chunking primitive. Returns the 1-based positions where H(i) ≡ 0
+    * (mod divisor), i.e. the chunk boundaries. Window powers are
+    * precomputed constants inlined identically into both dialects.
+    */
+  def rollingHashBoundaries(c: String, w: Int = 8, b: Long = 257L,
+                            p: Long = 1000003L, divisor: Int = 32): X = {
+    val pows = (0 until w).scanLeft(1L)((acc, _) => acc * b % p).take(w)
+    val pwSpark = pows.mkString("array(", "L, ", "L)")
+    val pwDuck = pows.mkString("[", ", ", "]")
+    X(
+      spark = s"filter(transform(sequence($w, length($c)), i -> " +
+        s"CASE WHEN aggregate(sequence(0, ${w - 1}), 0L, (acc, j) -> " +
+        s"acc + ascii(substring($c, i - j, 1)) * element_at($pwSpark, j + 1)) % $p % $divisor = 0 " +
+        s"THEN i ELSE -1 END), x -> x > 0)",
+      duck = s"list_filter(list_transform(range($w, length($c) + 1), i -> " +
+        s"CASE WHEN list_sum(list_transform(range(0, $w), j -> " +
+        s"ascii(substring($c, CAST(i - j AS INTEGER), 1)) * ($pwDuck)[j + 1])) % $p % $divisor = 0 " +
+        s"THEN i ELSE -1 END), x -> x > 0)")
+  }
+
   /** Count of tokens drawn from a marker set (language-ID scoring). */
   def markerCount(t: String, markers: Seq[String]): X = {
     val set = markers.map(m => s"'$m'").mkString(", ")

@@ -93,6 +93,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking via a Rabin-Karp rolling hash: boundary
+    * positions where the windowed hash ≡ 0 (mod 32) — the dedup primitive
+    * that survives insertions/deletions (boundaries realign after an edit,
+    * unlike fixed-size blocks). Emits the boundary list and per-doc chunk
+    * stats. (Docs are guaranteed ≥ window size; Spark's sequence() counts
+    * down below that.)
+    */
+  def textChunks(s: SparkSession, d: String): DataFrame = {
+    val rb = rollingHashBoundaries("text")
+    documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id",
+      s"size(${rb.spark}) AS n_bordas",
+      s"array_join(${rb.spark}, ',') AS bordas",
+      s"CAST(length(text) AS DOUBLE) / CAST(size(${rb.spark}) + 1 AS DOUBLE) AS tam_medio_bloco")
+      .orderBy("doc_id")
+  }
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .groupBy(md5(col("text")).as("hash"))
@@ -175,6 +192,7 @@ object TextOps {
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
+    "q_text_chunks" -> (textChunks _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
@@ -226,6 +244,14 @@ FROM (SELECT doc_id, text, toks,
   ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2
   FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, ${md5List(SH.duck).duck} AS hs, ${T.duck} AS toks FROM documents))
 ORDER BY doc_id""",
+      "q_text_chunks" -> {
+        val rb = rollingHashBoundaries("text")
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+CAST(len(${rb.duck}) AS INTEGER) AS n_bordas,
+coalesce(array_to_string(${rb.duck}, ','), '') AS bordas,
+CAST(length(text) AS DOUBLE) / CAST(len(${rb.duck}) + 1 AS DOUBLE) AS tam_medio_bloco
+FROM documents ORDER BY doc_id"""
+      },
       "q_dedup_exact" ->
         """SELECT md5(text) AS hash, CAST(min(doc_id) AS BIGINT) AS doc_mantido, COUNT(*) AS n_copias
 FROM documents GROUP BY 1 ORDER BY hash""",
