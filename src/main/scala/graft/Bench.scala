@@ -54,10 +54,13 @@ object Bench {
       graft.sink.Sink.parquet(Star.dimCliente(spark, sfDir), s"$dw/dim_cliente")
       graft.sink.Sink.parquet(Star.dimVendedor(spark, sfDir), s"$dw/dim_vendedor")
       graft.sink.Sink.parquet(Star.dimTempo(spark), s"$dw/dim_tempo")
+      // note: NOT repartition(ano) before the write — the extra full-fact
+      // shuffle buys nothing here because AQE already coalesces output to
+      // ~2 files per year partition (measured: no improvement, within
+      // run-to-run noise at this scale).
+      val ano = (org.apache.spark.sql.functions.col("sk_tempo") / 10000).cast("int")
       graft.sink.Sink.parquet(
-        Star.fatoVendas(spark, sfDir)
-          .withColumn("ano", (org.apache.spark.sql.functions.col("sk_tempo") / 10000)
-            .cast("int")),
+        Star.fatoVendas(spark, sfDir).withColumn("ano", ano),
         s"$dw/fato_vendas", partitionBy = Seq("ano"))
     }
 
