@@ -151,6 +151,42 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup CLUSTERS: connected components over the MinHash-LSH candidate
+    * pairs via min-label propagation (Pregel-style: each doc repeatedly
+    * adopts the smallest id reachable through its neighbors until
+    * fixpoint). The driver loop only checks a converged-count per
+    * iteration — all data work is joins/aggregations; iterations are
+    * bounded by component diameter (near-dup clusters are tiny). The
+    * oracle recomputes components with a DuckDB RECURSIVE CTE — an
+    * entirely different algorithm that must agree.
+    *
+    * This is the step that turns pairwise dedup output into "keep one doc
+    * per cluster" at corpus scale.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
+        .select(col("doc"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+        .cache()
+      changed = next.filter(col("lbl2") < col("lbl")).count()
+      labels = next.select(col("doc"), col("lbl2").as("lbl"))
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
     * (lang, token-count bucket), computed as an INVERTED-INDEX
     * set-similarity join: explode distinct shingles, equi-join on
@@ -195,6 +231,7 @@ object TextOps {
     "q_text_chunks" -> (textChunks _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
   // ------------------------------------------------------------ oracles
@@ -214,6 +251,15 @@ object TextOps {
     val bandsDuck = (0 until 4)
       .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
       .mkString("[", ", ", "]")
+    // shared CTE chain: documents → shingle md5s → parsed halves →
+    // 8 minhashes → band keys → exploded (doc, band_idx, band_key)
+    val lshCtes =
+      s"""sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${md5List(SH.duck).duck} AS hs FROM documents),
+halves AS (SELECT doc_id, ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2 FROM sh),
+mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM halves),
+bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
+expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
+         FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)"""
     Map(
       "q_text_tokens" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
@@ -256,15 +302,25 @@ FROM documents ORDER BY doc_id"""
         """SELECT md5(text) AS hash, CAST(min(doc_id) AS BIGINT) AS doc_mantido, COUNT(*) AS n_copias
 FROM documents GROUP BY 1 ORDER BY hash""",
       "q_dedup_minhash_lsh" ->
-        s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${md5List(SH.duck).duck} AS hs FROM documents),
-halves AS (SELECT doc_id, ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2 FROM sh),
-mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM halves),
-bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
-expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
-         FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)
+        s"""WITH $lshCtes
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+      // connected components over the LSH pairs, via RECURSIVE reachability
+      // closure + per-doc min — must agree with Spark's label propagation
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $lshCtes,
+pares AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pares UNION ALL SELECT doc_b, doc_a FROM pares),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+FROM reach GROUP BY doc ORDER BY doc_id""",
       "q_dedup_jaccard" ->
         s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
   list_distinct(${SH.duck}) AS shd,
