@@ -46,6 +46,51 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def shingleStrings(tokens: ArrayData, n: Int): Seq[String] = {
+    val m = tokens.numElements()
+    val toks = (0 until m).map(tokens.getUTF8String(_).toString)
+    if (m >= n) (0 to m - n).map(i => toks.slice(i, i + n).mkString(" "))
+    else Seq(toks.mkString(" ")) // same guard as TextExprs.shingles3
+  }
+
+  /** Distinct hashed word-n-gram identities in ONE pass: shingle → md5 →
+    * first-15-hex-chars long (2^60 space; collision-free in practice and
+    * IDENTICAL to the SQL/DuckDB form, so set equality is preserved
+    * cross-engine). Sorted for deterministic downstream explode order.
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val hs = shingleStrings(tokens, n)
+      .map(s => java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16))
+      .distinct.sorted
+    new GenericArrayData(hs.toArray)
+  }
+
+  /** Fused shingle → digest → k-minhash signature in one pass — skips
+    * materializing the md5-hex string array entirely. Values identical to
+    * minhashes(md5List(shingles), k).
+    */
+  def shingleMinhashes(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingleStrings(tokens, n).foreach { s =>
+      val h = md5hex(s)
+      val h1 = java.lang.Long.parseLong(h.substring(0, 15), 16) % P
+      val h2 = java.lang.Long.parseLong(h.substring(16, 31), 16) % P
+      var i = 0
+      while (i < k) {
+        val v = (h1 + i * h2) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Cosine similarity over two float arrays: double accumulation,
     * strictly left-to-right (bit-identical to the SQL aggregate/zip_with
     * form and to the DuckDB oracle).
@@ -84,6 +129,44 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhashes"
 }
 
+/** shingle_hashes(array<string tokens>, n) → array<long>: distinct hashed
+  * word-n-gram identities (set-similarity join keys).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects array<string>, got ${other.simpleString(10)}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** shingle_minhashes(array<string tokens>, n, k) → array<long>: fused
+  * shingling + k-function MinHash signature.
+  */
+case class ShingleMinHashes(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_minhashes expects array<string>, got ${other.simpleString(10)}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingleMinhashes(input.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleMinhashes($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleMinHashes = copy(child = c)
+  override def prettyName: String = "shingle_minhashes"
+}
+
 /** cosine_sim(array<float>, array<float>) → double. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -110,6 +193,10 @@ object GraftFunctions {
   import org.apache.spark.sql.graftshim.Shim.{toColumn, toExpr}
 
   def minhashes(c: Column, k: Int): Column = toColumn(MinHashes(toExpr(c), k))
+  def shingle_hashes(c: Column, n: Int): Column =
+    toColumn(ShingleHashes(toExpr(c), n))
+  def shingle_minhashes(c: Column, n: Int, k: Int): Column =
+    toColumn(ShingleMinHashes(toExpr(c), n, k))
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpr(a), toExpr(b)))
 
@@ -123,6 +210,11 @@ object GraftFunctions {
       }), "scala_udf")
     registry.createOrReplaceTempFunction("cosine_sim", exprs =>
       CosineSim(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_hashes", exprs =>
+      ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_minhashes", exprs =>
+      ShingleMinHashes(exprs.head, exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 }
 

@@ -135,9 +135,8 @@ object TextOps {
       .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), element_at(mh, ${2 * j + 2})))")
       .mkString("array(", ", ", ")")
     val sigs = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
-        s"${md5List(SH.spark).spark} AS hs")
-      .selectExpr("doc_id", "minhashes(hs, 8) AS mh")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
       .cache()
     val base = sigs
       .selectExpr("doc_id", s"$bands AS bands")
@@ -197,10 +196,12 @@ object TextOps {
     * cannot pass the threshold anyway).
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val base = documents(s, d).selectExpr(
-      "CAST(doc_id AS BIGINT) AS doc_id", "lang",
-      s"array_distinct(${SH.spark}) AS shd",
-      s"CAST(floor(size(${T.spark}) / 20) AS INT) AS bucket")
+      "CAST(doc_id AS BIGINT) AS doc_id", "lang", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "lang",
+        "shingle_hashes(toks, 3) AS shd", // long identities: 4× leaner shuffle
+        "CAST(floor(size(toks) / 20) AS INT) AS bucket")
       .withColumn("n", size(col("shd")))
     // cached: the inverted index feeds both sides of the self-join, and
     // the cache stops the shingle pipeline from being recomputed per side.
@@ -323,7 +324,7 @@ SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
 FROM reach GROUP BY doc ORDER BY doc_id""",
       "q_dedup_jaccard" ->
         s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-  list_distinct(${SH.duck}) AS shd,
+  list_distinct(list_transform(${SH.duck}, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shd,
   CAST(floor(len(${T.duck}) / 20) AS INTEGER) AS bucket FROM documents),
 sized AS (SELECT *, len(shd) AS n FROM base),
 ex AS (SELECT doc_id, lang, bucket, n, unnest(shd) AS s FROM sized)
