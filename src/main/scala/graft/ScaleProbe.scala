@@ -29,7 +29,7 @@ object ScaleProbe {
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
       val reps = spark.range(n).select(col("id").as("rep"))
       df.crossJoin(reps).select(
-        df.columns.map { c =>
+        df.columns.toIndexedSeq.map { c =>
           if (keyCols.contains(c))
             (col(c) + col("rep") * 1000000000L).as(c)
           else col(c)

@@ -36,7 +36,7 @@ object AwEtl {
       .schema(schema)
       .csv(path)
     // pandas parity: quoted empty strings are also null
-    raw.select(raw.schema.fields.map { f =>
+    raw.select(raw.schema.fields.toIndexedSeq.map { f =>
       if (f.dataType == StringType)
         when(col(f.name) === "", lit(null)).otherwise(col(f.name)).as(f.name)
       else col(f.name)

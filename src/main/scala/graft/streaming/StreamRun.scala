@@ -56,11 +56,11 @@ object StreamRun {
     q.stop()
 
     val streamed = spark.table("rollup")
-      .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head
+      .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head()
     val batchTwin = Streams.hourlyRollup(
       graft.Tables.events(spark, "/root/testdata/sf0.001").unionAll(
         graft.Tables.events(spark, "/root/testdata/sf0.01")))
-      .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head
+      .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head()
     println(s"streamed totals: $streamed | batch twin: $batchTwin | " +
       s"match: ${streamed == batchTwin}")
     spark.stop()
