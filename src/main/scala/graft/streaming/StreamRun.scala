@@ -55,6 +55,24 @@ object StreamRun {
     println(s"micro-batch 2 (+sf0.01 file): $n2 rollup rows")
     q.stop()
 
+    // stream-stream interval join over the same watched files: attribute
+    // purchases to same-user clicks within the preceding hour
+    val mkStream = spark.readStream.schema(schema).parquet(watchDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val attr = Streams.attributionStream(
+      mkStream.filter(col("event_type") === "purchase"),
+      spark.readStream.schema(schema).parquet(watchDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === "click"))
+    val q2 = attr.writeStream.outputMode("append")
+      .format("memory").queryName("attr").start()
+    q2.processAllAvailable(); q2.stop()
+    val nAttr = spark.table("attr").count()
+    val nPurch = spark.read.parquet(watchDir)
+      .filter(col("event_type") === "purchase").count()
+    println(s"stream-stream attribution: $nAttr (purchase,click) pairs " +
+      s"for $nPurch purchases")
+
     val streamed = spark.table("rollup")
       .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head()
     val batchTwin = Streams.hourlyRollup(

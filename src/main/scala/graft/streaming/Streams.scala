@@ -54,6 +54,26 @@ object Streams {
     src.dropDuplicates("event_id", "ts")
   }
 
+  /** Stream-stream interval join: attribute each purchase to clicks by the
+    * same user within the preceding hour. Both sides are watermarked so
+    * Spark can bound the join state — click state is kept only as long as
+    * a matching purchase could still arrive (the event-time constraint +
+    * watermark give the eviction rule). The batch/as-of twin is
+    * RelationalOps.asofAttribution.
+    */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    val c = clicks.withWatermark("ts", "70 minutes").alias("c")
+    p.join(c, expr(
+      """p.user_id = c.user_id AND
+        |c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin))
+      .select(col("p.event_id").as("purchase_id"),
+        col("p.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.ts").as("ts_compra"), col("c.ts").as("ts_click"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === sample.length) // no dupes
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 0),
+      Event(2, ts("2024-01-01 00:50:00"), 1, "click", 0),
+      Event(3, ts("2024-01-01 02:00:00"), 2, "click", 0)) // wrong user
+    purchases.addData(
+      Event(10, ts("2024-01-01 01:00:00"), 1, "purchase", 9.99), // both clicks in window
+      Event(11, ts("2024-01-01 02:30:00"), 1, "purchase", 5.0))  // none in window
+    val q = Streams.attributionStream(purchases.toDF(), clicks.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("attr_out")
+      .orderBy("purchase_id", "click_id").collect()
+    assert(rows.map(r => (r.getAs[Long]("purchase_id"),
+      r.getAs[Long]("click_id"))).toSeq === Seq((10L, 1L), (10L, 2L)))
+  }
+
   test("checkpointed file-source stream: restart resumes exactly-once") {
     val watch = java.nio.file.Files.createTempDirectory("graft_watch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
