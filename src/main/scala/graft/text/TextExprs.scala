@@ -102,6 +102,15 @@ object TextExprs {
         s"THEN i ELSE -1 END), x -> x > 0)")
   }
 
+  /** Hamming distance between two 16-char bit strings (expanded to 16
+    * per-position comparisons — identical in both dialects).
+    */
+  def hamming16(a: String, b: String): X = {
+    val terms = (1 to 16).map(i =>
+      s"CASE WHEN substring($a, $i, 1) <> substring($b, $i, 1) THEN 1 ELSE 0 END")
+    X(terms.mkString("(", " + ", ")"), terms.mkString("(", " + ", ")"))
+  }
+
   /** Count of tokens drawn from a marker set (language-ID scoring). */
   def markerCount(t: String, markers: Seq[String]): X = {
     val set = markers.map(m => s"'$m'").mkString(", ")

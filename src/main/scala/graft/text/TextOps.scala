@@ -150,6 +150,34 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup pairs: hamming distance ≤ 2 on the 16-bit signature.
+    * Candidates come from PIGEONHOLE blocking — the signature is split
+    * into 3 chunks (6+5+5 bits); two signatures within hamming 2 must
+    * agree exactly on at least one chunk, so the union of three
+    * chunk-equality equi-joins is a complete (and shuffle-friendly)
+    * candidate set. Exact hamming is then 16 per-position comparisons.
+    */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 2): DataFrame = {
+    val base = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+      .selectExpr("doc_id", s"${simhash16("toks").spark} AS sig")
+      .cache()
+    val chunks = Seq((1, 6), (7, 5), (12, 5))
+    val cands = chunks.zipWithIndex.map { case ((from, len), i) =>
+      val blocked = base.selectExpr("doc_id", "sig",
+        s"substring(sig, $from, $len) AS chave")
+      val a = blocked.toDF("doc_a", "sig_a", "chave")
+      val b = blocked.toDF("doc_b", "sig_b", "chave")
+      a.join(b, Seq("chave")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+    }.reduce(_ unionAll _).distinct()
+    cands
+      .withColumn("hamming", expr(hamming16("sig_a", "sig_b").spark))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup CLUSTERS: connected components over the MinHash-LSH candidate
     * pairs via min-label propagation (Pregel-style: each doc repeatedly
     * adopts the smallest id reachable through its neighbors until
@@ -233,6 +261,7 @@ object TextOps {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_simhash" -> (simhashPairs(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
   // ------------------------------------------------------------ oracles
@@ -322,6 +351,19 @@ reach(doc, r) AS (
   SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
 SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
 FROM reach GROUP BY doc ORDER BY doc_id""",
+      "q_dedup_simhash" -> {
+        s"""WITH sigs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${simhash16(T.duck).duck} AS sig FROM documents),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+    substring(a.sig, 1, 6) = substring(b.sig, 1, 6) OR
+    substring(a.sig, 7, 5) = substring(b.sig, 7, 5) OR
+    substring(a.sig, 12, 5) = substring(b.sig, 12, 5)))
+SELECT doc_a, doc_b, CAST(${hamming16("sig_a", "sig_b").duck} AS INTEGER) AS hamming
+FROM cands
+WHERE ${hamming16("sig_a", "sig_b").duck} <= 2
+ORDER BY doc_a, doc_b"""
+      },
       "q_dedup_jaccard" ->
         s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
   list_distinct(list_transform(${SH.duck}, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shd,
