@@ -29,18 +29,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_BENCH_REPS > 1 repeats each query and reports the MIN —
+    // run-to-run noise on this box is ±10%; min is the standard
+    // noise-floor estimator. Default 1 keeps the driver's wall time flat.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val times = mutable.LinkedHashMap.empty[String, Double]
     def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      try {
-        f
-        times(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        // a failed query must be unmistakable in BENCH json, not a
-        // suspiciously-fast timing
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        times(name) = -1.0
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          f
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // a failed query must be unmistakable in BENCH json, not a
+          // suspiciously-fast timing
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
+      times(name) = if (best.contains(-1.0)) -1.0 else best.min
     }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"

@@ -41,6 +41,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"template").count() === 0)
   }
 
+  test("SparkSessionExtensions injection exposes the functions in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // materialize the shared session first
+    // getOrCreate returns the existing default session (ignoring
+    // extensions), so clear it to force a NEW session on the same
+    // SparkContext — and restore afterwards; never stop() here, that would
+    // kill the context under the other suites.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT element_at(minhashes(array(md5('a'), md5('b')), 2), 1) AS m, " +
+          "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c")
+        .head()
+      assert(r.getAs[Long]("m") > 0L)
+      assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("type checking rejects wrong inputs") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {
