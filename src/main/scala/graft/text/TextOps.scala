@@ -122,22 +122,29 @@ object TextOps {
     * (band_idx, band_key). The join key is the band hash, so the shuffle
     * is O(docs × 4) rows regardless of corpus size.
     *
-    * The signature stage is cache()d deliberately: it feeds BOTH sides of
-    * the self-join (self-joins get no subplan reuse) and acts as an
-    * optimization barrier so CollapseProject can't inline the digest
-    * pipeline into each band expression (measured 48 s → 2 s at sf0.1
-    * before the native kernel). At cluster scale the same barrier is a
-    * persisted signature table.
+    * The signature stage is MATERIALIZED (eager localCheckpoint): it feeds
+    * BOTH sides of the self-join (self-joins get no subplan reuse) and the
+    * barrier stops CollapseProject from inlining the digest pipeline into
+    * each band expression (measured 48 s → 2 s at sf0.1 before the native
+    * kernel). Unlike a session-lifetime cache(), checkpoint blocks carry no
+    * CacheManager pin — the ContextCleaner frees them once the result
+    * DataFrame is unreachable, so a long-running service can call this
+    * builder repeatedly without accreting pinned storage. At cluster scale
+    * the same barrier is a persisted signature table.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // '_' separator between the two signature halves: decimal concatenation
+    // without one is ambiguous ((1,23) and (12,3) both read "123"), which
+    // would let distinct signatures collide into one band key and produce
+    // spurious candidate pairs. The oracle uses the same separator.
     val bands = (0 until 4)
-      .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), element_at(mh, ${2 * j + 2})))")
+      .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), '_', element_at(mh, ${2 * j + 2})))")
       .mkString("array(", ", ", ")")
     val sigs = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
-      .cache()
+      .localCheckpoint(true)
     val base = sigs
       .selectExpr("doc_id", s"$bands AS bands")
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
@@ -161,7 +168,7 @@ object TextOps {
     val base = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", s"${simhash16("toks").spark} AS sig")
-      .cache()
+      .localCheckpoint(true) // scoped barrier, not a session-lifetime cache
     val chunks = Seq((1, 6), (7, 5), (12, 5))
     val cands = chunks.zipWithIndex.map { case ((from, len), i) =>
       val blocked = base.selectExpr("doc_id", "sig",
@@ -231,14 +238,14 @@ object TextOps {
         "shingle_hashes(toks, 3) AS shd", // long identities: 4× leaner shuffle
         "CAST(floor(size(toks) / 20) AS INT) AS bucket")
       .withColumn("n", size(col("shd")))
-    // cached: the inverted index feeds both sides of the self-join, and
-    // the cache stops the shingle pipeline from being recomputed per side.
-    // Scope note: the cache lives until the session ends (a pure
-    // query-builder can't unpersist after the caller's action); a
-    // long-running service would materialize the index instead.
+    // materialized: the inverted index feeds both sides of the self-join,
+    // and the barrier stops the shingle pipeline from being recomputed per
+    // side. Eager localCheckpoint rather than cache() so nothing stays
+    // pinned in the CacheManager after the caller's action — the
+    // ContextCleaner reclaims the blocks when the result is unreachable.
     val ex = base.select(col("doc_id"), col("lang"), col("bucket"), col("n"),
       explode(col("shd")).as("s"))
-      .cache()
+      .localCheckpoint(true)
     val a = ex.toDF("doc_a", "lang", "bucket", "n_a", "s")
     val b = ex.toDF("doc_b", "lang", "bucket", "n_b", "s")
     a.join(b, Seq("s", "lang", "bucket"))
@@ -279,7 +286,7 @@ object TextOps {
     }
     val mhDuck = (0 until 8).map(i => s"${minhash("a1", "a2", i).duck} AS mh$i")
     val bandsDuck = (0 until 4)
-      .map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
+      .map(j => s"md5(concat(mh${2 * j}, '_', mh${2 * j + 1}))")
       .mkString("[", ", ", "]")
     // shared CTE chain: documents → shingle md5s → parsed halves →
     // 8 minhashes → band keys → exploded (doc, band_idx, band_key)
