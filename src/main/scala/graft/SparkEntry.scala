@@ -35,6 +35,8 @@ object SparkEntry {
       Star.dimCliente(s, d).orderBy("sk_cliente")),
     "star_dim_vendedor" -> ((s, d) =>
       Star.dimVendedor(s, d).orderBy("sk_vendedor")),
+    "star_dim_localidade" -> ((s, d) =>
+      Star.dimLocalidade(s, d).orderBy("sk_localidade")),
     "star_dim_tempo" -> ((s, _) => Star.dimTempo(s).orderBy("sk_tempo")),
     // (orderkey, linenumber) is not unique in the generated lineitem, so
     // order by the full row for a deterministic dump.
@@ -55,6 +57,8 @@ object SparkEntry {
       Kpis.kpi5TopProdutos(Star.fatoVendas(s, d), Star.dimProduto(s, d))),
     "kpi6_vendas_categoria" -> ((s, d) =>
       Kpis.kpi6VendasPorCategoria(Star.fatoVendas(s, d), Star.dimProduto(s, d))),
+    "kpi7_vendas_pais" -> ((s, d) =>
+      Kpis.kpi7PorPais(Star.fatoVendas(s, d), Star.dimLocalidade(s, d))),
     "kpi7_vendas_nacao" -> ((s, d) =>
       Kpis.kpi7PorNacao(Star.fatoVendas(s, d), Star.dimCliente(s, d))),
     "kpi8_sazonalidade" -> ((s, d) =>

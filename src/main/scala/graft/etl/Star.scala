@@ -60,7 +60,7 @@ object Star {
       coalesce(col("p_brand"), lit("N/A")).as("marca"),
       coalesce(col("p_type"), lit("Sem Categoria")).as("categoria"),
       col("p_size").cast("int").as("tamanho"))
-    SurrogateKeys.dense(p, "sk_produto", Seq(col("id_produto_original")))
+    SurrogateKeys.auto(p, "sk_produto", Seq(col("id_produto_original")))
       .select(col("sk_produto"), col("id_produto_original"), col("nome_produto"),
         col("marca"), col("categoria"), col("tamanho"))
   }
@@ -87,9 +87,33 @@ object Star {
     // keep-one dedup by business key (etl_dim_cliente.py:47), pinned to the
     // deterministic smallest row — bare dropDuplicates keeps an arbitrary one
     val deduped = SurrogateKeys.dedupKeepSmallest(joined, "id_cliente_original")
-    SurrogateKeys.dense(deduped, "sk_cliente", Seq(col("id_cliente_original")))
+    SurrogateKeys.auto(deduped, "sk_cliente", Seq(col("id_cliente_original")))
       .select(col("sk_cliente"), col("id_cliente_original"), col("nome_cliente"),
         col("tipo_cliente"), col("nacao"), col("regiao"), col("segmento"))
+  }
+
+  /** Geography dimension at the finest location grain the testdata offers
+    * — the reference's dim_localidade (create_dw_tables.sql:31-38; built by
+    * dags/etl_dim_localidade.py:23-37 as address ⟕ stateprovince ⟕
+    * countryregion). The testdata has no address table, so the location
+    * entity is the supplier site and the two-level geo rollup is
+    * supplier ⟕ nation ⟕ region — same join topology, same null repair,
+    * same SERIAL surrogate key.
+    */
+  def dimLocalidade(spark: SparkSession, dir: String): DataFrame = {
+    val s = supplier(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    val joined = s
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        s("s_suppkey").cast("long").as("id_localidade_original"),
+        coalesce(n("n_name"), lit("Não Informado")).as("pais"),
+        coalesce(r("r_name"), lit("Não Informado")).as("regiao"))
+    SurrogateKeys.auto(joined, "sk_localidade", Seq(col("id_localidade_original")))
+      .select(col("sk_localidade"), col("id_localidade_original"), col("pais"),
+        col("regiao"))
   }
 
   /** Salesperson dimension (etl_dim_vendedor.py): join to geo, name
@@ -105,7 +129,7 @@ object Star {
         s("s_suppkey").cast("long").as("id_vendedor_original"),
         trim(regexp_replace(s("s_name"), "  +", " ")).as("nome_vendedor"),
         coalesce(n("n_name"), lit("Não Informado")).as("nacao"))
-    SurrogateKeys.dense(joined, "sk_vendedor", Seq(col("id_vendedor_original")))
+    SurrogateKeys.auto(joined, "sk_vendedor", Seq(col("id_vendedor_original")))
       .select(col("sk_vendedor"), col("id_vendedor_original"),
         col("nome_vendedor"), col("nacao"))
   }
@@ -132,14 +156,22 @@ object Star {
   // ---------------------------------------------------------------- fact
 
   /** Fact table at order-line grain (etl_fato_vendas.py:30-101):
-    * header ⨝ detail (J8) + 3 broadcast SK lookups (J9-J12) + arithmetic
-    * sk_tempo (F9) + decimal metrics (F10/F11) + null-key prune (P4).
+    * header ⨝ detail (J8) + 4 SK lookups (J9-J12, including the SHIP-side
+    * geography key — the reference resolves sk_localidade via
+    * ShipToAddressID, dags/etl_fato_vendas.py:69-76, not the customer's
+    * address; here the ship-side location key on a line is l_suppkey) +
+    * arithmetic sk_tempo (F9) + decimal metrics (F10/F11) + null-key
+    * prune (P4).
     *
     * Scale notes: the header⨝detail join shuffles both sides on the order
     * key (their natural co-partition key — at 100 TB, bucketing both tables
-    * by orderkey turns this into a shuffle-free sort-merge join); all
-    * dimension lookups are explicit `broadcast()` hash joins, so the big
-    * fact table is never shuffled for them.
+    * by orderkey turns this into a shuffle-free sort-merge join). Dimension
+    * lookups that are BOUNDED (produto catalog, vendedor roster) carry an
+    * explicit `broadcast()` hint; dims that GROW with the corpus (cliente,
+    * localidade — 10⁸+ rows at 100 TB, where a forced broadcast OOMs the
+    * driver) are left unhinted so the planner/AQE picks broadcast only
+    * while they actually fit under autoBroadcastJoinThreshold and falls
+    * back to a shuffled join beyond it.
     */
   def fatoVendas(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
@@ -147,6 +179,7 @@ object Star {
     val dp = dimProduto(spark, dir).select("sk_produto", "id_produto_original")
     val dc = dimCliente(spark, dir).select("sk_cliente", "id_cliente_original")
     val dv = dimVendedor(spark, dir).select("sk_vendedor", "id_vendedor_original")
+    val dl = dimLocalidade(spark, dir).select("sk_localidade", "id_localidade_original")
 
     val epDec = money(col("l_extendedprice"))
     val discDec = col("l_discount").cast("decimal(4,2)")
@@ -154,17 +187,19 @@ object Star {
 
     o.join(l, o("o_orderkey") === l("l_orderkey"), "inner")
       .join(broadcast(dp), l("l_partkey") === dp("id_produto_original"), "left")
-      .join(broadcast(dc), o("o_custkey") === dc("id_cliente_original"), "left")
+      .join(dc, o("o_custkey") === dc("id_cliente_original"), "left")
       .join(broadcast(dv), l("l_suppkey") === dv("id_vendedor_original"), "left")
+      .join(dl, l("l_suppkey") === dl("id_localidade_original"), "left")
       .select(
         l("l_orderkey").cast("long").as("id_pedido"),
         l("l_linenumber").cast("int").as("numero_linha"),
         col("sk_produto"), col("sk_cliente"), col("sk_vendedor"),
+        col("sk_localidade"),
         smartDateKey(o("o_orderdate")).as("sk_tempo"),
         l("l_quantity").cast("int").as("qtd_vendida"),
         epDec.cast("double").as("valor_bruto"),
         (epDec * discDec).cast("double").as("valor_desconto"),
         (epDec * (one - discDec)).cast("double").as("valor_total"))
-      .na.drop("any", Seq("sk_produto", "sk_cliente", "sk_tempo"))
+      .na.drop("any", Seq("sk_produto", "sk_cliente", "sk_localidade", "sk_tempo"))
   }
 }

@@ -32,6 +32,25 @@ object SurrogateKeys {
   def dense(df: DataFrame, skName: String, orderBy: Seq[Column]): DataFrame =
     df.withColumn(skName, row_number().over(Window.orderBy(orderBy: _*)))
 
+  /** Size-routed SK assignment — what the production dim builders call:
+    * [[dense]] for dimension-sized inputs, [[denseDistributed]] once the
+    * optimizer's sizeInBytes ESTIMATE (no job runs to decide) crosses
+    * `graft.sk.windowMaxBytes` (default 64 MiB — far below what a single
+    * window reducer can absorb, far above every reference dim). Both
+    * routes produce identical values (EngineSpec), so the DuckDB oracle's
+    * row_number() validates either; the sk column is INT in both routes,
+    * matching the reference's SERIAL (create_dw_tables.sql:15) — a dim
+    * beyond 2³¹ contiguous keys would outgrow the reference's own schema.
+    */
+  def auto(df: DataFrame, skName: String, orderBy: Seq[Column]): DataFrame = {
+    val maxBytes = df.sparkSession.conf
+      .getOption("graft.sk.windowMaxBytes").map(_.toLong).getOrElse(64L << 20)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) dense(df, skName, orderBy)
+    else denseDistributed(df, skName, orderBy)
+      .withColumn(skName, col(skName).cast("int"))
+  }
+
   /** Deterministic keyed dedup: keep exactly one row per key — the one
     * that sorts first over the remaining columns. Replaces bare
     * dropDuplicates (which keeps an ARBITRARY, partition-dependent row)

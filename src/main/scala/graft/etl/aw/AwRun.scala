@@ -117,9 +117,9 @@ object AwRun {
     println("KPI4  " + AwEtl.Kpi.kpi4(fato).head())
     println("KPI5  " + AwEtl.Kpi.kpi5(fato, dimP).collect().mkString(" | "))
     println("KPI6  " + AwEtl.Kpi.kpi6(fato, dimP).collect().mkString(" | "))
-    println("KPI7  " + AwEtl.Kpi.kpi7(fato, dimL).collect().take(5).mkString(" | "))
-    println("KPI8  " + AwEtl.Kpi.kpi8(fato, dimT).collect().take(4).mkString(" | "))
-    println("KPI9  " + AwEtl.Kpi.kpi9(fato, dimV).collect().take(3).mkString(" | "))
+    println("KPI7  " + AwEtl.Kpi.kpi7(fato, dimL).take(5).mkString(" | "))
+    println("KPI8  " + AwEtl.Kpi.kpi8(fato, dimT).take(4).mkString(" | "))
+    println("KPI9  " + AwEtl.Kpi.kpi9(fato, dimV).take(3).mkString(" | "))
     println("KPI10 " + AwEtl.Kpi.kpi10(fato).head())
     println(f"KPI suite wall time: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     spark.stop()

@@ -10,20 +10,44 @@ import org.apache.spark.sql.expressions.Aggregator
   * This is the shape that matters for ANN at corpus scale: the per-group
   * state is O(k) regardless of group size.
   *
-  * Ordering is (score DESC, id ASC) — ties break deterministically, which
-  * keeps the result oracle-comparable.
+  * The buffer is kept SORTED by (score DESC, id ASC) as an invariant, so
+  * `reduce` is an O(1) reject for any row that can't enter a full buffer
+  * (the overwhelmingly common case once the buffer fills) and an O(k)
+  * bounded insertion otherwise — vs the previous full re-sort, which paid
+  * O(k log k) on EVERY input row. `merge` is a linear merge of two sorted
+  * runs. Ties break deterministically on id, which keeps the result
+  * oracle-comparable.
   */
 case class TopKByScore(k: Int)
   extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def best(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    xs.sortBy { case (s, id) => (-s, id) }.take(k)
+  // ascending sort key: better elements first
+  @inline private def key(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+  private val ord = Ordering[(Double, Long)]
 
   override def zero: Seq[(Double, Long)] = Seq.empty
-  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    best(buf :+ in)
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    best(a ++ b)
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.size >= k && ord.lteq(key(buf.last), key(in))) buf // O(1) fast path
+    else {
+      val (before, after) = buf.span(e => ord.lt(key(e), key(in)))
+      (before ++ (in +: after)).take(k)
+    }
+  }
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    // linear merge of two sorted runs, truncated at k
+    val out = Seq.newBuilder[(Double, Long)]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && ord.lteq(key(x.head), key(y.head)))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
+
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

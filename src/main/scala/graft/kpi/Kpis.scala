@@ -53,11 +53,25 @@ object Kpis {
         count(lit(1)).as("quantidade_vendas"))
       .orderBy(desc("total_vendas"), asc("categoria"))
 
-  /** KPI 7 — revenue by customer nation (KPIs.sql:49-56; the reference's
-    * country rollup via dim_localidade).
+  /** KPI 7, faithful form — revenue by ship-side country via the GEOGRAPHY
+    * dimension (KPIs.sql:49-56 joins fato→dim_localidade on sk_localidade —
+    * the ship-to key, dags/etl_fato_vendas.py:69-76 — and groups by país).
+    * No broadcast hint: localidade grows with the corpus (address-grain in
+    * the reference), so the planner/AQE must stay free to shuffle it.
+    */
+  def kpi7PorPais(fato: DataFrame, dimLocalidade: DataFrame): DataFrame =
+    fato.join(dimLocalidade, Seq("sk_localidade"))
+      .groupBy("pais")
+      .agg(sum(dec("valor_total")).cast("double").as("total_vendas"))
+      .orderBy(desc("total_vendas"), asc("pais"))
+
+  /** KPI 7, customer-nation variant — the same rollup by the BUYER's
+    * nation via dim_cliente (kept alongside the faithful ship-side form:
+    * both rollups exist in real DWs and both are oracle-gated). Cliente is
+    * also a corpus-sized dim — no broadcast hint (AQE decides).
     */
   def kpi7PorNacao(fato: DataFrame, dimCliente: DataFrame): DataFrame =
-    fato.join(broadcast(dimCliente), Seq("sk_cliente"))
+    fato.join(dimCliente, Seq("sk_cliente"))
       .groupBy("nacao")
       .agg(sum(dec("valor_total")).cast("double").as("total_vendas"))
       .orderBy(desc("total_vendas"), asc("nacao"))
@@ -93,8 +107,10 @@ object Kpis {
     val dp = Star.dimProduto(spark, dir)
     val dc = Star.dimCliente(spark, dir)
     val dv = Star.dimVendedor(spark, dir)
+    val dl = Star.dimLocalidade(spark, dir)
     val dt = Star.dimTempo(spark)
     Map(
+      "kpi7_vendas_pais" -> kpi7PorPais(fato, dl),
       "kpi1_faturamento_bruto" -> kpi1FaturamentoBruto(fato),
       "kpi2_faturamento_liquido" -> kpi2FaturamentoLiquido(fato),
       "kpi3_total_descontos" -> kpi3TotalDescontos(fato),

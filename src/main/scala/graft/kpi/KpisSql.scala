@@ -15,6 +15,7 @@ object KpisSql {
     Star.fatoVendas(spark, dir).createOrReplaceTempView("fato_vendas")
     Star.dimProduto(spark, dir).createOrReplaceTempView("dim_produto")
     Star.dimCliente(spark, dir).createOrReplaceTempView("dim_cliente")
+    Star.dimLocalidade(spark, dir).createOrReplaceTempView("dim_localidade")
     Star.dimVendedor(spark, dir).createOrReplaceTempView("dim_vendedor")
     Star.dimTempo(spark).createOrReplaceTempView("dim_tempo")
   }
@@ -43,6 +44,11 @@ LIMIT 5""",
 FROM fato_vendas f JOIN dim_produto p ON f.sk_produto = p.sk_produto
 GROUP BY p.categoria
 ORDER BY total_vendas DESC, categoria""",
+    "kpi7_vendas_pais" ->
+      s"""SELECT l.pais, $sumTotal AS total_vendas
+FROM fato_vendas f JOIN dim_localidade l ON f.sk_localidade = l.sk_localidade
+GROUP BY l.pais
+ORDER BY total_vendas DESC, pais""",
     "kpi7_vendas_nacao" ->
       s"""SELECT c.nacao, $sumTotal AS total_vendas
 FROM fato_vendas f JOIN dim_cliente c ON f.sk_cliente = c.sk_cliente

@@ -50,6 +50,17 @@ dim_vendedor AS (
     LEFT JOIN nation ON s_nationkey = n_nationkey
   )
 ),
+dim_localidade AS (
+  SELECT CAST(row_number() OVER (ORDER BY id_localidade_original) AS INTEGER) AS sk_localidade, *
+  FROM (
+    SELECT CAST(s_suppkey AS BIGINT) AS id_localidade_original,
+           coalesce(n_name, 'Não Informado') AS pais,
+           coalesce(r_name, 'Não Informado') AS regiao
+    FROM supplier
+    LEFT JOIN nation ON s_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+  )
+),
 dim_tempo AS (
   SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INTEGER) AS sk_tempo,
          d AS data_completa,
@@ -71,6 +82,7 @@ fato AS (
          dp.sk_produto AS sk_produto,
          dc.sk_cliente AS sk_cliente,
          dv.sk_vendedor AS sk_vendedor,
+         dl.sk_localidade AS sk_localidade,
          CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS sk_tempo,
          CAST(l.l_quantity AS INTEGER) AS qtd_vendida,
          CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS valor_bruto,
@@ -81,7 +93,9 @@ fato AS (
   LEFT JOIN dim_produto dp ON l.l_partkey = dp.id_produto_original
   LEFT JOIN dim_cliente dc ON o.o_custkey = dc.id_cliente_original
   LEFT JOIN dim_vendedor dv ON l.l_suppkey = dv.id_vendedor_original
+  LEFT JOIN dim_localidade dl ON l.l_suppkey = dl.id_localidade_original
   WHERE dp.sk_produto IS NOT NULL AND dc.sk_cliente IS NOT NULL
+    AND dl.sk_localidade IS NOT NULL
 )"""
 
   private def withStar(sql: String): String = s"WITH $starCte\n$sql"
@@ -98,6 +112,8 @@ fato AS (
       "SELECT * FROM dim_cliente ORDER BY sk_cliente"),
     "star_dim_vendedor" -> withStar(
       "SELECT * FROM dim_vendedor ORDER BY sk_vendedor"),
+    "star_dim_localidade" -> withStar(
+      "SELECT * FROM dim_localidade ORDER BY sk_localidade"),
     "star_dim_tempo" -> withStar(
       "SELECT * FROM dim_tempo ORDER BY sk_tempo"),
     "star_fato_vendas" -> withStar(
@@ -125,6 +141,11 @@ LIMIT 5"""),
 FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
 GROUP BY p.categoria
 ORDER BY total_vendas DESC, categoria"""),
+    "kpi7_vendas_pais" -> withStar(
+      s"""SELECT l.pais, ${sumd("f.valor_total")} AS total_vendas
+FROM fato f JOIN dim_localidade l ON f.sk_localidade = l.sk_localidade
+GROUP BY l.pais
+ORDER BY total_vendas DESC, pais"""),
     "kpi7_vendas_nacao" -> withStar(
       s"""SELECT c.nacao, ${sumd("f.valor_total")} AS total_vendas
 FROM fato f JOIN dim_cliente c ON f.sk_cliente = c.sk_cliente

@@ -24,6 +24,48 @@ class EngineSpec extends SparkSpec {
     assert(b.map(_._3).toSeq === (1L to 1000L))
   }
 
+  test("surrogate keys: auto routes by plan-stats size; both routes agree") {
+    val df = spark.range(500).select(
+      (col("id") % 97).as("k"), concat(lit("v"), col("id")).as("v"))
+    val viaDense = SurrogateKeys.dense(df, "sk", Seq(col("k"), col("v")))
+      .select("k", "v", "sk").as[(Long, String, Int)].collect().sorted
+    // default threshold: a 500-row frame routes to the window form
+    assert(SurrogateKeys.auto(df, "sk", Seq(col("k"), col("v")))
+      .queryExecution.executedPlan.toString.contains("Window"))
+    // 1-byte threshold: auto must take the distributed route (no Window
+    // operator anywhere in the plan) and still produce identical rows +
+    // identical INT sk dtype
+    spark.conf.set("graft.sk.windowMaxBytes", "1")
+    try {
+      val routed = SurrogateKeys.auto(df, "sk", Seq(col("k"), col("v")))
+      assert(routed.schema("sk").dataType ===
+        org.apache.spark.sql.types.IntegerType)
+      assert(!routed.queryExecution.executedPlan.toString.contains("Window"))
+      assert(routed.select("k", "v", "sk").as[(Long, String, Int)]
+        .collect().sorted === viaDense)
+    } finally spark.conf.unset("graft.sk.windowMaxBytes")
+  }
+
+  test("fact dim lookups: corpus-sized dims follow conf; bounded dims stay hinted") {
+    // with broadcast disabled by conf, the UNHINTED cliente/localidade
+    // lookups must fall back to shuffled joins (at 100 TB a forced
+    // broadcast of an address-grain dim OOMs), while the explicitly
+    // hinted produto/vendedor lookups remain broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fato = Star.fatoVendas(spark, tiny)
+      fato.collect()
+      val plan = fato.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), "hinted dims must broadcast")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "unhinted corpus-sized dims must honor the conf and shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0) // driver t1 smoke-check
     // each declared oracle has a matching query entry
@@ -35,7 +77,7 @@ class EngineSpec extends SparkSpec {
     val fato = Star.fatoVendas(spark, tiny)
     assert(fato.count() === 6000)
     assert(fato.filter($"sk_produto".isNull || $"sk_cliente".isNull ||
-      $"sk_tempo".isNull).count() === 0)
+      $"sk_localidade".isNull || $"sk_tempo".isNull).count() === 0)
   }
 
   test("star fact: decimal metrics satisfy total + desconto == bruto") {
