@@ -133,7 +133,8 @@ object Bench {
     // stdout-scrape failures (BENCH_r01/r02 parsed:null). The driver can
     // point SPARK_GRAFT_BENCH_OUT anywhere; the default lands in-repo so a
     // parseable artifact always exists.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_OUT.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props.getOrElse("user.dir", "."), "BENCH_OUT.json").getPath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

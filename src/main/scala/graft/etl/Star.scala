@@ -200,6 +200,10 @@ object Star {
         epDec.cast("double").as("valor_bruto"),
         (epDec * discDec).cast("double").as("valor_desconto"),
         (epDec * (one - discDec)).cast("double").as("valor_total"))
-      .na.drop("any", Seq("sk_produto", "sk_cliente", "sk_localidade", "sk_tempo"))
+      // null-key prune matches the reference exactly: dropna
+      // subset=['sk_produto','sk_cliente','sk_tempo']
+      // (dags/etl_fato_vendas.py:96) — sk_localidade and sk_vendedor stay
+      // nullable so an unresolved ship-side key doesn't shrink KPI totals.
+      .na.drop("any", Seq("sk_produto", "sk_cliente", "sk_tempo"))
   }
 }

@@ -48,7 +48,14 @@ object SurrogateKeys {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= maxBytes) dense(df, skName, orderBy)
     else denseDistributed(df, skName, orderBy)
-      .withColumn(skName, col(skName).cast("int"))
+      // guard the Long→INT narrowing: with ANSI off a >2³¹-row dim would
+      // silently wrap to negative/duplicate keys — fail loudly instead
+      // (the distributed route exists precisely for huge dims).
+      .withColumn(skName,
+        when(col(skName) <= lit(Int.MaxValue.toLong), col(skName).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"$skName exceeds INT range (reference schema is SERIAL): "),
+            col(skName).cast("string")))))
   }
 
   /** Deterministic keyed dedup: keep exactly one row per key — the one

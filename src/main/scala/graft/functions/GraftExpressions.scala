@@ -200,21 +200,55 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpr(a), toExpr(b)))
 
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  /** Require exactly n args — a wrong arity surfaces as AnalysisException
+    * (the SQL-layer contract), not a Scala IndexOutOfBounds.
+    */
+  private[functions] def arityCheck(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      analysisError(s"$fn expects $n arguments, got ${exprs.length}")
+
+  /** Extract a foldable integral argument; non-literal / non-int args are
+    * an analysis error, not a runtime ClassCastException.
+    */
+  private[functions] def intArgCheck(fn: String, e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case v => analysisError(
+          s"$fn: argument '$name' must be an integer literal, got $v")
+      }
+    case _ => analysisError(
+      s"$fn: argument '$name' must be a foldable integer literal")
+  }
+
   /** Register for spark.sql use: minhashes(hs, k), cosine_sim(a, b). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("minhashes", exprs =>
-      MinHashes(exprs.head, exprs(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => other.eval().asInstanceOf[Int]
-      }), "scala_udf")
-    registry.createOrReplaceTempFunction("cosine_sim", exprs =>
-      CosineSim(exprs.head, exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("shingle_hashes", exprs =>
-      ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    registry.createOrReplaceTempFunction("shingle_minhashes", exprs =>
-      ShingleMinHashes(exprs.head, exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    registry.createOrReplaceTempFunction("minhashes", { exprs =>
+      arityCheck("minhashes", exprs, 2)
+      MinHashes(exprs.head, intArgCheck("minhashes", exprs(1), "k"))
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("cosine_sim", { exprs =>
+      arityCheck("cosine_sim", exprs, 2)
+      CosineSim(exprs.head, exprs(1))
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_hashes", { exprs =>
+      arityCheck("shingle_hashes", exprs, 2)
+      ShingleHashes(exprs.head, intArgCheck("shingle_hashes", exprs(1), "n"))
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_minhashes", { exprs =>
+      arityCheck("shingle_minhashes", exprs, 3)
+      ShingleMinHashes(exprs.head, intArgCheck("shingle_minhashes", exprs(1), "n"),
+        intArgCheck("shingle_minhashes", exprs(2), "k"))
+    }, "scala_udf")
   }
 }
 
@@ -226,8 +260,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhashes"),
       new ExpressionInfo("graft.functions.MinHashes", "minhashes"),
-      (exprs: Seq[Expression]) => MinHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        GraftFunctions.arityCheck("minhashes", exprs, 2)
+        MinHashes(exprs.head, GraftFunctions.intArgCheck("minhashes", exprs(1), "k"))
+      }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSim", "cosine_sim"),

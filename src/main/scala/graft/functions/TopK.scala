@@ -20,6 +20,9 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class TopKByScore(k: Int)
   extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  // k <= 0 would make the fast-path `buf.size >= k` trivially true on an
+  // empty buffer and `buf.last` throw; fail construction instead.
+  require(k > 0, s"TopKByScore requires k > 0, got $k")
 
   // ascending sort key: better elements first
   @inline private def key(e: (Double, Long)): (Double, Long) = (-e._1, e._2)

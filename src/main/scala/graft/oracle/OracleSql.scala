@@ -95,7 +95,6 @@ fato AS (
   LEFT JOIN dim_vendedor dv ON l.l_suppkey = dv.id_vendedor_original
   LEFT JOIN dim_localidade dl ON l.l_suppkey = dl.id_localidade_original
   WHERE dp.sk_produto IS NOT NULL AND dc.sk_cliente IS NOT NULL
-    AND dl.sk_localidade IS NOT NULL
 )"""
 
   private def withStar(sql: String): String = s"WITH $starCte\n$sql"
