@@ -90,17 +90,26 @@ object EmbeddingOps {
     * query is routed to its nearest centroid (cell), then searched
     * exhaustively only within that cell — the probe pattern of an IVF
     * index. Centroids are tiny (k rows) and broadcast; the corpus is
-    * scanned once, partitioned by cell. No DuckDB oracle (float centroid
-    * means are aggregation-order sensitive) → rows-only check.
+    * scanned once, partitioned by cell.
+    *
+    * Centroid means are computed in EXACT integer arithmetic: each float
+    * component is rounded to 1e-6 resolution and summed as a long, so the
+    * mean is independent of partial-aggregation order (a plain avg over
+    * doubles is not — it left this query rows-only-checked for three
+    * rounds) and the DuckDB oracle reproduces it bit-exactly. The 1e-6
+    * quantization is harmless for a coarse quantizer and keeps the sum
+    * distributed-friendly (partial+final HashAggregate over longs).
     */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
         "CAST(label AS INTEGER) AS label", "embedding")
-    // centroid per cell: element-wise mean (posexplode → avg → rebuild)
+    // centroid per cell: element-wise mean (posexplode → exact-sum → rebuild)
     val cents = base
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label", "i")
+      .agg((sum(round(col("x").cast("double") * 1e6).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * 1e6)).as("m"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
       .select(col("label").as("cell"),
@@ -168,6 +177,41 @@ object EmbeddingOps {
     "q_embed_neardup" -> (embedNearDup(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH exploded AS (
+  SELECT label, i, embedding[i] AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, $DIM)) AS i)
+),
+cents AS (
+  SELECT CAST(label AS INTEGER) AS cell,
+         list(CAST(m AS FLOAT) ORDER BY i) AS centroid
+  FROM (
+    SELECT label, i,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS m
+    FROM exploded GROUP BY label, i)
+  GROUP BY label
+),
+base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+  embedding, ${normDuck("embedding")} AS nrm FROM embeddings),
+routed AS (
+  SELECT query_id, q_emb, qnrm, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS qnrm, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             ${dot("q.embedding", "c.centroid", DIM).duck} /
+               (q.nrm * sqrt(${dot("c.centroid", "c.centroid", DIM).duck})) DESC,
+             c.cell) AS rk
+    FROM (SELECT * FROM base WHERE vec_id < $N_QUERIES) q CROSS JOIN cents c)
+  WHERE rk = 1
+)
+SELECT query_id, cell, vizinho, sim, rank FROM (
+  SELECT r.query_id, r.cell, b.vec_id AS vizinho,
+         ${dot("r.q_emb", "b.embedding", DIM).duck} / (r.qnrm * b.nrm) AS sim,
+         CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
+           ${dot("r.q_emb", "b.embedding", DIM).duck} / (r.qnrm * b.nrm) DESC,
+           b.vec_id) AS INTEGER) AS rank
+  FROM routed r JOIN base b ON r.cell = b.label AND r.query_id <> b.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),
