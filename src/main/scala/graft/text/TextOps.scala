@@ -203,22 +203,49 @@ object TextOps {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).cache()
+      .withColumn("lbl", col("doc"))
+    // Exactly ONE materialized frontier is pinned at a time: each
+    // iteration's `stepped` is cached and materialized by the convergence
+    // count, after which its predecessor is unpersisted — without this the
+    // CacheManager accretes one pin per iteration per invocation (the
+    // round-2/3 hygiene finding). Every 5 iterations the frontier is
+    // localCheckpoint'ed, which truncates the logical plan (otherwise the
+    // lineage deepens linearly with iterations and each re-plan pays for
+    // it). localCheckpoint blocks live on executors: on a cluster with
+    // dynamic allocation or executor loss they are unrecoverable, so a
+    // long multi-tenant run should swap in reliable checkpoint(); at
+    // local[32] (and on static-allocation clusters) the cheap form is the
+    // right default.
+    var pinned: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
         .select(col("doc"), col("lbl"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
         .cache()
-      changed = next.filter(col("lbl2") < col("lbl")).count()
-      labels = next.select(col("doc"), col("lbl2").as("lbl"))
+      changed = stepped.filter(col("lbl2") < col("lbl")).count() // materializes
+      pinned.foreach(_.unpersist())
+      labels = stepped.select(col("doc"), col("lbl2").as("lbl"))
+      pinned = Some(stepped)
+      if (iter % 5 == 4) {
+        labels = labels.localCheckpoint(true) // eager: cuts lineage here
+        pinned.foreach(_.unpersist())
+        pinned = None
+      }
       iter += 1
     }
-    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
+    // make the result self-contained, then release the loop's working set:
+    // after this checkpoint neither `edges` nor any iteration cache backs
+    // the returned DataFrame, so nothing from the loop stays pinned.
+    val out = labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    edges.unpersist()
+    out
   }
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on

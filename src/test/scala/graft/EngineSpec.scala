@@ -76,8 +76,11 @@ class EngineSpec extends SparkSpec {
   test("star fact: row count = lineitem count (all keys matched), no null core SKs") {
     val fato = Star.fatoVendas(spark, tiny)
     assert(fato.count() === 6000)
+    // the reference prunes only produto/cliente/tempo
+    // (dags/etl_fato_vendas.py dropna subset) — localidade/vendedor are
+    // nullable passthrough; in this testdata every key happens to resolve
     assert(fato.filter($"sk_produto".isNull || $"sk_cliente".isNull ||
-      $"sk_localidade".isNull || $"sk_tempo".isNull).count() === 0)
+      $"sk_tempo".isNull).count() === 0)
   }
 
   test("star fact: decimal metrics satisfy total + desconto == bruto") {
@@ -119,6 +122,26 @@ class EngineSpec extends SparkSpec {
       $"x.query_id" === $"y.query_id" && $"x.rank" < $"y.rank" &&
         $"x.sim" < $"y.sim")
     assert(bad.count() === 0)
+  }
+
+  test("dedup clusters: iteration caches don't accrete; labels are component minima") {
+    def pinnedNonCheckpoint: Int = spark.sparkContext.getPersistentRDDs.values
+      .count(r => !r.isCheckpointed)
+    val before = pinnedNonCheckpoint
+    val out = graft.text.TextOps.dedupClusters(spark, tiny)
+    val rows = out.collect()
+    // every loop cache and the edges cache must be unpersisted on return —
+    // a long-running service can invoke this repeatedly without accreting
+    // CacheManager pins (localCheckpoint blocks are excluded: they carry
+    // no pin and the ContextCleaner reclaims them on unreachability)
+    assert(pinnedNonCheckpoint === before,
+      s"dedupClusters leaked ${pinnedNonCheckpoint - before} cached RDD pins")
+    // min-label propagation invariant: a converged label is the smallest
+    // doc id reachable in the component, hence never above the member's id
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
+    // and invoking it AGAIN must not grow the pin count either
+    graft.text.TextOps.dedupClusters(spark, tiny).count()
+    assert(pinnedNonCheckpoint === before)
   }
 
   test("dedup keep-first picks each user's earliest event") {
