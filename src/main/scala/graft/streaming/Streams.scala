@@ -87,39 +87,65 @@ object Streams {
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session SUMMARY is emitted when a later
     * event for the same user arrives more than `gapMinutes` after the
-    * previous one. State per key is O(1) — counts and bounds, not buffered
-    * events.
+    * previous one, OR when the event-time watermark passes the session's
+    * idle deadline (last event + gap) — so a user's FINAL session flushes
+    * without needing a successor event. State per key is O(1) — counts and
+    * bounds, not buffered events — and every key carries an event-time
+    * timer, so state for idle users is emitted and removed instead of
+    * accreting forever.
     *
-    * Deliberate scope limits (the batch twin, RelationalOps.sessionizeBatch,
-    * has none of them): a user's final session stays in state until a
-    * further event arrives (production would add an event-time timeout +
-    * watermark to flush idle keys), and events are time-ordered only
-    * within a micro-batch — a cross-batch late event is appended to the
+    * Remaining scope limit (the batch twin, RelationalOps.sessionizeBatch,
+    * has none): events are time-ordered only within a micro-batch — a
+    * cross-batch late event (within the watermark) is appended to the
     * current session rather than its true one.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    // EventTimeTimeout needs a watermark; batch runs have neither (state
+    // and timers don't exist there — each group is processed exactly once)
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          // Sort this micro-batch's events; close sessions on gaps.
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
-          val out = Seq.newBuilder[SessionSummary]
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            if (st.n > 0 && t - st.last > gapMs) {
-              out += SessionSummary(uid, st.n, new java.sql.Timestamp(st.start),
-                new java.sql.Timestamp(st.last), st.total)
-              st = SessionState(0, -1L, -1L, 0.0)
+          if (streaming && state.hasTimedOut) {
+            // idle flush: the watermark passed last+gap, so no event that
+            // could extend this session can still arrive — it is final.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionSummary(uid, st.n,
+              new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last),
+              st.total))
+          } else {
+            // Sort this micro-batch's events; close sessions on gaps.
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
+            val out = Seq.newBuilder[SessionSummary]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (st.n > 0 && t - st.last > gapMs) {
+                out += SessionSummary(uid, st.n, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.last), st.total)
+                st = SessionState(0, -1L, -1L, 0.0)
+              }
+              st = if (st.n == 0) SessionState(1, t, t, e.value)
+                   else SessionState(st.n + 1, st.start, t, st.total + e.value)
             }
-            st = if (st.n == 0) SessionState(1, t, t, e.value)
-                 else SessionState(st.n + 1, st.start, t, st.total + e.value)
+            state.update(st)
+            if (streaming)
+              // fire when the watermark passes the idle deadline (the
+              // max() keeps the timer legal if the deadline already lies
+              // behind the watermark — it then fires on the next batch)
+              state.setTimeoutTimestamp(math.max(st.last + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -126,6 +126,44 @@ class StreamingSpec extends SparkSpec {
     assert(result.select("event_id").distinct().count() === sample.length + 1)
   }
 
+  test("sessionization: idle sessions flush on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_flush_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // after the first batch the watermark stands at 01:50 (max 02:00 −
+    // 10 min) and the no-data follow-up batch fires timers: user 1's open
+    // session (idle deadline 01:10+30 = 01:40) flushes, user 2's (deadline
+    // 02:30) is still live → 2 gap-closed + 1 timeout-flushed
+    assert(spark.table("sess_flush_out").count() === 3)
+    // an unrelated user's much-later event advances the watermark past
+    // user 2's idle deadline — the session must flush WITHOUT any further
+    // event from user 2
+    mem.addData(Event(6, ts("2024-01-01 06:00:00"), 3, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("sess_flush_out")
+      .orderBy("user_id", "inicio").collect()
+    // user 1: [00:05] gap-closed, then [00:40→01:10] timeout-flushed;
+    // user 2: [00:30] gap-closed, then [02:00] timeout-flushed;
+    // user 3's session stays open (nothing advanced the watermark past it)
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+      r.getAs[Double]("valor"))).toSeq ===
+      Seq((1L, 1, 1.0), (1L, 2, 12.0), (2L, 1, 5.0), (2L, 1, 7.0)))
+    assert(rows(1).getAs[Timestamp]("inicio") === ts("2024-01-01 00:40:00"))
+    assert(rows(1).getAs[Timestamp]("fim") === ts("2024-01-01 01:10:00"))
+    // the flushed set now equals the all-sessions batch twin for every
+    // quiesced user (1 and 2) — streamed totals match batch semantics
+    val twin = Streams.sessionize(sample.toDS(), gapMinutes = 30)
+    // batch mode emits only gap-closed sessions (no timers exist there):
+    // users 1 and 2 each have exactly one such session in `sample`
+    assert(twin.collect().map(s => (s.user_id, s.n_events, s.valor)).sorted
+      === Seq((1L, 1, 1.0), (2L, 1, 5.0)))
+  }
+
   test("sessionization: 30-min gap closes a session (stateful)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -135,17 +173,17 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("sess_out").start()
     q.processAllAvailable(); q.stop()
 
-    // only CLOSED sessions are emitted; open sessions stay in state.
-    // user 1: 00:05→00:40 is a 35-min gap → first session (1 event) closes;
-    // 00:40→01:10 is exactly 30 min (not > gap) → second session stays open.
-    // user 2: 00:30→02:00 gap → first session (1 event) closes.
-    val rows = spark.table("sess_out").orderBy("user_id").collect()
-    assert(rows.length === 2)
-    assert(rows(0).getAs[Long]("user_id") === 1L)
-    assert(rows(0).getAs[Int]("n_events") === 1)
-    assert(rows(0).getAs[Double]("valor") === 1.0)
-    assert(rows(1).getAs[Long]("user_id") === 2L)
-    assert(rows(1).getAs[Int]("n_events") === 1)
-    assert(rows(1).getAs[Double]("valor") === 5.0)
+    // CLOSED sessions are emitted by gap; idle sessions behind the
+    // watermark flush by timer in the no-data follow-up batch.
+    // user 1: 00:05→00:40 is a 35-min gap → first session (1 event)
+    //   closes; 00:40→01:10 is exactly 30 min (not > gap) → second
+    //   session spans both events, then times out (deadline 01:40 <
+    //   watermark 01:50) → flushes with 2 events, valor 12.
+    // user 2: 00:30→02:00 gap → first session closes; the 02:00 session's
+    //   deadline (02:30) is past the watermark → stays open in state.
+    val rows = spark.table("sess_out").orderBy("user_id", "inicio").collect()
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+      r.getAs[Double]("valor"))).toSeq ===
+      Seq((1L, 1, 1.0), (1L, 2, 12.0), (2L, 1, 5.0)))
   }
 }
