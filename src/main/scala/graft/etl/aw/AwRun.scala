@@ -8,7 +8,19 @@ import graft.sink.Sink
   * AdventureWorks CSV directory, writes parquet sinks, prints row counts
   * (BASELINE.md targets) and the 10 KPIs.
   *
-  * Usage: runMain graft.etl.aw.AwRun <csvDir> <outDir>
+  * Usage:
+  *   runMain graft.etl.aw.AwRun [csvDir] [outDir]            — full build
+  *   runMain graft.etl.aw.AwRun --table <name> [csvDir] [outDir]
+  *
+  * `--table` is the ORCHESTRATED deployment surface: one invocation builds
+  * and sinks exactly one DW table, mirroring the reference's six separate
+  * Airflow DAGs run "Dimensões → Fato" (README.md:113; one spark-submit
+  * per task). The five dims are independent (an orchestrator runs them in
+  * parallel); `fato_vendas` reads the dim SK maps back from the sink —
+  * the same read-back its Postgres counterpart does
+  * (dags/etl_fato_vendas.py:21-24) — so it must be scheduled after the
+  * dims, exactly like the reference's DAG ordering. See README.md for the
+  * DAG sketch.
   *
   * The 2026-01-28 reference snapshot is missing three inputs
   * (.MISSING_LARGE_BLOBS: Person Person, SalesOrderHeader/Detail); when a
@@ -16,9 +28,21 @@ import graft.sink.Sink
   * so the full fact path still executes.
   */
 object AwRun {
+  val Tables: Seq[String] = Seq("dim_produto", "dim_cliente", "dim_localidade",
+    "dim_vendedor", "dim_tempo", "fato_vendas")
+
   def main(args: Array[String]): Unit = {
-    val csvDir = if (args.length > 0) args(0) else "/root/reference/dags/data"
-    val outDir = if (args.length > 1) args(1) else "/tmp/aw_dw"
+    val tableArg: Option[String] = args.indexOf("--table") match {
+      case -1 => None
+      case i if i + 1 < args.length => Some(args(i + 1))
+      case _ => sys.error("--table requires a table name")
+    }
+    val positional = {
+      val i = args.indexOf("--table")
+      if (i == -1) args.toSeq else args.toSeq.patch(i, Nil, 2)
+    }
+    val csvDir = if (positional.nonEmpty) positional(0) else "/root/reference/dags/data"
+    val outDir = if (positional.length > 1) positional(1) else "/tmp/aw_dw"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +57,7 @@ object AwRun {
     def missing(name: String) = !new java.io.File(s"$csvDir/$name.csv").exists()
 
     // Deterministic stand-ins for snapshot-missing inputs (FIXTURES.md ⟂)
-    val person = if (missing("Person Person")) Some {
+    lazy val person = if (missing("Person Person")) Some {
       spark.range(1, 20001).select(
         col("id").cast("int").as("BusinessEntityID"),
         lit("IN").as("PersonType"), lit("0").as("NameStyle"),
@@ -56,7 +80,7 @@ object AwRun {
       graft.etl.SurrogateKeys.dense(
         df.select(col(keyCol)).distinct(), "rn", Seq(col(keyCol)))
 
-    val header = if (missing("Sales SalesOrderHeader")) Some {
+    lazy val header = if (missing("Sales SalesOrderHeader")) Some {
       val custs = keyDomain(AwEtl.readCsv(spark,
         s"$csvDir/Sales Customer.csv", AwSchemas.customer), "CustomerID")
       val addrs = keyDomain(AwEtl.readCsv(spark,
@@ -79,7 +103,7 @@ object AwRun {
           col("AddressID").as("ShipToAddressID"))
     } else None
 
-    val detail = if (missing("Sales SalesOrderDetail")) Some {
+    lazy val detail = if (missing("Sales SalesOrderDetail")) Some {
       val prods = keyDomain(AwEtl.readCsv(spark,
         s"$csvDir/Production Product.csv", AwSchemas.product), "ProductID")
       val nProd = prods.count()
@@ -94,6 +118,49 @@ object AwRun {
           (round(col("id") % 2000 * 1.37 + 3.99, 2)).as("UnitPrice"),
           when(col("id") % 10 === 0, 0.05).otherwise(0.0).as("UnitPriceDiscount"))
     } else None
+
+    // ---- orchestrated mode: one table per invocation (Airflow-task shape)
+    def buildSingle(t: String): DataFrame = {
+      def rd(n: String, sch: org.apache.spark.sql.types.StructType) =
+        AwEtl.readCsv(spark, s"$csvDir/$n.csv", sch)
+      lazy val personDf = person.getOrElse(rd("Person Person", AwSchemas.person))
+      t match {
+        case "dim_produto" => AwEtl.dimProduto(
+          rd("Production Product", AwSchemas.product),
+          rd("Production ProductSubcategory", AwSchemas.productSubcategory),
+          rd("Production ProductCategory", AwSchemas.productCategory))
+        case "dim_cliente" => AwEtl.dimCliente(
+          rd("Sales Customer", AwSchemas.customer), personDf)
+        case "dim_localidade" => AwEtl.dimLocalidade(
+          rd("Person Address", AwSchemas.address),
+          rd("Person StateProvince", AwSchemas.stateProvince),
+          rd("Person CountryRegion", AwSchemas.countryRegion))
+        case "dim_vendedor" => AwEtl.dimVendedor(
+          rd("Sales SalesPerson", AwSchemas.salesPerson),
+          rd("HumanResources Employee", AwSchemas.employee), personDf)
+        case "dim_tempo" => AwEtl.dimTempo(spark)
+        case "fato_vendas" =>
+          // dims come back from the SINK, not the in-session plan — the
+          // task-boundary read-back of the reference's fact DAG
+          // (dags/etl_fato_vendas.py:21-24 reads the SK maps from Postgres)
+          def dim(n: String) = spark.read.parquet(s"$outDir/$n")
+          AwEtl.fatoVendas(
+            header.getOrElse(rd("Sales SalesOrderHeader", AwSchemas.salesOrderHeader)),
+            detail.getOrElse(rd("Sales SalesOrderDetail", AwSchemas.salesOrderDetail)),
+            dim("dim_produto"), dim("dim_cliente"), dim("dim_vendedor"),
+            dim("dim_localidade"))
+        case other =>
+          sys.error(s"unknown table '$other' — expected one of ${Tables.mkString(", ")}")
+      }
+    }
+    tableArg.foreach { t =>
+      val t0 = System.nanoTime()
+      Sink.parquet(buildSingle(t), s"$outDir/$t")
+      val n = spark.read.parquet(s"$outDir/$t").count()
+      println(f"$t%-16s $n%,10d rows sunk in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
 
     val t0 = System.nanoTime()
     val dw = AwEtl.pipeline(spark, csvDir, person, header, detail)
