@@ -32,4 +32,33 @@ class JdbcSinkSpec extends SparkSpec {
       .except(dim.select("sk_produto", "id_produto_original"))
     assert(diff.count() === 0)
   }
+
+  test("JDBC round-trip preserves NUMERIC(18,2) money values and scale") {
+    import org.apache.spark.sql.functions._
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_money")
+      .resolve("dw").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    // money at the exact DDL type the reference declares
+    // (create_dw_tables.sql:62-64 NUMERIC(18,2)) — incl. a .005 edge value
+    val fato = spark.range(1, 101).select(
+      col("id").cast("int").as("id_pedido"),
+      ((col("id") * 997 + 5).cast("decimal(18,0)") / 100)
+        .cast("decimal(18,2)").as("valor_total"))
+    graft.sink.Sink.jdbc(fato, url, "fato_money", props)
+    graft.sink.Sink.jdbc(fato, url, "fato_money", props) // truncate-reload
+
+    val back = spark.read.jdbc(url, "fato_money", props)
+    // dtype survives: still an exact decimal of scale 2, not a float
+    val dt = back.schema("valor_total").dataType
+    assert(dt === org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(back.count() === 100)
+    // values survive bit-exactly (decimal compare, no double detour)
+    val diff = back.except(fato)
+    assert(diff.count() === 0)
+    // and the decimal SUM over the read-back equals the in-plan sum
+    val a = fato.agg(sum("valor_total")).head().getDecimal(0)
+    val b = back.agg(sum("valor_total")).head().getDecimal(0)
+    assert(a === b)
+  }
 }
