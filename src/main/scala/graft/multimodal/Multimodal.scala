@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, partition-sized batching, feature
   * vector shape, composition with the similarity operators — is real and
-  * tested; the actual codec call is STUBBED (this container has no
-  * image/audio libraries) behind [[DecodeStub.decode]], which produces a
-  * deterministic fake so plumbing tests are reproducible.
+  * tested. The codec behind [[DecodeStub.decode]] really decodes IMAGES
+  * (pure-JVM javax.imageio: PNG/JPEG/GIF/BMP); audio/video decode — which
+  * has no pure-JVM codec in this container — falls back to a
+  * deterministic stand-in so plumbing tests stay reproducible.
   */
 object Multimodal {
 
@@ -19,17 +20,26 @@ object Multimodal {
                              hash: String, width: Int, height: Int)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** STUB — stands in for a real codec (JPEG decode / audio resample /
-    * video frame grab). Deterministic from the payload bytes so tests are
-    * stable. A production build would replace the body with e.g. a JNI
-    * imaging call; the SIGNATURE and batching around it are the real
-    * design.
+  /** Codec: IMAGE decode is REAL — pure-JVM `javax.imageio` (PNG/JPEG/
+    * GIF/BMP ship with the JDK, no external deps), returning the actual
+    * pixel dimensions. Payloads ImageIO does not recognize (this
+    * container's text-derived fixtures; audio/video, which have no
+    * pure-JVM codec) fall back to a deterministic stand-in derived from
+    * the payload bytes, so plumbing tests stay reproducible. A production
+    * build swaps the fallback for JNI audio/video codecs; the signature
+    * and per-partition batching around it are unchanged either way.
     */
   object DecodeStub {
     def decode(payload: Array[Byte]): (Int, Int) = {
-      // ??? <- real codec goes here; deterministic fake below
-      val h = java.util.Arrays.hashCode(payload)
-      (math.abs(h % 1920) + 1, math.abs(h % 1080) + 1)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img != null) (img.getWidth, img.getHeight)
+      else {
+        // non-image payload: deterministic stand-in dimensions
+        val h = java.util.Arrays.hashCode(payload)
+        (math.abs(h % 1920) + 1, math.abs(h % 1080) + 1)
+      }
     }
 
     /** Fake feature extractor: 16-dim pseudo-embedding from a rolling hash

@@ -37,6 +37,30 @@ class MultimodalSpec extends SparkSpec {
       again.map(m => (m.width, m.height)).toSeq)
   }
 
+  test("extractMeta: REAL image payloads decode to their true dimensions") {
+    // render genuine PNG and JPEG images in-memory — this exercises the
+    // actual javax.imageio path, not the deterministic fallback
+    def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => bi.setRGB(x, 0, x * 7919))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos))
+      bos.toByteArray
+    }
+    val real = Seq(
+      Multimodal.Media(1L, "image", img(123, 45, "png")),
+      Multimodal.Media(2L, "image", img(64, 128, "jpg")),
+      Multimodal.Media(3L, "audio", "not an image".getBytes("UTF-8")))
+    val meta = Multimodal.extractMeta(real.toDS())
+      .orderBy("media_id").collect()
+    assert(meta(0).width === 123 && meta(0).height === 45)
+    assert(meta(1).width === 64 && meta(1).height === 128)
+    // non-image payload takes the deterministic fallback, bounded dims
+    assert(meta(2).width >= 1 && meta(2).width <= 1920)
+    assert(meta(2).height >= 1 && meta(2).height <= 1080)
+  }
+
   test("sampleFrames: one row per sampled fixed-size window") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, every = 4)
     val f = frames.filter($"media_id" === 1).orderBy("frame_no").collect()
