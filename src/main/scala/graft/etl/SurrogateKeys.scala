@@ -1,9 +1,10 @@
 package graft.etl
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.Row
 
 /** Surrogate-key assignment (replaces the reference's Postgres SERIAL,
@@ -73,23 +74,56 @@ object SurrogateKeys {
       .drop("__rn")
   }
 
-  /** Scale-out contiguous id: range-partitioned sort, then zipWithIndex
-    * (a partition-count job + a prefix-sum-offset map — the driver only
-    * ever handles O(numPartitions) longs, never rows).
+  /** Scale-out contiguous id, fully COLUMNAR (no RDD layer, no per-row
+    * object serialization — the whole path stays inside Tungsten/codegen):
     *
-    * The sorted RDD is cached first: zipWithIndex internally runs TWO jobs
-    * over it, and without pinning the evaluation the second job could
-    * recompute the sort over differently-ordered upstream output (task
-    * retries, nondeterministic shuffle order), mis-aligning offsets.
+    *  1. range-partitioned sort on the business key;
+    *  2. `monotonically_increasing_id()` stamps each row with
+    *     (partition id << 33 | per-partition counter) — pinned by an eager
+    *     localCheckpoint so task retries can't restamp rows differently;
+    *  3. ONE tiny aggregation job collects per-partition (count, min id,
+    *     max id) — the driver only ever handles O(numPartitions) triples,
+    *     never rows — and prefix-sums the counts into global offsets;
+    *  4. a broadcast join on partition id turns each row's local counter
+    *     into its global contiguous rank: sk = offset + (id − min) + 1.
+    *
+    * Step 4 is exact because the per-partition counter is consecutive; the
+    * driver VERIFIES that from the step-3 triples (max − min + 1 == count
+    * per partition) and aborts loudly rather than emit gapped keys if a
+    * future Spark changes the id layout.
+    *
+    * vs the previous rdd.zipWithIndex form: no Tungsten→Row decode, no
+    * MEMORY_AND_DISK cache of the whole sorted table as Java objects, no
+    * second full pass — the checkpoint holds compact InternalRow pages and
+    * everything downstream is one codegen'd projection + broadcast join.
     */
   def denseDistributed(df: DataFrame, skName: String, orderBy: Seq[Column]): DataFrame = {
-    val sorted = df.orderBy(orderBy: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(skName, LongType, nullable = false))
-    val rdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withId = rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L)) // sk starts at 1
+    val spark = df.sparkSession
+    val stamped = df.orderBy(orderBy: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true) // pin ids against retry restamping
+    val parts = stamped
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"), min("__mid").as("__lo"), max("__mid").as("__hi"))
+      .orderBy("__pid")
+      .collect() // O(numPartitions), not rows
+    parts.foreach { r =>
+      require(r.getLong(3) - r.getLong(2) + 1 == r.getLong(1),
+        s"monotonically_increasing_id not consecutive in partition ${r.getInt(0)}" +
+          " — dense SK assignment would gap; update SurrogateKeys for this Spark")
     }
-    df.sparkSession.createDataFrame(withId, schema)
+    // (pid, offsetBeforeThisPartition, minId) rows for the broadcast join
+    val cumEnds = parts.scanLeft(0L)((acc, r) => acc + r.getLong(1)).drop(1)
+    val offDf = spark.createDataFrame(
+      parts.zip(cumEnds).map { case (r, cumEnd) =>
+        Row(r.getInt(0), cumEnd - r.getLong(1), r.getLong(2))
+      }.toList.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__off", LongType, nullable = false),
+        StructField("__lo", LongType, nullable = false))))
+    stamped.withColumn("__pid", spark_partition_id())
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(skName, col("__off") + (col("__mid") - col("__lo")) + 1)
+      .drop("__pid", "__mid", "__off", "__lo")
   }
 }
