@@ -100,7 +100,15 @@ object EmbeddingOps {
     * quantization is harmless for a coarse quantizer and keeps the sum
     * distributed-friendly (partial+final HashAggregate over longs).
     */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  def annIvf(s: SparkSession, d: String): DataFrame = annIvfProbe(s, d, 1)
+
+  /** Multi-probe form: the query is routed to its `nProbe` nearest cells
+    * and searched in their union — the standard IVF recall knob (probe
+    * more cells → higher recall, linearly more candidates; still a tiny
+    * fraction of the corpus). Each corpus vector lives in exactly one
+    * cell, so the union needs no dedup.
+    */
+  def annIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     val base = embeddings(s, d)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
         "CAST(label AS INTEGER) AS label", "embedding")
@@ -116,15 +124,15 @@ object EmbeddingOps {
         expr("transform(sm, p -> CAST(p.m AS FLOAT))").as("centroid"))
     val q = base.filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "q_label", "q_emb")
-    // route each query to its nearest centroid...
+    // route each query to its nProbe nearest centroids...
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("sim_c",
         graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sim_c"), asc("cell"))))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-    // ...then search only that cell
+    // ...then search only those cells
     val hits = routed.join(base, routed("cell") === base("label"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim",
@@ -170,15 +178,16 @@ object EmbeddingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_probe3" -> ((s: SparkSession, d: String) => annIvfProbe(s, d, 3)),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)))
 
-  val oracle: Map[String, String] = Map(
-    "q_ann_ivf" ->
-      s"""WITH exploded AS (
+  /** One oracle template serves every probe width (rk <= nProbe). */
+  private def ivfOracle(nProbe: Int): String =
+    s"""WITH exploded AS (
   SELECT label, i, embedding[i] AS x
   FROM embeddings, (SELECT unnest(generate_series(1, $DIM)) AS i)
 ),
@@ -202,7 +211,7 @@ routed AS (
                (q.nrm * sqrt(${dot("c.centroid", "c.centroid", DIM).duck})) DESC,
              c.cell) AS rk
     FROM (SELECT * FROM base WHERE vec_id < $N_QUERIES) q CROSS JOIN cents c)
-  WHERE rk = 1
+  WHERE rk <= $nProbe
 )
 SELECT query_id, cell, vizinho, sim, rank FROM (
   SELECT r.query_id, r.cell, b.vec_id AS vizinho,
@@ -211,7 +220,11 @@ SELECT query_id, cell, vizinho, sim, rank FROM (
            ${dot("r.q_emb", "b.embedding", DIM).duck} / (r.qnrm * b.nrm) DESC,
            b.vec_id) AS INTEGER) AS rank
   FROM routed r JOIN base b ON r.cell = b.label AND r.query_id <> b.vec_id)
-WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_ivf" -> ivfOracle(1),
+    "q_ann_ivf_probe3" -> ivfOracle(3),
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),
