@@ -248,6 +248,27 @@ object TextOps {
     out
   }
 
+  /** END-TO-END dedup: the surviving corpus after keep-one-per-cluster —
+    * the operation a training-data pipeline actually applies to its
+    * documents. Keeps each near-dup cluster's canonical doc (the minimum
+    * id, which IS the cluster label under min-propagation) plus every
+    * unclustered singleton, with how many near-dups each survivor
+    * absorbed. Scale shape: one left-anti join of the corpus against the
+    * (tiny) non-canonical set + one broadcast-sized absorbed-count join —
+    * the corpus is never shuffled on anything but its id.
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d) // (doc_id, cluster), self-contained
+    val docs = documents(s, d).selectExpr("CAST(doc_id AS BIGINT) AS doc_id")
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
+    val absorbed = clusters.groupBy(col("cluster").as("doc_id"))
+      .agg((count(lit(1)) - 1).as("n_absorbed"))
+    docs.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(absorbed, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_absorbed"))
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
     * (lang, token-count bucket), computed as an INVERTED-INDEX
     * set-similarity join: explode distinct shingles, equi-join on
@@ -295,6 +316,7 @@ object TextOps {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_canonical" -> (dedupCanonical _),
     "q_dedup_simhash" -> (simhashPairs(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
@@ -324,6 +346,19 @@ mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM halves),
 bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
 expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
          FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)"""
+    // connected components over the LSH pairs: the recursive reach CTE the
+    // cluster and canonical-dedup oracles share
+    val clusterCtes =
+      s"""$lshCtes,
+pares AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pares UNION ALL SELECT doc_b, doc_a FROM pares),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)"""
     Map(
       "q_text_tokens" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
@@ -373,18 +408,20 @@ GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
       // connected components over the LSH pairs, via RECURSIVE reachability
       // closure + per-doc min — must agree with Spark's label propagation
       "q_dedup_clusters" ->
-        s"""WITH RECURSIVE $lshCtes,
-pares AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pares UNION ALL SELECT doc_b, doc_a FROM pares),
-verts AS (SELECT DISTINCT a AS doc FROM edges),
-reach(doc, r) AS (
-  SELECT doc, doc FROM verts
-  UNION
-  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        s"""WITH RECURSIVE $clusterCtes
 SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
 FROM reach GROUP BY doc ORDER BY doc_id""",
+      "q_dedup_canonical" ->
+        s"""WITH RECURSIVE $clusterCtes,
+labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_absorbed, 0) AS BIGINT) AS n_absorbed
+FROM documents d
+LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
+           FROM labels GROUP BY cluster) a
+  ON d.doc_id = a.cluster
+WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
+ORDER BY doc_id""",
       "q_dedup_simhash" -> {
         s"""WITH sigs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${simhash16(T.duck).duck} AS sig FROM documents),
 cands AS (
