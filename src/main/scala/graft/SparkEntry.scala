@@ -84,6 +84,7 @@ object SparkEntry {
     "q_scalar_subquery" -> (RelationalOps.scalarSubquery _),
     "q_pivot" -> (RelationalOps.pivotEvents _),
     "q_rollup" -> (RelationalOps.rollupRevenue _),
+    "q_cube" -> (RelationalOps.cubeRevenue _),
     "q_distinct_stats" -> (RelationalOps.distinctStats _),
     "q_asof_join" -> (RelationalOps.asofAttribution _),
     "q_sessionize" -> (RelationalOps.sessionizeBatch _),

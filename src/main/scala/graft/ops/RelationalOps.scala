@@ -304,6 +304,27 @@ object RelationalOps {
       .orderBy("nacao", "segmento")
   }
 
+  /** CUBE aggregation — completes the grouping-set family next to
+    * [[rollupRevenue]]: all four level combinations ((nation, segment),
+    * (nation), (segment), ()) in the same single-shuffle expansion; the
+    * segment-only slice is the one ROLLUP cannot produce.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val o = orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("receita"),
+        count(lit(1)).as("n_pedidos"))
+      .select(coalesce(col("n_name"), lit("TOTAL")).as("nacao"),
+        coalesce(col("c_mktsegment"), lit("TOTAL")).as("segmento"),
+        col("receita"), col("n_pedidos"))
+      .orderBy("nacao", "segmento")
+  }
+
   /** Exact distinct-count statistics (A-family extension): per order
     * priority, how many distinct customers and order dates.
     */

@@ -297,6 +297,16 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, c_mktsegment)
 ORDER BY nacao, segmento""",
+    "q_cube" ->
+      """SELECT coalesce(n_name, 'TOTAL') AS nacao,
+       coalesce(c_mktsegment, 'TOTAL') AS segmento,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS receita,
+       COUNT(*) AS n_pedidos
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE(n_name, c_mktsegment)
+ORDER BY nacao, segmento""",
     "q_distinct_stats" ->
       """SELECT o_orderpriority,
        COUNT(DISTINCT o_custkey) AS clientes_distintos,
