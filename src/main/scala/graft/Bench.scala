@@ -64,11 +64,22 @@ object Bench {
     // time-bounded queries prune partitions — the role the reference's
     // fact indexes played in Postgres.
     time("etl_star_build") {
-      graft.sink.Sink.parquet(Star.dimProduto(spark, sfDir), s"$dw/dim_produto")
-      graft.sink.Sink.parquet(Star.dimCliente(spark, sfDir), s"$dw/dim_cliente")
-      graft.sink.Sink.parquet(Star.dimVendedor(spark, sfDir), s"$dw/dim_vendedor")
-      graft.sink.Sink.parquet(Star.dimLocalidade(spark, sfDir), s"$dw/dim_localidade")
-      graft.sink.Sink.parquet(Star.dimTempo(spark), s"$dw/dim_tempo")
+      // the five dims are independent (the reference runs them as parallel
+      // Airflow DAGs) — submit their sink jobs CONCURRENTLY so Spark's
+      // scheduler overlaps the small dim builds instead of serializing
+      // five sub-second jobs' fixed overheads; the fact follows alone
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dims = Seq(
+        "dim_produto" -> (() => Star.dimProduto(spark, sfDir)),
+        "dim_cliente" -> (() => Star.dimCliente(spark, sfDir)),
+        "dim_vendedor" -> (() => Star.dimVendedor(spark, sfDir)),
+        "dim_localidade" -> (() => Star.dimLocalidade(spark, sfDir)),
+        "dim_tempo" -> (() => Star.dimTempo(spark)))
+      Await.result(Future.sequence(dims.map { case (name, build) =>
+        Future(graft.sink.Sink.parquet(build(), s"$dw/$name"))
+      }), Duration.Inf)
       // note: NOT repartition(ano) before the write — the extra full-fact
       // shuffle buys nothing here because AQE already coalesces output to
       // ~2 files per year partition (measured: no improvement, within
