@@ -164,7 +164,17 @@ object AwRun {
 
     val t0 = System.nanoTime()
     val dw = AwEtl.pipeline(spark, csvDir, person, header, detail)
-    dw.foreach { case (name, df) => Sink.parquet(df, s"$outDir/$name") }
+    // all six tables are independent jobs in single-plan mode (the fact
+    // consumes the dims in-plan, not via the sink) — submit concurrently
+    // like the reference's parallel DAGs instead of serializing overheads
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(dw.toSeq.map { case (name, df) =>
+        Future(Sink.parquet(df, s"$outDir/$name"))
+      }), Duration.Inf)
+    }
     val counts = dw.map { case (name, _) =>
       name -> spark.read.parquet(s"$outDir/$name").count()
     }
