@@ -56,6 +56,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKByScore: reduce/merge agree with sort-take under any split") {
+    import graft.functions.TopKByScore
+    // the aggregator keeps a SORTED buffer with an O(1) reject fast path
+    // and a linear merge — this pins its results to the naive
+    // specification (sort everything, take k) for random inputs, random
+    // k, and random partition splits (merge associativity in practice)
+    val eltGen = for {
+      s <- Gen.choose(-5.0, 5.0)
+      id <- Gen.choose(0L, 50L) // small id space → frequent score ties
+    } yield (s, id)
+    val inputGen = for {
+      xs <- Gen.listOf(eltGen)
+      k <- Gen.choose(1, 7)
+      cut <- Gen.choose(0, xs.length max 0)
+    } yield (xs, k, cut)
+    def spec(xs: Seq[(Double, Long)], k: Int) =
+      xs.sortBy { case (s, id) => (-s, id) }.take(k)
+    forAll(inputGen, 300) { case (xs, k, cut) =>
+      val agg = TopKByScore(k)
+      // single-buffer reduction
+      val direct = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(direct === spec(xs, k))
+      // split + merge at an arbitrary point (partial aggregation shape)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === spec(xs, k))
+      // merging with the empty buffer is identity
+      assert(agg.merge(direct, agg.zero) === direct)
+      assert(agg.merge(agg.zero, direct) === direct)
+    }
+    // guarded construction: k <= 0 must fail fast, not corrupt reduce
+    intercept[IllegalArgumentException](TopKByScore(0))
+  }
+
   test("smart date key: YYYYMMDD round-trips through date parts") {
     val dates = Gen.choose(0L, 365L * 30)
       .map(d => java.time.LocalDate.of(1995, 1, 1).plusDays(d))
