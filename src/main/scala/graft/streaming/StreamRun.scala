@@ -73,6 +73,24 @@ object StreamRun {
     println(s"stream-stream attribution: $nAttr (purchase,click) pairs " +
       s"for $nPurch purchases")
 
+    // stateful sessionization with event-time timeout: sessions close on
+    // the 30-min gap AND idle sessions flush once the watermark passes
+    // last-event + gap — no successor event needed (Streams.sessionize)
+    import spark.implicits._
+    val evTyped = spark.readStream.schema(schema).parquet(watchDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double")).as[Streams.Event]
+    val q3 = Streams.sessionize(evTyped)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q3.processAllAvailable(); q3.stop()
+    val sess = spark.table("sessions")
+    println(s"sessionization: ${sess.count()} sessions emitted " +
+      s"(gap-closed + watermark-flushed) over " +
+      s"${sess.select("user_id").distinct().count()} users")
+
     val streamed = spark.table("rollup")
       .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head()
     val batchTwin = Streams.hourlyRollup(
