@@ -57,3 +57,48 @@ case class TopKByScore(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
+
+/** Payload-carrying variant of [[TopKByScore]]: each element is
+  * (score, id, payload) where ordering is still (score DESC, id ASC) and
+  * the payload rides along untouched — the shape needed when the ranked
+  * row carries columns beyond its sort key (e.g. the IVF cell a neighbor
+  * was found in). Kept as a separate arity-3 aggregator rather than a
+  * generic one because Catalyst tuple encoders resolve concretely here,
+  * and the two stay small enough to audit side by side. Same invariants:
+  * buffer sorted, O(1) reject fast path, linear bounded merge.
+  */
+case class TopKByScoreTagged(k: Int)
+  extends Aggregator[(Double, Long, Long), Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] {
+  require(k > 0, s"TopKByScoreTagged requires k > 0, got $k")
+
+  @inline private def key(e: (Double, Long, Long)): (Double, Long) = (-e._1, e._2)
+  private val ord = Ordering[(Double, Long)]
+
+  override def zero: Seq[(Double, Long, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, Long, Long)], in: (Double, Long, Long)): Seq[(Double, Long, Long)] = {
+    if (buf.size >= k && ord.lteq(key(buf.last), key(in))) buf // O(1) fast path
+    else {
+      val (before, after) = buf.span(e => ord.lt(key(e), key(in)))
+      (before ++ (in +: after)).take(k)
+    }
+  }
+
+  override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = {
+    val out = Seq.newBuilder[(Double, Long, Long)]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && ord.lteq(key(x.head), key(y.head)))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = buf
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

@@ -40,21 +40,41 @@ object EmbeddingOps {
       .orderBy("vec_id")
 
   /** Brute-force cosine top-k: exact baseline. The query side is tiny and
-    * broadcast; the corpus is scanned once.
+    * broadcast; the corpus is scanned once. Ranking goes through the
+    * bounded [[graft.functions.TopKByScore]] aggregator (partial+final
+    * HashAggregate, O(k) state per query) rather than a
+    * row_number-over-window tail, which would shuffle every candidate of
+    * a query to a single reducer task — correct at sf0.1, fatal at corpus
+    * scale.
     */
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
     val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
-    val joined = broadcast(q).crossJoin(base)
+    val sims = broadcast(q).crossJoin(base)
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOP_K)
-      .select(col("query_id"), col("vec_id").as("vizinho"), col("sim"),
-        col("rank"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("sim"),
+        col("vec_id"))
+    rankViaTopK(s, sims)
+  }
+
+  /** Shared scale-safe ranking tail: (query_id, sim, vec_id) candidates →
+    * per-query top-k via the bounded aggregator, exploded back to ranked
+    * rows with the oracle's deterministic (sim DESC, vizinho ASC) order.
+    */
+  private def rankViaTopK(s: SparkSession, sims: DataFrame): DataFrame = {
+    import s.implicits._
+    val agg = graft.functions.TopKByScore(TOP_K).toColumn
+    sims.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id) => (sim, id) }
+      .agg(agg.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._2").as("vizinho"), col("p._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -124,7 +144,10 @@ object EmbeddingOps {
         expr("transform(sm, p -> CAST(p.m AS FLOAT))").as("centroid"))
     val q = base.filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "q_label", "q_emb")
-    // route each query to its nProbe nearest centroids...
+    // Route each query to its nProbe nearest centroids. This window is
+    // bounded: per query it ranks exactly #cells candidate rows (the coarse
+    // quantizer size, fixed and corpus-independent), unlike the candidate
+    // ranking tail below which grows with the corpus.
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("sim_c",
         graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("centroid")))
@@ -132,49 +155,36 @@ object EmbeddingOps {
         Window.partitionBy("query_id").orderBy(desc("sim_c"), asc("cell"))))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-    // ...then search only those cells
-    val hits = routed.join(base, routed("cell") === base("label"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
-    hits.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rank") <= TOP_K)
-      .select(col("query_id"), col("cell"), col("vec_id").as("vizinho"),
-        col("sim"), col("rank"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** Brute-force ANN expressed through the bounded TopKByScore aggregator
-    * instead of a window: the cross join streams into a partial+final
-    * HashAggregate whose per-query state is O(k) — at corpus scale nothing
-    * below the running top-k survives a partition, vs the window form
-    * which shuffles and sorts every candidate row. Same result as
-    * q_ann_brute (same deterministic ordering), hash-checked against the
-    * same style of oracle.
-    */
-  def annTopKAgg(s: SparkSession, d: String): DataFrame = {
+    // ...then search only those cells. The ranking tail is the bounded
+    // payload-carrying aggregator (cell rides along as the payload), not a
+    // window: a window would shuffle every probed candidate of a query to
+    // one reducer — the tail must stay partial+final at corpus scale.
     import s.implicits._
-    val base = embeddings(s, d)
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
-    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
-    val sims = broadcast(q).crossJoin(base)
+    val hits = routed.join(base, routed("cell") === base("label"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"),
         graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
           .as("sim"),
-        col("vec_id"))
-      .as[(Long, Double, Long)]
-    val agg = graft.functions.TopKByScore(TOP_K).toColumn
-    sims.groupByKey(_._1)
-      .mapValues { case (_, sim, id) => (sim, id) }
+        col("vec_id"), col("cell").cast("long").as("cell_l"))
+    val agg = graft.functions.TopKByScoreTagged(TOP_K).toColumn
+    hits.as[(Long, Double, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id, cell) => (sim, id, cell) }
       .agg(agg.name("top"))
       .toDF("query_id", "top")
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("query_id"), col("p._2").as("vizinho"), col("p._1").as("sim"),
+      .select(col("query_id"), col("p._3").cast("int").as("cell"),
+        col("p._2").as("vizinho"), col("p._1").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Historical alias: `q_ann_topk_agg` was the aggregator-tail prototype
+    * while `q_ann_brute` still ranked via a window. The aggregator tail is
+    * now the only brute-force path, so both names resolve to it (each keeps
+    * its own oracle in the correctness gate).
+    */
+  def annTopKAgg(s: SparkSession, d: String): DataFrame = annBruteForce(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
