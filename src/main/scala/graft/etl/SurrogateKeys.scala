@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.Row
+import graft.Checkpoint.BarrierOps
 
 /** Surrogate-key assignment (replaces the reference's Postgres SERIAL,
   * e.g. create_dw_tables.sql:15 `sk_produto SERIAL`).
@@ -80,7 +81,7 @@ object SurrogateKeys {
     *  1. range-partitioned sort on the business key;
     *  2. `monotonically_increasing_id()` stamps each row with
     *     (partition id << 33 | per-partition counter) — pinned by an eager
-    *     localCheckpoint so task retries can't restamp rows differently;
+    *     checkpoint barrier (graft.Checkpoint) so task retries can't restamp rows differently;
     *  3. ONE tiny aggregation job collects per-partition (count, min id,
     *     max id) — the driver only ever handles O(numPartitions) triples,
     *     never rows — and prefix-sums the counts into global offsets;
@@ -101,7 +102,7 @@ object SurrogateKeys {
     val spark = df.sparkSession
     val stamped = df.orderBy(orderBy: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true) // pin ids against retry restamping
+      .barrier() // pin ids against retry restamping
     val parts = stamped
       .groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__n"), min("__mid").as("__lo"), max("__mid").as("__hi"))

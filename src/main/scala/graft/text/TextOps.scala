@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.documents
 import TextExprs._
+import graft.Checkpoint.BarrierOps
 
 /** Text-analysis + document-dedup operators for LLM training-data
   * pipelines, over the `documents` table: token stats, quality scoring,
@@ -122,7 +123,7 @@ object TextOps {
     * (band_idx, band_key). The join key is the band hash, so the shuffle
     * is O(docs × 4) rows regardless of corpus size.
     *
-    * The signature stage is MATERIALIZED (eager localCheckpoint): it feeds
+    * The signature stage is MATERIALIZED (eager graft.Checkpoint barrier): it feeds
     * BOTH sides of the self-join (self-joins get no subplan reuse) and the
     * barrier stops CollapseProject from inlining the digest pipeline into
     * each band expression (measured 48 s → 2 s at sf0.1 before the native
@@ -144,7 +145,7 @@ object TextOps {
     val sigs = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
-      .localCheckpoint(true)
+      .barrier()
     val base = sigs
       .selectExpr("doc_id", s"$bands AS bands")
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
@@ -168,7 +169,7 @@ object TextOps {
     val base = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", s"${simhash16("toks").spark} AS sig")
-      .localCheckpoint(true) // scoped barrier, not a session-lifetime cache
+      .barrier() // scoped barrier, not a session-lifetime cache
     val chunks = Seq((1, 6), (7, 5), (12, 5))
     val cands = chunks.zipWithIndex.map { case ((from, len), i) =>
       val blocked = base.selectExpr("doc_id", "sig",
@@ -211,11 +212,11 @@ object TextOps {
     // round-2/3 hygiene finding). Every 5 iterations the frontier is
     // localCheckpoint'ed, which truncates the logical plan (otherwise the
     // lineage deepens linearly with iterations and each re-plan pays for
-    // it). localCheckpoint blocks live on executors: on a cluster with
-    // dynamic allocation or executor loss they are unrecoverable, so a
-    // long multi-tenant run should swap in reliable checkpoint(); at
-    // local[32] (and on static-allocation clusters) the cheap form is the
-    // right default.
+    // it). Barriers go through graft.Checkpoint: local checkpoint blocks
+    // by default (right at local[32] and on static allocation), reliable
+    // checkpoint() when `graft.checkpoint.dir` is set — the deployment
+    // switch for dynamic-allocation clusters where a lost executor makes
+    // local blocks unrecoverable.
     var pinned: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
@@ -231,7 +232,7 @@ object TextOps {
       labels = stepped.select(col("doc"), col("lbl2").as("lbl"))
       pinned = Some(stepped)
       if (iter % 5 == 4) {
-        labels = labels.localCheckpoint(true) // eager: cuts lineage here
+        labels = labels.barrier() // eager: cuts lineage here
         pinned.foreach(_.unpersist())
         pinned = None
       }
@@ -242,7 +243,7 @@ object TextOps {
     // the returned DataFrame, so nothing from the loop stays pinned.
     val out = labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
+      .barrier()
     pinned.foreach(_.unpersist())
     edges.unpersist()
     out
@@ -288,12 +289,12 @@ object TextOps {
       .withColumn("n", size(col("shd")))
     // materialized: the inverted index feeds both sides of the self-join,
     // and the barrier stops the shingle pipeline from being recomputed per
-    // side. Eager localCheckpoint rather than cache() so nothing stays
+    // side. An eager checkpoint barrier (graft.Checkpoint) rather than cache() so nothing stays
     // pinned in the CacheManager after the caller's action — the
     // ContextCleaner reclaims the blocks when the result is unreachable.
     val ex = base.select(col("doc_id"), col("lang"), col("bucket"), col("n"),
       explode(col("shd")).as("s"))
-      .localCheckpoint(true)
+      .barrier()
     val a = ex.toDF("doc_a", "lang", "bucket", "n_a", "s")
     val b = ex.toDF("doc_b", "lang", "bucket", "n_b", "s")
     a.join(b, Seq("s", "lang", "bucket"))
