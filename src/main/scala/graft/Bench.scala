@@ -130,6 +130,17 @@ object Bench {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
+    // IVF lifecycle, separated: the one-time train/build pass vs the
+    // latency of an index-backed probe (the serving-path number — what
+    // q_ann_ivf would cost if it didn't re-train per invocation).
+    val ivfIdx = s"/tmp/graft_bench_ivf_${System.nanoTime()}"
+    time("ann_ivf_index_build") {
+      graft.sim.EmbeddingOps.buildIvfIndex(spark, sfDir, ivfIdx)
+    }
+    time("q_ann_ivf_indexed") {
+      graft.sim.EmbeddingOps.annIvfIndexed(spark, sfDir, 1, ivfIdx).count()
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but must not shrink the

@@ -122,6 +122,24 @@ object EmbeddingOps {
     */
   def annIvf(s: SparkSession, d: String): DataFrame = annIvfProbe(s, d, 1)
 
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(label AS INTEGER) AS label", "embedding")
+
+  /** Centroid per cell: element-wise mean (posexplode → exact-sum →
+    * rebuild). Exact integer arithmetic — see [[annIvfProbe]]'s Scaladoc.
+    */
+  private def centroids(base: DataFrame): DataFrame = base
+    .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+    .groupBy("label", "i")
+    .agg((sum(round(col("x").cast("double") * 1e6).cast("long")).cast("double") /
+      (count(lit(1)).cast("double") * 1e6)).as("m"))
+    .groupBy("label")
+    .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+    .select(col("label").as("cell"),
+      expr("transform(sm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+
   /** Multi-probe form: the query is routed to its `nProbe` nearest cells
     * and searched in their union — the standard IVF recall knob (probe
     * more cells → higher recall, linearly more candidates; still a tiny
@@ -129,19 +147,8 @@ object EmbeddingOps {
     * cell, so the union needs no dedup.
     */
   def annIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
-    val base = embeddings(s, d)
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        "CAST(label AS INTEGER) AS label", "embedding")
-    // centroid per cell: element-wise mean (posexplode → exact-sum → rebuild)
-    val cents = base
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("label", "i")
-      .agg((sum(round(col("x").cast("double") * 1e6).cast("long")).cast("double") /
-        (count(lit(1)).cast("double") * 1e6)).as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
-      .select(col("label").as("cell"),
-        expr("transform(sm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+    val base = corpus(s, d)
+    val cents = centroids(base)
     val q = base.filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "q_label", "q_emb")
     // Route each query to its nProbe nearest centroids. This window is
@@ -155,19 +162,26 @@ object EmbeddingOps {
         Window.partitionBy("query_id").orderBy(desc("sim_c"), asc("cell"))))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-    // ...then search only those cells. The ranking tail is the bounded
-    // payload-carrying aggregator (cell rides along as the payload), not a
-    // window: a window would shuffle every probed candidate of a query to
-    // one reducer — the tail must stay partial+final at corpus scale.
-    import s.implicits._
+    // ...then search only those cells
     val hits = routed.join(base, routed("cell") === base("label"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"),
-        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
-          .as("sim"),
-        col("vec_id"), col("cell").cast("long").as("cell_l"))
+    rankProbed(s, hits)
+  }
+
+  /** Scale-safe ranking tail shared by the probe paths: the candidates'
+    * per-query top-k goes through the bounded payload-carrying aggregator
+    * (cell rides along as the payload), not a window — a window would
+    * shuffle every probed candidate of a query to one reducer; this stays
+    * a partial+final aggregate with O(k) state per query.
+    */
+  private def rankProbed(s: SparkSession, hits: DataFrame): DataFrame = {
+    import s.implicits._
+    val cands = hits.select(col("query_id"),
+      graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+        .as("sim"),
+      col("vec_id"), col("cell").cast("long").as("cell_l"))
     val agg = graft.functions.TopKByScoreTagged(TOP_K).toColumn
-    hits.as[(Long, Double, Long, Long)]
+    cands.as[(Long, Double, Long, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, sim, id, cell) => (sim, id, cell) }
       .agg(agg.name("top"))
@@ -177,6 +191,78 @@ object EmbeddingOps {
         col("p._2").as("vizinho"), col("p._1").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Builds the PERSISTED IVF index: a tiny centroid table plus the whole
+    * corpus assigned to its cell, parquet-partitioned BY cell so a probe
+    * touches only the probed cells' files (partition pruning at the scan).
+    * This is the real IVF lifecycle — train once, query many — vs
+    * [[annIvfProbe]], which re-derives centroids per invocation (kept as
+    * the self-contained form the oracle recomputes).
+    */
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val base = corpus(s, d)
+    centroids(base).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    base.select(col("vec_id"), col("embedding"), col("label").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** Index-backed IVF probe: identical semantics (and oracle) to
+    * [[annIvfProbe]], but centroids and cell assignments come from the
+    * parquet index instead of being re-trained — the query path a serving
+    * deployment runs. The probed-cell filter is applied as an `isin` on
+    * the partition column (the probe set is O(queries × nProbe) cell ids,
+    * collected from the tiny routing result), so the scan plans
+    * PartitionFilters and never opens unprobed cells' files.
+    */
+  def annIvfIndexed(s: SparkSession, d: String, nProbe: Int,
+      indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_label", "q_emb")
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("sim_c",
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim_c"), asc("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
+    val cells = s.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val hits = routed.join(cells,
+        routed("cell") === cells("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), routed("cell"),
+        col("vec_id"), col("embedding"))
+    rankProbed(s, hits)
+  }
+
+  /** Driver-contract wrapper: build the index once per (sf, dataset
+    * fingerprint) under java.io.tmpdir, then answer from it. The
+    * fingerprint folds every file's path, length and mtime so a regenerated
+    * testdata set can never be served from a stale index.
+    */
+  def annIvfIndexedAuto(s: SparkSession, d: String): DataFrame = {
+    val dir = defaultIndexDir(d)
+    val marker = new java.io.File(dir, "_built")
+    if (!marker.exists()) {
+      buildIvfIndex(s, d, dir)
+      marker.createNewFile()
+    }
+    annIvfIndexed(s, d, 1, dir)
+  }
+
+  private def defaultIndexDir(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val sig = walk(src).map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$h"
   }
 
   /** Historical alias: `q_ann_topk_agg` was the aggregator-tail prototype
@@ -189,6 +275,7 @@ object EmbeddingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe3" -> ((s: SparkSession, d: String) => annIvfProbe(s, d, 3)),
+    "q_ann_ivf_indexed" -> (annIvfIndexedAuto _),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
@@ -235,6 +322,9 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
   val oracle: Map[String, String] = Map(
     "q_ann_ivf" -> ivfOracle(1),
     "q_ann_ivf_probe3" -> ivfOracle(3),
+    // the index-backed path must reproduce the self-contained computation
+    // bit-exactly — same oracle as q_ann_ivf
+    "q_ann_ivf_indexed" -> ivfOracle(1),
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),

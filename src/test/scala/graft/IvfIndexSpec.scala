@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.sim.EmbeddingOps
+
+/** The persisted IVF index lifecycle: train once (centroids + corpus
+  * partitioned by cell), query many. The index-backed probe must be
+  * bit-identical to the self-contained per-invocation form (they share
+  * one DuckDB oracle), and the cells scan must prune unprobed partitions.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val indexDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    EmbeddingOps.buildIvfIndex(spark, tiny, dir)
+    dir
+  }
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectNodes)
+  }
+
+  test("index-backed probe is bit-identical to the self-contained IVF probe") {
+    assert(EmbeddingOps.annIvfIndexed(spark, tiny, 1, indexDir).collect() ===
+      EmbeddingOps.annIvf(spark, tiny).collect())
+    assert(EmbeddingOps.annIvfIndexed(spark, tiny, 3, indexDir).collect() ===
+      EmbeddingOps.annIvfProbe(spark, tiny, 3).collect())
+  }
+
+  test("probe scan prunes unprobed cell partitions") {
+    val df = EmbeddingOps.annIvfIndexed(spark, tiny, 1, indexDir)
+    val cellScans = collectNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+    }
+    assert(cellScans.nonEmpty, "expected a scan over the index cells table")
+    assert(cellScans.forall(_.partitionFilters.nonEmpty),
+      "cells scan must carry PartitionFilters from the probed-cell isin")
+  }
+
+  test("the auto wrapper builds once and reuses the on-disk index") {
+    val first = EmbeddingOps.annIvfIndexedAuto(spark, tiny).collect()
+    val again = EmbeddingOps.annIvfIndexedAuto(spark, tiny).collect()
+    assert(first === again)
+    assert(first.length === 40)
+  }
+}
