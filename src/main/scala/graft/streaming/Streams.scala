@@ -79,25 +79,40 @@ object Streams {
   final case class SessionSummary(user_id: Long, n_events: Int,
                                   inicio: java.sql.Timestamp,
                                   fim: java.sql.Timestamp, valor: Double)
-  /** Internal per-key session state (public: Catalyst's generated code
-    * must be able to construct it).
+  /** Internal per-key session accumulator (public: Catalyst's generated
+    * code must be able to construct it).
     */
   final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+  /** A buffered not-yet-finalizable event (public for codegen). */
+  final case class PendingEvent(ts: Long, id: Long, value: Double)
+  /** Per-key state: the watermark-gated event buffer plus the running
+    * session over already-finalized events (public for codegen).
+    */
+  final case class SessionBufState(buf: Seq[PendingEvent], cur: SessionState)
 
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session SUMMARY is emitted when a later
-    * event for the same user arrives more than `gapMinutes` after the
-    * previous one, OR when the event-time watermark passes the session's
-    * idle deadline (last event + gap) — so a user's FINAL session flushes
-    * without needing a successor event. State per key is O(1) — counts and
-    * bounds, not buffered events — and every key carries an event-time
-    * timer, so state for idle users is emitted and removed instead of
-    * accreting forever.
+    * event arrives more than `gapMinutes` after the previous one, or when
+    * the event-time watermark passes the session's idle deadline
+    * (last event + gap) — so a user's FINAL session flushes without
+    * needing a successor event.
     *
-    * Remaining scope limit (the batch twin, RelationalOps.sessionizeBatch,
-    * has none): events are time-ordered only within a micro-batch — a
-    * cross-batch late event (within the watermark) is appended to the
-    * current session rather than its true one.
+    * Cross-batch ordering: events are BUFFERED in state until the
+    * watermark passes their event time. Only then are they folded — in
+    * event-time order — into the session accumulator, so a late event
+    * arriving in a later micro-batch (but within the watermark) lands in
+    * its TRUE session, exactly as the batch twin
+    * (RelationalOps.sessionizeBatch) would place it. The watermark is the
+    * finalization frontier: an event is folded only once nothing earlier
+    * can still arrive, and a session closes only once the watermark
+    * proves its gap (every in-gap instant is behind the watermark with no
+    * buffered event inside it). Per-key state is the session accumulator
+    * plus the pending buffer, which the watermark horizon bounds (an
+    * event stays buffered only while the watermark lags it — with delay D,
+    * at most the events of the trailing D window per key).
+    *
+    * Every key carries an event-time timer at min(idle deadline, oldest
+    * pending event), so idle users flush and evict instead of accreting.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
@@ -110,40 +125,53 @@ object Streams {
               else events
     val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout
                   else GroupStateTimeout.NoTimeout
+    val emptySession = SessionState(0, -1L, -1L, 0.0)
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[SessionBufState, SessionSummary](
         OutputMode.Append, timeout) {
-        case (uid, it, state: GroupState[SessionState]) =>
-          if (streaming && state.hasTimedOut) {
-            // idle flush: the watermark passed last+gap, so no event that
-            // could extend this session can still arrive — it is final.
-            val st = state.get
-            state.remove()
-            Iterator.single(SessionSummary(uid, st.n,
-              new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last),
-              st.total))
+        case (uid, it, state: GroupState[SessionBufState]) =>
+          val out = Seq.newBuilder[SessionSummary]
+          var st = state.getOption.map(_.cur).getOrElse(emptySession)
+          def close(): Unit = {
+            out += SessionSummary(uid, st.n, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.last), st.total)
+            st = emptySession
+          }
+          def fold(ts: Long, value: Double): Unit = {
+            if (st.n > 0 && ts - st.last > gapMs) close()
+            st = if (st.n == 0) SessionState(1, ts, ts, value)
+                 else SessionState(st.n + 1, st.start, ts, st.total + value)
+          }
+          if (!streaming) {
+            // one-shot: every event is final; fold in event-time order.
+            // Gap-closed sessions are emitted; the trailing open session
+            // stays in state (append-mode parity with the streaming form,
+            // where it would only flush once the watermark passed it).
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .foreach(e => fold(e.ts.getTime, e.value))
+            state.update(SessionBufState(Seq.empty, st))
+            out.result().iterator
           } else {
-            // Sort this micro-batch's events; close sessions on gaps.
-            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
-            val out = Seq.newBuilder[SessionSummary]
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              if (st.n > 0 && t - st.last > gapMs) {
-                out += SessionSummary(uid, st.n, new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.last), st.total)
-                st = SessionState(0, -1L, -1L, 0.0)
-              }
-              st = if (st.n == 0) SessionState(1, t, t, e.value)
-                   else SessionState(st.n + 1, st.start, t, st.total + e.value)
-            }
-            state.update(st)
-            if (streaming)
-              // fire when the watermark passes the idle deadline (the
+            val wm = state.getCurrentWatermarkMs()
+            val buf = (state.getOption.map(_.buf).getOrElse(Seq.empty) ++
+              it.map(e => PendingEvent(e.ts.getTime, e.event_id, e.value)))
+              .sortBy(p => (p.ts, p.id))
+            // the watermark seals a prefix of the buffer: nothing earlier
+            // than wm can still arrive, so these fold in true order
+            val (ready, pending) = buf.partition(_.ts <= wm)
+            ready.foreach(p => fold(p.ts, p.value))
+            // the open session is final once the watermark has passed its
+            // whole gap window (any in-gap event would be sealed already)
+            if (st.n > 0 && wm >= st.last + gapMs) close()
+            if (st.n == 0 && pending.isEmpty) state.remove()
+            else {
+              state.update(SessionBufState(pending, st))
+              val deadline = (pending.headOption.map(_.ts).toSeq ++
+                (if (st.n > 0) Seq(st.last + gapMs) else Seq.empty)).min
               // max() keeps the timer legal if the deadline already lies
-              // behind the watermark — it then fires on the next batch)
-              state.setTimeoutTimestamp(math.max(st.last + gapMs,
-                state.getCurrentWatermarkMs() + 1))
+              // behind the watermark — it then fires on the next batch
+              state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+            }
             out.result().iterator
           }
       }

@@ -164,6 +164,55 @@ class StreamingSpec extends SparkSpec {
       === Seq((1L, 1, 1.0), (2L, 1, 5.0)))
   }
 
+  test("sessionization: a cross-batch late event lands in its true session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out").start()
+    // batch 1: user 1 at 00:00 and 00:45 — a 45-min hole that LOOKS like a
+    // session boundary if events were finalized eagerly
+    mem.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 00:45:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    // batch 2: the 00:25 event arrives late (within the 1 h watermark) and
+    // bridges the hole — 00:00/00:25/00:45 are all within the 30-min gap,
+    // so the true answer is ONE session of 3 events
+    mem.addData(Event(2, ts("2024-01-01 00:25:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_late_out").count() === 0,
+      "nothing may finalize while the watermark still allows earlier events")
+    // batch 3: a new user-1 session plus an unrelated event that drags the
+    // watermark to 02:00, sealing and flushing the bridged session
+    mem.addData(
+      Event(4, ts("2024-01-01 02:30:00"), 1, "click", 8.0),
+      Event(5, ts("2024-01-01 03:00:00"), 9, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("sess_late_out").collect()
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+      r.getAs[Timestamp]("inicio").toString, r.getAs[Timestamp]("fim").toString,
+      r.getAs[Double]("valor"))).toSeq ===
+      Seq((1L, 3, "2024-01-01 00:00:00.0", "2024-01-01 00:45:00.0", 7.0)))
+    // the streamed emission equals the batch twin on the same events: one
+    // gap-closed session (user 1's 02:30 and user 9's events stay open in
+    // both forms)
+    val all = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 00:45:00"), 1, "click", 4.0),
+      Event(2, ts("2024-01-01 00:25:00"), 1, "click", 2.0),
+      Event(4, ts("2024-01-01 02:30:00"), 1, "click", 8.0),
+      Event(5, ts("2024-01-01 03:00:00"), 9, "click", 0.0))
+    val twin = Streams.sessionize(all.toDS(), gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.n_events, s.inicio.toString,
+        s.fim.toString, s.valor)).toSeq
+    assert(twin === rows.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Int]("n_events"), r.getAs[Timestamp]("inicio").toString,
+      r.getAs[Timestamp]("fim").toString, r.getAs[Double]("valor"))).toSeq)
+  }
+
   test("sessionization: 30-min gap closes a session (stateful)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
