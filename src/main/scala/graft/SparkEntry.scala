@@ -39,9 +39,27 @@ object SparkEntry {
       Star.dimLocalidade(s, d).orderBy("sk_localidade")),
     "star_dim_tempo" -> ((s, _) => Star.dimTempo(s).orderBy("sk_tempo")),
     // (orderkey, linenumber) is not unique in the generated lineitem, so
-    // order by the full row for a deterministic dump.
+    // order by the full row for a deterministic dump. The fact stores
+    // NUMERIC(18,2) money; the dump surfaces it as DOUBLE because DuckDB's
+    // pandas bridge lowers DECIMAL to float64 (a decimal-typed dump would
+    // compare representations, not values) — the double cast of an exact
+    // decimal is bit-identical in both engines.
     "star_fato_vendas" -> ((s, d) =>
-      Star.fatoVendas(s, d).orderBy("id_pedido", "numero_linha",
+      Star.fatoVendas(s, d)
+        .withColumn("valor_bruto", col("valor_bruto").cast("double"))
+        .withColumn("valor_desconto", col("valor_desconto").cast("double"))
+        .withColumn("valor_total", col("valor_total").cast("double"))
+        .orderBy("id_pedido", "numero_linha",
+        "sk_produto", "sk_vendedor", "qtd_vendida", "valor_bruto",
+        "valor_desconto")),
+    // decimal fidelity gate: string-cast DECIMAL(18,2) pins value AND
+    // scale ("12345.60") identically in Spark and DuckDB
+    "star_fato_vendas_dec" -> ((s, d) =>
+      Star.fatoVendas(s, d)
+        .withColumn("valor_bruto", col("valor_bruto").cast("string"))
+        .withColumn("valor_desconto", col("valor_desconto").cast("string"))
+        .withColumn("valor_total", col("valor_total").cast("string"))
+        .orderBy("id_pedido", "numero_linha",
         "sk_produto", "sk_vendedor", "qtd_vendida", "valor_bruto",
         "valor_desconto")),
     // the 10-KPI analytical surface (SURVEY §2.4-2.5)

@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   * the fact build, so column pruning / filter pushdown / broadcast planning
   * see the entire lineage.
   *
-  * Numeric discipline: money is computed in exact DecimalType (the
-  * reference declares NUMERIC(18,2), create_dw_tables.sql:62-64) and only
-  * the final value is cast to double — making results independent of
-  * partitioning / aggregation order, which is what lets a 1000-executor run
-  * produce bit-identical answers to a single-node oracle.
+  * Numeric discipline: money is computed AND stored in exact DecimalType
+  * (the reference declares NUMERIC(18,2), create_dw_tables.sql:62-64);
+  * doubles appear only at query output edges, after all arithmetic —
+  * making results independent of partitioning / aggregation order, which
+  * is what lets a 1000-executor run produce bit-identical answers to a
+  * single-node oracle.
   */
 object Star {
   import graft.Tables._
@@ -197,9 +198,13 @@ object Star {
         col("sk_localidade"),
         smartDateKey(o("o_orderdate")).as("sk_tempo"),
         l("l_quantity").cast("int").as("qtd_vendida"),
-        epDec.cast("double").as("valor_bruto"),
-        (epDec * discDec).cast("double").as("valor_desconto"),
-        (epDec * (one - discDec)).cast("double").as("valor_total"))
+        // NUMERIC(18,2) end-to-end, matching the reference DDL
+        // (create_dw_tables.sql:62-64): the products carry scale 4 and are
+        // rounded (HALF_UP) back to the declared scale 2 at the column
+        // boundary, exactly as Postgres would on insert.
+        epDec.as("valor_bruto"),
+        (epDec * discDec).cast("decimal(18,2)").as("valor_desconto"),
+        (epDec * (one - discDec)).cast("decimal(18,2)").as("valor_total"))
       // null-key prune matches the reference exactly: dropna
       // subset=['sk_produto','sk_cliente','sk_tempo']
       // (dags/etl_fato_vendas.py:96) — sk_localidade and sk_vendedor stay

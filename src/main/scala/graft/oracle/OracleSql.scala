@@ -85,9 +85,12 @@ fato AS (
          dl.sk_localidade AS sk_localidade,
          CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS sk_tempo,
          CAST(l.l_quantity AS INTEGER) AS qtd_vendida,
-         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS valor_bruto,
-         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_discount AS DECIMAL(4,2)) AS DOUBLE) AS valor_desconto,
-         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS valor_total
+         -- NUMERIC(18,2) money surface (reference DDL); round() reproduces
+         -- Spark's HALF_UP scale reduction — DuckDB's bare decimal→decimal
+         -- cast TRUNCATES, so the cast alone would diverge on scale-4 ties
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS valor_bruto,
+         CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_discount AS DECIMAL(4,2)), 2) AS DECIMAL(18,2)) AS valor_desconto,
+         CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS valor_total
   FROM orders o
   JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   LEFT JOIN dim_produto dp ON l.l_partkey = dp.id_produto_original
@@ -115,8 +118,28 @@ fato AS (
       "SELECT * FROM dim_localidade ORDER BY sk_localidade"),
     "star_dim_tempo" -> withStar(
       "SELECT * FROM dim_tempo ORDER BY sk_tempo"),
+    // money columns surfaced as DOUBLE for the cross-engine value compare
+    // (DuckDB's pandas bridge lowers DECIMAL to float64, so a decimal-typed
+    // dump compares representation, not value; the double cast of an exact
+    // decimal is bit-identical in both engines). star_fato_vendas_dec below
+    // gates the decimal surface itself via scale-pinned strings.
     "star_fato_vendas" -> withStar(
-      """SELECT * FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+      """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
+sk_localidade, sk_tempo, qtd_vendida,
+CAST(valor_bruto AS DOUBLE) AS valor_bruto,
+CAST(valor_desconto AS DOUBLE) AS valor_desconto,
+CAST(valor_total AS DOUBLE) AS valor_total
+FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
+    // decimal fidelity gate: VARCHAR of a DECIMAL(18,2) pins value AND
+    // scale ("12345.60") identically in Spark and DuckDB
+    "star_fato_vendas_dec" -> withStar(
+      """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
+sk_localidade, sk_tempo, qtd_vendida,
+CAST(valor_bruto AS VARCHAR) AS valor_bruto,
+CAST(valor_desconto AS VARCHAR) AS valor_desconto,
+CAST(valor_total AS VARCHAR) AS valor_total
+FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
 sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
 
     // ------------------------------------------------ the 10 KPIs

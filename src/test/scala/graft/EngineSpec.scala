@@ -83,9 +83,21 @@ class EngineSpec extends SparkSpec {
       $"sk_tempo".isNull).count() === 0)
   }
 
-  test("star fact: decimal metrics satisfy total + desconto == bruto") {
-    val bad = Star.fatoVendas(spark, tiny)
-      .filter(abs($"valor_total" + $"valor_desconto" - $"valor_bruto") > 1e-9)
+  test("star fact: NUMERIC(18,2) money columns; metrics reconcile to the cent") {
+    val fato = Star.fatoVendas(spark, tiny)
+    // DDL parity (create_dw_tables.sql:62-64): the stored surface IS
+    // decimal(18,2), not double
+    import org.apache.spark.sql.types.DecimalType
+    Seq("valor_bruto", "valor_desconto", "valor_total").foreach { c =>
+      assert(fato.schema(c).dataType === DecimalType(18, 2), c)
+    }
+    // total + desconto == bruto held exactly at scale 4; after the two
+    // independent HALF_UP roundings to the declared scale 2 it can differ
+    // by at most one cent (both halves tie upward) — the same reconciliation
+    // bound a Postgres NUMERIC(18,2) fact table has
+    val bad = fato.filter(
+      abs($"valor_total" + $"valor_desconto" - $"valor_bruto") >
+        lit("0.01").cast("decimal(4,2)"))
     assert(bad.count() === 0)
   }
 
