@@ -193,6 +193,104 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------------- k-means
+  // A REAL coarse quantizer (the label column elsewhere is a stand-in):
+  // Lloyd's iterations, fully distributed, engineered to be bit-exact
+  // against a DuckDB oracle — deterministic init (the k smallest vec_ids,
+  // 1e-6-quantized), a FIXED iteration count (k-means converges
+  // data-dependently; a fixed unroll is reproducible and lets the oracle
+  // mirror each round as a CTE), exact-integer centroid means (the same
+  // micro-unit sum the IVF centroids use, so partial-aggregation order
+  // can't perturb them), and L2² assignment via three left-to-right dot
+  // folds with (dist, cell) tie-breaks.
+
+  private val KMEANS_K = 8
+  private val KMEANS_ITERS = 2
+
+  /** L2² distance as three shared dot templates: |v|² − 2⟨v,c⟩ + |c|².
+    * Identical fold order in both engines → bit-identical doubles.
+    */
+  private def l2sq(v: String, c: String) = {
+    val (dv, vc, cc) = (dot(v, v, DIM), dot(v, c, DIM), dot(c, c, DIM))
+    graft.text.TextExprs.X(
+      s"(${dv.spark} - 2.0 * ${vc.spark} + ${cc.spark})",
+      s"(${dv.duck} - 2.0 * ${vc.duck} + ${cc.duck})")
+  }
+
+  /** One assignment round: each vector to its nearest centroid. The
+    * per-vector window ranks exactly k candidate rows (corpus-independent,
+    * like IVF routing) — the shuffle is corpus × k rows keyed by vec_id.
+    */
+  private def assignCells(s: SparkSession, base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(l2sq("embedding", "centroid").spark))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("dist"))
+
+  /** Exact-integer element-wise means of the assigned vectors (DOUBLE
+    * centroids — no float round-trip inside the iteration).
+    */
+  private def recomputeCentroids(assigned: DataFrame): DataFrame = assigned
+    .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+    .groupBy("cell", "i")
+    .agg((sum(round(col("x").cast("double") * 1e6).cast("long")).cast("double") /
+      (count(lit(1)).cast("double") * 1e6)).as("m"))
+    .groupBy("cell")
+    .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+    .select(col("cell"), expr("transform(sm, p -> p.m)").as("centroid"))
+
+  /** Trained centroids after KMEANS_ITERS Lloyd rounds. Each round's tiny
+    * centroid table goes through a checkpoint barrier so the lineage stays
+    * one round deep instead of nesting every iteration's plan.
+    */
+  def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val quant = "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
+      "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
+    var cents = base.filter(col("vec_id") < KMEANS_K)
+      .selectExpr("CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
+    for (_ <- 1 to KMEANS_ITERS)
+      cents = graft.Checkpoint.barrier(
+        recomputeCentroids(assignCells(s, base, cents)))
+    cents
+  }
+
+  /** Serving assignment under the trained centroids. */
+  def kmeansCells(s: SparkSession, d: String): DataFrame =
+    assignCells(s, corpus(s, d).select("vec_id", "embedding"),
+      kmeansCentroids(s, d))
+      .select(col("vec_id"), col("cell"), col("dist"))
+      .orderBy("vec_id")
+
+  /** IVF probe under the TRAINED k-means quantizer: each demo query is
+    * routed to its own k-means cell (its L2 assignment — the nProbe=1
+    * probe under the quantizer's native metric) and ranked by cosine
+    * within that cell through the bounded aggregator tail. The
+    * label-based probes stay alongside as the partition-friendly form;
+    * this one exercises the real train→assign→probe lifecycle end to end.
+    */
+  def annIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val asg = assignCells(s, corpus(s, d).select("vec_id", "embedding"),
+      kmeansCentroids(s, d))
+    val q = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    val c = asg.select(col("vec_id"), col("embedding"), col("cell"))
+    val hits = q.join(c, q("cell") === c("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), q("cell"), col("vec_id"),
+        col("embedding"))
+    rankProbed(s, hits)
+  }
+
+  /** Gated flat view of the trained centroids. */
+  def kmeansCentroidsFlat(s: SparkSession, d: String): DataFrame =
+    kmeansCentroids(s, d)
+      .select(col("cell"), posexplode(col("centroid")).as(Seq("pos", "m")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("i"), col("m"))
+      .orderBy("cell", "i")
+
   /** Builds the PERSISTED IVF index: a tiny centroid table plus the whole
     * corpus assigned to its cell, parquet-partitioned BY cell so a probe
     * touches only the probed cells' files (partition pruning at the scan).
@@ -276,11 +374,52 @@ object EmbeddingOps {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe3" -> ((s: SparkSession, d: String) => annIvfProbe(s, d, 3)),
     "q_ann_ivf_indexed" -> (annIvfIndexedAuto _),
+    "q_kmeans_cells" -> (kmeansCells _),
+    "q_kmeans_centroids" -> (kmeansCentroidsFlat _),
+    "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)))
+
+  /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
+    * (assignment under the previous centroids, exact-integer means), so
+    * DuckDB re-runs the identical computation and the gate is bit-exact.
+    */
+  private def kmeansCtes: String = {
+    def asg(n: Int, cent: String) =
+      s"""asg$n AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN $cent c)
+  WHERE rn = 1
+)"""
+    def cent(n: Int, src: String) =
+      s"""cent$n AS (
+  SELECT cell, list(m ORDER BY i) AS centroid FROM (
+    SELECT cell, i,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS m
+    FROM (SELECT cell, i, embedding[i] AS x
+          FROM $src, (SELECT unnest(generate_series(1, $DIM)) AS i))
+    GROUP BY cell, i)
+  GROUP BY cell
+)"""
+    val rounds = (1 to KMEANS_ITERS)
+      .map(t => s"${asg(t, s"cent${t - 1}")},\n${cent(t, s"asg$t")}")
+      .mkString(",\n")
+    s"""kbase AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+cent0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell,
+         list_transform(generate_series(1, $DIM), i ->
+           CAST(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0) AS centroid
+  FROM kbase WHERE vec_id < $KMEANS_K
+),
+$rounds"""
+  }
 
   /** One oracle template serves every probe width (rk <= nProbe). */
   private def ivfOracle(nProbe: Int): String =
@@ -325,6 +464,40 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     // the index-backed path must reproduce the self-contained computation
     // bit-exactly — same oracle as q_ann_ivf
     "q_ann_ivf_indexed" -> ivfOracle(1),
+    "q_kmeans_cells" ->
+      s"""WITH $kmeansCtes
+SELECT vec_id, cell, dist FROM (
+  SELECT b.vec_id, c.cell,
+         ${l2sq("b.embedding", "c.centroid").duck} AS dist,
+         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+           ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+  FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+WHERE rn = 1 ORDER BY vec_id""",
+    "q_kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+SELECT cell, CAST(i AS INTEGER) AS i, centroid[i] AS m
+FROM cent$KMEANS_ITERS, (SELECT unnest(generate_series(1, $DIM)) AS i)
+ORDER BY cell, i""",
+    "q_ann_ivf_kmeans" ->
+      s"""WITH $kmeansCtes,
+fin AS (
+  SELECT vec_id, embedding, cell,
+         ${normDuck("embedding")} AS nrm FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+)
+SELECT query_id, cell, vizinho, sim, rank FROM (
+  SELECT q.vec_id AS query_id, b.cell, b.vec_id AS vizinho,
+         ${dot("q.embedding", "b.embedding", DIM).duck} / (q.nrm * b.nrm) AS sim,
+         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           ${dot("q.embedding", "b.embedding", DIM).duck} / (q.nrm * b.nrm) DESC,
+           b.vec_id) AS INTEGER) AS rank
+  FROM fin q JOIN fin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+  WHERE q.vec_id < $N_QUERIES)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),
