@@ -140,6 +140,15 @@ object Bench {
     time("q_ann_ivf_indexed") {
       graft.sim.EmbeddingOps.annIvfIndexed(spark, sfDir, 1, ivfIdx).count()
     }
+    // same split for the trained quantizer: Lloyd rounds are the build
+    // cost; the serving probe only reads the persisted index
+    val kmIdx = s"/tmp/graft_bench_ivf_km_${System.nanoTime()}"
+    time("ann_kmeans_index_build") {
+      graft.sim.EmbeddingOps.buildIvfIndexKmeans(spark, sfDir, kmIdx)
+    }
+    time("q_ann_ivf_kmeans_indexed") {
+      graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, sfDir, kmIdx).count()
+    }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

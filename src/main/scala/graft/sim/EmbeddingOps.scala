@@ -306,6 +306,60 @@ object EmbeddingOps {
       .parquet(s"$indexDir/cells")
   }
 
+  /** Persisted index under the TRAINED k-means quantizer: Lloyd training
+    * runs once at build time; the probe path below only reads parquet.
+    * Same layout as the label index (tiny centroid table + cells
+    * partitioned for pruning), but the centroids are the trained means
+    * and the cell assignment is each vector's L2 argmin.
+    */
+  def buildIvfIndexKmeans(s: SparkSession, d: String, indexDir: String): Unit = {
+    val cents = kmeansCentroids(s, d)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(s, corpus(s, d).select("vec_id", "embedding"), cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** Index-backed probe under the k-means quantizer: the query routes to
+    * its nearest trained centroid by L2 (the quantizer's own metric — for
+    * a corpus vector this reproduces its stored assignment, which is what
+    * ties this path to the q_ann_ivf_kmeans oracle), the cells scan prunes
+    * to the probed partitions, and ranking is the bounded aggregator tail.
+    */
+  def annIvfKmeansIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
+    val cells = s.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val hits = routed.join(cells,
+        routed("cell") === cells("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), routed("cell"),
+        col("vec_id"), col("embedding"))
+    rankProbed(s, hits)
+  }
+
+  /** Driver-contract wrapper for the k-means index (same staleness
+    * fingerprint discipline as [[annIvfIndexedAuto]]).
+    */
+  def annIvfKmeansIndexedAuto(s: SparkSession, d: String): DataFrame = {
+    val dir = defaultIndexDir(d) + "_km"
+    val marker = new java.io.File(dir, "_built")
+    if (!marker.exists()) {
+      buildIvfIndexKmeans(s, d, dir)
+      marker.createNewFile()
+    }
+    annIvfKmeansIndexed(s, d, dir)
+  }
+
   /** Index-backed IVF probe: identical semantics (and oracle) to
     * [[annIvfProbe]], but centroids and cell assignments come from the
     * parquet index instead of being re-trained — the query path a serving
@@ -377,6 +431,7 @@ object EmbeddingOps {
     "q_kmeans_cells" -> (kmeansCells _),
     "q_kmeans_centroids" -> (kmeansCentroidsFlat _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
@@ -458,28 +513,11 @@ SELECT query_id, cell, vizinho, sim, rank FROM (
   FROM routed r JOIN base b ON r.cell = b.label AND r.query_id <> b.vec_id)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
-  val oracle: Map[String, String] = Map(
-    "q_ann_ivf" -> ivfOracle(1),
-    "q_ann_ivf_probe3" -> ivfOracle(3),
-    // the index-backed path must reproduce the self-contained computation
-    // bit-exactly — same oracle as q_ann_ivf
-    "q_ann_ivf_indexed" -> ivfOracle(1),
-    "q_kmeans_cells" ->
-      s"""WITH $kmeansCtes
-SELECT vec_id, cell, dist FROM (
-  SELECT b.vec_id, c.cell,
-         ${l2sq("b.embedding", "c.centroid").duck} AS dist,
-         row_number() OVER (PARTITION BY b.vec_id ORDER BY
-           ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
-  FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
-WHERE rn = 1 ORDER BY vec_id""",
-    "q_kmeans_centroids" ->
-      s"""WITH $kmeansCtes
-SELECT cell, CAST(i AS INTEGER) AS i, centroid[i] AS m
-FROM cent$KMEANS_ITERS, (SELECT unnest(generate_series(1, $DIM)) AS i)
-ORDER BY cell, i""",
-    "q_ann_ivf_kmeans" ->
-      s"""WITH $kmeansCtes,
+  /** Shared by q_ann_ivf_kmeans and its index-backed twin: the full
+    * train → assign → probe lifecycle recomputed from scratch in DuckDB.
+    */
+  private lazy val kmeansProbeOracle: String =
+    s"""WITH $kmeansCtes,
 fin AS (
   SELECT vec_id, embedding, cell,
          ${normDuck("embedding")} AS nrm FROM (
@@ -497,7 +535,32 @@ SELECT query_id, cell, vizinho, sim, rank FROM (
            b.vec_id) AS INTEGER) AS rank
   FROM fin q JOIN fin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
   WHERE q.vec_id < $N_QUERIES)
-WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_ivf" -> ivfOracle(1),
+    "q_ann_ivf_probe3" -> ivfOracle(3),
+    // the index-backed path must reproduce the self-contained computation
+    // bit-exactly — same oracle as q_ann_ivf
+    "q_ann_ivf_indexed" -> ivfOracle(1),
+    // the index-backed kmeans probe must reproduce the self-contained
+    // train/assign/probe bit-exactly — same oracle as q_ann_ivf_kmeans
+    "q_ann_ivf_kmeans_indexed" -> kmeansProbeOracle,
+    "q_kmeans_cells" ->
+      s"""WITH $kmeansCtes
+SELECT vec_id, cell, dist FROM (
+  SELECT b.vec_id, c.cell,
+         ${l2sq("b.embedding", "c.centroid").duck} AS dist,
+         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+           ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+  FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+WHERE rn = 1 ORDER BY vec_id""",
+    "q_kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+SELECT cell, CAST(i AS INTEGER) AS i, centroid[i] AS m
+FROM cent$KMEANS_ITERS, (SELECT unnest(generate_series(1, $DIM)) AS i)
+ORDER BY cell, i""",
+    "q_ann_ivf_kmeans" -> kmeansProbeOracle,
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),

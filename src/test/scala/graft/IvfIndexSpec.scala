@@ -43,6 +43,21 @@ class IvfIndexSpec extends SparkSpec {
       "cells scan must carry PartitionFilters from the probed-cell isin")
   }
 
+  test("kmeans index-backed probe equals the self-contained train/assign/probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
+    EmbeddingOps.buildIvfIndexKmeans(spark, tiny, dir)
+    assert(EmbeddingOps.annIvfKmeansIndexed(spark, tiny, dir).collect() ===
+      EmbeddingOps.annIvfKmeans(spark, tiny).collect())
+    // fresh plan (pre-execution, before AQE wraps scans in query stages)
+    val idx = EmbeddingOps.annIvfKmeansIndexed(spark, tiny, dir)
+    val cellScans = collectNodes(idx.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+    }
+    assert(cellScans.nonEmpty && cellScans.forall(_.partitionFilters.nonEmpty),
+      "kmeans cells scan must prune unprobed partitions")
+  }
+
   test("the auto wrapper builds once and reuses the on-disk index") {
     val first = EmbeddingOps.annIvfIndexedAuto(spark, tiny).collect()
     val again = EmbeddingOps.annIvfIndexedAuto(spark, tiny).collect()
