@@ -46,10 +46,28 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
-  private def md5hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private val mdTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5bytes(s: String): Array[Byte] =
+    mdTL.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Value of hex nibbles [from, from+15) of the digest as a long —
+    * identical to `parseLong(md5hex(s).substring(from, from+15), 16)`
+    * without materializing the hex string (nibble i = high/low half of
+    * byte i/2). Kernel hot path: called twice per shingle.
+    */
+  private def nib15(b: Array[Byte], from: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < from + 15) {
+      val nib = if ((i & 1) == 0) (b(i >> 1) >> 4) & 0xf else b(i >> 1) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
   }
 
   private def shingleStrings(tokens: ArrayData, n: Int): Seq[String] = {
@@ -66,7 +84,7 @@ object Kernels {
     */
   def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
     val hs = shingleStrings(tokens, n)
-      .map(s => java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16))
+      .map(s => nib15(md5bytes(s), 0))
       .distinct.sorted
     new GenericArrayData(hs.toArray)
   }
@@ -78,9 +96,9 @@ object Kernels {
   def shingleMinhashes(tokens: ArrayData, n: Int, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     shingleStrings(tokens, n).foreach { s =>
-      val h = md5hex(s)
-      val h1 = java.lang.Long.parseLong(h.substring(0, 15), 16) % P
-      val h2 = java.lang.Long.parseLong(h.substring(16, 31), 16) % P
+      val h = md5bytes(s)
+      val h1 = nib15(h, 0) % P
+      val h2 = nib15(h, 16) % P
       var i = 0
       while (i < k) {
         val v = (h1 + i * h2) % P
