@@ -308,7 +308,41 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** TF-IDF keyword extraction: top-5 terms per document by
+    * (tf/len)·(N/df) weight — the rational-idf form, chosen over log-idf
+    * because every weight derives from four integers with one fixed
+    * expression (division/multiplication only, no double SUMMATION
+    * anywhere), so the score is bit-exact cross-engine; log()'s last ulp
+    * differs between engines and would leave this rows-only-checked.
+    * Scale shape: two grouped counts (term frequency per doc, document
+    * frequency per term), a broadcast scalar corpus count, one equi-join
+    * on term, and a per-doc ranking window bounded by the doc's own
+    * vocabulary (corpus-independent).
+    */
+  def tfidfKeywords(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+    val ex = toks.select(col("doc_id"), size(col("t")).as("len"),
+      explode(col("t")).as("term"))
+    val tf = ex.groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+    val df = ex.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val w = (col("tf").cast("double") / col("len").cast("double")) *
+      (col("n").cast("double") / col("df").cast("double"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("w", w)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("w"), asc("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"), col("w"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_keywords" -> (tfidfKeywords(_, _)),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -361,6 +395,20 @@ reach(doc, r) AS (
   UNION
   SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)"""
     Map(
+      "q_tfidf_keywords" ->
+        s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+ex AS (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, len, COUNT(*) AS tf FROM ex GROUP BY doc_id, term, len),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM toks)
+SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, w, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS w,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+           (CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+           tf.term) AS INTEGER) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+WHERE rank <= 5 ORDER BY doc_id, rank""",
       "q_text_tokens" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
