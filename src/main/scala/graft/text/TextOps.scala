@@ -341,8 +341,58 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Pairwise document cosine similarity in the TF-IDF space — the
+    * relevance-based near-dup detector (catches rewordings that share
+    * vocabulary but few exact shingles). High-df terms (df > N/10) are
+    * pruned first: standard TF-IDF practice, and what keeps the inverted
+    * index join from degenerating into all-pairs via stopwords — the
+    * candidate set is bounded by rare-term co-occurrence.
+    *
+    * Cross-engine exactness for the two double SUMS (per-doc norm², per-
+    * pair dot): both are folded LEFT-TO-RIGHT over term-sorted lists
+    * (collect → sort_array → aggregate in Spark; list(... ORDER BY term)
+    * → list_sum in DuckDB — the same proven-bit-exact fold pair as the
+    * embedding dot template). A plain SUM() over doubles would be
+    * partial-aggregation-order dependent and could never hash-match.
+    */
+  def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+    val ex = toks.select(col("doc_id"), size(col("t")).as("len"),
+      explode(col("t")).as("term"))
+    val tf = ex.groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+    val df = ex.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val weights = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .filter(col("df") * 10 <= col("n")) // prune df > N/10
+      .select(col("doc_id"), col("term"),
+        ((col("tf").cast("double") / col("len").cast("double")) *
+          (col("n").cast("double") / col("df").cast("double"))).as("w"))
+      .barrier() // feeds norms + both join sides
+    val norms = weights.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
+      .selectExpr("doc_id",
+        "sqrt(aggregate(transform(tw, p -> p.w * p.w), CAST(0 AS DOUBLE), (s, v) -> s + v)) AS nrm")
+    val a = weights.toDF("doc_a", "term", "w_a")
+    val b = weights.toDF("doc_b", "term", "w_b")
+    val dots = a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sort_array(collect_list(struct(col("term"),
+        (col("w_a") * col("w_b")).as("p")))).as("tp"))
+      .selectExpr("doc_a", "doc_b",
+        "aggregate(transform(tp, q -> q.p), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dp")
+    dots
+      .join(norms.toDF("doc_a", "nrm_a"), Seq("doc_a"))
+      .join(norms.toDF("doc_b", "nrm_b"), Seq("doc_b"))
+      .withColumn("sim", col("dp") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_keywords" -> (tfidfKeywords(_, _)),
+    "q_tfidf_cosine" -> (tfidfCosinePairs(_, _)),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -409,6 +459,30 @@ SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, w, ra
            tf.term) AS INTEGER) AS rank
   FROM tf JOIN df USING (term) CROSS JOIN n)
 WHERE rank <= 5 ORDER BY doc_id, rank""",
+      "q_tfidf_cosine" ->
+        s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+ex AS (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, len, COUNT(*) AS tf FROM ex GROUP BY doc_id, term, len),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM toks),
+weights AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df.df * 10 <= n.n),
+norms AS (
+  SELECT doc_id, sqrt(list_sum(list_transform(list(w ORDER BY term), x -> x * x))) AS nrm
+  FROM weights GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         list_sum(list(a.w * b.w ORDER BY a.term)) AS dp
+  FROM weights a JOIN weights b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, sim FROM (
+  SELECT d.doc_a, d.doc_b, d.dp / (na.nrm * nb.nrm) AS sim
+  FROM dots d JOIN norms na ON d.doc_a = na.doc_id
+              JOIN norms nb ON d.doc_b = nb.doc_id)
+WHERE sim >= 0.3 ORDER BY doc_a, doc_b""",
       "q_text_tokens" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
