@@ -217,17 +217,23 @@ object EmbeddingOps {
       s"(${dv.duck} - 2.0 * ${vc.duck} + ${cc.duck})")
   }
 
-  /** One assignment round: each vector to its nearest centroid. The
-    * per-vector window ranks exactly k candidate rows (corpus-independent,
-    * like IVF routing) — the shuffle is corpus × k rows keyed by vec_id.
+  /** One assignment round: each vector to its nearest centroid, as a
+    * lexicographic MIN over (dist, cell, embedding) structs — the same
+    * (dist ASC, cell ASC) tie-break a ranking window would apply, but as
+    * a partial+final aggregate: map-side combine collapses the k
+    * candidates of each vector before the exchange, so the shuffle
+    * carries one row per corpus vector (not k) and nothing is sorted.
+    * This is the corpus-wide step of every Lloyd round — the one place a
+    * window tail would shuffle corpus × k rows at 100 TB. (embedding sits
+    * last in the struct and never drives the comparison: cell is unique.)
     */
   private def assignCells(s: SparkSession, base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("dist", expr(l2sq("embedding", "centroid").spark))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cell").as("cell"), col("m.dist").as("dist"))
 
   /** Exact-integer element-wise means of the assigned vectors (DOUBLE
     * centroids — no float round-trip inside the iteration).
