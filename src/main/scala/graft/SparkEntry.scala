@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_keepfirst" -> (RelationalOps.dedupKeepFirst _),
     "q_topk" -> (RelationalOps.topKOrders _),
     "q_window_running" -> (RelationalOps.windowRunning _),
+    "q_window_analytics" -> (RelationalOps.windowAnalytics _),
     "q_semi_anti" -> (RelationalOps.semiAntiJoin _),
     "q_set_ops" -> (RelationalOps.setOps _),
     "q_agg_stats" -> (RelationalOps.aggStats _),

@@ -90,6 +90,39 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** The remaining analytic-window family in one query: lead (next order's
+    * price), rank + dense_rank over a deliberately NON-unique key (order
+    * month — rank values are functions of the key values, so ties don't
+    * break determinism), ntile quartiles over the unique per-customer
+    * order, and first/last_value with an explicit ROWS frame. Every window
+    * here partitions by customer — per-partition row counts are bounded by
+    * a customer's order history, not the corpus.
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byMonth = Window.partitionBy("o_custkey")
+      .orderBy(month(col("o_orderdate")))
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    orders(spark, dir)
+      .select(col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate"), dec.as("preco"),
+        lead(dec.cast("double"), 1).over(byDate).as("preco_proximo"),
+        rank().over(byMonth).cast("int").as("rk_mes"),
+        dense_rank().over(byMonth).cast("int").as("drk_mes"),
+        ntile(4).over(byDate).cast("int").as("quartil"),
+        first(dec.cast("double")).over(
+          byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("primeiro_preco"),
+        last(dec.cast("double")).over(
+          byDate.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("ultimo_preco"))
+      .withColumn("preco", col("preco").cast("double"))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Semi/anti joins (EXISTS / NOT EXISTS): customers with ≥1 order vs
     * customers with none. Anti/semi never widen rows — cheaper than a join
     * + distinct at scale.

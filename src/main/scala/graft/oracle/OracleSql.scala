@@ -228,6 +228,20 @@ LIMIT 20""",
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderkey""",
+    "q_window_analytics" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS preco,
+       lead(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER wd AS preco_proximo,
+       CAST(rank() OVER wm AS INTEGER) AS rk_mes,
+       CAST(dense_rank() OVER wm AS INTEGER) AS drk_mes,
+       CAST(ntile(4) OVER wd AS INTEGER) AS quartil,
+       first_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS primeiro_preco,
+       last_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ultimo_preco
+FROM orders
+WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wm AS (PARTITION BY o_custkey ORDER BY month(o_orderdate))
+ORDER BY o_custkey, o_orderkey""",
     "q_semi_anti" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, status FROM (
   SELECT c_custkey, 'com_pedido' AS status FROM customer c
