@@ -25,7 +25,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
     graft.text.TextOps.queries ++ graft.sim.EmbeddingOps.queries ++
-    graft.multimodal.Multimodal.queries
+    graft.multimodal.Multimodal.queries ++ graft.etl.Scd.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // star-schema ETL builds (reference dims + fact, SURVEY §2.1-2.3)
@@ -112,5 +112,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++
     graft.text.TextOps.oracle ++ graft.sim.EmbeddingOps.oracle ++
-    graft.multimodal.Multimodal.oracle
+    graft.multimodal.Multimodal.oracle ++ graft.etl.Scd.oracle
 }

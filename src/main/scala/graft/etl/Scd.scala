@@ -1,0 +1,143 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.customer
+
+/** Slowly-changing-dimension maintenance — the incremental alternative to
+  * the reference's truncate-and-reload (S5). The reference rebuilds every
+  * dimension from scratch each run (e.g. dags/etl_dim_produto.py:52
+  * TRUNCATE ... RESTART IDENTITY); at 100 TB a dimension reload is a
+  * merge, not a rewrite:
+  *
+  *  - Type 1 (overwrite): changed attributes replace the stored row —
+  *    one anti-join (kept rows) + the update set. No history.
+  *  - Type 2 (versioned): changed rows CLOSE their current version
+  *    (valid_to stamped, flag dropped) and open a new one; unchanged and
+  *    brand-new keys pass through. History is append-only.
+  *
+  * Both are expressed as key-partitioned joins (anti/left) — no full
+  * rewrite of the unchanged majority, which is the point at scale: the
+  * shuffle is bounded by |dim| + |updates|, and with both sides bucketed
+  * by the business key it is a zero-exchange sort-merge join.
+  *
+  * The demo update set is derived DETERMINISTICALLY from the same
+  * snapshot (every 7th customer changes segment, every 13th is brand
+  * new), so the DuckDB oracle reproduces the whole merge bit-exactly.
+  */
+object Scd {
+
+  /** Open-version sentinel (classic DW practice; also keeps the oracle
+    * compare free of NULL-date representation differences between the
+    * two engines' pandas bridges).
+    */
+  private val OpenEnd = "9999-12-31"
+
+  /** Current dimension snapshot: the customer business surface. */
+  private def snapshot(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey").cast("long").as("id_cliente"),
+      trim(col("c_name")).as("nome"),
+      coalesce(col("c_mktsegment"), lit("N/A")).as("segmento"))
+
+  /** Deterministic incremental batch: every 7th key changes segment;
+    * every 13th key arrives as a NEW customer (key offset past the
+    * domain).
+    */
+  private def updates(s: SparkSession, d: String): DataFrame = {
+    val base = snapshot(s, d)
+    val changed = base.filter(col("id_cliente") % 7 === 0)
+      .withColumn("segmento", lit("ATUALIZADO"))
+    val fresh = base.filter(col("id_cliente") % 13 === 0)
+      .select((col("id_cliente") + 1000000L).as("id_cliente"),
+        concat(lit("Novo "), col("nome")).as("nome"),
+        lit("NOVO").as("segmento"))
+    changed.unionByName(fresh)
+  }
+
+  /** Type 1 merge: updates win, unmatched dimension rows survive. */
+  def scd1(s: SparkSession, d: String): DataFrame = {
+    val dim = snapshot(s, d)
+    val up = updates(s, d)
+    up.unionByName(dim.join(up, Seq("id_cliente"), "left_anti"))
+      .orderBy("id_cliente")
+  }
+
+  /** Type 2 apply at a fixed load date: emits the full post-merge version
+    * table — closed old versions of changed keys, open new versions
+    * (changed + brand-new), and untouched current rows.
+    */
+  def scd2(s: SparkSession, d: String, loadDate: String = "1999-01-01"): DataFrame = {
+    val dim = snapshot(s, d)
+      .withColumn("valid_from", lit("1995-01-01").cast("date"))
+    val up = updates(s, d)
+    // a key is "changed" only if an update row exists AND differs
+    val joined = dim.alias("d").join(up.alias("u"), Seq("id_cliente"), "left")
+    val changed = joined.filter(col("u.segmento").isNotNull &&
+        (col("u.segmento") =!= col("d.segmento") ||
+         col("u.nome") =!= col("d.nome")))
+    val closed = changed.select(col("id_cliente"), col("d.nome").as("nome"),
+      col("d.segmento").as("segmento"), col("valid_from"),
+      lit(loadDate).cast("date").as("valid_to"), lit(false).as("vigente"))
+    val reopened = changed.select(col("id_cliente"), col("u.nome").as("nome"),
+      col("u.segmento").as("segmento"),
+      lit(loadDate).cast("date").as("valid_from"),
+      lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
+    val untouched = joined.filter(col("u.segmento").isNull ||
+        (col("u.segmento") === col("d.segmento") &&
+         col("u.nome") === col("d.nome")))
+      .select(col("id_cliente"), col("d.nome").as("nome"),
+        col("d.segmento").as("segmento"), col("valid_from"),
+        lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
+    val brandNew = up.join(dim, Seq("id_cliente"), "left_anti")
+      .select(col("id_cliente"), col("nome"), col("segmento"),
+        lit(loadDate).cast("date").as("valid_from"),
+        lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
+    closed.unionByName(reopened).unionByName(untouched).unionByName(brandNew)
+      .orderBy("id_cliente", "valid_from", "vigente")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd1_merge" -> (scd1 _),
+    "q_scd2_apply" -> ((s: SparkSession, d: String) => scd2(s, d)))
+
+  /** Shared oracle CTEs mirroring snapshot + deterministic updates. */
+  private val ctes =
+    """dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id_cliente, trim(c_name) AS nome,
+         coalesce(c_mktsegment, 'N/A') AS segmento
+  FROM customer),
+up AS (
+  SELECT id_cliente, nome, 'ATUALIZADO' AS segmento FROM dim WHERE id_cliente % 7 = 0
+  UNION ALL
+  SELECT id_cliente + 1000000, 'Novo ' || nome, 'NOVO' FROM dim WHERE id_cliente % 13 = 0)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_scd1_merge" ->
+      s"""WITH $ctes
+SELECT * FROM up
+UNION ALL
+SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.id_cliente = d.id_cliente)
+ORDER BY id_cliente""",
+    "q_scd2_apply" ->
+      s"""WITH $ctes,
+dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),
+changed AS (
+  SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
+         u.nome AS nome_u, u.segmento AS seg_u
+  FROM dimv d JOIN up u USING (id_cliente)
+  WHERE u.segmento <> d.segmento OR u.nome <> d.nome)
+SELECT id_cliente, nome, segmento, valid_from, valid_to, vigente FROM (
+  SELECT id_cliente, nome_d AS nome, seg_d AS segmento, valid_from,
+         DATE '1999-01-01' AS valid_to, false AS vigente FROM changed
+  UNION ALL
+  SELECT id_cliente, nome_u, seg_u, DATE '1999-01-01', DATE '9999-12-31', true FROM changed
+  UNION ALL
+  SELECT d.id_cliente, d.nome, d.segmento, d.valid_from, DATE '9999-12-31', true
+  FROM dimv d LEFT JOIN up u USING (id_cliente)
+  WHERE u.id_cliente IS NULL OR (u.segmento = d.segmento AND u.nome = d.nome)
+  UNION ALL
+  SELECT u.id_cliente, u.nome, u.segmento, DATE '1999-01-01', DATE '9999-12-31', true
+  FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
+ORDER BY id_cliente, valid_from, vigente""")
+}
