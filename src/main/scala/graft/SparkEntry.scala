@@ -104,6 +104,7 @@ object SparkEntry {
     "q_pivot" -> (RelationalOps.pivotEvents _),
     "q_rollup" -> (RelationalOps.rollupRevenue _),
     "q_cube" -> (RelationalOps.cubeRevenue _),
+    "q_grouping_sets" -> (RelationalOps.groupingSets _),
     "q_distinct_stats" -> (RelationalOps.distinctStats _),
     "q_asof_join" -> (RelationalOps.asofAttribution _),
     "q_sessionize" -> (RelationalOps.sessionizeBatch _),

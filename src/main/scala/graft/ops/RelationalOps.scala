@@ -337,6 +337,31 @@ object RelationalOps {
       .orderBy("nacao", "segmento")
   }
 
+  /** Explicit GROUPING SETS — the general form behind ROLLUP/CUBE: an
+    * arbitrary set list ((nation, segment), (nation), (orderpriority))
+    * none of the shorthands can express, disambiguated by grouping_id()
+    * (a real NULL in a grouping column vs a superaggregate NULL are
+    * different rows — COALESCE alone cannot tell them apart).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val o = orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .createOrReplaceTempView("gs_src")
+    spark.sql(
+      """SELECT coalesce(n_name, 'TOTAL') AS nacao,
+        |       coalesce(c_mktsegment, 'TOTAL') AS segmento,
+        |       coalesce(o_orderpriority, 'TOTAL') AS prioridade,
+        |       CAST(grouping_id(n_name, c_mktsegment, o_orderpriority) AS INTEGER) AS gid,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS receita,
+        |       COUNT(*) AS n_pedidos
+        |FROM gs_src
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (o_orderpriority))
+        |ORDER BY gid, nacao, segmento, prioridade""".stripMargin)
+  }
+
   /** CUBE aggregation — completes the grouping-set family next to
     * [[rollupRevenue]]: all four level combinations ((nation, segment),
     * (nation), (segment), ()) in the same single-shuffle expansion; the

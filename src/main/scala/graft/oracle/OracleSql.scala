@@ -334,6 +334,18 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, c_mktsegment)
 ORDER BY nacao, segmento""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(n_name, 'TOTAL') AS nacao,
+       coalesce(c_mktsegment, 'TOTAL') AS segmento,
+       coalesce(o_orderpriority, 'TOTAL') AS prioridade,
+       CAST(GROUPING(n_name, c_mktsegment, o_orderpriority) AS INTEGER) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS receita,
+       COUNT(*) AS n_pedidos
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (o_orderpriority))
+ORDER BY gid, nacao, segmento, prioridade""",
     "q_cube" ->
       """SELECT coalesce(n_name, 'TOTAL') AS nacao,
        coalesce(c_mktsegment, 'TOTAL') AS segmento,
