@@ -74,6 +74,29 @@ object Streams {
         col("p.ts").as("ts_compra"), col("c.ts").as("ts_click"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[attributionStream]]
+    * but purchases with NO in-window click still emit — with null click
+    * columns — once the watermark proves no matching click can arrive.
+    * This is the streaming form of the batch left join: the null row
+    * cannot be emitted eagerly (a match may still come), so Spark holds
+    * the unmatched purchase in state until the click watermark passes its
+    * join window, then releases it. State stays watermark-bounded on both
+    * sides, exactly as in the inner form.
+    */
+  def attributionStreamOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    val c = clicks.withWatermark("ts", "70 minutes").alias("c")
+    p.join(c, expr(
+      """p.user_id = c.user_id AND
+        |c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin),
+      "leftOuter")
+      .select(col("p.event_id").as("purchase_id"),
+        col("p.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.ts").as("ts_compra"), col("c.ts").as("ts_click"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

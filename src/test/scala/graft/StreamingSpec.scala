@@ -97,6 +97,34 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("click_id"))).toSeq === Seq((10L, 1L), (10L, 2L)))
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.attributionStreamOuter(purchases.toDF(), clicks.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+    clicks.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 0))
+    purchases.addData(
+      Event(10, ts("2024-01-01 01:00:00"), 1, "purchase", 9.99), // matched
+      Event(11, ts("2024-01-01 02:30:00"), 2, "purchase", 5.0))  // no click ever
+    q.processAllAvailable()
+    // advance both watermarks far past purchase 11's join window so the
+    // unmatched row must be released with null click columns
+    clicks.addData(Event(2, ts("2024-01-01 09:00:00"), 9, "click", 0))
+    purchases.addData(Event(12, ts("2024-01-01 09:00:00"), 9, "purchase", 1.0))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("attr_outer_out")
+      .filter(col("purchase_id").isin(10L, 11L))
+      .orderBy("purchase_id").collect()
+    assert(rows.map(_.getAs[Long]("purchase_id")).toSeq === Seq(10L, 11L))
+    assert(rows(0).getAs[Long]("click_id") === 1L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("click_id")),
+      "unmatched purchase must emit with null click side")
+  }
+
   test("checkpointed file-source stream: restart resumes exactly-once") {
     val watch = java.nio.file.Files.createTempDirectory("graft_watch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
