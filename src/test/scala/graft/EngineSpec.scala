@@ -165,4 +165,22 @@ class EngineSpec extends SparkSpec {
       .except(manual.select("user_id", "first_event_id"))
     assert(diff.count() === 0)
   }
+
+  test("sketch aggregates: HLL distinct and approx percentile within bounds") {
+    // Sketches are engine-specific (Spark HLL++ / GK vs DuckDB's own), so
+    // they can't hash-match an oracle — the contract is a bounded error
+    // against the exact answers, asserted here instead.
+    val li = spark.read.parquet(s"$tiny/lineitem.parquet")
+    val exactD = li.select(countDistinct($"l_partkey")).head().getLong(0)
+    val approxD = li.select(approx_count_distinct($"l_partkey", 0.02))
+      .head().getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD <= 0.05,
+      s"HLL++ rsd=0.02 must land within 5%: exact=$exactD approx=$approxD")
+    val exactP = li.select(expr("percentile(l_extendedprice, 0.5)"))
+      .head().getDouble(0)
+    val approxP = li.select(expr(
+      "approx_percentile(l_extendedprice, 0.5, 1000)")).head().getDouble(0)
+    assert(math.abs(approxP - exactP) / exactP <= 0.02,
+      s"approx_percentile(acc=1000) must land within 2%: $exactP vs $approxP")
+  }
 }
