@@ -277,15 +277,32 @@ object EmbeddingOps {
     * label-based probes stay alongside as the partition-friendly form;
     * this one exercises the real train→assign→probe lifecycle end to end.
     */
-  def annIvfKmeans(s: SparkSession, d: String): DataFrame = {
-    val asg = assignCells(s, corpus(s, d).select("vec_id", "embedding"),
-      kmeansCentroids(s, d))
-    val q = asg.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("cell"))
+  def annIvfKmeans(s: SparkSession, d: String): DataFrame =
+    annIvfKmeansProbe(s, d, 1)
+
+  /** Multi-probe form under the trained quantizer — the recall knob: the
+    * query routes to its nProbe nearest centroids by L2 (the quantizer's
+    * metric; nProbe=1 reproduces the query's own assignment) and searches
+    * their union. Routing ranks #cells candidates per query
+    * (corpus-independent window); candidate ranking is the bounded
+    * aggregator tail.
+    */
+  def annIvfKmeansProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = assignCells(s, base, cents)
+    val q = base.filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_emb")
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
     val c = asg.select(col("vec_id"), col("embedding"), col("cell"))
-    val hits = q.join(c, q("cell") === c("cell") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("q_emb"), q("cell"), col("vec_id"),
+    val hits = routed.join(c,
+        routed("cell") === c("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), routed("cell"), col("vec_id"),
         col("embedding"))
     rankProbed(s, hits)
   }
@@ -438,6 +455,7 @@ object EmbeddingOps {
     "q_kmeans_centroids" -> (kmeansCentroidsFlat _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
+    "q_ann_ivf_kmeans_probe2" -> ((s: SparkSession, d: String) => annIvfKmeansProbe(s, d, 2)),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
@@ -519,10 +537,11 @@ SELECT query_id, cell, vizinho, sim, rank FROM (
   FROM routed r JOIN base b ON r.cell = b.label AND r.query_id <> b.vec_id)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
-  /** Shared by q_ann_ivf_kmeans and its index-backed twin: the full
-    * train → assign → probe lifecycle recomputed from scratch in DuckDB.
+  /** Shared by the kmeans probe family (self-contained, index-backed,
+    * multi-probe): the full train → assign → route(nProbe) → probe
+    * lifecycle recomputed from scratch in DuckDB.
     */
-  private lazy val kmeansProbeOracle: String =
+  private def kmeansProbeOracle(nProbe: Int): String =
     s"""WITH $kmeansCtes,
 fin AS (
   SELECT vec_id, embedding, cell,
@@ -532,15 +551,23 @@ fin AS (
              ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
     FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
   WHERE rn = 1
+),
+routed AS (
+  SELECT query_id, q_emb, qnrm, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS qnrm, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             ${l2sq("q.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rk
+    FROM (SELECT * FROM fin WHERE vec_id < $N_QUERIES) q
+    CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rk <= $nProbe
 )
 SELECT query_id, cell, vizinho, sim, rank FROM (
-  SELECT q.vec_id AS query_id, b.cell, b.vec_id AS vizinho,
-         ${dot("q.embedding", "b.embedding", DIM).duck} / (q.nrm * b.nrm) AS sim,
-         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           ${dot("q.embedding", "b.embedding", DIM).duck} / (q.nrm * b.nrm) DESC,
+  SELECT r.query_id, b.cell, b.vec_id AS vizinho,
+         ${dot("r.q_emb", "b.embedding", DIM).duck} / (r.qnrm * b.nrm) AS sim,
+         CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
+           ${dot("r.q_emb", "b.embedding", DIM).duck} / (r.qnrm * b.nrm) DESC,
            b.vec_id) AS INTEGER) AS rank
-  FROM fin q JOIN fin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
-  WHERE q.vec_id < $N_QUERIES)
+  FROM routed r JOIN fin b ON r.cell = b.cell AND r.query_id <> b.vec_id)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
@@ -551,7 +578,7 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     "q_ann_ivf_indexed" -> ivfOracle(1),
     // the index-backed kmeans probe must reproduce the self-contained
     // train/assign/probe bit-exactly — same oracle as q_ann_ivf_kmeans
-    "q_ann_ivf_kmeans_indexed" -> kmeansProbeOracle,
+    "q_ann_ivf_kmeans_indexed" -> kmeansProbeOracle(1),
     "q_kmeans_cells" ->
       s"""WITH $kmeansCtes
 SELECT vec_id, cell, dist FROM (
@@ -566,7 +593,8 @@ WHERE rn = 1 ORDER BY vec_id""",
 SELECT cell, CAST(i AS INTEGER) AS i, centroid[i] AS m
 FROM cent$KMEANS_ITERS, (SELECT unnest(generate_series(1, $DIM)) AS i)
 ORDER BY cell, i""",
-    "q_ann_ivf_kmeans" -> kmeansProbeOracle,
+    "q_ann_ivf_kmeans" -> kmeansProbeOracle(1),
+    "q_ann_ivf_kmeans_probe2" -> kmeansProbeOracle(2),
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),
