@@ -102,6 +102,7 @@ object SparkEntry {
     "q_percentiles" -> (RelationalOps.percentiles _),
     "q_scalar_subquery" -> (RelationalOps.scalarSubquery _),
     "q_pivot" -> (RelationalOps.pivotEvents _),
+    "q_unpivot" -> (RelationalOps.unpivotEvents _),
     "q_rollup" -> (RelationalOps.rollupRevenue _),
     "q_cube" -> (RelationalOps.cubeRevenue _),
     "q_grouping_sets" -> (RelationalOps.groupingSets _),

@@ -316,6 +316,21 @@ object RelationalOps {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** UNPIVOT — the inverse of [[pivotEvents]]: melts the wide per-type
+    * count matrix back to long (user_id, event_type, n) rows via stack()
+    * (codegen'd generator — one pass, no joins). Zero-count cells are
+    * dropped so the round trip reproduces the original sparse shape.
+    */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    pivotEvents(spark, dir)
+      .selectExpr("user_id",
+        s"stack(${types.length}, $stackArgs) AS (event_type, n)")
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
   /** ROLLUP aggregation (extension; none in the reference): revenue at
     * (nation, segment), (nation), and grand-total levels in one pass —
     * Spark expands grouping sets in a single shuffle. Null grouping keys

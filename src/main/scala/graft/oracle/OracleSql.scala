@@ -324,6 +324,14 @@ ORDER BY c_custkey""",
 FROM events
 GROUP BY user_id
 ORDER BY user_id""",
+    // unpivot round-trip of q_pivot: melt the wide matrix back to sparse
+    // long rows — in DuckDB the original grouped count IS that shape
+    "q_unpivot" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type""",
     "q_rollup" ->
       """SELECT coalesce(n_name, 'TOTAL') AS nacao,
        coalesce(c_mktsegment, 'TOTAL') AS segmento,
