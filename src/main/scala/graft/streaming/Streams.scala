@@ -179,13 +179,15 @@ object Streams {
             val buf = (state.getOption.map(_.buf).getOrElse(Seq.empty) ++
               it.map(e => PendingEvent(e.ts.getTime, e.event_id, e.value)))
               .sortBy(p => (p.ts, p.id))
-            // the watermark seals a prefix of the buffer: nothing earlier
-            // than wm can still arrive, so these fold in true order
-            val (ready, pending) = buf.partition(_.ts <= wm)
+            // The watermark seals a strict prefix of the buffer: nothing
+            // EARLIER than wm can still arrive, so those fold in true
+            // order. Strictly-less on both bounds: an event AT the
+            // watermark may still gain same-timestamp peers (admission
+            // keeps ts >= wm), and a session whose gap window ends exactly
+            // at wm could still be extended by an event at ts == wm.
+            val (ready, pending) = buf.partition(_.ts < wm)
             ready.foreach(p => fold(p.ts, p.value))
-            // the open session is final once the watermark has passed its
-            // whole gap window (any in-gap event would be sealed already)
-            if (st.n > 0 && wm >= st.last + gapMs) close()
+            if (st.n > 0 && wm > st.last + gapMs) close()
             if (st.n == 0 && pending.isEmpty) state.remove()
             else {
               state.update(SessionBufState(pending, st))
