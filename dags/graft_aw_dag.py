@@ -11,8 +11,10 @@ task-boundary read-back the reference's fact DAG does from Postgres
 all five.
 
 Each task is one spark-submit of ``graft.etl.aw.AwRun --table <name>``,
-which builds and sinks exactly one DW table. Deployment knobs come from
-the environment so the same file loads unchanged in any Airflow image:
+which builds and sinks exactly one DW table. Requires Airflow >= 2.4
+(the ``schedule=`` kwarg — the same API level the reference DAGs use).
+Deployment knobs come from the environment so the file needs no edits
+per image:
 
   GRAFT_SPARK_SUBMIT  spark-submit binary (default: spark-submit on PATH)
   GRAFT_JAR           the assembled graft jar
@@ -22,6 +24,7 @@ the environment so the same file loads unchanged in any Airflow image:
 """
 
 import os
+import shlex
 from datetime import datetime
 
 from airflow import DAG
@@ -38,8 +41,11 @@ DIMS = ["dim_produto", "dim_cliente", "dim_localidade", "dim_vendedor",
 
 
 def spark_submit_cmd(table: str) -> str:
+    # paths are deployment-provided: quote them so spaces/metacharacters
+    # in an image's filesystem layout can't split the argv
     return (f"{SPARK_SUBMIT} {SPARK_ARGS} --class graft.etl.aw.AwRun "
-            f"{GRAFT_JAR} --table {table} {CSV_DIR} {OUT_DIR}")
+            f"{shlex.quote(GRAFT_JAR)} --table {table} "
+            f"{shlex.quote(CSV_DIR)} {shlex.quote(OUT_DIR)}")
 
 
 default_args = {

@@ -58,6 +58,15 @@ object Bench {
     }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"
+    // nanoTime-unique scratch dirs (DW sink, ANN indexes) are deleted
+    // after their phases — they would otherwise accumulate per bench run
+    def rmTree(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(p))
+    }
 
     // Phase 1 — ETL: build + sink the whole star (reference: 6 DAG tasks).
     // The fact is partitioned by year (derived from the smart date key) so
@@ -132,7 +141,8 @@ object Bench {
 
     // IVF lifecycle, separated: the one-time train/build pass vs the
     // latency of an index-backed probe (the serving-path number — what
-    // q_ann_ivf would cost if it didn't re-train per invocation).
+    // q_ann_ivf would cost if it didn't re-train per invocation). Index
+    // dirs are deleted after timing.
     val ivfIdx = s"/tmp/graft_bench_ivf_${System.nanoTime()}"
     time("ann_ivf_index_build") {
       graft.sim.EmbeddingOps.buildIvfIndex(spark, sfDir, ivfIdx)
@@ -140,6 +150,7 @@ object Bench {
     time("q_ann_ivf_indexed") {
       graft.sim.EmbeddingOps.annIvfIndexed(spark, sfDir, 1, ivfIdx).count()
     }
+    rmTree(ivfIdx)
     // same split for the trained quantizer: Lloyd rounds are the build
     // cost; the serving probe only reads the persisted index
     val kmIdx = s"/tmp/graft_bench_ivf_km_${System.nanoTime()}"
@@ -149,6 +160,7 @@ object Bench {
     time("q_ann_ivf_kmeans_indexed") {
       graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, sfDir, kmIdx).count()
     }
+    rmTree(kmIdx)
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -170,6 +182,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    rmTree(dw)
     spark.stop()
   }
 }

@@ -20,6 +20,15 @@ import org.apache.spark.sql.DataFrame
   * The first reliable barrier of a session pins the SparkContext
   * checkpoint directory (Spark supports only one per context); later
   * changes to the conf value do not re-point it.
+  *
+  * Cleanup: Spark deletes reliable checkpoint data only when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a STARTUP
+  * conf read by the ContextCleaner — it cannot be flipped mid-session,
+  * so this object cannot set it for you). Long-running deployments that
+  * enable `graft.checkpoint.dir` should set that cleaner conf at submit
+  * time, or point the directory at storage with a TTL/lifecycle policy;
+  * otherwise every barrier leaves its materialized copy behind for the
+  * life of the application.
   */
 object Checkpoint {
   val DirConf = "graft.checkpoint.dir"

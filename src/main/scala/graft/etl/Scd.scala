@@ -41,15 +41,18 @@ object Scd {
       coalesce(col("c_mktsegment"), lit("N/A")).as("segmento"))
 
   /** Deterministic incremental batch: every 7th key changes segment;
-    * every 13th key arrives as a NEW customer (key offset past the
-    * domain).
+    * every 13th key arrives as a NEW customer. New keys are -(key + 1) —
+    * strictly negative, so guaranteed disjoint from the (non-negative)
+    * business-key domain at every scale factor, unlike an additive
+    * offset, which a large enough key domain would eventually collide
+    * with (and unlike bare negation, which maps key 0 to itself).
     */
   private def updates(s: SparkSession, d: String): DataFrame = {
     val base = snapshot(s, d)
     val changed = base.filter(col("id_cliente") % 7 === 0)
       .withColumn("segmento", lit("ATUALIZADO"))
     val fresh = base.filter(col("id_cliente") % 13 === 0)
-      .select((col("id_cliente") + 1000000L).as("id_cliente"),
+      .select((-(col("id_cliente") + 1)).as("id_cliente"),
         concat(lit("Novo "), col("nome")).as("nome"),
         lit("NOVO").as("segmento"))
     changed.unionByName(fresh)
@@ -110,7 +113,7 @@ object Scd {
 up AS (
   SELECT id_cliente, nome, 'ATUALIZADO' AS segmento FROM dim WHERE id_cliente % 7 = 0
   UNION ALL
-  SELECT id_cliente + 1000000, 'Novo ' || nome, 'NOVO' FROM dim WHERE id_cliente % 13 = 0)"""
+  SELECT -(id_cliente + 1), 'Novo ' || nome, 'NOVO' FROM dim WHERE id_cliente % 13 = 0)"""
 
   val oracle: Map[String, String] = Map(
     "q_scd1_merge" ->

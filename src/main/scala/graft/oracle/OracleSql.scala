@@ -330,6 +330,7 @@ ORDER BY user_id""",
       """SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
        COUNT(*) AS n
 FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type""",
     "q_rollup" ->

@@ -360,28 +360,14 @@ object EmbeddingOps {
         Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("q_emb"), col("cell"))
-    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
-    val cells = s.read.parquet(s"$indexDir/cells")
-      .filter(col("cell").isin(probedCells.toSeq: _*))
-    val hits = routed.join(cells,
-        routed("cell") === cells("cell") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("q_emb"), routed("cell"),
-        col("vec_id"), col("embedding"))
-    rankProbed(s, hits)
+    probeIndexedCells(s, indexDir, routed)
   }
 
   /** Driver-contract wrapper for the k-means index (same staleness
     * fingerprint discipline as [[annIvfIndexedAuto]]).
     */
-  def annIvfKmeansIndexedAuto(s: SparkSession, d: String): DataFrame = {
-    val dir = defaultIndexDir(d) + "_km"
-    val marker = new java.io.File(dir, "_built")
-    if (!marker.exists()) {
-      buildIvfIndexKmeans(s, d, dir)
-      marker.createNewFile()
-    }
-    annIvfKmeansIndexed(s, d, dir)
-  }
+  def annIvfKmeansIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_km", buildIvfIndexKmeans(s, d, _), annIvfKmeansIndexed(s, d, _))
 
   /** Index-backed IVF probe: identical semantics (and oracle) to
     * [[annIvfProbe]], but centroids and cell assignments come from the
@@ -403,6 +389,19 @@ object EmbeddingOps {
         Window.partitionBy("query_id").orderBy(desc("sim_c"), asc("cell"))))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"))
+    probeIndexedCells(s, indexDir, routed)
+  }
+
+  /** Index-probe core shared by the label and k-means routed forms: the
+    * routing result is materialized once through a checkpoint barrier (so
+    * the routing job doesn't run a second time inside the final plan),
+    * its O(queries × nProbe) cell ids are collected to drive the
+    * partition-pruning isin on the cells scan, and candidates rank
+    * through the bounded aggregator tail.
+    */
+  private def probeIndexedCells(s: SparkSession, indexDir: String,
+      routed0: DataFrame): DataFrame = {
+    val routed = graft.Checkpoint.barrier(routed0)
     val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
     val cells = s.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probedCells.toSeq: _*))
@@ -418,14 +417,19 @@ object EmbeddingOps {
     * fingerprint folds every file's path, length and mtime so a regenerated
     * testdata set can never be served from a stale index.
     */
-  def annIvfIndexedAuto(s: SparkSession, d: String): DataFrame = {
-    val dir = defaultIndexDir(d)
+  def annIvfIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "", buildIvfIndex(s, d, _), annIvfIndexed(s, d, 1, _))
+
+  /** Build-once-then-probe with the staleness-fingerprinted location. */
+  private def autoIndexed(d: String, suffix: String,
+      build: String => Unit, probe: String => DataFrame): DataFrame = {
+    val dir = defaultIndexDir(d) + suffix
     val marker = new java.io.File(dir, "_built")
     if (!marker.exists()) {
-      buildIvfIndex(s, d, dir)
+      build(dir)
       marker.createNewFile()
     }
-    annIvfIndexed(s, d, 1, dir)
+    probe(dir)
   }
 
   private def defaultIndexDir(d: String): String = {

@@ -319,8 +319,11 @@ object TextOps {
     * on term, and a per-doc ranking window bounded by the doc's own
     * vocabulary (corpus-independent).
     */
-  def tfidfKeywords(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared TF-IDF weight inputs: (doc_id, term, tf, len, df, n) — one
+    * pipeline feeding both the keyword and the cosine surfaces so the
+    * tokenization/weight definition cannot drift between them.
+    */
+  private def tfidfParts(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
     val ex = toks.select(col("doc_id"), size(col("t")).as("len"),
@@ -328,10 +331,18 @@ object TextOps {
     val tf = ex.groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
     val df = ex.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val n = toks.agg(count(lit(1)).as("n"))
-    val w = (col("tf").cast("double") / col("len").cast("double")) *
-      (col("n").cast("double") / col("df").cast("double"))
     tf.join(df, Seq("term")).crossJoin(broadcast(n))
-      .withColumn("w", w)
+  }
+
+  /** The rational-idf weight: (tf/len)·(N/df). */
+  private def tfidfWeight =
+    (col("tf").cast("double") / col("len").cast("double")) *
+      (col("n").cast("double") / col("df").cast("double"))
+
+  def tfidfKeywords(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tfidfParts(s, d)
+      .withColumn("w", tfidfWeight)
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id").orderBy(desc("w"), asc("term"))))
       .filter(col("rank") <= k)
@@ -356,18 +367,9 @@ object TextOps {
     * partial-aggregation-order dependent and could never hash-match.
     */
   def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
-    val toks = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
-    val ex = toks.select(col("doc_id"), size(col("t")).as("len"),
-      explode(col("t")).as("term"))
-    val tf = ex.groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
-    val df = ex.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val n = toks.agg(count(lit(1)).as("n"))
-    val weights = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val weights = tfidfParts(s, d)
       .filter(col("df") * 10 <= col("n")) // prune df > N/10
-      .select(col("doc_id"), col("term"),
-        ((col("tf").cast("double") / col("len").cast("double")) *
-          (col("n").cast("double") / col("df").cast("double"))).as("w"))
+      .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
       .barrier() // feeds norms + both join sides
     val norms = weights.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
@@ -408,6 +410,16 @@ object TextOps {
   // ------------------------------------------------------------ oracles
 
   val oracle: Map[String, String] = {
+    // shared TF-IDF CTE prefix + weight expression (one source for both
+    // TF-IDF oracles, mirroring tfidfParts/tfidfWeight on the Spark side)
+    val tfidfCtes =
+      s"""toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+ex AS (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, len, COUNT(*) AS tf FROM ex GROUP BY doc_id, term, len),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM toks)"""
+    val tfidfWDuck =
+      "(CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))"
     val stops = markerCount(T.duck, stopwords).duck
     val ttr = s"CAST(${distinctCount(T.duck).duck} AS DOUBLE) / CAST(len(${T.duck}) AS DOUBLE)"
     val stopRatio = s"CAST($stops AS DOUBLE) / CAST(len(${T.duck}) AS DOUBLE)"
@@ -446,28 +458,20 @@ reach(doc, r) AS (
   SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)"""
     Map(
       "q_tfidf_keywords" ->
-        s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
-ex AS (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
-tf AS (SELECT doc_id, term, len, COUNT(*) AS tf FROM ex GROUP BY doc_id, term, len),
-df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
-n AS (SELECT COUNT(*) AS n FROM toks)
+        s"""WITH $tfidfCtes
 SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, w, rank FROM (
   SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         (CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS w,
+         $tfidfWDuck AS w,
          CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
-           (CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+           $tfidfWDuck DESC,
            tf.term) AS INTEGER) AS rank
   FROM tf JOIN df USING (term) CROSS JOIN n)
 WHERE rank <= 5 ORDER BY doc_id, rank""",
       "q_tfidf_cosine" ->
-        s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
-ex AS (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
-tf AS (SELECT doc_id, term, len, COUNT(*) AS tf FROM ex GROUP BY doc_id, term, len),
-df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
-n AS (SELECT COUNT(*) AS n FROM toks),
+        s"""WITH $tfidfCtes,
 weights AS (
   SELECT tf.doc_id, tf.term,
-         (CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS w
+         $tfidfWDuck AS w
   FROM tf JOIN df USING (term) CROSS JOIN n
   WHERE df.df * 10 <= n.n),
 norms AS (
