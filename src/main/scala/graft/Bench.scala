@@ -134,7 +134,8 @@ object Bench {
     // Phase 3 — extension operators, self-contained on the raw tables.
     Seq("q_agg_stats", "q_topk", "q_window_running", "q_semi_anti",
       "q_events_hourly", "q_text_quality", "q_fingerprint",
-      "q_dedup_minhash_lsh", "q_dedup_jaccard", "q_tfidf_cosine",
+      "q_dedup_minhash_lsh", "q_dedup_jaccard", "q_dedup_simhash64",
+      "q_tfidf_cosine",
       "q_ann_brute", "q_embed_neardup").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }

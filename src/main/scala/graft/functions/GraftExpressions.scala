@@ -109,6 +109,37 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** 64-bit SimHash over a token array in ONE digest pass per token:
+    * bit p (1-based) is the majority vote over tokens of bit p of
+    * md5(token) (big-endian bit order over the first 16 hex digits —
+    * identical to the hex-digit/shift SQL template in
+    * TextExprs.simhash64FromHashes, which the DuckDB oracle uses).
+    * Returned as a 64-char '0'/'1' string so pigeonhole bands are plain
+    * substrings. Ties (ones·2 == n) vote '0', matching the strict `>` in
+    * the SQL form.
+    */
+  def simhash64(tokens: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val d = md5bytes(tokens.getUTF8String(i).toString)
+      var p = 0
+      while (p < 64) {
+        counts(p) += (d(p >> 3) >> (7 - (p & 7))) & 1
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var p = 0
+    while (p < 64) {
+      out(p) = if (counts(p) * 2 > n) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
   /** Cosine similarity over two float arrays: double accumulation,
     * strictly left-to-right (bit-identical to the SQL aggregate/zip_with
     * form and to the DuckDB oracle).
@@ -185,6 +216,23 @@ case class ShingleMinHashes(child: Expression, n: Int, k: Int) extends UnaryExpr
   override def prettyName: String = "shingle_minhashes"
 }
 
+/** simhash64(array<string tokens>) → 64-char '0'/'1' signature string. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects array<string>, got ${other.simpleString(10)}")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
 /** cosine_sim(array<float>, array<float>) → double. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -217,6 +265,7 @@ object GraftFunctions {
     toColumn(ShingleMinHashes(toExpr(c), n, k))
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpr(a), toExpr(b)))
+  def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
 
   private def analysisError(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
@@ -266,6 +315,10 @@ object GraftFunctions {
       arityCheck("shingle_minhashes", exprs, 3)
       ShingleMinHashes(exprs.head, intArgCheck("shingle_minhashes", exprs(1), "n"),
         intArgCheck("shingle_minhashes", exprs(2), "k"))
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64", { exprs =>
+      arityCheck("simhash64", exprs, 1)
+      SimHash64(exprs.head)
     }, "scala_udf")
   }
 }

@@ -80,6 +80,30 @@ object TextExprs {
       bits.map(_.duck).mkString("concat(", ", ", ")"))
   }
 
+  /** 64-bit SimHash from a PRE-HASHED token list `hl` (array of md5-hex
+    * strings) and token count `nt`: bit p (1..64) is the majority vote of
+    * bit p of each digest, where bit p lives in hex digit d = ⌈p/4⌉ at
+    * shift 4d−p (big-endian) — exactly the bit order of
+    * graft.functions.Kernels.simhash64, which the Spark side uses as a
+    * one-pass kernel. Taking the digest list (not tokens) keeps the oracle
+    * at ONE md5 evaluation per token instead of 64.
+    */
+  def simhash64FromHashes(hl: String, nt: String): X = {
+    val bits = (1 to 64).map { p =>
+      val d = (p + 3) / 4
+      val s = 4 * d - p
+      X(
+        spark = s"CASE WHEN aggregate($hl, 0, (acc, h) -> acc + " +
+          s"shiftright(instr('0123456789abcdef', substring(h, $d, 1)) - 1, $s) % 2) * 2 " +
+          s"> $nt THEN '1' ELSE '0' END",
+        duck = s"CASE WHEN list_sum(list_transform($hl, h -> " +
+          s"((instr('0123456789abcdef', substring(h, $d, 1)) - 1) >> $s) % 2)) * 2 " +
+          s"> $nt THEN '1' ELSE '0' END")
+    }
+    X(bits.map(_.spark).mkString("concat(", ", ", ")"),
+      bits.map(_.duck).mkString("concat(", ", ", ")"))
+  }
+
   /** Rabin-Karp rolling hash at every position of a text column:
     * H(i) = Σ_{j=0..w-1} ascii(s[i-j]) · B^j  mod P — the content-defined
     * chunking primitive. Returns the 1-based positions where H(i) ≡ 0
@@ -102,14 +126,16 @@ object TextExprs {
         s"THEN i ELSE -1 END), x -> x > 0)")
   }
 
-  /** Hamming distance between two 16-char bit strings (expanded to 16
+  /** Hamming distance between two n-char bit strings (expanded to n
     * per-position comparisons — identical in both dialects).
     */
-  def hamming16(a: String, b: String): X = {
-    val terms = (1 to 16).map(i =>
+  def hammingBits(a: String, b: String, n: Int): X = {
+    val terms = (1 to n).map(i =>
       s"CASE WHEN substring($a, $i, 1) <> substring($b, $i, 1) THEN 1 ELSE 0 END")
     X(terms.mkString("(", " + ", ")"), terms.mkString("(", " + ", ")"))
   }
+
+  def hamming16(a: String, b: String): X = hammingBits(a, b, 16)
 
   /** Count of tokens drawn from a marker set (language-ID scoring). */
   def markerCount(t: String, markers: Seq[String]): X = {

@@ -186,6 +186,37 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 64-bit SimHash near-dup pairs — the corpus-scale form of
+    * [[simhashPairs]]. Signature comes from the one-pass native kernel
+    * (graft.functions.SimHash64); candidates from 4 pigeonhole bands of
+    * 16 bits (hamming ≤ 3 differences spread over 4 bands must leave one
+    * band untouched, so the union of four band equi-joins is complete).
+    * The scale fix over the 16-bit form: a 16-BIT band key has 2^16
+    * possible values instead of 2^5-2^6, so band-join fan-out stays
+    * proportional to true near-dup density instead of degenerating to
+    * ~N²/32 candidate pairs as the corpus grows.
+    */
+  def simhashPairs64(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "simhash64(toks) AS sig")
+      .barrier() // feeds all four band joins; also stops digest re-compute
+    val cands = (0 until 4).map { j =>
+      val blocked = base.selectExpr("doc_id", "sig",
+        s"substring(sig, ${16 * j + 1}, 16) AS chave")
+      val a = blocked.toDF("doc_a", "sig_a", "chave")
+      val b = blocked.toDF("doc_b", "sig_b", "chave")
+      a.join(b, Seq("chave")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+    }.reduce(_ unionAll _).distinct()
+    cands
+      .withColumn("hamming", expr(hammingBits("sig_a", "sig_b", 64).spark))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup CLUSTERS: connected components over the MinHash-LSH candidate
     * pairs via min-label propagation (Pregel-style: each doc repeatedly
     * adopts the smallest id reachable through its neighbors until
@@ -405,6 +436,7 @@ object TextOps {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_dedup_simhash" -> (simhashPairs(_, _)),
+    "q_dedup_simhash64" -> (simhashPairs64(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
   // ------------------------------------------------------------ oracles
@@ -561,6 +593,22 @@ SELECT doc_a, doc_b, CAST(${hamming16("sig_a", "sig_b").duck} AS INTEGER) AS ham
 FROM cands
 WHERE ${hamming16("sig_a", "sig_b").duck} <= 2
 ORDER BY doc_a, doc_b"""
+      },
+      "q_dedup_simhash64" -> {
+        val bandEqs = (0 until 4)
+          .map(j => s"substring(a.sig, ${16 * j + 1}, 16) = substring(b.sig, ${16 * j + 1}, 16)")
+          .mkString(" OR\n    ")
+        s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+hashed AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS hl, len(t) AS nt FROM toks),
+sigs AS (SELECT doc_id, ${simhash64FromHashes("hl", "nt").duck} AS sig FROM hashed),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+    $bandEqs))
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(${hammingBits("sig_a", "sig_b", 64).duck} AS INTEGER) AS hamming
+  FROM cands)
+WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
       },
       "q_dedup_jaccard" ->
         s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -27,6 +27,37 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("simhash64 kernel == hex-digit/shift SQL template, bit-exact") {
+    GraftFunctions.register(spark)
+    val T = TextExprs.tokens("text")
+    val docs = Tables.documents(spark, tiny).limit(50)
+      .selectExpr("doc_id", s"${T.spark} AS toks")
+    val both = docs
+      .selectExpr("doc_id", "toks",
+        "transform(toks, x -> md5(x)) AS hl", "size(toks) AS nt")
+      .selectExpr("doc_id", "simhash64(toks) AS native",
+        s"${TextExprs.simhash64FromHashes("hl", "nt").spark} AS template")
+    assert(both.filter($"native" =!= $"template").count() === 0)
+    assert(both.select(length($"native")).distinct().head().getInt(0) === 64)
+  }
+
+  test("simhash64 band join finds exactly the brute-force hamming<=3 pairs") {
+    val banded = graft.text.TextOps.simhashPairs64(spark, tiny)
+      .select("doc_a", "doc_b", "hamming")
+    val sigs = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"simhash64(${TextExprs.tokens("text").spark}) AS sig")
+    val a = sigs.toDF("doc_a", "sig_a")
+    val b = sigs.toDF("doc_b", "sig_b")
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", expr(TextExprs.hammingBits("sig_a", "sig_b", 64).spark))
+      .filter($"hamming" <= 3)
+      .select("doc_a", "doc_b", "hamming")
+    assert(banded.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(banded).count() === 0)
+    assert(brute.count() > 0) // tiny corpus has seeded near-dups
+  }
+
   test("cosine_sim == aggregate/zip_with dot-product form, bit-exact") {
     val e = Tables.embeddings(spark, tiny).limit(30)
       .selectExpr("vec_id", "embedding")
