@@ -109,6 +109,25 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** Intersection size of two SORTED long arrays by linear merge —
+    * O(|a|+|b|) instead of the O(|a|·|b|) filter/contains scan. Used to
+    * verify set-similarity-join candidates exactly (shingle_hashes output
+    * is sorted by construction).
+    */
+  def sortedInterCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over a token array in ONE digest pass per token:
     * bit p (1-based) is the majority vote over tokens of bit p of
     * md5(token) (big-endian bit order over the first 16 hex digits —
@@ -166,7 +185,7 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"minhashes expects array<string>, got ${other.simpleString(10)}")
+        s"minhashes expects array<string>, got ${other.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -186,7 +205,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"shingle_hashes expects array<string>, got ${other.simpleString(10)}")
+        s"shingle_hashes expects array<string>, got ${other.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -205,7 +224,7 @@ case class ShingleMinHashes(child: Expression, n: Int, k: Int) extends UnaryExpr
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"shingle_minhashes expects array<string>, got ${other.simpleString(10)}")
+        s"shingle_minhashes expects array<string>, got ${other.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -216,13 +235,36 @@ case class ShingleMinHashes(child: Expression, n: Int, k: Int) extends UnaryExpr
   override def prettyName: String = "shingle_minhashes"
 }
 
+/** sorted_inter_count(array<long>, array<long>) → int: linear-merge
+  * intersection size of two sorted arrays.
+  */
+case class SortedInterCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_count expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedInterCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.sortedInterCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_inter_count"
+}
+
 /** simhash64(array<string tokens>) → 64-char '0'/'1' signature string. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"simhash64 expects array<string>, got ${other.simpleString(10)}")
+        s"simhash64 expects array<string>, got ${other.simpleString}")
     }
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
@@ -241,7 +283,7 @@ case class CosineSim(left: Expression, right: Expression)
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects two array<float>, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+        s"cosine_sim expects two array<float>, got ${l.simpleString}, ${r.simpleString}")
     }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -266,6 +308,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpr(a), toExpr(b)))
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def sorted_inter_count(a: Column, b: Column): Column =
+    toColumn(SortedInterCount(toExpr(a), toExpr(b)))
 
   private def analysisError(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
@@ -319,6 +363,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("simhash64", { exprs =>
       arityCheck("simhash64", exprs, 1)
       SimHash64(exprs.head)
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("sorted_inter_count", { exprs =>
+      arityCheck("sorted_inter_count", exprs, 2)
+      SortedInterCount(exprs.head, exprs(1))
     }, "scala_udf")
   }
 }

@@ -302,36 +302,60 @@ object TextOps {
   }
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
-    * (lang, token-count bucket), computed as an INVERTED-INDEX
-    * set-similarity join: explode distinct shingles, equi-join on
-    * (shingle, block), count shared shingles per pair, derive Jaccard from
-    * |A∩B| and the per-doc set sizes. No per-pair array scans, no cross
-    * join — the shuffle key is the shingle, which is how SSJoin scales to
-    * corpus size (pairs sharing zero shingles are never materialized; they
-    * cannot pass the threshold anyway).
+    * (lang, token-count bucket), as a PREFIX-FILTERED set-similarity join
+    * (Bayardo/Chaudhuri SSJoin):
+    *
+    *  1. Candidate generation indexes only each doc's PREFIX — the first
+    *     n − ⌈t·n⌉ + 1 shingles in a global rarest-first (df asc, id asc)
+    *     order. The prefix-filter theorem guarantees two sets with
+    *     Jaccard ≥ t overlap inside their prefixes, so no qualifying pair
+    *     is lost; corpus-frequent shingles sort LAST and fall outside most
+    *     prefixes, which is what prevents a common shingle's df² pair
+    *     blowup at a single shuffle key (the r6 scale objection).
+    *  2. Verification computes |A∩B| EXACTLY per candidate with a linear
+    *     merge over the sorted shingle arrays (native SortedInterCount
+    *     kernel) — candidates only, so the per-pair scan is bounded by
+    *     true near-dup density, and the emitted jaccard value is the same
+    *     exact integers-ratio as the full inverted-index form (the DuckDB
+    *     oracle, which still builds the full index, must agree bit-exact).
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    // barrier: feeds the index build AND the verification join (an eager
+    // graft.Checkpoint barrier rather than cache() so nothing stays pinned
+    // in the CacheManager after the caller's action).
     val base = documents(s, d).selectExpr(
       "CAST(doc_id AS BIGINT) AS doc_id", "lang", s"${T.spark} AS toks")
       .selectExpr("doc_id", "lang",
-        "shingle_hashes(toks, 3) AS shd", // long identities: 4× leaner shuffle
+        "shingle_hashes(toks, 3) AS shd", // sorted long identities
         "CAST(floor(size(toks) / 20) AS INT) AS bucket")
       .withColumn("n", size(col("shd")))
-    // materialized: the inverted index feeds both sides of the self-join,
-    // and the barrier stops the shingle pipeline from being recomputed per
-    // side. An eager checkpoint barrier (graft.Checkpoint) rather than cache() so nothing stays
-    // pinned in the CacheManager after the caller's action — the
-    // ContextCleaner reclaims the blocks when the result is unreachable.
+      .barrier()
     val ex = base.select(col("doc_id"), col("lang"), col("bucket"), col("n"),
       explode(col("shd")).as("s"))
-      .barrier()
-    val a = ex.toDF("doc_a", "lang", "bucket", "n_a", "s")
-    val b = ex.toDF("doc_b", "lang", "bucket", "n_b", "s")
-    a.join(b, Seq("s", "lang", "bucket"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // per-doc prefix length under Jaccard threshold t; the ranking window
+    // is bounded by the doc's own vocabulary (corpus-independent)
+    val prefLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val idx = ex.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))))
+      .filter(col("rk") <= prefLen)
+      .select("doc_id", "lang", "bucket", "s")
+      .barrier() // feeds both sides of the candidate self-join
+    val a = idx.toDF("doc_a", "lang", "bucket", "s")
+    val b = idx.toDF("doc_b", "lang", "bucket", "s")
+    val cands = a.join(b, Seq("s", "lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+      .select("doc_a", "doc_b").distinct()
+    val fa = base.select(col("doc_id").as("doc_a"),
+      col("shd").as("shd_a"), col("n").as("n_a"))
+    val fb = base.select(col("doc_id").as("doc_b"),
+      col("shd").as("shd_b"), col("n").as("n_b"))
+    cands.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sorted_inter_count(col("shd_a"), col("shd_b")).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

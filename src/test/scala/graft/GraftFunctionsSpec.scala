@@ -58,6 +58,43 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(brute.count() > 0) // tiny corpus has seeded near-dups
   }
 
+  test("sorted_inter_count == filter/contains interCount template") {
+    GraftFunctions.register(spark)
+    val T = TextExprs.tokens("text")
+    val docs = Tables.documents(spark, tiny).limit(40)
+      .selectExpr("doc_id", s"shingle_hashes(${T.spark}, 3) AS shd")
+    val a = docs.toDF("ia", "sa")
+    val b = docs.toDF("ib", "sb")
+    val both = a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("native", GraftFunctions.sorted_inter_count($"sa", $"sb"))
+      .withColumn("template", expr(TextExprs.interCount("sa", "sb").spark))
+    assert(both.filter($"native" =!= $"template").count() === 0)
+    assert(both.filter($"native" > 0).count() > 0)
+  }
+
+  test("prefix-filtered jaccardPairs == brute-force block-pairs jaccard") {
+    GraftFunctions.register(spark)
+    val T = TextExprs.tokens("text")
+    val pruned = graft.text.TextOps.jaccardPairs(spark, tiny)
+    val base = Tables.documents(spark, tiny).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", "lang", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "lang", "shingle_hashes(toks, 3) AS shd",
+        "CAST(floor(size(toks) / 20) AS INT) AS bucket")
+      .withColumn("n", size($"shd"))
+    val a = base.toDF("doc_a", "lang", "sa", "bucket", "n_a")
+    val b = base.toDF("doc_b", "lang", "sb", "bucket", "n_b")
+    val brute = a.join(b, Seq("lang", "bucket")).filter($"doc_a" < $"doc_b")
+      .withColumn("inter",
+        GraftFunctions.sorted_inter_count($"sa", $"sb").cast("long"))
+      .withColumn("jaccard", $"inter".cast("double") /
+        ($"n_a" + $"n_b" - $"inter").cast("double"))
+      .filter($"jaccard" >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+    assert(pruned.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(pruned).count() === 0)
+    assert(brute.count() > 0)
+  }
+
   test("cosine_sim == aggregate/zip_with dot-product form, bit-exact") {
     val e = Tables.embeddings(spark, tiny).limit(30)
       .selectExpr("vec_id", "embedding")
