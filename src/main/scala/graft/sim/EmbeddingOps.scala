@@ -88,21 +88,28 @@ object EmbeddingOps {
       s"${lshBucket("embedding", 8, DIM).spark} AS bucket")
       .orderBy("vec_id")
 
-  /** Near-duplicate vector pairs: blocked on label (stand-in for an IVF
-    * coarse quantizer cell), exact cosine within the block.
+  /** Near-duplicate vector pairs: blocked on the TRAINED k-means cell
+    * (each vector's L2 assignment under the Lloyd-trained quantizer),
+    * exact cosine within the block. Blocking on a trained quantizer is
+    * what makes this the scalable near-dup path: the cell count is a
+    * config that grows with the corpus (k cells → O(N²/k) candidate
+    * pairs), unlike the fixed-cardinality label column this blocked on
+    * through r6. The assignment is materialized once (checkpoint barrier)
+    * because it feeds both sides of the self-join.
     */
   def embedNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
-    val base = embeddings(s, d)
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        "CAST(label AS INTEGER) AS label", "embedding")
-    val a = base.toDF("vec_a", "label", "emb_a")
-    val b = base.toDF("vec_b", "label", "emb_b")
-    a.join(b, Seq("label"))
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val asg = graft.Checkpoint.barrier(
+      assignCells(s, base, kmeansCentroids(s, d))
+        .select(col("vec_id"), col("embedding"), col("cell")))
+    val a = asg.toDF("vec_a", "emb_a", "cell")
+    val b = asg.toDF("vec_b", "emb_b", "cell")
+    a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim",
         graft.functions.GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= threshold)
-      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -629,12 +636,23 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank""",
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
 ${lshBucket("embedding", 8, DIM).duck} AS bucket
 FROM embeddings ORDER BY vec_id""",
+    // near-dup re-blocked on the TRAINED quantizer cell: the oracle
+    // re-runs the full Lloyd training + final assignment, then pairs
+    // within cells — must agree bit-exactly with the Spark lifecycle
     "q_embed_neardup" ->
-      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
-  embedding, ${normDuck("embedding")} AS nrm FROM embeddings)
-SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-  ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) AS sim
-FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) >= 0.4
-ORDER BY vec_a, vec_b""")
+      s"""WITH $kmeansCtes,
+fin AS (
+  SELECT vec_id, embedding, cell,
+         ${normDuck("embedding")} AS nrm FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+)
+SELECT cell, vec_a, vec_b, sim FROM (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) AS sim
+  FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+WHERE sim >= 0.4 ORDER BY vec_a, vec_b""")
 }
