@@ -109,6 +109,10 @@ object SparkEntry {
     "q_distinct_stats" -> (RelationalOps.distinctStats _),
     "q_asof_join" -> (RelationalOps.asofAttribution _),
     "q_sessionize" -> (RelationalOps.sessionizeBatch _),
+    // the STREAMED sessionizer (file source → flatMapGroupsWithState →
+    // parquet sink under Trigger.AvailableNow), gated against the same
+    // oracle as the batch twin
+    "q_sessionize_stream" -> (graft.streaming.Streams.sessionizeStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 

@@ -404,6 +404,31 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sessao AS INTEGER) AS sessao,
 FROM sess
 GROUP BY user_id, sessao
 ORDER BY user_id, sessao""",
+    // the streamed sessionizer is gated against the SAME oracle as its
+    // batch twin: the stream must converge to the batch answer once the
+    // watermark passes every event (Streams.sessionizeStreamed)
+    "q_sessionize_stream" ->
+      """WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS quebra
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(quebra) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS sessao
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sessao AS INTEGER) AS sessao,
+       COUNT(*) AS n_eventos,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS inicio,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS fim,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor
+FROM sess
+GROUP BY user_id, sessao
+ORDER BY user_id, sessao""",
     "q_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface — the capability extension over the
   * reference's batch-only truncate-and-reload (SURVEY.md §2.7): the same
@@ -137,6 +137,86 @@ object Streams {
     * Every key carries an event-time timer at min(idle deadline, oldest
     * pending event), so idle users flush and evict instead of accreting.
     */
+  /** The STREAMED sessionizer as a gated batch-comparable query: runs
+    * [[sessionize]] as a real Structured Streaming job (file source →
+    * flatMapGroupsWithState → parquet sink, `Trigger.AvailableNow`) over
+    * the events table and post-shapes the emitted sessions to the exact
+    * schema of the batch twin — so the q_sessionize DuckDB oracle gates
+    * the STREAMING path, not just a spec assertion.
+    *
+    * Mechanics that make the streamed output total (not just the
+    * gap-closed prefix):
+    *  - the staged copy pins µs timestamps and EXACT-CENT values
+    *    (`value·100` as an integral double), so the state fold's running
+    *    double sum is integer arithmetic — order-independent and equal to
+    *    the oracle's `SUM(DECIMAL(18,2))` after the final `/100.0`;
+    *  - two far-future SENTINEL files (dummy negative user_ids, filtered
+    *    from the output) land in their own micro-batches
+    *    (`maxFilesPerTrigger=1`, monotone mtimes): the first advances the
+    *    watermark past every real session's idle deadline, the second
+    *    gives the engine a batch in which those event-time timers fire —
+    *    flushing each user's trailing open session exactly as a live
+    *    stream's passage of time would;
+    *  - session ids are assigned after the fact by `row_number` over
+    *    (user, inicio): sessions are time-disjoint per user, so this
+    *    reproduces the batch twin's break-count numbering.
+    */
+  def sessionizeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapMin = 30
+    val delayMin = 10
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val streamDir = base.resolve("in"); java.nio.file.Files.createDirectory(streamDir)
+    val stage = base.resolve("stage").toString
+    val outDir = base.resolve("out").toString
+    val cpDir = base.resolve("cp").toString
+
+    // exact-cent staging: DECIMAL(18,2)·100 is an exact integral double,
+    // so the streaming fold sums integers (no double-rounding drift)
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def sentinel(uid: Long, offsetMin: Int) = Seq(
+      Event(uid, new java.sql.Timestamp(
+        maxTs.getTime + offsetMin * 60000L), uid, "sentinel", 0.0)).toDF()
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    stageFile(ev, "000_events.parquet", t0)
+    // sentinel-1 ts puts the watermark (ts − delay) past every real idle
+    // deadline (max real ts + gap); sentinel-2 triggers the timer batch
+    stageFile(sentinel(-1L, gapMin + delayMin + 1), "001_s1.parquet", t0 + 60000)
+    stageFile(sentinel(-2L, gapMin + delayMin + 61), "002_s2.parquet", t0 + 120000)
+
+    val sch = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = sessionize(stream.as[Event], gapMin, s"$delayMin minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .withColumn("sessao", row_number().over(
+        Window.partitionBy("user_id").orderBy("inicio")).cast("int"))
+      .select(col("user_id"), col("sessao"),
+        col("n_events").cast("long").as("n_eventos"),
+        date_format(col("inicio"), "yyyy-MM-dd HH:mm:ss").as("inicio"),
+        date_format(col("fim"), "yyyy-MM-dd HH:mm:ss").as("fim"),
+        (col("valor") / 100.0).as("valor"))
+      .orderBy("user_id", "sessao")
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
