@@ -163,6 +163,41 @@ object Bench {
     }
     rmTree(kmIdx)
 
+    // Phase 4 — bucketed storage as the measured fact-build default (the
+    // 100 TB posture StorageDemo only demonstrated): header and detail are
+    // bucketed+sorted by the order key ONCE (the amortized write), after
+    // which every fact build's header⨝detail join plans with ZERO
+    // Exchanges — a bucket-co-located sort-merge join instead of shuffling
+    // the two largest tables. Broadcast is disabled for both timed builds
+    // so the measured delta is exactly the removed shuffle (at 100 TB
+    // neither side of header⨝detail fits a broadcast anyway; the bounded
+    // dim lookups keep their explicit broadcast() hints, which override
+    // the threshold).
+    val abtSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("etl_bucket_tables_build") {
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+    }
+    val factB = () => Star.fatoVendasFrom(spark, sfDir,
+      spark.table("orders_bkt"), spark.table("lineitem_bkt"))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(factB().queryExecution.executedPlan.toString).length
+    System.err.println(s"[bench] bucketed fact plan: $exchanges Exchange(s) " +
+      "from header-detail (0 expected; remaining ones belong to unbounded dim joins)")
+    time("etl_star_build_bucketed") {
+      graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt")
+    }
+    time("etl_star_build_shuffled") {
+      graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
+        s"$dw/fato_vendas_shf")
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtSaved)
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but must not shrink the

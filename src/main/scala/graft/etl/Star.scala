@@ -174,9 +174,17 @@ object Star {
     * while they actually fit under autoBroadcastJoinThreshold and falls
     * back to a shuffled join beyond it.
     */
-  def fatoVendas(spark: SparkSession, dir: String): DataFrame = {
-    val o = orders(spark, dir)
-    val l = lineitem(spark, dir)
+  def fatoVendas(spark: SparkSession, dir: String): DataFrame =
+    fatoVendasFrom(spark, dir, orders(spark, dir), lineitem(spark, dir))
+
+  /** [[fatoVendas]] with injectable header/detail relations — the 100 TB
+    * storage hook: pass bucketed catalog tables (both sides
+    * `bucketBy(n, orderkey).sortBy(orderkey)`) and the header⨝detail join
+    * plans with ZERO Exchanges (bucket-co-located sort-merge join) instead
+    * of shuffling the two largest tables. Bench measures both forms.
+    */
+  def fatoVendasFrom(spark: SparkSession, dir: String,
+                     o: DataFrame, l: DataFrame): DataFrame = {
     val dp = dimProduto(spark, dir).select("sk_produto", "id_produto_original")
     val dc = dimCliente(spark, dir).select("sk_cliente", "id_cliente_original")
     val dv = dimVendedor(spark, dir).select("sk_vendedor", "id_vendedor_original")

@@ -66,6 +66,41 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("bucketed header⨝detail: no Exchange under the orderkey join; rows identical") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so the physical tree is inspectable node-by-node (stages
+    // would hide exchanges); broadcast off so the join strategy under test
+    // is the one a 100 TB header⨝detail actually faces
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.Tables.orders(spark, tiny).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt_t")
+      graft.Tables.lineitem(spark, tiny).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt_t")
+      val bucketed = Star.fatoVendasFrom(spark, tiny,
+        spark.table("orders_bkt_t"), spark.table("lineitem_bkt_t"))
+      val smjs = bucketed.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("o_orderkey")) => j
+      }
+      assert(smjs.nonEmpty, "header⨝detail must plan as a sort-merge join")
+      val shuffles = smjs.head.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        "bucket-co-located join must not shuffle either side")
+      // storage layout must not change the answer
+      val plain = Star.fatoVendas(spark, tiny)
+      assert(bucketed.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(bucketed).count() === 0)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0) // driver t1 smoke-check
     // each declared oracle has a matching query entry

@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bucketed-table specs saveAsTable; keep the warehouse out of the repo
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_test_wh_${sys.props.getOrElse("user.name", "u")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
