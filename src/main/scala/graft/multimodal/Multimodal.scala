@@ -42,20 +42,24 @@ object Multimodal {
       }
     }
 
-    /** Fake feature extractor: 16-dim pseudo-embedding from a rolling hash
-      * over the payload — shaped exactly like a real vision-encoder output
-      * so it composes with graft.sim.EmbeddingOps.
+    /** Deterministic stand-in feature extractor: 16-dim pseudo-embedding,
+      * shaped exactly like a real vision-encoder output so it composes
+      * with graft.sim.EmbeddingOps. Each byte contributes a
+      * position-weighted term `((i+1)·byte) mod 1009` to dimension
+      * `i mod dim`; per-dim sums are reduced mod 1000003 so the value is
+      * exact in FLOAT at any payload length. Every step is exact integer
+      * arithmetic, reproducible in plain SQL — which is what lets the
+      * multimodal→ANN composition be DuckDB-oracle-gated end-to-end
+      * (q_multimodal_ann) instead of spec-only.
       */
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L
+      val acc = new Array[Long](dim)
       var i = 0
       while (i < payload.length) {
-        h = 31 * h + payload(i)
-        out(i % dim) += (h % 1000) / 1000.0f
+        acc(i % dim) += ((i + 1).toLong * (payload(i) & 0xff)) % 1009
         i += 1
       }
-      out
+      acc.map(a => (a % 1000003L).toFloat)
     }
   }
 
@@ -131,14 +135,77 @@ object Multimodal {
       "upper(substring(hex(CAST(text AS BINARY)), 1, 8)) AS magic")
       .orderBy("media_id")
 
+  private val FEAT_DIM = 16
+  private val N_QUERIES = 8 // media_id < 8, mirroring the embeddings convention
+  private val TOP_K = 5
+
+  /** The multimodal→ANN composition, oracle-gated end-to-end: ingest
+    * binary payloads → [[extractFeatures]] (the per-partition-batched
+    * codec stand-in, exact-integer 16-dim vectors) → brute-force cosine
+    * top-k over the extracted features, ranked through the same bounded
+    * [[graft.functions.TopKByScore]] aggregator tail as the embedding ANN
+    * family (partial+final agg, O(k) state — no per-query window reducer).
+    */
+  def annQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = ingestFromDocuments(graft.Tables.documents(spark, dir))
+    val base = extractFeatures(media, FEAT_DIM).toDF("media_id", "feature")
+    val q = base.filter(col("media_id") < N_QUERIES).toDF("query_id", "q_f")
+    val sims = broadcast(q).crossJoin(base)
+      .filter(col("query_id") =!= col("media_id"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_f"), col("feature"))
+          .as("sim"),
+        col("media_id"))
+    graft.sim.EmbeddingOps.rankViaTopK(spark, sims)
+  }
+
+  /** DuckDB re-derivation of [[DecodeStub.features]] from the raw text
+    * bytes: hex-parse each byte, position-weighted term mod 1009 into
+    * dimension (i-1) mod 16, per-dim sum reduced mod 1000003 — all exact
+    * integers, so the downstream double cosine is bit-identical.
+    */
+  private def featureCtes: String =
+    s"""bytes AS (
+  SELECT media_id, i,
+         ('0x' || substring(h, 2 * i - 1, 2))::INTEGER AS b
+  FROM (SELECT CAST(doc_id AS BIGINT) AS media_id, hex(encode(text)) AS h,
+               unnest(generate_series(1, octet_length(encode(text)))) AS i
+        FROM documents)
+),
+feats AS (
+  SELECT media_id, (i - 1) % $FEAT_DIM AS dim,
+         CAST(SUM((i * b) % 1009) % 1000003 AS DOUBLE) AS f
+  FROM bytes GROUP BY media_id, (i - 1) % $FEAT_DIM
+),
+vecs AS (
+  SELECT media_id, list(f ORDER BY dim) AS v FROM feats GROUP BY media_id
+),
+base AS (
+  SELECT media_id, v,
+         sqrt(${graft.text.TextExprs.dot("v", "v", FEAT_DIM).duck}) AS nrm
+  FROM vecs
+)"""
+
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
 md5(text) AS hash,
 upper(substring(hex(encode(text)), 1, 8)) AS magic
-FROM documents ORDER BY media_id""")
+FROM documents ORDER BY media_id""",
+    "q_multimodal_ann" ->
+      s"""WITH $featureCtes,
+sims AS (
+  SELECT q.media_id AS query_id, c.media_id AS vizinho,
+         ${graft.text.TextExprs.dot("q.v", "c.v", FEAT_DIM).duck} / (q.nrm * c.nrm) AS sim
+  FROM base q CROSS JOIN base c
+  WHERE q.media_id < $N_QUERIES AND q.media_id <> c.media_id)
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
+  FROM sims)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> (metaQuery _))
+    "q_multimodal_meta" -> (metaQuery _),
+    "q_multimodal_ann" -> (annQuery _))
 }

@@ -64,7 +64,7 @@ object EmbeddingOps {
     * per-query top-k via the bounded aggregator, exploded back to ranked
     * rows with the oracle's deterministic (sim DESC, vizinho ASC) order.
     */
-  private def rankViaTopK(s: SparkSession, sims: DataFrame): DataFrame = {
+  private[graft] def rankViaTopK(s: SparkSession, sims: DataFrame): DataFrame = {
     import s.implicits._
     val agg = graft.functions.TopKByScore(TOP_K).toColumn
     sims.as[(Long, Double, Long)]
