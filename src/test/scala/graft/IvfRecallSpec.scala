@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.sim.EmbeddingOps
+
+/** Recall of the IVF probe family as an ASSERTED bound, not bench prose.
+  *
+  * The driver testdata embeddings are isotropic (uniform directions), so
+  * absolute recall numbers there are meaningless — a coarse quantizer
+  * cannot beat random cell assignment on structureless data. This spec
+  * builds a CLUSTERED synthetic corpus (8 well-separated centers, small
+  * deterministic perturbations — the regime IVF exists for) and asserts
+  * the two contracts that must hold for the probe to be useful:
+  *
+  *  1. recall@5(nprobe=3) >= recall@5(nprobe=1) — widening the probe can
+  *     only add candidates;
+  *  2. on clustered data, recall@5(nprobe=1) is high (>= 0.8): the query
+  *     routes to its own cluster where its true neighbors live.
+  */
+class IvfRecallSpec extends SparkSpec {
+
+  private val DIM = 64
+  private val K = 8          // clusters; queries are vec_id < 8, one per cluster
+  private val PER_CLUSTER = 40
+
+  /** Deterministic small perturbation in [-0.1, 0.1] from (id, dim). */
+  private def jitter(id: Long, j: Int): Float =
+    ((id * 1315423911L + j * 2654435761L) % 1000L) / 5000.0f - 0.1f
+
+  /** Writes the clustered corpus as an embeddings.parquet dir-layout the
+    * EmbeddingOps (s, dir) API reads: cluster c's center is 10.0 on dims
+    * [8c, 8c+8) and 0 elsewhere — mutually orthogonal, far apart.
+    */
+  private lazy val clusteredDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_recall").toString
+    val rows = (0L until (K * PER_CLUSTER).toLong).map { id =>
+      val c = (id % K).toInt // vec_id 0..7 = one query per cluster
+      val v = Array.tabulate(DIM) { j =>
+        val base = if (j >= 8 * c && j < 8 * (c + 1)) 10.0f else 0.0f
+        base + jitter(id, j)
+      }
+      Row(id, v.toSeq, c)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** recall@5 of `got` against the brute-force ground truth. */
+  private def recallAt5(truth: Map[(Long, Long), Int], got: DataFrame): Double = {
+    val hits = got.select("query_id", "vizinho").collect()
+      .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+    hits.toDouble / truth.size
+  }
+
+  test("IVF probe recall on a clustered corpus: nprobe=3 >= nprobe=1 >= 0.8") {
+    val truth = EmbeddingOps.annBruteForce(spark, clusteredDir)
+      .select("query_id", "vizinho").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> 1).toMap
+    assert(truth.size === K * 5, "ground truth must be 8 queries x top-5")
+
+    val r1 = recallAt5(truth, EmbeddingOps.annIvfProbe(spark, clusteredDir, 1))
+    val r3 = recallAt5(truth, EmbeddingOps.annIvfProbe(spark, clusteredDir, 3))
+    assert(r3 >= r1, s"widening the probe must not lose neighbors: " +
+      s"recall(3)=$r3 < recall(1)=$r1")
+    assert(r1 >= 0.8, s"on well-separated clusters a 1-probe IVF must find " +
+      s"most true neighbors in the routed cell, got $r1")
+
+    // the trained quantizer must do as well as the label oracle cells on
+    // data this separable (Lloyd converges to the true centers)
+    val rk1 = recallAt5(truth, EmbeddingOps.annIvfKmeansProbe(spark, clusteredDir, 1))
+    val rk3 = recallAt5(truth, EmbeddingOps.annIvfKmeansProbe(spark, clusteredDir, 3))
+    assert(rk3 >= rk1, s"kmeans probe: recall(3)=$rk3 < recall(1)=$rk1")
+    assert(rk1 >= 0.8, s"trained quantizer on separable clusters, got $rk1")
+  }
+}
