@@ -201,6 +201,45 @@ class EngineSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("decimal overflow posture: sum headroom, ANSI behavior, widened contract") {
+    import org.apache.spark.sql.types.DecimalType
+    val fato = Star.fatoVendas(spark, tiny)
+    // Spark's sum over DECIMAL(18,2) accumulates in DECIMAL(28,2): ten
+    // extra integer digits = 10^10 rows of MAX-magnitude (16-digit) values
+    // before overflow. A 100 TB fact is ~10^12 line items, but real money
+    // values are ~6 digits, leaving ~10^20 row headroom — safe. The
+    // contract below pins what happens if that margin is ever consumed.
+    assert(fato.select(sum($"valor_total")).schema.head.dataType ===
+      DecimalType(28, 2))
+    // simulate the exhausted-headroom case directly at the accumulator's
+    // own width: DECIMAL(38,2) inputs near max, where sum() cannot widen
+    // further (38 is Spark's hard precision cap)
+    val big = Seq.fill(4)("9" * 36 + ".99").toDF("v")
+      .select($"v".cast("decimal(38,2)").as("v"))
+    val ansiSaved = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      // ANSI on (Spark 4 default): overflow must FAIL LOUDLY
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val e = intercept[Exception] { big.select(sum($"v")).collect() }
+      assert(e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+        s"ANSI overflow must raise, got: ${e.getMessage}")
+      // ANSI off (legacy): overflow degrades to NULL — silently. This is
+      // why the 100 TB money path keeps ANSI ON: a null grand total is a
+      // wrong report, an exception is an operational signal.
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(big.select(sum($"v")).head.isNullAt(0),
+        "non-ANSI decimal overflow must yield NULL (never a wrapped value)")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiSaved)
+    // the widening escape hatch: pre-cast the column to DECIMAL(38,2) and
+    // the SAME aggregation gains 20 integer digits of headroom over the
+    // (28,2) accumulator while staying exact
+    val widened = fato.select(sum($"valor_total".cast("decimal(38,2)")))
+    assert(widened.schema.head.dataType === DecimalType(38, 2))
+    assert(widened.head.getDecimal(0) ===
+      fato.select(sum($"valor_total")).head.getDecimal(0)
+        .setScale(2))
+  }
+
   test("sketch aggregates: HLL distinct and approx percentile within bounds") {
     // Sketches are engine-specific (Spark HLL++ / GK vs DuckDB's own), so
     // they can't hash-match an oracle — the contract is a bounded error

@@ -12,8 +12,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // bucketed-table specs saveAsTable; keep the warehouse out of the repo
+    // and unique per JVM — a reused location with a fresh in-memory catalog
+    // makes CREATE TABLE fail on LOCATION_ALREADY_EXISTS
     .config("spark.sql.warehouse.dir",
-      s"/tmp/graft_test_wh_${sys.props.getOrElse("user.name", "u")}")
+      s"/tmp/graft_test_wh_${java.lang.ProcessHandle.current().pid()}_${System.nanoTime()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
