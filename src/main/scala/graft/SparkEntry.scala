@@ -113,6 +113,9 @@ object SparkEntry {
     // parquet sink under Trigger.AvailableNow), gated against the same
     // oracle as the batch twin
     "q_sessionize_stream" -> (graft.streaming.Streams.sessionizeStreamed _),
+    // the streamed INNER interval join (stream-stream, both sides
+    // watermarked), gated against a plain batch interval-join oracle
+    "q_attribution_stream" -> (graft.streaming.Streams.attributionStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 

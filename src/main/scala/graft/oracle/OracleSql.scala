@@ -404,6 +404,19 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sessao AS INTEGER) AS sessao,
 FROM sess
 GROUP BY user_id, sessao
 ORDER BY user_id, sessao""",
+    // the streamed inner interval join must emit exactly the pairs a
+    // batch interval join computes (Streams.attributionStreamed)
+    "q_attribution_stream" ->
+      """SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_compra,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+ORDER BY purchase_id, click_id""",
     // the streamed sessionizer is gated against the SAME oracle as its
     // batch twin: the stream must converge to the batch answer once the
     // watermark passes every event (Streams.sessionizeStreamed)

@@ -97,6 +97,43 @@ object Streams {
         col("p.ts").as("ts_compra"), col("c.ts").as("ts_click"))
   }
 
+  /** The streamed interval-join attribution as a gated batch-comparable
+    * query: runs [[attributionStream]] (INNER stream-stream interval join,
+    * both sides watermarked) as a real streaming job over the events
+    * table, file sources → parquet sink under `Trigger.AvailableNow`.
+    *
+    * Unlike the sessionizer, no sentinels are needed: an inner
+    * stream-stream join emits a pair the moment both rows are in state —
+    * the watermark only bounds state EVICTION, never gates emission — so
+    * with each side staged as one file (a single micro-batch processes
+    * both sources' offsets, watermark still at epoch) every qualifying
+    * pair is emitted and the streamed output equals the batch interval
+    * join the DuckDB oracle computes.
+    */
+  def attributionStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_attr_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"))
+    ev.filter(col("event_type") === "purchase")
+      .coalesce(1).write.parquet(sub("p"))
+    ev.filter(col("event_type") === "click")
+      .coalesce(1).write.parquet(sub("c"))
+    def src(n: String) = spark.readStream
+      .schema(spark.read.parquet(sub(n)).schema).parquet(sub(n))
+    val q = attributionStream(src("p"), src("c"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        date_format(col("ts_compra"), "yyyy-MM-dd HH:mm:ss").as("ts_compra"),
+        date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss").as("ts_click"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,
