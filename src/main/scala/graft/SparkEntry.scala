@@ -116,6 +116,10 @@ object SparkEntry {
     // the streamed INNER interval join (stream-stream, both sides
     // watermarked), gated against a plain batch interval-join oracle
     "q_attribution_stream" -> (graft.streaming.Streams.attributionStreamed _),
+    // the LEFT OUTER form: unmatched purchases emit null-click rows once
+    // the watermark proves no match can arrive (sentinel-flushed)
+    "q_attribution_stream_outer" ->
+      (graft.streaming.Streams.attributionStreamedOuter _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 

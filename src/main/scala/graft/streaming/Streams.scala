@@ -134,6 +134,72 @@ object Streams {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** The streamed LEFT OUTER interval join, gated: like
+    * [[attributionStreamed]] but unmatched purchases must ALSO emit (null
+    * click columns) — which a stream can only do once the watermark proves
+    * no matching click can still arrive. Two mechanics beyond the inner
+    * form:
+    *
+    *  - the global watermark is the MIN over BOTH watermarked sources, so
+    *    far-future sentinel rows go to EACH side (negative user_ids, which
+    *    can never join a real row and are filtered from the output): the
+    *    first sentinel batch advances both sides' watermarks past every
+    *    real purchase's join window, the second gives the join a batch in
+    *    which eviction runs and the null rows flush — without the purchase
+    *    sentinels the purchase-side watermark would pin the global one
+    *    10 minutes behind the last real purchase forever;
+    *  - nullable outputs are COALESCEd to sentinels (click_id → -1,
+    *    ts_click → 1900-01-01) in both engines, keeping the compare and
+    *    the total ordering null-free.
+    */
+  def attributionStreamedOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_attro_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def stage(df: DataFrame, side: String, name: String, mtime: Long): Unit = {
+      val tmp = sub(s"stage_$side$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(sub(side)).resolve(name)
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    def sentinel(uid: Long, offsetMin: Int, kind: String) = Seq(
+      (uid, new java.sql.Timestamp(maxTs.getTime + offsetMin * 60000L),
+        uid, kind)).toDF("event_id", "ts", "user_id", "event_type")
+    val t0 = System.currentTimeMillis()
+    // click watermark delay is 70 min: +72 min puts the click-side
+    // watermark past every real ts; purchase sentinels keep the global
+    // (min) watermark from pinning at the purchase side's last real row
+    stage(ev.filter(col("event_type") === "purchase"), "p", "000.parquet", t0)
+    stage(sentinel(-2L, 72, "purchase"), "p", "001.parquet", t0 + 60000)
+    stage(sentinel(-2L, 150, "purchase"), "p", "002.parquet", t0 + 120000)
+    stage(ev.filter(col("event_type") === "click"), "c", "000.parquet", t0)
+    stage(sentinel(-1L, 72, "click"), "c", "001.parquet", t0 + 60000)
+    stage(sentinel(-1L, 150, "click"), "c", "002.parquet", t0 + 120000)
+    def src(n: String) = spark.readStream
+      .schema(spark.read.parquet(sub(n)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub(n))
+    val q = attributionStreamOuter(src("p"), src("c"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out")).filter(col("user_id") >= 0)
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        date_format(col("ts_compra"), "yyyy-MM-dd HH:mm:ss").as("ts_compra"),
+        coalesce(date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss"),
+          lit("1900-01-01 00:00:00")).as("ts_click"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,
