@@ -19,12 +19,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val wh = s"/tmp/graft_bench_wh_${System.nanoTime()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed tables (phase 4) go through saveAsTable: keep the
+      // warehouse unique and out of the repo — a reused location with a
+      // fresh in-memory catalog fails with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,6 +181,8 @@ object Bench {
     val abtSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     time("etl_bucket_tables_build") {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
       Tables.orders(spark, sfDir).write.mode("overwrite")
         .bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("orders_bkt")
@@ -183,15 +190,24 @@ object Bench {
         .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("lineitem_bkt")
     }
-    val factB = () => Star.fatoVendasFrom(spark, sfDir,
-      spark.table("orders_bkt"), spark.table("lineitem_bkt"))
-    val exchanges = "Exchange hashpartitioning".r
-      .findAllIn(factB().queryExecution.executedPlan.toString).length
-    System.err.println(s"[bench] bucketed fact plan: $exchanges Exchange(s) " +
-      "from header-detail (0 expected; remaining ones belong to unbounded dim joins)")
-    time("etl_star_build_bucketed") {
-      graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt")
-    }
+    // timings must exist in the JSON even if the bucketed write failed —
+    // guard the probe and the dependent timing the same way time() guards
+    if (spark.catalog.tableExists("orders_bkt") &&
+        spark.catalog.tableExists("lineitem_bkt")) {
+      val factB = () => Star.fatoVendasFrom(spark, sfDir,
+        spark.table("orders_bkt"), spark.table("lineitem_bkt"))
+      def nExchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      System.err.println(s"[bench] fact plan Exchanges: " +
+        s"bucketed=${nExchanges(factB())}, " +
+        s"shuffled=${nExchanges(Star.fatoVendas(spark, sfDir))} " +
+        "(delta = the header⨝detail shuffle bucketing removes; the rest " +
+        "belong to the unbounded dim joins)")
+      time("etl_star_build_bucketed") {
+        graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt")
+      }
+    } else times("etl_star_build_bucketed") = -1.0
     time("etl_star_build_shuffled") {
       graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
         s"$dw/fato_vendas_shf")
@@ -219,6 +235,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     rmTree(dw)
+    rmTree(wh)
     spark.stop()
   }
 }

@@ -45,6 +45,31 @@ object TextOps {
       s"CAST(${tokenLenSum(T.spark).spark} AS DOUBLE) / CAST(size(${T.spark}) AS DOUBLE) AS media_tam_token")
       .orderBy("doc_id")
 
+  /** Dialect-shared quality verdict: CASE ... 'boa'/'baixa'. `tok` is the
+    * token-array expression in the target dialect, `pick` selects the
+    * dialect side of shared templates, `size` is the array-length function
+    * name (size/len). One source for q_text_quality, its oracle, and the
+    * curation pipeline.
+    */
+  private def qualityExprIn(tok: String, pick: X => String,
+                            size: String): String = {
+    val stops = pick(markerCount(tok, stopwords))
+    val ttr = s"CAST(${pick(distinctCount(tok))} AS DOUBLE) / CAST($size($tok) AS DOUBLE)"
+    val stopRatio = s"CAST($stops AS DOUBLE) / CAST($size($tok) AS DOUBLE)"
+    s"CASE WHEN $size($tok) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END"
+  }
+
+  /** Dialect-shared language verdict (priority-ordered marker argmax). */
+  private def langPredIn(tok: String, pick: X => String): String = {
+    val scores = langMarkers.map { case (l, ms) => l -> pick(markerCount(tok, ms)) }
+    val allZero = scores.map(_._2).mkString(" + ") + " = 0"
+    scores.foldRight("'unknown'") { case ((l, e), rest) =>
+      val geAll = scores.filter(_._1 != l).map { case (_, e2) => s"$e >= $e2" }
+        .mkString(" AND ")
+      s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
+    }
+  }
+
   def textQuality(s: SparkSession, d: String): DataFrame = {
     val stops = markerCount(T.spark, stopwords).spark
     val ttr = s"CAST(${distinctCount(T.spark).spark} AS DOUBLE) / CAST(size(${T.spark}) AS DOUBLE)"
@@ -55,19 +80,14 @@ object TextOps {
       s"$stopRatio AS razao_stopwords",
       s"$ttr AS razao_tipo_token",
       "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS razao_digitos",
-      s"CASE WHEN size(${T.spark}) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END AS qualidade")
+      s"${qualityExprIn(T.spark, _.spark, "size")} AS qualidade")
       .orderBy("doc_id")
   }
 
   def langId(s: SparkSession, d: String): DataFrame = {
     val scores = langMarkers.map { case (l, ms) => l -> markerCount(T.spark, ms).spark }
     val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }
-    val allZero = scores.map(_._2).mkString(" + ") + " = 0"
-    val pred = scores.foldRight("'unknown'") { case ((l, e), rest) =>
-      val geAll = scores.filter(_._1 != l).map { case (_, e2) => s"$e >= $e2" }
-        .mkString(" AND ")
-      s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
-    }
+    val pred = langPredIn(T.spark, _.spark)
     documents(s, d).selectExpr(
       Seq("CAST(doc_id AS BIGINT) AS doc_id", "lang") ++ scoreCols ++
         Seq(s"$pred AS lang_pred",
@@ -133,7 +153,14 @@ object TextOps {
     * builder repeatedly without accreting pinned storage. At cluster scale
     * the same barrier is a persisted signature table.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOf(s, documents(s, d))
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text, …) relation — the
+    * composition hook the curation pipeline uses to run near-dup detection
+    * on an already-filtered corpus.
+    */
+  private[graft] def minhashLshOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // '_' separator between the two signature halves: decimal concatenation
     // without one is ambiguous ((1,23) and (12,3) both read "123"), which
@@ -142,7 +169,7 @@ object TextOps {
     val bands = (0 until 4)
       .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), '_', element_at(mh, ${2 * j + 2})))")
       .mkString("array(", ", ", ")")
-    val sigs = documents(s, d)
+    val sigs = docs
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
       .barrier()
@@ -229,8 +256,12 @@ object TextOps {
     * This is the step that turns pairwise dedup output into "keep one doc
     * per cluster" at corpus scale.
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersOf(s, documents(s, d))
+
+  /** [[dedupClusters]] over an arbitrary (doc_id, text, …) relation. */
+  private[graft] def dedupClustersOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val pairs = minhashLshOf(s, docs).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
