@@ -133,11 +133,14 @@ object Kernels {
     * md5(token) (big-endian bit order over the first 16 hex digits —
     * identical to the hex-digit/shift SQL template in
     * TextExprs.simhash64FromHashes, which the DuckDB oracle uses).
-    * Returned as a 64-char '0'/'1' string so pigeonhole bands are plain
-    * substrings. Ties (ones·2 == n) vote '0', matching the strict `>` in
-    * the SQL form.
+    * Returned as a BIGINT with bit p at position 64−p (p=1 is the sign
+    * bit), so pigeonhole band keys are a shift+mask and hamming distance
+    * is bit_count(a ^ b) — both codegen-friendly integer ops, replacing
+    * the r7 bit-STRING representation whose 16-char substring keys and 64
+    * per-position compares were the heaviest constant factor in bench.
+    * Ties (ones·2 == n) vote 0, matching the strict `>` in the SQL form.
     */
-  def simhash64(tokens: ArrayData): UTF8String = {
+  def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -150,13 +153,13 @@ object Kernels {
       }
       i += 1
     }
-    val out = new Array[Char](64)
+    var sig = 0L
     var p = 0
     while (p < 64) {
-      out(p) = if (counts(p) * 2 > n) '1' else '0'
+      if (counts(p) * 2 > n) sig |= 1L << (63 - p)
       p += 1
     }
-    UTF8String.fromString(new String(out))
+    sig
   }
 
   /** Cosine similarity over two float arrays: double accumulation,
@@ -258,7 +261,9 @@ case class SortedInterCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_inter_count"
 }
 
-/** simhash64(array<string tokens>) → 64-char '0'/'1' signature string. */
+/** simhash64(array<string tokens>) → BIGINT signature (bit p of the hash
+  * at position 64−p; see [[Kernels.simhash64]]).
+  */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -266,7 +271,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       case other => TypeCheckResult.TypeCheckFailure(
         s"simhash64 expects array<string>, got ${other.simpleString}")
     }
-  override def dataType: DataType = StringType
+  override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     Kernels.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -81,27 +81,33 @@ object TextExprs {
   }
 
   /** 64-bit SimHash from a PRE-HASHED token list `hl` (array of md5-hex
-    * strings) and token count `nt`: bit p (1..64) is the majority vote of
-    * bit p of each digest, where bit p lives in hex digit d = ⌈p/4⌉ at
-    * shift 4d−p (big-endian) — exactly the bit order of
+    * strings) and token count `nt`, as a BIGINT: bit p (1..64) is the
+    * majority vote of bit p of each digest, where bit p lives in hex digit
+    * d = ⌈p/4⌉ at shift 4d−p (big-endian), and lands at two's-complement
+    * position 64−p of the signature — exactly the bit layout of
     * graft.functions.Kernels.simhash64, which the Spark side uses as a
-    * one-pass kernel. Taking the digest list (not tokens) keeps the oracle
-    * at ONE md5 evaluation per token instead of 64.
+    * one-pass kernel. p=1 is the sign bit, so its weight is spelled
+    * (−MAX−1) rather than 2⁶³ (which overflows BIGINT in both dialects);
+    * the remaining weights are plain powers of two, and the 64-term sum is
+    * the signature in two's complement. Taking the digest list (not
+    * tokens) keeps the oracle at ONE md5 evaluation per token instead of
+    * 64.
     */
   def simhash64FromHashes(hl: String, nt: String): X = {
-    val bits = (1 to 64).map { p =>
+    val terms = (1 to 64).map { p =>
       val d = (p + 3) / 4
       val s = 4 * d - p
+      val w = if (p == 1) "(-9223372036854775807 - 1)" else (1L << (64 - p)).toString
       X(
         spark = s"CASE WHEN aggregate($hl, 0, (acc, h) -> acc + " +
           s"shiftright(instr('0123456789abcdef', substring(h, $d, 1)) - 1, $s) % 2) * 2 " +
-          s"> $nt THEN '1' ELSE '0' END",
+          s"> $nt THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END",
         duck = s"CASE WHEN list_sum(list_transform($hl, h -> " +
           s"((instr('0123456789abcdef', substring(h, $d, 1)) - 1) >> $s) % 2)) * 2 " +
-          s"> $nt THEN '1' ELSE '0' END")
+          s"> $nt THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     }
-    X(bits.map(_.spark).mkString("concat(", ", ", ")"),
-      bits.map(_.duck).mkString("concat(", ", ", ")"))
+    X(terms.map(_.spark).mkString("(", " + ", ")"),
+      terms.map(_.duck).mkString("CAST((", " + ", ") AS BIGINT)"))
   }
 
   /** Rabin-Karp rolling hash at every position of a text column:
@@ -125,17 +131,6 @@ object TextExprs {
         s"ascii(substring($c, CAST(i - j AS INTEGER), 1)) * ($pwDuck)[j + 1])) % $p % $divisor = 0 " +
         s"THEN i ELSE -1 END), x -> x > 0)")
   }
-
-  /** Hamming distance between two n-char bit strings (expanded to n
-    * per-position comparisons — identical in both dialects).
-    */
-  def hammingBits(a: String, b: String, n: Int): X = {
-    val terms = (1 to n).map(i =>
-      s"CASE WHEN substring($a, $i, 1) <> substring($b, $i, 1) THEN 1 ELSE 0 END")
-    X(terms.mkString("(", " + ", ")"), terms.mkString("(", " + ", ")"))
-  }
-
-  def hamming16(a: String, b: String): X = hammingBits(a, b, 16)
 
   /** Count of tokens drawn from a marker set (language-ID scoring). */
   def markerCount(t: String, markers: Seq[String]): X = {

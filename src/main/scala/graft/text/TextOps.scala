@@ -185,43 +185,19 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ 2 on the 16-bit signature.
-    * Candidates come from PIGEONHOLE blocking — the signature is split
-    * into 3 chunks (6+5+5 bits); two signatures within hamming 2 must
-    * agree exactly on at least one chunk, so the union of three
-    * chunk-equality equi-joins is a complete (and shuffle-friendly)
-    * candidate set. Exact hamming is then 16 per-position comparisons.
-    */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 2): DataFrame = {
-    val base = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
-      .selectExpr("doc_id", s"${simhash16("toks").spark} AS sig")
-      .barrier() // scoped barrier, not a session-lifetime cache
-    val chunks = Seq((1, 6), (7, 5), (12, 5))
-    val cands = chunks.zipWithIndex.map { case ((from, len), i) =>
-      val blocked = base.selectExpr("doc_id", "sig",
-        s"substring(sig, $from, $len) AS chave")
-      val a = blocked.toDF("doc_a", "sig_a", "chave")
-      val b = blocked.toDF("doc_b", "sig_b", "chave")
-      a.join(b, Seq("chave")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-    }.reduce(_ unionAll _).distinct()
-    cands
-      .withColumn("hamming", expr(hamming16("sig_a", "sig_b").spark))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** 64-bit SimHash near-dup pairs — the corpus-scale form of
-    * [[simhashPairs]]. Signature comes from the one-pass native kernel
-    * (graft.functions.SimHash64); candidates from 4 pigeonhole bands of
-    * 16 bits (hamming ≤ 3 differences spread over 4 bands must leave one
-    * band untouched, so the union of four band equi-joins is complete).
-    * The scale fix over the 16-bit form: a 16-BIT band key has 2^16
-    * possible values instead of 2^5-2^6, so band-join fan-out stays
+  /** 64-bit SimHash near-dup pairs. Signature comes from the one-pass
+    * native kernel (graft.functions.SimHash64, a BIGINT); candidates from
+    * 4 pigeonhole bands of 16 bits (hamming ≤ 3 differences spread over 4
+    * bands must leave one band untouched, so the union of four band
+    * equi-joins is complete). Band j's key is the plain shift+mask
+    * `(sig >> 16·(3−j)) & 0xFFFF` and exact hamming is
+    * `bit_count(sig_a ^ sig_b)` — integer codegen all the way, an
+    * order-of-magnitude constant-factor cut over the r7 bit-string form
+    * (16-char substring keys, 64 per-position compares). Scale shape: a
+    * 16-bit band key has 2¹⁶ values, so band-join fan-out stays
     * proportional to true near-dup density instead of degenerating to
-    * ~N²/32 candidate pairs as the corpus grows.
+    * ~N²/32 candidate pairs the way a 5-6-bit chunk key would (the retired
+    * 16-bit signature's failure mode).
     */
   def simhashPairs64(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -231,14 +207,14 @@ object TextOps {
       .barrier() // feeds all four band joins; also stops digest re-compute
     val cands = (0 until 4).map { j =>
       val blocked = base.selectExpr("doc_id", "sig",
-        s"substring(sig, ${16 * j + 1}, 16) AS chave")
+        s"shiftright(sig, ${16 * (3 - j)}) & 65535 AS chave")
       val a = blocked.toDF("doc_a", "sig_a", "chave")
       val b = blocked.toDF("doc_b", "sig_b", "chave")
       a.join(b, Seq("chave")).filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
     }.reduce(_ unionAll _).distinct()
     cands
-      .withColumn("hamming", expr(hammingBits("sig_a", "sig_b", 64).spark))
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
@@ -490,7 +466,6 @@ object TextOps {
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_canonical" -> (dedupCanonical _),
-    "q_dedup_simhash" -> (simhashPairs(_, _)),
     "q_dedup_simhash64" -> (simhashPairs64(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
@@ -636,22 +611,13 @@ LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
   ON d.doc_id = a.cluster
 WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
 ORDER BY doc_id""",
-      "q_dedup_simhash" -> {
-        s"""WITH sigs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${simhash16(T.duck).duck} AS sig FROM documents),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
-    substring(a.sig, 1, 6) = substring(b.sig, 1, 6) OR
-    substring(a.sig, 7, 5) = substring(b.sig, 7, 5) OR
-    substring(a.sig, 12, 5) = substring(b.sig, 12, 5)))
-SELECT doc_a, doc_b, CAST(${hamming16("sig_a", "sig_b").duck} AS INTEGER) AS hamming
-FROM cands
-WHERE ${hamming16("sig_a", "sig_b").duck} <= 2
-ORDER BY doc_a, doc_b"""
-      },
       "q_dedup_simhash64" -> {
+        // same shift+mask band keys and bit_count(xor) hamming as the
+        // Spark pipeline — DuckDB's >> and bit_count share two's-complement
+        // semantics with Spark's shiftright/bit_count, so the BIGINT
+        // signature gates bit-exactly
         val bandEqs = (0 until 4)
-          .map(j => s"substring(a.sig, ${16 * j + 1}, 16) = substring(b.sig, ${16 * j + 1}, 16)")
+          .map(j => s"((a.sig >> ${16 * (3 - j)}) & 65535) = ((b.sig >> ${16 * (3 - j)}) & 65535)")
           .mkString(" OR\n    ")
         s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
 hashed AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS hl, len(t) AS nt FROM toks),
@@ -661,7 +627,7 @@ cands AS (
   FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
     $bandEqs))
 SELECT doc_a, doc_b, hamming FROM (
-  SELECT doc_a, doc_b, CAST(${hammingBits("sig_a", "sig_b", 64).duck} AS INTEGER) AS hamming
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
   FROM cands)
 WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
       },
