@@ -14,21 +14,30 @@ import org.apache.spark.sql.SparkSession
   *     KPI against the parquet-backed DW (dims read back from disk, not
   *     in-plan), which is where join-strategy choices differ from the
   *     whole-lineage path.
+  *   runMain graft.PlanAudit --ext [sfDir]         — ASSERTS the
+  *     AutoBroadcastBoundedDims rule fires in a session configured like
+  *     Bench's: a freshly derived bounded dim (no explicit hint) joined
+  *     under autoBroadcastJoinThreshold=-1 must plan a BroadcastHashJoin
+  *     via the rule, and a corpus-growing dim must NOT. Exits non-zero on
+  *     failure.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dwMode = args.contains("--dw")
-    val rest = args.filterNot(_ == "--dw")
+    val extMode = args.contains("--ext")
+    val rest = args.filterNot(a => a == "--dw" || a == "--ext")
     val dir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${if (dwMode) 32 else 8}]")
       .config("spark.sql.shuffle.partitions", if (dwMode) "32" else "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (extMode) builder.config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (extMode) { auditExt(spark, dir); spark.stop(); return }
     if (dwMode) auditDw(spark, dir) else {
       val which: Seq[String] =
         if (rest.length > 1) rest.drop(1).toSeq
@@ -40,6 +49,46 @@ object PlanAudit {
       }
     }
     spark.stop()
+  }
+
+  /** Asserts the shipped optimizer rule influences real plans: with the
+    * size heuristic disabled (threshold -1, the stand-in for "derived dim
+    * with no usable stats"), an UNHINTED lookup against the derived
+    * vendedor dim must still plan a BroadcastHashJoin — attributable only
+    * to AutoBroadcastBoundedDims — while the corpus-growing cliente dim
+    * must stay on the size-driven (shuffled) path.
+    */
+  private def auditExt(spark: SparkSession, dir: String): Unit = {
+    import graft.etl.Star
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val l = graft.Tables.lineitem(spark, dir)
+    val dv = Star.dimVendedor(spark, dir)
+      .select("sk_vendedor", "id_vendedor_original")
+    val hinted = l.join(dv, l("l_suppkey") === dv("id_vendedor_original"), "left")
+    val hintedPlan = hinted.queryExecution.executedPlan.toString
+    val o = graft.Tables.orders(spark, dir)
+    val dc = Star.dimCliente(spark, dir)
+      .select("sk_cliente", "id_cliente_original")
+    val corpus = o.join(dc, o("o_custkey") === dc("id_cliente_original"), "left")
+    val corpusPlan = corpus.queryExecution.executedPlan.toString
+    // the dims' INTERNAL nation/region joins carry explicit broadcast()
+    // hints, so BroadcastHashJoin presence alone can't attribute the rule;
+    // the outer lookup is the only join left that COULD sort-merge — its
+    // strategy is read off SortMergeJoin presence/absence
+    val okBounded = !hintedPlan.contains("SortMergeJoin") &&
+      hintedPlan.contains("BroadcastHashJoin")
+    val okCorpus = corpusPlan.contains("SortMergeJoin")
+    println(s"[ext-audit] derived bounded dim broadcasts via rule: $okBounded")
+    println(s"[ext-audit] corpus-growing dim stays shuffled:       $okCorpus")
+    if (!okBounded) println(hintedPlan)
+    if (!okCorpus) println(corpusPlan)
+    if (!(okBounded && okCorpus)) {
+      System.err.println("[ext-audit] FAIL")
+      spark.stop()
+      sys.exit(1)
+    }
+    println("[ext-audit] PASS")
   }
 
   /** Mirror of Bench phase 1+2: sink the star, read it back, explain+time. */

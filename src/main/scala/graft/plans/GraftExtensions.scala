@@ -34,13 +34,33 @@ object AutoBroadcastBoundedDims extends Rule[LogicalPlan] {
 
   private val MarkerConf = "graft.autobroadcast.cols"
   private val DefaultMarkers = "id_produto_original,id_vendedor_original"
+  private val MaxBytesConf = "graft.autobroadcast.maxBytes"
+  private val DefaultMaxBytes = 256L * 1024 * 1024
 
   private def markers: Set[String] =
     SQLConf.get.getConfString(MarkerConf, DefaultMarkers)
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
+  private def maxBytes: Long =
+    SQLConf.get.getConfString(MaxBytesConf, DefaultMaxBytes.toString).toLong
+
+  /** Size guard (belt to the marker's suspenders): a marker-bearing side
+    * whose statistics are CREDIBLE and huge is never force-broadcast. A
+    * plan estimate is credible here when the subtree contains no Join —
+    * scan/local-relation sizes are real numbers, while a join-derived
+    * subtree's sizeInBytes is the product of its inputs (exactly the
+    * garbage estimate this rule exists to bypass for derived dims). So:
+    * join-free + over graft.autobroadcast.maxBytes (default 256 MB) →
+    * refuse the hint; join-derived → trust the marker contract.
+    */
+  private def sizeGuardOk(p: LogicalPlan, limit: Long): Boolean = {
+    val joinFree = p.collectFirst { case j: Join => j }.isEmpty
+    !joinFree || p.stats.sizeInBytes <= BigInt(limit)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val m = markers
+    val limit = maxBytes
     if (m.isEmpty) plan
     else plan.transform {
       case j @ Join(l, r, _, Some(cond), hint) =>
@@ -51,7 +71,8 @@ object AutoBroadcastBoundedDims extends Rule[LogicalPlan] {
         // would broadcast the fact)
         val refs = cond.references
         def isBoundedLookup(p: LogicalPlan): Boolean =
-          p.output.exists(a => m.contains(a.name) && refs.contains(a))
+          p.output.exists(a => m.contains(a.name) && refs.contains(a)) &&
+            sizeGuardOk(p, limit)
         val lh = hint.leftHint.orElse(
           if (isBoundedLookup(l)) Some(HintInfo(strategy = Some(BROADCAST))) else None)
         val rh = hint.rightHint.orElse(

@@ -91,6 +91,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("auto-broadcast rule: size guard refuses an oversized marker-bearing side") {
+    withExtSession { s2 =>
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      // a join-free side's size estimate is credible; force the guard to
+      // treat ANY such side as oversized — a mislabeled corpus-scale scan
+      // carrying the marker name must stay un-hinted
+      s2.conf.set("graft.autobroadcast.maxBytes", "1")
+      try {
+        val fact = graft.Tables.lineitem(s2, tiny)
+        val mislabeled = graft.Tables.part(s2, tiny).selectExpr(
+          "p_partkey AS id_produto_original", "p_name AS nome_produto")
+        val joined = fact.join(mislabeled,
+          fact("l_partkey") === col("id_produto_original"), "left")
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "guard must refuse a credible-stats side over maxBytes")
+      } finally {
+        s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s2.conf.unset("spark.sql.adaptive.enabled")
+        s2.conf.unset("graft.autobroadcast.maxBytes")
+      }
+    }
+  }
+
   test("auto-broadcast rule: marker list is conf-driven and can be emptied") {
     withExtSession { s2 =>
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
