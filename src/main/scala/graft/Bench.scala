@@ -26,6 +26,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the shipped optimizer rule (AutoBroadcastBoundedDims) runs in
+      // every measured plan, exactly as a deployment would install it —
+      // explicit broadcast() hints in Star still take precedence (the
+      // rule is hint-idempotent); the rule covers the unhinted derived
+      // lookups (see PlanAudit --ext for the plan-level assertion)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed tables (phase 4) go through saveAsTable: keep the
       // warehouse unique and out of the repo — a reused location with a
       // fresh in-memory catalog fails with LOCATION_ALREADY_EXISTS
@@ -166,6 +172,12 @@ object Bench {
     time("q_ann_ivf_kmeans_indexed") {
       graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, sfDir, kmIdx).count()
     }
+    // near-dup SERVING from the same persisted index: the cell-blocked
+    // self-join without the per-invocation Lloyd training that
+    // q_embed_neardup (the self-contained oracle form) pays
+    time("q_embed_neardup_indexed") {
+      graft.sim.EmbeddingOps.embedNearDupIndexed(spark, sfDir, kmIdx).count()
+    }
     rmTree(kmIdx)
 
     // Phase 4 — bucketed storage as the measured fact-build default (the
@@ -183,10 +195,25 @@ object Bench {
     time("etl_bucket_tables_build") {
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
-      Tables.orders(spark, sfDir).write.mode("overwrite")
+      // repartition ON THE BUCKET KEY into exactly numBuckets partitions
+      // first: repartition's HashPartitioning is the same murmur3 pmod
+      // Spark's bucket-id assignment uses, so each write task holds
+      // exactly one bucket's rows and each bucket lands in ONE file.
+      // Without this (the r7 shape) every task writes a file per bucket
+      // it touches, and Spark DISTRUSTS the per-file sortBy metadata at
+      // read time (multiple sorted files per bucket aren't globally
+      // sorted), silently re-sorting both sides of the join it was
+      // supposed to pre-sort — the r7 bucketed-slower-than-shuffled
+      // inversion.
+      import org.apache.spark.sql.functions.col
+      Tables.orders(spark, sfDir)
+        .repartition(cpus.toInt, col("o_orderkey"))
+        .write.mode("overwrite")
         .bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("orders_bkt")
-      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+      Tables.lineitem(spark, sfDir)
+        .repartition(cpus.toInt, col("l_orderkey"))
+        .write.mode("overwrite")
         .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("lineitem_bkt")
     }
@@ -196,14 +223,17 @@ object Bench {
         spark.catalog.tableExists("lineitem_bkt")) {
       val factB = () => Star.fatoVendasFrom(spark, sfDir,
         spark.table("orders_bkt"), spark.table("lineitem_bkt"))
-      def nExchanges(df: org.apache.spark.sql.DataFrame) =
-        "Exchange hashpartitioning".r
-          .findAllIn(df.queryExecution.executedPlan.toString).length
-      System.err.println(s"[bench] fact plan Exchanges: " +
-        s"bucketed=${nExchanges(factB())}, " +
-        s"shuffled=${nExchanges(Star.fatoVendas(spark, sfDir))} " +
-        "(delta = the header⨝detail shuffle bucketing removes; the rest " +
-        "belong to the unbounded dim joins)")
+      def nodeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val p = df.queryExecution.executedPlan.toString
+        ("Exchange hashpartitioning".r.findAllIn(p).length,
+          "(?m)^[^\\n]*\\bSort \\[".r.findAllIn(p).length)
+      }
+      val (bx, bs) = nodeCounts(factB())
+      val (sx, ss) = nodeCounts(Star.fatoVendas(spark, sfDir))
+      System.err.println(s"[bench] fact plan: bucketed Exchanges=$bx Sorts=$bs, " +
+        s"shuffled Exchanges=$sx Sorts=$ss (bucketing must remove the " +
+        "header⨝detail Exchange AND its two Sorts; remaining nodes belong " +
+        "to the unbounded dim joins)")
       time("etl_star_build_bucketed") {
         graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt")
       }

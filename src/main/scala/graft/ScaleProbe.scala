@@ -11,9 +11,25 @@ import org.apache.spark.sql.functions._
   * partitioning/broadcast choices survive a scale-up.
   *
   * Usage: runMain graft.ScaleProbe [replicas] [workDir]
+  *        runMain graft.ScaleProbe --dedup [replicas] [workDir]
+  *
+  * `--dedup` probes the dedup/ANN family instead: documents and
+  * embeddings are replicated Nx and the banded candidate-generation paths
+  * (MinHash-LSH, prefix-filtered Jaccard, SimHash64 bands, IVF probe) are
+  * timed at 1x and Nx with their result counts. Documents are replicated
+  * with a per-replica token PREFIX, which maps each replica's shingle set
+  * bijectively (within-replica similarity structure preserved exactly)
+  * while making replicas mutually dissimilar — so Nx data is N
+  * independent corpora of equal near-dup density, and a linear-in-corpus
+  * path must show ~Nx pairs / ≲Nx time while an all-pairs path would show
+  * ~N²x. This is the empirical quadratic detector behind the scale
+  * claims.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.contains("--dedup")) {
+      dedupProbe(args.filterNot(_ == "--dedup")); return
+    }
     val n = if (args.length > 0) args(0).toInt else 10
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val src = "/root/testdata/sf0.1"
@@ -67,5 +83,60 @@ object ScaleProbe {
     println(f"x$n%d   : fact=$r2%,d rows  etl=$e2%.1f s  kpi=$k2%.1f s")
     println(f"scale ratio: data=${r2.toDouble / r1}%.1fx  etl=${e2 / e1}%.2fx  kpi=${k2 / k1}%.2fx")
     spark.stop()
+  }
+
+  /** The dedup/ANN growth probe (see object Scaladoc). A quadratic
+    * candidate path would grow pairs/time ~N²x on Nx independent corpora;
+    * the banded paths must stay ~linear. FAIL threshold: > 3·N growth
+    * (linear with generous slack, far under the N² signature).
+    */
+  private def dedupProbe(rest: Array[String]): Unit = {
+    val n = if (rest.length > 0) rest(0).toInt else 10
+    val work = if (rest.length > 1) rest(1) else "/tmp/graft_scaleprobe_dedup"
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reps = spark.range(n).select(col("id").as("rep"))
+    Tables.documents(spark, src).crossJoin(reps).selectExpr(
+        "doc_id + rep * 1000000000 AS doc_id",
+        // per-replica token prefix: bijective within a replica (shingle
+        // sets and token counts preserved), disjoint across replicas
+        "array_join(transform(split(trim(text), '\\\\s+'), t -> concat('r', CAST(rep AS STRING), '_', t)), ' ') AS text",
+        "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    Tables.embeddings(spark, src).crossJoin(reps).selectExpr(
+        "vec_id + rep * 1000000000 AS vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    val ops: Seq[(String, String => Long)] = Seq(
+      "minhash_lsh" -> (d => text.TextOps.minhashLsh(spark, d).count()),
+      "jaccard_ssjoin" -> (d => text.TextOps.jaccardPairs(spark, d).count()),
+      "simhash64_bands" -> (d => text.TextOps.simhashPairs64(spark, d).count()),
+      "ivf_probe" -> (d => sim.EmbeddingOps.annIvf(spark, d).count()))
+    println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${n + "x_rows"}%10s ${n + "x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
+    var fails = 0
+    ops.foreach { case (name, f) =>
+      val t0 = System.nanoTime(); val c1 = f(src)
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); val c2 = f(work)
+      val s2 = (System.nanoTime() - t1) / 1e9
+      val rowsX = c2.toDouble / math.max(c1, 1L)
+      val timeX = s2 / s1
+      // ivf_probe returns a FIXED top-k row count (queries × k) at any
+      // corpus size — only its time growth is meaningful
+      val grewQuadratic = timeX > 3.0 * n ||
+        (name != "ivf_probe" && rowsX > 3.0 * n)
+      if (grewQuadratic) fails += 1
+      println(f"$name%-16s $c1%9d $s1%8.2f $c2%10d $s2%8.2f $rowsX%7.1fx $timeX%7.1fx  ${if (grewQuadratic) "QUADRATIC?" else "linear"}")
+    }
+    spark.stop()
+    if (fails > 0) { System.err.println(s"[dedup-probe] FAIL: $fails op(s) grew super-linearly"); sys.exit(1) }
   }
 }

@@ -113,6 +113,36 @@ object EmbeddingOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** [[embedNearDup]] served from the PERSISTED k-means index: the cells
+    * table already holds every vector's trained-cell assignment, so the
+    * serving path is one parquet scan + a cell-blocked self-join — the
+    * Lloyd training is amortized into the index build instead of being
+    * re-run per invocation (the r7 q_embed_neardup regression: +1.9 s of
+    * in-query training). Results are identical to the self-contained form
+    * (same centroids, same assignment), so it gates against the SAME
+    * oracle.
+    */
+  def embedNearDupIndexed(s: SparkSession, d: String, indexDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val asg = s.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = asg.toDF("vec_a", "emb_a", "cell")
+    val b = asg.toDF("vec_b", "emb_b", "cell")
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Driver-contract wrapper: shares the staleness-fingerprinted k-means
+    * index with [[annIvfKmeansIndexedAuto]] (same build, built once).
+    */
+  def embedNearDupIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_km", buildIvfIndexKmeans(s, d, _), embedNearDupIndexed(s, d, _))
+
   /** IVF-style ANN: labels stand in for a k-means coarse quantizer. The
     * query is routed to its nearest centroid (cell), then searched
     * exhaustively only within that cell — the probe pattern of an IVF
@@ -471,7 +501,8 @@ object EmbeddingOps {
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
     "q_ann_lsh_buckets" -> (lshBuckets _),
-    "q_embed_neardup" -> (embedNearDup(_, _)))
+    "q_embed_neardup" -> (embedNearDup(_, _)),
+    "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -639,8 +670,13 @@ FROM embeddings ORDER BY vec_id""",
     // near-dup re-blocked on the TRAINED quantizer cell: the oracle
     // re-runs the full Lloyd training + final assignment, then pairs
     // within cells — must agree bit-exactly with the Spark lifecycle
-    "q_embed_neardup" ->
-      s"""WITH $kmeansCtes,
+    "q_embed_neardup" -> nearDupOracle,
+    // the index-backed serving path must reproduce the self-contained
+    // computation bit-exactly — same oracle as q_embed_neardup
+    "q_embed_neardup_indexed" -> nearDupOracle)
+
+  private def nearDupOracle: String =
+    s"""WITH $kmeansCtes,
 fin AS (
   SELECT vec_id, embedding, cell,
          ${normDuck("embedding")} AS nrm FROM (
@@ -654,5 +690,5 @@ SELECT cell, vec_a, vec_b, sim FROM (
   SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
          ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) AS sim
   FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-WHERE sim >= 0.4 ORDER BY vec_a, vec_b""")
+WHERE sim >= 0.4 ORDER BY vec_a, vec_b"""
 }
