@@ -192,6 +192,14 @@ object Bench {
     // the threshold).
     val abtSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // since 3.0 Spark IGNORES bucketed sortBy metadata at read (the scan
+    // reports no output ordering) unless this conf re-enables it; with
+    // the one-file-per-bucket write above the ordering is genuine, and
+    // enabling it is what lets the header⨝detail sort-merge join skip
+    // BOTH its Sort nodes, not just the Exchange. Cost: planning lists
+    // files per bucket — the right trade for a persistent warehouse
+    // table read many times.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     time("etl_bucket_tables_build") {
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
@@ -243,6 +251,7 @@ object Bench {
         s"$dw/fato_vendas_shf")
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtSaved)
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
