@@ -58,6 +58,14 @@ class IvfIndexSpec extends SparkSpec {
       "kmeans cells scan must prune unprobed partitions")
   }
 
+  test("near-dup served off the kmeans index equals the self-contained form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_nd").toString
+    EmbeddingOps.buildIvfIndexKmeans(spark, tiny, dir)
+    assert(EmbeddingOps.embedNearDupIndexed(spark, tiny, dir).collect() ===
+      EmbeddingOps.embedNearDup(spark, tiny).collect(),
+      "index-served pairs must be bit-identical to the in-query-trained pairs")
+  }
+
   test("the auto wrapper builds once and reuses the on-disk index") {
     val first = EmbeddingOps.annIvfIndexedAuto(spark, tiny).collect()
     val again = EmbeddingOps.annIvfIndexedAuto(spark, tiny).collect()
