@@ -345,52 +345,62 @@ object GraftFunctions {
       s"$fn: argument '$name' must be a foldable integer literal")
   }
 
-  /** Register for spark.sql use: minhashes(hs, k), cosine_sim(a, b). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("minhashes", { exprs =>
+  /** (name, expression class, builder) for every native function — the
+    * single source behind temp-function registration AND extension
+    * injection, so the two surfaces can never expose different subsets.
+    */
+  private[graft] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhashes", "graft.functions.MinHashes", exprs => {
       arityCheck("minhashes", exprs, 2)
       MinHashes(exprs.head, intArgCheck("minhashes", exprs(1), "k"))
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("cosine_sim", { exprs =>
+    }),
+    ("cosine_sim", "graft.functions.CosineSim", exprs => {
       arityCheck("cosine_sim", exprs, 2)
       CosineSim(exprs.head, exprs(1))
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("shingle_hashes", { exprs =>
+    }),
+    ("shingle_hashes", "graft.functions.ShingleHashes", exprs => {
       arityCheck("shingle_hashes", exprs, 2)
       ShingleHashes(exprs.head, intArgCheck("shingle_hashes", exprs(1), "n"))
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("shingle_minhashes", { exprs =>
+    }),
+    ("shingle_minhashes", "graft.functions.ShingleMinHashes", exprs => {
       arityCheck("shingle_minhashes", exprs, 3)
       ShingleMinHashes(exprs.head, intArgCheck("shingle_minhashes", exprs(1), "n"),
         intArgCheck("shingle_minhashes", exprs(2), "k"))
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("simhash64", { exprs =>
+    }),
+    ("simhash64", "graft.functions.SimHash64", exprs => {
       arityCheck("simhash64", exprs, 1)
       SimHash64(exprs.head)
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("sorted_inter_count", { exprs =>
+    }),
+    ("sorted_inter_count", "graft.functions.SortedInterCount", exprs => {
       arityCheck("sorted_inter_count", exprs, 2)
       SortedInterCount(exprs.head, exprs(1))
-    }, "scala_udf")
+    }))
+
+  /** Register every native function for spark.sql use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, _, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
+
+  /** Inject every native function as a session builtin (the
+    * `spark.sql.extensions` path — shared by both extensions classes).
+    */
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, cls, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(cls, name), b))
+    }
 }
 
-/** SparkSessionExtensions hook — lets a deployment wire the functions in
-  * via spark.sql.extensions=graft.functions.GraftExtensions.
+/** SparkSessionExtensions hook — lets a deployment wire the full native
+  * function set in via spark.sql.extensions=graft.functions.GraftExtensions.
+  * (graft.plans.GraftExtensions injects these AND the optimizer rules —
+  * the one-stop deployment entry point.)
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("minhashes"),
-      new ExpressionInfo("graft.functions.MinHashes", "minhashes"),
-      (exprs: Seq[Expression]) => {
-        GraftFunctions.arityCheck("minhashes", exprs, 2)
-        MinHashes(exprs.head, GraftFunctions.intArgCheck("minhashes", exprs(1), "k"))
-      }))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo("graft.functions.CosineSim", "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
 }

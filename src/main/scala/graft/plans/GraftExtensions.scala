@@ -83,8 +83,15 @@ object AutoBroadcastBoundedDims extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point registering the graft rules. */
+/** `spark.sql.extensions` entry point registering the graft optimizer
+  * rules AND the full native function set — the one-stop deployment
+  * class (`--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * gives a session minhashes/cosine_sim/simhash64/… as builtins plus
+  * the bounded-dim broadcast planning).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => AutoBroadcastBoundedDims)
+    graft.functions.GraftFunctions.inject(e)
+  }
 }

@@ -91,6 +91,18 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("one-stop extensions class exposes the native functions as builtins") {
+    withExtSession { s2 =>
+      val r = s2.sql(
+        "SELECT simhash64(array('a', 'b')) AS s, " +
+          "sorted_inter_count(array(1L, 2L), array(2L, 3L)) AS c, " +
+          "element_at(minhashes(array(md5('a')), 2), 1) AS m").head()
+      assert(r.getAs[Long]("s") !== 0L)
+      assert(r.getAs[Int]("c") === 1)
+      assert(r.getAs[Long]("m") > 0L)
+    }
+  }
+
   test("auto-broadcast rule: size guard refuses an oversized marker-bearing side") {
     withExtSession { s2 =>
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
