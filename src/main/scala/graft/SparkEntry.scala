@@ -120,6 +120,11 @@ object SparkEntry {
     // the watermark proves no match can arrive (sentinel-flushed)
     "q_attribution_stream_outer" ->
       (graft.streaming.Streams.attributionStreamedOuter _),
+    // streamed MinHash-LSH dedup: per-band stateful index, pairs emitted
+    // incrementally as the later doc arrives; two-file staging forces
+    // cross-batch pairs through state; same oracle as the batch form
+    "q_dedup_minhash_stream" ->
+      (graft.streaming.Streams.dedupMinhashStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 

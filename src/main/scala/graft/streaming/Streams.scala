@@ -200,6 +200,99 @@ object Streams {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** One (band key, doc) row of the streamed LSH index (public for
+    * codegen).
+    */
+  final case class BandedDoc(band: String, doc_id: Long)
+  /** Per-band-key state: every doc id seen in this band so far — the
+    * incremental form of the batch LSH index (public for codegen).
+    */
+  final case class BandSeen(ids: Seq[Long])
+  /** An emitted candidate pair, doc_a < doc_b (public for codegen). */
+  final case class BandPair(doc_a: Long, doc_b: Long)
+
+  /** Streamed MinHash-LSH near-dup candidate generation: each arriving
+    * document's band keys probe a per-band state holding every doc id
+    * seen in that band, and a candidate pair is emitted the MOMENT the
+    * later of the two docs arrives — the incremental twin of the batch
+    * band-key self-join (graft.text.TextOps.minhashLsh), for training-data
+    * ingest where the corpus arrives continuously and re-running batch
+    * dedup per increment would be O(corpus) each time.
+    *
+    * Emission needs no watermark (a pair exists as soon as both docs are
+    * in state, exactly like an inner join); each unordered pair is
+    * emitted at most once per band, because only the LATER doc pairs with
+    * the earlier ones (new docs pair against seen-state plus the
+    * earlier-sorted news of the same batch). State is the seen-corpus
+    * band index itself — keyed BY band value it shards across executors,
+    * and its total size is O(corpus × bands), the same footprint the
+    * batch join shuffles, held incrementally instead of rebuilt per run.
+    */
+  def lshPairsStream(banded: Dataset[BandedDoc]): Dataset[BandPair] = {
+    import banded.sparkSession.implicits._
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BandSeen, BandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BandSeen]) =>
+          val out = Seq.newBuilder[BandPair]
+          var seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          // membership check makes replays idempotent: an at-least-once
+          // source re-delivering a doc must not re-emit its pairs
+          it.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
+            if (!seen.contains(d)) {
+              seen.foreach(o =>
+                out += (if (o < d) BandPair(o, d) else BandPair(d, o)))
+              seen = seen :+ d
+            }
+          }
+          state.update(BandSeen(seen))
+          out.result().iterator
+      }
+  }
+
+  /** [[lshPairsStream]] as a gated batch-comparable query: the documents
+    * table is staged as TWO parquet files (split by doc id parity) and
+    * streamed one file per micro-batch, so pairs whose two docs arrive in
+    * DIFFERENT batches can only come from the stateful band index — the
+    * cross-batch increment is what the gate proves, against the very same
+    * DuckDB oracle as the batch q_dedup_minhash_lsh (signature kernel and
+    * band-key template are shared, graft.text.TextOps.lshBandsExpr, so
+    * stream and batch cannot drift). Post-shape: the emitted per-band
+    * pairs aggregate to (doc_a, doc_b, n_bands) in a follow-up batch read
+    * of the sink — the standard two-stage shape for a streamed index feed.
+    */
+  def dedupMinhashStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val T = graft.text.TextExprs.tokens("text")
+    val banded = stream
+      .selectExpr("doc_id", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
+      .selectExpr("doc_id", s"${graft.text.TextOps.lshBandsExpr} AS bands")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
+      .selectExpr("concat(CAST(band_idx AS STRING), '|', bkey) AS band", "doc_id")
+      .as[BandedDoc]
+    val q = lshPairsStream(banded)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

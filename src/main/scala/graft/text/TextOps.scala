@@ -160,15 +160,21 @@ object TextOps {
     * composition hook the curation pipeline uses to run near-dup detection
     * on an already-filtered corpus.
     */
+  /** The 4 LSH band keys from an 8-minhash signature column `mh`.
+    * '_' separator between the two signature halves: decimal concatenation
+    * without one is ambiguous ((1,23) and (12,3) both read "123"), which
+    * would let distinct signatures collide into one band key and produce
+    * spurious candidate pairs. The oracle uses the same separator. Shared
+    * with the STREAMED dedup (graft.streaming.Streams.dedupMinhashStreamed)
+    * so the incremental index can never use different band keys.
+    */
+  private[graft] val lshBandsExpr: String = (0 until 4)
+    .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), '_', element_at(mh, ${2 * j + 2})))")
+    .mkString("array(", ", ", ")")
+
   private[graft] def minhashLshOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // '_' separator between the two signature halves: decimal concatenation
-    // without one is ambiguous ((1,23) and (12,3) both read "123"), which
-    // would let distinct signatures collide into one band key and produce
-    // spurious candidate pairs. The oracle uses the same separator.
-    val bands = (0 until 4)
-      .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), '_', element_at(mh, ${2 * j + 2})))")
-      .mkString("array(", ", ", ")")
+    val bands = lshBandsExpr
     val sigs = docs
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
@@ -590,6 +596,13 @@ FROM documents ORDER BY doc_id"""
         """SELECT md5(text) AS hash, CAST(min(doc_id) AS BIGINT) AS doc_mantido, COUNT(*) AS n_copias
 FROM documents GROUP BY 1 ORDER BY hash""",
       "q_dedup_minhash_lsh" ->
+        s"""WITH $lshCtes
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+      // the STREAMED per-band stateful index must converge to exactly the
+      // batch band-join pairs — same oracle
+      "q_dedup_minhash_stream" ->
         s"""WITH $lshCtes
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id

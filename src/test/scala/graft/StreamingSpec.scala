@@ -263,4 +263,25 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Double]("valor"))).toSeq ===
       Seq((1L, 1, 1.0), (1L, 2, 12.0), (2L, 1, 5.0)))
   }
+
+  test("streamed LSH index: cross-batch pairs emit exactly once per band") {
+    import graft.streaming.Streams.BandedDoc
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BandedDoc]
+    val q = Streams.lshPairsStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_out").start()
+    // batch 1: docs 1, 2 share band A (same-batch pair); doc 3 alone in B
+    mem.addData(BandedDoc("A", 1L), BandedDoc("A", 2L), BandedDoc("B", 3L))
+    q.processAllAvailable()
+    val afterB1 = spark.table("lsh_out").as[(Long, Long)].collect().toSet
+    assert(afterB1 === Set((1L, 2L)))
+    // batch 2: doc 4 arrives in band A (pairs with STATE: 1 and 2) and in
+    // band B (pairs with 3); doc 1 re-announcing band A must NOT re-pair
+    mem.addData(BandedDoc("A", 4L), BandedDoc("B", 4L), BandedDoc("A", 1L))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("lsh_out").as[(Long, Long)].collect()
+    assert(all.length === all.distinct.length, "no duplicate band pairs")
+    assert(all.toSet === Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
 }
