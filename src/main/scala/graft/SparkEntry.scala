@@ -125,6 +125,11 @@ object SparkEntry {
     // cross-batch pairs through state; same oracle as the batch form
     "q_dedup_minhash_stream" ->
       (graft.streaming.Streams.dedupMinhashStreamed _),
+    // streamed VERIFIED near-dup: SimHash64 band state carries the BIGINT
+    // signature, exact hamming checked at emission — only true near-dups
+    // leave the operator; same oracle as the batch q_dedup_simhash64
+    "q_dedup_simhash_stream" ->
+      (graft.streaming.Streams.dedupSimhashStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 

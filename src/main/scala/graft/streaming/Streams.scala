@@ -293,6 +293,93 @@ object Streams {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** One (pigeonhole band key, doc, signature) row of the streamed
+    * SimHash index (public for codegen).
+    */
+  final case class BandedSig(band: String, doc_id: Long, sig: Long)
+  /** Per-band state: every (doc, signature) seen in this band (public for
+    * codegen).
+    */
+  final case class SigSeen(docs: Seq[BandedSig])
+  /** A VERIFIED near-dup pair, doc_a < doc_b, hamming ≤ maxHamming
+    * (public for codegen).
+    */
+  final case class SimPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Streamed SimHash64 near-dup detection — the VERIFIED counterpart of
+    * [[lshPairsStream]]: band state carries each doc's full 64-bit
+    * signature, so exact hamming (Long.bitCount of the xor) is checked at
+    * emission and only true near-dups (≤ maxHamming) leave the operator —
+    * candidates never hit disk. A qualifying pair can share several
+    * untouched bands and so emit from several band groups; the follow-up
+    * batch read dedups, mirroring the batch pipeline's `distinct()`.
+    * Replays are idempotent (membership check), and state is the
+    * seen-corpus band index sharded by the 2¹⁶-value band key.
+    */
+  def simhashPairsStream(banded: Dataset[BandedSig],
+      maxHamming: Int = 3): Dataset[SimPair] = {
+    import banded.sparkSession.implicits._
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[SigSeen, SimPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[SigSeen]) =>
+          val out = Seq.newBuilder[SimPair]
+          var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          it.toSeq.distinct.sortBy(_.doc_id).foreach { d =>
+            if (!seen.exists(_.doc_id == d.doc_id)) {
+              seen.foreach { o =>
+                val h = java.lang.Long.bitCount(o.sig ^ d.sig)
+                if (h <= maxHamming)
+                  out += (if (o.doc_id < d.doc_id) SimPair(o.doc_id, d.doc_id, h)
+                          else SimPair(d.doc_id, o.doc_id, h))
+              }
+              seen = seen :+ d
+            }
+          }
+          state.update(SigSeen(seen))
+          out.result().iterator
+      }
+  }
+
+  /** [[simhashPairsStream]] as a gated batch-comparable query: same
+    * two-file staging as the LSH form (cross-batch pairs must come from
+    * state), signature from the same native SimHash64 BIGINT kernel and
+    * the same shift/mask band keys as the batch pipeline, gated against
+    * the SAME DuckDB oracle as q_dedup_simhash64.
+    */
+  def dedupSimhashStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sim_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val T = graft.text.TextExprs.tokens("text")
+    val chaves = (0 until 4)
+      .map(j => s"concat('$j', '|', CAST(shiftright(sig, ${16 * (3 - j)}) & 65535 AS STRING))")
+      .mkString("array(", ", ", ")")
+    val banded = stream
+      .selectExpr("doc_id", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "simhash64(toks) AS sig")
+      .selectExpr("doc_id", "sig", s"$chaves AS bands")
+      .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
+      .select(col("band"), col("doc_id"), col("sig")).as[BandedSig]
+    val q = simhashPairsStream(banded)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out")).distinct()
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

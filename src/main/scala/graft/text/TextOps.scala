@@ -477,6 +477,29 @@ object TextOps {
 
   // ------------------------------------------------------------ oracles
 
+  /** Shared by q_dedup_simhash64 and its streamed twin: same shift+mask
+    * band keys and bit_count(xor) hamming as the Spark pipelines —
+    * DuckDB's >> and bit_count share two's-complement semantics with
+    * Spark's shiftright/bit_count, so the BIGINT signature gates
+    * bit-exactly.
+    */
+  private def simhash64Oracle: String = {
+    val bandEqs = (0 until 4)
+      .map(j => s"((a.sig >> ${16 * (3 - j)}) & 65535) = ((b.sig >> ${16 * (3 - j)}) & 65535)")
+      .mkString(" OR\n    ")
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+hashed AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS hl, len(t) AS nt FROM toks),
+sigs AS (SELECT doc_id, ${simhash64FromHashes("hl", "nt").duck} AS sig FROM hashed),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+    $bandEqs))
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+  FROM cands)
+WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
   val oracle: Map[String, String] = {
     // shared TF-IDF CTE prefix + weight expression (one source for both
     // TF-IDF oracles, mirroring tfidfParts/tfidfWeight on the Spark side)
@@ -624,26 +647,10 @@ LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
   ON d.doc_id = a.cluster
 WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
 ORDER BY doc_id""",
-      "q_dedup_simhash64" -> {
-        // same shift+mask band keys and bit_count(xor) hamming as the
-        // Spark pipeline — DuckDB's >> and bit_count share two's-complement
-        // semantics with Spark's shiftright/bit_count, so the BIGINT
-        // signature gates bit-exactly
-        val bandEqs = (0 until 4)
-          .map(j => s"((a.sig >> ${16 * (3 - j)}) & 65535) = ((b.sig >> ${16 * (3 - j)}) & 65535)")
-          .mkString(" OR\n    ")
-        s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
-hashed AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS hl, len(t) AS nt FROM toks),
-sigs AS (SELECT doc_id, ${simhash64FromHashes("hl", "nt").duck} AS sig FROM hashed),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
-    $bandEqs))
-SELECT doc_a, doc_b, hamming FROM (
-  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-  FROM cands)
-WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
-      },
+      "q_dedup_simhash64" -> simhash64Oracle,
+      // the STREAMED verified near-dup must converge to exactly the batch
+      // band-join + hamming result — same oracle
+      "q_dedup_simhash_stream" -> simhash64Oracle,
       "q_dedup_jaccard" ->
         s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
   list_distinct(list_transform(${SH.duck}, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shd,

@@ -284,4 +284,24 @@ class StreamingSpec extends SparkSpec {
     assert(all.length === all.distinct.length, "no duplicate band pairs")
     assert(all.toSet === Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
   }
+
+  test("streamed simhash index verifies hamming at emission, across batches") {
+    import graft.streaming.Streams.BandedSig
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BandedSig]
+    val q = Streams.simhashPairsStream(mem.toDS(), maxHamming = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sim_out").start()
+    // batch 1: doc 1 (sig 0b0000) registers in band "k"
+    mem.addData(BandedSig("k", 1L, 0L))
+    q.processAllAvailable()
+    assert(spark.table("sim_out").count() === 0)
+    // batch 2: doc 2 shares the band at hamming 2 (emit, verified from
+    // state), doc 3 shares it at hamming 8 (candidate REJECTED at
+    // emission — a band collision is not a near-dup)
+    mem.addData(BandedSig("k", 2L, 3L), BandedSig("k", 3L, 255L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sim_out").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 2)))
+  }
 }
