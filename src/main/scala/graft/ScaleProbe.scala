@@ -116,17 +116,21 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
     // rowsChecked: whether the OUTPUT pair count is expected to scale
-    // ~linearly under this perturbation. True for the set-based paths
-    // (Jaccard/MinHash-LSH — the token prefix maps shingle sets
-    // bijectively, so within-replica pair density is preserved exactly).
-    // FALSE for simhash64: its signature space re-randomizes under any
-    // vocabulary rename, so a templated doc family can legitimately
-    // collapse within the hamming threshold in one replica and emit
-    // ~|family|² REAL pairs (measured r8: replica 3 alone produced 11.7k
-    // of 17.5k pairs, zero cross-replica pairs) — output density is a
-    // corpus property, not an algorithmic cost; the time ratio is the
-    // quadratic detector there. ivf_probe returns a FIXED top-k row
-    // count at any corpus size, so only its time is meaningful too.
+    // ~linearly under this perturbation. Jaccard's is EXACT: the token
+    // prefix maps shingle sets bijectively, so each replica reproduces
+    // the 1x pair set verbatim. MinHash-LSH's is linear only in
+    // EXPECTATION — the 8 minhash values re-randomize per replica, so
+    // band collisions for moderately-similar docs redraw each replica
+    // (measured 11.0x on 10 replicas); the 3N threshold leaves the slack
+    // that statistical claim needs. FALSE for simhash64: its signature
+    // space also re-randomizes, but with a HARD output cliff — a
+    // templated doc family can legitimately collapse within the hamming
+    // threshold in one replica and emit ~|family|² REAL pairs (measured
+    // r8: replica 3 alone produced 11.7k of 17.5k pairs, zero
+    // cross-replica pairs) — output density is a corpus property, not an
+    // algorithmic cost; the time ratio is the quadratic detector there.
+    // ivf_probe returns a FIXED top-k row count at any corpus size, so
+    // only its time is meaningful too.
     val ops: Seq[(String, String => Long, Boolean)] = Seq(
       ("minhash_lsh", d => text.TextOps.minhashLsh(spark, d).count(), true),
       ("jaccard_ssjoin", d => text.TextOps.jaccardPairs(spark, d).count(), true),

@@ -250,21 +250,18 @@ object Streams {
       }
   }
 
-  /** [[lshPairsStream]] as a gated batch-comparable query: the documents
-    * table is staged as TWO parquet files (split by doc id parity) and
-    * streamed one file per micro-batch, so pairs whose two docs arrive in
-    * DIFFERENT batches can only come from the stateful band index — the
-    * cross-batch increment is what the gate proves, against the very same
-    * DuckDB oracle as the batch q_dedup_minhash_lsh (signature kernel and
-    * band-key template are shared, graft.text.TextOps.lshBandsExpr, so
-    * stream and batch cannot drift). Post-shape: the emitted per-band
-    * pairs aggregate to (doc_a, doc_b, n_bands) in a follow-up batch read
-    * of the sink — the standard two-stage shape for a streamed index feed.
+  /** Shared gating scaffold for the streamed dedup queries: stages the
+    * documents table as TWO parquet files (split by doc id parity),
+    * streams them one file per micro-batch — so pairs whose two docs
+    * arrive in DIFFERENT batches can only come from the stateful band
+    * index, which is the cross-batch increment the gate proves — runs
+    * `job(docStream)` to a parquet sink under `Trigger.AvailableNow`, and
+    * hands the sink to `post` for the follow-up batch shaping.
     */
-  def dedupMinhashStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def runDocStreamGate(spark: SparkSession, dir: String, tag: String)(
+      job: DataFrame => DataFrame)(post: DataFrame => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
+    val base = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream")
     def sub(n: String) = base.resolve(n).toString
     val docs = graft.Tables.documents(spark, dir)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
@@ -274,23 +271,39 @@ object Streams {
     val stream = spark.readStream
       .schema(spark.read.parquet(sub("in")).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub("in"))
-    val T = graft.text.TextExprs.tokens("text")
-    val banded = stream
-      .selectExpr("doc_id", s"${T.spark} AS toks")
-      .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
-      .selectExpr("doc_id", s"${graft.text.TextOps.lshBandsExpr} AS bands")
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
-      .selectExpr("concat(CAST(band_idx AS STRING), '|', bkey) AS band", "doc_id")
-      .as[BandedDoc]
-    val q = lshPairsStream(banded)
+    val q = job(stream)
       .writeStream.outputMode("append").format("parquet")
       .option("path", sub("out")).option("checkpointLocation", sub("cp"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(sub("out"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc_a", "doc_b")
+    post(spark.read.parquet(sub("out")))
+  }
+
+  /** [[lshPairsStream]] as a gated batch-comparable query (see
+    * [[runDocStreamGate]] for the two-file cross-batch mechanics),
+    * against the very same DuckDB oracle as the batch
+    * q_dedup_minhash_lsh — signature kernel and band-key template are
+    * shared (graft.text.TextOps.lshBandsExpr), so stream and batch
+    * cannot drift. Post-shape: the emitted per-band pairs aggregate to
+    * (doc_a, doc_b, n_bands) in a follow-up batch read of the sink — the
+    * standard two-stage shape for a streamed index feed.
+    */
+  def dedupMinhashStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = graft.text.TextExprs.tokens("text")
+    runDocStreamGate(spark, dir, "lsh") { stream =>
+      lshPairsStream(stream
+        .selectExpr("doc_id", s"${T.spark} AS toks")
+        .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
+        .selectExpr("doc_id", s"${graft.text.TextOps.lshBandsExpr} AS bands")
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
+        .selectExpr("concat(CAST(band_idx AS STRING), '|', bkey) AS band", "doc_id")
+        .as[BandedDoc]).toDF()
+    } { sink =>
+      sink.groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** One (pigeonhole band key, doc, signature) row of the streamed
@@ -341,43 +354,31 @@ object Streams {
       }
   }
 
-  /** [[simhashPairsStream]] as a gated batch-comparable query: same
-    * two-file staging as the LSH form (cross-batch pairs must come from
-    * state), signature from the same native SimHash64 BIGINT kernel and
-    * the same shift/mask band keys as the batch pipeline, gated against
-    * the SAME DuckDB oracle as q_dedup_simhash64.
+  /** [[simhashPairsStream]] as a gated batch-comparable query (see
+    * [[runDocStreamGate]] for the two-file cross-batch mechanics):
+    * signature from the same native SimHash64 BIGINT kernel and the same
+    * shift/mask band-key template as the batch pipeline
+    * (graft.text.TextOps.simhashBandExpr — one source, no drift), gated
+    * against the SAME DuckDB oracle as q_dedup_simhash64.
     */
   def dedupSimhashStreamed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    val base = java.nio.file.Files.createTempDirectory("graft_sim_stream")
-    def sub(n: String) = base.resolve(n).toString
-    val docs = graft.Tables.documents(spark, dir)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
-    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(sub("in"))
-    val stream = spark.readStream
-      .schema(spark.read.parquet(sub("in")).schema)
-      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
     val T = graft.text.TextExprs.tokens("text")
     val chaves = (0 until 4)
-      .map(j => s"concat('$j', '|', CAST(shiftright(sig, ${16 * (3 - j)}) & 65535 AS STRING))")
+      .map(j => s"concat('$j', '|', CAST(${graft.text.TextOps.simhashBandExpr("sig", j)} AS STRING))")
       .mkString("array(", ", ", ")")
-    val banded = stream
-      .selectExpr("doc_id", s"${T.spark} AS toks")
-      .selectExpr("doc_id", "simhash64(toks) AS sig")
-      .selectExpr("doc_id", "sig", s"$chaves AS bands")
-      .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
-      .select(col("band"), col("doc_id"), col("sig")).as[BandedSig]
-    val q = simhashPairsStream(banded)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.read.parquet(sub("out")).distinct()
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int"))
-      .orderBy("doc_a", "doc_b")
+    runDocStreamGate(spark, dir, "sim") { stream =>
+      simhashPairsStream(stream
+        .selectExpr("doc_id", s"${T.spark} AS toks")
+        .selectExpr("doc_id", "simhash64(toks) AS sig")
+        .selectExpr("doc_id", "sig", s"$chaves AS bands")
+        .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
+        .select(col("band"), col("doc_id"), col("sig")).as[BandedSig]).toDF()
+    } { sink =>
+      sink.distinct()
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -172,6 +172,15 @@ object TextOps {
     .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), '_', element_at(mh, ${2 * j + 2})))")
     .mkString("array(", ", ", ")")
 
+  /** SimHash64 pigeonhole band key j (0..3) over a BIGINT signature
+    * column `sig`: the shift/mask template shared by the batch band join
+    * ([[simhashPairs64]]), its streamed twin
+    * (graft.streaming.Streams.dedupSimhashStreamed), and mirrored by the
+    * DuckDB oracle — one source so the three can never band differently.
+    */
+  private[graft] def simhashBandExpr(sig: String, j: Int): String =
+    s"shiftright($sig, ${16 * (3 - j)}) & 65535"
+
   private[graft] def minhashLshOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bands = lshBandsExpr
@@ -213,7 +222,7 @@ object TextOps {
       .barrier() // feeds all four band joins; also stops digest re-compute
     val cands = (0 until 4).map { j =>
       val blocked = base.selectExpr("doc_id", "sig",
-        s"shiftright(sig, ${16 * (3 - j)}) & 65535 AS chave")
+        s"${simhashBandExpr("sig", j)} AS chave")
       val a = blocked.toDF("doc_a", "sig_a", "chave")
       val b = blocked.toDF("doc_b", "sig_b", "chave")
       a.join(b, Seq("chave")).filter(col("doc_a") < col("doc_b"))
