@@ -213,6 +213,17 @@ object TextOps {
     * proportional to true near-dup density instead of degenerating to
     * ~N²/32 candidate pairs the way a 5-6-bit chunk key would (the retired
     * 16-bit signature's failure mode).
+    *
+    * Regime bound, stated for the 100 TB design review: random band
+    * collisions contribute ~4·N²/2¹⁷ candidate pairs, which stays below
+    * the true-near-dup term while N ≪ 2¹⁶ × (docs per true cluster) —
+    * comfortably so for corpora up to ~10⁸ docs. At the 10⁹+ regime the
+    * standard move is the multi-index pigeonhole generalization (split
+    * 64 bits into b > 4 bands of 64/b bits and require agreement on any
+    * ⌈b−h⌉ of them, raising the effective key width), which this
+    * operator's band loop parameterizes trivially; the 4×16 default is
+    * the right point for the corpus sizes the rest of this engine's
+    * defaults (8-function MinHash, 4×2 LSH bands) are tuned for.
     */
   def simhashPairs64(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
