@@ -172,14 +172,21 @@ object TextOps {
     .map(j => s"md5(concat(element_at(mh, ${2 * j + 1}), '_', element_at(mh, ${2 * j + 2})))")
     .mkString("array(", ", ", ")")
 
-  /** SimHash64 pigeonhole band key j (0..3) over a BIGINT signature
+  /** SimHash64 pigeonhole band key j (0..bands−1) over a BIGINT signature
     * column `sig`: the shift/mask template shared by the batch band join
     * ([[simhashPairs64]]), its streamed twin
     * (graft.streaming.Streams.dedupSimhashStreamed), and mirrored by the
     * DuckDB oracle — one source so the three can never band differently.
+    * Band j covers bit range [64j/bands, 64(j+1)/bands) from the MSB
+    * (integer splits, so widths differ by at most one bit when bands ∤ 64);
+    * the default 4 bands reproduce the 16-bit keys exactly.
     */
-  private[graft] def simhashBandExpr(sig: String, j: Int): String =
-    s"shiftright($sig, ${16 * (3 - j)}) & 65535"
+  private[graft] def simhashBandExpr(sig: String, j: Int, bands: Int = 4): String = {
+    val lo = 64 * j / bands
+    val hi = 64 * (j + 1) / bands
+    val mask = (1L << (hi - lo)) - 1
+    s"shiftright($sig, ${64 - hi}) & $mask"
+  }
 
   private[graft] def minhashLshOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -217,23 +224,26 @@ object TextOps {
     * Regime bound, stated for the 100 TB design review: random band
     * collisions contribute ~4·N²/2¹⁷ candidate pairs, which stays below
     * the true-near-dup term while N ≪ 2¹⁶ × (docs per true cluster) —
-    * comfortably so for corpora up to ~10⁸ docs. At the 10⁹+ regime the
-    * standard move is the multi-index pigeonhole generalization (split
-    * 64 bits into b > 4 bands of 64/b bits and require agreement on any
-    * ⌈b−h⌉ of them, raising the effective key width), which this
-    * operator's band loop parameterizes trivially; the 4×16 default is
-    * the right point for the corpus sizes the rest of this engine's
-    * defaults (8-function MinHash, 4×2 LSH bands) are tuned for.
+    * comfortably so for corpora up to ~10⁸ docs. The band layout IS
+    * parameterized: `maxHamming` sets the band count (h+1 pigeonhole
+    * bands of ~64/(h+1) bits, spec-verified against brute force at h=5),
+    * which is also the knob for the 10⁹+ regime; the 4×16 default is the
+    * right point for the corpus sizes the rest of this engine's defaults
+    * (8-function MinHash, 4×2 LSH bands) are tuned for.
     */
   def simhashPairs64(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // the multi-index pigeonhole rule: maxHamming differences spread over
+    // maxHamming+1 bands must leave one band untouched, so band count
+    // follows the threshold (default 3 → the 4×16-bit layout)
+    val bands = maxHamming + 1
     val base = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .selectExpr("doc_id", "simhash64(toks) AS sig")
-      .barrier() // feeds all four band joins; also stops digest re-compute
-    val cands = (0 until 4).map { j =>
+      .barrier() // feeds all band joins; also stops digest re-compute
+    val cands = (0 until bands).map { j =>
       val blocked = base.selectExpr("doc_id", "sig",
-        s"${simhashBandExpr("sig", j)} AS chave")
+        s"${simhashBandExpr("sig", j, bands)} AS chave")
       val a = blocked.toDF("doc_a", "sig_a", "chave")
       val b = blocked.toDF("doc_b", "sig_b", "chave")
       a.join(b, Seq("chave")).filter(col("doc_a") < col("doc_b"))

@@ -61,6 +61,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(brute.count() > 0) // tiny corpus has seeded near-dups
   }
 
+  test("simhash64 banding generalizes: 6 bands find exactly the hamming<=5 pairs") {
+    val banded = graft.text.TextOps.simhashPairs64(spark, tiny, maxHamming = 5)
+      .select("doc_a", "doc_b", "hamming")
+    val sigs = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"simhash64(${TextExprs.tokens("text").spark}) AS sig")
+    val a = sigs.toDF("doc_a", "sig_a")
+    val b = sigs.toDF("doc_b", "sig_b")
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+      .filter($"hamming" <= 5)
+      .select("doc_a", "doc_b", "hamming")
+    assert(banded.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(banded).count() === 0)
+    assert(brute.count() > 0)
+  }
+
   test("sorted_inter_count == filter/contains interCount template") {
     GraftFunctions.register(spark)
     val T = TextExprs.tokens("text")
