@@ -99,6 +99,19 @@ object StreamRun {
       .agg(sum("n").cast("long"), round(sum("soma_valor"), 2)).head()
     println(s"streamed totals: $streamed | batch twin: $batchTwin | " +
       s"match: ${streamed == batchTwin}")
+
+    // incremental near-dup detection over a document stream: the per-band
+    // stateful LSH index (candidates) and the hamming-verified SimHash64
+    // form, each checked against its batch twin on the same corpus
+    val docDir = "/root/testdata/sf0.001"
+    val nLsh = Streams.dedupMinhashStreamed(spark, docDir).count()
+    val nLshBatch = graft.text.TextOps.minhashLsh(spark, docDir).count()
+    println(s"streamed LSH dedup: $nLsh candidate pairs | batch twin: " +
+      s"$nLshBatch | match: ${nLsh == nLshBatch}")
+    val nSim = Streams.dedupSimhashStreamed(spark, docDir).count()
+    val nSimBatch = graft.text.TextOps.simhashPairs64(spark, docDir).count()
+    println(s"streamed simhash near-dup: $nSim verified pairs | batch twin: " +
+      s"$nSimBatch | match: ${nSim == nSimBatch}")
     spark.stop()
   }
 }
