@@ -106,6 +106,24 @@ class EngineSpec extends SparkSpec {
     // each declared oracle has a matching query entry
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
+    // ...and each query has an oracle: a query without one silently
+    // degrades to the driver's weaker rows-only check — every operator in
+    // this engine is supposed to be hash-gated
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+    // the queries map is assembled by ++ over module maps, where a
+    // duplicated key would silently shadow an implementation — the merged
+    // size must equal the sum of the parts
+    val parts = Seq(
+      graft.text.TextOps.queries, graft.sim.EmbeddingOps.queries,
+      graft.multimodal.Multimodal.queries, graft.etl.Scd.queries)
+    val overlap = parts.flatMap(_.keySet)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(overlap.isEmpty, s"duplicate query keys across modules: $overlap")
+    assert(SparkEntry.queries.size ===
+      (SparkEntry.queries.keySet -- parts.flatMap(_.keySet)).size +
+        parts.map(_.size).sum,
+      "module query keys must not shadow the base map")
   }
 
   test("star fact: row count = lineitem count (all keys matched), no null core SKs") {
