@@ -131,6 +131,13 @@ object SparkEntry {
     "q_dedup_simhash_stream" ->
       (graft.streaming.Streams.dedupSimhashStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
+    // bin-blocked range join (equi-join on fixed-width time bins) vs
+    // DuckDB's native IEJoin — two different algorithms, same answer
+    "q_range_join" -> (RelationalOps.rangeJoinBinned _),
+    // salted (key, salt) skew join, row-identical to the plain join
+    "q_skew_join_salted" -> (RelationalOps.skewJoinSalted _),
+    // mergeable count-min sketch; oracle rebuilds the identical sketch
+    "q_sketch_countmin" -> (RelationalOps.countMinUsers _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++

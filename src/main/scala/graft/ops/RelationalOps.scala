@@ -450,4 +450,106 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
       .orderBy("hora", "event_type")
+
+  /** Bin-blocked RANGE join (extension — the join shape OSS Spark has no
+    * native strategy for): every event falling inside each "flash promo"
+    * window `[ts, ts+1h)` opened by a high-value purchase, aggregated per
+    * window. A naive `points.join(windows, lo <= ts && ts < hi)` has no
+    * equi-key, so Spark plans BroadcastNestedLoopJoin — O(points ×
+    * windows) compares, the classic 100 TB killer. Blocking both sides on
+    * fixed-width time bins (width = the max window length, so a window
+    * spans at most 2 bins and a point exactly 1) turns it into an
+    * EQUI-join on the bin id: the shuffle moves each point once and each
+    * window ≤ 2×, and the residual range predicate runs only on
+    * bin-collocated pairs. A qualifying (point, window) pair meets in
+    * exactly the point's bin, so no post-join dedup is needed. Bin ids
+    * use integer `div` (not `/`): epoch micros near 2^50 lose boundary
+    * exactness under double division. The DuckDB oracle computes the same
+    * join with its native IEJoin inequality-join operator — two entirely
+    * different algorithms that must agree bit-exactly.
+    */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000000L // bin width == window width (1 hour)
+    val ev = events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val wins = ev.filter(col("event_type") === "purchase" && col("value") >= 150)
+      .select(col("event_id").as("janela_id"), col("ts_us").as("lo_us"),
+        (col("ts_us") + binUs).as("hi_us"))
+    // [lo, hi) spans bins lo div W .. (hi-1) div W — ≤ 2 when hi-lo ≤ W
+    val winBins = wins.withColumn("bin",
+      explode(sequence(expr(s"lo_us div $binUs"), expr(s"(hi_us - 1) div $binUs"))))
+    val pts = ev.select(col("event_id").as("ponto_id"), col("ts_us"), col("value"))
+      .withColumn("bin", expr(s"ts_us div $binUs"))
+    pts.join(winBins, Seq("bin"))
+      .filter(col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
+      .groupBy("janela_id")
+      .agg(count(lit(1)).as("n_eventos"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
+      .orderBy("janela_id")
+  }
+
+  /** Salted SKEW join (extension): when the fact side hashes to a handful
+    * of hot keys — here event_type, 5 values over the whole corpus — a
+    * plain shuffled equi-join lands every hot key's rows on ONE reducer,
+    * and one straggler partition carries 1/5th of the corpus no matter how
+    * many executors exist. Salting composes the key with a uniform shard
+    * id on the fact side (`pmod(event_id, 16)`) and EXPLODES the dim side
+    * over all 16 shard ids, so the equi-join on (key, salt) spreads each
+    * hot key across 16 reducers. The result is row-identical to the
+    * unsalted join (SkewJoinSpec asserts it, plus the (key, salt) shuffle
+    * key in the plan). The merge hint stands in for "dim too large to
+    * broadcast": at toy scale Spark would otherwise broadcast the 5-row
+    * dim and hide the skew entirely — the salt targets the shuffled-join
+    * regime where both sides exceed the broadcast threshold.
+    */
+  def skewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val shards = 16
+    val ev = events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_tipo"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_tipo"))
+      .withColumn("salt", explode(sequence(lit(0), lit(shards - 1))))
+    val fato = ev.withColumn("salt",
+      pmod(col("event_id"), lit(shards)).cast("int"))
+    fato.join(dim.hint("merge"), Seq("event_type", "salt"))
+      .select(col("event_id"), col("event_type"), col("n_tipo"), col("soma_tipo"),
+        (col("value").cast("decimal(18,2)").cast("double") / col("soma_tipo"))
+          .as("fracao"))
+      .orderBy("event_id")
+  }
+
+  /** Count-min sketch (extension — the mergeable frequency sketch a
+    * streaming or 100 TB pipeline uses when exact per-key counts don't
+    * fit): d=4 hash rows × w=64 buckets. Each row's bucket counts are a
+    * plain partial+final grouped SUM — mergeable across executors and
+    * micro-batches by construction (the per-key pre-aggregate IS the
+    * map-side combine) — and a key's estimate is the MIN over its d
+    * buckets: upper-biased, exact whenever one of the key's buckets
+    * carries no collision. The hash family is the engine's standard
+    * md5-halves (h1 + i·h2) mod p (the TextExprs.hashHalf layout), so the
+    * DuckDB oracle rebuilds the IDENTICAL sketch and the estimates gate
+    * bit-exactly. Output: per-user true count, estimate, and the
+    * overestimation the sketch incurred at this width.
+    */
+  def countMinUsers(spark: SparkSession, dir: String): DataFrame = {
+    val (d, w, p) = (4, 64, 1000000007L)
+    val keyed = events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .withColumn("h1", expr(s"CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % $p"))
+      .withColumn("h2", expr(s"CAST(conv(substring(h, 17, 15), 16, 10) AS BIGINT) % $p"))
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", expr(s"((h1 + i * h2) % $p) % $w"))
+    val cells = keyed.groupBy("i", "bucket").agg(sum("n_true").as("c"))
+    keyed.join(cells, Seq("i", "bucket"))
+      .groupBy("user_id", "n_true")
+      .agg(min("c").as("n_est"))
+      .select(col("user_id"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("superestimativa"))
+      .orderBy("user_id")
+  }
 }

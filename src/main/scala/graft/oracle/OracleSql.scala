@@ -479,5 +479,44 @@ ORDER BY receita DESC, n_name""",
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
 FROM events
 GROUP BY 1, 2
-ORDER BY hora, event_type""")
+ORDER BY hora, event_type""",
+    // the Spark side bins both relations on fixed-width time bins and
+    // equi-joins; DuckDB answers the same query with its native IEJoin
+    // inequality join — two different algorithms that must agree
+    "q_range_join" ->
+      """WITH j AS (SELECT event_id AS janela_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi
+           FROM events WHERE event_type = 'purchase' AND value >= 150)
+SELECT CAST(j.janela_id AS BIGINT) AS janela_id,
+       COUNT(*) AS n_eventos,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+FROM events e JOIN j ON e.ts >= j.lo AND e.ts < j.hi
+GROUP BY 1
+ORDER BY janela_id""",
+    // the salted (key, salt) join must be row-identical to this plain join
+    "q_skew_join_salted" ->
+      """WITH d AS (SELECT event_type, COUNT(*) AS n_tipo,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_tipo
+           FROM events GROUP BY event_type)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, d.n_tipo, d.soma_tipo,
+       CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) / d.soma_tipo AS fracao
+FROM events e JOIN d USING (event_type)
+ORDER BY event_id""",
+    // rebuilds the IDENTICAL d=4 × w=64 count-min sketch (same md5-halves
+    // (h1 + i·h2) mod p hash family) and reads the same MIN-over-rows
+    // estimates — sketch content and estimates gate bit-exactly
+    "q_sketch_countmin" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY user_id),
+h AS (SELECT user_id, n_true,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1000000007 AS h1,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 17, 15))::BIGINT % 1000000007 AS h2
+      FROM k),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+pr AS (SELECT user_id, n_true, i, ((h1 + i * h2) % 1000000007) % 64 AS bucket
+       FROM h CROSS JOIN rows_),
+cells AS (SELECT i, bucket, CAST(SUM(n_true) AS BIGINT) AS c FROM pr GROUP BY i, bucket)
+SELECT CAST(p.user_id AS BIGINT) AS user_id, p.n_true, MIN(c.c) AS n_est,
+       MIN(c.c) - p.n_true AS superestimativa
+FROM pr p JOIN cells c USING (i, bucket)
+GROUP BY p.user_id, p.n_true
+ORDER BY user_id""")
 }

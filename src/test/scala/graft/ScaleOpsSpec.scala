@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RelationalOps
+
+/** The round-8 scale-operator trio: bin-blocked range join, salted skew
+  * join, count-min sketch. Each query's VALUES are gated against DuckDB by
+  * the driver (q_range_join / q_skew_join_salted / q_sketch_countmin);
+  * these specs pin what the gate can't see — the PLAN shapes that make the
+  * operators survive 100 TB, and the sketch's estimate bounds.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("binned range join equals the naive inequality join, without its plan") {
+    val binned = RelationalOps.rangeJoinBinned(spark, tiny)
+    // the naive formulation: no equi-key, Spark must nested-loop it
+    val ev = Tables.events(spark, tiny).select(
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val wins = ev.filter(col("event_type") === "purchase" && col("value") >= 150)
+      .select(col("event_id").as("janela_id"), col("ts_us").as("lo_us"),
+        (col("ts_us") + 3600L * 1000000L).as("hi_us"))
+    val naive = ev.join(wins,
+        ev("ts_us") >= wins("lo_us") && ev("ts_us") < wins("hi_us"))
+      .groupBy("janela_id")
+      .agg(count(lit(1)).as("n_eventos"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
+      .orderBy("janela_id")
+
+    assert(binned.collect().toSeq == naive.collect().toSeq)
+    val binnedPlan = binned.queryExecution.sparkPlan.toString
+    val naivePlan = naive.queryExecution.sparkPlan.toString
+    assert(!binnedPlan.contains("NestedLoop") && !binnedPlan.contains("Cartesian"),
+      s"binned range join must be an equi-join:\n$binnedPlan")
+    assert(naivePlan.contains("NestedLoop") || naivePlan.contains("Cartesian"),
+      s"naive form was expected to nested-loop (the point of binning):\n$naivePlan")
+  }
+
+  test("salted skew join equals the unsalted join and shuffles on (key, salt)") {
+    val salted = RelationalOps.skewJoinSalted(spark, tiny)
+    val ev = Tables.events(spark, tiny).select(
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_tipo"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_tipo"))
+    val plain = ev.join(dim, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("n_tipo"), col("soma_tipo"),
+        (col("value").cast("decimal(18,2)").cast("double") / col("soma_tipo"))
+          .as("fracao"))
+      .orderBy("event_id")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+    val plan = salted.queryExecution.sparkPlan.toString
+    assert("SortMergeJoin \\[event_type#\\d+, salt#\\d+\\]".r
+      .findFirstIn(plan).isDefined,
+      s"expected a sort-merge join keyed on (event_type, salt):\n$plan")
+  }
+
+  test("count-min estimates upper-bound true counts and stay tight at w=64") {
+    val rows = RelationalOps.countMinUsers(spark, tiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_est"))
+      assert(e >= t, s"count-min must never underestimate: $r")
+      assert(r.getAs[Long]("superestimativa") == e - t)
+    }
+    // 15 keys across 4×64 cells: at least one key must be collision-free
+    // in some row, i.e. exactly estimated
+    assert(rows.exists(_.getAs[Long]("superestimativa") == 0L))
+  }
+}
