@@ -130,6 +130,11 @@ object SparkEntry {
     // leave the operator; same oracle as the batch q_dedup_simhash64
     "q_dedup_simhash_stream" ->
       (graft.streaming.Streams.dedupSimhashStreamed _),
+    // streamed prefix-filtered SSJoin: per-prefix-shingle state index,
+    // exact Jaccard verified at emission; same oracle as the batch form
+    "q_dedup_jaccard_stream" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.Streams.dedupJaccardStreamed(s, d)),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     // bin-blocked range join (equi-join on fixed-width time bins) vs
     // DuckDB's native IEJoin — two different algorithms, same answer

@@ -264,7 +264,7 @@ object Streams {
     val base = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream")
     def sub(n: String) = base.resolve(n).toString
     val docs = graft.Tables.documents(spark, dir)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text", "lang")
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
     docs.filter(col("doc_id") % 2 === 1).coalesce(1)
       .write.mode("append").parquet(sub("in"))
@@ -377,6 +377,111 @@ object Streams {
     } { sink =>
       sink.distinct()
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** One (prefix-shingle band key, doc, sorted shingle ids) row of the
+    * streamed SSJoin index (public for codegen).
+    */
+  final case class PrefixDoc(band: String, doc_id: Long, shd: Seq[Long], n: Int)
+  /** Per-band state: every (doc, shingles) whose PREFIX contained this
+    * band's shingle (public for codegen).
+    */
+  final case class PrefixSeen(docs: Seq[PrefixDoc])
+  /** A VERIFIED near-dup pair, doc_a < doc_b, exact Jaccard ≥ threshold
+    * (public for codegen).
+    */
+  final case class JacPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Streamed prefix-filtered set-similarity join — the incremental twin
+    * of the batch Bayardo/Chaudhuri SSJoin (graft.text.TextOps
+    * .jaccardPairs): each arriving doc is routed to one state group per
+    * PREFIX shingle, probes the docs already indexed there, and exact
+    * Jaccard (linear merge over the sorted shingle arrays, the same
+    * arithmetic as the batch SortedInterCount kernel) is verified AT
+    * emission — only true near-dups leave the operator.
+    *
+    * The stream can't use the batch form's df-ascending prefix order (df
+    * evolves as the corpus arrives; a prefix computed today would be
+    * wrong tomorrow). It uses the shingle-hash ascending order instead —
+    * the prefix-filter theorem holds for ANY fixed global order on the
+    * universe, and hash order is corpus-independent, so the same doc
+    * always has the same prefix no matter when it arrives. df-ordering is
+    * only the candidate-count optimization; both orders verify exactly,
+    * so batch and stream emit the SAME pairs (one oracle gates both).
+    *
+    * State footprint: each doc's shingle array is held once per prefix
+    * shingle — O(prefix × |shd|) per doc, the price of self-contained
+    * verification at emission (the batch form re-joins a doc store
+    * instead; a serving deployment would too). A pair sharing several
+    * prefix shingles emits from several groups; the follow-up batch read
+    * dedups, mirroring the batch pipeline's `distinct()`.
+    */
+  def jaccardPairsStream(pre: Dataset[PrefixDoc],
+      threshold: Double = 0.5): Dataset[JacPair] = {
+    import pre.sparkSession.implicits._
+    pre.groupByKey(_.band)
+      .flatMapGroupsWithState[PrefixSeen, JacPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[PrefixSeen]) =>
+          def inter(a: Array[Long], b: Array[Long]): Int = {
+            var i = 0; var j = 0; var c = 0
+            while (i < a.length && j < b.length) {
+              if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+              else if (a(i) < b(j)) i += 1
+              else j += 1
+            }
+            c
+          }
+          val out = Seq.newBuilder[JacPair]
+          var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          it.toSeq.distinct.sortBy(_.doc_id).foreach { d =>
+            if (!seen.exists(_.doc_id == d.doc_id)) {
+              val da = d.shd.toArray
+              seen.foreach { o =>
+                val c = inter(o.shd.toArray, da)
+                val jac = c.toDouble / (o.n + d.n - c).toDouble
+                if (jac >= threshold)
+                  out += (if (o.doc_id < d.doc_id) JacPair(o.doc_id, d.doc_id, jac)
+                          else JacPair(d.doc_id, o.doc_id, jac))
+              }
+              seen = seen :+ d
+            }
+          }
+          state.update(PrefixSeen(seen))
+          out.result().iterator
+      }
+  }
+
+  /** [[jaccardPairsStream]] as a gated batch-comparable query (see
+    * [[runDocStreamGate]] for the two-file cross-batch mechanics): same
+    * shingle identities (native shingle_hashes kernel), same (lang,
+    * token-bucket) blocking embedded in the band key, same exact-Jaccard
+    * threshold — gated against the SAME DuckDB oracle as the batch
+    * q_dedup_jaccard, which builds the full inverted index independently.
+    */
+  def dedupJaccardStreamed(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val T = graft.text.TextExprs.tokens("text")
+    runDocStreamGate(spark, dir, "jac") { stream =>
+      jaccardPairsStream(stream
+        .selectExpr("doc_id", "lang", s"${T.spark} AS toks")
+        .selectExpr("doc_id", "lang", "shingle_hashes(toks, 3) AS shd",
+          "CAST(floor(size(toks) / 20) AS INT) AS bucket")
+        // shd is sorted ascending, so the hash-order prefix is a slice
+        .selectExpr("doc_id", "lang", "bucket", "shd", "size(shd) AS n",
+          s"slice(shd, 1, CAST(size(shd) - ceil(size(shd) * $threshold) + 1 AS INT)) AS pref")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("shd"),
+          col("n"), explode(col("pref")).as("s"))
+        .selectExpr(
+          "concat(CAST(s AS STRING), '|', lang, '|', CAST(bucket AS STRING)) AS band",
+          "doc_id", "shd", "CAST(n AS INT) AS n")
+        .as[PrefixDoc], threshold).toDF()
+    } { sink =>
+      sink.distinct()
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
   }

@@ -513,6 +513,24 @@ object TextOps {
     * Spark's shiftright/bit_count, so the BIGINT signature gates
     * bit-exactly.
     */
+  /** Shared by q_dedup_jaccard and its streamed twin: the oracle builds
+    * the FULL inverted index (no prefix filter at all) — a third
+    * algorithm that must agree with both the batch prefix-filtered SSJoin
+    * and the streamed hash-order-prefix state index.
+    */
+  private def jaccardOracle: String =
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  list_distinct(list_transform(${SH.duck}, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shd,
+  CAST(floor(len(${T.duck}) / 20) AS INTEGER) AS bucket FROM documents),
+sized AS (SELECT *, len(shd) AS n FROM base),
+ex AS (SELECT doc_id, lang, bucket, n, unnest(shd) AS s FROM sized)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS DOUBLE) / CAST(a.n + b.n - COUNT(*) AS DOUBLE) AS jaccard
+  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
   private def simhash64Oracle: String = {
     val bandEqs = (0 until 4)
       .map(j => s"((a.sig >> ${16 * (3 - j)}) & 65535) = ((b.sig >> ${16 * (3 - j)}) & 65535)")
@@ -681,17 +699,9 @@ ORDER BY doc_id""",
       // the STREAMED verified near-dup must converge to exactly the batch
       // band-join + hamming result — same oracle
       "q_dedup_simhash_stream" -> simhash64Oracle,
-      "q_dedup_jaccard" ->
-        s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-  list_distinct(list_transform(${SH.duck}, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shd,
-  CAST(floor(len(${T.duck}) / 20) AS INTEGER) AS bucket FROM documents),
-sized AS (SELECT *, len(shd) AS n FROM base),
-ex AS (SELECT doc_id, lang, bucket, n, unnest(shd) AS s FROM sized)
-SELECT doc_a, doc_b, jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(COUNT(*) AS DOUBLE) / CAST(a.n + b.n - COUNT(*) AS DOUBLE) AS jaccard
-  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
-WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")
+      "q_dedup_jaccard" -> jaccardOracle,
+      // the STREAMED prefix-filter state index must converge to exactly
+      // the batch SSJoin's verified pairs — same oracle
+      "q_dedup_jaccard_stream" -> jaccardOracle)
   }
 }

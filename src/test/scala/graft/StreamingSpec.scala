@@ -304,4 +304,25 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("sim_out").as[(Long, Long, Int)].collect().toSet
     assert(got === Set((1L, 2L, 2)))
   }
+
+  test("streamed jaccard index verifies exact overlap at emission, across batches") {
+    import graft.streaming.Streams.PrefixDoc
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PrefixDoc]
+    val q = Streams.jaccardPairsStream(mem.toDS(), threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("jac_out").start()
+    // batch 1: doc 1 registers under its prefix shingle 1
+    mem.addData(PrefixDoc("1", 1L, Seq(1L, 2L, 3L, 4L), 4))
+    q.processAllAvailable()
+    assert(spark.table("jac_out").count() === 0)
+    // batch 2: doc 2 shares the prefix group; |∩|=3, |∪|=5 → 0.6 ≥ 0.5
+    // (emit, verified from state); doc 3 collides in the group but
+    // overlaps only on shingle 1 → 1/7 (candidate REJECTED at emission)
+    mem.addData(PrefixDoc("1", 2L, Seq(1L, 2L, 3L, 5L), 4),
+      PrefixDoc("1", 3L, Seq(1L, 9L, 10L, 11L), 4))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("jac_out").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.6)))
+  }
 }
