@@ -148,7 +148,7 @@ object Bench {
       "q_dedup_minhash_lsh", "q_dedup_jaccard", "q_dedup_simhash64",
       "q_tfidf_cosine",
       "q_range_join", "q_skew_join_salted", "q_sketch_countmin",
-      "q_ann_brute", "q_embed_neardup").foreach { name =>
+      "q_ann_brute", "q_ann_pq", "q_embed_neardup").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -247,8 +247,8 @@ object EmbeddingOps {
   /** L2² distance as three shared dot templates: |v|² − 2⟨v,c⟩ + |c|².
     * Identical fold order in both engines → bit-identical doubles.
     */
-  private def l2sq(v: String, c: String) = {
-    val (dv, vc, cc) = (dot(v, v, DIM), dot(v, c, DIM), dot(c, c, DIM))
+  private def l2sq(v: String, c: String, dim: Int = DIM) = {
+    val (dv, vc, cc) = (dot(v, v, dim), dot(v, c, dim), dot(c, c, dim))
     graft.text.TextExprs.X(
       s"(${dv.spark} - 2.0 * ${vc.spark} + ${cc.spark})",
       s"(${dv.duck} - 2.0 * ${vc.duck} + ${cc.duck})")
@@ -342,6 +342,122 @@ object EmbeddingOps {
       .select(col("query_id"), col("q_emb"), routed("cell"), col("vec_id"),
         col("embedding"))
     rankProbed(s, hits)
+  }
+
+  // ------------------------------------------------- product quantization
+  // The COMPRESSED index path (IVF-PQ's second stage): the 64-dim float
+  // vector (256 bytes) is split into M=4 16-dim subspaces, each trained
+  // with its own tiny Lloyd codebook (K=8), and stored as 4 one-byte codes
+  // — 64× compression, the difference between an ANN index that fits in
+  // cluster memory at 100 TB and one that doesn't. Queries stay
+  // full-precision: ADC (asymmetric distance computation) precomputes, per
+  // query × subspace × codebook entry, the partial L2² between the query's
+  // sub-vector and the centroid (a LUT of M·K doubles per query, broadcast
+  // everywhere), and a candidate's approximate distance is FOUR LUT
+  // lookups + adds — the corpus's floats are never touched at query time.
+  // Training reuses the k-means discipline that makes the gate bit-exact
+  // (deterministic init, fixed unrolled rounds, exact-integer means, L2
+  // tie-breaks), per subspace.
+
+  private val PQ_M = 4
+  private val PQ_SUB = DIM / PQ_M // 16
+  private val PQ_K = 8
+  private val PQ_ITERS = 2
+
+  /** One row per (vec_id, subspace m) carrying the 16-dim slice. */
+  private def pqSubCorpus(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).select("vec_id", "embedding")
+      .withColumn("m", explode(sequence(lit(0), lit(PQ_M - 1))))
+      .selectExpr("vec_id", "m",
+        s"slice(embedding, m * $PQ_SUB + 1, $PQ_SUB) AS sub")
+
+  /** Per-subspace assignment: each (vec, m) to its nearest codebook entry
+    * OF THAT SUBSPACE — the same struct-min partial+final aggregate as
+    * [[assignCells]] (shuffle = one row per (vec, m)), keyed by m so all
+    * four codebooks train in ONE distributed job, not four.
+    */
+  private def pqAssign(base: DataFrame, cents: DataFrame): DataFrame =
+    base.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", expr(l2sq("sub", "centroid", PQ_SUB).spark))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cell"), col("sub"))).as("x"))
+      .select(col("vec_id"), col("m"), col("x.sub").as("sub"),
+        col("x.cell").as("cell"), col("x.dist").as("dist"))
+
+  /** Exact-integer element-wise means per (m, cell) — the per-subspace
+    * copy of [[recomputeCentroids]].
+    */
+  private def pqRecompute(assigned: DataFrame): DataFrame = assigned
+    .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("i", "x")))
+    .groupBy("m", "cell", "i")
+    .agg((sum(round(col("x").cast("double") * 1e6).cast("long")).cast("double") /
+      (count(lit(1)).cast("double") * 1e6)).as("mean"))
+    .groupBy("m", "cell")
+    .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("sm"))
+    .select(col("m"), col("cell"), expr("transform(sm, p -> p.mean)").as("centroid"))
+
+  /** The four trained codebooks after PQ_ITERS Lloyd rounds each
+    * (deterministic init: the K smallest vec_ids' sub-vectors,
+    * 1e-6-quantized; per-round checkpoint barrier keeps lineage flat).
+    */
+  def pqCodebooks(s: SparkSession, d: String): DataFrame = {
+    val base = pqSubCorpus(s, d)
+    val quant = "transform(sub, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
+      "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
+    var cents = base.filter(col("vec_id") < PQ_K)
+      .selectExpr("m", "CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
+    for (_ <- 1 to PQ_ITERS)
+      cents = graft.Checkpoint.barrier(pqRecompute(pqAssign(base, cents)))
+    cents
+  }
+
+  /** The compressed corpus: 4 codebook codes per vector (the 64×
+    * compression artifact a deployment would persist instead of the float
+    * column). Wide shape (c0..c3) so downstream ADC joins are plain
+    * equi-joins; codes gate against a DuckDB re-training of all four
+    * codebooks.
+    */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqAssign(pqSubCorpus(s, d), pqCodebooks(s, d))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
+      .selectExpr("vec_id" +:
+        (0 until PQ_M).map(m => s"CAST(mc[$m].cell AS INT) AS c$m"): _*)
+      .orderBy("vec_id")
+
+  /** ADC top-k probe over the compressed corpus: build the per-query LUT
+    * (M·K partial L2² doubles — here 8 queries × 32 entries), broadcast
+    * its four subspace slices, and resolve each candidate's approximate
+    * distance as `part0 + part1 + part2 + part3` — a FIXED left-to-right
+    * sum of four doubles, so Spark and DuckDB agree bit-exactly (a SUM()
+    * over the parts would be aggregation-order-dependent). The corpus
+    * side touches only the 4-code table: one scan, four broadcast joins,
+    * the bounded aggregator ranking tail — no shuffle of the corpus, no
+    * float vectors read at query time.
+    */
+  def annPqAdc(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCodebooks(s, d)
+    val codes = graft.Checkpoint.barrier(pqCodes(s, d))
+    val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "m", "q_sub")
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("part", expr(l2sq("q_sub", "centroid", PQ_SUB).spark))
+      .select("query_id", "m", "cell", "part")
+    var cands = codes.crossJoin(broadcast(lut.select("query_id").distinct()))
+    for (m <- 0 until PQ_M)
+      cands = cands.join(broadcast(lut.filter(col("m") === m)
+        .select(col("query_id"), col("cell").as(s"c$m"), col("part").as(s"part$m"))),
+        Seq("query_id", s"c$m"))
+    val sims = cands.filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-expr("part0 + part1 + part2 + part3")).as("sim"), col("vec_id"))
+    // rank by approximate distance ASC == negated-distance DESC through
+    // the bounded top-k tail; -(-x) is exact in IEEE, so the surfaced
+    // distance is bit-identical to the oracle's sum
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** Gated flat view of the trained centroids. */
@@ -502,7 +618,9 @@ object EmbeddingOps {
     "q_ann_brute" -> (annBruteForce _),
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)),
-    "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _))
+    "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _),
+    "q_pq_codes" -> (pqCodes _),
+    "q_ann_pq" -> (annPqAdc _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -541,6 +659,81 @@ cent0 AS (
 ),
 $rounds"""
   }
+
+  /** The PQ oracle mirrors the per-subspace training exactly as
+    * [[kmeansCtes]] mirrors the full-vector one — every CTE keyed by the
+    * subspace id m, fixed unrolled rounds, exact-integer means — so DuckDB
+    * re-trains all four codebooks and the codes/ADC results gate
+    * bit-exactly.
+    */
+  private def pqCtes: String = {
+    def asg(n: Int, cent: String) =
+      s"""pasg$n AS (
+  SELECT vec_id, m, sub, cell FROM (
+    SELECT b.vec_id, b.m, b.sub, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+             ${l2sq("b.sub", "c.centroid", PQ_SUB).duck} ASC, c.cell ASC) AS rn
+    FROM pqbase b JOIN $cent c ON b.m = c.m)
+  WHERE rn = 1
+)"""
+    def cent(n: Int, src: String) =
+      s"""pcent$n AS (
+  SELECT m, cell, list(mean ORDER BY i) AS centroid FROM (
+    SELECT m, cell, i,
+           CAST(SUM(CAST(round(CAST(sub[i] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS mean
+    FROM $src, (SELECT unnest(generate_series(1, $PQ_SUB)) AS i)
+    GROUP BY m, cell, i)
+  GROUP BY m, cell
+)"""
+    val rounds = (1 to PQ_ITERS)
+      .map(t => s"${asg(t, s"pcent${t - 1}")},\n${cent(t, s"pasg$t")}")
+      .mkString(",\n")
+    // one extra assignment under the FINAL codebooks = the stored codes
+    s"""pqbase AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, mm.m AS m,
+         list_slice(embedding, mm.m * $PQ_SUB + 1, (mm.m + 1) * $PQ_SUB) AS sub
+  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+pcent0 AS (
+  SELECT m, CAST(vec_id AS INTEGER) AS cell,
+         list_transform(generate_series(1, $PQ_SUB), i ->
+           CAST(CAST(round(CAST(sub[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0) AS centroid
+  FROM pqbase WHERE vec_id < $PQ_K
+),
+$rounds,
+${asg(PQ_ITERS + 1, s"pcent$PQ_ITERS")},
+pcodes AS (
+  SELECT vec_id,
+         ${(0 until PQ_M).map(m =>
+            s"CAST(MAX(CASE WHEN m = $m THEN cell END) AS INTEGER) AS c$m")
+            .mkString(",\n         ")}
+  FROM pasg${PQ_ITERS + 1} GROUP BY vec_id
+)"""
+  }
+
+  private def pqCodesOracle: String =
+    s"""WITH $pqCtes
+SELECT vec_id, c0, c1, c2, c3 FROM pcodes ORDER BY vec_id"""
+
+  private def annPqOracle: String =
+    s"""WITH $pqCtes,
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cell,
+         ${l2sq("q.sub", "c.centroid", PQ_SUB).duck} AS part
+  FROM (SELECT * FROM pqbase WHERE vec_id < $N_QUERIES) q
+  JOIN pcent$PQ_ITERS c ON q.m = c.m)
+SELECT query_id, vizinho, adist, rank FROM (
+  SELECT l0.query_id, k.vec_id AS vizinho,
+         l0.part + l1.part + l2.part + l3.part AS adist,
+         CAST(row_number() OVER (PARTITION BY l0.query_id ORDER BY
+           l0.part + l1.part + l2.part + l3.part ASC, k.vec_id ASC) AS INTEGER) AS rank
+  FROM pcodes k
+  JOIN lut l0 ON l0.m = 0 AND l0.cell = k.c0
+  JOIN lut l1 ON l1.m = 1 AND l1.cell = k.c1 AND l1.query_id = l0.query_id
+  JOIN lut l2 ON l2.m = 2 AND l2.cell = k.c2 AND l2.query_id = l0.query_id
+  JOIN lut l3 ON l3.m = 3 AND l3.cell = k.c3 AND l3.query_id = l0.query_id
+  WHERE l0.query_id <> k.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   /** One oracle template serves every probe width (rk <= nProbe). */
   private def ivfOracle(nProbe: Int): String =
@@ -673,7 +866,13 @@ FROM embeddings ORDER BY vec_id""",
     "q_embed_neardup" -> nearDupOracle,
     // the index-backed serving path must reproduce the self-contained
     // computation bit-exactly — same oracle as q_embed_neardup
-    "q_embed_neardup_indexed" -> nearDupOracle)
+    "q_embed_neardup_indexed" -> nearDupOracle,
+    // all four PQ codebooks re-trained from scratch in DuckDB; the 4-code
+    // compressed corpus must match exactly
+    "q_pq_codes" -> pqCodesOracle,
+    // ADC probe: same LUT, same fixed-order 4-part sum, same (dist ASC,
+    // vec ASC) ranking — approximate distances gate bit-exactly
+    "q_ann_pq" -> annPqOracle)
 
   private def nearDupOracle: String =
     s"""WITH $kmeansCtes,
