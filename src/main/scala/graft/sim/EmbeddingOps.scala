@@ -418,7 +418,14 @@ object EmbeddingOps {
     * codebooks.
     */
   def pqCodes(s: SparkSession, d: String): DataFrame =
-    pqAssign(pqSubCorpus(s, d), pqCodebooks(s, d))
+    pqCodesOf(s, d, pqCodebooks(s, d))
+
+  /** [[pqCodes]] under ALREADY-TRAINED codebooks — the sharing hook: the
+    * ADC/IVF-PQ probes train once and encode + build their LUT from the
+    * same codebook table (training twice doubled the probe cost).
+    */
+  private def pqCodesOf(s: SparkSession, d: String, cents: DataFrame): DataFrame =
+    pqAssign(pqSubCorpus(s, d), cents)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .selectExpr("vec_id" +:
@@ -436,8 +443,19 @@ object EmbeddingOps {
     * float vectors read at query time.
     */
   def annPqAdc(s: SparkSession, d: String): DataFrame = {
+    // one training feeds BOTH the encoder and the LUT (the codebooks are
+    // already barrier-materialized per round, so `cents` is a cheap local
+    // table here, not a recomputation)
     val cents = pqCodebooks(s, d)
-    val codes = graft.Checkpoint.barrier(pqCodes(s, d))
+    pqProbe(s, d, cents, graft.Checkpoint.barrier(pqCodesOf(s, d, cents)))
+  }
+
+  /** The ADC probe tail shared by the self-contained and index-backed
+    * forms: LUT from `cents`, candidates from `codes`, fixed-order 4-part
+    * sum, bounded top-k.
+    */
+  private def pqProbe(s: SparkSession, d: String, cents: DataFrame,
+      codes: DataFrame): DataFrame = {
     val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "m", "q_sub")
       .join(broadcast(cents), Seq("m"))
@@ -454,6 +472,74 @@ object EmbeddingOps {
     // rank by approximate distance ASC == negated-distance DESC through
     // the bounded top-k tail; -(-x) is exact in IEEE, so the surfaced
     // distance is bit-identical to the oracle's sum
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Persist the PQ index: the four codebooks (tiny) plus the 4-code
+    * compressed corpus — at 100 TB this is the table that replaces the
+    * float column in every ANN-serving read (64× smaller; here parquet,
+    * unpartitioned because ADC scans all codes — compose with the coarse
+    * IVF cells when pruning is wanted, as [[annIvfPq]] does).
+    */
+  def buildPqIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val cents = pqCodebooks(s, d)
+    cents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    pqCodesOf(s, d, cents).write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** ADC probe served from the persisted PQ index: training amortized
+    * into the build; the query path reads two parquet tables and runs the
+    * broadcast-LUT joins. Identical results — gates against the same
+    * oracle as q_ann_pq.
+    */
+  def annPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame =
+    pqProbe(s, d, s.read.parquet(s"$indexDir/codebooks"),
+      s.read.parquet(s"$indexDir/codes"))
+
+  /** Driver-contract wrapper (staleness-fingerprinted build-once). */
+  def annPqIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_pq", buildPqIndex(s, d, _), annPqIndexed(s, d, _))
+
+  /** IVF-PQ: the two trained stages composed, exactly the architecture a
+    * production vector index runs at corpus scale — the coarse k-means
+    * quantizer routes the query to its L2-nearest cell (search space drops
+    * to ~N/k candidates, partition-prunable), and WITHIN the cell
+    * candidates are ranked by ADC over the compressed codes (corpus floats
+    * never touched at query time). The oracle recomputes both trainings —
+    * full-vector Lloyd AND the four subspace codebooks — and the composed
+    * probe, all bit-exact.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val coarse = assignCells(s, base, cents).select("vec_id", "cell")
+    // one PQ training shared by the encoder and the LUT (see annPqAdc)
+    val pcents = pqCodebooks(s, d)
+    val codes = graft.Checkpoint.barrier(pqCodesOf(s, d, pcents))
+    val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "m", "q_sub")
+      .join(broadcast(pcents), Seq("m"))
+      .withColumn("part", expr(l2sq("q_sub", "centroid", PQ_SUB).spark))
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cell"))
+    var cands = routed.join(coarse, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(codes, Seq("vec_id"))
+    for (m <- 0 until PQ_M)
+      cands = cands.join(broadcast(lut.filter(col("m") === m)
+        .select(col("query_id"), col("code").as(s"c$m"), col("part").as(s"part$m"))),
+        Seq("query_id", s"c$m"))
+    val sims = cands.select(col("query_id"),
+      (-expr("part0 + part1 + part2 + part3")).as("sim"), col("vec_id"))
     rankViaTopK(s, sims)
       .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
         col("rank"))
@@ -620,7 +706,9 @@ object EmbeddingOps {
     "q_embed_neardup" -> (embedNearDup(_, _)),
     "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _),
     "q_pq_codes" -> (pqCodes _),
-    "q_ann_pq" -> (annPqAdc _))
+    "q_ann_pq" -> (annPqAdc _),
+    "q_ann_pq_indexed" -> (annPqIndexedAuto _),
+    "q_ann_ivfpq" -> (annIvfPq _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -733,6 +821,49 @@ SELECT query_id, vizinho, adist, rank FROM (
   JOIN lut l2 ON l2.m = 2 AND l2.cell = k.c2 AND l2.query_id = l0.query_id
   JOIN lut l3 ON l3.m = 3 AND l3.cell = k.c3 AND l3.query_id = l0.query_id
   WHERE l0.query_id <> k.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  /** IVF-PQ oracle: BOTH trainings recomputed (full-vector Lloyd CTEs +
+    * per-subspace codebook CTEs — disjoint CTE namespaces, one WITH), then
+    * the composed route-then-ADC probe.
+    */
+  private def annIvfPqOracle: String =
+    s"""WITH $kmeansCtes,
+$pqCtes,
+ivfin AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+),
+ivrouted AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             ${l2sq("q.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rk
+    FROM (SELECT * FROM kbase WHERE vec_id < $N_QUERIES) q
+    CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cell AS code,
+         ${l2sq("q.sub", "c.centroid", PQ_SUB).duck} AS part
+  FROM (SELECT * FROM pqbase WHERE vec_id < $N_QUERIES) q
+  JOIN pcent$PQ_ITERS c ON q.m = c.m)
+SELECT query_id, vizinho, adist, rank FROM (
+  SELECT r.query_id, k.vec_id AS vizinho,
+         l0.part + l1.part + l2.part + l3.part AS adist,
+         CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
+           l0.part + l1.part + l2.part + l3.part ASC, k.vec_id ASC) AS INTEGER) AS rank
+  FROM ivrouted r
+  JOIN ivfin f ON f.cell = r.cell AND f.vec_id <> r.query_id
+  JOIN pcodes k ON k.vec_id = f.vec_id
+  JOIN lut l0 ON l0.query_id = r.query_id AND l0.m = 0 AND l0.code = k.c0
+  JOIN lut l1 ON l1.query_id = r.query_id AND l1.m = 1 AND l1.code = k.c1
+  JOIN lut l2 ON l2.query_id = r.query_id AND l2.m = 2 AND l2.code = k.c2
+  JOIN lut l3 ON l3.query_id = r.query_id AND l3.m = 3 AND l3.code = k.c3)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   /** One oracle template serves every probe width (rk <= nProbe). */
@@ -872,7 +1003,13 @@ FROM embeddings ORDER BY vec_id""",
     "q_pq_codes" -> pqCodesOracle,
     // ADC probe: same LUT, same fixed-order 4-part sum, same (dist ASC,
     // vec ASC) ranking — approximate distances gate bit-exactly
-    "q_ann_pq" -> annPqOracle)
+    "q_ann_pq" -> annPqOracle,
+    // the index-backed ADC probe must reproduce the self-contained
+    // computation bit-exactly — same oracle as q_ann_pq
+    "q_ann_pq_indexed" -> annPqOracle,
+    // the composed coarse-route + in-cell ADC probe, both trainings
+    // recomputed from scratch
+    "q_ann_ivfpq" -> annIvfPqOracle)
 
   private def nearDupOracle: String =
     s"""WITH $kmeansCtes,
