@@ -24,7 +24,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
-    graft.text.TextOps.queries ++ graft.sim.EmbeddingOps.queries ++
+    graft.text.TextOps.queries ++ graft.text.CurationOps.queries ++
+    graft.sim.EmbeddingOps.queries ++
     graft.multimodal.Multimodal.queries ++ graft.etl.Scd.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++
-    graft.text.TextOps.oracle ++ graft.sim.EmbeddingOps.oracle ++
+    graft.text.TextOps.oracle ++ graft.text.CurationOps.oracle ++
+    graft.sim.EmbeddingOps.oracle ++
     graft.multimodal.Multimodal.oracle ++ graft.etl.Scd.oracle
 }

@@ -1,0 +1,318 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import TextExprs._
+
+/** Corpus-curation operators — the selection/estimation half of an LLM
+  * training-data pipeline, complementing TextOps (signals + dedup):
+  * deterministic stratified and quota sampling, k-minimum-values distinct
+  * estimation, PII redaction, repetition scoring (Gopher/C4-style rules),
+  * train/eval decontamination, and the composed keep/drop curation pass.
+  *
+  * Every operator ships a DuckDB oracle generated from the same TextExprs
+  * templates, so engine and oracle cannot drift. Randomness is banished:
+  * sampling draws come from md5 of the row id (uniform, engine-agnostic,
+  * reproducible — the property a curation pipeline needs anyway so a rerun
+  * selects the same corpus).
+  *
+  * Scale design: sampling/redaction/repetition are zero-shuffle per-row
+  * projections; KMV is a distinct + distributed top-k (the whole point —
+  * cardinality WITHOUT a full exact distinct at 100 TB); decontamination
+  * is an equi-join on a 60-bit shingle hash (never on raw text);
+  * curation's only shuffle is the tiny per-language rollup plus the exact
+  * dedup hash window.
+  */
+object CurationOps {
+
+  private val T = tokens("text")
+  private val SH = shingles3(T)
+
+  // ------------------------------------------------------------- sampling
+
+  /** Per-language keep-rate on the 4-hex-digit sampling hash: downsample
+    * the dominant language (en, 1/8), upsample the rarest (zh, 1/2), 1/4
+    * for the rest — classic mixture rebalancing, spelled as data both
+    * dialects share.
+    */
+  private val strata: Seq[(String, String)] =
+    Seq("en" -> "2000", "zh" -> "8000")
+  private val defaultRate = "4000"
+
+  private def strataCase(hash: String): String = {
+    val arms = strata.map { case (l, r) => s"WHEN '$l' THEN $hash < '$r'" }
+      .mkString(" ")
+    s"CASE lang $arms ELSE $hash < '$defaultRate' END"
+  }
+
+  /** Rate-based stratified sample: keep a deterministic per-language
+    * fraction of the corpus. Pure projection + filter — no shuffle, no
+    * RNG state; reruns and backfills select identical rows.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        s"${sampleHash("doc_id").spark} AS amostra")
+      .where(strataCase("amostra"))
+      .orderBy("doc_id")
+
+  /** Quota sample: exactly k documents per source, chosen by sampling-hash
+    * order (a deterministic stand-in for uniform-without-replacement).
+    * The window is per-source, so parallelism follows the stratum count;
+    * at corpus scale this is the standard per-partition top-k shape.
+    */
+  def sampleQuota(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("amostra", "doc_id")
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "source",
+        s"${sampleHash("doc_id").spark} AS amostra")
+      .withColumn("posicao", row_number().over(w))
+      .where(col("posicao") <= k)
+      .select("source", "posicao", "doc_id", "lang")
+      .orderBy("source", "posicao")
+  }
+
+  // ---------------------------------------------------- KMV distinct sketch
+
+  private val kmvK = 256
+  private val hashRange = "1152921504606846976" // 16^15 = 2^60
+
+  /** K-minimum-values estimate of the corpus's distinct-shingle count:
+    * hash every shingle into [0, 2⁶⁰), keep the k smallest distinct
+    * hashes, estimate (k−1)/max_k (normalized). The estimator is
+    * mergeable (union of per-partition top-k sets), which is why it —
+    * and not exact distinct — is the 100 TB vocabulary-size tool. The
+    * exact count rides along here only to gate the estimator's error at
+    * test scale; drop it in production.
+    *
+    * Plan shape: explode → distinct (one shuffle on the hash) → the k
+    * smallest via sort+limit (TakeOrderedAndProject: per-partition heaps,
+    * driver merge of k·partitions values — no global sort).
+    */
+  def sketchKmv(s: SparkSession, d: String): DataFrame = {
+    val hashes = documents(s, d)
+      .selectExpr(s"explode(${SH.spark}) AS s")
+      .selectExpr(s"${hash60("s").spark} AS h")
+      .distinct()
+    val kth = hashes.orderBy("h").limit(kmvK)
+      .agg(max(col("h")).as("kesimo_min"))
+    val exact = hashes.agg(count(lit(1)).as("exato"))
+    kth.crossJoin(exact)
+      .selectExpr(s"$kmvK AS k", "kesimo_min",
+        s"CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa",
+        "exato")
+      .selectExpr("k", "kesimo_min", "estimativa", "exato",
+        "abs(estimativa - CAST(exato AS DOUBLE)) / CAST(exato AS DOUBLE) AS erro_rel")
+  }
+
+  // --------------------------------------------------------- PII redaction
+
+  // regexes spelled without backslashes ([.] instead of \.) so the same
+  // pattern string survives both dialects' literal escaping rules
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** The synthetic corpus carries no PII, so the operator plants a
+    * deterministic, per-doc-varying amount of it (doc_id%3 emails,
+    * a phone on even ids) and then redacts — the redaction counts are
+    * non-trivial and the whole construction is reproducible in SQL on
+    * the oracle side. (X because CAST AS STRING/VARCHAR differ.)
+    */
+  private val augmented: X = X(
+    spark = "concat(text, repeat(concat(' contato user', CAST(doc_id AS STRING), '@example.com'), CAST(doc_id % 3 AS INT)), " +
+      "CASE WHEN doc_id % 2 = 0 THEN concat(' tel 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)",
+    duck = "concat(text, repeat(concat(' contato user', CAST(doc_id AS VARCHAR), '@example.com'), CAST(doc_id % 3 AS INTEGER)), " +
+      "CASE WHEN doc_id % 2 = 0 THEN concat(' tel 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END)")
+
+  /** PII scrub: count and mask emails and phone numbers. Zero-shuffle
+    * per-row projection; regex classes are shared Java-regex/RE2 syntax.
+    * The masked text is surfaced as md5 so the gate pins the full
+    * redacted string without dumping it.
+    */
+  def textRedact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"${augmented.spark} AS texto")
+      .selectExpr("doc_id",
+        s"size(regexp_extract_all(texto, '$emailRe', 0)) AS n_emails",
+        s"size(regexp_extract_all(texto, '$phoneRe', 0)) AS n_telefones",
+        s"md5(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]'), '$phoneRe', '[TEL]')) AS hash_redigido",
+        s"length(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]'), '$phoneRe', '[TEL]')) AS tamanho_redigido")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ repetition
+
+  private val dupTri = dupFraction(SH)
+  private val dupTok = dupFraction(T)
+  private val topTok = topElemFraction(T)
+
+  /** Gopher/C4-style repetition rule (data-dependent thresholds chosen for
+    * the synthetic corpus; the RULE is the operator).
+    */
+  private def repetitiveCase(dupTriE: String, topTokE: String): String =
+    s"CASE WHEN $dupTriE >= 0.2 OR $topTokE >= 0.12 THEN 1 ELSE 0 END"
+
+  /** Repetition signals: duplicate-token fraction, duplicate-trigram
+    * fraction, top-token mass, and the composed keep/drop verdict. All
+    * per-row array folds — no shuffle; per-doc cost bounded by doc length.
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id",
+      s"size(${T.spark}) AS n_tokens",
+      s"${dupTok.spark} AS razao_tokens_dup",
+      s"${dupTri.spark} AS razao_trigramas_dup",
+      s"${topTok.spark} AS fracao_token_top",
+      s"${repetitiveCase(dupTri.spark, topTok.spark)} AS repetitivo")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------ decontamination
+
+  /** Train/eval contamination check — the benchmark-leakage scan every
+    * training-data pipeline needs: eval docs (doc_id ≡ 0 mod 10) whose
+    * distinct 3-shingles also occur anywhere in the train split. The join
+    * runs on the 60-bit shingle hash, never raw text, so the shuffled
+    * keys are 8 bytes; at corpus scale this is one equi-join plus a
+    * per-eval-doc count. razao = overlapped/total shingles; ≥ 0.8 flags
+    * the doc as contaminated (a near-copy of training data).
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${SH.spark} AS sh")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(sh, s -> ${hash60("s").spark})) AS shd")
+    val ex = hashed.select(col("doc_id"), explode(col("shd")).as("h"))
+    val train = ex.filter("doc_id % 10 <> 0").select("h").distinct()
+    val eval_ = ex.filter("doc_id % 10 = 0")
+    val overlap = eval_.join(train, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminados"))
+    hashed.filter("doc_id % 10 = 0")
+      .selectExpr("doc_id", "size(shd) AS n_shingles")
+      .join(overlap, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminados"))
+      .selectExpr("doc_id", "n_shingles", "n_contaminados",
+        "CAST(n_contaminados AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS razao_contaminacao",
+        "CASE WHEN CAST(n_contaminados AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END AS contaminado")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------- composed curation
+
+  /** The composed curation pass — what a corpus build actually runs:
+    * keep docs that (a) pass the quality rule, (b) have a language-ID
+    * agreeing with the labeled language, (c) are not repetitive, and
+    * (d) survive exact dedup (smallest doc_id per md5(text) wins); then
+    * roll the kept corpus up per language. One hash window + one tiny
+    * aggregate; every predicate is a per-row projection reusing the
+    * q_text_quality / q_lang_id / q_text_repetition templates.
+    */
+  def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    val quality = TextOps.qualityVerdict(_.spark, "size")
+    val langOk = s"(${TextOps.langVerdict(_.spark)}) = lang"
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text",
+        s"size(${T.spark}) AS n_tokens",
+        s"$quality AS qualidade",
+        s"CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok",
+        s"${repetitiveCase(dupTri.spark, topTok.spark)} AS repetitivo")
+      .withColumn("doc_keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0 AND doc_id = doc_keeper")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .selectExpr("lang", "n_docs", "total_tokens",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+      .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_sample_quota" -> (sampleQuota(_, _)),
+    "q_sketch_kmv" -> (sketchKmv _),
+    "q_text_redact" -> (textRedact _),
+    "q_text_repetition" -> (textRepetition _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_corpus_curate" -> (corpusCurate _))
+
+  // ------------------------------------------------------------- oracles
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang, amostra FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, ${sampleHash("doc_id").duck} AS amostra
+  FROM documents)
+WHERE ${strataCase("amostra")} ORDER BY doc_id""",
+    "q_sample_quota" ->
+      s"""SELECT source, posicao, doc_id, lang FROM (
+  SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY amostra, doc_id) AS INTEGER) AS posicao,
+         doc_id, lang
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, ${sampleHash("doc_id").duck} AS amostra
+        FROM documents))
+WHERE posicao <= 5 ORDER BY source, posicao""",
+    "q_sketch_kmv" ->
+      s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
+hs AS (SELECT DISTINCT ${hash60("s").duck} AS h FROM ex),
+kth AS (SELECT max(h) AS kesimo_min FROM (SELECT h FROM hs ORDER BY h LIMIT $kmvK)),
+ext AS (SELECT COUNT(*) AS exato FROM hs)
+SELECT k, kesimo_min, estimativa, exato,
+       abs(estimativa - CAST(exato AS DOUBLE)) / CAST(exato AS DOUBLE) AS erro_rel
+FROM (SELECT $kmvK AS k, kesimo_min,
+             CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa,
+             exato
+      FROM kth CROSS JOIN ext)""",
+    "q_text_redact" ->
+      s"""SELECT doc_id,
+CAST(len(regexp_extract_all(texto, '$emailRe')) AS INTEGER) AS n_emails,
+CAST(len(regexp_extract_all(texto, '$phoneRe')) AS INTEGER) AS n_telefones,
+md5(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[TEL]', 'g')) AS hash_redigido,
+CAST(length(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[TEL]', 'g')) AS INTEGER) AS tamanho_redigido
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${augmented.duck} AS texto FROM documents)
+ORDER BY doc_id""",
+    "q_text_repetition" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+${dupTok.duck} AS razao_tokens_dup,
+${dupTri.duck} AS razao_trigramas_dup,
+${topTok.duck} AS fracao_token_top,
+${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
+FROM documents ORDER BY doc_id""",
+    "q_decontaminate" ->
+      s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  list_distinct(list_transform(${SH.duck}, s -> ${hash60("s").duck})) AS shd FROM documents),
+ex AS (SELECT doc_id, unnest(shd) AS h FROM sh),
+train AS (SELECT DISTINCT h FROM ex WHERE doc_id % 10 <> 0),
+ov AS (SELECT doc_id, COUNT(*) AS n_contaminados FROM ex
+       WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM train) GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_contaminados,
+       CAST(n_contaminados AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS razao_contaminacao,
+       CASE WHEN CAST(n_contaminados AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END AS contaminado
+FROM (SELECT sh.doc_id, CAST(len(sh.shd) AS INTEGER) AS n_shingles,
+             CAST(coalesce(ov.n_contaminados, 0) AS BIGINT) AS n_contaminados
+      FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+      WHERE sh.doc_id % 10 = 0)
+ORDER BY doc_id""",
+    "q_corpus_curate" -> {
+      val quality = TextOps.qualityVerdict(_.duck, "len")
+      val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"
+      s"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+         $quality AS qualidade,
+         CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok,
+         ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS doc_keeper
+  FROM documents)
+SELECT lang, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens
+FROM (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM base
+      WHERE qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0 AND doc_id = doc_keeper
+      GROUP BY lang)
+ORDER BY lang"""
+    })
+}

@@ -182,4 +182,42 @@ object TextExprs {
     X(bits.map(_.spark).mkString("concat(", ", ", ")"),
       bits.map(_.duck).mkString("concat(", ", ", ")"))
   }
+
+  // ---------------------------------------------------- curation primitives
+
+  /** Deterministic sampling hash: first 4 hex chars of md5 of the decimal
+    * rendering of an integer id — a uniform draw from 65,536 buckets that
+    * both engines spell identically (lowercase hex, lexicographic compare
+    * over '0'..'f' is numeric compare). `hash < '2000'` keeps 1/8, etc.
+    */
+  def sampleHash(id: String): X = X(
+    spark = s"substring(md5(CAST($id AS STRING)), 1, 4)",
+    duck = s"substring(md5(CAST($id AS VARCHAR)), 1, 4)")
+
+  /** Full-range 60-bit hash of a string: the first 15 hex chars of its md5
+    * parsed as a BIGINT in [0, 2⁶⁰) — NO mod-p reduction (unlike hashHalf),
+    * so k-minimum-values cardinality estimation can treat it as a uniform
+    * draw from an exactly known range (16¹⁵ = 2⁶⁰).
+    */
+  def hash60(s: String): X = X(
+    spark = s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)",
+    duck = s"('0x' || substring(md5($s), 1, 15))::BIGINT")
+
+  /** Duplicate-element fraction of an array: 1 − distinct/total (a Gopher/
+    * C4-style repetition signal when applied to tokens or n-grams).
+    */
+  def dupFraction(t: X): X = X(
+    spark = s"CAST(1 AS DOUBLE) - CAST(size(array_distinct(${t.spark})) AS DOUBLE) / CAST(size(${t.spark}) AS DOUBLE)",
+    duck = s"CAST(1 AS DOUBLE) - CAST(len(list_distinct(${t.duck})) AS DOUBLE) / CAST(len(${t.duck}) AS DOUBLE)")
+
+  /** Fraction of the array taken by its single most frequent element —
+    * computed as a per-row array fold (distinct × membership scan), so it
+    * stays a zero-shuffle projection; per-doc cost is O(len·distinct),
+    * bounded by document length.
+    */
+  def topElemFraction(t: X): X = X(
+    spark = s"CAST(array_max(transform(array_distinct(${t.spark}), " +
+      s"x -> size(filter(${t.spark}, y -> y = x)))) AS DOUBLE) / CAST(size(${t.spark}) AS DOUBLE)",
+    duck = s"CAST(list_max(list_transform(list_distinct(${t.duck}), " +
+      s"x -> len(list_filter(${t.duck}, y -> y = x)))) AS DOUBLE) / CAST(len(${t.duck}) AS DOUBLE)")
 }

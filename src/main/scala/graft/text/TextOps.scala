@@ -59,6 +59,18 @@ object TextOps {
     s"CASE WHEN $size($tok) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END"
   }
 
+  /** The quality verdict over this table's token expression, for reuse by
+    * the composed curation pass (CurationOps) in either dialect.
+    */
+  private[text] def qualityVerdict(pick: X => String, size: String): String =
+    qualityExprIn(pick(T), pick, size)
+
+  /** The language verdict over this table's token expression (CurationOps
+    * reuse hook).
+    */
+  private[text] def langVerdict(pick: X => String): String =
+    langPredIn(pick(T), pick)
+
   /** Dialect-shared language verdict (priority-ordered marker argmax). */
   private def langPredIn(tok: String, pick: X => String): String = {
     val scores = langMarkers.map { case (l, ms) => l -> pick(markerCount(tok, ms)) }

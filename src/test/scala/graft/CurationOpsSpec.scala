@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.CurationOps
+
+/** Invariants for the corpus-curation suite (CurationOps) on sf0.001,
+  * complementing the bit-exact DuckDB gate: determinism, rate bounds,
+  * structural consistency, and — for the composed pass — agreement with
+  * the individual signal queries it is built from.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("stratified sample is deterministic and near the per-lang rates") {
+    val s1 = CurationOps.sampleStratified(spark, tiny).collect()
+    val s2 = CurationOps.sampleStratified(spark, tiny).collect()
+    assert(s1.toSeq == s2.toSeq, "rerun must select the identical corpus")
+
+    val total = spark.read.parquet(s"$tiny/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    // nominal rates: en 1/8, zh 1/2, others 1/4; with ~70-200 docs per
+    // stratum allow generous binomial slack (±4 sigma-ish)
+    val nominal = Map("en" -> 0.125, "zh" -> 0.5).withDefaultValue(0.25)
+    for ((l, n) <- total) {
+      val p = nominal(l)
+      val got = kept.getOrElse(l, 0).toDouble / n
+      val slack = 4 * math.sqrt(p * (1 - p) / n)
+      assert(math.abs(got - p) <= slack,
+        s"lang $l kept ${got}%, nominal $p ± $slack")
+    }
+  }
+
+  test("quota sample returns exactly k docs per source, positions 1..k") {
+    val q = CurationOps.sampleQuota(spark, tiny, k = 5).collect()
+    val bySrc = q.groupBy(_.getString(0))
+    assert(bySrc.size == 20, "every source stratum represented")
+    for ((src, rows) <- bySrc) {
+      assert(rows.length == 5, s"$src quota")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"$src positions")
+    }
+    // deterministic: the same doc set on rerun
+    val q2 = CurationOps.sampleQuota(spark, tiny, k = 5).collect()
+    assert(q.map(_.getLong(2)).toSet == q2.map(_.getLong(2)).toSet)
+  }
+
+  test("KMV estimate lands within the expected error band of exact") {
+    val r = CurationOps.sketchKmv(spark, tiny).collect().head
+    val (k, kth, est, exact, err) =
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+    assert(k == 256 && kth > 0 && exact > k)
+    assert(est > 0)
+    // KMV std error ~ 1/sqrt(k-2) ≈ 6.3%; 30% is a >4-sigma safety bound
+    assert(err < 0.30, s"KMV rel error $err vs exact $exact (est $est)")
+  }
+
+  test("redaction counts follow the planted PII and masks erase it") {
+    val t = CurationOps.textRedact(spark, tiny)
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(doc_id % 3 AS INT) AS want_emails",
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS want_phones")
+    val joined = t.join(docs, "doc_id")
+    assert(joined.filter(col("n_emails") =!= col("want_emails")).count() == 0)
+    assert(joined.filter(col("n_telefones") =!= col("want_phones")).count() == 0)
+    // nothing the email/phone regex matches survives the redacted text
+    val leftover = spark.read.parquet(s"$tiny/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        "regexp_replace(regexp_replace(concat(text, repeat(concat(' contato user', CAST(doc_id AS STRING), '@example.com'), CAST(doc_id % 3 AS INT))), " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]'), '[0-9]{3}-[0-9]{4}', '[TEL]') AS limpo")
+      .filter("limpo RLIKE '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'")
+    assert(leftover.count() == 0, "no email survives redaction")
+  }
+
+  test("repetition flag is exactly the threshold rule over its own signals") {
+    val r = CurationOps.textRepetition(spark, tiny)
+    val bad = r.filter(
+      (col("razao_trigramas_dup") >= 0.2 || col("fracao_token_top") >= 0.12) =!=
+        (col("repetitivo") === 1))
+    assert(bad.count() == 0)
+    val bounds = r.filter(
+      col("razao_tokens_dup") < 0 || col("razao_tokens_dup") > 1 ||
+        col("razao_trigramas_dup") < 0 || col("razao_trigramas_dup") > 1 ||
+        col("fracao_token_top") <= 0 || col("fracao_token_top") > 1)
+    assert(bounds.count() == 0, "all ratios in (0,1]")
+  }
+
+  test("an eval doc with an exact train-split duplicate is flagged contaminated") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "md5(text) AS h")
+    val evalDocs = docs.filter("doc_id % 10 = 0")
+    val trainHashes = docs.filter("doc_id % 10 <> 0").select("h").distinct()
+    val dupEval = evalDocs.join(trainHashes, Seq("h"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val res = CurationOps.decontaminate(spark, tiny).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    for (id <- dupEval)
+      assert(res(id) == 1, s"eval doc $id duplicates a train doc but was not flagged")
+    // and every eval doc is reported exactly once
+    assert(res.keySet == docs.filter("doc_id % 10 = 0")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("composed curation agrees with the individual signal queries") {
+    import graft.text.TextOps
+    val quality = TextOps.textQuality(spark, tiny)
+      .select(col("doc_id"), col("qualidade"))
+    val lang = TextOps.langId(spark, tiny).select(col("doc_id"), col("acerto"))
+    val rep = CurationOps.textRepetition(spark, tiny)
+      .select(col("doc_id"), col("repetitivo"), col("n_tokens"))
+    val keeper = spark.read.parquet(s"$tiny/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "md5(text) AS h", "lang")
+      .withColumn("doc_keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    val expected = keeper
+      .join(quality, "doc_id").join(lang, "doc_id").join(rep, "doc_id")
+      .filter("qualidade = 'boa' AND acerto = 1 AND repetitivo = 0 AND doc_id = doc_keeper")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = CurationOps.corpusCurate(spark, tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+}
