@@ -198,6 +198,92 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- mixture, budget, packing
+
+  /** Per-language epoch weights for mixture resampling, split into whole
+    * copies plus a 4-hex-digit hash threshold for the fractional copy:
+    * en 0.75 (downsample the dominant language), zh 2.5 (upsample the
+    * rarest), 1.5 for the rest. Fractional epochs pick a deterministic
+    * hash-keyed subset, so a rerun reproduces the same mixture.
+    */
+  private val epochWeights: Seq[(String, (Int, String))] =
+    Seq("en" -> ((0, "c000")), "zh" -> ((2, "8000")))
+  private val defaultEpochs: (Int, String) = (1, "8000")
+
+  private def copiesCase(hash: String): String = {
+    val arms = epochWeights.map { case (l, (w, t)) =>
+      s"WHEN '$l' THEN $w + (CASE WHEN $hash < '$t' THEN 1 ELSE 0 END)"
+    }.mkString(" ")
+    val (dw, dt) = defaultEpochs
+    s"CASE lang $arms ELSE $dw + (CASE WHEN $hash < '$dt' THEN 1 ELSE 0 END) END"
+  }
+
+  /** Epoch-based mixture resampling: emit ⌊w⌋ or ⌈w⌉ copies of each doc
+    * so each language hits its target epoch weight — the standard way an
+    * LLM data recipe upsamples low-resource sources. One explode, no
+    * shuffle; output grows by the mixture factor only.
+    * (`greatest(n,1)` guards Spark's `sequence(1, 0)`, which counts DOWN
+    * instead of returning empty; the `epoca <= n_copias` filter then
+    * drops the zero-copy rows.)
+    */
+  def mixEpochs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        s"${sampleHash("doc_id").spark} AS amostra")
+      .selectExpr("doc_id", "lang", s"${copiesCase("amostra")} AS n_copias")
+      .selectExpr("doc_id", "lang", "n_copias",
+        "explode(sequence(1, greatest(n_copias, 1))) AS epoca")
+      .where("epoca <= n_copias")
+      .select("doc_id", "lang", "epoca")
+      .orderBy("doc_id", "epoca")
+
+  private val tokenBudget = 2000
+
+  /** Token-budget fill: walk each language's docs in sampling-hash order
+    * and keep them while the running token total stays within the
+    * per-language budget — "give me ~2k tokens per language,
+    * reproducibly". The cumulative sum is a per-language window (ROWS
+    * UNBOUNDED PRECEDING), so parallelism follows the language count;
+    * at corpus scale the same shape runs per (lang, shard) with budget
+    * split across shards.
+    */
+  def tokenBudgetFill(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        s"size(${T.spark}) AS n_tokens",
+        s"${sampleHash("doc_id").spark} AS amostra")
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY amostra, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acumulado")
+      .where(s"acumulado <= $tokenBudget")
+      .orderBy("lang", "acumulado")
+
+  private val seqLen = 512
+
+  /** Sequence packing (concat-then-chunk): concatenate each language's
+    * docs in document order and cut every 512 tokens; a doc's sequence id
+    * is the chunk its first token lands in, `atravessa` marks docs that
+    * straddle a chunk boundary (the rows an attention-mask reset has to
+    * know about). Pure per-language window cumsum + per-row arithmetic;
+    * floor over exact doubles (< 2⁵³) keeps both engines bit-identical.
+    */
+  def seqPacking(s: SparkSession, d: String): DataFrame = {
+    val off = "acumulado - n_tokens"
+    val seqId = s"CAST(floor(CAST($off AS DOUBLE) / $seqLen.0) AS INT)"
+    val lastSeq = s"CAST(floor(CAST(acumulado - 1 AS DOUBLE) / $seqLen.0) AS INT)"
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        s"size(${T.spark}) AS n_tokens")
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acumulado")
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"CAST($off AS BIGINT) AS offset_inicio",
+        s"$seqId AS seq_id",
+        s"CASE WHEN $lastSeq > $seqId THEN 1 ELSE 0 END AS atravessa")
+      .orderBy("lang", "doc_id")
+  }
+
   // --------------------------------------------------- composed curation
 
   /** The composed curation pass — what a corpus build actually runs:
@@ -237,7 +323,10 @@ object CurationOps {
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
-    "q_corpus_curate" -> (corpusCurate _))
+    "q_corpus_curate" -> (corpusCurate _),
+    "q_mix_epochs" -> (mixEpochs _),
+    "q_token_budget" -> (tokenBudgetFill _),
+    "q_seq_packing" -> (seqPacking _))
 
   // ------------------------------------------------------------- oracles
 
@@ -296,6 +385,38 @@ FROM (SELECT sh.doc_id, CAST(len(sh.shd) AS INTEGER) AS n_shingles,
       FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
       WHERE sh.doc_id % 10 = 0)
 ORDER BY doc_id""",
+    "q_mix_epochs" ->
+      s"""SELECT doc_id, lang, CAST(unnest(range(1, n_copias + 1)) AS INTEGER) AS epoca
+FROM (SELECT doc_id, lang, ${copiesCase("amostra")} AS n_copias
+      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, ${sampleHash("doc_id").duck} AS amostra
+            FROM documents))
+ORDER BY doc_id, epoca""",
+    "q_token_budget" ->
+      s"""SELECT doc_id, lang, n_tokens, acumulado FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY amostra, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS acumulado
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+               ${sampleHash("doc_id").duck} AS amostra
+        FROM documents))
+WHERE acumulado <= $tokenBudget ORDER BY lang, acumulado""",
+    "q_seq_packing" -> {
+      val off = "acumulado - n_tokens"
+      val seqId = s"CAST(floor(CAST($off AS DOUBLE) / $seqLen.0) AS INTEGER)"
+      val lastSeq = s"CAST(floor(CAST(acumulado - 1 AS DOUBLE) / $seqLen.0) AS INTEGER)"
+      s"""SELECT doc_id, lang, n_tokens,
+       CAST($off AS BIGINT) AS offset_inicio,
+       $seqId AS seq_id,
+       CASE WHEN $lastSeq > $seqId THEN 1 ELSE 0 END AS atravessa
+FROM (SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS acumulado
+      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(len(${T.duck}) AS INTEGER) AS n_tokens
+            FROM documents))
+ORDER BY lang, doc_id"""
+    },
     "q_corpus_curate" -> {
       val quality = TextOps.qualityVerdict(_.duck, "len")
       val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"

@@ -101,6 +101,66 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixture resampling hits the per-lang epoch weights") {
+    val m = CurationOps.mixEpochs(spark, tiny)
+    val perLang = m.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = spark.read.parquet(s"$tiny/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 0.75, "zh" -> 2.5).withDefaultValue(1.5)
+    for ((l, n) <- total) {
+      val got = perLang.getOrElse(l, 0L).toDouble / n
+      // the fractional part is a hash draw: allow 4-sigma binomial slack
+      val slack = 4 * math.sqrt(0.25 / n)
+      assert(math.abs(got - weights(l)) <= slack,
+        s"lang $l realized $got epochs, want ${weights(l)} ± $slack")
+    }
+    // per-doc copies are 1..ceil(w) numbered from 1 (no gaps, no dups)
+    val badSeq = m.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max(col("epoca")).as("mx"), min(col("epoca")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(badSeq.count() == 0)
+  }
+
+  test("token-budget fill is a maximal prefix of the hash order per lang") {
+    val f = CurationOps.tokenBudgetFill(spark, tiny)
+    val rows = f.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) <= 2000), "running total within budget")
+    // maximality: the first EXCLUDED doc per lang would break the budget
+    val all = spark.read.parquet(s"$tiny/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        "size(split(trim(text), '\\\\s+')) AS n_tokens",
+        "substring(md5(CAST(doc_id AS STRING)), 1, 4) AS amostra")
+      .collect().map(r => (r.getString(1), r.getString(3), r.getLong(0), r.getInt(2)))
+    val keptIds = rows.map(_.getLong(0)).toSet
+    for ((lang, docs) <- all.groupBy(_._1)) {
+      var cum = 0L
+      for ((_, _, id, n) <- docs.sortBy(t => (t._2, t._3))) {
+        cum += n
+        if (cum <= 2000) assert(keptIds.contains(id), s"$lang doc $id should be kept")
+        else assert(!keptIds.contains(id), s"$lang doc $id exceeds the budget")
+      }
+    }
+  }
+
+  test("sequence packing covers each lang contiguously and flags straddlers") {
+    val p = CurationOps.seqPacking(spark, tiny).collect()
+    for ((_, docs) <- p.groupBy(_.getString(1))) {
+      val inOrder = docs.sortBy(_.getLong(0))
+      var expectOffset = 0L
+      for (r <- inOrder) {
+        assert(r.getLong(3) == expectOffset, "offsets are gap-free concatenation")
+        val first = r.getLong(3) / 512
+        val last = (r.getLong(3) + r.getInt(2) - 1) / 512
+        assert(r.getInt(4) == first)
+        assert(r.getInt(5) == (if (last > first) 1 else 0))
+        expectOffset += r.getInt(2)
+      }
+    }
+  }
+
   test("composed curation agrees with the individual signal queries") {
     import graft.text.TextOps
     val quality = TextOps.textQuality(spark, tiny)
