@@ -149,7 +149,11 @@ object Bench {
       "q_tfidf_cosine",
       "q_range_join", "q_skew_join_salted", "q_sketch_countmin",
       "q_ann_brute", "q_ann_pq", "q_ann_ivfpq",
-      "q_embed_neardup").foreach { name =>
+      "q_embed_neardup",
+      // curation family: the corpus-wide shapes (distinct-shingle KMV,
+      // shingle-hash decontamination join, full-signal curation pass)
+      "q_sketch_kmv", "q_sketch_kmv_onepass", "q_decontaminate",
+      "q_corpus_curate").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

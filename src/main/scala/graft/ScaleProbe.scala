@@ -135,7 +135,13 @@ object ScaleProbe {
       ("minhash_lsh", d => text.TextOps.minhashLsh(spark, d).count(), true),
       ("jaccard_ssjoin", d => text.TextOps.jaccardPairs(spark, d).count(), true),
       ("simhash64_bands", d => text.TextOps.simhashPairs64(spark, d).count(), false),
-      ("ivf_probe", d => sim.EmbeddingOps.annIvf(spark, d).count(), false))
+      ("ivf_probe", d => sim.EmbeddingOps.annIvf(spark, d).count(), false),
+      // curation shapes (r8): decontamination's shingle-hash join output
+      // scales exactly Nx (prefix-disjoint replicas contribute zero
+      // cross-replica overlap); KMV always returns one row, so only its
+      // time (distinct + fixed top-k over Nx shingles) is checked
+      ("decontaminate", d => text.CurationOps.decontaminate(spark, d).count(), true),
+      ("kmv_sketch", d => text.CurationOps.sketchKmv(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${n + "x_rows"}%10s ${n + "x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>

@@ -107,6 +107,27 @@ object CurationOps {
         "abs(estimativa - CAST(exato AS DOUBLE)) / CAST(exato AS DOUBLE) AS erro_rel")
   }
 
+  /** The one-pass production form of the KMV sketch: the k smallest
+    * distinct hashes come from a single bounded aggregate
+    * ([[graft.functions.KMinValues]] — per-partition O(k) partials, one
+    * merge) instead of a corpus-wide distinct shuffle followed by a
+    * top-k; the exact count (which only exists to gate the estimator)
+    * is dropped. Same k-th minimum, same estimate, 2 shuffled sketch
+    * rows per partition instead of every distinct n-gram hash.
+    */
+  def sketchKmvOnePass(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mins = documents(s, d)
+      .selectExpr(s"explode(${SH.spark}) AS s")
+      .selectExpr(s"${hash60("s").spark} AS h")
+      .as[Long]
+      .select(graft.functions.KMinValues(kmvK).toColumn.name("mins"))
+    mins.toDF("mins")
+      .selectExpr(s"$kmvK AS k", "element_at(mins, size(mins)) AS kesimo_min")
+      .selectExpr("k", "kesimo_min",
+        s"CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa")
+  }
+
   // --------------------------------------------------------- PII redaction
 
   // regexes spelled without backslashes ([.] instead of \.) so the same
@@ -295,14 +316,26 @@ object CurationOps {
     * q_text_quality / q_lang_id / q_text_repetition templates.
     */
   def corpusCurate(s: SparkSession, d: String): DataFrame = {
-    val quality = TextOps.qualityVerdict(_.spark, "size")
-    val langOk = s"(${TextOps.langVerdict(_.spark)}) = lang"
+    // tokenize/shingle ONCE behind a barrier: the quality + lang-ID +
+    // repetition verdicts reference the token array dozens of times, and
+    // without the barrier CollapseProject inlines split() into every one
+    // of those references (measured 4.4 s -> ~1 s at sf0.1)
+    import graft.Checkpoint.BarrierOps
+    val toksX = X("toks", "toks")
+    val triX = X("tri", "tri")
+    val quality = TextOps.qualityVerdictOver("toks", _.spark, "size")
+    val langOk = s"(${TextOps.langVerdictOver("toks", _.spark)}) = lang"
+    val repetitive =
+      repetitiveCase(dupFraction(triX).spark, topElemFraction(toksX).spark)
     documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text",
-        s"size(${T.spark}) AS n_tokens",
+        s"${T.spark} AS toks", s"${SH.spark} AS tri")
+      .barrier()
+      .selectExpr("doc_id", "lang", "text",
+        "size(toks) AS n_tokens",
         s"$quality AS qualidade",
         s"CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok",
-        s"${repetitiveCase(dupTri.spark, topTok.spark)} AS repetitivo")
+        s"$repetitive AS repetitivo")
       .withColumn("doc_keeper",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0 AND doc_id = doc_keeper")
@@ -320,6 +353,7 @@ object CurationOps {
     "q_sample_stratified" -> (sampleStratified _),
     "q_sample_quota" -> (sampleQuota(_, _)),
     "q_sketch_kmv" -> (sketchKmv _),
+    "q_sketch_kmv_onepass" -> (sketchKmvOnePass _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
@@ -354,6 +388,13 @@ FROM (SELECT $kmvK AS k, kesimo_min,
              CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa,
              exato
       FROM kth CROSS JOIN ext)""",
+    "q_sketch_kmv_onepass" ->
+      s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
+hs AS (SELECT DISTINCT ${hash60("s").duck} AS h FROM ex),
+kth AS (SELECT max(h) AS kesimo_min FROM (SELECT h FROM hs ORDER BY h LIMIT $kmvK))
+SELECT $kmvK AS k, kesimo_min,
+       CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa
+FROM kth""",
     "q_text_redact" ->
       s"""SELECT doc_id,
 CAST(len(regexp_extract_all(texto, '$emailRe')) AS INTEGER) AS n_emails,

@@ -65,6 +65,17 @@ object TextOps {
   private[text] def qualityVerdict(pick: X => String, size: String): String =
     qualityExprIn(pick(T), pick, size)
 
+  /** Same verdicts over a PRE-MATERIALIZED token column (so a composed
+    * consumer can tokenize once behind a barrier instead of letting
+    * CollapseProject re-derive split() inside every marker count).
+    */
+  private[text] def qualityVerdictOver(tok: String, pick: X => String,
+                                       size: String): String =
+    qualityExprIn(tok, pick, size)
+
+  private[text] def langVerdictOver(tok: String, pick: X => String): String =
+    langPredIn(tok, pick)
+
   /** The language verdict over this table's token expression (CurationOps
     * reuse hook).
     */

@@ -1,6 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import graft.text.CurationOps
 
 /** Invariants for the corpus-curation suite (CurationOps) on sf0.001,
@@ -9,6 +14,33 @@ import graft.text.CurationOps
   * the individual signal queries it is built from.
   */
 class CurationOpsSpec extends SparkSpec {
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectNodes) ++
+      p.subqueries.flatMap(collectNodes)
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    collectNodes(df.queryExecution.executedPlan)
+
+  test("plan shapes: sampling shuffles only to order; joins are never all-pairs") {
+    // stratified sampling is projection+filter: the ONLY exchange allowed
+    // is the presentation orderBy's range repartition (which exists for
+    // the gate dump, not the 100 TB path)
+    val sampleNodes = nodes(CurationOps.sampleStratified(spark, tiny))
+    assert(sampleNodes.count(_.isInstanceOf[ShuffleExchangeLike]) <= 1,
+      "stratified sample must not shuffle beyond the presentation sort")
+    // decontamination: every join must be an equi-join on the shingle
+    // hash — a nested-loop/cartesian node means the blocking broke
+    val deconNodes = nodes(CurationOps.decontaminate(spark, tiny))
+    assert(!deconNodes.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "decontamination joins must stay equi-joins on the 60-bit hash")
+  }
 
   test("stratified sample is deterministic and near the per-lang rates") {
     val s1 = CurationOps.sampleStratified(spark, tiny).collect()
@@ -52,6 +84,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(est > 0)
     // KMV std error ~ 1/sqrt(k-2) ≈ 6.3%; 30% is a >4-sigma safety bound
     assert(err < 0.30, s"KMV rel error $err vs exact $exact (est $est)")
+  }
+
+  test("KMinValues aggregator: dedups, bounds state at k, matches sort-limit") {
+    import graft.functions.KMinValues
+    val a = KMinValues(4)
+    // duplicates never enter twice; buffer stays sorted and bounded
+    val buf = Seq(9L, 7L, 9L, 3L, 7L, 5L, 1L, 3L, 8L).foldLeft(a.zero)(a.reduce)
+    assert(buf == Seq(1L, 3L, 5L, 7L))
+    // merge dedups across runs and truncates at k
+    assert(a.merge(Seq(1L, 3L, 5L), Seq(1L, 2L, 5L, 9L)) == Seq(1L, 2L, 3L, 5L))
+    // the one-pass sketch reproduces the distinct+top-k kth minimum exactly
+    val onePass = CurationOps.sketchKmvOnePass(spark, tiny).collect().head
+    val twoShuffle = CurationOps.sketchKmv(spark, tiny).collect().head
+    assert(onePass.getLong(1) == twoShuffle.getLong(1), "identical k-th minimum")
+    assert(onePass.getDouble(2) == twoShuffle.getDouble(2), "identical estimate")
   }
 
   test("redaction counts follow the planted PII and masks erase it") {
