@@ -144,6 +144,8 @@ object SparkEntry {
     "q_skew_join_salted" -> (RelationalOps.skewJoinSalted _),
     // mergeable count-min sketch; oracle rebuilds the identical sketch
     "q_sketch_countmin" -> (RelationalOps.countMinUsers _),
+    // column-level profile (nulls/distincts/min/max in one scan)
+    "q_profile_orders" -> (RelationalOps.profileOrders _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++

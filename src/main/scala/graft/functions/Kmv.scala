@@ -23,7 +23,10 @@ case class KMinValues(k: Int)
   extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k > 0, s"KMinValues requires k > 0, got $k")
 
-  override def zero: Seq[Long] = Seq.empty
+  // Vector, not List: the O(1)-reject fast path reads buf.last on EVERY
+  // input row, which is O(k) on a List — at k=256 that tail-walk was the
+  // dominant cost of the whole sketch (measured ~2 s of 2.9 s at sf0.1)
+  override def zero: Seq[Long] = Vector.empty
 
   override def reduce(buf: Seq[Long], in: Long): Seq[Long] = {
     // full buffer and in >= current kth: either a duplicate of a kept
@@ -37,7 +40,7 @@ case class KMinValues(k: Int)
   }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
-    val out = Seq.newBuilder[Long]
+    val out = Vector.newBuilder[Long]
     var (x, y, n) = (a, b, 0)
     while (n < k && (x.nonEmpty || y.nonEmpty)) {
       if (y.isEmpty) { out += x.head; x = x.tail }

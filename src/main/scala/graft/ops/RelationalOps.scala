@@ -552,4 +552,75 @@ object RelationalOps {
         (col("n_est") - col("n_true")).as("superestimativa"))
       .orderBy("user_id")
   }
+
+  /** Column-level data profile (extension — the data-quality scan run
+    * before any table is admitted to a pipeline): per column, null count,
+    * exact distinct count, and min/max (numerics in DOUBLE slots to avoid
+    * cross-engine float formatting; strings/timestamps in text slots).
+    * One aggregate pass over the table — Spark plans the multi-DISTINCT
+    * via Expand, still a single scan — then a stack() to long form.
+    * The testdata carries no nulls, so two columns get deterministic
+    * planted nulls first (same device as the PII redaction gate).
+    * The DuckDB oracle is generated from the SAME column spec below.
+    */
+  private val profileCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "num", "o_custkey" -> "num", "o_totalprice" -> "num",
+    "o_orderstatus" -> "str", "o_orderpriority" -> "str",
+    "o_orderdate" -> "date")
+
+  private val profileBaseCols = Seq(
+    "o_orderkey", "o_custkey",
+    "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice",
+    "o_orderstatus",
+    "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority",
+    "o_orderdate")
+
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = orders(spark, dir).selectExpr(profileBaseCols: _*)
+    val aggs = Seq("COUNT(*) AS n_total") ++ profileCols.flatMap { case (c, kind) =>
+      Seq(s"COUNT($c) AS cnt_$c", s"COUNT(DISTINCT $c) AS nd_$c") ++ (kind match {
+        case "num" =>
+          Seq(s"CAST(MIN($c) AS DOUBLE) AS mn_$c", s"CAST(MAX($c) AS DOUBLE) AS mx_$c")
+        case "str" => Seq(s"MIN($c) AS mn_$c", s"MAX($c) AS mx_$c")
+        case _ =>
+          Seq(s"CAST(MIN($c) AS STRING) AS mn_$c", s"CAST(MAX($c) AS STRING) AS mx_$c")
+      })
+    }
+    val wide = base.groupBy().agg(
+      expr(aggs.head), aggs.tail.map(expr): _*)
+    val flat = profileCols.map { case (c, kind) =>
+      val slots = kind match {
+        case "num" => s"mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        case _ => s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_$c, mx_$c"
+      }
+      s"'$c', n_total - cnt_$c, nd_$c, $slots"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${profileCols.size}, $flat)")
+      .toDF("coluna", "n_nulos", "n_distintos",
+        "min_num", "max_num", "min_texto", "max_texto")
+      .orderBy("coluna")
+  }
+
+  /** DuckDB twin of [[profileOrders]], generated from the same spec. */
+  val profileOrdersOracle: String = {
+    val selects = profileCols.map { case (c, kind) =>
+      val slots = kind match {
+        case "num" =>
+          s"CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS VARCHAR) AS min_texto, CAST(NULL AS VARCHAR) AS max_texto"
+        case "str" =>
+          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            s"MIN($c) AS min_texto, MAX($c) AS max_texto"
+        case _ =>
+          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            s"CAST(MIN($c) AS VARCHAR) AS min_texto, CAST(MAX($c) AS VARCHAR) AS max_texto"
+      }
+      s"""SELECT '$c' AS coluna, COUNT(*) - COUNT($c) AS n_nulos,
+  COUNT(DISTINCT $c) AS n_distintos, $slots FROM base"""
+    }
+    val baseDuck = profileBaseCols.mkString(", ")
+    s"""WITH base AS (SELECT $baseDuck FROM orders)
+${selects.mkString("\nUNION ALL\n")}
+ORDER BY coluna"""
+  }
 }

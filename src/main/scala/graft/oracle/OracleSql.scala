@@ -461,6 +461,8 @@ ORDER BY user_id, sessao""",
 FROM events
 GROUP BY event_type
 ORDER BY event_type""",
+    // generated from the same column spec as the Spark query (one source)
+    "q_profile_orders" -> graft.ops.RelationalOps.profileOrdersOracle,
     "q_sql_frontend" ->
       """WITH rev AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r

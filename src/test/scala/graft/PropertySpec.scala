@@ -91,6 +91,32 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](TopKByScore(0))
   }
 
+  test("KMinValues: reduce/merge agree with sorted-distinct-take under any split") {
+    import graft.functions.KMinValues
+    // same discipline as the TopKByScore pin, plus the DEDUP obligation:
+    // a small value space forces heavy duplication, so any buffer that
+    // admits a repeated value (or loses one on merge) diverges from the
+    // sorted-distinct specification immediately
+    val inputGen = for {
+      xs <- Gen.listOf(Gen.choose(0L, 30L))
+      k <- Gen.choose(1, 7)
+      cut <- Gen.choose(0, xs.length max 0)
+    } yield (xs, k, cut)
+    def spec(xs: Seq[Long], k: Int) = xs.distinct.sorted.take(k)
+    forAll(inputGen, 300) { case (xs, k, cut) =>
+      val agg = KMinValues(k)
+      val direct = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(direct === spec(xs, k))
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === spec(xs, k))
+      assert(agg.merge(direct, agg.zero) === direct)
+      assert(agg.merge(agg.zero, direct) === direct)
+    }
+    intercept[IllegalArgumentException](KMinValues(0))
+  }
+
   test("smart date key: YYYYMMDD round-trips through date parts") {
     val dates = Gen.choose(0L, 365L * 30)
       .map(d => java.time.LocalDate.of(1995, 1, 1).plusDays(d))
