@@ -141,7 +141,10 @@ object ScaleProbe {
       // cross-replica overlap); KMV always returns one row, so only its
       // time (distinct + fixed top-k over Nx shingles) is checked
       ("decontaminate", d => text.CurationOps.decontaminate(spark, d).count(), true),
-      ("kmv_sketch", d => text.CurationOps.sketchKmv(spark, d).count(), false))
+      // the ONE-PASS production form — the gate twin carries an exact
+      // distinct count that exists only to validate the estimator and
+      // would dominate (and misrepresent) the scale measurement
+      ("kmv_sketch", d => text.CurationOps.sketchKmvOnePass(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${n + "x_rows"}%10s ${n + "x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>

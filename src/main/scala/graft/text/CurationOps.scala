@@ -316,26 +316,37 @@ object CurationOps {
     * q_text_quality / q_lang_id / q_text_repetition templates.
     */
   def corpusCurate(s: SparkSession, d: String): DataFrame = {
-    // tokenize/shingle ONCE behind a barrier: the quality + lang-ID +
-    // repetition verdicts reference the token array dozens of times, and
-    // without the barrier CollapseProject inlines split() into every one
-    // of those references (measured 4.4 s -> ~1 s at sf0.1)
+    // Two-stage signal evaluation: stage 1 tokenizes ONCE behind a
+    // barrier and reduces every signal to a scalar COLUMN (token/type/
+    // stopword counts, per-language marker scores, repetition ratios);
+    // stage 2 is pure scalar CASE logic over those columns. Without
+    // this, CollapseProject inlines split() into every verdict branch
+    // and the lang argmax re-derives each markerCount once per CASE
+    // level (measured 4.4 s -> 3.6 s with tokenize-once alone, -> ~1 s
+    // with the full hoist at sf0.1). The DuckDB oracle keeps the
+    // canonical single-expression templates, so the gate proves the
+    // hoisted form is the same function.
     import graft.Checkpoint.BarrierOps
     val toksX = X("toks", "toks")
-    val triX = X("tri", "tri")
-    val quality = TextOps.qualityVerdictOver("toks", _.spark, "size")
-    val langOk = s"(${TextOps.langVerdictOver("toks", _.spark)}) = lang"
-    val repetitive =
-      repetitiveCase(dupFraction(triX).spark, topElemFraction(toksX).spark)
+    val scoreCols = TextOps.langMarkerSet.map { case (l, ms) =>
+      s"${markerCount("toks", ms).spark} AS score_$l"
+    }
+    val langOk =
+      s"(${TextOps.langPredOverScores(l => s"score_$l")}) = lang"
     documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text",
-        s"${T.spark} AS toks", s"${SH.spark} AS tri")
+        s"${T.spark} AS toks")
       .barrier()
-      .selectExpr("doc_id", "lang", "text",
+      .selectExpr(Seq("doc_id", "lang", "text",
         "size(toks) AS n_tokens",
-        s"$quality AS qualidade",
+        "size(array_distinct(toks)) AS n_tipos",
+        s"${markerCount("toks", TextOps.stopwordSet).spark} AS n_stops",
+        s"${dupFraction(shingles3(toksX)).spark} AS dup_tri",
+        s"${topElemFraction(toksX).spark} AS top_tok") ++ scoreCols: _*)
+      .selectExpr("doc_id", "lang", "text", "n_tokens",
+        s"${TextOps.qualityFromCounts("n_tokens", "n_tipos", "n_stops")} AS qualidade",
         s"CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok",
-        s"$repetitive AS repetitivo")
+        s"${repetitiveCase("dup_tri", "top_tok")} AS repetitivo")
       .withColumn("doc_keeper",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0 AND doc_id = doc_keeper")

@@ -76,6 +76,35 @@ object TextOps {
   private[text] def langVerdictOver(tok: String, pick: X => String): String =
     langPredIn(tok, pick)
 
+  private[text] def stopwordSet: Seq[String] = stopwords
+  private[text] def langMarkerSet: Seq[(String, Seq[String])] = langMarkers
+
+  /** The language argmax over PRE-COMPUTED per-language score columns
+    * (`scoreCol(l)` names the column holding lang l's marker count).
+    * Same priority fold as langPredIn — but each score is read, not
+    * re-derived, so a composed consumer evaluates every markerCount
+    * exactly once instead of once per CASE branch.
+    */
+  private[text] def langPredOverScores(scoreCol: String => String): String = {
+    val scores = langMarkers.map { case (l, _) => l -> scoreCol(l) }
+    val allZero = scores.map(_._2).mkString(" + ") + " = 0"
+    scores.foldRight("'unknown'") { case ((l, e), rest) =>
+      val geAll = scores.filter(_._1 != l).map { case (_, e2) => s"$e >= $e2" }
+        .mkString(" AND ")
+      s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
+    }
+  }
+
+  /** The quality verdict over PRE-COMPUTED count columns (token count,
+    * distinct-token count, stopword count) — same rule as qualityExprIn.
+    */
+  private[text] def qualityFromCounts(nTok: String, nTypes: String,
+                                      nStops: String): String = {
+    val ttr = s"CAST($nTypes AS DOUBLE) / CAST($nTok AS DOUBLE)"
+    val stopRatio = s"CAST($nStops AS DOUBLE) / CAST($nTok AS DOUBLE)"
+    s"CASE WHEN $nTok >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END"
+  }
+
   /** The language verdict over this table's token expression (CurationOps
     * reuse hook).
     */
