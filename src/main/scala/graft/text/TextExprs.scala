@@ -139,6 +139,16 @@ object TextExprs {
       duck = s"len(list_filter($t, x -> x IN ($set)))")
   }
 
+  /** Count of tokens matching a regex (contains-match semantics in both
+    * engines — Spark `rlike` and DuckDB `regexp_matches` both test for a
+    * match anywhere in the string; anchor with ^$ for whole-token tests).
+    * The regex must stay inside the character classes both dialects parse
+    * identically (no lookaround, no \\d shorthands).
+    */
+  def regexCount(t: String, re: String): X = X(
+    spark = s"size(filter($t, x -> x rlike '$re'))",
+    duck = s"len(list_filter($t, x -> regexp_matches(x, '$re')))")
+
   /** Sum of token lengths (for mean token length). */
   def tokenLenSum(t: String): X = X(
     spark = s"aggregate($t, 0, (a, x) -> a + length(x))",

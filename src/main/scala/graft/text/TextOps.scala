@@ -136,6 +136,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule-based quality gate (the Rae et al. 2021 §A1.1
+    * rule family, thresholds re-tuned so every rule discriminates on this
+    * corpus): per-document signals, one 0/1 verdict per rule, and the
+    * composite keep decision. Complements q_text_quality (TTR/stopword
+    * verdict) and q_text_repetition (dup-token/-trigram rules) — the three
+    * together cover the standard pre-training text-filter battery.
+    * Scale shape: zero-shuffle narrow projection — every signal is a
+    * per-row array fold, so the whole gate is a map over the corpus scan
+    * at 100 TB (plus one final sort that exists only for the gate's
+    * deterministic output order).
+    */
+  private def gopherCols(pick: X => String, size: String): Seq[String] = {
+    val tok = pick(T)
+    val n = s"$size($tok)"
+    val mean = s"CAST(${pick(tokenLenSum(tok))} AS DOUBLE) / CAST($n AS DOUBLE)"
+    val alpha = s"CAST(${pick(regexCount(tok, "[A-Za-z]"))} AS DOUBLE) / CAST($n AS DOUBLE)"
+    val stops = pick(markerCount(tok, stopwords))
+    val digit = s"CAST(${pick(regexCount(tok, "^[0-9]+$"))} AS DOUBLE) / CAST($n AS DOUBLE)"
+    // every comparison is over exact-integer-derived doubles (same two
+    // ints divided in both engines), so rule verdicts cannot drift
+    val rules = Seq(
+      "r_n_tokens" -> s"$n BETWEEN 15 AND 10000",
+      "r_tam_medio" -> s"$mean BETWEEN 3.0 AND 4.8",
+      "r_alfa" -> s"$alpha >= 0.8",
+      "r_stopwords" -> s"$stops >= 2",
+      "r_digitos" -> s"$digit <= 0.2")
+    Seq(
+      "CAST(doc_id AS BIGINT) AS doc_id",
+      s"CAST($n AS INTEGER) AS n_tokens",
+      s"$mean AS tam_medio_token",
+      s"$alpha AS frac_alfa",
+      s"CAST($stops AS INTEGER) AS n_stopwords",
+      s"$digit AS frac_digitos") ++
+      rules.map { case (nm, c) =>
+        s"CAST(CASE WHEN $c THEN 1 ELSE 0 END AS INTEGER) AS $nm" } :+
+      (s"CASE WHEN ${rules.map(r => s"(${r._2})").mkString(" AND ")} " +
+        "THEN 'mantem' ELSE 'descarta' END AS decisao")
+  }
+
+  def qualityGopher(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(gopherCols(_.spark, "size"): _*).orderBy("doc_id")
+
+  private[text] def gopherOracle: String =
+    s"SELECT ${gopherCols(_.duck, "len").mkString(",\n")}\nFROM documents ORDER BY doc_id"
+
   def langId(s: SparkSession, d: String): DataFrame = {
     val scores = langMarkers.map { case (l, ms) => l -> markerCount(T.spark, ms).spark }
     val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }
@@ -307,6 +352,81 @@ object TextOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** EXACT SUBSTRING (passage) dedup — the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator, in its
+    * distributed rolling-window form: every k-token window is
+    * content-hashed; a window whose hash occurs ≥ 2 times anywhere in the
+    * corpus (cross-document OR self-repetition) is flagged; per document,
+    * flagged windows whose coverage overlaps or touches are merged into
+    * maximal duplicated SPANS (gaps-and-islands over window positions).
+    * Output: one row per (doc, span) with its 1-based token range and the
+    * window count that produced it — the span list a cleaning pass would
+    * cut.
+    *
+    * Scale shape: the window explode is O(total tokens) rows carrying
+    * (pos, 16-byte hash) only — the token arrays themselves never leave
+    * the first projection (suffix arrays beat this on one machine; at
+    * corpus scale the hash-window shuffle IS the standard form). Dup
+    * detection is a grouped count on the content hash (uniform key space
+    * — md5 — so no skew), the flag join is an equi-join on that hash, and
+    * the span merge is a per-document window function bounded by the
+    * document's own length. Everything is linear in corpus size.
+    */
+  def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+      .filter(expr(s"size(toks) >= $k"))
+      .selectExpr("doc_id",
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
+          s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(toks, i, $k))))) AS ws")
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .barrier() // feeds the dup-count AND the flag join
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(dup, Seq("h"))
+      .select("doc_id", "pos")
+      .withColumn("prev", lag("pos", 1).over(byPos))
+      // windows at p and p' (p < p') overlap or touch iff p' − p ≤ k;
+      // a larger gap starts a new island
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
+      .withColumn("ilha", sum("brk").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "ilha")
+      .agg(min("pos").as("tok_ini"), (max("pos") + (k - 1)).as("tok_fim"),
+        count(lit(1)).as("n_janelas"))
+      .selectExpr("doc_id", "CAST(ilha AS INTEGER) AS span_id",
+        "CAST(tok_ini AS INTEGER) AS tok_ini", "CAST(tok_fim AS INTEGER) AS tok_fim",
+        "n_janelas")
+      .orderBy("doc_id", "span_id")
+  }
+
+  /** The DuckDB oracle for [[passageDedup]] — same window/flag/island
+    * rule, but the token array is carried through the unnest (the oracle
+    * need not be scale-shaped, cf. the full-index jaccard oracle).
+    */
+  private def passageOracle(k: Int = 8): String =
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
+long AS (SELECT * FROM toks WHERE len(toks) >= $k),
+pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
+flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+  md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')) AS h FROM pos),
+dup AS (SELECT h FROM flat GROUP BY h HAVING COUNT(*) >= 2),
+flagged AS (SELECT doc_id, pos FROM flat JOIN dup USING (h)),
+marked AS (SELECT doc_id, pos,
+  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k THEN 1 ELSE 0 END AS brk
+  FROM flagged),
+islands AS (SELECT doc_id, pos,
+  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS ilha
+  FROM marked)
+SELECT doc_id, CAST(ilha AS INTEGER) AS span_id, CAST(MIN(pos) AS INTEGER) AS tok_ini,
+  CAST(MAX(pos) + ${k - 1} AS INTEGER) AS tok_fim, COUNT(*) AS n_janelas
+FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
 
   /** Dedup CLUSTERS: connected components over the MinHash-LSH candidate
     * pairs via min-label propagation (Pregel-style: each doc repeatedly
@@ -547,6 +667,7 @@ object TextOps {
     "q_tfidf_cosine" -> (tfidfCosinePairs(_, _)),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
+    "q_quality_gopher" -> (qualityGopher _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
     "q_text_chunks" -> (textChunks _),
@@ -555,6 +676,7 @@ object TextOps {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_dedup_simhash64" -> (simhashPairs64(_, _)),
+    "q_dedup_passage" -> (passageDedup(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
   // ------------------------------------------------------------ oracles
@@ -693,6 +815,7 @@ $ttr AS razao_tipo_token,
 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS razao_digitos,
 CASE WHEN len(${T.duck}) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END AS qualidade
 FROM documents ORDER BY doc_id""",
+      "q_quality_gopher" -> gopherOracle,
       "q_lang_id" ->
         (s"SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, " +
           scores.map { case (l, e) => s"CAST($e AS INTEGER) AS score_$l" }.mkString(", ") +
@@ -748,6 +871,7 @@ LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
 WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
 ORDER BY doc_id""",
       "q_dedup_simhash64" -> simhash64Oracle,
+      "q_dedup_passage" -> passageOracle(),
       // the STREAMED verified near-dup must converge to exactly the batch
       // band-join + hamming result — same oracle
       "q_dedup_simhash_stream" -> simhash64Oracle,
