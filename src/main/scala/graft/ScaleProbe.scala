@@ -135,6 +135,10 @@ object ScaleProbe {
       ("minhash_lsh", d => text.TextOps.minhashLsh(spark, d).count(), true),
       ("jaccard_ssjoin", d => text.TextOps.jaccardPairs(spark, d).count(), true),
       ("simhash64_bands", d => text.TextOps.simhashPairs64(spark, d).count(), false),
+      // passage dedup's span count is EXACT under the prefix perturbation
+      // (window strings rename bijectively within a replica, stay disjoint
+      // across replicas), so both rows and time must scale ~Nx
+      ("passage_windows", d => text.TextOps.passageDedup(spark, d).count(), true),
       ("ivf_probe", d => sim.EmbeddingOps.annIvf(spark, d).count(), false),
       // curation shapes (r8): decontamination's shingle-hash join output
       // scales exactly Nx (prefix-disjoint replicas contribute zero

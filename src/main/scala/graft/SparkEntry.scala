@@ -142,6 +142,7 @@ object SparkEntry {
     "q_range_join" -> (RelationalOps.rangeJoinBinned _),
     // salted (key, salt) skew join, row-identical to the plain join
     "q_skew_join_salted" -> (RelationalOps.skewJoinSalted _),
+    "q_bloom_semijoin" -> (RelationalOps.bloomSemiJoin _),
     // mergeable count-min sketch; oracle rebuilds the identical sketch
     "q_sketch_countmin" -> (RelationalOps.countMinUsers _),
     // column-level profile (nulls/distincts/min/max in one scan)

@@ -489,6 +489,51 @@ object RelationalOps {
       .orderBy("janela_id")
   }
 
+  /** Runtime-filter (Bloom) join pruning (extension) — the 100 TB pattern
+    * where a selective build-side predicate prunes the FACT SCAN before
+    * the join shuffle ever runs, wired from the same machinery Spark's
+    * AQE InjectRuntimeFilter rule uses, here made explicit and gated:
+    *
+    *  1. a distributed `BloomFilterAggregate` over xxhash64 of the
+    *     filtered build keys — a partial/final TypedImperativeAggregate,
+    *     so build rows never leave their executors; only the merged
+    *     ~KB-scale bloom binary reaches the driver (O(1) rows, the same
+    *     contract as Spark's own runtime-filter scalar subquery);
+    *  2. the probe side is pre-filtered with
+    *     `BloomFilterMightContain(lit(bloom), xxhash64(key))` — a codegen
+    *     predicate evaluated at the scan, before any exchange, so at scale
+    *     ~84% of the fact (here) is dropped without being shuffled;
+    *  3. an exact left-semi join over the survivors removes the bloom's
+    *     false positives.
+    *
+    * The bloom changes the plan's COST, never its answer: the result is
+    * exactly the plain semi join, which is what the DuckDB oracle runs
+    * (no bloom at all) — any false-negative bug in the wiring would
+    * surface as a hash mismatch.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim.{toColumn, toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val build = orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+      .select(col("o_orderkey"))
+    val bloomBytes = build
+      .select(toColumn(new BloomFilterAggregate(
+        new XxHash64(Seq(toExpr(col("o_orderkey")))), 100000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = lineitem(spark, dir).filter(toColumn(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(toExpr(col("l_orderkey")))))))
+    pruned
+      .join(build, pruned("l_orderkey") === build("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey").cast("long").as("l_orderkey"))
+      .agg(count(lit(1)).as("n_linhas"),
+        sum(col("l_quantity").cast("int")).cast("long").as("qtd_total"))
+      .orderBy("l_orderkey")
+  }
+
   /** Salted SKEW join (extension): when the fact side hashes to a handful
     * of hot keys — here event_type, 5 values over the whole corpus — a
     * plain shuffled equi-join lands every hot key's rows on ONE reducer,

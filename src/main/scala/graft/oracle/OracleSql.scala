@@ -503,6 +503,18 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, d.n_tipo, d.soma_ti
        CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) / d.soma_tipo AS fracao
 FROM events e JOIN d USING (event_type)
 ORDER BY event_id""",
+    // the bloom-pruned semi join must equal the plain semi join — the
+    // bloom is a cost device, never a semantics device
+    "q_bloom_semijoin" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       COUNT(*) AS n_linhas,
+       CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qtd_total
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderstatus = 'F' AND o.o_totalprice > 250000)
+GROUP BY l_orderkey
+ORDER BY l_orderkey""",
     // rebuilds the IDENTICAL d=4 × w=64 count-min sketch (same md5-halves
     // (h1 + i·h2) mod p hash family) and reads the same MIN-over-rows
     // estimates — sketch content and estimates gate bit-exactly

@@ -143,6 +143,35 @@ object EmbeddingOps {
   def embedNearDupIndexedAuto(s: SparkSession, d: String): DataFrame =
     autoIndexed(d, "_km", buildIvfIndexKmeans(s, d, _), embedNearDupIndexed(s, d, _))
 
+  /** SemDeDup (Abbas et al. 2023) end-to-end: semantic dedup over the
+    * embedding space. Near-identical pairs come from the trained-quantizer
+    * cell-blocked cosine pass, the pairs close into clusters via the SAME
+    * min-label-propagation kernel the MinHash dedup family uses
+    * (TextOps.componentsOf — edge generation is the only difference
+    * between lexical and semantic dedup here), and each cluster keeps its
+    * minimum-id vector. Output: the surviving corpus with how many
+    * semantic duplicates each survivor absorbed — the embedding twin of
+    * q_dedup_canonical.
+    *
+    * Serves off the persisted k-means index (training amortized into the
+    * index build, the r7 directive-5 posture); results are identical to
+    * the self-contained form, so the oracle re-derives everything from
+    * scratch — full Lloyd training, blocked pairs, and a RECURSIVE-CTE
+    * reachability closure that must agree with label propagation.
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = embedNearDupIndexedAuto(s, d).select("vec_a", "vec_b")
+    val labels = graft.text.TextOps.componentsOf(pairs).toDF("vec_id", "cluster")
+    val dropped = labels.filter(col("vec_id") =!= col("cluster"))
+    val absorbed = labels.groupBy(col("cluster").as("vec_id"))
+      .agg((count(lit(1)) - 1).as("n_absorvidos"))
+    corpus(s, d).select("vec_id")
+      .join(dropped.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(absorbed, Seq("vec_id"), "left")
+      .na.fill(0, Seq("n_absorvidos"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-style ANN: labels stand in for a k-means coarse quantizer. The
     * query is routed to its nearest centroid (cell), then searched
     * exhaustively only within that cell — the probe pattern of an IVF
@@ -705,6 +734,7 @@ object EmbeddingOps {
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)),
     "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _),
+    "q_semdedup" -> (semDedup _),
     "q_pq_codes" -> (pqCodes _),
     "q_ann_pq" -> (annPqAdc _),
     "q_ann_pq_indexed" -> (annPqIndexedAuto _),
@@ -998,6 +1028,7 @@ FROM embeddings ORDER BY vec_id""",
     // the index-backed serving path must reproduce the self-contained
     // computation bit-exactly — same oracle as q_embed_neardup
     "q_embed_neardup_indexed" -> nearDupOracle,
+    "q_semdedup" -> semDedupOracle,
     // all four PQ codebooks re-trained from scratch in DuckDB; the 4-code
     // compressed corpus must match exactly
     "q_pq_codes" -> pqCodesOracle,
@@ -1011,8 +1042,12 @@ FROM embeddings ORDER BY vec_id""",
     // recomputed from scratch
     "q_ann_ivfpq" -> annIvfPqOracle)
 
-  private def nearDupOracle: String =
-    s"""WITH $kmeansCtes,
+  /** Shared CTE chain: Lloyd training → final assignment → cell-blocked
+    * cosine pairs ≥ 0.4 (`pares`) — one source for the near-dup oracle and
+    * the SemDeDup oracle built on those pairs.
+    */
+  private def nearDupCtes: String =
+    s"""$kmeansCtes,
 fin AS (
   SELECT vec_id, embedding, cell,
          ${normDuck("embedding")} AS nrm FROM (
@@ -1021,10 +1056,37 @@ fin AS (
              ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
     FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
   WHERE rn = 1
-)
-SELECT cell, vec_a, vec_b, sim FROM (
-  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) AS sim
-  FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-WHERE sim >= 0.4 ORDER BY vec_a, vec_b"""
+),
+pares AS (
+  SELECT cell, vec_a, vec_b, sim FROM (
+    SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm) AS sim
+    FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+  WHERE sim >= 0.4
+)"""
+
+  private def nearDupOracle: String =
+    s"WITH $nearDupCtes\nSELECT cell, vec_a, vec_b, sim FROM pares ORDER BY vec_a, vec_b"
+
+  /** SemDeDup oracle: the same pairs, closed into components by a
+    * RECURSIVE reachability CTE (an entirely different algorithm from the
+    * Spark side's label propagation), then keep-one-per-cluster.
+    */
+  private def semDedupOracle: String =
+    s"""WITH RECURSIVE $nearDupCtes,
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pares UNION ALL SELECT vec_b, vec_a FROM pares),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc)
+SELECT CAST(em.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(ab.n_absorvidos, 0) AS BIGINT) AS n_absorvidos
+FROM embeddings em
+LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorvidos
+           FROM labels GROUP BY cluster) ab
+  ON em.vec_id = ab.cluster
+WHERE em.vec_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
+ORDER BY vec_id"""
 }

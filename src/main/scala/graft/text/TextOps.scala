@@ -444,8 +444,18 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
     dedupClustersOf(s, documents(s, d))
 
   /** [[dedupClusters]] over an arbitrary (doc_id, text, …) relation. */
-  private[graft] def dedupClustersOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val pairs = minhashLshOf(s, docs).select("doc_a", "doc_b")
+  private[graft] def dedupClustersOf(s: SparkSession, docs: DataFrame): DataFrame =
+    componentsOf(minhashLshOf(s, docs).select("doc_a", "doc_b"))
+
+  /** Min-label-propagation connected components over an arbitrary
+    * undirected pair list (first two columns = the edge endpoints) —
+    * shared by the MinHash dedup clusters and the embedding-space
+    * semantic dedup (SemDeDup), which differ only in how their edges are
+    * generated. Returns (doc_id, cluster) with cluster = the component's
+    * minimum id.
+    */
+  private[graft] def componentsOf(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
