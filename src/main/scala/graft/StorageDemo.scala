@@ -24,6 +24,7 @@ object StorageDemo {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to show bucketing
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -56,6 +57,76 @@ object StorageDemo {
                    else "(no PartitionFilters found)"
     println(s"partition pruning: $scanLine")
     println(s"  full=${mat.count()} rows, ano=1996 -> ${pruned.count()} rows")
+
+    // --- 3. Z-ORDER layout: one layout serving BOTH predicates --------
+    // A time-sorted layout prunes time predicates perfectly and user
+    // predicates not at all (every file spans every user). Range-
+    // partitioning + sorting on the Morton code of (user, time) gives
+    // every file a tight min/max BOX in both dimensions, so the parquet
+    // footers prune on EITHER predicate — the multi-dimensional layout
+    // trade every lakehouse z-order feature makes. Evidence: the scan's
+    // materialized row count (post row-group/page pruning) per
+    // (layout × query).
+    val z = zorderSkipDemo(spark, dir, s"$wh/ev", 64)
+    println(s"z-order skipping over ${z.total} rows, 64 files/layout:")
+    println(f"  time-slice query: ts-sorted reads ${z.tsTime}%7d rows, z-ordered ${z.zTime}%7d")
+    println(f"  user-slice query: ts-sorted reads ${z.tsUser}%7d rows, z-ordered ${z.zUser}%7d " +
+      f"(${z.tsUser.toDouble / math.max(z.zUser, 1L)}%.1fx less I/O on the layout's second dimension)")
     spark.stop()
+  }
+
+  /** Scan-materialized rows per (layout × query) + corpus size. */
+  final case class ZSkip(tsTime: Long, zTime: Long, tsUser: Long,
+      zUser: Long, total: Long)
+
+  /** Writes the events table under a 1-D (time-sorted) and a 2-D
+    * (Morton/Z-order, both dimensions min/max-normalized to 16 bits so
+    * the interleave is balanced) layout with `files` files each, then
+    * runs a time-slice query and a user-slice query against both and
+    * returns each scan's materialized row count (after parquet footer
+    * pruning — files are row-group-sized here, the 100 TB behavior
+    * scaled down). Shared by the demo main and ZOrderSpec.
+    */
+  def zorderSkipDemo(spark: SparkSession, dir: String, out: String,
+      files: Int): ZSkip = {
+    graft.functions.GraftFunctions.register(spark)
+    val evRaw = Tables.events(spark, dir).selectExpr(
+      "CAST(user_id AS BIGINT) AS user_id", "ts", "event_type", "value",
+      "CAST(unix_micros(ts) DIV 60000000 AS BIGINT) AS ts_min")
+    val b = evRaw.selectExpr("min(user_id) AS u0", "max(user_id) AS u1",
+      "min(ts_min) AS t0", "max(ts_min) AS t1").head()
+    val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // equal 16-bit budgets per dimension — an unnormalized interleave
+    // would put all significant high bits on the wider dimension (minutes
+    // since epoch ≈ 25 bits vs ~11 user bits) and degenerate to a 1-D
+    // time sort
+    val ev = evRaw.selectExpr("user_id", "ts", "event_type", "value", "ts_min",
+      s"(user_id - $u0) * 65535 DIV ${math.max(u1 - u0, 1L)} AS u16",
+      s"(ts_min - $t0) * 65535 DIV ${math.max(t1 - t0, 1L)} AS t16")
+    ev.repartitionByRange(files, col("ts_min"))
+      .sortWithinPartitions("ts_min")
+      .write.mode("overwrite").parquet(s"$out/ts_sorted")
+    ev.selectExpr("*", "zorder64(u16, t16) AS z")
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z") // the layout, not the schema, carries the clustering
+      .write.mode("overwrite").parquet(s"$out/zordered")
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    // both slices are fractions of the corpus DOMAIN, so the demo holds
+    // at any scale factor: 1/16 of the time span, and the middle 1/16 of
+    // the user range (≥ 1 user wide)
+    val timeSlice = col("ts_min").between(t0, t0 + math.max((t1 - t0) / 16L, 1L))
+    val uMid = u0 + (u1 - u0) / 2
+    val userSlice = col("user_id")
+      .between(uMid, uMid + math.max((u1 - u0) / 16L, 1L))
+    ZSkip(
+      scanRows(s"$out/ts_sorted", timeSlice), scanRows(s"$out/zordered", timeSlice),
+      scanRows(s"$out/ts_sorted", userSlice), scanRows(s"$out/zordered", userSlice),
+      evRaw.count())
   }
 }

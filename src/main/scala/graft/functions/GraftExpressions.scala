@@ -178,6 +178,23 @@ object Kernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Morton (Z-order) interleave of the low 32 bits of two non-negative
+    * longs: a's bits land on even positions, b's on odd. The standard
+    * mask-spread sequence — O(1), branch-free, codegen-friendly.
+    */
+  def zorder64(a: Long, b: Long): Long = {
+    def spread(x: Long): Long = {
+      var v = x & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    spread(a) | (spread(b) << 1)
+  }
 }
 
 /** minhashes(array<string md5-hex>, k) → array<long>: the k-function
@@ -280,6 +297,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** zorder64(bigint, bigint) → bigint Morton code: interleaves the low 32
+  * bits of both inputs (left on even bit positions, right on odd), the
+  * multi-dimensional clustering key for data-layout optimization — rows
+  * range-partitioned and sorted by this key land in files whose parquet
+  * min/max footers bound BOTH dimensions, so a 2-D selective scan prunes
+  * row groups on either predicate (see [[graft.StorageDemo]]).
+  */
+case class ZOrder64(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zorder64 expects two bigints, got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.zorder64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.zorder64($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder64"
+}
+
 /** cosine_sim(array<float>, array<float>) → double. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -313,6 +355,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpr(a), toExpr(b)))
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def zorder64(a: Column, b: Column): Column =
+    toColumn(ZOrder64(toExpr(a), toExpr(b)))
   def sorted_inter_count(a: Column, b: Column): Column =
     toColumn(SortedInterCount(toExpr(a), toExpr(b)))
 
@@ -374,6 +418,10 @@ object GraftFunctions {
     ("sorted_inter_count", "graft.functions.SortedInterCount", exprs => {
       arityCheck("sorted_inter_count", exprs, 2)
       SortedInterCount(exprs.head, exprs(1))
+    }),
+    ("zorder64", "graft.functions.ZOrder64", exprs => {
+      arityCheck("zorder64", exprs, 2)
+      ZOrder64(exprs.head, exprs(1))
     }))
 
   /** Register every native function for spark.sql use in this session. */

@@ -383,11 +383,15 @@ object TextOps {
           s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(toks, i, $k))))) AS ws")
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-      .barrier() // feeds the dup-count AND the flag join
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2).select("h")
+    // ONE shuffle flags duplicated windows: a full-partition count window
+    // over the content hash replaces the groupBy + join-back (two
+    // shuffles + a materialization barrier) — same partitioning a groupBy
+    // on h would use, so the scale posture is unchanged and the flagged
+    // row simply keeps its pos
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    wins.join(dup, Seq("h"))
+    wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") >= 2)
       .select("doc_id", "pos")
       .withColumn("prev", lag("pos", 1).over(byPos))
       // windows at p and p' (p < p') overlap or touch iff p' − p ≤ k;
@@ -455,54 +459,116 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
     * minimum id.
     */
   private[graft] def componentsOf(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.toDF("doc_a", "doc_b")
+    val s = pairs0.sparkSession
+    // the union reads `pairs` twice and the pair pipeline behind it can
+    // be expensive (e.g. the cell-blocked cosine join) — pin it across
+    // the two reads, released once the edges cache is materialized
+    val pairs = pairs0.toDF("doc_a", "doc_b").cache()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
+    // Route by EDGE count — the same auto-routing discipline as
+    // SurrogateKeys.auto. The dedup graph is bounded by near-dup DENSITY,
+    // not corpus size: a few thousand edges at bench scale, and still
+    // driver-collectable for most real corpora. Below the threshold a
+    // driver union-find closes components in microseconds; above it the
+    // distributed label-propagation loop runs (the ≥10⁷-edge regime,
+    // where per-iteration stage overhead amortizes). Both routes are
+    // asserted to agree (PassageBloomSpec), and the count() here also
+    // materializes the edges cache both paths reuse.
+    val maxCollect = s.conf.getOption("graft.cc.collectMaxEdges")
+      .map(_.toLong).getOrElse(5000000L)
+    val ecount = edges.count() // materializes the edges cache
+    pairs.unpersist()
+    val out = if (ecount <= maxCollect) componentsDriver(s, edges)
+              else componentsLoop(edges)
+    edges.unpersist()
+    out
+  }
+
+  /** Driver-side union-find (union-by-min + path compression) over a
+    * collected edge list — the small-graph route of [[componentsOf]].
+    * Union-by-min makes every root its component's minimum id, matching
+    * the label-propagation fixpoint exactly.
+    */
+  private def componentsDriver(s: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import s.implicits._
+    parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      .toDF("doc_id", "cluster").orderBy("doc_id")
+  }
+
+  /** Distributed min-label propagation — the at-scale route of
+    * [[componentsOf]] (edges above the collect threshold).
+    */
+  private def componentsLoop(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-    // Exactly ONE materialized frontier is pinned at a time: each
-    // iteration's `stepped` is cached and materialized by the convergence
-    // count, after which its predecessor is unpersisted — without this the
-    // CacheManager accretes one pin per iteration per invocation (the
-    // round-2/3 hygiene finding). Every 5 iterations the frontier is
-    // localCheckpoint'ed, which truncates the logical plan (otherwise the
-    // lineage deepens linearly with iterations and each re-plan pays for
-    // it). Barriers go through graft.Checkpoint: local checkpoint blocks
-    // by default (right at local[32] and on static allocation), reliable
-    // checkpoint() when `graft.checkpoint.dir` is set — the deployment
-    // switch for dynamic-allocation clusters where a lost executor makes
-    // local blocks unrecoverable.
-    var pinned: Option[DataFrame] = None
+    // Every iteration ends at an EAGER checkpoint barrier (see the
+    // path-halving note below), so exactly one transient cache (`st`,
+    // released within the iteration) exists at any time and nothing
+    // accretes in the CacheManager across iterations (the round-2/3
+    // hygiene finding). Barriers go through graft.Checkpoint: local
+    // checkpoint by default (right at local[32] and on static
+    // allocation), reliable checkpoint() when `graft.checkpoint.dir` is
+    // set — the deployment switch for dynamic-allocation clusters where
+    // a lost executor makes local blocks unrecoverable.
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      val stepped = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
+      val st = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
         .select(col("doc"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
         .cache()
-      changed = stepped.filter(col("lbl2") < col("lbl")).count() // materializes
-      pinned.foreach(_.unpersist())
+      // PATH HALVING (pointer jumping): each doc also adopts its current
+      // label-holder's label. Same fixpoint (neighbor-min stability alone
+      // already implies component minima; the shortcut is monotone and
+      // stays inside the component), but label chains collapse doubly per
+      // round, so convergence is O(log diameter) iterations instead of
+      // O(diameter) — the wall-clock lever for chain-shaped near-dup
+      // clusters (the embedding-pair graph at sf0.1 took 10+ linear
+      // rounds). The shortcut references `st` on BOTH join sides, which
+      // would nest the analyzed plan exponentially across iterations
+      // (2^i subtrees — at iteration ~10 merely rendering the cache name
+      // string OOMed the driver), so each iteration ends at an EAGER
+      // checkpoint barrier: the frontier becomes a LogicalRDD, plan size
+      // stays O(1) per iteration, and the old pinned-cache/every-5-
+      // barrier bookkeeping is no longer needed.
+      val half = st.select(col("doc").as("ldoc"), col("lbl1").as("llbl"))
+      val stepped = st.join(half, st("lbl1") === half("ldoc"), "left")
+        .select(col("doc"), col("lbl"),
+          least(col("lbl1"), coalesce(col("llbl"), col("lbl1"))).as("lbl2"))
+        .barrier() // eager: materializes the frontier AND truncates lineage
+      changed = stepped.filter(col("lbl2") < col("lbl")).count()
+      st.unpersist()
       labels = stepped.select(col("doc"), col("lbl2").as("lbl"))
-      pinned = Some(stepped)
-      if (iter % 5 == 4) {
-        labels = labels.barrier() // eager: cuts lineage here
-        pinned.foreach(_.unpersist())
-        pinned = None
-      }
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter=$iter changed=$changed")
     }
     // make the result self-contained, then release the loop's working set:
     // after this checkpoint neither `edges` nor any iteration cache backs
     // the returned DataFrame, so nothing from the loop stays pinned.
-    val out = labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
       .barrier()
-    pinned.foreach(_.unpersist())
-    edges.unpersist()
-    out
   }
 
   /** END-TO-END dedup: the surviving corpus after keep-one-per-cluster —

@@ -192,6 +192,10 @@ class EngineSpec extends SparkSpec {
   test("dedup clusters: iteration caches don't accrete; labels are component minima") {
     def pinnedNonCheckpoint: Int = spark.sparkContext.getPersistentRDDs.values
       .count(r => !r.isCheckpointed)
+    // force the DISTRIBUTED label-propagation route (at tiny scale the
+    // auto-router would take the driver union-find, which has no caches
+    // to leak) — this test pins the loop's hygiene
+    spark.conf.set("graft.cc.collectMaxEdges", "0")
     val before = pinnedNonCheckpoint
     val out = graft.text.TextOps.dedupClusters(spark, tiny)
     val rows = out.collect()
@@ -207,6 +211,7 @@ class EngineSpec extends SparkSpec {
     // and invoking it AGAIN must not grow the pin count either
     graft.text.TextOps.dedupClusters(spark, tiny).count()
     assert(pinnedNonCheckpoint === before)
+    spark.conf.unset("graft.cc.collectMaxEdges")
   }
 
   test("dedup keep-first picks each user's earliest event") {

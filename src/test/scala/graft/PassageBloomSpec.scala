@@ -98,4 +98,21 @@ class PassageBloomSpec extends SparkSpec {
     // partition the corpus
     assert(sd.map(_.getAs[Long]("vec_id")).distinct.length == sd.length)
   }
+
+  test("connected components: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    // chain + triangle + singleton-free pair mix, ids deliberately
+    // out of order so union-by-min ordering actually gets exercised
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 1L), // chain with min 1
+      (20L, 22L), (22L, 21L), (20L, 21L), // triangle, min 20
+      (40L, 41L)).toDF("doc_a", "doc_b")
+    def run(): Seq[(Long, Long)] = graft.text.TextOps.componentsOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val viaDriver = run() // default threshold → driver route
+    spark.conf.set("graft.cc.collectMaxEdges", "0")
+    val viaLoop = try run() finally spark.conf.unset("graft.cc.collectMaxEdges")
+    assert(viaDriver == viaLoop)
+    assert(viaDriver == Seq(1L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 40L -> 40L, 41L -> 40L))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.Kernels
+
+/** Z-order (Morton) layout: kernel correctness and the measured
+  * file-skipping property the layout exists for.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("zorder64 interleaves bits: known values, roundtrip, monotone prefixes") {
+    assert(Kernels.zorder64(0L, 0L) == 0L)
+    assert(Kernels.zorder64(1L, 0L) == 1L) // a → even bits
+    assert(Kernels.zorder64(0L, 1L) == 2L) // b → odd bits
+    assert(Kernels.zorder64(3L, 5L) == 39L) // 0b101(b) ⋈ 0b11(a) = 0b100111
+    // roundtrip: deinterleave recovers both inputs over a value grid
+    def unspread(z: Long): Long = {
+      var v = z & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      (v | (v >> 16)) & 0xFFFFFFFFL
+    }
+    for (a <- Seq(0L, 1L, 7L, 255L, 65535L, 0xFFFFFFFFL);
+         b <- Seq(0L, 2L, 100L, 32768L, 0xFFFFFFFFL)) {
+      val z = Kernels.zorder64(a, b)
+      assert(unspread(z) == a && unspread(z >> 1) == b, s"roundtrip ($a,$b)")
+    }
+    // quadrant property: the top interleaved bits order 2-D quadrants —
+    // every code in the low-low quadrant sorts before every code in the
+    // high-high quadrant
+    val lowLow = for (a <- 0L until 8L; b <- 0L until 8L)
+      yield Kernels.zorder64(a, b)
+    val highHigh = for (a <- 8L until 16L; b <- 8L until 16L)
+      yield Kernels.zorder64(a, b)
+    assert(lowLow.max < highHigh.min)
+  }
+
+  test("zorder64 expression matches the kernel and survives codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq((3L, 5L), (0L, 0L), (1023L, 4095L), (0xFFFFFFFFL, 1L))
+      .toDF("a", "b")
+      .selectExpr("a", "b", "zorder64(a, b) AS z")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == Kernels.zorder64(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("z-ordered layout prunes the second dimension; time-sorted cannot") {
+    val out = s"/tmp/graft_zorder_${System.nanoTime()}"
+    try {
+      val z = StorageDemo.zorderSkipDemo(spark, tiny, out, 16)
+      // both layouts prune the time slice well below a full scan
+      assert(z.tsTime < z.total / 2, s"ts layout should prune time: $z")
+      assert(z.zTime < z.total, s"z layout must not degrade to full scan: $z")
+      // the point of the layout: the user predicate prunes ONLY under
+      // z-order — the time-sorted layout spreads every user over every
+      // file and must materialize (almost) everything
+      // at 16 files × ~60 rows the skipping granularity is coarse; the
+      // REQUIRED property is strict improvement with real headroom (the
+      // sf0.1 demo shows the sharp version: 32 files, ~8x less I/O)
+      assert(z.zUser <= z.tsUser * 3 / 4,
+        s"z-order must out-prune the 1-D layout on the second dimension: $z")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+}
