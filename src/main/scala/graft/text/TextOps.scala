@@ -373,9 +373,13 @@ object TextOps {
     * the span merge is a per-document window function bounded by the
     * document's own length. Everything is linear in corpus size.
     */
-  def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = documents(s, d)
+  /** The (doc_id, pos, h) rolling-window relation both passage operators
+    * share: one row per k-token window, carrying its 1-based position and
+    * content hash only — the token arrays never leave the first
+    * projection.
+    */
+  private def passageWindows(s: SparkSession, d: String, k: Int): DataFrame =
+    documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .filter(expr(s"size(toks) >= $k"))
       .selectExpr("doc_id",
@@ -383,6 +387,10 @@ object TextOps {
           s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(toks, i, $k))))) AS ws")
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = passageWindows(s, d, k)
     // ONE shuffle flags duplicated windows: a full-partition count window
     // over the content hash replaces the groupBy + join-back (two
     // shuffles + a materialization barrier) — same partitioning a groupBy
@@ -431,6 +439,72 @@ islands AS (SELECT doc_id, pos,
 SELECT doc_id, CAST(ilha AS INTEGER) AS span_id, CAST(MIN(pos) AS INTEGER) AS tok_ini,
   CAST(MAX(pos) + ${k - 1} AS INTEGER) AS tok_fim, COUNT(*) AS n_janelas
 FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
+
+  /** The CLEANING half of passage dedup — [[passageDedup]] lists the
+    * duplicated spans; this operator actually cuts them, Lee et al.'s
+    * "keep one occurrence" rule made deterministic: every duplicated
+    * window (hash occurring ≥ 2 times corpus-wide) is OWNED by its first
+    * occurrence in (doc_id, pos) order; non-owned duplicated windows have
+    * their k-token coverage removed, and each document's cleaned text is
+    * rebuilt from the surviving tokens in position order. Documents with
+    * no cut windows (including those shorter than one window) pass
+    * through untouched.
+    *
+    * Scale shape: ownership is one window-function pass over the same
+    * content-hash partitioning the flagging uses; coverage explodes cut
+    * windows ×k (bounded by duplicated volume, not corpus size); the
+    * rebuild is a token-level explode + anti-join + per-document ordered
+    * re-aggregation — all linear, all keyed on doc or hash.
+    */
+  def passageClean(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy("h")
+    val cut = passageWindows(s, d, k)
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .withColumn("rn", row_number().over(byHash.orderBy("doc_id", "pos")))
+      .filter(col("occ") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
+      .distinct()
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .withColumn("i", col("i0") + 1).drop("i0")
+      .join(cut, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, tok))), s -> s.tok), ' ')")
+          .as("txt"))
+    toks.join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "CAST(size(toks) AS INTEGER) AS n_tokens",
+        "CAST(coalesce(n, 0) AS INTEGER) AS n_mantidos",
+        "coalesce(txt, '') AS texto_limpo")
+      .orderBy("doc_id")
+  }
+
+  private def passageCleanOracle(k: Int = 8): String =
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
+long AS (SELECT * FROM toks WHERE len(toks) >= $k),
+pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
+flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+  md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')) AS h FROM pos),
+marked AS (SELECT doc_id, pos,
+    COUNT(*) OVER (PARTITION BY h) AS occ,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM flat),
+cut AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1),
+cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + $k)) AS INTEGER) AS i FROM cut),
+tokix AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i, toks FROM toks),
+tok AS (SELECT doc_id, i, toks[i] AS tok FROM tokix),
+kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t
+         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i)
+SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+  CAST(coalesce(kk.n, 0) AS INTEGER) AS n_mantidos,
+  coalesce(kk.txt, '') AS texto_limpo
+FROM toks d LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
+ORDER BY d.doc_id"""
 
   /** Dedup CLUSTERS: connected components over the MinHash-LSH candidate
     * pairs via min-label propagation (Pregel-style: each doc repeatedly
@@ -753,6 +827,7 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_dedup_simhash64" -> (simhashPairs64(_, _)),
     "q_dedup_passage" -> (passageDedup(_, _)),
+    "q_passage_clean" -> (passageClean(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
   // ------------------------------------------------------------ oracles
@@ -948,6 +1023,7 @@ WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
 ORDER BY doc_id""",
       "q_dedup_simhash64" -> simhash64Oracle,
       "q_dedup_passage" -> passageOracle(),
+      "q_passage_clean" -> passageCleanOracle(),
       // the STREAMED verified near-dup must converge to exactly the batch
       // band-join + hamming result — same oracle
       "q_dedup_simhash_stream" -> simhash64Oracle,

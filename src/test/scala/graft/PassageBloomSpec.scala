@@ -45,6 +45,42 @@ class PassageBloomSpec extends SparkSpec {
     assert(got.nonEmpty, "tiny corpus was expected to contain duplicated passages")
   }
 
+  test("passage clean: untouched docs pass through; fully-covered near-copies are fully cut") {
+    // sf0.01: the smallest corpus that carries exact-duplicate documents
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val rows = TextOps.passageClean(spark, sf, K).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(rows.keySet == docs.keySet)
+    rows.foreach { case (id, (n, kept, txt)) =>
+      assert(n == docs(id).length && kept <= n)
+      if (kept == n) // uncut docs must reproduce their tokens verbatim
+        assert(txt == docs(id).mkString(" "), s"doc $id changed without cuts")
+      assert(txt.isEmpty == (kept == 0))
+    }
+    assert(rows.values.exists(v => v._2 < v._1), "tiny corpus should have cuts")
+    assert(rows.values.exists(v => v._2 == v._1), "and untouched docs")
+    // ownership invariant, brute-forced: a doc is fully cut IFF it owns
+    // none of its windows (every window has an earlier (doc, pos)
+    // occurrence) and its windows tile the whole doc
+    val firstOcc = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, toks) <- docs.toSeq.sortBy(_._1); i <- 0 to toks.length - K) {
+      val w = toks.slice(i, i + K).mkString(" ")
+      if (!firstOcc.contains(w)) firstOcc(w) = (id, i)
+    }
+    val fullyCut = rows.filter { case (_, (n, kept, _)) => kept == 0 && n >= K }
+    assert(fullyCut.nonEmpty, "sf0.01 should contain fully-covered near-copies")
+    fullyCut.keys.foreach { id =>
+      val toks = docs(id)
+      (0 to toks.length - K).foreach { i =>
+        assert(firstOcc(toks.slice(i, i + K).mkString(" ")) != ((id, i)),
+          s"fully-cut doc $id unexpectedly owns its window at $i")
+      }
+    }
+  }
+
   test("gopher gate: composite decision is the AND of its rule columns") {
     val rows = TextOps.qualityGopher(spark, tiny).collect()
     val ruleCols = Seq("r_n_tokens", "r_tam_medio", "r_alfa", "r_stopwords", "r_digitos")
