@@ -89,6 +89,24 @@ object Kernels {
     new GenericArrayData(hs.toArray)
   }
 
+  /** Per-position k-token window hashes in ONE pass: window string →
+    * md5 → first-15-hex-chars long, POSITION-ALIGNED (element i is the
+    * window starting at 1-based token position i+1; docs shorter than k
+    * emit none). Same 2⁶⁰ identity space as [[shingleHashes]] and
+    * identical to the SQL `('0x' || substring(md5(w), 1, 15))::BIGINT`
+    * form, so the DuckDB oracle mirrors values exactly. Unlike
+    * shingleHashes this keeps duplicates and order — passage dedup needs
+    * OCCURRENCES, not the set.
+    */
+  def windowHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val m = tokens.numElements()
+    val toks = (0 until m).map(tokens.getUTF8String(_).toString)
+    val out =
+      if (m >= k) (0 to m - k).map(i => nib15(md5bytes(toks.slice(i, i + k).mkString(" ")), 0))
+      else Seq.empty[Long]
+    new GenericArrayData(out.toArray)
+  }
+
   /** Fused shingle → digest → k-minhash signature in one pass — skips
     * materializing the md5-hex string array entirely. Values identical to
     * minhashes(md5List(shingles), k).
@@ -234,6 +252,25 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashes($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** window_hashes(array<string tokens>, k) → array<long>: position-aligned
+  * rolling-window content hashes (see [[Kernels.windowHashes]]).
+  */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"window_hashes expects array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.windowHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.windowHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WindowHashes = copy(child = c)
+  override def prettyName: String = "window_hashes"
 }
 
 /** shingle_minhashes(array<string tokens>, n, k) → array<long>: fused
@@ -422,6 +459,10 @@ object GraftFunctions {
     ("zorder64", "graft.functions.ZOrder64", exprs => {
       arityCheck("zorder64", exprs, 2)
       ZOrder64(exprs.head, exprs(1))
+    }),
+    ("window_hashes", "graft.functions.WindowHashes", exprs => {
+      arityCheck("window_hashes", exprs, 2)
+      WindowHashes(exprs.head, intArgCheck("window_hashes", exprs(1), "k"))
     }))
 
   /** Register every native function for spark.sql use in this session. */

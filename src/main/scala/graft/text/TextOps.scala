@@ -365,7 +365,7 @@ object TextOps {
     * cut.
     *
     * Scale shape: the window explode is O(total tokens) rows carrying
-    * (pos, 16-byte hash) only — the token arrays themselves never leave
+    * (pos, 60-bit hash) only — the token arrays themselves never leave
     * the first projection (suffix arrays beat this on one machine; at
     * corpus scale the hash-window shuffle IS the standard form). Dup
     * detection is a grouped count on the content hash (uniform key space
@@ -378,15 +378,19 @@ object TextOps {
     * content hash only — the token arrays never leave the first
     * projection.
     */
-  private def passageWindows(s: SparkSession, d: String, k: Int): DataFrame =
+  private def passageWindows(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // one-pass native kernel: window → md5 → 60-bit BIGINT identity
+    // (position-aligned). The hash is the SHUFFLE KEY of both downstream
+    // passes — 8 bytes instead of a 32-char hex string, the same
+    // constant-factor discipline as shingle_hashes/simhash64
     documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
       .filter(expr(s"size(toks) >= $k"))
-      .selectExpr("doc_id",
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
-          s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(toks, i, $k))))) AS ws")
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .selectExpr("doc_id", s"window_hashes(toks, $k) AS whs")
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"), col("h"))
+  }
 
   def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -426,7 +430,7 @@ object TextOps {
 long AS (SELECT * FROM toks WHERE len(toks) >= $k),
 pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
 flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-  md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')) AS h FROM pos),
+  ('0x' || substring(md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')), 1, 15))::BIGINT AS h FROM pos),
 dup AS (SELECT h FROM flat GROUP BY h HAVING COUNT(*) >= 2),
 flagged AS (SELECT doc_id, pos FROM flat JOIN dup USING (h)),
 marked AS (SELECT doc_id, pos,
@@ -487,7 +491,7 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
 long AS (SELECT * FROM toks WHERE len(toks) >= $k),
 pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
 flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-  md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')) AS h FROM pos),
+  ('0x' || substring(md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')), 1, 15))::BIGINT AS h FROM pos),
 marked AS (SELECT doc_id, pos,
     COUNT(*) OVER (PARTITION BY h) AS occ,
     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
