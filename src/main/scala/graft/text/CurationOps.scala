@@ -360,7 +360,52 @@ object CurationOps {
 
   // -------------------------------------------------------------- wiring
 
+  /** Word-level vocabulary induction + out-of-vocabulary rate — the
+    * "train the tokenizer vocab on the corpus you curated" step: the top-V
+    * terms by corpus frequency (ties by term, so the vocabulary is
+    * deterministic) and each document's OOV token count/rate against it.
+    * A doc with a high OOV rate is either foreign to the corpus register
+    * or noise — the signal a vocab-coverage filter keys on.
+    *
+    * Scale shape: one grouped count per term (map-side combinable), a
+    * V-row distributed top-k (TakeOrderedAndProject — no global sort),
+    * and the OOV count is a broadcast anti-join of the exploded tokens
+    * against the V-row vocabulary. No all-corpus shuffle beyond the term
+    * count.
+    */
+  def vocabOov(s: SparkSession, d: String, v: Int = 50): DataFrame = {
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+    val ex = toks.select(col("doc_id"), explode(col("t")).as("term"))
+    val vocab = ex.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("term")).limit(v)
+      .select("term")
+    val oov = ex.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_oov"))
+      .selectExpr("doc_id", "CAST(n_tokens AS INTEGER) AS n_tokens",
+        "CAST(n_oov AS INTEGER) AS n_oov",
+        "CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS taxa_oov")
+      .orderBy("doc_id")
+  }
+
+  private def vocabOovOracle(v: Int = 50): String =
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+voc AS (SELECT term FROM (SELECT term, COUNT(*) AS c FROM ex GROUP BY term)
+        ORDER BY c DESC, term LIMIT $v),
+oov AS (SELECT doc_id, COUNT(*) AS n_oov FROM ex
+        WHERE term NOT IN (SELECT term FROM voc) GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tokens,
+  CAST(coalesce(o.n_oov, 0) AS INTEGER) AS n_oov,
+  CAST(coalesce(o.n_oov, 0) AS DOUBLE) / CAST(len(d.t) AS DOUBLE) AS taxa_oov
+FROM toks d LEFT JOIN oov o ON d.doc_id = o.doc_id
+ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_oov" -> (vocabOov(_, _)),
     "q_sample_stratified" -> (sampleStratified _),
     "q_sample_quota" -> (sampleQuota(_, _)),
     "q_sketch_kmv" -> (sketchKmv _),
@@ -376,6 +421,7 @@ object CurationOps {
   // ------------------------------------------------------------- oracles
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_oov" -> vocabOovOracle(),
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang, amostra FROM (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, ${sampleHash("doc_id").duck} AS amostra

@@ -230,4 +230,24 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
   }
+
+  test("vocab induction: top-V is a broadcast anti-join + distributed top-k, OOV consistent") {
+    val df = CurationOps.vocabOov(spark, tiny, 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary selection must be a distributed top-k, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"OOV counting must anti-join against the broadcast V-row vocab:\n$plan")
+    val rows = df.collect()
+    // an independent in-JVM recomputation of the same vocabulary rule
+    val toks = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val freq = toks.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    rows.foreach { r =>
+      val expected = toks(r.getLong(0)).count(t => !vocab.contains(t))
+      assert(r.getInt(2) == expected, s"doc ${r.getLong(0)} oov")
+    }
+  }
 }
