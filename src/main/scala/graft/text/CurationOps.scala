@@ -92,9 +92,14 @@ object CurationOps {
     * driver merge of k·partitions values — no global sort).
     */
   def sketchKmv(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // the native shingle_hashes kernel (one digest pass, no hex-string
+    // materialization) emits each doc's DISTINCT 60-bit shingle ids —
+    // the global distinct set is unchanged, which is all either KMV form
+    // consumes, and the value is identical to the SQL
+    // conv(substring(md5(s),1,15),16,10) the oracle uses
     val hashes = documents(s, d)
-      .selectExpr(s"explode(${SH.spark}) AS s")
-      .selectExpr(s"${hash60("s").spark} AS h")
+      .selectExpr(s"explode(shingle_hashes(${T.spark}, 3)) AS h")
       .distinct()
     val kth = hashes.orderBy("h").limit(kmvK)
       .agg(max(col("h")).as("kesimo_min"))
@@ -117,9 +122,11 @@ object CurationOps {
     */
   def sketchKmvOnePass(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // same kernel swap as [[sketchKmv]]; the aggregator dedups on entry,
+    // so per-doc-distinct input changes nothing but the row count it scans
     val mins = documents(s, d)
-      .selectExpr(s"explode(${SH.spark}) AS s")
-      .selectExpr(s"${hash60("s").spark} AS h")
+      .selectExpr(s"explode(shingle_hashes(${T.spark}, 3)) AS h")
       .as[Long]
       .select(graft.functions.KMinValues(kmvK).toColumn.name("mins"))
     mins.toDF("mins")
