@@ -1,0 +1,39 @@
+package graft
+
+/** The composed corpus-build CLI: the funnel may only shrink, the final
+  * corpus must be exactly the surviving docs with their CLEANED text, and
+  * rerunning must reproduce it byte-for-byte (the determinism promise all
+  * the underlying gated operators make).
+  */
+class CurateRunSpec extends SparkSpec {
+
+  test("curation funnel is monotone; written corpus matches the survivors; rerun identical") {
+    val out = s"/tmp/graft_curate_spec_${System.nanoTime()}"
+    try {
+      val funnel = CurateRun.run(spark, tiny, out)
+      assert(funnel.head._1 == "ingest")
+      funnel.sliding(2).foreach { case Seq((a, na), (b, nb)) =>
+        assert(nb <= na, s"stage '$b' grew the corpus ($na -> $nb)")
+      }
+      assert(funnel.last._2 > 0, "tiny corpus should survive curation")
+      val corpus = spark.read.parquet(out)
+      assert(corpus.count() == funnel.last._2)
+      assert(corpus.columns.toSet ==
+        Set("doc_id", "lang", "source", "texto_limpo", "n_tokens"))
+      // text is the CLEANED form: token count must equal the n_tokens col
+      corpus.collect().foreach { r =>
+        val n = r.getAs[String]("texto_limpo").trim.split("\\s+").length
+        assert(n == r.getAs[Int]("n_tokens"), s"doc ${r.getAs[Long]("doc_id")}")
+      }
+      val first = corpus.orderBy("doc_id").collect().toSeq
+      val funnel2 = CurateRun.run(spark, tiny, out)
+      assert(funnel2 == funnel)
+      assert(spark.read.parquet(out).orderBy("doc_id").collect().toSeq == first)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+}
