@@ -68,6 +68,32 @@ def install_airflow_stub():
     return DAG
 
 
+def load_dag(dag_cls, name: str):
+    path = Path(__file__).resolve().parent.parent / "dags" / f"{name}.py"
+    namespace = {"__name__": name, "__file__": str(path)}
+    exec(compile(path.read_text(), str(path), "exec"), namespace)
+    dag = namespace.get("dag")
+    assert isinstance(dag, dag_cls), f"{name} must bind a `dag` object"
+    return dag
+
+
+def check_curate(dag_cls) -> None:
+    dag = load_dag(dag_cls, "graft_curate_dag")
+    assert dag.dag_id == "graft_curate", dag.dag_id
+    tasks = {t.task_id: t for t in dag.tasks}
+    chain = ["curate_signals", "curate_dedup", "curate_final"]
+    assert set(tasks) == set(chain), set(tasks)
+    for prev, nxt in zip(chain, chain[1:]):
+        assert tasks[nxt].upstream == {prev}, \
+            f"{nxt} must depend on {prev} only, got {tasks[nxt].upstream}"
+    assert tasks[chain[0]].upstream == set()
+    for task_id, stage in zip(chain, ["signals", "dedup", "final"]):
+        cmd = tasks[task_id].bash_command
+        assert "graft.CurateRun" in cmd, cmd
+        assert f"--stage {stage}" in cmd, cmd
+    print("dag ok: curate signals -> dedup -> final, three spark-submit tasks")
+
+
 def main() -> int:
     dag_cls = install_airflow_stub()
     path = Path(__file__).resolve().parent.parent / "dags" / "graft_aw_dag.py"
@@ -99,6 +125,7 @@ def main() -> int:
         assert f"--table {table}" in t.bash_command, t.bash_command
 
     print("dag ok: 5 parallel dims -> fato, six spark-submit tasks")
+    check_curate(dag_cls)
     return 0
 
 
