@@ -17,64 +17,115 @@ import graft.text.{CurationOps, TextOps}
   *      (q_quality_gopher), repetition rules (q_text_repetition),
   *      language-ID agreement (q_lang_id), vocab coverage (q_vocab_oov);
   *   2. dedup: exact keep-one (q_dedup_exact), near-dup
-  *      keep-one-per-cluster (q_dedup_canonical);
-  *   3. leakage: eval-split contamination drop (q_decontaminate);
-  *   4. passage cleaning (q_passage_clean) rewrites the survivors' text,
+  *      keep-one-per-cluster (q_dedup_canonical), eval-split
+  *      contamination drop (q_decontaminate);
+  *   3. passage cleaning (q_passage_clean) rewrites the survivors' text,
   *      dropping any doc whose text was fully duplicated elsewhere.
   *
-  * Usage: runMain graft.CurateRun [sfDir] [outDir]
+  * Two invocation shapes:
+  *   runMain graft.CurateRun [sfDir] [outDir]
+  *     — the whole funnel in one process (development / single-job mode);
+  *   runMain graft.CurateRun --stage signals|dedup|final <sfDir> <outDir>
+  *     — ONE stage per process, later stages reading the previous stage's
+  *       keep-list parquet from outDir: the task-boundary read-back
+  *       contract `dags/graft_curate_dag.py` orchestrates (the same
+  *       deployment shape as AwRun --table under graft_aw_dag.py).
   */
 object CurateRun {
 
-  /** The staged funnel: returns (stage name, docs surviving) in order,
-    * with the final corpus written to `out`. Shared by main and the spec.
+  /** The signal gates (stage 1), in funnel order — each value is the
+    * doc_id set a gated query KEEPS. One list feeds both invocation
+    * shapes, so the in-process funnel and the staged DAG cannot drift.
     */
-  def run(spark: SparkSession, dir: String, out: String): Seq[(String, Long)] = {
-    val docs = Tables.documents(spark, dir)
+  private def signalGates(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
+    "quality boa" -> TextOps.textQuality(s, d).where("qualidade = 'boa'"),
+    "gopher mantem" -> TextOps.qualityGopher(s, d).where("decisao = 'mantem'"),
+    "not repetitive" -> CurationOps.textRepetition(s, d).where("repetitivo = 0"),
+    "lang-id agrees" -> TextOps.langId(s, d).where("acerto = 1"),
+    "vocab coverage" -> CurationOps.vocabOov(s, d).where("taxa_oov <= 0.5"))
+
+  /** The dedup/leakage gates (stage 2): (name, keep-set, anti?) — anti
+    * gates DROP the listed docs instead of keeping them.
+    */
+  private def dedupGates(s: SparkSession, d: String): Seq[(String, DataFrame, Boolean)] = Seq(
+    ("exact keeper", TextOps.dedupExact(s, d).selectExpr("doc_mantido AS doc_id"), false),
+    ("near-dup canonical", TextOps.dedupCanonical(s, d), false),
+    ("not contaminated",
+      CurationOps.decontaminate(s, d).where("contaminado = 1"), true))
+
+  private def cleaned(s: SparkSession, d: String): DataFrame =
+    TextOps.passageClean(s, d).select("doc_id", "n_mantidos", "texto_limpo")
+
+  private def applyGate(kept: DataFrame, gate: DataFrame, anti: Boolean): DataFrame =
+    kept.join(gate.select("doc_id"), Seq("doc_id"),
+      if (anti) "left_anti" else "left_semi")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "source")
-    val cleaned = TextOps.passageClean(spark, dir)
-      .select("doc_id", "n_mantidos", "texto_limpo")
 
-    val funnel = Seq.newBuilder[(String, Long)]
-    var kept = docs.select("doc_id")
-    def stage(name: String)(step: DataFrame => DataFrame): Unit = {
-      kept = step(kept)
-      funnel += name -> kept.count()
-    }
-    def semi(sig: DataFrame) =
-      (k: DataFrame) => k.join(sig.select("doc_id"), Seq("doc_id"), "left_semi")
-
-    funnel += "ingest" -> kept.count()
-    stage("quality boa")(semi(TextOps.textQuality(spark, dir)
-      .where("qualidade = 'boa'")))
-    stage("gopher mantem")(semi(TextOps.qualityGopher(spark, dir)
-      .where("decisao = 'mantem'")))
-    stage("not repetitive")(semi(CurationOps.textRepetition(spark, dir)
-      .where("repetitivo = 0")))
-    stage("lang-id agrees")(semi(TextOps.langId(spark, dir)
-      .where("acerto = 1")))
-    stage("vocab coverage")(semi(CurationOps.vocabOov(spark, dir)
-      .where("taxa_oov <= 0.5")))
-    stage("exact keeper")(semi(TextOps.dedupExact(spark, dir)
-      .selectExpr("doc_mantido AS doc_id")))
-    stage("near-dup canonical")(semi(TextOps.dedupCanonical(spark, dir)))
-    stage("not contaminated")(k => k.join(
-      CurationOps.decontaminate(spark, dir).where("contaminado = 1")
-        .select("doc_id"),
-      Seq("doc_id"), "left_anti"))
-    stage("passage-clean nonempty")(semi(cleaned.where("n_mantidos > 0")))
-
-    docs.join(kept, Seq("doc_id"), "left_semi")
-      .join(cleaned, Seq("doc_id"))
+  private def writeFinal(s: SparkSession, d: String, kept: DataFrame,
+      out: String): Long = {
+    val fin = docs(s, d).join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(cleaned(s, d).where("n_mantidos > 0"), Seq("doc_id"))
       .selectExpr("doc_id", "lang", "source", "texto_limpo",
         "n_mantidos AS n_tokens")
-      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    fin.write.mode("overwrite").partitionBy("lang").parquet(s"$out/corpus")
+    s.read.parquet(s"$out/corpus").count()
+  }
+
+  /** The staged funnel in one process: returns (stage name, docs
+    * surviving) in order, with the final corpus written to
+    * `out`/corpus. Shared by main and the spec.
+    */
+  def run(spark: SparkSession, dir: String, out: String): Seq[(String, Long)] = {
+    val funnel = Seq.newBuilder[(String, Long)]
+    var kept = docs(spark, dir).select("doc_id")
+    funnel += "ingest" -> kept.count()
+    signalGates(spark, dir).foreach { case (name, gate) =>
+      kept = applyGate(kept, gate, anti = false)
+      funnel += name -> kept.count()
+    }
+    dedupGates(spark, dir).foreach { case (name, gate, anti) =>
+      kept = applyGate(kept, gate, anti)
+      funnel += name -> kept.count()
+    }
+    funnel += "passage-clean nonempty" -> writeFinal(spark, dir, kept, out)
     funnel.result()
   }
 
+  /** One DAG stage per process; `signals` and `dedup` persist their
+    * surviving doc_id keep-list for the next task to read back.
+    */
+  def runStage(spark: SparkSession, stage: String, dir: String,
+      out: String): Long = stage match {
+    case "signals" =>
+      var kept = docs(spark, dir).select("doc_id")
+      signalGates(spark, dir).foreach { case (_, gate) =>
+        kept = applyGate(kept, gate, anti = false)
+      }
+      kept.write.mode("overwrite").parquet(s"$out/keep_signals")
+      spark.read.parquet(s"$out/keep_signals").count()
+    case "dedup" =>
+      var kept = spark.read.parquet(s"$out/keep_signals")
+      dedupGates(spark, dir).foreach { case (_, gate, anti) =>
+        kept = applyGate(kept, gate, anti)
+      }
+      kept.write.mode("overwrite").parquet(s"$out/keep_dedup")
+      spark.read.parquet(s"$out/keep_dedup").count()
+    case "final" =>
+      writeFinal(spark, dir, spark.read.parquet(s"$out/keep_dedup"), out)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown stage '$other' (expected signals|dedup|final)")
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val out = if (args.length > 1) args(1)
+    val (stage, rest) =
+      if (args.length >= 2 && args(0) == "--stage") (Some(args(1)), args.drop(2))
+      else (None, args)
+    val dir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.01"
+    val out = if (rest.length > 1) rest(1)
               else s"/tmp/graft_corpus_${System.nanoTime()}"
     val spark = SparkSession.builder()
       .master("local[*]")
@@ -87,15 +138,23 @@ object CurateRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    val funnel = run(spark, dir, out)
-    funnel.foreach { case (name, n) => println(f"$name%-24s $n%8d docs") }
-    val roll = spark.read.parquet(out)
-      .groupBy("lang").agg(count(lit(1)).as("docs"),
-        sum("n_tokens").as("tokens"))
-      .orderBy("lang").collect()
-    println("final corpus by language:")
-    roll.foreach(r => println(f"  ${r.getString(0)}%-4s ${r.getLong(1)}%7d docs ${r.getLong(2)}%10d tokens"))
-    println(f"corpus written to $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    stage match {
+      case Some(st) =>
+        val n = runStage(spark, st, dir, out)
+        println(f"stage $st: $n%d docs surviving " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      case None =>
+        val funnel = run(spark, dir, out)
+        funnel.foreach { case (name, n) => println(f"$name%-24s $n%8d docs") }
+        val roll = spark.read.parquet(s"$out/corpus")
+          .groupBy("lang").agg(count(lit(1)).as("docs"),
+            sum("n_tokens").as("tokens"))
+          .orderBy("lang").collect()
+        println("final corpus by language:")
+        roll.foreach(r => println(
+          f"  ${r.getString(0)}%-4s ${r.getLong(1)}%7d docs ${r.getLong(2)}%10d tokens"))
+        println(f"corpus written to $out/corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ class CurateRunSpec extends SparkSpec {
         assert(nb <= na, s"stage '$b' grew the corpus ($na -> $nb)")
       }
       assert(funnel.last._2 > 0, "tiny corpus should survive curation")
-      val corpus = spark.read.parquet(out)
+      val corpus = spark.read.parquet(s"$out/corpus")
       assert(corpus.count() == funnel.last._2)
       assert(corpus.columns.toSet ==
         Set("doc_id", "lang", "source", "texto_limpo", "n_tokens"))
@@ -28,7 +28,25 @@ class CurateRunSpec extends SparkSpec {
       val first = corpus.orderBy("doc_id").collect().toSeq
       val funnel2 = CurateRun.run(spark, tiny, out)
       assert(funnel2 == funnel)
-      assert(spark.read.parquet(out).orderBy("doc_id").collect().toSeq == first)
+      assert(spark.read.parquet(s"$out/corpus").orderBy("doc_id").collect().toSeq == first)
+      // the three-process DAG shape (signals -> dedup -> final, each
+      // reading the previous keep-list back) must land on the SAME corpus
+      val staged = s"$out-staged"
+      try {
+        val nSig = CurateRun.runStage(spark, "signals", tiny, staged)
+        assert(nSig == funnel.find(_._1 == "vocab coverage").get._2)
+        val nDed = CurateRun.runStage(spark, "dedup", tiny, staged)
+        assert(nDed == funnel.find(_._1 == "not contaminated").get._2)
+        val nFin = CurateRun.runStage(spark, "final", tiny, staged)
+        assert(nFin == funnel.last._2)
+        assert(spark.read.parquet(s"$staged/corpus")
+          .orderBy("doc_id").collect().toSeq == first)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(new java.io.File(staged))
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
