@@ -197,6 +197,16 @@ object Bench {
       graft.sim.EmbeddingOps.annPqIndexed(spark, sfDir, pqIdx).count()
     }
     rmTree(pqIdx)
+    // the composed IVF-PQ lifecycle: both trainings amortize into the
+    // build; the served probe routes + ADC-ranks off parquet only
+    val ivfpqIdx = s"/tmp/graft_bench_ivfpq_${System.nanoTime()}"
+    time("ann_ivfpq_index_build") {
+      graft.sim.EmbeddingOps.buildIvfPqIndex(spark, sfDir, ivfpqIdx)
+    }
+    time("q_ann_ivfpq_indexed") {
+      graft.sim.EmbeddingOps.annIvfPqIndexed(spark, sfDir, ivfpqIdx).count()
+    }
+    rmTree(ivfpqIdx)
 
     // Phase 4 — bucketed storage as the measured fact-build default (the
     // 100 TB posture StorageDemo only demonstrated): header and detail are

@@ -575,6 +575,68 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the COMPOSED IVF-PQ index — coarse centroids, the four PQ
+    * codebooks, and the code table carrying each vector's coarse cell,
+    * `partitionBy(cell)` so a routed probe's scan prunes to its cell's
+    * code partitions: both trainings run once at build time, the probe
+    * touches neither raw vectors nor training.
+    */
+  def buildIvfPqIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val pcents = pqCodebooks(s, d)
+    pcents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    pqCodesOf(s, d, pcents)
+      .join(assignCells(s, base, cents).select("vec_id", "cell"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** [[annIvfPq]] served from the persisted composed index: route on the
+    * stored coarse centroids (broadcast), scan ONLY the routed cells'
+    * code partitions (the collected cell-id set is O(queries) rows — the
+    * same PartitionFilters device as [[probeIndexedCells]]), rank by ADC
+    * against the stored codebooks. Bit-identical to the self-contained
+    * form, so it gates against the same oracle.
+    */
+  def annIvfPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val pcents = s.read.parquet(s"$indexDir/codebooks")
+    val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val routed = graft.Checkpoint.barrier(
+      q.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cell")))
+    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = s.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "m", "q_sub")
+      .join(broadcast(pcents), Seq("m"))
+      .withColumn("part", expr(l2sq("q_sub", "centroid", PQ_SUB).spark))
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
+    var cands = routed.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    for (m <- 0 until PQ_M)
+      cands = cands.join(broadcast(lut.filter(col("m") === m)
+        .select(col("query_id"), col("code").as(s"c$m"), col("part").as(s"part$m"))),
+        Seq("query_id", s"c$m"))
+    val sims = cands.select(col("query_id"),
+      (-expr("part0 + part1 + part2 + part3")).as("sim"), col("vec_id"))
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Driver-contract wrapper (staleness-fingerprinted build-once). */
+  def annIvfPqIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_ivfpq", buildIvfPqIndex(s, d, _), annIvfPqIndexed(s, d, _))
+
   /** Gated flat view of the trained centroids. */
   def kmeansCentroidsFlat(s: SparkSession, d: String): DataFrame =
     kmeansCentroids(s, d)
@@ -738,7 +800,8 @@ object EmbeddingOps {
     "q_pq_codes" -> (pqCodes _),
     "q_ann_pq" -> (annPqAdc _),
     "q_ann_pq_indexed" -> (annPqIndexedAuto _),
-    "q_ann_ivfpq" -> (annIvfPq _))
+    "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -1040,7 +1103,10 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_pq_indexed" -> annPqOracle,
     // the composed coarse-route + in-cell ADC probe, both trainings
     // recomputed from scratch
-    "q_ann_ivfpq" -> annIvfPqOracle)
+    "q_ann_ivfpq" -> annIvfPqOracle,
+    // the composed-index serving path must reproduce the self-contained
+    // two-stage train + probe bit-exactly — same oracle as q_ann_ivfpq
+    "q_ann_ivfpq_indexed" -> annIvfPqOracle)
 
   /** Shared CTE chain: Lloyd training → final assignment → cell-blocked
     * cosine pairs ≥ 0.4 (`pares`) — one source for the near-dup oracle and
