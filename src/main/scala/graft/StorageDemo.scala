@@ -67,12 +67,48 @@ object StorageDemo {
     // trade every lakehouse z-order feature makes. Evidence: the scan's
     // materialized row count (post row-group/page pruning) per
     // (layout × query).
+    // --- 3b. small-file compaction (the lakehouse OPTIMIZE pass) ------
+    // Incremental/streaming ingest fragments partitioned tables; the
+    // maintenance rewrite repartitions each partition's rows into one
+    // task so every partition directory lands as ONE file, rows
+    // bit-identical. At 100 TB this is the scheduled compaction job that
+    // keeps scan task counts (and parquet footer overhead) bounded.
+    val (files0, files1, identical) = compactDemo(spark, fato, s"$wh/cmp")
+    println(s"compaction: $files0 fragment files -> $files1 " +
+      s"(1/partition), rows identical: $identical")
+
     val z = zorderSkipDemo(spark, dir, s"$wh/ev", 64)
     println(s"z-order skipping over ${z.total} rows, 64 files/layout:")
     println(f"  time-slice query: ts-sorted reads ${z.tsTime}%7d rows, z-ordered ${z.zTime}%7d")
     println(f"  user-slice query: ts-sorted reads ${z.tsUser}%7d rows, z-ordered ${z.zUser}%7d " +
       f"(${z.tsUser.toDouble / math.max(z.zUser, 1L)}%.1fx less I/O on the layout's second dimension)")
     spark.stop()
+  }
+
+  /** Fragment `df` (year-partitioned, many small files), compact to one
+    * file per partition, and verify the rewrite is lossless. Returns
+    * (fragment file count, compacted file count, rows identical).
+    */
+  def compactDemo(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, out: String): (Int, Int, Boolean) = {
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val fragged = df.withColumn("ano", (col("sk_tempo") / 10000).cast("int"))
+    fragged.repartition(50)
+      .write.mode("overwrite").partitionBy("ano").parquet(s"$out/frag")
+    val frag = spark.read.parquet(s"$out/frag")
+    // repartition ON the partition column: a year never splits across
+    // tasks, so each partition directory is written as exactly one file
+    val years = frag.select("ano").distinct().count().toInt
+    frag.repartition(years, col("ano"))
+      .write.mode("overwrite").partitionBy("ano").parquet(s"$out/compact")
+    val compact = spark.read.parquet(s"$out/compact")
+    val identical = frag.exceptAll(compact).isEmpty &&
+      compact.exceptAll(frag).isEmpty
+    (parquetFiles(s"$out/frag"), parquetFiles(s"$out/compact"), identical)
   }
 
   /** Scan-materialized rows per (layout × query) + corpus size. */

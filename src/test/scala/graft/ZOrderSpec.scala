@@ -48,6 +48,24 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites to one file per partition, rows bit-identical") {
+    val out = s"/tmp/graft_compact_${System.nanoTime()}"
+    try {
+      val fato = etl.Star.fatoVendas(spark, tiny)
+      val (before, after, identical) = StorageDemo.compactDemo(spark, fato, out)
+      assert(identical, "compaction must be lossless")
+      val years = spark.read.parquet(s"$out/compact")
+        .select("ano").distinct().count().toInt
+      assert(after == years, s"expected 1 file per partition, got $after/$years")
+      assert(before > after, s"fragmentation should exceed $after files ($before)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("z-ordered layout prunes the second dimension; time-sorted cannot") {
     val out = s"/tmp/graft_zorder_${System.nanoTime()}"
     try {
