@@ -146,6 +146,7 @@ object Bench {
     Seq("q_agg_stats", "q_topk", "q_window_running", "q_semi_anti",
       "q_events_hourly", "q_text_quality", "q_fingerprint",
       "q_dedup_minhash_lsh", "q_dedup_jaccard", "q_dedup_simhash64",
+      "q_dedup_canonical",
       "q_dedup_passage", "q_passage_clean", "q_quality_gopher", "q_semdedup",
       "q_tfidf_cosine",
       "q_range_join", "q_skew_join_salted", "q_sketch_countmin",
