@@ -149,7 +149,7 @@ object ScaleProbe {
       // distinct count that exists only to validate the estimator and
       // would dominate (and misrepresent) the scale measurement
       ("kmv_sketch", d => text.CurationOps.sketchKmvOnePass(spark, d).count(), false))
-    println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${n + "x_rows"}%10s ${n + "x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
+    println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>
       val t0 = System.nanoTime(); val c1 = f(src)

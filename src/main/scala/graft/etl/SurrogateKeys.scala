@@ -68,7 +68,8 @@ object SurrogateKeys {
     * with true duplicates it is still deterministic, unlike both.
     */
   def dedupKeepSmallest(df: DataFrame, key: String): DataFrame = {
-    val rest = df.columns.filter(_ != key).map(org.apache.spark.sql.functions.col)
+    val rest = df.columns.filter(_ != key).toIndexedSeq
+      .map(org.apache.spark.sql.functions.col)
     val w = Window.partitionBy(key).orderBy(rest: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(org.apache.spark.sql.functions.col("__rn") === 1)
