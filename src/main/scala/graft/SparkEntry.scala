@@ -136,6 +136,12 @@ object SparkEntry {
     "q_dedup_jaccard_stream" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.Streams.dedupJaccardStreamed(s, d)),
+    // streamed exact-substring dedup: per-window-hash ownership state
+    // emits every non-first occurrence as a cut position, with
+    // retroactive transfer when an earlier occurrence arrives late;
+    // converges to q_passage_clean's cut relation
+    "q_dedup_passage_stream" ->
+      (graft.streaming.Streams.dedupPassageStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     // bin-blocked range join (equi-join on fixed-width time bins) vs
     // DuckDB's native IEJoin — two different algorithms, same answer

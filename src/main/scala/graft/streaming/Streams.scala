@@ -486,6 +486,81 @@ object Streams {
     }
   }
 
+  /** One rolling-window occurrence (public for codegen). */
+  final case class WinOcc(h: Long, doc_id: Long, pos: Int)
+  /** Per-window-hash state: the current OWNER — the minimal (doc, pos)
+    * occurrence seen so far (public for codegen).
+    */
+  final case class WinOwner(doc_id: Long, pos: Int)
+  /** An emitted non-owner (to-cut) occurrence (public for codegen). */
+  final case class CutWin(doc_id: Long, pos: Int)
+
+  /** Streamed EXACT-SUBSTRING dedup — the incremental twin of the batch
+    * passage-cut relation (graft.text.TextOps.passageClean's ownership
+    * rule): state per window hash holds the minimal (doc, pos) occurrence
+    * seen so far, and every OTHER occurrence of that window emits as a
+    * cut position the moment it arrives. When an EARLIER occurrence
+    * arrives after a later one was provisionally stored (cross-batch
+    * arrival out of (doc, pos) order — forced here by the parity-split
+    * staging), ownership transfers and the superseded former owner is
+    * emitted retroactively, so the converged emission set is exactly the
+    * batch rule's "all occurrences minus the global first" regardless of
+    * arrival order. State is O(distinct windows) × 16 bytes — the
+    * incremental form of the batch count-window shuffle.
+    *
+    * Replay note: a re-delivered non-owner occurrence would re-emit its
+    * cut row (state keeps only the owner, not the emitted set); the
+    * sink-side distinct() in the gated shaping absorbs it, the same
+    * at-least-once posture as the other streamed dedup forms.
+    */
+  def passageCutStream(wins: Dataset[WinOcc]): Dataset[CutWin] = {
+    import wins.sparkSession.implicits._
+    wins.groupByKey(_.h)
+      .flatMapGroupsWithState[WinOwner, CutWin](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[WinOwner]) =>
+          val out = Seq.newBuilder[CutWin]
+          var owner = state.getOption
+          it.toSeq.map(w => (w.doc_id, w.pos)).distinct.sorted.foreach {
+            case (d, p) =>
+              owner match {
+                case None => owner = Some(WinOwner(d, p))
+                case Some(o) if d == o.doc_id && p == o.pos => // replay of the owner
+                case Some(o) if d < o.doc_id || (d == o.doc_id && p < o.pos) =>
+                  out += CutWin(o.doc_id, o.pos) // retroactive transfer
+                  owner = Some(WinOwner(d, p))
+                case Some(_) => out += CutWin(d, p)
+              }
+          }
+          owner.foreach(o => state.update(o))
+          out.result().iterator
+      }
+  }
+
+  /** [[passageCutStream]] as a gated batch-comparable query: same
+    * window_hashes kernel identities and the same first-(doc, pos)
+    * ownership rule as q_passage_clean's cut relation — gated against a
+    * DuckDB oracle that recomputes occurrence counts and ranks over the
+    * full corpus.
+    */
+  def dedupPassageStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = graft.text.TextExprs.tokens("text")
+    runDocStreamGate(spark, dir, "passage") { stream =>
+      passageCutStream(stream
+        .selectExpr("doc_id", s"${T.spark} AS toks")
+        .filter("size(toks) >= 8")
+        .selectExpr("doc_id", "window_hashes(toks, 8) AS whs")
+        .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
+        .selectExpr("h", "doc_id", "CAST(p0 + 1 AS INT) AS pos")
+        .as[WinOcc]).toDF()
+    } { sink =>
+      sink.distinct()
+        .selectExpr("doc_id", "pos")
+        .orderBy("doc_id", "pos")
+    }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

@@ -510,6 +510,24 @@ FROM toks d LEFT JOIN (
   FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
 ORDER BY d.doc_id"""
 
+  /** Oracle for the STREAMED passage-cut form: the same cut relation
+    * [[passageClean]] applies (occurrences of a ≥2× window that are not
+    * its first (doc, pos) occurrence), as plain batch SQL — the streamed
+    * ownership state must converge to exactly this set whatever the
+    * arrival order.
+    */
+  private[graft] def passageCutOracle(k: Int = 8): String =
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
+long AS (SELECT * FROM toks WHERE len(toks) >= $k),
+pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
+flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+  ('0x' || substring(md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')), 1, 15))::BIGINT AS h FROM pos),
+marked AS (SELECT doc_id, pos,
+    COUNT(*) OVER (PARTITION BY h) AS occ,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM flat)
+SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
+
   /** Dedup CLUSTERS: connected components over the MinHash-LSH candidate
     * pairs via min-label propagation (Pregel-style: each doc repeatedly
     * adopts the smallest id reachable through its neighbors until
@@ -1028,6 +1046,8 @@ ORDER BY doc_id""",
       "q_dedup_simhash64" -> simhash64Oracle,
       "q_dedup_passage" -> passageOracle(),
       "q_passage_clean" -> passageCleanOracle(),
+      // the streamed ownership state must converge to the batch cut set
+      "q_dedup_passage_stream" -> passageCutOracle(),
       // the STREAMED verified near-dup must converge to exactly the batch
       // band-join + hamming result — same oracle
       "q_dedup_simhash_stream" -> simhash64Oracle,
