@@ -117,6 +117,44 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](KMinValues(0))
   }
 
+  test("window_hashes: count law, per-window digest parity, suffix shift") {
+    val toksGen = Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val kGen = Gen.choose(1, 6)
+    forAll(toksGen, kGen) { (toks, k) =>
+      val hs = Kernels.windowHashes(arr(toks), k).toLongArray()
+      assert(hs.length == math.max(0, toks.length - k + 1))
+      // element i == the 15-hex-char parse of md5 of the raw window
+      hs.zipWithIndex.foreach { case (h, i) =>
+        val w = toks.slice(i, i + k).mkString(" ")
+        assert(h == java.lang.Long.parseLong(md5hex(w).substring(0, 15), 16))
+      }
+      // dropping the first token shifts the window sequence by one
+      if (toks.length > k)
+        assert(hs.drop(1).toSeq ==
+          Kernels.windowHashes(arr(toks.tail), k).toLongArray().toSeq)
+    }
+  }
+
+  test("zorder64: interleave roundtrip and per-argument monotonicity") {
+    val u32 = Gen.choose(0L, 0xFFFFFFFFL)
+    def unspread(z: Long): Long = {
+      var v = z & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      (v | (v >> 16)) & 0xFFFFFFFFL
+    }
+    forAll(u32, u32) { (a, b) =>
+      val z = Kernels.zorder64(a, b)
+      assert(unspread(z) == a && unspread(z >> 1) == b)
+      // the spread is order-preserving and the two arguments occupy
+      // disjoint bit positions, so z is strictly monotone in each
+      if (a < 0xFFFFFFFFL) assert(Kernels.zorder64(a + 1, b) > z)
+      if (b < 0xFFFFFFFFL) assert(Kernels.zorder64(a, b + 1) > z)
+    }
+  }
+
   test("smart date key: YYYYMMDD round-trips through date parts") {
     val dates = Gen.choose(0L, 365L * 30)
       .map(d => java.time.LocalDate.of(1995, 1, 1).plusDays(d))
