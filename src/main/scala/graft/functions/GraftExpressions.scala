@@ -197,6 +197,17 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the same Unicode
+    * standard DuckDB's nfc_normalize implements, so the two are
+    * byte-identical on any input and the gate can hash full normalized
+    * text). The canonical first step of a tokenizer pipeline: composed
+    * and decomposed spellings of the same grapheme must hash/dedup as
+    * one.
+    */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
   /** Morton (Z-order) interleave of the low 32 bits of two non-negative
     * longs: a's bits land on even positions, b's on odd. The standard
     * mask-spread sequence — O(1), branch-free, codegen-friendly.
@@ -334,6 +345,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** nfc_normalize(string) → string: Unicode NFC (see [[Kernels.nfc]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** zorder64(bigint, bigint) → bigint Morton code: interleaves the low 32
   * bits of both inputs (left on even bit positions, right on odd), the
   * multi-dimensional clustering key for data-layout optimization — rows
@@ -463,6 +492,10 @@ object GraftFunctions {
     ("window_hashes", "graft.functions.WindowHashes", exprs => {
       arityCheck("window_hashes", exprs, 2)
       WindowHashes(exprs.head, intArgCheck("window_hashes", exprs(1), "k"))
+    }),
+    ("nfc_normalize", "graft.functions.NfcNormalize", exprs => {
+      arityCheck("nfc_normalize", exprs, 1)
+      NfcNormalize(exprs.head)
     }))
 
   /** Register every native function for spark.sql use in this session. */

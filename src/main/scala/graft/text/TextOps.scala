@@ -181,6 +181,40 @@ object TextOps {
   private[text] def gopherOracle: String =
     s"SELECT ${gopherCols(_.duck, "len").mkString(",\n")}\nFROM documents ORDER BY doc_id"
 
+  /** Planted decomposed suffix for the NFC gate: 'e' + combining acute
+    * and 'a' + combining ring — NFC composes both (é, å), shortening the
+    * text by exactly 2 codepoints. One Scala constant feeds both dialect
+    * templates, so the planted bytes cannot drift.
+    */
+  private val nfcPlant = " café å"
+
+  /** Unicode NFC normalization — the canonical first step of a tokenizer
+    * pipeline (composed and decomposed spellings of one grapheme must
+    * hash/dedup as one). The corpus carries no decomposed sequences, so
+    * each doc gets [[nfcPlant]] appended first (the same planted-input
+    * device as the PII redaction gate). The gate hashes the FULL
+    * normalized text: the native java.text.Normalizer kernel must agree
+    * with DuckDB's nfc_normalize byte-for-byte, which both do by
+    * implementing the same Unicode standard. Zero-shuffle per-row map.
+    */
+  def textNfc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"concat(text, '$nfcPlant') AS p")
+      .selectExpr("doc_id", "length(p) AS n_antes",
+        "nfc_normalize(p) AS texto_nfc")
+      .selectExpr("doc_id", "n_antes", "length(texto_nfc) AS n_depois",
+        "texto_nfc")
+      .orderBy("doc_id")
+  }
+
+  private def textNfcOracle: String =
+    s"""SELECT doc_id, n_antes, CAST(length(texto_nfc) AS INTEGER) AS n_depois, texto_nfc FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(p) AS INTEGER) AS n_antes, nfc_normalize(p) AS texto_nfc
+  FROM (SELECT doc_id, concat(text, '$nfcPlant') AS p FROM documents))
+ORDER BY doc_id"""
+
   def langId(s: SparkSession, d: String): DataFrame = {
     val scores = langMarkers.map { case (l, ms) => l -> markerCount(T.spark, ms).spark }
     val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }
@@ -840,6 +874,7 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_quality_gopher" -> (qualityGopher _),
+    "q_text_nfc" -> (textNfc _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
     "q_text_chunks" -> (textChunks _),
@@ -989,6 +1024,7 @@ CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(te
 CASE WHEN len(${T.duck}) >= 20 AND $ttr >= 0.1 AND $stopRatio <= 0.5 THEN 'boa' ELSE 'baixa' END AS qualidade
 FROM documents ORDER BY doc_id""",
       "q_quality_gopher" -> gopherOracle,
+      "q_text_nfc" -> textNfcOracle,
       "q_lang_id" ->
         (s"SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, " +
           scores.map { case (l, e) => s"CAST($e AS INTEGER) AS score_$l" }.mkString(", ") +
