@@ -196,22 +196,25 @@ class EngineSpec extends SparkSpec {
     // auto-router would take the driver union-find, which has no caches
     // to leak) — this test pins the loop's hygiene
     spark.conf.set("graft.cc.collectMaxEdges", "0")
-    val before = pinnedNonCheckpoint
-    val out = graft.text.TextOps.dedupClusters(spark, tiny)
-    val rows = out.collect()
-    // every loop cache and the edges cache must be unpersisted on return —
-    // a long-running service can invoke this repeatedly without accreting
-    // CacheManager pins (localCheckpoint blocks are excluded: they carry
-    // no pin and the ContextCleaner reclaims them on unreachability)
-    assert(pinnedNonCheckpoint === before,
-      s"dedupClusters leaked ${pinnedNonCheckpoint - before} cached RDD pins")
-    // min-label propagation invariant: a converged label is the smallest
-    // doc id reachable in the component, hence never above the member's id
-    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
-    // and invoking it AGAIN must not grow the pin count either
-    graft.text.TextOps.dedupClusters(spark, tiny).count()
-    assert(pinnedNonCheckpoint === before)
-    spark.conf.unset("graft.cc.collectMaxEdges")
+    try {
+      val before = pinnedNonCheckpoint
+      val out = graft.text.TextOps.dedupClusters(spark, tiny)
+      val rows = out.collect()
+      // every loop cache and the edges cache must be unpersisted on
+      // return — a long-running service can invoke this repeatedly
+      // without accreting CacheManager pins (localCheckpoint blocks are
+      // excluded: they carry no pin and the ContextCleaner reclaims them
+      // on unreachability)
+      assert(pinnedNonCheckpoint === before,
+        s"dedupClusters leaked ${pinnedNonCheckpoint - before} cached RDD pins")
+      // min-label propagation invariant: a converged label is the
+      // smallest doc id reachable in the component, hence never above
+      // the member's id
+      assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
+      // and invoking it AGAIN must not grow the pin count either
+      graft.text.TextOps.dedupClusters(spark, tiny).count()
+      assert(pinnedNonCheckpoint === before)
+    } finally spark.conf.unset("graft.cc.collectMaxEdges")
   }
 
   test("dedup keep-first picks each user's earliest event") {
