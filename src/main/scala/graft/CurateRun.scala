@@ -16,9 +16,10 @@ import graft.text.{CurationOps, TextOps}
   *   1. rule gates: quality verdict (q_text_quality), Gopher battery
   *      (q_quality_gopher), repetition rules (q_text_repetition),
   *      language-ID agreement (q_lang_id), vocab coverage (q_vocab_oov);
-  *   2. dedup: exact keep-one (q_dedup_exact), near-dup
-  *      keep-one-per-cluster (q_dedup_canonical), eval-split
-  *      contamination drop (q_decontaminate);
+  *   2. dedup OVER THE SIGNAL SURVIVORS: exact keep-one (the
+  *      q_dedup_exact grouping, keeper picked among survivors), near-dup
+  *      keep-one-per-cluster (the q_dedup_canonical closure over the
+  *      surviving docs), eval-split contamination drop (q_decontaminate);
   *   3. passage cleaning (q_passage_clean) rewrites the survivors' text,
   *      dropping any doc whose text was fully duplicated elsewhere.
   *
@@ -44,14 +45,41 @@ object CurateRun {
     "lang-id agrees" -> TextOps.langId(s, d).where("acerto = 1"),
     "vocab coverage" -> CurationOps.vocabOov(s, d).where("taxa_oov <= 0.5"))
 
-  /** The dedup/leakage gates (stage 2): (name, keep-set, anti?) — anti
+  /** The dedup/leakage gates (stage 2): (name, gate-set, anti?) — anti
     * gates DROP the listed docs instead of keeping them.
+    *
+    * Dedup is computed over the stage-1 SURVIVORS, not the full corpus:
+    * a keeper/canonical picked corpus-wide can itself be a doc stage 1
+    * dropped (bad quality, lang mismatch), and intersecting with such a
+    * keeper set would then drop every surviving copy too — the content
+    * would vanish entirely, contradicting dedup's keep-one intent. Picking
+    * the keeper among survivors guarantees at least one copy of surviving
+    * content is always retained. Decontamination stays corpus-structural
+    * (eval docs leaked into the TRAIN split) and is a pure drop gate, so
+    * it has no keeper to misplace.
+    *
+    * The survivor relation is materialized once through a checkpoint
+    * barrier: both dedup gates read it, and behind it sits the whole
+    * stage-1 semi-join chain.
     */
-  private def dedupGates(s: SparkSession, d: String): Seq[(String, DataFrame, Boolean)] = Seq(
-    ("exact keeper", TextOps.dedupExact(s, d).selectExpr("doc_mantido AS doc_id"), false),
-    ("near-dup canonical", TextOps.dedupCanonical(s, d), false),
-    ("not contaminated",
-      CurationOps.decontaminate(s, d).where("contaminado = 1"), true))
+  private def dedupGates(s: SparkSession, d: String,
+      kept: DataFrame): Seq[(String, DataFrame, Boolean)] = {
+    val surv = graft.Checkpoint.barrier(
+      Tables.documents(s, d)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+        .join(kept.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val exactKeepers = surv.groupBy(md5(col("text")).as("hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    // non-canonical members of near-dup clusters AMONG survivors; cluster
+    // label = component minimum, which is by construction a survivor
+    val nearDupDropped = TextOps.dedupClustersOf(s, surv)
+      .filter(col("doc_id") =!= col("cluster"))
+    Seq(
+      ("exact keeper", exactKeepers.select("doc_id"), false),
+      ("near-dup canonical", nearDupDropped.select("doc_id"), true),
+      ("not contaminated",
+        CurationOps.decontaminate(s, d).where("contaminado = 1"), true))
+  }
 
   private def cleaned(s: SparkSession, d: String): DataFrame =
     TextOps.passageClean(s, d).select("doc_id", "n_mantidos", "texto_limpo")
@@ -86,7 +114,7 @@ object CurateRun {
       kept = applyGate(kept, gate, anti = false)
       funnel += name -> kept.count()
     }
-    dedupGates(spark, dir).foreach { case (name, gate, anti) =>
+    dedupGates(spark, dir, kept).foreach { case (name, gate, anti) =>
       kept = applyGate(kept, gate, anti)
       funnel += name -> kept.count()
     }
@@ -108,7 +136,7 @@ object CurateRun {
       spark.read.parquet(s"$out/keep_signals").count()
     case "dedup" =>
       var kept = spark.read.parquet(s"$out/keep_signals")
-      dedupGates(spark, dir).foreach { case (_, gate, anti) =>
+      dedupGates(spark, dir, kept).foreach { case (_, gate, anti) =>
         kept = applyGate(kept, gate, anti)
       }
       kept.write.mode("overwrite").parquet(s"$out/keep_dedup")

@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same extensions as Bench/PlanAudit/deployment, so the plans the
+      // correctness gate executes are the plans the engine actually ships
+      // (queries also self-register the native functions, so this only
+      // affects plan shape, never answers)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

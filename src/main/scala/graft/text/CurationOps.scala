@@ -317,10 +317,15 @@ object CurationOps {
   /** The composed curation pass — what a corpus build actually runs:
     * keep docs that (a) pass the quality rule, (b) have a language-ID
     * agreeing with the labeled language, (c) are not repetitive, and
-    * (d) survive exact dedup (smallest doc_id per md5(text) wins); then
-    * roll the kept corpus up per language. One hash window + one tiny
-    * aggregate; every predicate is a per-row projection reusing the
-    * q_text_quality / q_lang_id / q_text_repetition templates.
+    * (d) survive exact dedup AMONG THE SIGNAL SURVIVORS (smallest
+    * surviving doc_id per md5(text) wins); then roll the kept corpus up
+    * per language. The keeper is picked after the signal gates on
+    * purpose: a corpus-wide keeper can itself fail a signal gate, and
+    * intersecting with that keeper set would drop every copy of the
+    * content — keep-one must mean one surviving copy stays. One hash
+    * window + one tiny aggregate; every predicate is a per-row
+    * projection reusing the q_text_quality / q_lang_id /
+    * q_text_repetition templates.
     */
   def corpusCurate(s: SparkSession, d: String): DataFrame = {
     // Two-stage signal evaluation: stage 1 tokenizes ONCE behind a
@@ -354,9 +359,10 @@ object CurationOps {
         s"${TextOps.qualityFromCounts("n_tokens", "n_tipos", "n_stops")} AS qualidade",
         s"CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok",
         s"${repetitiveCase("dup_tri", "top_tok")} AS repetitivo")
+      .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
       .withColumn("doc_keeper",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0 AND doc_id = doc_keeper")
+      .where("doc_id = doc_keeper")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
@@ -394,7 +400,13 @@ object CurationOps {
       .na.fill(0, Seq("n_oov"))
       .selectExpr("doc_id", "CAST(n_tokens AS INTEGER) AS n_tokens",
         "CAST(n_oov AS INTEGER) AS n_oov",
-        "CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS taxa_oov")
+        // empty-doc guard: 0/0 would yield NaN identically in both engines
+        // (so the gate could never surface it) and NaN silently fails the
+        // curation funnel's `taxa_oov <= 0.5` keep predicate; an empty doc
+        // has zero vocabulary coverage, so its OOV rate is DELIBERATELY
+        // 1.0 — the funnel drops it by decision, not by NaN side effect
+        "CASE WHEN n_tokens = 0 THEN CAST(1.0 AS DOUBLE) " +
+          "ELSE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS taxa_oov")
       .orderBy("doc_id")
   }
 
@@ -407,7 +419,8 @@ oov AS (SELECT doc_id, COUNT(*) AS n_oov FROM ex
         WHERE term NOT IN (SELECT term FROM voc) GROUP BY doc_id)
 SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tokens,
   CAST(coalesce(o.n_oov, 0) AS INTEGER) AS n_oov,
-  CAST(coalesce(o.n_oov, 0) AS DOUBLE) / CAST(len(d.t) AS DOUBLE) AS taxa_oov
+  CASE WHEN len(d.t) = 0 THEN CAST(1.0 AS DOUBLE)
+       ELSE CAST(coalesce(o.n_oov, 0) AS DOUBLE) / CAST(len(d.t) AS DOUBLE) END AS taxa_oov
 FROM toks d LEFT JOIN oov o ON d.doc_id = o.doc_id
 ORDER BY d.doc_id"""
 
@@ -526,18 +539,22 @@ ORDER BY lang, doc_id"""
       val quality = TextOps.qualityVerdict(_.duck, "len")
       val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"
       s"""WITH base AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text,
          CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
          $quality AS qualidade,
          CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok,
-         ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo,
+         ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
+  FROM documents),
+surv AS (
+  SELECT doc_id, lang, n_tokens,
          min(doc_id) OVER (PARTITION BY md5(text)) AS doc_keeper
-  FROM documents)
+  FROM base
+  WHERE qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0)
 SELECT lang, n_docs, total_tokens,
        CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens
 FROM (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-      FROM base
-      WHERE qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0 AND doc_id = doc_keeper
+      FROM surv
+      WHERE doc_id = doc_keeper
       GROUP BY lang)
 ORDER BY lang"""
     })

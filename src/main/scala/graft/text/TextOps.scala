@@ -602,12 +602,15 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
     // not corpus size: a few thousand edges at bench scale, and still
     // driver-collectable for most real corpora. Below the threshold a
     // driver union-find closes components in microseconds; above it the
-    // distributed label-propagation loop runs (the ≥10⁷-edge regime,
+    // distributed label-propagation loop runs (the ≥10⁶-edge regime,
     // where per-iteration stage overhead amortizes). Both routes are
     // asserted to agree (PassageBloomSpec), and the count() here also
-    // materializes the edges cache both paths reuse.
+    // materializes the edges cache both paths reuse. The default is sized
+    // for DRIVER HEAP, not executor throughput: 1M collected (Long, Long)
+    // tuples is ~50 MB of boxed driver memory — safe on a default driver —
+    // where the previous 5M default approached a driver-OOM-shaped GB.
     val maxCollect = s.conf.getOption("graft.cc.collectMaxEdges")
-      .map(_.toLong).getOrElse(5000000L)
+      .map(_.toLong).getOrElse(1000000L)
     val ecount = edges.count() // materializes the edges cache
     pairs.unpersist()
     val out = if (ecount <= maxCollect) componentsDriver(s, edges)
@@ -623,8 +626,13 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
     */
   private def componentsDriver(s: SparkSession,
       edges: DataFrame): DataFrame = {
+    import s.implicits._
+    // collect as (Long, Long) tuples, not Rows: a GenericRowWithSchema per
+    // edge (object header + Array[Any] + schema pointer) roughly triples
+    // the per-edge driver footprint; the typed collect deserializes to
+    // plain tuples on the executors and ships exactly two longs per edge
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
