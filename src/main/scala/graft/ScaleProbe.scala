@@ -148,7 +148,14 @@ object ScaleProbe {
       // the ONE-PASS production form — the gate twin carries an exact
       // distinct count that exists only to validate the estimator and
       // would dominate (and misrepresent) the scale measurement
-      ("kmv_sketch", d => text.CurationOps.sketchKmvOnePass(spark, d).count(), false))
+      ("kmv_sketch", d => text.CurationOps.sketchKmvOnePass(spark, d).count(), false),
+      // the r9 SHARDED cumsum windows: token_budget's output is
+      // budget-bound (fixed rows at any corpus size — only time is
+      // meaningful); seq_packing emits one row per doc, so rows must
+      // scale exactly Nx and time ~Nx (the sharding's whole point: the
+      // dominant language no longer serializes through one reducer)
+      ("token_budget", d => text.CurationOps.tokenBudgetFill(spark, d).count(), false),
+      ("seq_packing", d => text.CurationOps.seqPacking(spark, d).count(), true))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>

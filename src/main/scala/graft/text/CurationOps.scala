@@ -267,24 +267,64 @@ object CurationOps {
 
   private val tokenBudget = 2000
 
+  /** Number of range shards the per-language cumulative sums split
+    * across. The shard key is a CONTIGUOUS RANGE of the window's ordering
+    * key (a sampling-hash prefix, or a doc_id block) — never a hash of
+    * the row — so the per-language global running sum decomposes exactly:
+    * global cumsum(row) = shard-local cumsum(row) + Σ totals of the
+    * language's strictly-lower shards. The rollup side is O(shards) rows
+    * per language (broadcast back), so window parallelism becomes
+    * shards × languages instead of one reducer per language — the
+    * difference between a single task scanning the dominant language's
+    * whole corpus at 100 TB and 256 parallel range scans.
+    */
+  private val cumsumShards = 256
+
+  /** Per-language shard offsets for a sharded cumsum: total per (lang,
+    * shard), then each shard's offset = running total of the language's
+    * LOWER shards. The offset window runs over O(shards) rows per
+    * language — trivially small at any corpus size.
+    */
+  private def shardOffsets(base: DataFrame): DataFrame =
+    base.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("tot"))
+      .withColumn("off",
+        sum(col("tot")).over(Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("tot"))
+      .select("lang", "shard", "off")
+
   /** Token-budget fill: walk each language's docs in sampling-hash order
     * and keep them while the running token total stays within the
     * per-language budget — "give me ~2k tokens per language,
-    * reproducibly". The cumulative sum is a per-language window (ROWS
-    * UNBOUNDED PRECEDING), so parallelism follows the language count;
-    * at corpus scale the same shape runs per (lang, shard) with budget
-    * split across shards.
+    * reproducibly".
+    *
+    * The running sum is SHARDED: the shard is the first two hex digits of
+    * the sampling hash (256 contiguous ranges of the (amostra, doc_id)
+    * ordering — rows with equal amostra share a shard, so ranges never
+    * interleave), the cumsum window runs per (lang, shard), and the exact
+    * global value is reconstructed by adding the broadcast per-shard
+    * offsets ([[shardOffsets]]). Output is bit-identical to the
+    * single-window form (the oracle below still runs it), but no reducer
+    * ever sees more than one 1/256th range of a language.
     */
-  def tokenBudgetFill(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  def tokenBudgetFill(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
         s"size(${T.spark}) AS n_tokens",
         s"${sampleHash("doc_id").spark} AS amostra")
+      .withColumn("shard", expr("substring(amostra, 1, 2)"))
+    val wLocal = Window.partitionBy("lang", "shard")
+      .orderBy("amostra", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("acum_shard", sum("n_tokens").over(wLocal))
+      .join(broadcast(shardOffsets(base)), Seq("lang", "shard"))
       .selectExpr("doc_id", "lang", "n_tokens",
-        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY amostra, doc_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acumulado")
+        "acum_shard + off AS acumulado")
       .where(s"acumulado <= $tokenBudget")
       .orderBy("lang", "acumulado")
+  }
 
   private val seqLen = 512
 
@@ -292,19 +332,33 @@ object CurationOps {
     * docs in document order and cut every 512 tokens; a doc's sequence id
     * is the chunk its first token lands in, `atravessa` marks docs that
     * straddle a chunk boundary (the rows an attention-mask reset has to
-    * know about). Pure per-language window cumsum + per-row arithmetic;
-    * floor over exact doubles (< 2⁵³) keeps both engines bit-identical.
+    * know about). Floor over exact doubles (< 2⁵³) keeps both engines
+    * bit-identical.
+    *
+    * Sharded like [[tokenBudgetFill]], but the ordering key is doc_id, so
+    * the contiguous shard is a doc_id BLOCK: block width = id_range /
+    * 256, derived from the corpus's max id (a one-row column-stats
+    * aggregate, broadcast — no driver collect). Per-(lang, shard) cumsums
+    * plus the offset rollup reconstruct the global running sum exactly.
     */
   def seqPacking(s: SparkSession, d: String): DataFrame = {
     val off = "acumulado - n_tokens"
     val seqId = s"CAST(floor(CAST($off AS DOUBLE) / $seqLen.0) AS INT)"
     val lastSeq = s"CAST(floor(CAST(acumulado - 1 AS DOUBLE) / $seqLen.0) AS INT)"
-    documents(s, d)
+    val docs = documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
         s"size(${T.spark}) AS n_tokens")
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val base = docs.crossJoin(broadcast(mx))
+      .withColumn("shard", expr(s"doc_id div (mx div $cumsumShards + 1)"))
+      .drop("mx")
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("acum_shard", sum("n_tokens").over(wLocal))
+      .join(broadcast(shardOffsets(base)), Seq("lang", "shard"))
       .selectExpr("doc_id", "lang", "n_tokens",
-        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acumulado")
+        "acum_shard + off AS acumulado")
       .selectExpr("doc_id", "lang", "n_tokens",
         s"CAST($off AS BIGINT) AS offset_inicio",
         s"$seqId AS seq_id",

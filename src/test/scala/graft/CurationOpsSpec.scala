@@ -208,6 +208,43 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("budget/packing cumsum windows are sharded, never one reducer per language") {
+    for ((name, df) <- Seq(
+        "token_budget" -> CurationOps.tokenBudgetFill(spark, tiny),
+        "seq_packing" -> CurationOps.seqPacking(spark, tiny))) {
+      df.collect() // settle the AQE final plan before inspecting it
+      // AQE wraps materialized stages in QueryStageExec nodes (childless,
+      // so collectNodes can't see through them) — read the rendered final
+      // plan, which prints every stage's subtree
+      val plan = df.queryExecution.executedPlan.toString
+      val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+      assert(winLines.nonEmpty, s"$name should plan window nodes")
+      // the corpus-sized cumsum window must partition by (lang, shard);
+      // a lang-only window is allowed ONLY for the O(shards)-row offset
+      // rollup, which reads an aggregate, never the corpus
+      assert(winLines.exists(l => l.contains("lang") && l.contains("shard")),
+        s"$name: no (lang, shard)-partitioned window — cumsum runs one " +
+          "reducer per language:\n" + winLines.mkString("\n"))
+      // and the sharding actually multiplies parallelism on this data:
+      // distinct (lang, shard) group count must exceed the language count
+      val docs = spark.read.parquet(s"$tiny/documents.parquet")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang")
+      val langs = docs.select("lang").distinct().count()
+      val shardGroups = name match {
+        case "token_budget" =>
+          docs.selectExpr("lang",
+            "substring(md5(CAST(doc_id AS STRING)), 1, 2) AS sh")
+            .distinct().count()
+        case _ =>
+          val mx = docs.agg(max("doc_id")).head.getLong(0)
+          docs.selectExpr("lang", s"doc_id div ($mx div 256 + 1) AS sh")
+            .distinct().count()
+      }
+      assert(shardGroups > langs,
+        s"$name: sharding adds no parallelism ($shardGroups groups vs $langs langs)")
+    }
+  }
+
   test("composed curation agrees with the individual signal queries") {
     import graft.text.TextOps
     val quality = TextOps.textQuality(spark, tiny)
