@@ -149,8 +149,9 @@ object SparkEntry {
     // salted (key, salt) skew join, row-identical to the plain join
     "q_skew_join_salted" -> (RelationalOps.skewJoinSalted _),
     "q_bloom_semijoin" -> (RelationalOps.bloomSemiJoin _),
-    // mergeable count-min sketch; oracle rebuilds the identical sketch
-    "q_sketch_countmin" -> (RelationalOps.countMinUsers _),
+    // mergeable count-min sketch, cells only (production form — no exact
+    // truth in-plan); oracle rebuilds the identical cell matrix
+    "q_sketch_countmin" -> (RelationalOps.countMinCells _),
     // column-level profile (nulls/distincts/min/max in one scan)
     "q_profile_orders" -> (RelationalOps.profileOrders _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))

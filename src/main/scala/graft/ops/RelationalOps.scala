@@ -566,20 +566,44 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
-  /** Count-min sketch (extension — the mergeable frequency sketch a
-    * streaming or 100 TB pipeline uses when exact per-key counts don't
-    * fit): d=4 hash rows × w=64 buckets. Each row's bucket counts are a
-    * plain partial+final grouped SUM — mergeable across executors and
-    * micro-batches by construction (the per-key pre-aggregate IS the
-    * map-side combine) — and a key's estimate is the MIN over its d
-    * buckets: upper-biased, exact whenever one of the key's buckets
-    * carries no collision. The hash family is the engine's standard
+  /** Count-min sketch, PRODUCTION FORM (extension — the mergeable
+    * frequency sketch a streaming or 100 TB pipeline uses when exact
+    * per-key counts don't fit): d=4 hash rows × w=64 buckets, built
+    * directly from the event stream with NO exact per-key aggregation
+    * anywhere in the plan — the whole point of a sketch is that the exact
+    * counts don't exist. Each event contributes one increment per hash
+    * row; the d×w cell matrix is a plain partial+final grouped COUNT over
+    * 256 distinct (i, bucket) keys, so the map-side combine reduces any
+    * partition to ≤256 rows — mergeable across executors, micro-batches,
+    * and days by construction. The hash family is the engine's standard
     * md5-halves (h1 + i·h2) mod p (the TextExprs.hashHalf layout), so the
-    * DuckDB oracle rebuilds the IDENTICAL sketch and the estimates gate
-    * bit-exactly. Output: per-user true count, estimate, and the
-    * overestimation the sketch incurred at this width.
+    * DuckDB oracle rebuilds the IDENTICAL cell matrix bit-exactly.
+    *
+    * Estimation (min over a key's d cells) and error measurement against
+    * exact truth are HARNESS work — [[countMinErrorProbe]], exercised by
+    * ScaleOpsSpec — because a production sketch never computes the truth
+    * it exists to avoid.
     */
-  def countMinUsers(spark: SparkSession, dir: String): DataFrame = {
+  def countMinCells(spark: SparkSession, dir: String): DataFrame = {
+    val (d, w, p) = (4, 64, 1000000007L)
+    events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"))
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .withColumn("h1", expr(s"CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % $p"))
+      .withColumn("h2", expr(s"CAST(conv(substring(h, 17, 15), 16, 10) AS BIGINT) % $p"))
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", expr(s"((h1 + i * h2) % $p) % $w"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+      .orderBy("i", "bucket")
+  }
+
+  /** Test-harness twin of [[countMinCells]]: per-user exact count,
+    * sketch estimate (min over the key's d buckets), and the
+    * overestimation — the error probe that validates the sketch's bounds
+    * at test scale. NOT gated and NOT benched: the exact-truth side is
+    * measurement apparatus a production sketch drops.
+    */
+  def countMinErrorProbe(spark: SparkSession, dir: String): DataFrame = {
     val (d, w, p) = (4, 64, 1000000007L)
     val keyed = events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"))

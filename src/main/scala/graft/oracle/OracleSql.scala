@@ -519,18 +519,13 @@ ORDER BY l_orderkey""",
     // (h1 + i·h2) mod p hash family) and reads the same MIN-over-rows
     // estimates — sketch content and estimates gate bit-exactly
     "q_sketch_countmin" ->
-      """WITH k AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY user_id),
-h AS (SELECT user_id, n_true,
-             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1000000007 AS h1,
+      """WITH h AS (SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1000000007 AS h1,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 17, 15))::BIGINT % 1000000007 AS h2
-      FROM k),
-rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
-pr AS (SELECT user_id, n_true, i, ((h1 + i * h2) % 1000000007) % 64 AS bucket
-       FROM h CROSS JOIN rows_),
-cells AS (SELECT i, bucket, CAST(SUM(n_true) AS BIGINT) AS c FROM pr GROUP BY i, bucket)
-SELECT CAST(p.user_id AS BIGINT) AS user_id, p.n_true, MIN(c.c) AS n_est,
-       MIN(c.c) - p.n_true AS superestimativa
-FROM pr p JOIN cells c USING (i, bucket)
-GROUP BY p.user_id, p.n_true
-ORDER BY user_id""")
+      FROM events),
+rows_ AS (SELECT CAST(unnest([0, 1, 2, 3]) AS INTEGER) AS i),
+pr AS (SELECT i, ((h1 + i * h2) % 1000000007) % 64 AS bucket
+       FROM h CROSS JOIN rows_)
+SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+FROM pr GROUP BY i, bucket
+ORDER BY i, bucket""")
 }

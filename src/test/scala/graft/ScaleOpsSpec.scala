@@ -57,7 +57,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("count-min estimates upper-bound true counts and stay tight at w=64") {
-    val rows = RelationalOps.countMinUsers(spark, tiny).collect()
+    val rows = RelationalOps.countMinErrorProbe(spark, tiny).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (t, e) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_est"))
@@ -67,5 +67,29 @@ class ScaleOpsSpec extends SparkSpec {
     // 15 keys across 4×64 cells: at least one key must be collision-free
     // in some row, i.e. exactly estimated
     assert(rows.exists(_.getAs[Long]("superestimativa") == 0L))
+  }
+
+  test("production sketch cells conserve mass and agree with the error probe") {
+    val cells = RelationalOps.countMinCells(spark, tiny).collect()
+    val nEvents = Tables.events(spark, tiny).count()
+    // every hash row partitions the event stream: its cells sum to |events|
+    cells.groupBy(_.getAs[Int]("i")).foreach { case (i, cs) =>
+      assert(cs.map(_.getAs[Long]("c")).sum == nEvents,
+        s"hash row $i loses/duplicates increments")
+    }
+    // the probe's estimate for each user is exactly min over the
+    // PRODUCTION cells it hashes to — the two forms describe one sketch
+    val cellMap = cells.map(r =>
+      (r.getAs[Int]("i"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    val p = 1000000007L
+    RelationalOps.countMinErrorProbe(spark, tiny).collect().foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(md.substring(0, 15), 16) % p
+      val h2 = java.lang.Long.parseLong(md.substring(16, 31), 16) % p
+      val est = (0 until 4).map(i => cellMap((i, ((h1 + i * h2) % p) % 64))).min
+      assert(est == r.getAs[Long]("n_est"), s"user $uid: $est != ${r.getAs[Long]("n_est")}")
+    }
   }
 }
