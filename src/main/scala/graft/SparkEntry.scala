@@ -148,6 +148,8 @@ object SparkEntry {
     "q_range_join" -> (RelationalOps.rangeJoinBinned _),
     // salted (key, salt) skew join, row-identical to the plain join
     "q_skew_join_salted" -> (RelationalOps.skewJoinSalted _),
+    // the optimizer-owned twin: no salt, AQE skew-split handles hot keys
+    "q_skew_join_aqe" -> (RelationalOps.skewJoinAqe _),
     "q_bloom_semijoin" -> (RelationalOps.bloomSemiJoin _),
     // mergeable count-min sketch, cells only (production form — no exact
     // truth in-plan); oracle rebuilds the identical cell matrix

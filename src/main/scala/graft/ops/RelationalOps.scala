@@ -566,6 +566,68 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** The AQE twin of [[skewJoinSalted]]: the SAME skewed workload with no
+    * manual salt at all — a plain shuffled equi-join, letting Spark's
+    * adaptive skew-join optimization own the hot keys. At runtime AQE
+    * measures the post-shuffle map output, and any reducer partition
+    * exceeding `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`
+    * (and factor × median) is split into multiple tasks that each join a
+    * slice of the hot key's rows against the full matching build rows —
+    * semantically identical, so this gates against the SAME oracle as the
+    * salted form.
+    *
+    * The crossover, documented from both forms: manual salting buys a
+    * FIXED 16× spread paid on every row of both sides (dim exploded 16×,
+    * an extra salt column through the shuffle) whether or not skew
+    * exists; AQE's split is free when the data isn't skewed, adapts the
+    * spread to the observed partition sizes, and needs no knowledge of
+    * which keys are hot — at 100 TB the optimizer-owned form is the
+    * default, and hand salting remains only for engines/paths without
+    * runtime re-planning (e.g. inside a single un-reshuffled stage).
+    * ScaleOpsSpec pins the plan evidence: with the skew thresholds
+    * lowered to toy scale, the executed SortMergeJoin reports skew=true
+    * with more join tasks than shuffle partitions.
+    */
+  def skewJoinAqe(spark: SparkSession, dir: String): DataFrame =
+    skewJoinAqeOf(events(spark, dir))
+
+  /** [[skewJoinAqe]] over an arbitrary events relation — the spec feeds a
+    * multi-file copy so the scan yields several map tasks (AQE splits a
+    * skewed reducer partition at MAPPER granularity; a single-row-group
+    * toy file is one mapper and therefore unsplittable, a constraint that
+    * vanishes at real scale where scans are thousands of tasks).
+    */
+  private[graft] def skewJoinAqeOf(ev0: DataFrame): DataFrame = {
+    val ev = skewEvents(ev0)
+    skewJoinPlain(ev, skewDim(ev))
+  }
+
+  private[graft] def skewEvents(ev0: DataFrame): DataFrame =
+    ev0.select(col("event_id").cast("long").as("event_id"),
+      col("event_type"), col("value"))
+
+  private[graft] def skewDim(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_tipo"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_tipo"))
+
+  /** The unsalted join itself. Note for the plan evidence: AQE's
+    * OptimizeSkewedJoin only matches the canonical
+    * SMJ(sort+shuffle, sort+shuffle) shape, so a dim whose AGGREGATE sits
+    * in the same plan (as in the self-contained gated form) is not
+    * eligible — at scale the dim is a materialized table and the pattern
+    * matches, which is what the spec reproduces by writing the dim out
+    * and joining the read-back.
+    */
+  private[graft] def skewJoinPlain(ev: DataFrame, dim: DataFrame): DataFrame =
+    // merge hint as in the salted form: the 5-row dim would broadcast at
+    // toy scale and hide the skew regime being demonstrated
+    ev.join(dim.hint("merge"), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("n_tipo"), col("soma_tipo"),
+        (col("value").cast("decimal(18,2)").cast("double") / col("soma_tipo"))
+          .as("fracao"))
+      .orderBy("event_id")
+
   /** Count-min sketch, PRODUCTION FORM (extension — the mergeable
     * frequency sketch a streaming or 100 TB pipeline uses when exact
     * per-key counts don't fit): d=4 hash rows × w=64 buckets, built

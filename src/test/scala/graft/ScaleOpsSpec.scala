@@ -69,6 +69,57 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("superestimativa") == 0L))
   }
 
+  test("AQE twin equals the salted join; skew-split fires at lowered thresholds") {
+    // row identity first (AQE or not, the answer is the plain join)
+    val aqe = RelationalOps.skewJoinAqe(spark, tiny)
+    val salted = RelationalOps.skewJoinSalted(spark, tiny)
+    assert(aqe.collect().toSeq == salted.collect().toSeq)
+    // plan evidence: with the skew thresholds scaled down to toy data,
+    // the executed SortMergeJoin must report skew=true — the optimizer
+    // detected the hot event_type partitions and split them, replacing
+    // the manual 16-shard salt with a runtime decision
+    val cfgs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // sf0.001's whole shuffle is a few KB, so the "skewed" bar has to
+      // drop to a few hundred bytes for the rule to see the hot keys
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256b",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = cfgs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    // Two scale constraints of the toy environment reproduced away:
+    // (a) AQE splits a skewed reducer partition at MAPPER granularity and
+    // the single-row-group toy parquet is one mapper (= unsplittable) —
+    // write an 8-file copy, the multi-thousand-mapper regime of any real
+    // scan; (b) OptimizeSkewedJoin only matches the canonical
+    // SMJ(sort+shuffle, sort+shuffle) pattern, so the dim is materialized
+    // and read back, as a real dim table would be
+    val src = s"/tmp/graft_aqe_skew_${System.nanoTime()}"
+    val ev8 = RelationalOps.skewEvents(Tables.events(spark, tiny))
+    ev8.repartition(8).write.mode("overwrite").parquet(s"$src/ev")
+    RelationalOps.skewDim(ev8).write.mode("overwrite").parquet(s"$src/dim")
+    try {
+      cfgs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = RelationalOps.skewJoinPlain(
+        spark.read.parquet(s"$src/ev"), spark.read.parquet(s"$src/dim"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split sort-merge join:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(src))
+    }
+  }
+
   test("production sketch cells conserve mass and agree with the error probe") {
     val cells = RelationalOps.countMinCells(spark, tiny).collect()
     val nEvents = Tables.events(spark, tiny).count()
