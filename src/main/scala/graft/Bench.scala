@@ -187,7 +187,6 @@ object Bench {
     time("q_embed_neardup_indexed") {
       graft.sim.EmbeddingOps.embedNearDupIndexed(spark, sfDir, kmIdx).count()
     }
-    rmTree(kmIdx)
     // PQ lifecycle split: codebook training + corpus encoding are the
     // build; the served ADC probe reads the compressed index only
     val pqIdx = s"/tmp/graft_bench_pq_${System.nanoTime()}"
@@ -198,16 +197,20 @@ object Bench {
       graft.sim.EmbeddingOps.annPqIndexed(spark, sfDir, pqIdx).count()
     }
     rmTree(pqIdx)
-    // the composed IVF-PQ lifecycle: both trainings amortize into the
-    // build; the served probe routes + ADC-ranks off parquet only
+    // the composed IVF-PQ lifecycle: the PQ codebook training and corpus
+    // encoding amortize into the build, while the COARSE quantizer is
+    // REUSED from the k-means index above (fingerprint-checked) — one
+    // Lloyd training per corpus feeds every derived artifact; the served
+    // probe routes + ADC-ranks off parquet only
     val ivfpqIdx = s"/tmp/graft_bench_ivfpq_${System.nanoTime()}"
     time("ann_ivfpq_index_build") {
-      graft.sim.EmbeddingOps.buildIvfPqIndex(spark, sfDir, ivfpqIdx)
+      graft.sim.EmbeddingOps.buildIvfPqIndex(spark, sfDir, ivfpqIdx, Some(kmIdx))
     }
     time("q_ann_ivfpq_indexed") {
       graft.sim.EmbeddingOps.annIvfPqIndexed(spark, sfDir, ivfpqIdx).count()
     }
     rmTree(ivfpqIdx)
+    rmTree(kmIdx)
 
     // Phase 4 — bucketed storage as the measured fact-build default (the
     // 100 TB posture StorageDemo only demonstrated): header and detail are

@@ -72,4 +72,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(first === again)
     assert(first.length === 40)
   }
+
+  test("IVF-PQ built from shared km centroids is byte-identical to self-trained") {
+    val kmDir = java.nio.file.Files.createTempDirectory("graft_km_share").toString
+    val selfDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_self").toString
+    val sharedDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_shared").toString
+    EmbeddingOps.buildIvfIndexKmeans(spark, tiny, kmDir)
+    EmbeddingOps.buildIvfPqIndex(spark, tiny, selfDir)
+    EmbeddingOps.buildIvfPqIndex(spark, tiny, sharedDir, Some(kmDir))
+    // the reused coarse quantizer must change nothing: centroid tables
+    // and served probes agree exactly
+    val c1 = spark.read.parquet(s"$selfDir/centroids").orderBy("cell").collect()
+    val c2 = spark.read.parquet(s"$sharedDir/centroids").orderBy("cell").collect()
+    assert(c1 === c2, "shared centroids differ from self-trained")
+    assert(EmbeddingOps.annIvfPqIndexed(spark, tiny, sharedDir).collect() ===
+      EmbeddingOps.annIvfPqIndexed(spark, tiny, selfDir).collect())
+    // a fingerprint mismatch must refuse the reuse (falls back to
+    // training) rather than serve a stale quantizer
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$kmDir/_fingerprint"), "stale")
+    val fbDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_fb").toString
+    EmbeddingOps.buildIvfPqIndex(spark, tiny, fbDir, Some(kmDir))
+    val c3 = spark.read.parquet(s"$fbDir/centroids").orderBy("cell").collect()
+    assert(c3 === c1, "fallback training must still produce the trained centroids")
+  }
 }
