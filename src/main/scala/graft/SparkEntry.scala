@@ -26,7 +26,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
     graft.text.TextOps.queries ++ graft.text.CurationOps.queries ++
     graft.sim.EmbeddingOps.queries ++
-    graft.multimodal.Multimodal.queries ++ graft.etl.Scd.queries
+    graft.multimodal.Multimodal.queries ++ graft.etl.Scd.queries ++
+    graft.etl.Incremental.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // star-schema ETL builds (reference dims + fact, SURVEY §2.1-2.3)

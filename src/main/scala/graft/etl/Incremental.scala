@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental star maintenance — the lifecycle extension past the
+  * reference's truncate-and-reload (S5, dags/etl_fato_vendas.py:110-121):
+  * instead of rebuilding the whole fact each run, load the historical
+  * fact ONCE and APPEND each new batch into the year-partitioned DW.
+  *
+  * The contract that makes this safe is gated bit-exactly: a fact built
+  * as (historical load) + (increment append) must equal the full rebuild
+  * row-for-row — q_fact_incremental runs the split lifecycle against the
+  * SAME DuckDB oracle as star_fato_vendas (one full build). Fact rows
+  * are per-order-line and every surrogate key is a deterministic
+  * function of the dimension snapshot, so the union of two disjoint
+  * order-date slices is exactly the full build; nothing about the split
+  * leaks into the output.
+  *
+  * Scale shape: the increment pass joins ONLY the new orders (the
+  * header-side date filter is pushed to the scan) and appends files to
+  * the partitions its years touch — the historical majority of the DW is
+  * never read, shuffled, or rewritten. IncrementalSpec pins that: the
+  * pre-cut year partitions' file listing is byte-identical before and
+  * after the append. At 100 TB this is the difference between a daily
+  * load costing O(day) and costing O(history).
+  */
+object Incremental {
+
+  /** Order-date boundary between the "historical" load and the
+    * "incremental" batch. Mid-corpus for the TPC-H date domain
+    * (1992-1998), so both slices are non-trivial at every sf.
+    */
+  private val cut = "1996-01-01"
+
+  private def dwDir(d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_fact_incr_$h"
+  }
+
+  /** The split lifecycle, returning the read-back fact in the
+    * star_fato_vendas presentation form (doubles for the money columns,
+    * full deterministic order). Each invocation runs the whole cycle —
+    * overwrite with the historical slice, append the increment — so the
+    * gate exercises both writer modes every time and a rerun can never
+    * double-append.
+    */
+  def factIncremental(s: SparkSession, d: String): DataFrame = {
+    val dw = buildSplit(s, d)
+    s.read.parquet(dw).drop("ano")
+      .withColumn("valor_bruto", col("valor_bruto").cast("double"))
+      .withColumn("valor_desconto", col("valor_desconto").cast("double"))
+      .withColumn("valor_total", col("valor_total").cast("double"))
+      .select("id_pedido", "numero_linha", "sk_produto", "sk_cliente",
+        "sk_vendedor", "sk_localidade", "sk_tempo", "qtd_vendida",
+        "valor_bruto", "valor_desconto", "valor_total")
+      .orderBy("id_pedido", "numero_linha", "sk_produto", "sk_vendedor",
+        "qtd_vendida", "valor_bruto", "valor_desconto")
+  }
+
+  /** Runs historical overwrite + increment append; returns the DW path.
+    * Exposed for the spec, which also inspects the partition layout
+    * between the two phases.
+    */
+  private[graft] def buildSplit(s: SparkSession, d: String): String = {
+    val dw = dwDir(d)
+    writeSlice(s, d, col("o_orderdate") < lit(cut), dw, "overwrite")
+    writeSlice(s, d, col("o_orderdate") >= lit(cut), dw, "append")
+    dw
+  }
+
+  private[graft] def writeSlice(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column, dw: String, mode: String): Unit = {
+    val o = Tables.orders(s, d).filter(pred)
+    val ano = (col("sk_tempo") / 10000).cast("int")
+    Star.fatoVendasFrom(s, d, o, Tables.lineitem(s, d))
+      .withColumn("ano", ano)
+      .write.mode(mode).partitionBy("ano").parquet(dw)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fact_incremental" -> (factIncremental _))
+}
