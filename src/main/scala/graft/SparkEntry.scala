@@ -143,6 +143,11 @@ object SparkEntry {
     // converges to q_passage_clean's cut relation
     "q_dedup_passage_stream" ->
       (graft.streaming.Streams.dedupPassageStreamed _),
+    // the composed curation pass as a stream: shared signal projections,
+    // keep-min dedup through ownership state with retroactive release,
+    // per-lang rollup over net claims; same oracle as q_corpus_curate
+    "q_corpus_curate_stream" ->
+      (graft.streaming.Streams.corpusCurateStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     // bin-blocked range join (equi-join on fixed-width time bins) vs
     // DuckDB's native IEJoin — two different algorithms, same answer

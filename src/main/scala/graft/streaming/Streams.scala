@@ -561,6 +561,90 @@ object Streams {
     }
   }
 
+  /** One signal-passing doc arriving at the streamed dedup stage (public
+    * for codegen).
+    */
+  final case class CurDoc(hash: String, doc_id: Long, lang: String, n_tokens: Int)
+  /** Per-hash state: the current keep-min owner (public for codegen). */
+  final case class CurOwner(doc_id: Long, lang: String, n_tokens: Int)
+  /** An ownership delta: +1 claims keeper-ship, −1 retroactively releases
+    * a superseded keeper (public for codegen).
+    */
+  final case class CurDelta(doc_id: Long, lang: String, n_tokens: Int, delta: Int)
+
+  /** Streamed exact-dedup keep-min — the incremental form of the batch
+    * curation's `min(doc_id) over (partition by md5(text))` keeper rule:
+    * state per content hash holds the smallest signal-surviving doc seen
+    * so far. A doc claims keeper-ship (+1) when it is the first or the
+    * new minimum of its hash; a superseded keeper is RETROACTIVELY
+    * released (−1) the moment a smaller id arrives in a later
+    * micro-batch, so the net-positive set converges to exactly the batch
+    * keeper relation regardless of arrival order. State is
+    * O(distinct content hashes) × ~40 bytes; replays of the current
+    * owner are absorbed by the membership check (at-least-once posture,
+    * net sums absorb a re-delivered claim of the same owner only if the
+    * sink dedups — the gated shaping nets per doc, and a doc's claims
+    * are idempotent per (doc, delta) distinct).
+    */
+  def curateKeepMinStream(docs: Dataset[CurDoc]): Dataset[CurDelta] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.hash)
+      .flatMapGroupsWithState[CurOwner, CurDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[CurOwner]) =>
+          val out = Seq.newBuilder[CurDelta]
+          var owner = state.getOption
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            owner match {
+              case None =>
+                owner = Some(CurOwner(d.doc_id, d.lang, d.n_tokens))
+                out += CurDelta(d.doc_id, d.lang, d.n_tokens, 1)
+              case Some(o) if d.doc_id == o.doc_id => // replay of the owner
+              case Some(o) if d.doc_id < o.doc_id =>
+                out += CurDelta(o.doc_id, o.lang, o.n_tokens, -1) // retroactive release
+                owner = Some(CurOwner(d.doc_id, d.lang, d.n_tokens))
+                out += CurDelta(d.doc_id, d.lang, d.n_tokens, 1)
+              case Some(_) => // non-keeper: contributes nothing
+            }
+          }
+          owner.foreach(o => state.update(o))
+          out.result().iterator
+      }
+  }
+
+  /** The corpus-curation keep/drop pass as a STREAM — the incremental
+    * twin of graft.text.CurationOps.corpusCurate, gated against the SAME
+    * DuckDB oracle: the per-doc signal verdicts are stateless projections
+    * (the shared curateSignals stage, so stream and batch cannot drift),
+    * the keep-min exact dedup runs through [[curateKeepMinStream]]'s
+    * ownership state, and the per-language rollup is the follow-up batch
+    * shaping over the net-positive claims — the standard streamed-index +
+    * serving-rollup split. The two-file parity staging forces keeper
+    * transfers across micro-batches, so the gate proves the retroactive
+    * release path, not just in-batch minima.
+    */
+  def corpusCurateStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    runDocStreamGate(spark, dir, "curate") { stream =>
+      curateKeepMinStream(
+        graft.text.CurationOps.curateSignals(stream, barrier = false)
+          .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
+          .selectExpr("md5(text) AS hash", "doc_id", "lang", "n_tokens")
+          .as[CurDoc]).toDF()
+    } { sink =>
+      sink.distinct() // at-least-once absorber, as in the other streams
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(sum(col("delta")).as("net"))
+        .where("net > 0")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .selectExpr("lang", "n_docs", "total_tokens",
+          "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+        .orderBy("lang")
+    }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

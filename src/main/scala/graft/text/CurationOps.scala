@@ -381,17 +381,22 @@ object CurationOps {
     * projection reusing the q_text_quality / q_lang_id /
     * q_text_repetition templates.
     */
-  def corpusCurate(s: SparkSession, d: String): DataFrame = {
-    // Two-stage signal evaluation: stage 1 tokenizes ONCE behind a
-    // barrier and reduces every signal to a scalar COLUMN (token/type/
-    // stopword counts, per-language marker scores, repetition ratios);
-    // stage 2 is pure scalar CASE logic over those columns. Without
-    // this, CollapseProject inlines split() into every verdict branch
-    // and the lang argmax re-derives each markerCount once per CASE
-    // level (measured 4.4 s -> 3.6 s with tokenize-once alone, -> ~1 s
-    // with the full hoist at sf0.1). The DuckDB oracle keeps the
-    // canonical single-expression templates, so the gate proves the
-    // hoisted form is the same function.
+  /** The per-doc signal stage shared by the batch and streamed curation
+    * forms: tokenize once, reduce every signal to a scalar column
+    * (token/type/stopword counts, per-language marker scores, repetition
+    * ratios), then pure scalar CASE logic for the three verdicts.
+    * Without the hoist, CollapseProject inlines split() into every
+    * verdict branch and the lang argmax re-derives each markerCount once
+    * per CASE level (measured 4.4 s -> 3.6 s with tokenize-once alone,
+    * -> ~1 s with the full hoist at sf0.1). `barrier` materializes the
+    * tokenized stage eagerly — batch only; a streaming plan keeps the
+    * projection inline (no checkpointable batch exists mid-stream).
+    * Input needs (doc_id BIGINT, lang, text); output adds n_tokens +
+    * the three verdict columns. The DuckDB oracle keeps the canonical
+    * single-expression templates, so the gate proves the hoisted form is
+    * the same function.
+    */
+  private[graft] def curateSignals(df: DataFrame, barrier: Boolean): DataFrame = {
     import graft.Checkpoint.BarrierOps
     val toksX = X("toks", "toks")
     val scoreCols = TextOps.langMarkerSet.map { case (l, ms) =>
@@ -399,10 +404,8 @@ object CurationOps {
     }
     val langOk =
       s"(${TextOps.langPredOverScores(l => s"score_$l")}) = lang"
-    documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text",
-        s"${T.spark} AS toks")
-      .barrier()
+    val toked = df.selectExpr("doc_id", "lang", "text", s"${T.spark} AS toks")
+    (if (barrier) toked.barrier() else toked)
       .selectExpr(Seq("doc_id", "lang", "text",
         "size(toks) AS n_tokens",
         "size(array_distinct(toks)) AS n_tipos",
@@ -413,6 +416,12 @@ object CurationOps {
         s"${TextOps.qualityFromCounts("n_tokens", "n_tipos", "n_stops")} AS qualidade",
         s"CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok",
         s"${repetitiveCase("dup_tri", "top_tok")} AS repetitivo")
+  }
+
+  def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    curateSignals(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text"),
+      barrier = true)
       .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
       .withColumn("doc_keeper",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
@@ -589,7 +598,12 @@ FROM (SELECT doc_id, lang, n_tokens,
             FROM documents))
 ORDER BY lang, doc_id"""
     },
-    "q_corpus_curate" -> {
+    "q_corpus_curate" -> corpusCurateOracle,
+    // the streamed form converges to the same batch relation
+    "q_corpus_curate_stream" -> corpusCurateOracle)
+
+  /** Shared oracle for the batch and streamed curation passes. */
+  private[graft] lazy val corpusCurateOracle: String = {
       val quality = TextOps.qualityVerdict(_.duck, "len")
       val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"
       s"""WITH base AS (
@@ -611,5 +625,5 @@ FROM (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_to
       WHERE doc_id = doc_keeper
       GROUP BY lang)
 ORDER BY lang"""
-    })
+  }
 }

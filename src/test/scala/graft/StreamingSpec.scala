@@ -44,6 +44,29 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 02:00:00.0", "click", 1L)))
   }
 
+  test("curation keep-min state: cross-batch retroactive release converges to min") {
+    import graft.streaming.Streams.{CurDoc, CurDelta}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CurDoc]
+    val q = Streams.curateKeepMinStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curmin_out").start()
+    // batch 1: doc 5 is the first of hash A → claims keeper-ship
+    mem.addData(CurDoc("A", 5, "en", 10))
+    q.processAllAvailable()
+    // batch 2: doc 3 (same hash, smaller id) arrives late → 5 released,
+    // 3 claims; doc 7 is never a keeper and contributes nothing
+    mem.addData(CurDoc("A", 3, "pt", 8), CurDoc("A", 7, "en", 9))
+    q.processAllAvailable(); q.stop()
+    val deltas = spark.table("curmin_out").as[CurDelta].collect().toSeq
+    assert(deltas.toSet === Set(
+      CurDelta(5, "en", 10, 1), CurDelta(5, "en", 10, -1), CurDelta(3, "pt", 8, 1)))
+    // the net-positive set is exactly the batch keeper relation
+    val net = deltas.groupBy(d => (d.doc_id, d.lang, d.n_tokens))
+      .view.mapValues(_.map(_.delta).sum).filter(_._2 > 0).keys.toSet
+    assert(net === Set((3L, "pt", 8)))
+  }
+
   test("stream-static fact append joins dims without reshuffling the stream") {
     implicit val sqlCtx = spark.sqlContext
     val dimP = Seq((1, 101L), (2, 102L)).toDF("sk_produto", "id_produto_original")
