@@ -156,7 +156,12 @@ object Bench {
       // curation family: the corpus-wide shapes (distinct-shingle KMV,
       // shingle-hash decontamination join, full-signal curation pass)
       "q_sketch_kmv", "q_sketch_kmv_onepass", "q_decontaminate",
-      "q_corpus_curate").foreach { name =>
+      "q_corpus_curate",
+      // r9 additions: the sharded cumsum windows, the AQE-owned skew
+      // twin, and the incremental DW lifecycle (historical overwrite +
+      // increment append + read-back — a full cycle per rep)
+      "q_token_budget", "q_seq_packing", "q_skew_join_aqe",
+      "q_fact_incremental").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -16,10 +16,12 @@ import org.apache.spark.sql.SparkSession
   *     whole-lineage path.
   *   runMain graft.PlanAudit --ext [sfDir]         — ASSERTS the
   *     AutoBroadcastBoundedDims rule fires in a session configured like
-  *     Bench's: a freshly derived bounded dim (no explicit hint) joined
-  *     under autoBroadcastJoinThreshold=-1 must plan a BroadcastHashJoin
-  *     via the rule, and a corpus-growing dim must NOT. Exits non-zero on
-  *     failure.
+  *     Bench's — which since r9 is ALSO the Verify gate's configuration
+  *     (both install graft.plans.GraftExtensions, so gated plans = bench
+  *     plans = deployed plans): a freshly derived bounded dim (no
+  *     explicit hint) joined under autoBroadcastJoinThreshold=-1 must
+  *     plan a BroadcastHashJoin via the rule, and a corpus-growing dim
+  *     must NOT. Exits non-zero on failure.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -155,7 +155,12 @@ object TextOps {
     val stops = pick(markerCount(tok, stopwords))
     val digit = s"CAST(${pick(regexCount(tok, "^[0-9]+$"))} AS DOUBLE) / CAST($n AS DOUBLE)"
     // every comparison is over exact-integer-derived doubles (same two
-    // ints divided in both engines), so rule verdicts cannot drift
+    // ints divided in both engines), so rule verdicts cannot drift.
+    // Empty docs: mean/alpha/digit are 0/0 = NaN (identically in both
+    // engines), but the VERDICT never depends on them — r_n_tokens
+    // (0 BETWEEN 15 AND 10000 = false) already discards a zero-token doc
+    // deterministically, so the drop is by rule, not by NaN side effect
+    // (the same deliberateness the r9 taxa_oov guard makes explicit).
     val rules = Seq(
       "r_n_tokens" -> s"$n BETWEEN 15 AND 10000",
       "r_tam_medio" -> s"$mean BETWEEN 3.0 AND 4.8",
