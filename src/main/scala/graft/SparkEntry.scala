@@ -148,6 +148,12 @@ object SparkEntry {
     // per-lang rollup over net claims; same oracle as q_corpus_curate
     "q_corpus_curate_stream" ->
       (graft.streaming.Streams.corpusCurateStreamed _),
+    // the incremental fact load as a Structured Streaming job: staged
+    // order slices arrive one micro-batch each, stream-static fact
+    // derivation, parquet APPEND into the year-partitioned DW; same
+    // oracle as the one-shot rebuild
+    "q_fact_incremental_stream" ->
+      (graft.streaming.Streams.factIncrementalStreamed _),
     "q_salted_agg" -> (RelationalOps.saltedAgg _),
     // bin-blocked range join (equi-join on fixed-width time bins) vs
     // DuckDB's native IEJoin — two different algorithms, same answer

@@ -100,9 +100,52 @@ object Scd {
       .orderBy("id_cliente", "valid_from", "vigente")
   }
 
+  /** Load date for the point-in-time gate: MID order-date domain
+    * (TPC-H orders span 1992-1998), so a changed customer's orders
+    * genuinely split across its two versions — dates before the change
+    * resolve to the closed version, dates after to the reopened one.
+    */
+  private val PitLoadDate = "1996-06-01"
+
+  /** POINT-IN-TIME fact⟕dimension join (extension — the temporal lookup
+    * every versioned DW and feature store needs): each order resolves
+    * the customer-dimension VERSION that was valid on its order date —
+    * `id equal AND valid_from <= date < valid_to` — never the merely
+    * current row. Orders predating the dimension's first version
+    * (1992-1994 here) surface explicitly as 'SEM_VERSAO' rather than
+    * silently matching something.
+    *
+    * Scale shape: an EQUI-join on the customer key with the date-range
+    * predicate as a residual filter — the shuffle is keyed exactly like
+    * any fact⨝dim lookup (versions of one key are co-located; a key's
+    * version count is small and its intervals partition time, so each
+    * probe row matches ≤ 1 version and the residual scan is O(versions
+    * per key)). No interval blocking needed: this is the
+    * temporal-dimension case, not the arbitrary-interval case
+    * (q_range_join covers that).
+    */
+  def factScd2PointInTime(s: SparkSession, d: String): DataFrame = {
+    val v = scd2(s, d, PitLoadDate).alias("v")
+    val o = graft.Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("id_pedido"),
+      col("o_custkey").cast("long").as("id_cliente"),
+      col("o_orderdate").as("data_pedido")).alias("o")
+    o.join(v,
+        col("o.id_cliente") === col("v.id_cliente") &&
+          col("o.data_pedido") >= col("v.valid_from") &&
+          col("o.data_pedido") < col("v.valid_to"),
+        "left")
+      .select(col("id_pedido"), col("o.id_cliente").as("id_cliente"),
+        col("data_pedido"),
+        coalesce(col("v.segmento"), lit("SEM_VERSAO")).as("segmento"),
+        col("v.valid_from").as("versao_desde"))
+      .orderBy("id_pedido")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd1_merge" -> (scd1 _),
-    "q_scd2_apply" -> ((s: SparkSession, d: String) => scd2(s, d)))
+    "q_scd2_apply" -> ((s: SparkSession, d: String) => scd2(s, d)),
+    "q_scd2_pit_join" -> (factScd2PointInTime _))
 
   /** Shared oracle CTEs mirroring snapshot + deterministic updates. */
   private val ctes =
@@ -142,5 +185,34 @@ SELECT id_cliente, nome, segmento, valid_from, valid_to, vigente FROM (
   UNION ALL
   SELECT u.id_cliente, u.nome, u.segmento, DATE '1999-01-01', DATE '9999-12-31', true
   FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
-ORDER BY id_cliente, valid_from, vigente""")
+ORDER BY id_cliente, valid_from, vigente""",
+    "q_scd2_pit_join" ->
+      s"""WITH $ctes,
+dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),
+changed AS (
+  SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
+         u.nome AS nome_u, u.segmento AS seg_u
+  FROM dimv d JOIN up u USING (id_cliente)
+  WHERE u.segmento <> d.segmento OR u.nome <> d.nome),
+versions AS (
+  SELECT id_cliente, nome_d AS nome, seg_d AS segmento, valid_from,
+         DATE '1996-06-01' AS valid_to FROM changed
+  UNION ALL
+  SELECT id_cliente, nome_u, seg_u, DATE '1996-06-01', DATE '9999-12-31' FROM changed
+  UNION ALL
+  SELECT d.id_cliente, d.nome, d.segmento, d.valid_from, DATE '9999-12-31'
+  FROM dimv d LEFT JOIN up u USING (id_cliente)
+  WHERE u.id_cliente IS NULL OR (u.segmento = d.segmento AND u.nome = d.nome)
+  UNION ALL
+  SELECT u.id_cliente, u.nome, u.segmento, DATE '1996-06-01', DATE '9999-12-31'
+  FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
+SELECT CAST(o.o_orderkey AS BIGINT) AS id_pedido,
+       CAST(o.o_custkey AS BIGINT) AS id_cliente,
+       o.o_orderdate AS data_pedido,
+       coalesce(v.segmento, 'SEM_VERSAO') AS segmento,
+       v.valid_from AS versao_desde
+FROM orders o LEFT JOIN versions v
+  ON o.o_custkey = v.id_cliente
+ AND o.o_orderdate >= v.valid_from AND o.o_orderdate < v.valid_to
+ORDER BY id_pedido""")
 }

@@ -131,8 +131,17 @@ CAST(valor_desconto AS DOUBLE) AS valor_desconto,
 CAST(valor_total AS DOUBLE) AS valor_total
 FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
 sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
-    // incremental lifecycle gate: historical overwrite + increment append
-    // must equal the full rebuild — the oracle IS the full build
+    // incremental lifecycle gates (batch twin + the Structured Streaming
+    // form): historical load + increment append must equal the full
+    // rebuild — the oracle IS the full build
+    "q_fact_incremental_stream" -> withStar(
+      """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
+sk_localidade, sk_tempo, qtd_vendida,
+CAST(valor_bruto AS DOUBLE) AS valor_bruto,
+CAST(valor_desconto AS DOUBLE) AS valor_desconto,
+CAST(valor_total AS DOUBLE) AS valor_total
+FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
     "q_fact_incremental" -> withStar(
       """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
 sk_localidade, sk_tempo, qtd_vendida,

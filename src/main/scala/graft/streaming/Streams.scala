@@ -561,6 +561,53 @@ object Streams {
     }
   }
 
+  /** The incremental fact load as a REAL Structured Streaming job — the
+    * streamed twin of graft.etl.Incremental (which replays the same
+    * lifecycle with batch writers): order headers arrive as a file
+    * stream (two staged slices split at the same order-date cut, one
+    * micro-batch each), every batch runs the FULL fact derivation —
+    * header⨝detail against the static lineitem, broadcast SK lookups
+    * against the static dims, decimal money math, null-key prune; all
+    * stateless stream-static shapes — and the sink APPENDS parquet into
+    * the year-partitioned DW. Gated against the same DuckDB oracle as
+    * the one-shot rebuild: arrival order and batch boundaries must not
+    * leak into the fact.
+    *
+    * This is the §2.7 deployment story end-to-end: the reference
+    * truncate-reloads 121k rows per run; this job is the shape that
+    * absorbs a day's orders into a 100 TB DW without touching history
+    * (exactly-once per file via the checkpointed file source).
+    */
+  def factIncrementalStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fact_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val o = graft.Tables.orders(spark, dir)
+    o.filter(col("o_orderdate") < lit("1996-01-01"))
+      .coalesce(1).write.parquet(sub("in"))
+    o.filter(col("o_orderdate") >= lit("1996-01-01"))
+      .coalesce(1).write.mode("append").parquet(sub("in"))
+    val oStream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val fato = graft.etl.Star
+      .fatoVendasFrom(spark, dir, oStream, graft.Tables.lineitem(spark, dir))
+      .withColumn("ano", (col("sk_tempo") / 10000).cast("int"))
+    val q = fato.writeStream.outputMode("append").format("parquet")
+      .partitionBy("ano")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out")).drop("ano")
+      .withColumn("valor_bruto", col("valor_bruto").cast("double"))
+      .withColumn("valor_desconto", col("valor_desconto").cast("double"))
+      .withColumn("valor_total", col("valor_total").cast("double"))
+      .select("id_pedido", "numero_linha", "sk_produto", "sk_cliente",
+        "sk_vendedor", "sk_localidade", "sk_tempo", "qtd_vendida",
+        "valor_bruto", "valor_desconto", "valor_total")
+      .orderBy("id_pedido", "numero_linha", "sk_produto", "sk_vendedor",
+        "qtd_vendida", "valor_bruto", "valor_desconto")
+  }
+
   /** One signal-passing doc arriving at the streamed dedup stage (public
     * for codegen).
     */
