@@ -161,7 +161,7 @@ object Bench {
       // twin, and the incremental DW lifecycle (historical overwrite +
       // increment append + read-back — a full cycle per rep)
       "q_token_budget", "q_seq_packing", "q_skew_join_aqe",
-      "q_fact_incremental").foreach { name =>
+      "q_fact_incremental", "q_scd2_pit_join").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
