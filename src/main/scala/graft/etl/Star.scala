@@ -184,12 +184,22 @@ object Star {
     * of shuffling the two largest tables. Bench measures both forms.
     */
   def fatoVendasFrom(spark: SparkSession, dir: String,
-                     o: DataFrame, l: DataFrame): DataFrame = {
-    val dp = dimProduto(spark, dir).select("sk_produto", "id_produto_original")
-    val dc = dimCliente(spark, dir).select("sk_cliente", "id_cliente_original")
-    val dv = dimVendedor(spark, dir).select("sk_vendedor", "id_vendedor_original")
-    val dl = dimLocalidade(spark, dir).select("sk_localidade", "id_localidade_original")
+                     o: DataFrame, l: DataFrame): DataFrame =
+    fatoVendasFromDims(o, l,
+      dimProduto(spark, dir).select("sk_produto", "id_produto_original"),
+      dimCliente(spark, dir).select("sk_cliente", "id_cliente_original"),
+      dimVendedor(spark, dir).select("sk_vendedor", "id_vendedor_original"),
+      dimLocalidade(spark, dir).select("sk_localidade", "id_localidade_original"))
 
+  /** [[fatoVendasFrom]] with the SK maps injected as well — the
+    * incremental-load hook: a production increment pass joins against the
+    * DW's STORED dimensions (read back from parquet/JDBC, exactly the
+    * reference's SK-map read-back at dags/etl_fato_vendas.py:21-24), not
+    * against freshly re-derived ones. Each dim needs (sk, business key)
+    * only.
+    */
+  def fatoVendasFromDims(o: DataFrame, l: DataFrame, dp: DataFrame,
+                         dc: DataFrame, dv: DataFrame, dl: DataFrame): DataFrame = {
     val epDec = money(col("l_extendedprice"))
     val discDec = col("l_discount").cast("decimal(4,2)")
     val one = lit("1.00").cast("decimal(3,2)")

@@ -589,8 +589,13 @@ object Streams {
     val oStream = spark.readStream
       .schema(spark.read.parquet(sub("in")).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    // the static join sides are the STORED SK maps (sunk once per
+    // dataset fingerprint, read back), so each micro-batch joins against
+    // plain parquet scans instead of re-deriving the dimensional model
+    // per trigger
+    val Seq(dp, dc, dv, dl) = graft.etl.Incremental.ensureDims(spark, dir)
     val fato = graft.etl.Star
-      .fatoVendasFrom(spark, dir, oStream, graft.Tables.lineitem(spark, dir))
+      .fatoVendasFromDims(oStream, graft.Tables.lineitem(spark, dir), dp, dc, dv, dl)
       .withColumn("ano", (col("sk_tempo") / 10000).cast("int"))
     val q = fato.writeStream.outputMode("append").format("parquet")
       .partitionBy("ano")

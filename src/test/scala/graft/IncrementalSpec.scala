@@ -36,13 +36,14 @@ class IncrementalSpec extends SparkSpec {
     }
     val dw = s"/tmp/graft_incr_spec_${System.nanoTime()}"
     try {
+      val dims = Incremental.writeDims(spark, tiny, s"$dw-dims")
       Incremental.writeSlice(spark, tiny,
-        col("o_orderdate") < lit("1996-01-01"), dw, "overwrite")
+        col("o_orderdate") < lit("1996-01-01"), dw, "overwrite", dims)
       val before = listing(dw)
       assert(before.keys.forall(_.stripPrefix("ano=").toInt < 1996),
         "historical slice must only populate pre-cut years")
       Incremental.writeSlice(spark, tiny,
-        col("o_orderdate") >= lit("1996-01-01"), dw, "append")
+        col("o_orderdate") >= lit("1996-01-01"), dw, "append", dims)
       val after = listing(dw)
       // every pre-cut partition's file set is byte-identical — the
       // historical majority was neither rewritten nor touched
@@ -56,6 +57,7 @@ class IncrementalSpec extends SparkSpec {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }
       rm(new java.io.File(dw))
+      rm(new java.io.File(s"$dw-dims"))
     }
   }
 }
