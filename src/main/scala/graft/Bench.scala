@@ -201,20 +201,22 @@ object Bench {
     time("q_ann_pq_indexed") {
       graft.sim.EmbeddingOps.annPqIndexed(spark, sfDir, pqIdx).count()
     }
-    rmTree(pqIdx)
-    // the composed IVF-PQ lifecycle: the PQ codebook training and corpus
-    // encoding amortize into the build, while the COARSE quantizer is
-    // REUSED from the k-means index above (fingerprint-checked) — one
-    // Lloyd training per corpus feeds every derived artifact; the served
-    // probe routes + ADC-ranks off parquet only
+    // the composed IVF-PQ lifecycle: BOTH trainings are reused from the
+    // sibling indexes above (fingerprint-checked) — the coarse quantizer
+    // from the k-means index, the PQ codebooks from the flat PQ index —
+    // so the composed build is corpus encoding + cell assignment only;
+    // one training per corpus feeds every derived artifact, and the
+    // served probe routes + ADC-ranks off parquet only
     val ivfpqIdx = s"/tmp/graft_bench_ivfpq_${System.nanoTime()}"
     time("ann_ivfpq_index_build") {
-      graft.sim.EmbeddingOps.buildIvfPqIndex(spark, sfDir, ivfpqIdx, Some(kmIdx))
+      graft.sim.EmbeddingOps.buildIvfPqIndex(spark, sfDir, ivfpqIdx,
+        Some(kmIdx), Some(pqIdx))
     }
     time("q_ann_ivfpq_indexed") {
       graft.sim.EmbeddingOps.annIvfPqIndexed(spark, sfDir, ivfpqIdx).count()
     }
     rmTree(ivfpqIdx)
+    rmTree(pqIdx)
     rmTree(kmIdx)
 
     // Phase 4 — bucketed storage as the measured fact-build default (the

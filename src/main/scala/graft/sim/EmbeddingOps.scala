@@ -517,6 +517,10 @@ object EmbeddingOps {
     val cents = pqCodebooks(s, d)
     cents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     pqCodesOf(s, d, cents).write.mode("overwrite").parquet(s"$indexDir/codes")
+    // stamp what the codebooks were trained ON (same reuse contract as
+    // the k-means index's coarse centroids)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/_fingerprint"), datasetFingerprint(d))
   }
 
   /** ADC probe served from the persisted PQ index: training amortized
@@ -591,18 +595,26 @@ object EmbeddingOps {
     * probes are byte-identical either way.
     */
   def buildIvfPqIndex(s: SparkSession, d: String, indexDir: String,
-      centroidsFrom: Option[String] = None): Unit = {
+      centroidsFrom: Option[String] = None,
+      codebooksFrom: Option[String] = None): Unit = {
     val base = corpus(s, d).select("vec_id", "embedding")
-    val cents = centroidsFrom
-      .filter { dir =>
-        val fp = new java.io.File(dir, "_fingerprint")
-        fp.exists() &&
-          java.nio.file.Files.readString(fp.toPath).trim == datasetFingerprint(d)
-      }
+    // an artifact dir qualifies for reuse iff its training stamp matches
+    // THIS dataset's fingerprint
+    def stamped(dir: String): Boolean = {
+      val fp = new java.io.File(dir, "_fingerprint")
+      fp.exists() &&
+        java.nio.file.Files.readString(fp.toPath).trim == datasetFingerprint(d)
+    }
+    val cents = centroidsFrom.filter(stamped)
       .map(dir => s.read.parquet(s"$dir/centroids"))
       .getOrElse(kmeansCentroids(s, d))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val pcents = pqCodebooks(s, d)
+    // the PQ codebooks are the SAME training the flat PQ index ran —
+    // reuse them too when a stamped PQ index exists (both trainings are
+    // deterministic, so the composed index is byte-identical either way)
+    val pcents = codebooksFrom.filter(stamped)
+      .map(dir => s.read.parquet(s"$dir/codebooks"))
+      .getOrElse(pqCodebooks(s, d))
     pcents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     pqCodesOf(s, d, pcents)
       .join(assignCells(s, base, cents).select("vec_id", "cell"), Seq("vec_id"))
@@ -657,9 +669,13 @@ object EmbeddingOps {
     * training runs once per (dataset, JVM tmpdir) across both indexes.
     */
   def annIvfPqIndexedAuto(s: SparkSession, d: String): DataFrame = {
-    val kmDir = defaultIndexDir(d) + "_km"
-    val from = if (new java.io.File(kmDir, "_built").exists()) Some(kmDir) else None
-    autoIndexed(d, "_ivfpq", buildIvfPqIndex(s, d, _, from), annIvfPqIndexed(s, d, _))
+    def built(suffix: String): Option[String] = {
+      val dir = defaultIndexDir(d) + suffix
+      if (new java.io.File(dir, "_built").exists()) Some(dir) else None
+    }
+    autoIndexed(d, "_ivfpq",
+      buildIvfPqIndex(s, d, _, built("_km"), built("_pq")),
+      annIvfPqIndexed(s, d, _))
   }
 
   /** Gated flat view of the trained centroids. */

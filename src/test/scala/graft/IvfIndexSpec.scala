@@ -73,18 +73,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(first.length === 40)
   }
 
-  test("IVF-PQ built from shared km centroids is byte-identical to self-trained") {
+  test("IVF-PQ built from shared km centroids + pq codebooks is byte-identical") {
     val kmDir = java.nio.file.Files.createTempDirectory("graft_km_share").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_share").toString
     val selfDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_self").toString
     val sharedDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_shared").toString
     EmbeddingOps.buildIvfIndexKmeans(spark, tiny, kmDir)
+    EmbeddingOps.buildPqIndex(spark, tiny, pqDir)
     EmbeddingOps.buildIvfPqIndex(spark, tiny, selfDir)
-    EmbeddingOps.buildIvfPqIndex(spark, tiny, sharedDir, Some(kmDir))
-    // the reused coarse quantizer must change nothing: centroid tables
+    EmbeddingOps.buildIvfPqIndex(spark, tiny, sharedDir, Some(kmDir), Some(pqDir))
+    // the reused trainings must change nothing: centroid/codebook tables
     // and served probes agree exactly
-    val c1 = spark.read.parquet(s"$selfDir/centroids").orderBy("cell").collect()
-    val c2 = spark.read.parquet(s"$sharedDir/centroids").orderBy("cell").collect()
-    assert(c1 === c2, "shared centroids differ from self-trained")
+    for ((t, keys) <- Seq("centroids" -> Seq("cell"),
+        "codebooks" -> Seq("m", "cell"))) {
+      val a = spark.read.parquet(s"$selfDir/$t").orderBy(keys.head, keys.tail: _*).collect()
+      val b = spark.read.parquet(s"$sharedDir/$t").orderBy(keys.head, keys.tail: _*).collect()
+      assert(a === b, s"shared $t differ from self-trained")
+    }
     assert(EmbeddingOps.annIvfPqIndexed(spark, tiny, sharedDir).collect() ===
       EmbeddingOps.annIvfPqIndexed(spark, tiny, selfDir).collect())
     // a fingerprint mismatch must refuse the reuse (falls back to
@@ -92,8 +97,9 @@ class IvfIndexSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$kmDir/_fingerprint"), "stale")
     val fbDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_fb").toString
-    EmbeddingOps.buildIvfPqIndex(spark, tiny, fbDir, Some(kmDir))
+    EmbeddingOps.buildIvfPqIndex(spark, tiny, fbDir, Some(kmDir), Some(pqDir))
     val c3 = spark.read.parquet(s"$fbDir/centroids").orderBy("cell").collect()
+    val c1 = spark.read.parquet(s"$selfDir/centroids").orderBy("cell").collect()
     assert(c3 === c1, "fallback training must still produce the trained centroids")
   }
 }
