@@ -13,9 +13,12 @@ import graft.text.{CurationOps, TextOps}
   * counts, so its correctness rests entirely on the per-operator DuckDB
   * gates:
   *
-  *   1. rule gates: quality verdict (q_text_quality), Gopher battery
-  *      (q_quality_gopher), repetition rules (q_text_repetition),
-  *      language-ID agreement (q_lang_id), vocab coverage (q_vocab_oov);
+  *   1. rule gates, evaluated in ONE corpus pass over the shared signal
+  *      templates (plus the vocab aggregate's own scan): quality verdict
+  *      (q_text_quality), Gopher battery (q_quality_gopher), repetition
+  *      rules (q_text_repetition), language-ID agreement (q_lang_id),
+  *      vocab coverage (q_vocab_oov) — spec-pinned to keep exactly the
+  *      docs the five individual gated queries keep;
   *   2. dedup OVER THE SIGNAL SURVIVORS: exact keep-one (the
   *      q_dedup_exact grouping, keeper picked among survivors), near-dup
   *      keep-one-per-cluster (the q_dedup_canonical closure over the
@@ -34,16 +37,47 @@ import graft.text.{CurationOps, TextOps}
   */
 object CurateRun {
 
-  /** The signal gates (stage 1), in funnel order — each value is the
-    * doc_id set a gated query KEEPS. One list feeds both invocation
-    * shapes, so the in-process funnel and the staged DAG cannot drift.
+  /** The signal gates (stage 1), in funnel order: (funnel name, 0/1
+    * verdict column of [[signalTable]]). The verdicts come from the SAME
+    * dialect templates the individual gated queries evaluate
+    * (q_text_quality / q_quality_gopher / q_text_repetition / q_lang_id /
+    * q_vocab_oov), so the one-pass funnel and the per-operator gates
+    * cannot drift — CurateRunSpec additionally asserts the keep sets are
+    * identical.
     */
-  private def signalGates(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
-    "quality boa" -> TextOps.textQuality(s, d).where("qualidade = 'boa'"),
-    "gopher mantem" -> TextOps.qualityGopher(s, d).where("decisao = 'mantem'"),
-    "not repetitive" -> CurationOps.textRepetition(s, d).where("repetitivo = 0"),
-    "lang-id agrees" -> TextOps.langId(s, d).where("acerto = 1"),
-    "vocab coverage" -> CurationOps.vocabOov(s, d).where("taxa_oov <= 0.5"))
+  private val signalGateCols: Seq[(String, String)] = Seq(
+    "quality boa" -> "ok_quality",
+    "gopher mantem" -> "ok_gopher",
+    "not repetitive" -> "ok_rep",
+    "lang-id agrees" -> "ok_lang",
+    "vocab coverage" -> "ok_vocab")
+
+  /** ONE corpus pass evaluating every per-row signal verdict (quality,
+    * gopher battery, repetition, lang-ID agreement — the shared
+    * curateSignals projection, tokenize-once) plus the vocab-coverage
+    * join (vocabOov is the one gate that needs a corpus-wide aggregate,
+    * so it is one more scan, not five). Stage 1 of the funnel used to
+    * re-scan and re-tokenize the corpus once PER GATE; at 100 TB the
+    * difference is 5 corpus scans vs 2. Materialized through a
+    * checkpoint barrier — every funnel count and the keep-list read it.
+    */
+  private[graft] def signalTable(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text")
+    val sig = CurationOps.curateSignals(base, barrier = false, withGopher = true)
+    val oov = CurationOps.vocabOov(s, d).select("doc_id", "taxa_oov")
+    graft.Checkpoint.barrier(
+      sig.join(oov, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CASE WHEN qualidade = 'boa' THEN 1 ELSE 0 END AS ok_quality",
+          "CASE WHEN gopher = 'mantem' THEN 1 ELSE 0 END AS ok_gopher",
+          "CASE WHEN repetitivo = 0 THEN 1 ELSE 0 END AS ok_rep",
+          "lang_ok AS ok_lang",
+          "CASE WHEN taxa_oov <= 0.5 THEN 1 ELSE 0 END AS ok_vocab"))
+  }
+
+  private def allSignalsOk: String =
+    signalGateCols.map { case (_, c) => s"$c = 1" }.mkString(" AND ")
 
   /** The dedup/leakage gates (stage 2): (name, gate-set, anti?) — anti
     * gates DROP the listed docs instead of keeping them.
@@ -108,12 +142,17 @@ object CurateRun {
     */
   def run(spark: SparkSession, dir: String, out: String): Seq[(String, Long)] = {
     val funnel = Seq.newBuilder[(String, Long)]
-    var kept = docs(spark, dir).select("doc_id")
-    funnel += "ingest" -> kept.count()
-    signalGates(spark, dir).foreach { case (name, gate) =>
-      kept = applyGate(kept, gate, anti = false)
-      funnel += name -> kept.count()
+    val tbl = signalTable(spark, dir)
+    funnel += "ingest" -> tbl.count()
+    // per-gate funnel counts are cumulative conjunctions over the ONE
+    // materialized signal table — identical values to the old
+    // semi-join-per-gate sequence, zero additional corpus scans
+    var conj = List.empty[String]
+    signalGateCols.foreach { case (name, col) =>
+      conj = s"$col = 1" :: conj
+      funnel += name -> tbl.where(conj.mkString(" AND ")).count()
     }
+    var kept = tbl.where(allSignalsOk).select("doc_id")
     dedupGates(spark, dir, kept).foreach { case (name, gate, anti) =>
       kept = applyGate(kept, gate, anti)
       funnel += name -> kept.count()
@@ -128,11 +167,8 @@ object CurateRun {
   def runStage(spark: SparkSession, stage: String, dir: String,
       out: String): Long = stage match {
     case "signals" =>
-      var kept = docs(spark, dir).select("doc_id")
-      signalGates(spark, dir).foreach { case (_, gate) =>
-        kept = applyGate(kept, gate, anti = false)
-      }
-      kept.write.mode("overwrite").parquet(s"$out/keep_signals")
+      signalTable(spark, dir).where(allSignalsOk).select("doc_id")
+        .write.mode("overwrite").parquet(s"$out/keep_signals")
       spark.read.parquet(s"$out/keep_signals").count()
     case "dedup" =>
       var kept = spark.read.parquet(s"$out/keep_signals")

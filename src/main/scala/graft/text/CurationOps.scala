@@ -396,7 +396,8 @@ object CurationOps {
     * single-expression templates, so the gate proves the hoisted form is
     * the same function.
     */
-  private[graft] def curateSignals(df: DataFrame, barrier: Boolean): DataFrame = {
+  private[graft] def curateSignals(df: DataFrame, barrier: Boolean,
+      withGopher: Boolean = false): DataFrame = {
     import graft.Checkpoint.BarrierOps
     val toksX = X("toks", "toks")
     val scoreCols = TextOps.langMarkerSet.map { case (l, ms) =>
@@ -404,6 +405,13 @@ object CurationOps {
     }
     val langOk =
       s"(${TextOps.langPredOverScores(l => s"score_$l")}) = lang"
+    // the gopher battery evaluates over the SAME materialized toks column
+    // (gopherVerdictOf shares its rule strings with the gated
+    // q_quality_gopher, so the one-pass funnel cannot drift from it)
+    val gopher1 = if (withGopher)
+      Seq(s"${TextOps.gopherVerdictOf("toks", _.spark, "size")} AS gopher")
+    else Nil
+    val gopher2 = if (withGopher) Seq("gopher") else Nil
     val toked = df.selectExpr("doc_id", "lang", "text", s"${T.spark} AS toks")
     (if (barrier) toked.barrier() else toked)
       .selectExpr(Seq("doc_id", "lang", "text",
@@ -411,11 +419,11 @@ object CurationOps {
         "size(array_distinct(toks)) AS n_tipos",
         s"${markerCount("toks", TextOps.stopwordSet).spark} AS n_stops",
         s"${dupFraction(shingles3(toksX)).spark} AS dup_tri",
-        s"${topElemFraction(toksX).spark} AS top_tok") ++ scoreCols: _*)
-      .selectExpr("doc_id", "lang", "text", "n_tokens",
+        s"${topElemFraction(toksX).spark} AS top_tok") ++ scoreCols ++ gopher1: _*)
+      .selectExpr(Seq("doc_id", "lang", "text", "n_tokens",
         s"${TextOps.qualityFromCounts("n_tokens", "n_tipos", "n_stops")} AS qualidade",
         s"CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok",
-        s"${repetitiveCase("dup_tri", "top_tok")} AS repetitivo")
+        s"${repetitiveCase("dup_tri", "top_tok")} AS repetitivo") ++ gopher2: _*)
   }
 
   def corpusCurate(s: SparkSession, d: String): DataFrame = {

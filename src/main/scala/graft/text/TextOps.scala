@@ -147,8 +147,18 @@ object TextOps {
     * at 100 TB (plus one final sort that exists only for the gate's
     * deterministic output order).
     */
-  private def gopherCols(pick: X => String, size: String): Seq[String] = {
-    val tok = pick(T)
+  private def gopherCols(pick: X => String, size: String): Seq[String] =
+    gopherColsOf(pick(T), pick, size)
+
+  /** [[gopherCols]] over an arbitrary (already-tokenized) token
+    * expression — the hook the one-pass curation funnel uses to evaluate
+    * the gopher battery from a materialized `toks` column in the SAME
+    * scan as the other signal gates. The rule strings are built from one
+    * body, so the one-pass form and the gated q_quality_gopher cannot
+    * drift.
+    */
+  private[text] def gopherColsOf(tok: String, pick: X => String,
+      size: String): Seq[String] = {
     val n = s"$size($tok)"
     val mean = s"CAST(${pick(tokenLenSum(tok))} AS DOUBLE) / CAST($n AS DOUBLE)"
     val alpha = s"CAST(${pick(regexCount(tok, "[A-Za-z]"))} AS DOUBLE) / CAST($n AS DOUBLE)"
@@ -161,12 +171,7 @@ object TextOps {
     // (0 BETWEEN 15 AND 10000 = false) already discards a zero-token doc
     // deterministically, so the drop is by rule, not by NaN side effect
     // (the same deliberateness the r9 taxa_oov guard makes explicit).
-    val rules = Seq(
-      "r_n_tokens" -> s"$n BETWEEN 15 AND 10000",
-      "r_tam_medio" -> s"$mean BETWEEN 3.0 AND 4.8",
-      "r_alfa" -> s"$alpha >= 0.8",
-      "r_stopwords" -> s"$stops >= 2",
-      "r_digitos" -> s"$digit <= 0.2")
+    val rules = gopherRules(tok, pick, size)
     Seq(
       "CAST(doc_id AS BIGINT) AS doc_id",
       s"CAST($n AS INTEGER) AS n_tokens",
@@ -176,9 +181,32 @@ object TextOps {
       s"$digit AS frac_digitos") ++
       rules.map { case (nm, c) =>
         s"CAST(CASE WHEN $c THEN 1 ELSE 0 END AS INTEGER) AS $nm" } :+
-      (s"CASE WHEN ${rules.map(r => s"(${r._2})").mkString(" AND ")} " +
-        "THEN 'mantem' ELSE 'descarta' END AS decisao")
+      s"${gopherVerdictOf(tok, pick, size)} AS decisao"
   }
+
+  private def gopherRules(tok: String, pick: X => String,
+      size: String): Seq[(String, String)] = {
+    val n = s"$size($tok)"
+    val mean = s"CAST(${pick(tokenLenSum(tok))} AS DOUBLE) / CAST($n AS DOUBLE)"
+    val alpha = s"CAST(${pick(regexCount(tok, "[A-Za-z]"))} AS DOUBLE) / CAST($n AS DOUBLE)"
+    val stops = pick(markerCount(tok, stopwords))
+    val digit = s"CAST(${pick(regexCount(tok, "^[0-9]+$"))} AS DOUBLE) / CAST($n AS DOUBLE)"
+    Seq(
+      "r_n_tokens" -> s"$n BETWEEN 15 AND 10000",
+      "r_tam_medio" -> s"$mean BETWEEN 3.0 AND 4.8",
+      "r_alfa" -> s"$alpha >= 0.8",
+      "r_stopwords" -> s"$stops >= 2",
+      "r_digitos" -> s"$digit <= 0.2")
+  }
+
+  /** Just the composite gopher keep/drop verdict over a token expression
+    * — what the one-pass curation funnel projects alongside the other
+    * signal verdicts.
+    */
+  private[text] def gopherVerdictOf(tok: String, pick: X => String,
+      size: String): String =
+    s"CASE WHEN ${gopherRules(tok, pick, size).map(r => s"(${r._2})").mkString(" AND ")} " +
+      "THEN 'mantem' ELSE 'descarta' END"
 
   def qualityGopher(s: SparkSession, d: String): DataFrame =
     documents(s, d).selectExpr(gopherCols(_.spark, "size"): _*).orderBy("doc_id")

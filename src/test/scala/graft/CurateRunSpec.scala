@@ -7,6 +7,25 @@ package graft
   */
 class CurateRunSpec extends SparkSpec {
 
+  test("one-pass signal table keeps exactly what the five gated queries keep") {
+    import graft.text.{CurationOps, TextOps}
+    val onePass = CurateRun.signalTable(spark, tiny)
+      .where("ok_quality = 1 AND ok_gopher = 1 AND ok_rep = 1 AND " +
+        "ok_lang = 1 AND ok_vocab = 1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the reference composition: each gated query's keep set intersected
+    val gates = Seq(
+      TextOps.textQuality(spark, tiny).where("qualidade = 'boa'"),
+      TextOps.qualityGopher(spark, tiny).where("decisao = 'mantem'"),
+      CurationOps.textRepetition(spark, tiny).where("repetitivo = 0"),
+      TextOps.langId(spark, tiny).where("acerto = 1"),
+      CurationOps.vocabOov(spark, tiny).where("taxa_oov <= 0.5"))
+    val perQuery = gates.map(_.select("doc_id").collect()
+      .map(_.getLong(0)).toSet).reduce(_ intersect _)
+    assert(onePass === perQuery,
+      "one-pass funnel drifted from the per-query gates")
+  }
+
   test("curation funnel is monotone; written corpus matches the survivors; rerun identical") {
     val out = s"/tmp/graft_curate_spec_${System.nanoTime()}"
     try {
