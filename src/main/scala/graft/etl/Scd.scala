@@ -66,21 +66,49 @@ object Scd {
       .orderBy("id_cliente")
   }
 
-  /** Type 2 apply at a fixed load date: emits the full post-merge version
-    * table — closed old versions of changed keys, open new versions
-    * (changed + brand-new), and untouched current rows.
+  /** The initial version table: every snapshot row open since the epoch
+    * version date. This is the state a versioned dimension starts from.
     */
-  def scd2(s: SparkSession, d: String, loadDate: String = "1999-01-01"): DataFrame = {
-    val dim = snapshot(s, d)
+  private[graft] def initialVersions(s: SparkSession, d: String): DataFrame =
+    snapshot(s, d)
       .withColumn("valid_from", lit("1995-01-01").cast("date"))
-    val up = updates(s, d)
-    // a key is "changed" only if an update row exists AND differs
-    val joined = dim.alias("d").join(up.alias("u"), Seq("id_cliente"), "left")
+      .withColumn("valid_to", lit(OpenEnd).cast("date"))
+      .withColumn("vigente", lit(true))
+
+  /** The deterministic update batch, exposed for the streamed form's
+    * staging (changed and brand-new rows carry DISJOINT key sets by
+    * construction, so any batch split of them merges to the same table).
+    */
+  private[graft] def updateBatch(s: SparkSession, d: String): DataFrame =
+    updates(s, d)
+
+  /** The SCD2 MERGE KERNEL over a version table — the incremental
+    * apply a versioned dimension runs per load: among the CURRENT
+    * (vigente) versions, keys whose update differs are closed
+    * (valid_to = loadDate) and reopened with the new attributes;
+    * unmatched/unchanged current rows pass through; update keys with no
+    * current version open as brand-new; history (non-vigente) rows are
+    * untouched. Both the one-shot gate (q_scd2_apply) and the streamed
+    * foreachBatch upsert (q_scd2_stream) run THIS kernel, so the two
+    * forms cannot drift.
+    *
+    * Scale shape: one key-partitioned left join of current versions
+    * against the update batch + one anti join — the shuffle is bounded
+    * by |current| + |updates|, history rows are never rewritten (in a
+    * real DW the non-vigente majority would live in separate partitions
+    * and skip the scan entirely — the same partition discipline as the
+    * incremental fact).
+    */
+  private[graft] def scd2Merge(cur: DataFrame, up: DataFrame,
+      loadDate: String): DataFrame = {
+    val history = cur.filter(!col("vigente"))
+    val current = cur.filter(col("vigente"))
+    val joined = current.alias("d").join(up.alias("u"), Seq("id_cliente"), "left")
     val changed = joined.filter(col("u.segmento").isNotNull &&
         (col("u.segmento") =!= col("d.segmento") ||
          col("u.nome") =!= col("d.nome")))
     val closed = changed.select(col("id_cliente"), col("d.nome").as("nome"),
-      col("d.segmento").as("segmento"), col("valid_from"),
+      col("d.segmento").as("segmento"), col("d.valid_from").as("valid_from"),
       lit(loadDate).cast("date").as("valid_to"), lit(false).as("vigente"))
     val reopened = changed.select(col("id_cliente"), col("u.nome").as("nome"),
       col("u.segmento").as("segmento"),
@@ -90,15 +118,24 @@ object Scd {
         (col("u.segmento") === col("d.segmento") &&
          col("u.nome") === col("d.nome")))
       .select(col("id_cliente"), col("d.nome").as("nome"),
-        col("d.segmento").as("segmento"), col("valid_from"),
-        lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
-    val brandNew = up.join(dim, Seq("id_cliente"), "left_anti")
+        col("d.segmento").as("segmento"), col("d.valid_from").as("valid_from"),
+        col("d.valid_to").as("valid_to"), col("d.vigente").as("vigente"))
+    val brandNew = up.join(current, Seq("id_cliente"), "left_anti")
       .select(col("id_cliente"), col("nome"), col("segmento"),
         lit(loadDate).cast("date").as("valid_from"),
         lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
-    closed.unionByName(reopened).unionByName(untouched).unionByName(brandNew)
-      .orderBy("id_cliente", "valid_from", "vigente")
+    history.unionByName(closed).unionByName(reopened)
+      .unionByName(untouched).unionByName(brandNew)
   }
+
+  /** Type 2 apply at a fixed load date: emits the full post-merge version
+    * table — closed old versions of changed keys, open new versions
+    * (changed + brand-new), and untouched current rows. One invocation of
+    * [[scd2Merge]] over the initial version table.
+    */
+  def scd2(s: SparkSession, d: String, loadDate: String = "1999-01-01"): DataFrame =
+    scd2Merge(initialVersions(s, d), updates(s, d), loadDate)
+      .orderBy("id_cliente", "valid_from", "vigente")
 
   /** Load date for the point-in-time gate: MID order-date domain
     * (TPC-H orders span 1992-1998), so a changed customer's orders
@@ -145,6 +182,8 @@ object Scd {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd1_merge" -> (scd1 _),
     "q_scd2_apply" -> ((s: SparkSession, d: String) => scd2(s, d)),
+    // the foreachBatch streaming upsert, same merge kernel + same oracle
+    "q_scd2_stream" -> (graft.streaming.Streams.scd2Streamed _),
     "q_scd2_pit_join" -> (factScd2PointInTime _))
 
   /** Shared oracle CTEs mirroring snapshot + deterministic updates. */
@@ -158,15 +197,11 @@ up AS (
   UNION ALL
   SELECT -(id_cliente + 1), 'Novo ' || nome, 'NOVO' FROM dim WHERE id_cliente % 13 = 0)"""
 
-  val oracle: Map[String, String] = Map(
-    "q_scd1_merge" ->
-      s"""WITH $ctes
-SELECT * FROM up
-UNION ALL
-SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.id_cliente = d.id_cliente)
-ORDER BY id_cliente""",
-    "q_scd2_apply" ->
-      s"""WITH $ctes,
+  /** One-shot SCD2 oracle — shared by the batch gate and the streamed
+    * foreachBatch upsert, which must converge to the identical table.
+    */
+  private lazy val scd2ApplyOracle: String =
+    s"""WITH $ctes,
 dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),
 changed AS (
   SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
@@ -185,7 +220,18 @@ SELECT id_cliente, nome, segmento, valid_from, valid_to, vigente FROM (
   UNION ALL
   SELECT u.id_cliente, u.nome, u.segmento, DATE '1999-01-01', DATE '9999-12-31', true
   FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
-ORDER BY id_cliente, valid_from, vigente""",
+ORDER BY id_cliente, valid_from, vigente"""
+
+  val oracle: Map[String, String] = Map(
+    "q_scd1_merge" ->
+      s"""WITH $ctes
+SELECT * FROM up
+UNION ALL
+SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.id_cliente = d.id_cliente)
+ORDER BY id_cliente""",
+    // the streamed upsert converges to the same one-shot version table
+    "q_scd2_stream" -> scd2ApplyOracle,
+    "q_scd2_apply" -> scd2ApplyOracle,
     "q_scd2_pit_join" ->
       s"""WITH $ctes,
 dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),

@@ -613,6 +613,46 @@ object Streams {
         "qtd_vendida", "valor_bruto", "valor_desconto")
   }
 
+  /** SCD2 dimension maintenance as a STREAMING UPSERT — the foreachBatch
+    * read-modify-write pattern every table-format-less streaming DW
+    * runs: update batches arrive as a file stream (two staged
+    * disjoint-key slices, one micro-batch each), and each batch applies
+    * the SAME merge kernel the one-shot gate runs
+    * (graft.etl.Scd.scd2Merge) against the current version-table state,
+    * writing the next state version (write-new-then-advance, so a batch
+    * never reads and overwrites one path). Gated against the SAME DuckDB
+    * oracle as q_scd2_apply: the update split carries disjoint key sets
+    * (changed keys are the positive business keys, brand-new keys the
+    * negative sentinels), so sequential merging provably lands on the
+    * one-shot table, and the gate checks it bit-exactly.
+    */
+  def scd2Streamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val up = graft.etl.Scd.updateBatch(spark, dir)
+    up.filter(col("id_cliente") >= 0).coalesce(1).write.parquet(sub("in"))
+    up.filter(col("id_cliente") < 0).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    graft.etl.Scd.initialVersions(spark, dir).write.parquet(sub("state_v0"))
+    var stateVer = 0
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.read.parquet(sub(s"state_v$stateVer"))
+        graft.etl.Scd.scd2Merge(cur, batch, "1999-01-01")
+          .write.mode("overwrite").parquet(sub(s"state_v${stateVer + 1}"))
+        stateVer += 1
+        ()
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub(s"state_v$stateVer"))
+      .orderBy("id_cliente", "valid_from", "vigente")
+  }
+
   /** One signal-passing doc arriving at the streamed dedup stage (public
     * for codegen).
     */
