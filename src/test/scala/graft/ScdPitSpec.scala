@@ -51,4 +51,53 @@ class ScdPitSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"temporal lookup must shuffle on the customer key only:\n$plan")
   }
+
+  test("partitioned state store: batch applies never touch history files and converge to the one-shot table") {
+    import org.apache.spark.sql.functions.col
+    val state = s"/tmp/graft_scd2_store_${System.nanoTime()}"
+    def histListing: Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$state/cur=0")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    }
+    try {
+      Scd.initStateStore(spark, tiny, state)
+      assert(histListing.isEmpty, "initial store holds only open versions")
+      val up = Scd.updateBatch(spark, tiny)
+      // batch 1: the changed positive keys — closes versions into history
+      Scd.applyBatchToStore(spark, state, up.filter(col("id_cliente") >= 0),
+        "1999-01-01")
+      val afterB1 = histListing
+      assert(afterB1.nonEmpty,
+        "changed keys must close versions into the history partition")
+      // the batch's state read prunes to the current partition — history
+      // files are not even listed into the scan (API-level check on the
+      // scan node's partition filters, not the rendered plan string)
+      val curScan = spark.read.parquet(state).where(col("cur") === 1)
+      val scans = curScan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+        "cur=1 predicate must plan as a partition filter")
+      // batch 2: the brand-new negative keys — must leave every existing
+      // history file byte-identical (the IncrementalSpec device)
+      Scd.applyBatchToStore(spark, state, up.filter(col("id_cliente") < 0),
+        "1999-01-01")
+      val afterB2 = histListing
+      afterB1.foreach { f =>
+        assert(afterB2.contains(f), s"batch apply modified history file $f")
+      }
+      // and the store converges to exactly the one-shot merge
+      val store = Scd.readStateStore(spark, state)
+        .orderBy("id_cliente", "valid_from", "vigente").collect()
+      val oneShot = Scd.scd2(spark, tiny).collect()
+      assert(store === oneShot)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(state))
+    }
+  }
 }
