@@ -159,7 +159,7 @@ object Scd {
   private[graft] def initStateStore(s: SparkSession, d: String,
       stateDir: String): Unit =
     initialVersions(s, d).withColumn("cur", lit(1))
-      .write.partitionBy("cur").parquet(stateDir)
+      .write.mode("overwrite").partitionBy("cur").parquet(stateDir)
 
   /** Apply one update batch to the partitioned store via [[scd2Merge]].
     * The merge output is materialized through a checkpoint barrier before
@@ -211,21 +211,83 @@ object Scd {
     * temporal-dimension case, not the arbitrary-interval case
     * (q_range_join covers that).
     */
-  def factScd2PointInTime(s: SparkSession, d: String): DataFrame = {
-    val v = scd2(s, d, PitLoadDate).alias("v")
-    val o = graft.Tables.orders(s, d).select(
-      col("o_orderkey").cast("long").as("id_pedido"),
-      col("o_custkey").cast("long").as("id_cliente"),
-      col("o_orderdate").as("data_pedido")).alias("o")
-    o.join(v,
+  /** The PIT resolve kernel: every column of `o` (which must carry
+    * `id_cliente` and `data_pedido`), plus the version attributes valid at
+    * the row's date. Shared by the one-shot gate and the incremental
+    * lifecycle so the two forms cannot drift.
+    */
+  private def pitResolve(o: DataFrame, versions: DataFrame): DataFrame = {
+    val oa = o.alias("o")
+    val v = versions.alias("v")
+    oa.join(v,
         col("o.id_cliente") === col("v.id_cliente") &&
           col("o.data_pedido") >= col("v.valid_from") &&
           col("o.data_pedido") < col("v.valid_to"),
         "left")
-      .select(col("id_pedido"), col("o.id_cliente").as("id_cliente"),
-        col("data_pedido"),
-        coalesce(col("v.segmento"), lit("SEM_VERSAO")).as("segmento"),
-        col("v.valid_from").as("versao_desde"))
+      .select(o.columns.map(c => col(s"o.$c")) :+
+        coalesce(col("v.segmento"), lit("SEM_VERSAO")).as("segmento") :+
+        col("v.valid_from").as("versao_desde"): _*)
+  }
+
+  def factScd2PointInTime(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("id_pedido"),
+      col("o_custkey").cast("long").as("id_cliente"),
+      col("o_orderdate").as("data_pedido"))
+    pitResolve(o, scd2(s, d, PitLoadDate)).orderBy("id_pedido")
+  }
+
+  /** The COMPOSED maintenance lifecycle — SCD2 dimension batches and
+    * incremental fact loads working together, which is the production
+    * shape the two r9 pieces stopped short of (and what replaces the
+    * reference's truncate-reload at scale, dags/etl_fato_vendas.py
+    * S5): fact increments resolve attributes against the VERSIONED
+    * dimension valid at each order date while SCD2 batches maintain it
+    * between loads.
+    *
+    *   1. the partitioned state store is initialized with the open
+    *      version table;
+    *   2. fact load 1 PIT-resolves the pre-cut orders against that state
+    *      and sinks them (overwrite — the historical load);
+    *   3. the SCD2 update batch applies at the cut date
+    *      ([[applyBatchToStore]]: history appended, current partition
+    *      dynamically overwritten);
+    *   4. fact load 2 PIT-resolves the post-cut orders against the
+    *      UPDATED store and appends.
+    *
+    * The gate's contract: the read-back incremental fact hash-matches a
+    * one-shot oracle rebuild (PIT join of ALL orders against the final
+    * version table). That equality is not an accident of the data — a
+    * version closed at the cut date carries the same attributes over
+    * [valid_from, cut) that the open version carried when load 1 ran, so
+    * per-load resolution against the store-as-of-load-time equals
+    * end-state PIT resolution. Every step is a key-partitioned join or a
+    * partition-local write; nothing rescans the historical fact or the
+    * dimension history.
+    */
+  def factScd2Lifecycle(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_life_$h"
+    val state = s"$base/state"
+    val fact = s"$base/fato"
+    initStateStore(s, d, state)
+    def ordersSlice(pred: org.apache.spark.sql.Column): DataFrame =
+      graft.Tables.orders(s, d).filter(pred).select(
+        col("o_orderkey").cast("long").as("id_pedido"),
+        col("o_custkey").cast("long").as("id_cliente"),
+        col("o_orderdate").as("data_pedido"),
+        col("o_totalprice").cast("double").as("valor_pedido"))
+    pitResolve(ordersSlice(col("o_orderdate") < lit(PitLoadDate)),
+        readStateStore(s, state))
+      .write.mode("overwrite").parquet(fact)
+    applyBatchToStore(s, state, updateBatch(s, d), PitLoadDate)
+    pitResolve(ordersSlice(col("o_orderdate") >= lit(PitLoadDate)),
+        readStateStore(s, state))
+      .write.mode("append").parquet(fact)
+    s.read.parquet(fact)
+      .select("id_pedido", "id_cliente", "data_pedido", "valor_pedido",
+        "segmento", "versao_desde")
       .orderBy("id_pedido")
   }
 
@@ -234,7 +296,11 @@ object Scd {
     "q_scd2_apply" -> ((s: SparkSession, d: String) => scd2(s, d)),
     // the foreachBatch streaming upsert, same merge kernel + same oracle
     "q_scd2_stream" -> (graft.streaming.Streams.scd2Streamed _),
-    "q_scd2_pit_join" -> (factScd2PointInTime _))
+    "q_scd2_pit_join" -> (factScd2PointInTime _),
+    // the composed lifecycle: incremental fact loads PIT-resolving
+    // against the SCD2-maintained partitioned store; oracle = one-shot
+    // rebuild against the final version table
+    "q_fact_scd2_lifecycle" -> (factScd2Lifecycle _))
 
   /** Shared oracle CTEs mirroring snapshot + deterministic updates. */
   private val ctes =
@@ -282,6 +348,39 @@ ORDER BY id_cliente""",
     // the streamed upsert converges to the same one-shot version table
     "q_scd2_stream" -> scd2ApplyOracle,
     "q_scd2_apply" -> scd2ApplyOracle,
+    // one-shot rebuild the incremental lifecycle must land on exactly:
+    // PIT join of ALL orders (with the fact measure) against the final
+    // post-merge version table
+    "q_fact_scd2_lifecycle" ->
+      s"""WITH $ctes,
+dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),
+changed AS (
+  SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
+         u.nome AS nome_u, u.segmento AS seg_u
+  FROM dimv d JOIN up u USING (id_cliente)
+  WHERE u.segmento <> d.segmento OR u.nome <> d.nome),
+versions AS (
+  SELECT id_cliente, nome_d AS nome, seg_d AS segmento, valid_from,
+         DATE '1996-06-01' AS valid_to FROM changed
+  UNION ALL
+  SELECT id_cliente, nome_u, seg_u, DATE '1996-06-01', DATE '9999-12-31' FROM changed
+  UNION ALL
+  SELECT d.id_cliente, d.nome, d.segmento, d.valid_from, DATE '9999-12-31'
+  FROM dimv d LEFT JOIN up u USING (id_cliente)
+  WHERE u.id_cliente IS NULL OR (u.segmento = d.segmento AND u.nome = d.nome)
+  UNION ALL
+  SELECT u.id_cliente, u.nome, u.segmento, DATE '1996-06-01', DATE '9999-12-31'
+  FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
+SELECT CAST(o.o_orderkey AS BIGINT) AS id_pedido,
+       CAST(o.o_custkey AS BIGINT) AS id_cliente,
+       o.o_orderdate AS data_pedido,
+       CAST(o.o_totalprice AS DOUBLE) AS valor_pedido,
+       coalesce(v.segmento, 'SEM_VERSAO') AS segmento,
+       v.valid_from AS versao_desde
+FROM orders o LEFT JOIN versions v
+  ON o.o_custkey = v.id_cliente
+ AND o.o_orderdate >= v.valid_from AND o.o_orderdate < v.valid_to
+ORDER BY id_pedido""",
     "q_scd2_pit_join" ->
       s"""WITH $ctes,
 dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),

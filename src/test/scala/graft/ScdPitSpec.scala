@@ -52,6 +52,18 @@ class ScdPitSpec extends SparkSpec {
       s"temporal lookup must shuffle on the customer key only:\n$plan")
   }
 
+  test("composed lifecycle: incremental PIT loads against the maintained store equal the one-shot rebuild; rerun idempotent") {
+    val life1 = Scd.factScd2Lifecycle(spark, tiny)
+      .drop("valor_pedido").collect()
+    val oneShot = Scd.factScd2PointInTime(spark, tiny).collect()
+    assert(life1 === oneShot,
+      "per-load resolution against the store-as-of-load-time must equal end-state PIT resolution")
+    // a rerun replays init + overwrite + merge + append — never doubles
+    val life2 = Scd.factScd2Lifecycle(spark, tiny)
+      .drop("valor_pedido").collect()
+    assert(life2 === life1)
+  }
+
   test("partitioned state store: batch applies never touch history files and converge to the one-shot table") {
     import org.apache.spark.sql.functions.col
     val state = s"/tmp/graft_scd2_store_${System.nanoTime()}"
