@@ -218,6 +218,23 @@ object Bench {
     rmTree(ivfpqIdx)
     rmTree(pqIdx)
     rmTree(kmIdx)
+    // incremental index maintenance: cell-append a 10% arrival batch onto
+    // an index built on the other 90% — the O(batch) alternative to the
+    // O(corpus × rounds) rebuild measured by ann_kmeans_index_build
+    val incrIdx = s"/tmp/graft_bench_ivf_incr_${System.nanoTime()}"
+    locally {
+      import org.apache.spark.sql.functions.col
+      val base = Tables.embeddings(spark, sfDir)
+        .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+      val arrival = col("vec_id") % 10 === 9
+      graft.sim.EmbeddingOps.buildIvfIndexKmeansOn(spark,
+        base.filter(!arrival), base.filter(!arrival), incrIdx, "bench")
+      time("ann_kmeans_index_append") {
+        graft.sim.EmbeddingOps.appendIvfIndexKmeans(
+          spark, base.filter(arrival), incrIdx): Unit
+      }
+    }
+    rmTree(incrIdx)
 
     // Phase 4 — bucketed storage as the measured fact-build default (the
     // 100 TB posture StorageDemo only demonstrated): header and detail are
@@ -281,16 +298,58 @@ object Bench {
         s"shuffled Exchanges=$sx Sorts=$ss (bucketing must remove the " +
         "header⨝detail Exchange AND its two Sorts; remaining nodes belong " +
         "to the unbounded dim joins)")
-      time("etl_star_build_bucketed") {
-        graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt")
+      // the two builds' reps are INTERLEAVED (b, s, b, s, …) inside one
+      // phase so slow machine-load drift hits both sides alike and the
+      // bucketed-vs-shuffled DIRECTION is load-invariant — the r9 closing
+      // artifact timed them in separate blocks minutes apart on a
+      // cooling-down box and recorded an inversion the idle box did not
+      // reproduce. Each side still reports its min across reps.
+      def oneRep(f: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try { f; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] interleaved rep failed: ${e.getMessage}")
+          -1.0
+        }
       }
-    } else times("etl_star_build_bucketed") = -1.0
-    time("etl_star_build_shuffled") {
-      graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
-        s"$dw/fato_vendas_shf")
+      val runs = (1 to reps).map { _ =>
+        val b = oneRep(graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt"))
+        val sTime = oneRep(graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
+          s"$dw/fato_vendas_shf"))
+        (b, sTime)
+      }
+      def minOr(xs: Seq[Double]): Double =
+        if (xs.contains(-1.0)) -1.0 else xs.min
+      times("etl_star_build_bucketed") = minOr(runs.map(_._1))
+      times("etl_star_build_shuffled") = minOr(runs.map(_._2))
+    } else {
+      times("etl_star_build_bucketed") = -1.0
+      time("etl_star_build_shuffled") {
+        graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
+          s"$dw/fato_vendas_shf")
+      }
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtSaved)
     spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+    // Phase 5 — the composed one-pass curation funnel (CurateRun): the
+    // largest previously-unbenched surface (~9 gated operators composed:
+    // signal gates, survivor dedup, decontamination, passage cleaning,
+    // partitioned corpus write). ONE rep — it is an end-to-end pipeline
+    // run, not a query; recording it makes funnel regressions visible to
+    // the driver instead of living only in commit-message narrative.
+    locally {
+      val curOut = s"/tmp/graft_bench_curate_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      try {
+        CurateRun.run(spark, sfDir, curOut): Unit
+        times("curate_run_funnel") = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] curate_run_funnel failed: ${e.getMessage}")
+        times("curate_run_funnel") = -1.0
+      }
+      rmTree(curOut)
+    }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -317,15 +317,21 @@ object EmbeddingOps {
     * centroid table goes through a checkpoint barrier so the lineage stays
     * one round deep instead of nesting every iteration's plan.
     */
-  def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
-    val base = corpus(s, d).select("vec_id", "embedding")
+  def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    kmeansCentroidsOf(corpus(s, d).select("vec_id", "embedding"))
+
+  /** Lloyd training over an arbitrary training base — factored out so the
+    * incremental index path can train on the corpus-as-of-build-time and
+    * later batches join the index without retraining.
+    */
+  private def kmeansCentroidsOf(base: DataFrame): DataFrame = {
     val quant = "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
     var cents = base.filter(col("vec_id") < KMEANS_K)
       .selectExpr("CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
     for (_ <- 1 to KMEANS_ITERS)
       cents = graft.Checkpoint.barrier(
-        recomputeCentroids(assignCells(s, base, cents)))
+        recomputeCentroids(assignCells(base.sparkSession, base, cents)))
     cents
   }
 
@@ -707,16 +713,88 @@ object EmbeddingOps {
     * and the cell assignment is each vector's L2 argmin.
     */
   def buildIvfIndexKmeans(s: SparkSession, d: String, indexDir: String): Unit = {
-    val cents = kmeansCentroids(s, d)
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfIndexKmeansOn(s, base, base, indexDir, datasetFingerprint(d))
+  }
+
+  /** The k-means index build over explicit bases: Lloyd trains on
+    * `trainBase`, the cells table assigns `assignBase` — identical when
+    * called from [[buildIvfIndexKmeans]]; the incremental path trains on
+    * the corpus-as-of-build-time and assigns the same, with later
+    * arrivals joining via [[appendIvfIndexKmeans]]. Alongside the cells
+    * the build persists a one-row `stats` table (the training-time mean
+    * assignment distance) — the reference point drift detection compares
+    * new arrivals against.
+    */
+  private[graft] def buildIvfIndexKmeansOn(s: SparkSession, trainBase: DataFrame,
+      assignBase: DataFrame, indexDir: String, stamp: String): Unit = {
+    val cents = kmeansCentroidsOf(trainBase)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    assignCells(s, corpus(s, d).select("vec_id", "embedding"), cents)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val asg = graft.Checkpoint.barrier(assignCells(s, assignBase, cents))
+    asg.select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
+    asg.agg(avg(col("dist")).as("mean_dist"), count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
     // stamp what the centroids were trained ON, so a composed index build
     // may reuse them iff the stamp matches its own dataset
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$indexDir/_fingerprint"), datasetFingerprint(d))
+      java.nio.file.Paths.get(s"$indexDir/_fingerprint"), stamp)
+  }
+
+  /** INCREMENTAL index maintenance — cell-append for newly-arrived
+    * vectors: assign the batch to the STORED centroids (one broadcast
+    * join over the batch only — no training, no rescan of the indexed
+    * corpus) and append the assignments into the cell partitions; files
+    * already in the index are never read or rewritten, so the append
+    * costs O(|batch|) against the full rebuild's O(|corpus| × rounds).
+    *
+    * Returns the DRIFT RATIO: the batch's mean assignment distance over
+    * the training-time mean from the build's `stats` table. In-
+    * distribution arrivals land near 1.0; a ratio past the caller's
+    * threshold (2× is a reasonable default) says the stored quantizer no
+    * longer represents the data and the next maintenance window should
+    * RETRAIN (a full [[buildIvfIndexKmeansOn]]) instead of appending —
+    * the retrain-on-drift contract, decided by measurement rather than
+    * cadence. IvfIndexSpec pins both halves: split-arrival ≡ full-build
+    * probes, and scaled-out arrivals push the ratio past the threshold.
+    */
+  private[graft] def appendIvfIndexKmeans(s: SparkSession, newRows: DataFrame,
+      indexDir: String): Double = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val asg = graft.Checkpoint.barrier(assignCells(s, newRows, cents))
+    asg.select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+    val batchMean = asg.agg(avg(col("dist"))).head.getDouble(0)
+    val trainMean = s.read.parquet(s"$indexDir/stats")
+      .head.getAs[Double]("mean_dist")
+    batchMean / trainMean
+  }
+
+  /** Deterministic arrival split for the incremental gate: every 10th
+    * vector is a "new arrival"; the training init ids (vec_id < KMEANS_K)
+    * all sit in the base slice, so the build-time quantizer is
+    * well-defined.
+    */
+  private val IncrArrival = col("vec_id") % 10 === 9
+
+  /** The incremental lifecycle as a gated query: build the index on the
+    * corpus-as-of-build-time (9/10 of the vectors), cell-append the
+    * arrivals (the remaining 1/10, no retraining), then serve the
+    * standard probe from the appended index. The DuckDB oracle re-trains
+    * Lloyd on the build slice and assigns the FULL corpus under those
+    * centroids — exactly what build+append must land on, bit-exactly.
+    */
+  def annIvfKmeansIncr(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_incr_$h"
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfIndexKmeansOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival),
+      dir, datasetFingerprint(d))
+    appendIvfIndexKmeans(s, base.filter(IncrArrival), dir): Unit
+    annIvfKmeansIndexed(s, d, dir)
   }
 
   /** Index-backed probe under the k-means quantizer: the query routes to
@@ -841,6 +919,7 @@ object EmbeddingOps {
     "q_kmeans_centroids" -> (kmeansCentroidsFlat _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
+    "q_ann_ivf_kmeans_incr" -> (annIvfKmeansIncr _),
     "q_ann_ivf_kmeans_probe2" -> ((s: SparkSession, d: String) => annIvfKmeansProbe(s, d, 2)),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
@@ -859,14 +938,22 @@ object EmbeddingOps {
     * (assignment under the previous centroids, exact-integer means), so
     * DuckDB re-runs the identical computation and the gate is bit-exact.
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesTrainedOn("kbase", "")
+
+  /** The Lloyd CTE chain with an explicit TRAINING source — `trainSrc`
+    * feeds init and every round's assignment; the full `kbase` stays
+    * available for the final serving assignment. The incremental-index
+    * oracle trains on the build slice only (`trainCte` injects it) while
+    * the default leaves training = full corpus.
+    */
+  private def kmeansCtesTrainedOn(trainSrc: String, trainCte: String): String = {
     def asg(n: Int, cent: String) =
       s"""asg$n AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT b.vec_id, b.embedding, c.cell,
            row_number() OVER (PARTITION BY b.vec_id ORDER BY
              ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
-    FROM kbase b CROSS JOIN $cent c)
+    FROM $trainSrc b CROSS JOIN $cent c)
   WHERE rn = 1
 )"""
     def cent(n: Int, src: String) =
@@ -884,11 +971,11 @@ object EmbeddingOps {
       .map(t => s"${asg(t, s"cent${t - 1}")},\n${cent(t, s"asg$t")}")
       .mkString(",\n")
     s"""kbase AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
-cent0 AS (
+$trainCte cent0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cell,
          list_transform(generate_series(1, $DIM), i ->
            CAST(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0) AS centroid
-  FROM kbase WHERE vec_id < $KMEANS_K
+  FROM $trainSrc WHERE vec_id < $KMEANS_K
 ),
 $rounds"""
   }
@@ -1053,7 +1140,20 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * lifecycle recomputed from scratch in DuckDB.
     */
   private def kmeansProbeOracle(nProbe: Int): String =
-    s"""WITH $kmeansCtes,
+    kmeansProbeOracleFrom(kmeansCtes, nProbe)
+
+  /** The incremental-lifecycle oracle: Lloyd trains on the build slice
+    * (vec_id % 10 <> 9 — the corpus as of build time), the serving
+    * assignment covers the FULL corpus (build slice + appended
+    * arrivals), and the probe is the standard one — exactly what the
+    * cell-append must be indistinguishable from.
+    */
+  private def kmeansIncrProbeOracle: String =
+    kmeansProbeOracleFrom(kmeansCtesTrainedOn("ktrain",
+      "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"), 1)
+
+  private def kmeansProbeOracleFrom(ctes: String, nProbe: Int): String =
+    s"""WITH $ctes,
 fin AS (
   SELECT vec_id, embedding, cell,
          ${normDuck("embedding")} AS nrm FROM (
@@ -1090,6 +1190,9 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     // the index-backed kmeans probe must reproduce the self-contained
     // train/assign/probe bit-exactly — same oracle as q_ann_ivf_kmeans
     "q_ann_ivf_kmeans_indexed" -> kmeansProbeOracle(1),
+    // build-slice training + full-corpus assignment: the split-arrival
+    // index (build + cell-append) must reproduce this bit-exactly
+    "q_ann_ivf_kmeans_incr" -> kmeansIncrProbeOracle,
     "q_kmeans_cells" ->
       s"""WITH $kmeansCtes
 SELECT vec_id, cell, dist FROM (

@@ -73,6 +73,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(first.length === 40)
   }
 
+  test("cell-append: split-arrival index serves probes identical to a one-shot full-assignment build") {
+    import org.apache.spark.sql.functions.col
+    val incrDir = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    // split arrival: build on 9/10, append the rest — no retraining
+    EmbeddingOps.buildIvfIndexKmeansOn(spark, base.filter(!arrival),
+      base.filter(!arrival), incrDir, "t")
+    val histFiles = {
+      val cellDirs = new java.io.File(s"$incrDir/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      cellDirs.flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => (f.getPath, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    }
+    val drift = EmbeddingOps.appendIvfIndexKmeans(spark, base.filter(arrival), incrDir)
+    // one-shot twin: same training slice, full-corpus assignment
+    EmbeddingOps.buildIvfIndexKmeansOn(spark, base.filter(!arrival), base,
+      fullDir, "t")
+    assert(EmbeddingOps.annIvfKmeansIndexed(spark, tiny, incrDir).collect() ===
+      EmbeddingOps.annIvfKmeansIndexed(spark, tiny, fullDir).collect(),
+      "append must be indistinguishable from indexing the arrivals at build time")
+    // the append never rewrote an already-indexed file (O(batch), not O(corpus))
+    val after = {
+      val cellDirs = new java.io.File(s"$incrDir/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      cellDirs.flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => (f.getPath, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    }
+    histFiles.foreach { f =>
+      assert(after.contains(f), s"append rewrote indexed file $f")
+    }
+    // in-distribution arrivals sit near the training-time mean distance…
+    assert(drift > 0.5 && drift < 2.0,
+      s"in-distribution drift ratio should be ~1, got $drift")
+    // …while out-of-distribution arrivals (vectors scaled 10×) must push
+    // the ratio past any sane retrain threshold
+    val outliers = base.filter(arrival)
+      .selectExpr("vec_id", "transform(embedding, x -> x * 10.0F) AS embedding")
+    val drift2 = EmbeddingOps.appendIvfIndexKmeans(spark, outliers, incrDir)
+    assert(drift2 > 2.0, s"scaled-out arrivals must flag retraining, got $drift2")
+  }
+
   test("IVF-PQ built from shared km centroids + pq codebooks is byte-identical") {
     val kmDir = java.nio.file.Files.createTempDirectory("graft_km_share").toString
     val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_share").toString
