@@ -101,11 +101,21 @@ object Incremental {
   private[graft] def ensureDims(s: SparkSession, d: String): Seq[DataFrame] =
     writeDims(s, d, s"${dwDir(d)}/dims", onlyIfStale = true)
 
-  /** Sink the four SK maps; return them read back from parquet. */
+  /** Sink the four SK maps; return them read back from parquet.
+    *
+    * Staleness is tracked by ONE fixed marker file whose CONTENT is the
+    * source fingerprint (compared, and overwritten on rebuild) — a
+    * fingerprint-NAMED marker would accrete one file per historical
+    * dataset state, and reverting the source to a prior state (preserved
+    * lengths/mtimes) would then match the old marker and serve the
+    * intervening dataset's stale SK maps.
+    */
   private[graft] def writeDims(s: SparkSession, d: String, dimDir: String,
       onlyIfStale: Boolean = false): Seq[DataFrame] = {
-    val marker = new java.io.File(dimDir, s"_built_${dirFingerprint(d)}")
-    val fresh = onlyIfStale && marker.exists()
+    val fp = dirFingerprint(d)
+    val marker = new java.io.File(dimDir, "_built")
+    val fresh = onlyIfStale && marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath).trim == fp
     val dims = Seq(
       "dp" -> Star.dimProduto(s, d).select("sk_produto", "id_produto_original"),
       "dc" -> Star.dimCliente(s, d).select("sk_cliente", "id_cliente_original"),
@@ -115,7 +125,8 @@ object Incremental {
       if (!fresh) df.write.mode("overwrite").parquet(s"$dimDir/$n")
       s.read.parquet(s"$dimDir/$n")
     }
-    if (!fresh) marker.createNewFile()
+    if (!fresh)
+      java.nio.file.Files.writeString(marker.toPath, fp): Unit
     out
   }
 

@@ -100,30 +100,50 @@ object Scd {
     * incremental fact).
     */
   private[graft] def scd2Merge(cur: DataFrame, up: DataFrame,
-      loadDate: String): DataFrame = {
+      loadDate: String): DataFrame =
+    scd2MergeOn(cur, up, "id_cliente", Seq("nome", "segmento"), loadDate)
+
+  /** The kernel generalized over an arbitrary business key + attribute
+    * set, so ANY dimension gets the versioned-merge story — the
+    * AdventureWorks dim_cliente path reuses it on the reference's own
+    * CSVs (AwEtl.dimClienteScd2). `cur` must carry (key, attrs*,
+    * valid_from, valid_to, vigente); `up` carries (key, attrs*).
+    * Attribute change detection is NULL-SAFE (`<=>`), so a null→value
+    * transition versions correctly instead of vanishing into a
+    * three-valued-logic false.
+    */
+  private[graft] def scd2MergeOn(cur: DataFrame, up: DataFrame, key: String,
+      attrs: Seq[String], loadDate: String): DataFrame = {
     val history = cur.filter(!col("vigente"))
     val current = cur.filter(col("vigente"))
-    val joined = current.alias("d").join(up.alias("u"), Seq("id_cliente"), "left")
-    val changed = joined.filter(col("u.segmento").isNotNull &&
-        (col("u.segmento") =!= col("d.segmento") ||
-         col("u.nome") =!= col("d.nome")))
-    val closed = changed.select(col("id_cliente"), col("d.nome").as("nome"),
-      col("d.segmento").as("segmento"), col("d.valid_from").as("valid_from"),
-      lit(loadDate).cast("date").as("valid_to"), lit(false).as("vigente"))
-    val reopened = changed.select(col("id_cliente"), col("u.nome").as("nome"),
-      col("u.segmento").as("segmento"),
-      lit(loadDate).cast("date").as("valid_from"),
-      lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
-    val untouched = joined.filter(col("u.segmento").isNull ||
-        (col("u.segmento") === col("d.segmento") &&
-         col("u.nome") === col("d.nome")))
-      .select(col("id_cliente"), col("d.nome").as("nome"),
-        col("d.segmento").as("segmento"), col("d.valid_from").as("valid_from"),
-        col("d.valid_to").as("valid_to"), col("d.vigente").as("vigente"))
-    val brandNew = up.join(current, Seq("id_cliente"), "left_anti")
-      .select(col("id_cliente"), col("nome"), col("segmento"),
-        lit(loadDate).cast("date").as("valid_from"),
-        lit(OpenEnd).cast("date").as("valid_to"), lit(true).as("vigente"))
+    // a literal match flag marks join hits — attribute null-tests cannot
+    // (a legitimately-null update attribute would read as "no match")
+    val joined = current.alias("d")
+      .join(up.withColumn("_upd", lit(1)).alias("u"), Seq(key), "left")
+    val differs = attrs.map(a => !(col(s"u.$a") <=> col(s"d.$a")))
+      .reduce(_ || _)
+    val changed = joined.filter(col("u._upd").isNotNull && differs)
+    val closed = changed.select(col(key) +:
+      attrs.map(a => col(s"d.$a").as(a)) :+
+      col("d.valid_from").as("valid_from") :+
+      lit(loadDate).cast("date").as("valid_to") :+
+      lit(false).as("vigente"): _*)
+    val reopened = changed.select(col(key) +:
+      attrs.map(a => col(s"u.$a").as(a)) :+
+      lit(loadDate).cast("date").as("valid_from") :+
+      lit(OpenEnd).cast("date").as("valid_to") :+
+      lit(true).as("vigente"): _*)
+    val untouched = joined.filter(col("u._upd").isNull || !differs)
+      .select(col(key) +:
+        attrs.map(a => col(s"d.$a").as(a)) :+
+        col("d.valid_from").as("valid_from") :+
+        col("d.valid_to").as("valid_to") :+
+        col("d.vigente").as("vigente"): _*)
+    val brandNew = up.join(current, Seq(key), "left_anti")
+      .select(col(key) +: attrs.map(col) :+
+        lit(loadDate).cast("date").as("valid_from") :+
+        lit(OpenEnd).cast("date").as("valid_to") :+
+        lit(true).as("vigente"): _*)
     history.unionByName(closed).unionByName(reopened)
       .unionByName(untouched).unionByName(brandNew)
   }

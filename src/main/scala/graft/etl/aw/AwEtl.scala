@@ -90,6 +90,31 @@ object AwEtl {
     SurrogateKeys.dense(joined, "sk_cliente", Seq(col("id_cliente_original")))
   }
 
+  /** dim_cliente's business surface as an SCD2 version table, open since
+    * the epoch load — the starting state for INCREMENTAL dimension
+    * maintenance over the reference's own star (the reference
+    * truncate-reloads every dimension per run,
+    * dags/etl_dim_cliente.py:52). Versions track the business columns;
+    * surrogate keys stay a per-snapshot derivation.
+    */
+  def dimClienteVersions(dim: DataFrame, epoch: String = "2011-01-01"): DataFrame =
+    dim.select("id_cliente_original", "nome_completo", "tipo_cliente")
+      .withColumn("valid_from", lit(epoch).cast("date"))
+      .withColumn("valid_to", lit("9999-12-31").cast("date"))
+      .withColumn("vigente", lit(true))
+
+  /** A second dim_cliente load MERGES instead of truncating: the shared
+    * SCD2 kernel (graft.etl.Scd.scd2MergeOn) closes changed customers'
+    * current versions and reopens them with the new attributes; unchanged
+    * and historical rows pass through untouched; new customers open
+    * fresh. `updates` is the business surface of the new load (same
+    * columns as [[dimClienteVersions]] minus the validity columns).
+    */
+  def dimClienteScd2(cur: DataFrame, updates: DataFrame,
+      loadDate: String): DataFrame =
+    graft.etl.Scd.scd2MergeOn(cur, updates, "id_cliente_original",
+      Seq("nome_completo", "tipo_cliente"), loadDate)
+
   /** dim_localidade (dags/etl_dim_localidade.py:17-56): address ⟕ state ⟕
     * country with pre-join renames, null repair, keyed dedup.
     */

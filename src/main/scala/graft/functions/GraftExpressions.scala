@@ -197,6 +197,29 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** |a|² − 2⟨a,b⟩ + |b|² in ONE array pass: three INDEPENDENT
+    * left-to-right double accumulators (self-dot, cross-dot, other-dot)
+    * combined as `(aa - 2.0 * ab) + bb` — bit-identical to the three
+    * separate aggregate(zip_with(...)) folds of the shared TextExprs.dot
+    * template in the same combination order, which is what the DuckDB
+    * oracles mirror. The HOF form evaluates three interpreted lambda
+    * chains per row; this kernel was the dominant eval cost of the
+    * in-query ANN trainings. Flags select float vs double element reads
+    * (training-time centroids are double, corpus vectors float).
+    */
+  def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var aa = 0.0; var ab = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      aa += x * x; ab += x * y; bb += y * y
+      i += 1
+    }
+    aa - 2.0 * ab + bb
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer — the same Unicode
     * standard DuckDB's nfc_normalize implements, so the two are
     * byte-identical on any input and the gate can hash full normalized
@@ -409,6 +432,37 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** l2_sq(array<float|double>, array<float|double>) → double: squared L2
+  * distance as |a|² − 2⟨a,b⟩ + |b|² (see [[Kernels.l2sq]] for the
+  * bit-exactness contract with the dot-template oracles).
+  */
+case class L2Sq(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def vecType(t: DataType): Option[Boolean] = t match {
+    case ArrayType(FloatType, _) => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vecType(left.dataType), vecType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"l2_sq expects two array<float|double>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  private lazy val lF = vecType(left.dataType).get
+  private lazy val rF = vecType(right.dataType).get
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lF, rF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.l2sq($a, $b, $lF, $rF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_sq"
+}
+
 /** Column-API wrappers + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.Shim.{toColumn, toExpr}
@@ -420,6 +474,8 @@ object GraftFunctions {
     toColumn(ShingleMinHashes(toExpr(c), n, k))
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSim(toExpr(a), toExpr(b)))
+  def l2_sq(a: Column, b: Column): Column =
+    toColumn(L2Sq(toExpr(a), toExpr(b)))
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
   def zorder64(a: Column, b: Column): Column =
     toColumn(ZOrder64(toExpr(a), toExpr(b)))
@@ -467,6 +523,10 @@ object GraftFunctions {
     ("cosine_sim", "graft.functions.CosineSim", exprs => {
       arityCheck("cosine_sim", exprs, 2)
       CosineSim(exprs.head, exprs(1))
+    }),
+    ("l2_sq", "graft.functions.L2Sq", exprs => {
+      arityCheck("l2_sq", exprs, 2)
+      L2Sq(exprs.head, exprs(1))
     }),
     ("shingle_hashes", "graft.functions.ShingleHashes", exprs => {
       arityCheck("shingle_hashes", exprs, 2)

@@ -295,7 +295,7 @@ object EmbeddingOps {
     */
   private def assignCells(s: SparkSession, base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(l2sq("embedding", "centroid").spark))
+      .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cell"), col("embedding"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("embedding"),
@@ -323,15 +323,27 @@ object EmbeddingOps {
   /** Lloyd training over an arbitrary training base — factored out so the
     * incremental index path can train on the corpus-as-of-build-time and
     * later batches join the index without retraining.
+    *
+    * Only the FINAL centroid table goes through a checkpoint barrier:
+    * each round references the previous round's centroids exactly once
+    * (the broadcast side of the assignment), so the unbarriered lineage
+    * nests LINEARLY in the round count — the 2^i frontier explosion that
+    * forces per-iteration barriers in the self-join loops (label
+    * propagation) cannot happen here, and collapsing the rounds into one
+    * job drops a scheduler+checkpoint round-trip per iteration (the
+    * in-query trainings' dominant fixed cost). The one barrier at the
+    * end still guarantees every downstream consumer reads a materialized
+    * table instead of re-running the training.
     */
   private def kmeansCentroidsOf(base: DataFrame): DataFrame = {
     val quant = "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
     var cents = base.filter(col("vec_id") < KMEANS_K)
       .selectExpr("CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
-    for (_ <- 1 to KMEANS_ITERS)
-      cents = graft.Checkpoint.barrier(
-        recomputeCentroids(assignCells(base.sparkSession, base, cents)))
+    for (i <- 1 to KMEANS_ITERS) {
+      val next = recomputeCentroids(assignCells(base.sparkSession, base, cents))
+      cents = if (i == KMEANS_ITERS) graft.Checkpoint.barrier(next) else next
+    }
     cents
   }
 
@@ -366,7 +378,7 @@ object EmbeddingOps {
     val q = base.filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "q_emb")
     val routed = q.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+      .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
       .filter(col("rk") <= nProbe)
@@ -413,7 +425,7 @@ object EmbeddingOps {
     */
   private def pqAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.join(broadcast(cents), Seq("m"))
-      .withColumn("dist", expr(l2sq("sub", "centroid", PQ_SUB).spark))
+      .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("sub"), col("centroid")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("cell"), col("sub"))).as("x"))
       .select(col("vec_id"), col("m"), col("x.sub").as("sub"),
@@ -441,8 +453,13 @@ object EmbeddingOps {
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
     var cents = base.filter(col("vec_id") < PQ_K)
       .selectExpr("m", "CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
-    for (_ <- 1 to PQ_ITERS)
-      cents = graft.Checkpoint.barrier(pqRecompute(pqAssign(base, cents)))
+    // final-round barrier only — the rounds nest linearly (see
+    // kmeansCentroidsOf), so collapsing them into one job is safe and
+    // saves a scheduler+checkpoint round-trip per iteration
+    for (i <- 1 to PQ_ITERS) {
+      val next = pqRecompute(pqAssign(base, cents))
+      cents = if (i == PQ_ITERS) graft.Checkpoint.barrier(next) else next
+    }
     cents
   }
 
@@ -485,6 +502,33 @@ object EmbeddingOps {
     pqProbe(s, d, cents, graft.Checkpoint.barrier(pqCodesOf(s, d, cents)))
   }
 
+  /** The per-query ADC LUT folded into ONE broadcastable row per query:
+    * `parts[m][code]` = partial L2² of the query's m-th sub-vector
+    * against codebook entry `code`. A candidate's approximate distance is
+    * then four 0-based array lookups off a single broadcast join on
+    * query_id — versus the previous shape's four separate broadcast
+    * hash joins on (query_id, c_m), which materialized four broadcast
+    * jobs and four join stages per probe. The part doubles pass through
+    * collect_list untouched, so the summed distance stays bit-identical.
+    * Input: (query_id, m, code, part); codes and subspace ids are dense
+    * 0-based, and array_sort on the (key, value) struct orders by key, so
+    * position == id in both nestings.
+    */
+  private def lutParts(lut: DataFrame): DataFrame =
+    lut.groupBy(col("query_id"), col("m"))
+      .agg(array_sort(collect_list(struct(col("code"), col("part")))).as("cp"))
+      .select(col("query_id"), col("m"),
+        expr("transform(cp, x -> x.part)").as("row"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("row")))).as("mr"))
+      .select(col("query_id"), expr("transform(mr, x -> x.row)").as("parts"))
+
+  /** Fixed left-to-right 4-part ADC sum via the parts lookup — the same
+    * addition order as the oracle's `part0 + part1 + part2 + part3`.
+    */
+  private val adcSum =
+    s"parts[0][c0] + parts[1][c1] + parts[2][c2] + parts[3][c3]"
+
   /** The ADC probe tail shared by the self-contained and index-backed
     * forms: LUT from `cents`, candidates from `codes`, fixed-order 4-part
     * sum, bounded top-k.
@@ -494,16 +538,11 @@ object EmbeddingOps {
     val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "m", "q_sub")
       .join(broadcast(cents), Seq("m"))
-      .withColumn("part", expr(l2sq("q_sub", "centroid", PQ_SUB).spark))
-      .select("query_id", "m", "cell", "part")
-    var cands = codes.crossJoin(broadcast(lut.select("query_id").distinct()))
-    for (m <- 0 until PQ_M)
-      cands = cands.join(broadcast(lut.filter(col("m") === m)
-        .select(col("query_id"), col("cell").as(s"c$m"), col("part").as(s"part$m"))),
-        Seq("query_id", s"c$m"))
+      .withColumn("part", graft.functions.GraftFunctions.l2_sq(col("q_sub"), col("centroid")))
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
+    val cands = codes.crossJoin(broadcast(lutParts(lut)))
     val sims = cands.filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"),
-        (-expr("part0 + part1 + part2 + part3")).as("sim"), col("vec_id"))
+      .select(col("query_id"), (-expr(adcSum)).as("sim"), col("vec_id"))
     // rank by approximate distance ASC == negated-distance DESC through
     // the bounded top-k tail; -(-x) is exact in IEEE, so the surfaced
     // distance is bit-identical to the oracle's sum
@@ -552,33 +591,41 @@ object EmbeddingOps {
     * probe, all bit-exact.
     */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val base = corpus(s, d).select("vec_id", "embedding")
-    val cents = kmeansCentroids(s, d)
-    val coarse = assignCells(s, base, cents).select("vec_id", "cell")
-    // one PQ training shared by the encoder and the LUT (see annPqAdc)
-    val pcents = pqCodebooks(s, d)
-    val codes = graft.Checkpoint.barrier(pqCodesOf(s, d, pcents))
+    // the two trainings are INDEPENDENT (full-vector Lloyd, per-subspace
+    // codebooks) and each is a chain of small barrier jobs that leaves
+    // most of the cluster idle — submit them concurrently so the
+    // training wall is max, not sum (Spark's scheduler interleaves the
+    // jobs; both are deterministic, so results are unchanged)
+    val fCents = Future(kmeansCentroids(s, d))
+    val fPcents = Future(pqCodebooks(s, d))
+    val cents = Await.result(fCents, Duration.Inf)
+    val pcents = Await.result(fPcents, Duration.Inf)
+    // ONE materialization job carries the whole serving index: the
+    // 4-code compression joined with the coarse cell per vector. It
+    // feeds the candidate set AND the query routing — a query vector's
+    // nProbe=1 route is, by definition, its own L2 assignment under the
+    // same (dist ASC, cell ASC) tie-break, so routing needs no separate
+    // crossJoin + window
+    val indexed = graft.Checkpoint.barrier(
+      pqCodesOf(s, d, pcents)
+        .join(assignCells(s, base, cents).select("vec_id", "cell"),
+          Seq("vec_id")))
+    val routed = indexed.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("cell"))
     val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "m", "q_sub")
       .join(broadcast(pcents), Seq("m"))
-      .withColumn("part", expr(l2sq("q_sub", "centroid", PQ_SUB).spark))
+      .withColumn("part", graft.functions.GraftFunctions.l2_sq(col("q_sub"), col("centroid")))
       .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
-    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
-    val routed = q.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("cell"))
-    var cands = routed.join(coarse, Seq("cell"))
+    val cands = routed.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .join(codes, Seq("vec_id"))
-    for (m <- 0 until PQ_M)
-      cands = cands.join(broadcast(lut.filter(col("m") === m)
-        .select(col("query_id"), col("code").as(s"c$m"), col("part").as(s"part$m"))),
-        Seq("query_id", s"c$m"))
+      .join(broadcast(lutParts(lut)), Seq("query_id"))
     val sims = cands.select(col("query_id"),
-      (-expr("part0 + part1 + part2 + part3")).as("sim"), col("vec_id"))
+      (-expr(adcSum)).as("sim"), col("vec_id"))
     rankViaTopK(s, sims)
       .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
         col("rank"))
@@ -641,7 +688,7 @@ object EmbeddingOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val routed = graft.Checkpoint.barrier(
       q.crossJoin(broadcast(cents))
-        .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+        .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
         .filter(col("rn") === 1)
@@ -652,16 +699,13 @@ object EmbeddingOps {
     val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "m", "q_sub")
       .join(broadcast(pcents), Seq("m"))
-      .withColumn("part", expr(l2sq("q_sub", "centroid", PQ_SUB).spark))
+      .withColumn("part", graft.functions.GraftFunctions.l2_sq(col("q_sub"), col("centroid")))
       .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
-    var cands = routed.join(codes, Seq("cell"))
+    val cands = routed.join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-    for (m <- 0 until PQ_M)
-      cands = cands.join(broadcast(lut.filter(col("m") === m)
-        .select(col("query_id"), col("code").as(s"c$m"), col("part").as(s"part$m"))),
-        Seq("query_id", s"c$m"))
+      .join(broadcast(lutParts(lut)), Seq("query_id"))
     val sims = cands.select(col("query_id"),
-      (-expr("part0 + part1 + part2 + part3")).as("sim"), col("vec_id"))
+      (-expr(adcSum)).as("sim"), col("vec_id"))
     rankViaTopK(s, sims)
       .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
         col("rank"))
@@ -808,7 +852,7 @@ object EmbeddingOps {
     val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val routed = q.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(l2sq("q_emb", "centroid").spark))
+      .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
       .filter(col("rn") === 1)

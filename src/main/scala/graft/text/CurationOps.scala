@@ -309,11 +309,15 @@ object CurationOps {
     * ever sees more than one 1/256th range of a language.
     */
   def tokenBudgetFill(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+    // materialized once (tokenize-once, the curateSignals device): the
+    // narrow (id, lang, counts, hash) stage feeds BOTH the cumsum window
+    // and the shardOffsets rollup — unbarriered, each consumer would
+    // rescan and re-tokenize the corpus
+    val base = graft.Checkpoint.barrier(documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
         s"size(${T.spark}) AS n_tokens",
         s"${sampleHash("doc_id").spark} AS amostra")
-      .withColumn("shard", expr("substring(amostra, 1, 2)"))
+      .withColumn("shard", expr("substring(amostra, 1, 2)")))
     val wLocal = Window.partitionBy("lang", "shard")
       .orderBy("amostra", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -349,9 +353,12 @@ object CurationOps {
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
         s"size(${T.spark}) AS n_tokens")
     val mx = docs.agg(max("doc_id").as("mx"))
-    val base = docs.crossJoin(broadcast(mx))
+    // materialized once — shared by the cumsum window and shardOffsets
+    // (see tokenBudgetFill); the mx aggregate itself reads only doc_id
+    // (column-pruned, never tokenizes)
+    val base = graft.Checkpoint.barrier(docs.crossJoin(broadcast(mx))
       .withColumn("shard", expr(s"doc_id div (mx div $cumsumShards + 1)"))
-      .drop("mx")
+      .drop("mx"))
     val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base

@@ -83,6 +83,44 @@ class AwEtlSpec extends SparkSpec {
     assert(rows(2).getAs[String]("tipo_cliente") === "Individual")
   }
 
+  test("dim_cliente second load MERGES via the SCD2 kernel instead of truncate-reloading") {
+    // first load: the real 19,820-row Sales Customer.csv (person fixture
+    // for the names), opened as the initial version table
+    val dim = AwEtl.dimCliente(rd("Sales Customer", AwSchemas.customer), person)
+    val cur = AwEtl.dimClienteVersions(dim)
+    val n = cur.count()
+    // second load: a source change re-types every 7th customer and one
+    // brand-new customer appears (1000003 is not divisible by 7)
+    val surface = dim.select("id_cliente_original", "nome_completo", "tipo_cliente")
+    val updates = surface
+      .withColumn("tipo_cliente",
+        when(col("id_cliente_original") % 7 === 0, lit("Reclassificado"))
+          .otherwise(col("tipo_cliente")))
+      .unionByName(Seq((1000003, "Cliente Novo", "Individual"))
+        .toDF("id_cliente_original", "nome_completo", "tipo_cliente"))
+    val merged = AwEtl.dimClienteScd2(cur, updates, "2013-06-01")
+    val changedN = surface.filter(col("id_cliente_original") % 7 === 0).count()
+    assert(changedN > 0)
+    // merge, not truncate-reload: old versions survive — |dim| rows plus
+    // one closed version per changed key plus the brand-new open row
+    assert(merged.count() === n + changedN + 1)
+    // the unchanged majority passes through still open since the epoch
+    assert(merged.filter(col("vigente") &&
+        col("valid_from") === lit("2011-01-01").cast("date")).count()
+      === n - changedN)
+    // changed keys: closed old version at the load date + reopened new one
+    val changed = merged.filter(col("id_cliente_original") % 7 === 0 &&
+      col("id_cliente_original") =!= 1000003)
+    assert(changed.filter(!col("vigente") &&
+      col("valid_to") === lit("2013-06-01").cast("date")).count() === changedN)
+    assert(changed.filter(col("vigente") &&
+      col("tipo_cliente") === "Reclassificado").count() === changedN)
+    // the brand-new customer opens at the load date
+    val nv = merged.filter(col("id_cliente_original") === 1000003).collect()
+    assert(nv.length === 1 && nv(0).getAs[Boolean]("vigente") &&
+      nv(0).getAs[java.sql.Date]("valid_from").toString === "2013-06-01")
+  }
+
   test("dim_vendedor: 17 rows from real CSVs; empty middle name collapses") {
     val dim = AwEtl.dimVendedor(
       rd("Sales SalesPerson", AwSchemas.salesPerson),

@@ -213,18 +213,21 @@ class CurationOpsSpec extends SparkSpec {
         "token_budget" -> CurationOps.tokenBudgetFill(spark, tiny),
         "seq_packing" -> CurationOps.seqPacking(spark, tiny))) {
       df.collect() // settle the AQE final plan before inspecting it
-      // AQE wraps materialized stages in QueryStageExec nodes (childless,
-      // so collectNodes can't see through them) — read the rendered final
-      // plan, which prints every stage's subtree
-      val plan = df.queryExecution.executedPlan.toString
-      val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
-      assert(winLines.nonEmpty, s"$name should plan window nodes")
+      // API-level window check (allNodes recurses through the childless
+      // QueryStageExec stage boundaries): each WindowExec's partition
+      // keys come from its partitionSpec expressions, not from matching
+      // "windowspecdefinition" in the rendered string
+      val wins = allNodes(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+      }
+      assert(wins.nonEmpty, s"$name should plan window nodes")
       // the corpus-sized cumsum window must partition by (lang, shard);
       // a lang-only window is allowed ONLY for the O(shards)-row offset
       // rollup, which reads an aggregate, never the corpus
-      assert(winLines.exists(l => l.contains("lang") && l.contains("shard")),
+      assert(wins.exists(ks => ks.contains("lang") && ks.contains("shard")),
         s"$name: no (lang, shard)-partitioned window — cumsum runs one " +
-          "reducer per language:\n" + winLines.mkString("\n"))
+          s"reducer per language: $wins")
       // and the sharding actually multiplies parallelism on this data:
       // distinct (lang, shard) group count must exceed the language count
       val docs = spark.read.parquet(s"$tiny/documents.parquet")

@@ -105,9 +105,15 @@ class ScaleOpsSpec extends SparkSpec {
       val df = RelationalOps.skewJoinPlain(
         spark.read.parquet(s"$src/ev"), spark.read.parquet(s"$src/dim"))
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"expected an AQE skew-split sort-merge join:\n$plan")
+      // API-level: the final adaptive plan's sort-merge join must carry
+      // isSkewJoin (the field behind the rendered "skew=true"), asserted
+      // on the node itself rather than the version-fragile plan string
+      val smjs = allNodes(df.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty && smjs.exists(_.isSkewJoin),
+        s"expected an AQE skew-split sort-merge join:\n" +
+          df.queryExecution.executedPlan)
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

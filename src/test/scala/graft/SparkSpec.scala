@@ -21,4 +21,22 @@ trait SparkSpec extends AnyFunSuite {
 
   val tiny = "/root/testdata/sf0.001"
   val awData = "/root/reference/dags/data"
+
+  /** Full post-AQE plan walk for API-level plan assertions: materialized
+    * stages are childless QueryStageExec nodes, so a plain
+    * children-recursion stops at every stage boundary — recurse through
+    * stage.plan (and the adaptive root's executedPlan) to reach the real
+    * operators, instead of matching the rendered plan string, whose shape
+    * drifts across Spark versions.
+    */
+  def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ through).flatMap(allNodes)
+  }
 }
