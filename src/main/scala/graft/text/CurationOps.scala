@@ -207,10 +207,17 @@ object CurationOps {
     * the doc as contaminated (a near-copy of training data).
     */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val hashed = documents(s, d)
+    // materialized once: the shingle→hash projection is the expensive
+    // pass (tokenize + md5 per shingle) and THREE consumers read it (the
+    // train side, the eval side, the final n_shingles) — unbarriered,
+    // each consumer re-tokenizes the corpus. (The bench's bare .count()
+    // can prune the whole projection away, which is why this query's
+    // bench row looks free; the funnel and the gate compute the real
+    // ratios and paid ~3× before this barrier.)
+    val hashed = graft.Checkpoint.barrier(documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${SH.spark} AS sh")
       .selectExpr("doc_id",
-        s"array_distinct(transform(sh, s -> ${hash60("s").spark})) AS shd")
+        s"array_distinct(transform(sh, s -> ${hash60("s").spark})) AS shd"))
     val ex = hashed.select(col("doc_id"), explode(col("shd")).as("h"))
     val train = ex.filter("doc_id % 10 <> 0").select("h").distinct()
     val eval_ = ex.filter("doc_id % 10 = 0")
