@@ -413,8 +413,13 @@ object EmbeddingOps {
 
   /** One row per (vec_id, subspace m) carrying the 16-dim slice. */
   private def pqSubCorpus(s: SparkSession, d: String): DataFrame =
-    corpus(s, d).select("vec_id", "embedding")
-      .withColumn("m", explode(sequence(lit(0), lit(PQ_M - 1))))
+    pqSubOf(corpus(s, d).select("vec_id", "embedding"))
+
+  /** The subspace explode over an explicit base — the incremental index
+    * path encodes arrival batches, not the whole corpus.
+    */
+  private def pqSubOf(base: DataFrame): DataFrame =
+    base.withColumn("m", explode(sequence(lit(0), lit(PQ_M - 1))))
       .selectExpr("vec_id", "m",
         s"slice(embedding, m * $PQ_SUB + 1, $PQ_SUB) AS sub")
 
@@ -447,8 +452,14 @@ object EmbeddingOps {
     * (deterministic init: the K smallest vec_ids' sub-vectors,
     * 1e-6-quantized; per-round checkpoint barrier keeps lineage flat).
     */
-  def pqCodebooks(s: SparkSession, d: String): DataFrame = {
-    val base = pqSubCorpus(s, d)
+  def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    pqCodebooksOf(pqSubCorpus(s, d))
+
+  /** Per-subspace Lloyd over an explicit sub-vector base (see
+    * [[kmeansCentroidsOf]] for the train-base split's role in the
+    * incremental index path).
+    */
+  private def pqCodebooksOf(base: DataFrame): DataFrame = {
     val quant = "transform(sub, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
     var cents = base.filter(col("vec_id") < PQ_K)
@@ -477,7 +488,13 @@ object EmbeddingOps {
     * same codebook table (training twice doubled the probe cost).
     */
   private def pqCodesOf(s: SparkSession, d: String, cents: DataFrame): DataFrame =
-    pqAssign(pqSubCorpus(s, d), cents)
+    pqCodesOfBase(pqSubCorpus(s, d), cents)
+
+  /** Encode an explicit base under already-trained codebooks — the
+    * incremental index path encodes only the arrival batch.
+    */
+  private def pqCodesOfBase(subBase: DataFrame, cents: DataFrame): DataFrame =
+    pqAssign(subBase, cents)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .selectExpr("vec_id" +:
@@ -672,6 +689,60 @@ object EmbeddingOps {
     pqCodesOf(s, d, pcents)
       .join(assignCells(s, base, cents).select("vec_id", "cell"), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** The composed IVF-PQ build over explicit bases: both trainings run
+    * on `trainBase` (the corpus as of build time), the code table
+    * encodes + coarse-assigns `assignBase`. [[buildIvfPqIndex]] passes
+    * the full corpus for both; the incremental lifecycle trains on the
+    * build slice and lets [[appendIvfPqIndex]] fold arrivals in.
+    */
+  private[graft] def buildIvfPqIndexOn(s: SparkSession, trainBase: DataFrame,
+      assignBase: DataFrame, indexDir: String): Unit = {
+    val cents = kmeansCentroidsOf(trainBase)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val pcents = pqCodebooksOf(pqSubOf(trainBase))
+    pcents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    pqCodesOfBase(pqSubOf(assignBase), pcents)
+      .join(assignCells(s, assignBase, cents).select("vec_id", "cell"),
+        Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Incremental maintenance for the COMPOSED index — the compressed
+    * twin of [[appendIvfIndexKmeans]]: the arrival batch is encoded with
+    * the STORED codebooks (4 one-byte codes), coarse-assigned to the
+    * STORED centroids, and appended into the routed cell partitions.
+    * No training, no rescan of indexed codes — O(|batch|) work, and the
+    * appended index is bit-indistinguishable from one built with the
+    * arrivals present (same deterministic encoders), which
+    * q_ann_ivfpq_incr gates end to end.
+    */
+  private[graft] def appendIvfPqIndex(s: SparkSession, newRows: DataFrame,
+      indexDir: String): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val pcents = s.read.parquet(s"$indexDir/codebooks")
+    pqCodesOfBase(pqSubOf(newRows), pcents)
+      .join(assignCells(s, newRows, cents).select("vec_id", "cell"),
+        Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** The incremental IVF-PQ lifecycle as a gated query (the composed
+    * sibling of [[annIvfKmeansIncr]]): build on 9/10 of the corpus,
+    * cell-append the arriving 1/10 under the stored quantizer +
+    * codebooks, serve the standard ADC probe from the appended index.
+    * Oracle: both trainings over the build slice, encode + assignment
+    * over the FULL corpus, composed probe — bit-exact.
+    */
+  def annIvfPqIncr(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_$h"
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfPqIndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
+    appendIvfPqIndex(s, base.filter(IncrArrival), dir)
+    annIvfPqIndexed(s, d, dir)
   }
 
   /** [[annIvfPq]] served from the persisted composed index: route on the
@@ -964,6 +1035,11 @@ object EmbeddingOps {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
     "q_ann_ivf_kmeans_incr" -> (annIvfKmeansIncr _),
+    // the streamed ingest twin: arrivals cell-append per micro-batch
+    "q_ann_ivf_kmeans_incr_stream" ->
+      (graft.streaming.Streams.ivfIndexStreamed _),
+    // the composed compressed index maintained incrementally
+    "q_ann_ivfpq_incr" -> (annIvfPqIncr _),
     "q_ann_ivf_kmeans_probe2" -> ((s: SparkSession, d: String) => annIvfKmeansProbe(s, d, 2)),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
@@ -1030,14 +1106,22 @@ $rounds"""
     * re-trains all four codebooks and the codes/ADC results gate
     * bit-exactly.
     */
-  private def pqCtes: String = {
-    def asg(n: Int, cent: String) =
+  private def pqCtes: String = pqCtesTrainedOn("pqbase", "")
+
+  /** The per-subspace training CTEs with an explicit TRAINING source
+    * (init + every round read `trainSrc`); the FINAL encoding assignment
+    * (`pcodes`) always covers the full `pqbase` — matching the
+    * incremental index, which encodes arrivals under codebooks trained
+    * on the build slice.
+    */
+  private def pqCtesTrainedOn(trainSrc: String, trainCte: String): String = {
+    def asg(n: Int, cent: String, src: String) =
       s"""pasg$n AS (
   SELECT vec_id, m, sub, cell FROM (
     SELECT b.vec_id, b.m, b.sub, c.cell,
            row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
              ${l2sq("b.sub", "c.centroid", PQ_SUB).duck} ASC, c.cell ASC) AS rn
-    FROM pqbase b JOIN $cent c ON b.m = c.m)
+    FROM $src b JOIN $cent c ON b.m = c.m)
   WHERE rn = 1
 )"""
     def cent(n: Int, src: String) =
@@ -1051,21 +1135,21 @@ $rounds"""
   GROUP BY m, cell
 )"""
     val rounds = (1 to PQ_ITERS)
-      .map(t => s"${asg(t, s"pcent${t - 1}")},\n${cent(t, s"pasg$t")}")
+      .map(t => s"${asg(t, s"pcent${t - 1}", trainSrc)},\n${cent(t, s"pasg$t")}")
       .mkString(",\n")
     // one extra assignment under the FINAL codebooks = the stored codes
     s"""pqbase AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, mm.m AS m,
          list_slice(embedding, mm.m * $PQ_SUB + 1, (mm.m + 1) * $PQ_SUB) AS sub
   FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
-pcent0 AS (
+$trainCte pcent0 AS (
   SELECT m, CAST(vec_id AS INTEGER) AS cell,
          list_transform(generate_series(1, $PQ_SUB), i ->
            CAST(CAST(round(CAST(sub[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0) AS centroid
-  FROM pqbase WHERE vec_id < $PQ_K
+  FROM $trainSrc WHERE vec_id < $PQ_K
 ),
 $rounds,
-${asg(PQ_ITERS + 1, s"pcent$PQ_ITERS")},
+${asg(PQ_ITERS + 1, s"pcent$PQ_ITERS", "pqbase")},
 pcodes AS (
   SELECT vec_id,
          ${(0 until PQ_M).map(m =>
@@ -1103,9 +1187,21 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * per-subspace codebook CTEs — disjoint CTE namespaces, one WITH), then
     * the composed route-then-ADC probe.
     */
-  private def annIvfPqOracle: String =
-    s"""WITH $kmeansCtes,
-$pqCtes,
+  private def annIvfPqOracle: String = annIvfPqOracleFrom(kmeansCtes, pqCtes)
+
+  /** The incremental composed-index oracle: BOTH trainings over the
+    * build slice (vec_id % 10 <> 9), encode + coarse assignment over the
+    * full corpus — what build+append must be indistinguishable from.
+    */
+  private def annIvfPqIncrOracle: String = annIvfPqOracleFrom(
+    kmeansCtesTrainedOn("ktrain",
+      "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"),
+    pqCtesTrainedOn("pqtrain",
+      "pqtrain AS (SELECT * FROM pqbase WHERE vec_id % 10 <> 9),\n"))
+
+  private def annIvfPqOracleFrom(kCtes: String, pCtes: String): String =
+    s"""WITH $kCtes,
+$pCtes,
 ivfin AS (
   SELECT vec_id, cell FROM (
     SELECT b.vec_id, c.cell,
@@ -1237,6 +1333,11 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     // build-slice training + full-corpus assignment: the split-arrival
     // index (build + cell-append) must reproduce this bit-exactly
     "q_ann_ivf_kmeans_incr" -> kmeansIncrProbeOracle,
+    // the streamed ingest converges to the same appended index
+    "q_ann_ivf_kmeans_incr_stream" -> kmeansIncrProbeOracle,
+    // composed form: both trainings on the build slice, encode+assign
+    // over the full corpus
+    "q_ann_ivfpq_incr" -> annIvfPqIncrOracle,
     "q_kmeans_cells" ->
       s"""WITH $kmeansCtes
 SELECT vec_id, cell, dist FROM (

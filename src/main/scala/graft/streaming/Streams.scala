@@ -679,6 +679,44 @@ object Streams {
       .orderBy("id_cliente", "valid_from", "vigente")
   }
 
+  /** ANN index maintenance as a STREAM — the serving-index ingest loop a
+    * vector store runs: the index is built once on the corpus as of
+    * build time (9/10 of the vectors), then arrivals land as a file
+    * stream (two staged disjoint slices, one micro-batch each) and each
+    * batch cell-appends under the STORED quantizer
+    * (graft.sim.EmbeddingOps.appendIvfIndexKmeans — assign to stored
+    * centroids, append to cell partitions, O(batch) per trigger, no
+    * retraining, indexed files never rewritten). Gated against the SAME
+    * oracle as the batch q_ann_ivf_kmeans_incr: training on the build
+    * slice, serving assignment over the full corpus — batch boundaries
+    * and arrival order must not leak into the probes.
+    */
+  def ivfIndexStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_ivf_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildIvfIndexKmeansOn(spark,
+      emb.filter(!arrival), emb.filter(!arrival), sub("idx"), "stream")
+    val arr = emb.filter(arrival)
+    arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    arr.filter(expr("(vec_id div 10) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sim.EmbeddingOps.appendIvfIndexKmeans(spark, batch, sub("idx")): Unit
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, dir, sub("idx"))
+  }
+
   /** One signal-passing doc arriving at the streamed dedup stage (public
     * for codegen).
     */

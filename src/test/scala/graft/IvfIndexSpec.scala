@@ -117,6 +117,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(drift2 > 2.0, s"scaled-out arrivals must flag retraining, got $drift2")
   }
 
+  test("composed IVF-PQ cell-append: split arrival equals one-shot full-assignment build") {
+    import org.apache.spark.sql.functions.col
+    val incrDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_incr").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_fullasg").toString
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    EmbeddingOps.buildIvfPqIndexOn(spark, base.filter(!arrival),
+      base.filter(!arrival), incrDir)
+    EmbeddingOps.appendIvfPqIndex(spark, base.filter(arrival), incrDir)
+    EmbeddingOps.buildIvfPqIndexOn(spark, base.filter(!arrival), base, fullDir)
+    assert(EmbeddingOps.annIvfPqIndexed(spark, tiny, incrDir).collect() ===
+      EmbeddingOps.annIvfPqIndexed(spark, tiny, fullDir).collect(),
+      "appended composed index must serve probes identical to a one-shot build")
+    // and the stored code tables agree row-for-row (compression included)
+    val a = spark.read.parquet(s"$incrDir/codes").orderBy("vec_id").collect()
+    val b = spark.read.parquet(s"$fullDir/codes").orderBy("vec_id").collect()
+    assert(a === b)
+  }
+
   test("IVF-PQ built from shared km centroids + pq codebooks is byte-identical") {
     val kmDir = java.nio.file.Files.createTempDirectory("graft_km_share").toString
     val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_share").toString
