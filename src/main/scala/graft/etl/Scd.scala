@@ -212,7 +212,7 @@ object Scd {
     * genuinely split across its two versions — dates before the change
     * resolve to the closed version, dates after to the reopened one.
     */
-  private val PitLoadDate = "1996-06-01"
+  private[graft] val PitLoadDate = "1996-06-01"
 
   /** POINT-IN-TIME fact⟕dimension join (extension — the temporal lookup
     * every versioned DW and feature store needs): each order resolves
@@ -236,7 +236,7 @@ object Scd {
     * the row's date. Shared by the one-shot gate and the incremental
     * lifecycle so the two forms cannot drift.
     */
-  private def pitResolve(o: DataFrame, versions: DataFrame): DataFrame = {
+  private[graft] def pitResolve(o: DataFrame, versions: DataFrame): DataFrame = {
     val oa = o.alias("o")
     val v = versions.alias("v")
     oa.join(v,
@@ -320,7 +320,11 @@ object Scd {
     // the composed lifecycle: incremental fact loads PIT-resolving
     // against the SCD2-maintained partitioned store; oracle = one-shot
     // rebuild against the final version table
-    "q_fact_scd2_lifecycle" -> (factScd2Lifecycle _))
+    "q_fact_scd2_lifecycle" -> (factScd2Lifecycle _),
+    // the same loop as ONE stream: fact micro-batches with the dim merge
+    // landing between them; same oracle
+    "q_fact_scd2_lifecycle_stream" ->
+      (graft.streaming.Streams.factScd2LifecycleStreamed _))
 
   /** Shared oracle CTEs mirroring snapshot + deterministic updates. */
   private val ctes =
@@ -358,21 +362,12 @@ SELECT id_cliente, nome, segmento, valid_from, valid_to, vigente FROM (
   FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
 ORDER BY id_cliente, valid_from, vigente"""
 
-  val oracle: Map[String, String] = Map(
-    "q_scd1_merge" ->
-      s"""WITH $ctes
-SELECT * FROM up
-UNION ALL
-SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.id_cliente = d.id_cliente)
-ORDER BY id_cliente""",
-    // the streamed upsert converges to the same one-shot version table
-    "q_scd2_stream" -> scd2ApplyOracle,
-    "q_scd2_apply" -> scd2ApplyOracle,
-    // one-shot rebuild the incremental lifecycle must land on exactly:
-    // PIT join of ALL orders (with the fact measure) against the final
-    // post-merge version table
-    "q_fact_scd2_lifecycle" ->
-      s"""WITH $ctes,
+  /** One-shot rebuild both lifecycle forms (batch and streamed) must
+    * land on exactly: PIT join of ALL orders (with the fact measure)
+    * against the final post-merge version table.
+    */
+  private lazy val factScd2LifecycleOracle: String =
+    s"""WITH $ctes,
 dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),
 changed AS (
   SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
@@ -400,7 +395,25 @@ SELECT CAST(o.o_orderkey AS BIGINT) AS id_pedido,
 FROM orders o LEFT JOIN versions v
   ON o.o_custkey = v.id_cliente
  AND o.o_orderdate >= v.valid_from AND o.o_orderdate < v.valid_to
-ORDER BY id_pedido""",
+ORDER BY id_pedido"""
+
+  val oracle: Map[String, String] = Map(
+    "q_scd1_merge" ->
+      s"""WITH $ctes
+SELECT * FROM up
+UNION ALL
+SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.id_cliente = d.id_cliente)
+ORDER BY id_cliente""",
+    // the streamed upsert converges to the same one-shot version table
+    "q_scd2_stream" -> scd2ApplyOracle,
+    "q_scd2_apply" -> scd2ApplyOracle,
+    // one-shot rebuild the incremental lifecycle must land on exactly:
+    // PIT join of ALL orders (with the fact measure) against the final
+    // post-merge version table
+    "q_fact_scd2_lifecycle" -> factScd2LifecycleOracle,
+    // the streamed loop (dim merge between fact micro-batches) converges
+    // to the same one-shot rebuild
+    "q_fact_scd2_lifecycle_stream" -> factScd2LifecycleOracle,
     "q_scd2_pit_join" ->
       s"""WITH $ctes,
 dimv AS (SELECT *, DATE '1995-01-01' AS valid_from FROM dim),

@@ -717,6 +717,65 @@ object Streams {
     graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, dir, sub("idx"))
   }
 
+  /** The FULL star-maintenance loop as ONE stream — the capstone
+    * composition of the SCD2 state store and the incremental PIT fact
+    * load (the streamed twin of graft.etl.Scd.factScd2Lifecycle): order
+    * slices arrive as a file stream (pre-cut slice, then post-cut slice,
+    * one micro-batch each); BETWEEN the two fact batches the SCD2
+    * dimension update applies to the partitioned state store, exactly
+    * where a nightly dim load lands between two fact ingest windows.
+    * Each fact batch PIT-resolves its orders against the store AS OF ITS
+    * OWN load time — batch 1 sees the initial open versions, batch 2 the
+    * post-merge table — and appends to the fact sink. Gated against the
+    * SAME one-shot oracle as q_fact_scd2_lifecycle (PIT of all orders
+    * against the final version table): a closed version keeps its
+    * attributes over [valid_from, cut), so per-batch resolution equals
+    * end-state resolution, and neither batch boundaries nor the
+    * mid-stream dim merge may leak into the fact.
+    *
+    * The dim update hooks on the batch carrying any POST-cut order (not
+    * on a hardcoded batch id), so the lifecycle stays correct under any
+    * file-to-batch packing the source chooses.
+    */
+  def factScd2LifecycleStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_scd2life_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val cut = graft.etl.Scd.PitLoadDate
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("id_pedido"),
+      col("o_custkey").cast("long").as("id_cliente"),
+      col("o_orderdate").as("data_pedido"),
+      col("o_totalprice").cast("double").as("valor_pedido"))
+    o.filter(col("data_pedido") < lit(cut)).coalesce(1).write.parquet(sub("in"))
+    o.filter(col("data_pedido") >= lit(cut)).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    graft.etl.Scd.initStateStore(spark, dir, sub("state"))
+    var dimUpdated = false
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hasPostCut = batch.filter(col("data_pedido") >= lit(cut)).limit(1)
+          .count() > 0
+        if (hasPostCut && !dimUpdated) {
+          graft.etl.Scd.applyBatchToStore(spark, sub("state"),
+            graft.etl.Scd.updateBatch(spark, dir), cut)
+          dimUpdated = true
+        }
+        graft.etl.Scd.pitResolve(batch,
+            graft.etl.Scd.readStateStore(spark, sub("state")))
+          .write.mode("append").parquet(sub("fato"))
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("fato"))
+      .select("id_pedido", "id_cliente", "data_pedido", "valor_pedido",
+        "segmento", "versao_desde")
+      .orderBy("id_pedido")
+  }
+
   /** One signal-passing doc arriving at the streamed dedup stage (public
     * for codegen).
     */
