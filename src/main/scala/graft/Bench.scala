@@ -161,7 +161,11 @@ object Bench {
       // twin, and the incremental DW lifecycle (historical overwrite +
       // increment append + read-back — a full cycle per rep)
       "q_token_budget", "q_seq_packing", "q_skew_join_aqe",
-      "q_fact_incremental", "q_scd2_pit_join").foreach { name =>
+      "q_fact_incremental", "q_scd2_pit_join",
+      // r10: the composed maintenance loop — SCD2 state store + PIT fact
+      // increments (full lifecycle per rep: init, load 1, dim merge,
+      // load 2, read-back)
+      "q_fact_scd2_lifecycle").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
@@ -222,6 +226,7 @@ object Bench {
     // an index built on the other 90% — the O(batch) alternative to the
     // O(corpus × rounds) rebuild measured by ann_kmeans_index_build
     val incrIdx = s"/tmp/graft_bench_ivf_incr_${System.nanoTime()}"
+    val incrPqIdx = s"/tmp/graft_bench_ivfpq_incr_${System.nanoTime()}"
     locally {
       import org.apache.spark.sql.functions.col
       val base = Tables.embeddings(spark, sfDir)
@@ -233,8 +238,18 @@ object Bench {
         graft.sim.EmbeddingOps.appendIvfIndexKmeans(
           spark, base.filter(arrival), incrIdx): Unit
       }
+      // same lifecycle for the COMPOSED compressed index: arrivals are
+      // encoded with the stored codebooks + coarse-assigned, appended
+      // into the routed cell partitions — compare ann_ivfpq_index_build
+      graft.sim.EmbeddingOps.buildIvfPqIndexOn(spark,
+        base.filter(!arrival), base.filter(!arrival), incrPqIdx)
+      time("ann_ivfpq_index_append") {
+        graft.sim.EmbeddingOps.appendIvfPqIndex(
+          spark, base.filter(arrival), incrPqIdx)
+      }
     }
     rmTree(incrIdx)
+    rmTree(incrPqIdx)
 
     // Phase 4 — bucketed storage as the measured fact-build default (the
     // 100 TB posture StorageDemo only demonstrated): header and detail are
