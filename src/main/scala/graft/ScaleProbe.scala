@@ -82,6 +82,22 @@ object ScaleProbe {
     println(f"sf0.1 : fact=$r1%,d rows  etl=$e1%.1f s  kpi=$k1%.1f s")
     println(f"x$n%d   : fact=$r2%,d rows  etl=$e2%.1f s  kpi=$k2%.1f s")
     println(f"scale ratio: data=${r2.toDouble / r1}%.1fx  etl=${e2 / e1}%.2fx  kpi=${k2 / k1}%.2fx")
+
+    // r10: the composed SCD2+PIT maintenance loop under fact growth —
+    // orders scale Nx while the customer dimension stays fixed, so the
+    // whole lifecycle (state-store init, two PIT loads, dim merge) must
+    // scale ~Nx on the fact side and ~1x on the dimension side. The
+    // replicated orders keep the real o_custkey domain, so every fact
+    // row still PIT-resolves against genuine versions.
+    def lifecycle(dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = etl.Scd.factScd2Lifecycle(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (l1, lr1) = lifecycle(src)
+    val (l2, lr2) = lifecycle(work)
+    println(f"scd2 lifecycle: 1x $lr1%,d rows $l1%.1f s   x$n%d ${lr2}%,d rows $l2%.1f s   " +
+      f"rows=${lr2.toDouble / lr1}%.1fx time=${l2 / l1}%.2fx")
     spark.stop()
   }
 
@@ -169,7 +185,42 @@ object ScaleProbe {
       if (grewQuadratic) fails += 1
       println(f"$name%-16s $c1%9d $s1%8.2f $c2%10d $s2%8.2f $rowsX%7.1fx $timeX%7.1fx  ${if (grewQuadratic) "QUADRATIC?" else "linear"}")
     }
+    // r10: incremental index appends — the cost contract is O(batch):
+    // at Nx corpora the arrival batch is exactly Nx vectors, so append
+    // time must track ~Nx (linear in the batch) and NEVER the rebuild's
+    // O(corpus × Lloyd rounds). The build runs untimed; only the append
+    // is measured.
+    println()
+    println(f"${"append op"}%-16s ${"1x_batch"}%9s ${"1x_sec"}%8s ${s"${n}x_batch"}%10s ${s"${n}x_sec"}%8s ${"time_x"}%8s  verdict")
+    var appendFails = 0
+    def appendRow(name: String,
+        build: (DataFrame, String) => Unit,
+        append: (DataFrame, String) => Unit): Unit = {
+      def one(d: String): (Long, Double) = {
+        val base = Tables.embeddings(spark, d)
+          .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        val arrival = col("vec_id") % 10 === 9
+        val dir = s"$work/idx_${name}_${math.abs(d.hashCode)}"
+        build(base.filter(!arrival), dir)
+        val cnt = base.filter(arrival).count()
+        val t0 = System.nanoTime()
+        append(base.filter(arrival), dir)
+        (cnt, (System.nanoTime() - t0) / 1e9)
+      }
+      val (c1, s1) = one(src)
+      val (c2, s2) = one(work)
+      val timeX = s2 / s1
+      val quad = timeX > 3.0 * n
+      if (quad) appendFails += 1
+      println(f"$name%-16s $c1%9d $s1%8.2f $c2%10d $s2%8.2f $timeX%7.1fx  ${if (quad) "QUADRATIC?" else "linear"}")
+    }
+    appendRow("kmeans_append",
+      (b, dir) => sim.EmbeddingOps.buildIvfIndexKmeansOn(spark, b, b, dir, "probe"),
+      (b, dir) => { sim.EmbeddingOps.appendIvfIndexKmeans(spark, b, dir): Unit })
+    appendRow("ivfpq_append",
+      (b, dir) => sim.EmbeddingOps.buildIvfPqIndexOn(spark, b, b, dir),
+      (b, dir) => sim.EmbeddingOps.appendIvfPqIndex(spark, b, dir))
     spark.stop()
-    if (fails > 0) { System.err.println(s"[dedup-probe] FAIL: $fails op(s) grew super-linearly"); sys.exit(1) }
+    if (fails + appendFails > 0) { System.err.println(s"[dedup-probe] FAIL: ${fails + appendFails} op(s) grew super-linearly"); sys.exit(1) }
   }
 }
