@@ -135,6 +135,39 @@ object CurationOps {
         s"CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa")
   }
 
+  private val hllBucketDiv = 4503599627370496L // 2^52: 60-bit hash = 8 bucket bits + 52 rank bits
+
+  /** HyperLogLog registers over the corpus's 3-shingle identity space —
+    * the third production sketch alongside KMV (k-th minimum) and
+    * count-min (frequency cells): per 60-bit shingle hash, bucket = the
+    * top 8 bits (m = 256), register = MAX over the bucket of
+    * (leading-zero count of the low 52 bits + 1). MAX is idempotent,
+    * associative and commutative, so the sketch needs NO distinct
+    * shuffle (duplicate hashes change nothing) and is mergeable by
+    * construction — a partial+final HashAggregate shuffling ≤ 256 rows
+    * per partition, the cheapest possible distinct-count surface at
+    * 100 TB. Only non-empty buckets are emitted (absent ⇒ register 0);
+    * the estimator is an ungated error probe in CurationOpsSpec against
+    * the exact distinct count, mirroring the count-min split (the gate
+    * pins the registers, the spec pins the accuracy).
+    *
+    * The rank arithmetic is engine-agnostic integer/string work:
+    * `53 - length(regexp_replace(bin(rest), '^0+', ''))` — bin() drops
+    * leading zeros in both engines and rest = 0 normalizes to the empty
+    * string, giving the full 52-zero rank of 53.
+    */
+  def sketchHll(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d)
+      .selectExpr(s"explode(shingle_hashes(${T.spark}, 3)) AS h")
+      .selectExpr(s"CAST(h div $hllBucketDiv AS INT) AS balde",
+        s"h % $hllBucketDiv AS resto")
+      .selectExpr("balde",
+        "CAST(53 - length(regexp_replace(bin(resto), '^0+', '')) AS INT) AS rho")
+      .groupBy("balde").agg(max(col("rho")).as("registro"))
+      .orderBy("balde")
+  }
+
   // --------------------------------------------------------- PII redaction
 
   // regexes spelled without backslashes ([.] instead of \.) so the same
@@ -515,6 +548,7 @@ ORDER BY d.doc_id"""
     "q_sample_quota" -> (sampleQuota(_, _)),
     "q_sketch_kmv" -> (sketchKmv _),
     "q_sketch_kmv_onepass" -> (sketchKmvOnePass _),
+    "q_sketch_hll" -> (sketchHll _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
@@ -557,6 +591,16 @@ kth AS (SELECT max(h) AS kesimo_min FROM (SELECT h FROM hs ORDER BY h LIMIT $kmv
 SELECT $kmvK AS k, kesimo_min,
        CAST(${kmvK - 1} AS DOUBLE) / (CAST(kesimo_min AS DOUBLE) / CAST($hashRange AS DOUBLE)) AS estimativa
 FROM kth""",
+    // HLL registers re-derived from scratch: same 60-bit hashes, top-8
+    // bucket split, MAX of (leading-zero rank of the low 52 bits + 1)
+    "q_sketch_hll" ->
+      s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
+hs AS (SELECT ${hash60("s").duck} AS h FROM ex)
+SELECT balde, registro FROM (
+  SELECT CAST(h // $hllBucketDiv AS INTEGER) AS balde,
+         MAX(CAST(53 - length(regexp_replace(bin(h % $hllBucketDiv), '^0+', '')) AS INTEGER)) AS registro
+  FROM hs GROUP BY 1)
+ORDER BY balde""",
     "q_text_redact" ->
       s"""SELECT doc_id,
 CAST(len(regexp_extract_all(texto, '$emailRe')) AS INTEGER) AS n_emails,

@@ -86,6 +86,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(err < 0.30, s"KMV rel error $err vs exact $exact (est $est)")
   }
 
+  test("HLL registers estimate the distinct-shingle count within the error band") {
+    // the gated query pins the registers; this probe pins the ESTIMATOR
+    // (the count-min split: production output gated, accuracy spec'd)
+    val regs = CurationOps.sketchHll(spark, tiny).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(regs.keys.forall(b => b >= 0 && b < 256))
+    assert(regs.values.forall(v => v >= 1 && v <= 53))
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val z = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b, 0).toDouble)).sum
+    val raw = alpha * m * m / z
+    val zeros = m - regs.size
+    // standard small-range (linear-counting) correction
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val exact = spark.read.parquet(s"$tiny/documents.parquet")
+      .selectExpr("explode(shingle_hashes(split(trim(text), '\\\\s+'), 3)) AS h")
+      .agg(countDistinct(col("h"))).head.getLong(0)
+    val err = math.abs(est - exact) / exact
+    // HLL std error ~ 1.04/sqrt(256) = 6.5%; 25% is a ~4-sigma bound
+    assert(err < 0.25, s"HLL rel error $err (est $est vs exact $exact)")
+  }
+
   test("KMinValues aggregator: dedups, bounds state at k, matches sort-limit") {
     import graft.functions.KMinValues
     val a = KMinValues(4)
