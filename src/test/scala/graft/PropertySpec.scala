@@ -166,6 +166,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("l2_sq kernel: bit-exact vs the three-fold template, zero on self, non-negative") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-10.0f, 10.0f))
+    def farr(v: Seq[Float]) = new GenericArrayData(v.toArray[Any])
+    // the reference: THREE separate left-to-right folds combined as
+    // (dv - 2.0*vc) + cc — exactly TextExprs.dot's evaluation order,
+    // which the DuckDB oracles mirror; the kernel must agree BIT-exactly
+    def ref(a: Seq[Float], b: Seq[Float]): Double = {
+      val dv = a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      val vc = a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      val cc = b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      dv - 2.0 * vc + cc
+    }
+    forAll(vecGen, vecGen) { (a, b) =>
+      val k = Kernels.l2sq(farr(a), farr(b), aFloat = true, bFloat = true)
+      assert(java.lang.Double.doubleToLongBits(k) ===
+        java.lang.Double.doubleToLongBits(ref(a, b)),
+        s"kernel diverged from the fold template on $a / $b")
+      // |a-a|² is exactly 0 (aa - 2·aa + aa cancels exactly in IEEE)
+      assert(Kernels.l2sq(farr(a), farr(a), aFloat = true, bFloat = true) === 0.0)
+      assert(k >= -1e-9, s"squared distance must be non-negative, got $k")
+    }
+  }
+
+  test("scd2MergeOn: versioned-merge invariants under random update sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val n = 15 + rnd.nextInt(10)
+      val keys = (1L to n).toSeq
+      // dimension with two attributes; attr2 null for some keys (the
+      // null-safe change-detection surface)
+      val cur = keys.map { k =>
+        (k, s"v$k", if (k % 5 == 0) null else s"w$k",
+          java.sql.Date.valueOf("1995-01-01"),
+          java.sql.Date.valueOf("9999-12-31"), true)
+      }.toDF("k", "a1", "a2", "valid_from", "valid_to", "vigente")
+      val changedKeys = keys.filter(_ => rnd.nextBoolean()).toSet
+      val newKeys = (n + 1L to n + 3L).toSet
+      val up = (keys.map { k =>
+        if (changedKeys(k)) (k, s"v$k'", s"w$k'")   // includes null→value flips
+        else (k, s"v$k", if (k % 5 == 0) null else s"w$k") // no-op re-delivery
+      } ++ newKeys.map(k => (k, s"nv$k", s"nw$k"))).toDF("k", "a1", "a2")
+      val merged = graft.etl.Scd.scd2MergeOn(cur, up, "k", Seq("a1", "a2"),
+        "2000-06-01").cache()
+      // row count: every original row survives + one closed version per
+      // changed key + one open row per brand-new key
+      assert(merged.count() === n + changedKeys.size + newKeys.size)
+      // exactly one open version per key
+      val open = merged.filter(col("vigente"))
+      assert(open.count() === n + newKeys.size)
+      assert(open.select("k").distinct().count() === n + newKeys.size)
+      // unchanged keys (incl. the null-attr no-op re-deliveries) pass
+      // through byte-identical — still open since the epoch
+      assert(open.filter(!col("k").isInCollection(changedKeys ++ newKeys) &&
+        col("valid_from") === lit("1995-01-01").cast("date")).count()
+        === n - changedKeys.size)
+      // changed keys: closed old version at the load date + reopened row
+      val closed = merged.filter(!col("vigente"))
+      assert(closed.count() === changedKeys.size)
+      assert(closed.filter(col("valid_to") === lit("2000-06-01").cast("date"))
+        .count() === changedKeys.size)
+      assert(open.filter(col("k").isInCollection(changedKeys) &&
+        col("valid_from") === lit("2000-06-01").cast("date")).count()
+        === changedKeys.size)
+      // applying the SAME batch again changes nothing (idempotent merge:
+      // re-delivered attributes equal the now-current versions)
+      val again = graft.etl.Scd.scd2MergeOn(merged, up, "k", Seq("a1", "a2"),
+        "2000-07-01")
+      assert(again.count() === merged.count())
+      assert(again.filter(!col("vigente")).count() === changedKeys.size)
+      merged.unpersist()
+    }
+  }
+
   test("fact metric identity holds on generated rows in DecimalType") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
