@@ -164,8 +164,10 @@ object Bench {
       "q_fact_incremental", "q_scd2_pit_join",
       // r10: the composed maintenance loop — SCD2 state store + PIT fact
       // increments (full lifecycle per rep: init, load 1, dim merge,
-      // load 2, read-back)
-      "q_fact_scd2_lifecycle").foreach { name =>
+      // load 2, read-back) — plus the HLL register sketch and the
+      // unigram frequency-prior score
+      "q_fact_scd2_lifecycle", "q_sketch_hll",
+      "q_unigram_logrank").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -168,6 +168,38 @@ object CurationOps {
       .orderBy("balde")
   }
 
+  /** Unigram log₂-rank fluency score — a CCNet-style frequency-prior
+    * quality signal with NO transcendental functions: each token's
+    * weight is floor(log₂(corpus frequency)) (exact integer, both
+    * engines derive it with the same bin-length device as the HLL
+    * rank), and a doc's score is the mean weight of its tokens. Docs
+    * built from common vocabulary score high; rare-token/garbage-heavy
+    * docs score low — the LM-perplexity proxy a curation pass can gate
+    * on without a trained model. Integer weight sums are
+    * partial-aggregation-order invariant, so the gate stays bit-exact
+    * with a single final division.
+    *
+    * Scale shape: one corpus vocab aggregate, equi-joined back to the
+    * exploded token stream (broadcastable while the vocab fits; a plain
+    * shuffled equi-join beyond), one per-doc integer sum — no windows,
+    * no all-pairs anything.
+    */
+  def unigramLogRank(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", s"explode(${T.spark}) AS tok")
+    val freq = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .selectExpr("tok",
+        "CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS BIGINT) AS w")
+    toks.join(freq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("soma_pesos"), count(lit(1)).as("n_tokens"))
+      .selectExpr("doc_id", "CAST(n_tokens AS INTEGER) AS n_tokens",
+        "soma_pesos",
+        "CAST(soma_pesos AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS escore_fluencia")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- PII redaction
 
   // regexes spelled without backslashes ([.] instead of \.) so the same
@@ -549,6 +581,7 @@ ORDER BY d.doc_id"""
     "q_sketch_kmv" -> (sketchKmv _),
     "q_sketch_kmv_onepass" -> (sketchKmvOnePass _),
     "q_sketch_hll" -> (sketchHll _),
+    "q_unigram_logrank" -> (unigramLogRank _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
@@ -601,6 +634,20 @@ SELECT balde, registro FROM (
          MAX(CAST(53 - length(regexp_replace(bin(h % $hllBucketDiv), '^0+', '')) AS INTEGER)) AS registro
   FROM hs GROUP BY 1)
 ORDER BY balde""",
+    // the frequency-prior score re-derived: same vocab counts, same
+    // bin-length floor(log2), same integer sum + one division
+    "q_unigram_logrank" ->
+      s"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(${T.duck}) AS tok FROM documents),
+freq AS (
+  SELECT tok,
+         CAST(length(regexp_replace(bin(COUNT(*)), '^0+', '')) - 1 AS BIGINT) AS w
+  FROM toks GROUP BY tok)
+SELECT t.doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(f.w) AS BIGINT) AS soma_pesos,
+       CAST(SUM(f.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS escore_fluencia
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_text_redact" ->
       s"""SELECT doc_id,
 CAST(len(regexp_extract_all(texto, '$emailRe')) AS INTEGER) AS n_emails,
