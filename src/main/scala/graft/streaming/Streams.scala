@@ -776,6 +776,48 @@ object Streams {
       .orderBy("id_pedido")
   }
 
+  /** The HLL sketch maintained INCREMENTALLY — the live distinct-count
+    * register table a streaming ingest keeps: docs arrive as a file
+    * stream (two staged parity slices, one micro-batch each), each batch
+    * derives its partial registers (the SAME derivation as the one-shot
+    * gate, graft.text.CurationOps.hllRegistersOf) and merges them into
+    * the stored 256-row register table by bucket-wise MAX — the
+    * mergeability that makes HLL the canonical streamed sketch,
+    * exercised for real. Per-batch state cost is O(m)=256 rows,
+    * corpus-size-independent (this is the one state store where a full
+    * rewrite per batch IS the right shape). Gated against the same
+    * DuckDB oracle as q_sketch_hll: MAX-merge is order- and
+    * partition-insensitive, so batch boundaries cannot leak.
+    */
+  def sketchHllStreamed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = tempDir("graft_hll_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    var ver = -1
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = graft.text.CurationOps.hllRegistersOf(batch)
+        val merged =
+          if (ver < 0) partial
+          else partial.unionByName(spark.read.parquet(sub(s"state_v$ver")))
+            .groupBy("balde").agg(max(col("registro")).as("registro"))
+        merged.write.mode("overwrite").parquet(sub(s"state_v${ver + 1}"))
+        ver += 1
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub(s"state_v$ver")).orderBy("balde")
+  }
+
   /** One signal-passing doc arriving at the streamed dedup stage (public
     * for codegen).
     */

@@ -158,15 +158,30 @@ object CurationOps {
     */
   def sketchHll(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    documents(s, d)
-      .selectExpr(s"explode(shingle_hashes(${T.spark}, 3)) AS h")
+    hllRegistersOf(documents(s, d)).orderBy("balde")
+  }
+
+  /** The register derivation over any (text) batch — shared by the
+    * one-shot gate and the streamed per-batch merge, so the two forms
+    * cannot drift. Caller must have registered the native functions.
+    */
+  private[graft] def hllRegistersOf(docs: DataFrame): DataFrame =
+    docs.selectExpr(s"explode(shingle_hashes(${T.spark}, 3)) AS h")
       .selectExpr(s"CAST(h div $hllBucketDiv AS INT) AS balde",
         s"h % $hllBucketDiv AS resto")
       .selectExpr("balde",
         "CAST(53 - length(regexp_replace(bin(resto), '^0+', '')) AS INT) AS rho")
       .groupBy("balde").agg(max(col("rho")).as("registro"))
-      .orderBy("balde")
-  }
+
+  /** One oracle for both HLL forms (one-shot and streamed MAX-merge). */
+  private lazy val sketchHllOracle: String =
+    s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
+hs AS (SELECT ${hash60("s").duck} AS h FROM ex)
+SELECT balde, registro FROM (
+  SELECT CAST(h // $hllBucketDiv AS INTEGER) AS balde,
+         MAX(CAST(53 - length(regexp_replace(bin(h % $hllBucketDiv), '^0+', '')) AS INTEGER)) AS registro
+  FROM hs GROUP BY 1)
+ORDER BY balde"""
 
   /** Unigram log₂-rank fluency score — a CCNet-style frequency-prior
     * quality signal with NO transcendental functions: each token's
@@ -581,6 +596,8 @@ ORDER BY d.doc_id"""
     "q_sketch_kmv" -> (sketchKmv _),
     "q_sketch_kmv_onepass" -> (sketchKmvOnePass _),
     "q_sketch_hll" -> (sketchHll _),
+    // the register table maintained per micro-batch by bucket-wise MAX
+    "q_sketch_hll_stream" -> (graft.streaming.Streams.sketchHllStreamed _),
     "q_unigram_logrank" -> (unigramLogRank _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
@@ -626,14 +643,9 @@ SELECT $kmvK AS k, kesimo_min,
 FROM kth""",
     // HLL registers re-derived from scratch: same 60-bit hashes, top-8
     // bucket split, MAX of (leading-zero rank of the low 52 bits + 1)
-    "q_sketch_hll" ->
-      s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
-hs AS (SELECT ${hash60("s").duck} AS h FROM ex)
-SELECT balde, registro FROM (
-  SELECT CAST(h // $hllBucketDiv AS INTEGER) AS balde,
-         MAX(CAST(53 - length(regexp_replace(bin(h % $hllBucketDiv), '^0+', '')) AS INTEGER)) AS registro
-  FROM hs GROUP BY 1)
-ORDER BY balde""",
+    "q_sketch_hll" -> sketchHllOracle,
+    // the streamed per-batch MAX-merge converges to the same registers
+    "q_sketch_hll_stream" -> sketchHllOracle,
     // the frequency-prior score re-derived: same vocab counts, same
     // bin-length floor(log2), same integer sum + one division
     "q_unigram_logrank" ->
