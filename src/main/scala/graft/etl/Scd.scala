@@ -347,7 +347,7 @@ changed AS (
   SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
          u.nome AS nome_u, u.segmento AS seg_u
   FROM dimv d JOIN up u USING (id_cliente)
-  WHERE u.segmento <> d.segmento OR u.nome <> d.nome)
+  WHERE u.segmento IS DISTINCT FROM d.segmento OR u.nome IS DISTINCT FROM d.nome)
 SELECT id_cliente, nome, segmento, valid_from, valid_to, vigente FROM (
   SELECT id_cliente, nome_d AS nome, seg_d AS segmento, valid_from,
          DATE '1999-01-01' AS valid_to, false AS vigente FROM changed
@@ -356,7 +356,7 @@ SELECT id_cliente, nome, segmento, valid_from, valid_to, vigente FROM (
   UNION ALL
   SELECT d.id_cliente, d.nome, d.segmento, d.valid_from, DATE '9999-12-31', true
   FROM dimv d LEFT JOIN up u USING (id_cliente)
-  WHERE u.id_cliente IS NULL OR (u.segmento = d.segmento AND u.nome = d.nome)
+  WHERE u.id_cliente IS NULL OR (u.segmento IS NOT DISTINCT FROM d.segmento AND u.nome IS NOT DISTINCT FROM d.nome)
   UNION ALL
   SELECT u.id_cliente, u.nome, u.segmento, DATE '1999-01-01', DATE '9999-12-31', true
   FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
@@ -373,7 +373,7 @@ changed AS (
   SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
          u.nome AS nome_u, u.segmento AS seg_u
   FROM dimv d JOIN up u USING (id_cliente)
-  WHERE u.segmento <> d.segmento OR u.nome <> d.nome),
+  WHERE u.segmento IS DISTINCT FROM d.segmento OR u.nome IS DISTINCT FROM d.nome),
 versions AS (
   SELECT id_cliente, nome_d AS nome, seg_d AS segmento, valid_from,
          DATE '1996-06-01' AS valid_to FROM changed
@@ -382,7 +382,7 @@ versions AS (
   UNION ALL
   SELECT d.id_cliente, d.nome, d.segmento, d.valid_from, DATE '9999-12-31'
   FROM dimv d LEFT JOIN up u USING (id_cliente)
-  WHERE u.id_cliente IS NULL OR (u.segmento = d.segmento AND u.nome = d.nome)
+  WHERE u.id_cliente IS NULL OR (u.segmento IS NOT DISTINCT FROM d.segmento AND u.nome IS NOT DISTINCT FROM d.nome)
   UNION ALL
   SELECT u.id_cliente, u.nome, u.segmento, DATE '1996-06-01', DATE '9999-12-31'
   FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))
@@ -421,7 +421,7 @@ changed AS (
   SELECT d.id_cliente, d.nome AS nome_d, d.segmento AS seg_d, d.valid_from,
          u.nome AS nome_u, u.segmento AS seg_u
   FROM dimv d JOIN up u USING (id_cliente)
-  WHERE u.segmento <> d.segmento OR u.nome <> d.nome),
+  WHERE u.segmento IS DISTINCT FROM d.segmento OR u.nome IS DISTINCT FROM d.nome),
 versions AS (
   SELECT id_cliente, nome_d AS nome, seg_d AS segmento, valid_from,
          DATE '1996-06-01' AS valid_to FROM changed
@@ -430,7 +430,7 @@ versions AS (
   UNION ALL
   SELECT d.id_cliente, d.nome, d.segmento, d.valid_from, DATE '9999-12-31'
   FROM dimv d LEFT JOIN up u USING (id_cliente)
-  WHERE u.id_cliente IS NULL OR (u.segmento = d.segmento AND u.nome = d.nome)
+  WHERE u.id_cliente IS NULL OR (u.segmento IS NOT DISTINCT FROM d.segmento AND u.nome IS NOT DISTINCT FROM d.nome)
   UNION ALL
   SELECT u.id_cliente, u.nome, u.segmento, DATE '1996-06-01', DATE '9999-12-31'
   FROM up u WHERE NOT EXISTS (SELECT 1 FROM dimv d WHERE d.id_cliente = u.id_cliente))

@@ -209,9 +209,18 @@ object Kernels {
     */
   def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
+    // ArrayData reads are unchecked: an OOB index or a null element slot
+    // returns garbage rather than failing, so mismatched vectors or null
+    // elements must be rejected HERE or the distance is silently wrong
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"l2_sq: vector length mismatch ($n vs ${b.numElements()})")
     var aa = 0.0; var ab = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"l2_sq: null element at position $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       aa += x * x; ab += x * y; bb += y * y

@@ -535,10 +535,19 @@ object EmbeddingOps {
     lut.groupBy(col("query_id"), col("m"))
       .agg(array_sort(collect_list(struct(col("code"), col("part")))).as("cp"))
       .select(col("query_id"), col("m"),
-        expr("transform(cp, x -> x.part)").as("row"))
+        // position == code is load-bearing for adcSum's 0-based lookups:
+        // a training round that left a codebook cell empty would drop it
+        // from the LUT and silently shift every higher code's position,
+        // so non-density fails loudly here instead of misaligning
+        expr(s"""transform(cp, (x, i) -> CASE
+          WHEN size(cp) = $PQ_K AND x.code = i THEN x.part
+          ELSE raise_error('lutParts: non-dense PQ codebook — codes must be exactly 0..K-1 per subspace') END)""").as("row"))
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("row")))).as("mr"))
-      .select(col("query_id"), expr("transform(mr, x -> x.row)").as("parts"))
+      .select(col("query_id"),
+        expr(s"""transform(mr, (x, i) -> CASE
+          WHEN size(mr) = $PQ_M AND x.m = i THEN x.row
+          ELSE raise_error('lutParts: non-dense subspace ids — m must be exactly 0..M-1') END)""").as("parts"))
 
   /** Fixed left-to-right 4-part ADC sum via the parts lookup — the same
     * addition order as the oracle's `part0 + part1 + part2 + part3`.
@@ -906,8 +915,12 @@ object EmbeddingOps {
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_incr_$h"
     val base = corpus(s, d).select("vec_id", "embedding")
+    // the stamp records what the centroids were trained ON — here the
+    // 9/10 build slice, NOT the full dataset — so it must never equal
+    // datasetFingerprint(d) or a composed build with centroidsFrom at
+    // this dir would silently reuse slice-trained centroids as full-corpus
     buildIvfIndexKmeansOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival),
-      dir, datasetFingerprint(d))
+      dir, datasetFingerprint(d) + ":incr")
     appendIvfIndexKmeans(s, base.filter(IncrArrival), dir): Unit
     annIvfKmeansIndexed(s, d, dir)
   }
