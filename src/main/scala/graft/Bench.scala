@@ -238,7 +238,7 @@ object Bench {
         base.filter(!arrival), base.filter(!arrival), incrIdx, "bench")
       time("ann_kmeans_index_append") {
         graft.sim.EmbeddingOps.appendIvfIndexKmeans(
-          spark, base.filter(arrival), incrIdx): Unit
+          spark, base.filter(arrival), incrIdx, batchId = 0L): Unit
       }
       // same lifecycle for the COMPOSED compressed index: arrivals are
       // encoded with the stored codebooks + coarse-assigned, appended
@@ -247,7 +247,7 @@ object Bench {
         base.filter(!arrival), base.filter(!arrival), incrPqIdx)
       time("ann_ivfpq_index_append") {
         graft.sim.EmbeddingOps.appendIvfPqIndex(
-          spark, base.filter(arrival), incrPqIdx)
+          spark, base.filter(arrival), incrPqIdx, batchId = 0L)
       }
     }
     rmTree(incrIdx)

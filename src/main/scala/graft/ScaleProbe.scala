@@ -216,10 +216,10 @@ object ScaleProbe {
     }
     appendRow("kmeans_append",
       (b, dir) => sim.EmbeddingOps.buildIvfIndexKmeansOn(spark, b, b, dir, "probe"),
-      (b, dir) => { sim.EmbeddingOps.appendIvfIndexKmeans(spark, b, dir): Unit })
+      (b, dir) => { sim.EmbeddingOps.appendIvfIndexKmeans(spark, b, dir, batchId = 0L): Unit })
     appendRow("ivfpq_append",
       (b, dir) => sim.EmbeddingOps.buildIvfPqIndexOn(spark, b, b, dir),
-      (b, dir) => sim.EmbeddingOps.appendIvfPqIndex(spark, b, dir))
+      (b, dir) => sim.EmbeddingOps.appendIvfPqIndex(spark, b, dir, batchId = 0L))
     spark.stop()
     if (fails + appendFails > 0) { System.err.println(s"[dedup-probe] FAIL: ${fails + appendFails} op(s) grew super-linearly"); sys.exit(1) }
   }

@@ -697,7 +697,9 @@ object EmbeddingOps {
     pcents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     pqCodesOf(s, d, pcents)
       .join(assignCells(s, base, cents).select("vec_id", "cell"), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(s"$indexDir/codes")
   }
 
   /** The composed IVF-PQ build over explicit bases: both trainings run
@@ -715,7 +717,9 @@ object EmbeddingOps {
     pqCodesOfBase(pqSubOf(assignBase), pcents)
       .join(assignCells(s, assignBase, cents).select("vec_id", "cell"),
         Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(s"$indexDir/codes")
   }
 
   /** Incremental maintenance for the COMPOSED index — the compressed
@@ -728,13 +732,18 @@ object EmbeddingOps {
     * q_ann_ivfpq_incr gates end to end.
     */
   private[graft] def appendIvfPqIndex(s: SparkSession, newRows: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: Long): Unit = {
     val cents = s.read.parquet(s"$indexDir/centroids")
     val pcents = s.read.parquet(s"$indexDir/codebooks")
+    // same exactly-once shape as appendIvfIndexKmeans: the batch owns its
+    // (cell, batch) partitions, so a replay overwrites itself
     pqCodesOfBase(pqSubOf(newRows), pcents)
       .join(assignCells(s, newRows, cents).select("vec_id", "cell"),
         Seq("vec_id"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch")
+      .parquet(s"$indexDir/codes")
   }
 
   /** The incremental IVF-PQ lifecycle as a gated query (the composed
@@ -750,7 +759,7 @@ object EmbeddingOps {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_$h"
     val base = corpus(s, d).select("vec_id", "embedding")
     buildIvfPqIndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
-    appendIvfPqIndex(s, base.filter(IncrArrival), dir)
+    appendIvfPqIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annIvfPqIndexed(s, d, dir)
   }
 
@@ -855,8 +864,13 @@ object EmbeddingOps {
     val cents = kmeansCentroidsOf(trainBase)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, assignBase, cents))
+    // cells carry a second `batch` partition level (-1 = the build) so
+    // incremental appends land in per-(cell, batch) partitions that a
+    // foreachBatch REPLAY can dynamically overwrite instead of
+    // duplicating — the exactly-once contract of the streamed ingest
     asg.select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
       .parquet(s"$indexDir/cells")
     asg.agg(avg(col("dist")).as("mean_dist"), count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
@@ -884,11 +898,17 @@ object EmbeddingOps {
     * probes, and scaled-out arrivals push the ratio past the threshold.
     */
   private[graft] def appendIvfIndexKmeans(s: SparkSession, newRows: DataFrame,
-      indexDir: String): Double = {
+      indexDir: String, batchId: Long): Double = {
     val cents = s.read.parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, newRows, cents))
+    // dynamic overwrite of THIS batch's (cell, batch) partitions only:
+    // indexed files from the build and other batches are untouched, and
+    // a replay of the same batchId replaces its own partitions instead
+    // of appending beside them — idempotent under foreachBatch redelivery
     asg.select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("append").partitionBy("cell")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch")
       .parquet(s"$indexDir/cells")
     val batchMean = asg.agg(avg(col("dist"))).head.getDouble(0)
     val trainMean = s.read.parquet(s"$indexDir/stats")
@@ -921,7 +941,7 @@ object EmbeddingOps {
     // this dir would silently reuse slice-trained centroids as full-corpus
     buildIvfIndexKmeansOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival),
       dir, datasetFingerprint(d) + ":incr")
-    appendIvfIndexKmeans(s, base.filter(IncrArrival), dir): Unit
+    appendIvfIndexKmeans(s, base.filter(IncrArrival), dir, batchId = 0L): Unit
     annIvfKmeansIndexed(s, d, dir)
   }
 

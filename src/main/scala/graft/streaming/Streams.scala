@@ -644,14 +644,16 @@ object Streams {
     * runs: update batches arrive as a file stream (two staged
     * disjoint-key slices, one micro-batch each), and each batch applies
     * the SAME merge kernel the one-shot gate runs
-    * (graft.etl.Scd.scd2Merge) against the PARTITIONED version-table
-    * state store (graft.etl.Scd.applyBatchToStore): the batch reads only
-    * the `cur=1` partition, appends its newly-closed rows to the history
-    * partition, and dynamically overwrites the current partition alone —
-    * history rows are never read or rewritten per micro-batch, so the
-    * per-batch sink cost is O(|current| + |updates|), not O(|dim| with
-    * all accumulated history). ScdPitSpec pins the history partition's
-    * file listing byte-identical across batches. Gated against the SAME
+    * (graft.etl.Scd.scd2Merge) against the versioned state store
+    * (graft.etl.Scd.applyBatchToStore): the batch reads only the
+    * committed current dir, stages its newly-closed rows into an
+    * immutable per-batch history dir, and atomically advances the commit
+    * pointer — history rows are never read or rewritten per micro-batch,
+    * so the per-batch sink cost is O(|current| + |updates|), not O(|dim|
+    * with all accumulated history), and the batchId watermark makes the
+    * apply EXACTLY-ONCE under foreachBatch redelivery (ScdPitSpec pins
+    * history immutability, the replay skip, and the crash-window
+    * replay). Gated against the SAME
     * DuckDB oracle as q_scd2_apply: the update split carries disjoint key
     * sets (changed keys are the positive business keys, brand-new keys
     * the negative sentinels), so sequential merging provably lands on the
@@ -669,8 +671,12 @@ object Streams {
       .schema(spark.read.parquet(sub("in")).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub("in"))
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.etl.Scd.applyBatchToStore(spark, sub("state"), batch, "1999-01-01")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batchId threads through to the store's commit watermark: a
+        // replayed batch after a restart is skipped, not re-applied —
+        // the store is exactly-once, not at-least-once
+        graft.etl.Scd.applyBatchToStore(spark, sub("state"), batch,
+          "1999-01-01", batchId)
       }
       .option("checkpointLocation", sub("cp"))
       .trigger(Trigger.AvailableNow()).start()
@@ -708,8 +714,12 @@ object Streams {
       .schema(spark.read.parquet(sub("in")).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub("in"))
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sim.EmbeddingOps.appendIvfIndexKmeans(spark, batch, sub("idx")): Unit
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the batch owns its (cell, batch) partitions: a replay after a
+        // restart dynamically overwrites them instead of duplicating
+        // appended vectors — exactly-once index maintenance
+        graft.sim.EmbeddingOps.appendIvfIndexKmeans(spark, batch, sub("idx"),
+          batchId): Unit
       }
       .option("checkpointLocation", sub("cp"))
       .trigger(Trigger.AvailableNow()).start()
@@ -735,7 +745,11 @@ object Streams {
     *
     * The dim update hooks on the batch carrying any POST-cut order (not
     * on a hardcoded batch id), so the lifecycle stays correct under any
-    * file-to-batch packing the source chooses.
+    * file-to-batch packing the source chooses. Both sinks are
+    * EXACTLY-ONCE under redelivery: the dim merge is guarded by the
+    * store's commit watermark (no driver-side flag to reset on restart),
+    * and each fact micro-batch dynamically overwrites its own batch=<id>
+    * partition instead of appending.
     */
   def factScd2LifecycleStreamed(spark: SparkSession, dir: String): DataFrame = {
     val base = tempDir("graft_scd2life_stream")
@@ -750,22 +764,27 @@ object Streams {
     o.filter(col("data_pedido") >= lit(cut)).coalesce(1)
       .write.mode("append").parquet(sub("in"))
     graft.etl.Scd.initStateStore(spark, dir, sub("state"))
-    var dimUpdated = false
     val stream = spark.readStream
       .schema(spark.read.parquet(sub("in")).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub("in"))
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val hasPostCut = batch.filter(col("data_pedido") >= lit(cut)).limit(1)
           .count() > 0
-        if (hasPostCut && !dimUpdated) {
+        // the dim merge applies once, guarded by the STORE's own commit
+        // watermark (its single update batch is store-batch 0) — no
+        // driver-side var, so a restarted query cannot re-apply it
+        if (hasPostCut)
           graft.etl.Scd.applyBatchToStore(spark, sub("state"),
-            graft.etl.Scd.updateBatch(spark, dir), cut)
-          dimUpdated = true
-        }
+            graft.etl.Scd.updateBatch(spark, dir), cut, batchId = 0L)
+        // the fact sink is idempotent by batch id: each micro-batch owns
+        // its batch=<id> partition and a replay dynamically overwrites it
+        // — no duplicated fact rows under redelivery
         graft.etl.Scd.pitResolve(batch,
             graft.etl.Scd.readStateStore(spark, sub("state")))
-          .write.mode("append").parquet(sub("fato"))
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(sub("fato"))
       }
       .option("checkpointLocation", sub("cp"))
       .trigger(Trigger.AvailableNow()).start()
@@ -785,7 +804,11 @@ object Streams {
     * mergeability that makes HLL the canonical streamed sketch,
     * exercised for real. Per-batch state cost is O(m)=256 rows,
     * corpus-size-independent (this is the one state store where a full
-    * rewrite per batch IS the right shape). Gated against the same
+    * rewrite per batch IS the right shape); the store is ONE live
+    * register table behind an atomic commit pointer — per-batch staging
+    * plus batchId watermark (graft.text.CurationOps.hllApplyBatch), so
+    * replays are skipped and superseded state dirs are dropped rather
+    * than accumulating as a version trail. Gated against the same
     * DuckDB oracle as q_sketch_hll: MAX-merge is order- and
     * partition-insensitive, so batch boundaries cannot leak.
     */
@@ -798,24 +821,18 @@ object Streams {
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
     docs.filter(col("doc_id") % 2 === 1).coalesce(1)
       .write.mode("append").parquet(sub("in"))
-    var ver = -1
+    val state = sub("state")
     val stream = spark.readStream
       .schema(spark.read.parquet(sub("in")).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub("in"))
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val partial = graft.text.CurationOps.hllRegistersOf(batch)
-        val merged =
-          if (ver < 0) partial
-          else partial.unionByName(spark.read.parquet(sub(s"state_v$ver")))
-            .groupBy("balde").agg(max(col("registro")).as("registro"))
-        merged.write.mode("overwrite").parquet(sub(s"state_v${ver + 1}"))
-        ver += 1
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.CurationOps.hllApplyBatch(spark, state, batch, batchId)
       }
       .option("checkpointLocation", sub("cp"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(sub(s"state_v$ver")).orderBy("balde")
+    graft.text.CurationOps.hllReadState(spark, state).orderBy("balde")
   }
 
   /** One signal-passing doc arriving at the streamed dedup stage (public

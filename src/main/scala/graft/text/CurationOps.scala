@@ -173,6 +173,39 @@ object CurationOps {
         "CAST(53 - length(regexp_replace(bin(resto), '^0+', '')) AS INT) AS rho")
       .groupBy("balde").agg(max(col("rho")).as("registro"))
 
+  /** One streamed micro-batch of HLL maintenance, EXACTLY-ONCE: derive
+    * the batch's partial registers, MAX-merge them with the committed
+    * state, stage into a per-batch dir and atomically advance the commit
+    * pointer (graft.etl.StoreCommit) — then drop the superseded dir, so
+    * the store holds ONE live register table, not a `state_v{n}` trail.
+    * A replayed batch (id at or below the watermark) is skipped; a batch
+    * that crashed mid-write re-stages over its own partial files. State
+    * is O(m)=256 rows per batch regardless of corpus size.
+    */
+  private[graft] def hllApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val partial = hllRegistersOf(batch)
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
+          .groupBy("balde").agg(max(col("registro")).as("registro"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/regs_b$batchId")
+    StoreCommit.commit(stateDir, s"regs_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "regs_b")
+  }
+
+  /** The committed register table. */
+  private[graft] def hllReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"HLL state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir")
+  }
+
   /** One oracle for both HLL forms (one-shot and streamed MAX-merge). */
   private lazy val sketchHllOracle: String =
     s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),

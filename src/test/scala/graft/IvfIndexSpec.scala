@@ -83,13 +83,15 @@ class IvfIndexSpec extends SparkSpec {
     // split arrival: build on 9/10, append the rest — no retraining
     EmbeddingOps.buildIvfIndexKmeansOn(spark, base.filter(!arrival),
       base.filter(!arrival), incrDir, "t")
-    val histFiles = {
-      val cellDirs = new java.io.File(s"$incrDir/cells").listFiles()
-        .filter(_.getName.startsWith("cell="))
-      cellDirs.flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
-        .map(f => (f.getPath, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    def parquetListing(dir: String): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
     }
-    val drift = EmbeddingOps.appendIvfIndexKmeans(spark, base.filter(arrival), incrDir)
+    val histFiles = parquetListing(s"$incrDir/cells")
+    val drift = EmbeddingOps.appendIvfIndexKmeans(spark, base.filter(arrival), incrDir, batchId = 0L)
     // one-shot twin: same training slice, full-corpus assignment
     EmbeddingOps.buildIvfIndexKmeansOn(spark, base.filter(!arrival), base,
       fullDir, "t")
@@ -97,12 +99,7 @@ class IvfIndexSpec extends SparkSpec {
       EmbeddingOps.annIvfKmeansIndexed(spark, tiny, fullDir).collect(),
       "append must be indistinguishable from indexing the arrivals at build time")
     // the append never rewrote an already-indexed file (O(batch), not O(corpus))
-    val after = {
-      val cellDirs = new java.io.File(s"$incrDir/cells").listFiles()
-        .filter(_.getName.startsWith("cell="))
-      cellDirs.flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
-        .map(f => (f.getPath, f.length, f.lastModified)).toSeq.sortBy(_._1)
-    }
+    val after = parquetListing(s"$incrDir/cells")
     histFiles.foreach { f =>
       assert(after.contains(f), s"append rewrote indexed file $f")
     }
@@ -113,7 +110,7 @@ class IvfIndexSpec extends SparkSpec {
     // the ratio past any sane retrain threshold
     val outliers = base.filter(arrival)
       .selectExpr("vec_id", "transform(embedding, x -> x * 10.0F) AS embedding")
-    val drift2 = EmbeddingOps.appendIvfIndexKmeans(spark, outliers, incrDir)
+    val drift2 = EmbeddingOps.appendIvfIndexKmeans(spark, outliers, incrDir, batchId = 1L)
     assert(drift2 > 2.0, s"scaled-out arrivals must flag retraining, got $drift2")
   }
 
@@ -126,15 +123,38 @@ class IvfIndexSpec extends SparkSpec {
     val arrival = col("vec_id") % 10 === 9
     EmbeddingOps.buildIvfPqIndexOn(spark, base.filter(!arrival),
       base.filter(!arrival), incrDir)
-    EmbeddingOps.appendIvfPqIndex(spark, base.filter(arrival), incrDir)
+    EmbeddingOps.appendIvfPqIndex(spark, base.filter(arrival), incrDir, batchId = 0L)
     EmbeddingOps.buildIvfPqIndexOn(spark, base.filter(!arrival), base, fullDir)
     assert(EmbeddingOps.annIvfPqIndexed(spark, tiny, incrDir).collect() ===
       EmbeddingOps.annIvfPqIndexed(spark, tiny, fullDir).collect(),
       "appended composed index must serve probes identical to a one-shot build")
     // and the stored code tables agree row-for-row (compression included)
-    val a = spark.read.parquet(s"$incrDir/codes").orderBy("vec_id").collect()
-    val b = spark.read.parquet(s"$fullDir/codes").orderBy("vec_id").collect()
+    // (modulo the ingest-batch partition column, which records WHEN a
+    // vector arrived and so legitimately differs between the two builds)
+    val a = spark.read.parquet(s"$incrDir/codes").drop("batch").orderBy("vec_id").collect()
+    val b = spark.read.parquet(s"$fullDir/codes").drop("batch").orderBy("vec_id").collect()
     assert(a === b)
+  }
+
+  test("a replayed append (same batchId) overwrites itself instead of duplicating — exactly-once under redelivery") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_replay").toString
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    EmbeddingOps.buildIvfIndexKmeansOn(spark, base.filter(!arrival),
+      base.filter(!arrival), dir, "t")
+    EmbeddingOps.appendIvfIndexKmeans(spark, base.filter(arrival), dir,
+      batchId = 0L): Unit
+    val once = spark.read.parquet(s"$dir/cells").count()
+    val probeOnce = EmbeddingOps.annIvfKmeansIndexed(spark, tiny, dir).collect()
+    // foreachBatch redelivery after a restart: the SAME batch arrives again
+    EmbeddingOps.appendIvfIndexKmeans(spark, base.filter(arrival), dir,
+      batchId = 0L): Unit
+    assert(spark.read.parquet(s"$dir/cells").count() === once,
+      "a replayed batch must not grow the index")
+    assert(EmbeddingOps.annIvfKmeansIndexed(spark, tiny, dir).collect()
+      === probeOnce)
   }
 
   test("IVF-PQ built from shared km centroids + pq codebooks is byte-identical") {

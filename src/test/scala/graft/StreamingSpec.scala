@@ -177,6 +177,39 @@ class StreamingSpec extends SparkSpec {
     assert(result.select("event_id").distinct().count() === sample.length + 1)
   }
 
+  test("scd2 foreachBatch store: a killed-and-restarted query resumes from the checkpoint onto the one-shot table") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_restart")
+    def sub(n: String) = base.resolve(n).toString
+    val up = graft.etl.Scd.updateBatch(spark, tiny)
+    graft.etl.Scd.initStateStore(spark, tiny, sub("state"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(up.schema)
+        .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.etl.Scd.applyBatchToStore(spark, sub("state"), b,
+            "1999-01-01", id)
+        }
+        .option("checkpointLocation", sub("cp"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    up.filter(col("id_cliente") >= 0).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    runOnce() // run 1 processes the changed keys, then the query dies
+    up.filter(col("id_cliente") < 0).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    // the restarted query resumes from the checkpoint: source offsets
+    // skip the processed file, and any redelivered batch id bounces off
+    // the store's commit watermark instead of double-applying
+    runOnce()
+    val store = graft.etl.Scd.readStateStore(spark, sub("state"))
+      .orderBy("id_cliente", "valid_from", "vigente").collect()
+    assert(store === graft.etl.Scd.scd2(spark, tiny).collect(),
+      "restart must land on exactly the one-shot version table")
+  }
+
   test("sessionization: idle sessions flush on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
