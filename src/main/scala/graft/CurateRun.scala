@@ -50,30 +50,33 @@ object CurateRun {
     "gopher mantem" -> "ok_gopher",
     "not repetitive" -> "ok_rep",
     "lang-id agrees" -> "ok_lang",
-    "vocab coverage" -> "ok_vocab")
+    "vocab coverage" -> "ok_vocab",
+    "fluency prior" -> "ok_fluency")
 
   /** ONE corpus pass evaluating every per-row signal verdict (quality,
     * gopher battery, repetition, lang-ID agreement — the shared
-    * curateSignals projection, tokenize-once) plus the vocab-coverage
-    * join (vocabOov is the one gate that needs a corpus-wide aggregate,
-    * so it is one more scan, not five). Stage 1 of the funnel used to
-    * re-scan and re-tokenize the corpus once PER GATE; at 100 TB the
-    * difference is 5 corpus scans vs 2. Materialized through a
+    * curateSignals projection, tokenize-once) plus the corpus-aggregate
+    * verdicts (vocab coverage AND the fluency prior), which share ONE
+    * materialized exploded-token projection and ONE term-count aggregate
+    * (CurationOps.corpusAggVerdicts) — so the fluency gate costs the
+    * funnel zero additional corpus scans. Stage 1 used to re-scan and
+    * re-tokenize the corpus once PER GATE; at 100 TB the difference is 6
+    * corpus scans vs 2-and-the-token-projection. Materialized through a
     * checkpoint barrier — every funnel count and the keep-list read it.
     */
   private[graft] def signalTable(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text")
     val sig = CurationOps.curateSignals(base, barrier = false, withGopher = true)
-    val oov = CurationOps.vocabOov(s, d).select("doc_id", "taxa_oov")
+    val agg = CurationOps.corpusAggVerdicts(s, d)
     graft.Checkpoint.barrier(
-      sig.join(oov, Seq("doc_id"), "left")
+      sig.join(agg, Seq("doc_id"), "left")
         .selectExpr("doc_id",
           "CASE WHEN qualidade = 'boa' THEN 1 ELSE 0 END AS ok_quality",
           "CASE WHEN gopher = 'mantem' THEN 1 ELSE 0 END AS ok_gopher",
           "CASE WHEN repetitivo = 0 THEN 1 ELSE 0 END AS ok_rep",
           "lang_ok AS ok_lang",
-          "CASE WHEN taxa_oov <= 0.5 THEN 1 ELSE 0 END AS ok_vocab"))
+          "ok_vocab", "ok_fluency"))
   }
 
   private def allSignalsOk: String =
@@ -134,6 +137,20 @@ object CurateRun {
         "n_mantidos AS n_tokens")
     fin.write.mode("overwrite").partitionBy("lang").parquet(s"$out/corpus")
     s.read.parquet(s"$out/corpus").count()
+  }
+
+  /** HLL distinct-3-shingle estimate of the WRITTEN corpus — the
+    * content-diversity number a corpus build reports next to its
+    * doc/token counts (a dedup'd corpus with low distinct-shingle mass is
+    * boilerplate, not diversity). O(m)=256 rows collected; the estimator
+    * is the spec-error-bounded CurationOps.hllEstimateOf.
+    */
+  private[graft] def corpusShingleEstimate(s: SparkSession, out: String): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val regs = CurationOps.hllRegistersOf(
+        s.read.parquet(s"$out/corpus").selectExpr("texto_limpo AS text"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    math.round(CurationOps.hllEstimateOf(regs))
   }
 
   /** The staged funnel in one process: returns (stage name, docs
@@ -217,6 +234,7 @@ object CurateRun {
         println("final corpus by language:")
         roll.foreach(r => println(
           f"  ${r.getString(0)}%-4s ${r.getLong(1)}%7d docs ${r.getLong(2)}%10d tokens"))
+        println(s"distinct 3-shingles ~ ${corpusShingleEstimate(spark, out)} (HLL m=256)")
         println(f"corpus written to $out/corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()

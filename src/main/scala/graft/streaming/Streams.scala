@@ -919,6 +919,41 @@ object Streams {
     }
   }
 
+  /** [[corpusCurateStreamed]] + the fluency-prior gate — the CCNet shape
+    * in its streaming form: the unigram weight table and the per-doc
+    * fluency verdicts are derived STATICALLY ahead of the stream (the
+    * trained prior — exactly how a perplexity model is deployed: fit
+    * once, score arrivals against it), and each micro-batch semi-joins
+    * its signal survivors against that broadcastable keep set before the
+    * keep-min dedup state. Gated against the SAME oracle as the batch
+    * q_corpus_curate_fluent, so batch boundaries, arrival order, and the
+    * static-prior deployment split must all be invisible in the result.
+    */
+  def corpusCurateFluentStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fluent = graft.Checkpoint.barrier(
+      graft.text.CurationOps.fluentDocIds(spark, dir))
+    runDocStreamGate(spark, dir, "curate_fluent") { stream =>
+      curateKeepMinStream(
+        graft.text.CurationOps.curateSignals(stream, barrier = false)
+          .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
+          .join(broadcast(fluent), Seq("doc_id"), "left_semi")
+          .selectExpr("md5(text) AS hash", "doc_id", "lang", "n_tokens")
+          .as[CurDoc]).toDF()
+    } { sink =>
+      sink.distinct()
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(sum(col("delta")).as("net"))
+        .where("net > 0")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .selectExpr("lang", "n_docs", "total_tokens",
+          "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+        .orderBy("lang")
+    }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

@@ -206,6 +206,19 @@ object CurationOps {
     s.read.parquet(s"$stateDir/$dir")
   }
 
+  /** The standard HLL estimator over a (bucket → register) map with the
+    * small-range linear-counting correction — shared by the accuracy
+    * spec and the curation funnel's closing diagnostic, so the estimate
+    * printed by a corpus build is the estimator the spec error-bounds.
+    */
+  private[graft] def hllEstimateOf(regs: Map[Int, Int], m: Int = 256): Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val z = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b, 0).toDouble)).sum
+    val raw = alpha * m * m / z
+    val zeros = m - regs.size
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
   /** One oracle for both HLL forms (one-shot and streamed MAX-merge). */
   private lazy val sketchHllOracle: String =
     s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
@@ -247,6 +260,117 @@ ORDER BY balde"""
         "CAST(soma_pesos AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS escore_fluencia")
       .orderBy("doc_id")
   }
+
+  /** The fluency keep rule is RELATIVE — keep a doc iff its mean token
+    * weight is at least FluencyNum/FluencyDen (98%) of the corpus mean —
+    * because absolute scores scale with corpus size (frequencies grow ⇒
+    * floor(log₂) grows: the same corpus scores ~9 at sf0.01 and ~13 at
+    * sf0.1). The comparison is exact BIGINT cross-multiplication
+    * (den·soma·T ≥ num·S·n), so it is aggregation-order-invariant and
+    * bit-identical across engines — no floating-point threshold to
+    * straddle. (The products stay well inside int64 for any corpus whose
+    * token count × max weight × total weight fits ~2⁶³; a planet-scale
+    * corpus would compute the same rule per shard or in DECIMAL.)
+    */
+  private[graft] val FluencyNum = 49L
+  private[graft] val FluencyDen = 50L
+
+  /** floor(log₂(count)) token weights from a (tok, cnt) aggregate — the
+    * same bin-length device as [[unigramLogRank]], shared so the gate and
+    * the funnel cannot drift.
+    */
+  private[graft] def unigramWeightsOf(termCounts: DataFrame): DataFrame =
+    termCounts.selectExpr("tok",
+      "CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS BIGINT) AS w")
+
+  /** Per-doc fluency verdict over an exploded (doc_id, tok) projection
+    * and the corpus weight table: (doc_id, ok_fluency). One equi-join +
+    * one per-doc integer sum + one broadcast of the two corpus totals —
+    * no windows, no second corpus scan when `ex` is shared. Docs with
+    * zero tokens have no rows here; callers drop them (a token-less doc
+    * has no fluency evidence and fails the quality gate anyway).
+    */
+  private[graft] def fluencyVerdictOf(ex: DataFrame, weights: DataFrame): DataFrame = {
+    val perDoc = ex.join(weights, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("soma_pesos"), count(lit(1)).as("n_toks"))
+    val tot = perDoc.agg(sum(col("n_toks")).as("t_corpus"),
+      sum(col("soma_pesos")).as("s_corpus"))
+    perDoc.crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        s"CASE WHEN $FluencyDen * soma_pesos * t_corpus >= " +
+          s"$FluencyNum * s_corpus * n_toks THEN 1 ELSE 0 END AS ok_fluency")
+  }
+
+  /** The two corpus-wide aggregate verdicts — vocab coverage
+    * (q_vocab_oov's `taxa_oov <= 0.5` rule) and the unigram fluency
+    * prior (q_unigram_logrank's score under the relative keep rule) —
+    * computed from ONE materialized exploded-token projection and ONE
+    * term-count aggregate: the top-V vocabulary and the log₂ weight
+    * table are both derived from the same `counts`, and the OOV
+    * anti-join and the fluency score join both read the same barriered
+    * `ex`. Adding fluency to the curation funnel therefore costs ZERO
+    * additional corpus scans. Returns (doc_id, ok_vocab, ok_fluency)
+    * for every doc.
+    */
+  private[graft] def corpusAggVerdicts(s: SparkSession, d: String,
+      v: Int = 50): DataFrame = {
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+    val ex = graft.Checkpoint.barrier(
+      toks.select(col("doc_id"), explode(col("t")).as("tok")))
+    val counts = graft.Checkpoint.barrier(
+      ex.groupBy("tok").agg(count(lit(1)).as("cnt")))
+    val vocab = counts.orderBy(desc("cnt"), asc("tok")).limit(v).select("tok")
+    val oov = ex.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    val okVocab = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_oov"))
+      // same empty-doc decision as vocabOov: zero tokens ⇒ OOV rate 1.0
+      .selectExpr("doc_id",
+        "CASE WHEN n_tokens = 0 THEN 0 " +
+          "WHEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5 " +
+          "THEN 1 ELSE 0 END AS ok_vocab")
+    okVocab.join(fluencyVerdictOf(ex, unigramWeightsOf(counts)),
+        Seq("doc_id"), "left")
+      .na.fill(0, Seq("ok_fluency"))
+  }
+
+  /** The fluent doc_id keep set over the whole corpus — the "prior
+    * trained ahead of the stream" artifact the streamed curation joins
+    * against, and the semi-join side of the batch gate.
+    */
+  private[graft] def fluentDocIds(s: SparkSession, d: String): DataFrame = {
+    val ex = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"explode(${T.spark}) AS tok")
+    fluencyVerdictOf(ex,
+        unigramWeightsOf(ex.groupBy("tok").agg(count(lit(1)).as("cnt"))))
+      .where(col("ok_fluency") === 1).select("doc_id")
+  }
+
+  /** [[corpusCurate]] extended with the fluency-prior gate — the CCNet
+    * recipe's perplexity-proxy step wired into the composed curation
+    * pass: a doc must additionally carry at least 98% of the corpus-mean
+    * token weight to survive. The gate applies WITH the other signal
+    * gates, before dedup, so the exact-dedup keeper is picked among
+    * fluent survivors (keep-one must keep a surviving copy).
+    */
+  def corpusCurateFluent(s: SparkSession, d: String): DataFrame =
+    curateSignals(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text"),
+      barrier = true)
+      .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
+      .join(fluentDocIds(s, d), Seq("doc_id"), "left_semi")
+      .withColumn("doc_keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where("doc_id = doc_keeper")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .selectExpr("lang", "n_docs", "total_tokens",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+      .orderBy("lang")
 
   // --------------------------------------------------------- PII redaction
 
@@ -636,6 +760,12 @@ ORDER BY d.doc_id"""
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
     "q_corpus_curate" -> (corpusCurate _),
+    // the curation pass + the fluency prior (perplexity-proxy) gate
+    "q_corpus_curate_fluent" -> (corpusCurateFluent _),
+    // the streamed twin: stream-static join against the statically
+    // derived fluency prior, keep-min dedup in state
+    "q_corpus_curate_fluent_stream" ->
+      (graft.streaming.Streams.corpusCurateFluentStreamed _),
     "q_mix_epochs" -> (mixEpochs _),
     "q_token_budget" -> (tokenBudgetFill _),
     "q_seq_packing" -> (seqPacking _))
@@ -758,7 +888,9 @@ ORDER BY lang, doc_id"""
     },
     "q_corpus_curate" -> corpusCurateOracle,
     // the streamed form converges to the same batch relation
-    "q_corpus_curate_stream" -> corpusCurateOracle)
+    "q_corpus_curate_stream" -> corpusCurateOracle,
+    "q_corpus_curate_fluent" -> corpusCurateFluentOracle,
+    "q_corpus_curate_fluent_stream" -> corpusCurateFluentOracle)
 
   /** Shared oracle for the batch and streamed curation passes. */
   private[graft] lazy val corpusCurateOracle: String = {
@@ -776,6 +908,49 @@ surv AS (
          min(doc_id) OVER (PARTITION BY md5(text)) AS doc_keeper
   FROM base
   WHERE qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0)
+SELECT lang, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens
+FROM (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM surv
+      WHERE doc_id = doc_keeper
+      GROUP BY lang)
+ORDER BY lang"""
+  }
+
+  /** Shared oracle for the fluency-gated curation pass (batch and
+    * streamed): the corpusCurate relation with the relative fluency keep
+    * rule (exact integer cross-multiplication, same constants) applied
+    * alongside the other signal gates, before the dedup keeper window.
+    */
+  private[graft] lazy val corpusCurateFluentOracle: String = {
+      val quality = TextOps.qualityVerdict(_.duck, "len")
+      val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"
+      s"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text,
+         CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+         $quality AS qualidade,
+         CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok,
+         ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
+  FROM documents),
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(${T.duck}) AS tok FROM documents),
+freq AS (
+  SELECT tok,
+         CAST(length(regexp_replace(bin(COUNT(*)), '^0+', '')) - 1 AS BIGINT) AS w
+  FROM toks GROUP BY tok),
+scores AS (
+  SELECT t.doc_id, CAST(SUM(f.w) AS BIGINT) AS soma, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks t JOIN freq f ON t.tok = f.tok GROUP BY t.doc_id),
+tot AS (SELECT SUM(n) AS tc, SUM(soma) AS sc FROM scores),
+fluent AS (
+  SELECT doc_id FROM scores CROSS JOIN tot
+  WHERE $FluencyDen * soma * tc >= $FluencyNum * sc * n),
+surv AS (
+  SELECT doc_id, lang, n_tokens,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS doc_keeper
+  FROM base
+  WHERE qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0
+    AND doc_id IN (SELECT doc_id FROM fluent))
 SELECT lang, n_docs, total_tokens,
        CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens
 FROM (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

@@ -7,23 +7,36 @@ package graft
   */
 class CurateRunSpec extends SparkSpec {
 
-  test("one-pass signal table keeps exactly what the five gated queries keep") {
+  test("one-pass signal table keeps exactly what the six gated queries keep") {
     import graft.text.{CurationOps, TextOps}
     val onePass = CurateRun.signalTable(spark, tiny)
       .where("ok_quality = 1 AND ok_gopher = 1 AND ok_rep = 1 AND " +
-        "ok_lang = 1 AND ok_vocab = 1")
+        "ok_lang = 1 AND ok_vocab = 1 AND ok_fluency = 1")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // the reference composition: each gated query's keep set intersected
+    // (fluency: the q_unigram_logrank scores under the shared relative
+    // keep rule, re-derived here from the gated query's own output)
+    val lr = graft.text.CurationOps.unigramLogRank(spark, tiny)
+      .select("doc_id", "soma_pesos", "n_tokens").collect()
+    val tCorpus = lr.map(_.getAs[Int]("n_tokens").toLong).sum
+    val sCorpus = lr.map(_.getAs[Long]("soma_pesos")).sum
+    val fluent = lr.filter(r =>
+        50L * r.getAs[Long]("soma_pesos") * tCorpus >=
+          49L * sCorpus * r.getAs[Int]("n_tokens"))
+      .map(_.getAs[Long]("doc_id")).toSet
     val gates = Seq(
       TextOps.textQuality(spark, tiny).where("qualidade = 'boa'"),
       TextOps.qualityGopher(spark, tiny).where("decisao = 'mantem'"),
       CurationOps.textRepetition(spark, tiny).where("repetitivo = 0"),
       TextOps.langId(spark, tiny).where("acerto = 1"),
       CurationOps.vocabOov(spark, tiny).where("taxa_oov <= 0.5"))
-    val perQuery = gates.map(_.select("doc_id").collect()
-      .map(_.getLong(0)).toSet).reduce(_ intersect _)
+    val perQuery = (fluent +: gates.map(_.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)).reduce(_ intersect _)
     assert(onePass === perQuery,
       "one-pass funnel drifted from the per-query gates")
+    // the fluency gate must be non-vacuous on the tiny corpus — a
+    // threshold nothing fails would gate nothing
+    assert(fluent.size < lr.length, "fluency gate dropped no docs")
   }
 
   test("curation funnel is monotone; written corpus matches the survivors; rerun identical") {
@@ -35,6 +48,12 @@ class CurateRunSpec extends SparkSpec {
         assert(nb <= na, s"stage '$b' grew the corpus ($na -> $nb)")
       }
       assert(funnel.last._2 > 0, "tiny corpus should survive curation")
+      // the closing HLL diagnostic: a sane distinct-shingle estimate of
+      // the corpus the funnel just wrote (the estimator's error band is
+      // pinned by CurationOpsSpec; here the wiring must produce a number
+      // in the right ballpark, not zero and not astronomically off)
+      val est = CurateRun.corpusShingleEstimate(spark, out)
+      assert(est > 0, "HLL estimate of the written corpus must be positive")
       val corpus = spark.read.parquet(s"$out/corpus")
       assert(corpus.count() == funnel.last._2)
       assert(corpus.columns.toSet ==
@@ -53,7 +72,7 @@ class CurateRunSpec extends SparkSpec {
       val staged = s"$out-staged"
       try {
         val nSig = CurateRun.runStage(spark, "signals", tiny, staged)
-        assert(nSig == funnel.find(_._1 == "vocab coverage").get._2)
+        assert(nSig == funnel.find(_._1 == "fluency prior").get._2)
         val nDed = CurateRun.runStage(spark, "dedup", tiny, staged)
         assert(nDed == funnel.find(_._1 == "not contaminated").get._2)
         val nFin = CurateRun.runStage(spark, "final", tiny, staged)

@@ -93,13 +93,9 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(regs.keys.forall(b => b >= 0 && b < 256))
     assert(regs.values.forall(v => v >= 1 && v <= 53))
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val z = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b, 0).toDouble)).sum
-    val raw = alpha * m * m / z
-    val zeros = m - regs.size
-    // standard small-range (linear-counting) correction
-    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    // the shared estimator (small-range linear-counting correction
+    // included) — the same function the curation funnel CLI reports
+    val est = CurationOps.hllEstimateOf(regs)
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
     val exact = spark.read.parquet(s"$tiny/documents.parquet")
