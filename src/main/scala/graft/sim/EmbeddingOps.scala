@@ -616,7 +616,18 @@ object EmbeddingOps {
     * full-vector Lloyd AND the four subspace codebooks — and the composed
     * probe, all bit-exact.
     */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    rankViaTopK(s, ivfPqAdcSims(s, d))
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+
+  /** The composed probe's ADC candidate scores — (query_id, sim = −adist,
+    * vec_id) for every candidate in the routed cell — shared by the
+    * plain top-k gate and the refined (exact re-rank) gate so the two
+    * probes rank the same candidate stream.
+    */
+  private def ivfPqAdcSims(s: SparkSession, d: String): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -650,10 +661,47 @@ object EmbeddingOps {
     val cands = routed.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(lutParts(lut)), Seq("query_id"))
-    val sims = cands.select(col("query_id"),
-      (-expr(adcSum)).as("sim"), col("vec_id"))
-    rankViaTopK(s, sims)
-      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+    cands.select(col("query_id"), (-expr(adcSum)).as("sim"), col("vec_id"))
+  }
+
+  /** Re-rank candidate depth for the refined probe: the exact re-scoring
+    * reads 4 × TOP_K original vectors per query — a constant factor over
+    * serving top-k, vanishing next to the corpus scan ADC avoided.
+    */
+  private val REFINE_C = 4 * TOP_K
+
+  /** The composed IVF-PQ probe WITH exact re-rank (refine) — the
+    * standard recall repair for quantized serving: ADC distances off
+    * 4-byte codes are recall-bounded by quantization error, so the top
+    * REFINE_C ADC candidates are re-scored against their ORIGINAL
+    * vectors (ONE equi-join on vec_id — at scale, a point-lookup read of
+    * c·|queries| vectors from the primary store, never a corpus scan)
+    * and the final top-k ranks by exact L2². The oracle recomputes both
+    * trainings, the ADC shortlist, and the exact re-scoring — bit-exact.
+    */
+  def annIvfPqRefined(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // ADC shortlist: top-REFINE_C through the same bounded aggregator
+    // tail as the plain probe (partial+final aggregate, O(c) state)
+    val aggC = graft.functions.TopKByScore(REFINE_C).toColumn
+    val shortlist = ivfPqAdcSims(s, d).as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id) => (sim, id) }
+      .agg(aggC.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p._2").as("vec_id"))
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    val exact = shortlist.join(base, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"),
+        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("embedding")))
+          .as("sim"),
+        col("vec_id"))
+    // -(-x) is exact in IEEE: the surfaced distance is the kernel's L2²
+    rankViaTopK(s, exact)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("dist"),
         col("rank"))
       .orderBy("query_id", "rank")
   }
@@ -1085,7 +1133,10 @@ object EmbeddingOps {
     "q_ann_pq" -> (annPqAdc _),
     "q_ann_pq_indexed" -> (annPqIndexedAuto _),
     "q_ann_ivfpq" -> (annIvfPq _),
-    "q_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _))
+    "q_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
+    // the composed probe + exact re-rank of the top-REFINE_C ADC
+    // candidates against the original vectors
+    "q_ann_ivfpq_refined" -> (annIvfPqRefined _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -1232,8 +1283,12 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     pqCtesTrainedOn("pqtrain",
       "pqtrain AS (SELECT * FROM pqbase WHERE vec_id % 10 <> 9),\n"))
 
-  private def annIvfPqOracleFrom(kCtes: String, pCtes: String): String =
-    s"""WITH $kCtes,
+  /** The composed probe's shared oracle CTEs (both trainings + coarse
+    * assignment + routing + per-query LUT) and the ADC-ranked candidate
+    * subselect — shared by the plain top-k and the refined oracles.
+    */
+  private def annIvfPqOracleCtes(kCtes: String, pCtes: String): String =
+    s"""$kCtes,
 $pCtes,
 ivfin AS (
   SELECT vec_id, cell FROM (
@@ -1256,9 +1311,10 @@ lut AS (
   SELECT q.vec_id AS query_id, c.m, c.cell AS code,
          ${l2sq("q.sub", "c.centroid", PQ_SUB).duck} AS part
   FROM (SELECT * FROM pqbase WHERE vec_id < $N_QUERIES) q
-  JOIN pcent$PQ_ITERS c ON q.m = c.m)
-SELECT query_id, vizinho, adist, rank FROM (
-  SELECT r.query_id, k.vec_id AS vizinho,
+  JOIN pcent$PQ_ITERS c ON q.m = c.m)"""
+
+  private val annIvfPqAdcRanked: String =
+    s"""SELECT r.query_id, k.vec_id AS vizinho,
          l0.part + l1.part + l2.part + l3.part AS adist,
          CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
            l0.part + l1.part + l2.part + l3.part ASC, k.vec_id ASC) AS INTEGER) AS rank
@@ -1268,7 +1324,32 @@ SELECT query_id, vizinho, adist, rank FROM (
   JOIN lut l0 ON l0.query_id = r.query_id AND l0.m = 0 AND l0.code = k.c0
   JOIN lut l1 ON l1.query_id = r.query_id AND l1.m = 1 AND l1.code = k.c1
   JOIN lut l2 ON l2.query_id = r.query_id AND l2.m = 2 AND l2.code = k.c2
-  JOIN lut l3 ON l3.query_id = r.query_id AND l3.m = 3 AND l3.code = k.c3)
+  JOIN lut l3 ON l3.query_id = r.query_id AND l3.m = 3 AND l3.code = k.c3"""
+
+  private def annIvfPqOracleFrom(kCtes: String, pCtes: String): String =
+    s"""WITH ${annIvfPqOracleCtes(kCtes, pCtes)}
+SELECT query_id, vizinho, adist, rank FROM (
+  $annIvfPqAdcRanked)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  /** The refined oracle: the ADC shortlist widened to REFINE_C, then
+    * exact L2² re-scoring against the original vectors (same fold order
+    * as the Spark kernel) and the final top-k by (exact ASC, id ASC).
+    */
+  private def annIvfPqRefinedOracle: String =
+    s"""WITH ${annIvfPqOracleCtes(kmeansCtes, pqCtes)},
+shortlist AS (
+  SELECT query_id, vizinho FROM (
+  $annIvfPqAdcRanked)
+  WHERE rank <= $REFINE_C)
+SELECT query_id, vizinho, dist, rank FROM (
+  SELECT sl.query_id, sl.vizinho,
+         ${l2sq("q.embedding", "b.embedding").duck} AS dist,
+         CAST(row_number() OVER (PARTITION BY sl.query_id ORDER BY
+           ${l2sq("q.embedding", "b.embedding").duck} ASC, sl.vizinho ASC) AS INTEGER) AS rank
+  FROM shortlist sl
+  JOIN kbase q ON q.vec_id = sl.query_id
+  JOIN kbase b ON b.vec_id = sl.vizinho)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   /** One oracle template serves every probe width (rk <= nProbe). */
@@ -1439,7 +1520,9 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_ivfpq" -> annIvfPqOracle,
     // the composed-index serving path must reproduce the self-contained
     // two-stage train + probe bit-exactly — same oracle as q_ann_ivfpq
-    "q_ann_ivfpq_indexed" -> annIvfPqOracle)
+    "q_ann_ivfpq_indexed" -> annIvfPqOracle,
+    // shortlist ADC rank <= REFINE_C, exact L2^2 re-rank, top-k
+    "q_ann_ivfpq_refined" -> annIvfPqRefinedOracle)
 
   /** Shared CTE chain: Lloyd training → final assignment → cell-blocked
     * cosine pairs ≥ 0.4 (`pares`) — one source for the near-dup oracle and

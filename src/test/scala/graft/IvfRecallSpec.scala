@@ -80,4 +80,28 @@ class IvfRecallSpec extends SparkSpec {
     assert(rk3 >= rk1, s"kmeans probe: recall(3)=$rk3 < recall(1)=$rk1")
     assert(rk1 >= 0.8, s"trained quantizer on separable clusters, got $rk1")
   }
+
+  test("exact re-rank repairs ADC quantization error: refined recall@5 strictly above the unrefined probe") {
+    import org.apache.spark.sql.functions._
+    // ground truth here is the exact-L2 top-5 (the metric the PQ family
+    // ranks by), on the REAL testdata corpus — the regime where ADC's
+    // quantization error actually costs recall
+    val base = spark.read.parquet(s"$tiny/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val q = base.filter(col("vec_id") < 8).toDF("query_id", "q_emb")
+    val sims = broadcast(q).crossJoin(base)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("embedding")))
+          .as("sim"),
+        col("vec_id"))
+    val truth = EmbeddingOps.rankViaTopK(spark, sims)
+      .select("query_id", "vizinho").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> 1).toMap
+    val unrefined = recallAt5(truth, EmbeddingOps.annIvfPq(spark, tiny))
+    val refined = recallAt5(truth, EmbeddingOps.annIvfPqRefined(spark, tiny))
+    assert(refined > unrefined,
+      s"re-scoring the top-${4 * 5} ADC candidates with exact vectors must " +
+        s"recover neighbors ADC misranked: refined=$refined unrefined=$unrefined")
+  }
 }
