@@ -90,30 +90,59 @@ object AwEtl {
     SurrogateKeys.dense(joined, "sk_cliente", Seq(col("id_cliente_original")))
   }
 
-  /** dim_cliente's business surface as an SCD2 version table, open since
+  /** The business surface every AW dimension versions under SCD2:
+    * (business key, tracked attribute columns). Surrogate keys stay a
+    * per-snapshot derivation; the validity columns come from the merge.
+    */
+  private[graft] val dimScd2Surface: Map[String, (String, Seq[String])] = Map(
+    "dim_produto" -> (("id_produto_original",
+      Seq("nome_produto", "nome_subcategoria", "nome_categoria", "cor"))),
+    "dim_cliente" -> (("id_cliente_original",
+      Seq("nome_completo", "tipo_cliente"))),
+    "dim_localidade" -> (("id_endereco_original",
+      Seq("cidade", "estado", "pais"))),
+    "dim_vendedor" -> (("id_vendedor_original",
+      Seq("nome_vendedor", "cargo"))))
+
+  /** ANY AW dim's business surface as an SCD2 version table, open since
     * the epoch load — the starting state for INCREMENTAL dimension
     * maintenance over the reference's own star (the reference
-    * truncate-reloads every dimension per run,
-    * dags/etl_dim_cliente.py:52). Versions track the business columns;
-    * surrogate keys stay a per-snapshot derivation.
+    * truncate-reloads every dimension per run, dags/etl_dim_*.py).
     */
-  def dimClienteVersions(dim: DataFrame, epoch: String = "2011-01-01"): DataFrame =
-    dim.select("id_cliente_original", "nome_completo", "tipo_cliente")
+  def dimVersions(dimName: String, dim: DataFrame,
+      epoch: String = "2011-01-01"): DataFrame = {
+    val (key, attrs) = dimScd2Surface(dimName)
+    dim.select((key +: attrs).map(col): _*)
       .withColumn("valid_from", lit(epoch).cast("date"))
       .withColumn("valid_to", lit("9999-12-31").cast("date"))
       .withColumn("vigente", lit(true))
+  }
 
-  /** A second dim_cliente load MERGES instead of truncating: the shared
-    * SCD2 kernel (graft.etl.Scd.scd2MergeOn) closes changed customers'
-    * current versions and reopens them with the new attributes; unchanged
-    * and historical rows pass through untouched; new customers open
+  /** A second load of ANY AW dim MERGES instead of truncating: the
+    * shared SCD2 kernel (graft.etl.Scd.scd2MergeOn) closes changed keys'
+    * current versions and reopens them with the new attributes;
+    * unchanged and historical rows pass through untouched; new keys open
     * fresh. `updates` is the business surface of the new load (same
-    * columns as [[dimClienteVersions]] minus the validity columns).
+    * columns as [[dimVersions]] minus the validity columns). One generic
+    * wrapper — produto, cliente, localidade and vendedor all run the
+    * same merge over their [[dimScd2Surface]] row.
     */
+  def dimScd2(dimName: String, cur: DataFrame, updates: DataFrame,
+      loadDate: String): DataFrame = {
+    val (key, attrs) = dimScd2Surface(dimName)
+    graft.etl.Scd.scd2MergeOn(cur, updates, key, attrs, loadDate)
+  }
+
+  /** dim_cliente's version table (the original r10 entry point, now a
+    * [[dimVersions]] delegate).
+    */
+  def dimClienteVersions(dim: DataFrame, epoch: String = "2011-01-01"): DataFrame =
+    dimVersions("dim_cliente", dim, epoch)
+
+  /** dim_cliente's SCD2 merge ([[dimScd2]] delegate). */
   def dimClienteScd2(cur: DataFrame, updates: DataFrame,
       loadDate: String): DataFrame =
-    graft.etl.Scd.scd2MergeOn(cur, updates, "id_cliente_original",
-      Seq("nome_completo", "tipo_cliente"), loadDate)
+    dimScd2("dim_cliente", cur, updates, loadDate)
 
   /** dim_localidade (dags/etl_dim_localidade.py:17-56): address ⟕ state ⟕
     * country with pre-join renames, null repair, keyed dedup.

@@ -121,6 +121,54 @@ class AwEtlSpec extends SparkSpec {
       nv(0).getAs[java.sql.Date]("valid_from").toString === "2013-06-01")
   }
 
+  test("generic AW dim SCD2: a second load of produto/localidade/vendedor merges instead of truncating") {
+    import graft.etl.aw.AwEtl.dimScd2Surface
+    val dims: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "dim_produto" -> AwEtl.dimProduto(
+        rd("Production Product", AwSchemas.product),
+        rd("Production ProductSubcategory", AwSchemas.productSubcategory),
+        rd("Production ProductCategory", AwSchemas.productCategory)),
+      "dim_localidade" -> AwEtl.dimLocalidade(
+        rd("Person Address", AwSchemas.address),
+        rd("Person StateProvince", AwSchemas.stateProvince),
+        rd("Person CountryRegion", AwSchemas.countryRegion)),
+      "dim_vendedor" -> AwEtl.dimVendedor(
+        rd("Sales SalesPerson", AwSchemas.salesPerson),
+        rd("HumanResources Employee", AwSchemas.employee),
+        person))
+    dims.foreach { case (name, dim) =>
+      val (key, attrs) = dimScd2Surface(name)
+      val cur = AwEtl.dimVersions(name, dim)
+      val n = cur.count()
+      val surface = dim.select((key +: attrs).map(col): _*)
+      // the new load changes the FIRST tracked attribute on every 5th
+      // key and one brand-new key appears
+      val changedPred = col(key) % 5 === 0
+      val updates = surface
+        .withColumn(attrs.head,
+          when(changedPred, concat(lit("ALTERADO "), col(attrs.head)))
+            .otherwise(col(attrs.head)))
+        .unionByName(surface.limit(1).select(
+          lit(9000001).cast("int").as(key) +:
+            attrs.map(a => lit("Novo").as(a)): _*))
+      val merged = AwEtl.dimScd2(name, cur, updates, "2013-06-01")
+      val changedN = surface.filter(changedPred).count()
+      assert(changedN > 0, s"$name: perturbation must touch some keys")
+      // merge, not truncate-reload: |dim| rows + one closed version per
+      // changed key + the brand-new open row
+      assert(merged.count() === n + changedN + 1, s"$name merged count")
+      assert(merged.filter(col("vigente") &&
+          col("valid_from") === lit("2011-01-01").cast("date")).count()
+        === n - changedN, s"$name unchanged rows must stay open since epoch")
+      assert(merged.filter(!col("vigente") &&
+        col("valid_to") === lit("2013-06-01").cast("date")).count()
+        === changedN, s"$name changed keys must close at the load date")
+      val nv = merged.filter(col(key) === 9000001).collect()
+      assert(nv.length === 1 && nv(0).getAs[Boolean]("vigente"),
+        s"$name brand-new key must open fresh")
+    }
+  }
+
   test("dim_vendedor: 17 rows from real CSVs; empty middle name collapses") {
     val dim = AwEtl.dimVendedor(
       rd("Sales SalesPerson", AwSchemas.salesPerson),
