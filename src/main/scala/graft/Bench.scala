@@ -67,6 +67,34 @@ object Bench {
       // `_cold` keys are excluded from the headline total.
       if (name == "etl_star_build" && reps > 1) times(name + "_cold") = runs.head
     }
+    // ONE-rep timing for end-to-end pipeline runs (funnel, scale phase):
+    // these are lifecycle measurements, not query noise floors
+    def once(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; times(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        times(name) = -1.0
+      }
+    }
+    // INTERLEAVED A/B reps (a, b, a, b, …) inside one phase, so slow
+    // machine-load drift hits both sides alike and the recorded DIRECTION
+    // is load-invariant; each side still reports its min across reps
+    def interleaved(aName: String, bName: String)(a: => Unit)(b: => Unit): Unit = {
+      def oneRep(f: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try { f; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] interleaved rep failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val runs = (1 to reps).map(_ => (oneRep(a), oneRep(b)))
+      def minOr(xs: Seq[Double]): Double =
+        if (xs.contains(-1.0)) -1.0 else xs.min
+      times(aName) = minOr(runs.map(_._1))
+      times(bName) = minOr(runs.map(_._2))
+    }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"
     // nanoTime-unique scratch dirs (DW sink, ANN indexes) are deleted
@@ -83,22 +111,24 @@ object Bench {
     // The fact is partitioned by year (derived from the smart date key) so
     // time-bounded queries prune partitions — the role the reference's
     // fact indexes played in Postgres.
-    time("etl_star_build") {
-      // the five dims are independent (the reference runs them as parallel
-      // Airflow DAGs) — submit their sink jobs CONCURRENTLY so Spark's
-      // scheduler overlaps the small dim builds instead of serializing
-      // five sub-second jobs' fixed overheads; the fact follows alone
+    // the five dims are independent (the reference runs them as parallel
+    // Airflow DAGs) — submit their sink jobs CONCURRENTLY so Spark's
+    // scheduler overlaps the small dim builds instead of serializing
+    // five sub-second jobs' fixed overheads; the fact follows alone.
+    // Parameterized by source/sink dir so the 10× scale phase runs the
+    // IDENTICAL build.
+    def starBuildTo(srcDir: String, dwDir: String): Unit = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val dims = Seq(
-        "dim_produto" -> (() => Star.dimProduto(spark, sfDir)),
-        "dim_cliente" -> (() => Star.dimCliente(spark, sfDir)),
-        "dim_vendedor" -> (() => Star.dimVendedor(spark, sfDir)),
-        "dim_localidade" -> (() => Star.dimLocalidade(spark, sfDir)),
+        "dim_produto" -> (() => Star.dimProduto(spark, srcDir)),
+        "dim_cliente" -> (() => Star.dimCliente(spark, srcDir)),
+        "dim_vendedor" -> (() => Star.dimVendedor(spark, srcDir)),
+        "dim_localidade" -> (() => Star.dimLocalidade(spark, srcDir)),
         "dim_tempo" -> (() => Star.dimTempo(spark)))
       Await.result(Future.sequence(dims.map { case (name, build) =>
-        Future(graft.sink.Sink.parquet(build(), s"$dw/$name"))
+        Future(graft.sink.Sink.parquet(build(), s"$dwDir/$name"))
       }), Duration.Inf)
       // note: NOT repartition(ano) before the write — the extra full-fact
       // shuffle buys nothing here because AQE already coalesces output to
@@ -106,41 +136,44 @@ object Bench {
       // run-to-run noise at this scale).
       val ano = (org.apache.spark.sql.functions.col("sk_tempo") / 10000).cast("int")
       graft.sink.Sink.parquet(
-        Star.fatoVendas(spark, sfDir).withColumn("ano", ano),
-        s"$dw/fato_vendas", partitionBy = Seq("ano"))
+        Star.fatoVendas(spark, srcDir).withColumn("ano", ano),
+        s"$dwDir/fato_vendas", partitionBy = Seq("ano"))
     }
+    time("etl_star_build") { starBuildTo(sfDir, dw) }
 
     // Phase 2 — KPI suite over the materialized DW (reference: KPIs.sql).
     // (drop the ano partition column after any pruning filter — dim_tempo
     // carries its own ano and the join would be ambiguous)
     // Reads are deferred so a failed ETL phase still yields a complete
     // JSON line with the KPIs marked -1 instead of a crashed run.
-    def rd(t: String) = spark.read.parquet(s"$dw/$t")
-    lazy val fatoAll = rd("fato_vendas")
-    lazy val fato = fatoAll.drop("ano")
-    lazy val dimP = rd("dim_produto")
-    lazy val dimC = rd("dim_cliente")
-    lazy val dimV = rd("dim_vendedor")
-    lazy val dimL = rd("dim_localidade")
-    lazy val dimT = rd("dim_tempo")
-    val kpis: Seq[(String, () => DataFrame)] = Seq(
-      "kpi1" -> (() => Kpis.kpi1FaturamentoBruto(fato)),
-      "kpi2" -> (() => Kpis.kpi2FaturamentoLiquido(fato)),
-      "kpi3" -> (() => Kpis.kpi3TotalDescontos(fato)),
-      "kpi4" -> (() => Kpis.kpi4ItensVendidos(fato)),
-      "kpi5" -> (() => Kpis.kpi5TopProdutos(fato, dimP)),
-      "kpi6" -> (() => Kpis.kpi6VendasPorCategoria(fato, dimP)),
-      "kpi7" -> (() => Kpis.kpi7PorNacao(fato, dimC)),
-      "kpi7_pais" -> (() => Kpis.kpi7PorPais(fato, dimL)),
-      "kpi8" -> (() => Kpis.kpi8Sazonalidade(fato, dimT)),
-      "kpi9" -> (() => Kpis.kpi9RankingVendedores(fato, dimV)),
-      "kpi10" -> (() => Kpis.kpi10TicketMedio(fato)),
-      // year-bounded seasonality: the ano=... predicate prunes fact
-      // partitions at the scan (PartitionFilters), reading one year only
-      "kpi8_pruned" -> (() => Kpis.kpi8Sazonalidade(
-        fatoAll.filter(org.apache.spark.sql.functions.col("ano") === 1996)
-          .drop("ano"), dimT)))
-    kpis.foreach { case (name, q) => time(name) { q().collect() } }
+    def kpiSuite(dwDir: String): Seq[(String, () => DataFrame)] = {
+      def rd(t: String) = spark.read.parquet(s"$dwDir/$t")
+      lazy val fatoAll = rd("fato_vendas")
+      lazy val fato = fatoAll.drop("ano")
+      lazy val dimP = rd("dim_produto")
+      lazy val dimC = rd("dim_cliente")
+      lazy val dimV = rd("dim_vendedor")
+      lazy val dimL = rd("dim_localidade")
+      lazy val dimT = rd("dim_tempo")
+      Seq(
+        "kpi1" -> (() => Kpis.kpi1FaturamentoBruto(fato)),
+        "kpi2" -> (() => Kpis.kpi2FaturamentoLiquido(fato)),
+        "kpi3" -> (() => Kpis.kpi3TotalDescontos(fato)),
+        "kpi4" -> (() => Kpis.kpi4ItensVendidos(fato)),
+        "kpi5" -> (() => Kpis.kpi5TopProdutos(fato, dimP)),
+        "kpi6" -> (() => Kpis.kpi6VendasPorCategoria(fato, dimP)),
+        "kpi7" -> (() => Kpis.kpi7PorNacao(fato, dimC)),
+        "kpi7_pais" -> (() => Kpis.kpi7PorPais(fato, dimL)),
+        "kpi8" -> (() => Kpis.kpi8Sazonalidade(fato, dimT)),
+        "kpi9" -> (() => Kpis.kpi9RankingVendedores(fato, dimV)),
+        "kpi10" -> (() => Kpis.kpi10TicketMedio(fato)),
+        // year-bounded seasonality: the ano=... predicate prunes fact
+        // partitions at the scan (PartitionFilters), reading one year only
+        "kpi8_pruned" -> (() => Kpis.kpi8Sazonalidade(
+          fatoAll.filter(org.apache.spark.sql.functions.col("ano") === 1996)
+            .drop("ano"), dimT)))
+    }
+    kpiSuite(dw).foreach { case (name, q) => time(name) { q().collect() } }
 
     // Phase 3 — extension operators, self-contained on the raw tables.
     Seq("q_agg_stats", "q_topk", "q_window_running", "q_semi_anti",
@@ -167,7 +200,10 @@ object Bench {
       // load 2, read-back) — plus the HLL register sketch and the
       // unigram frequency-prior score
       "q_fact_scd2_lifecycle", "q_sketch_hll",
-      "q_unigram_logrank").foreach { name =>
+      "q_unigram_logrank",
+      // r11: the exact-re-rank refined probe (recall repair over ADC) and
+      // the fluency-gated composed curation pass
+      "q_ann_ivfpq_refined", "q_corpus_curate_fluent").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
@@ -315,30 +351,16 @@ object Bench {
         s"shuffled Exchanges=$sx Sorts=$ss (bucketing must remove the " +
         "header⨝detail Exchange AND its two Sorts; remaining nodes belong " +
         "to the unbounded dim joins)")
-      // the two builds' reps are INTERLEAVED (b, s, b, s, …) inside one
-      // phase so slow machine-load drift hits both sides alike and the
-      // bucketed-vs-shuffled DIRECTION is load-invariant — the r9 closing
-      // artifact timed them in separate blocks minutes apart on a
-      // cooling-down box and recorded an inversion the idle box did not
-      // reproduce. Each side still reports its min across reps.
-      def oneRep(f: => Unit): Double = {
-        val t0 = System.nanoTime()
-        try { f; (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] interleaved rep failed: ${e.getMessage}")
-          -1.0
-        }
+      // interleaved reps: the r9/r10 closing artifacts proved a 600k-row
+      // delta is min-of-reps jitter territory — the direction DECISION
+      // lives in the 10× phase below, where the removed shuffle is
+      // material; this row records the sf0.1 point for continuity
+      interleaved("etl_star_build_bucketed", "etl_star_build_shuffled") {
+        graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt")
+      } {
+        graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
+          s"$dw/fato_vendas_shf")
       }
-      val runs = (1 to reps).map { _ =>
-        val b = oneRep(graft.sink.Sink.parquet(factB(), s"$dw/fato_vendas_bkt"))
-        val sTime = oneRep(graft.sink.Sink.parquet(Star.fatoVendas(spark, sfDir),
-          s"$dw/fato_vendas_shf"))
-        (b, sTime)
-      }
-      def minOr(xs: Seq[Double]): Double =
-        if (xs.contains(-1.0)) -1.0 else xs.min
-      times("etl_star_build_bucketed") = minOr(runs.map(_._1))
-      times("etl_star_build_shuffled") = minOr(runs.map(_._2))
     } else {
       times("etl_star_build_bucketed") = -1.0
       time("etl_star_build_shuffled") {
@@ -357,23 +379,96 @@ object Bench {
     // the driver instead of living only in commit-message narrative.
     locally {
       val curOut = s"/tmp/graft_bench_curate_${System.nanoTime()}"
-      val t0 = System.nanoTime()
-      try {
-        CurateRun.run(spark, sfDir, curOut): Unit
-        times("curate_run_funnel") = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] curate_run_funnel failed: ${e.getMessage}")
-        times("curate_run_funnel") = -1.0
-      }
+      once("curate_run_funnel") { CurateRun.run(spark, sfDir, curOut): Unit }
       rmTree(curOut)
+    }
+
+    // Phase 6 — the 10× scale point RECORDED AS AN ARTIFACT (sf0.1 fact
+    // replicated 10× with offset order keys ≈ sf1, dims unchanged — the
+    // ScaleProbe construction, now in the driver bench so the sub-linear
+    // scaling story is a per-round number, not a probe narrative), and
+    // the bucketed-vs-shuffled direction decided at a fact size where the
+    // removed header⨝detail shuffle is material (6M lines, not 600k).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val sf1Dir = s"/tmp/graft_bench_sf1_${System.nanoTime()}"
+      val dw1 = s"/tmp/graft_bench_dw1_${System.nanoTime()}"
+      try {
+        val repsDf = spark.range(10).select(col("id").as("rep"))
+        def replicate(df: DataFrame, key: String): DataFrame =
+          df.crossJoin(repsDf).select(
+            df.columns.toIndexedSeq.map { c =>
+              if (c == key) (col(c) + col("rep") * 1000000000L).as(c)
+              else col(c)
+            }: _*)
+        replicate(Tables.orders(spark, sfDir), "o_orderkey")
+          .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+        replicate(Tables.lineitem(spark, sfDir), "l_orderkey")
+          .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+        Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+          Tables.table(spark, sfDir, t).write.mode("overwrite")
+            .parquet(s"$sf1Dir/$t.parquet")
+        }
+        // one rep each: these are scale-ratio measurements against the
+        // sf0.1 rows above (star ~2.3×-per-10×-data is the story)
+        once("etl_star_build_sf1") { starBuildTo(sf1Dir, dw1) }
+        once("kpi_suite_sf1") {
+          kpiSuite(dw1).foreach { case (_, q) => q().collect(): Unit }
+        }
+        // bucketed vs shuffled at 10×, same discipline as phase 4:
+        // broadcast off for the timed builds, one file per bucket,
+        // trusted sort metadata, INTERLEAVED reps
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        once("etl_bucket_tables_build_10x") {
+          spark.sql("DROP TABLE IF EXISTS orders_bkt10")
+          spark.sql("DROP TABLE IF EXISTS lineitem_bkt10")
+          Tables.orders(spark, sf1Dir)
+            .repartition(cpus.toInt, col("o_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("orders_bkt10")
+          Tables.lineitem(spark, sf1Dir)
+            .repartition(cpus.toInt, col("l_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("lineitem_bkt10")
+        }
+        if (spark.catalog.tableExists("orders_bkt10") &&
+            spark.catalog.tableExists("lineitem_bkt10")) {
+          interleaved("etl_star_build_bucketed_10x", "etl_star_build_shuffled_10x") {
+            graft.sink.Sink.parquet(
+              Star.fatoVendasFrom(spark, sf1Dir,
+                spark.table("orders_bkt10"), spark.table("lineitem_bkt10")),
+              s"$dw1/fato_vendas_bkt")
+          } {
+            graft.sink.Sink.parquet(Star.fatoVendas(spark, sf1Dir),
+              s"$dw1/fato_vendas_shf")
+          }
+        } else {
+          times("etl_star_build_bucketed_10x") = -1.0
+          times("etl_star_build_shuffled_10x") = -1.0
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtSaved)
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt10")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt10")
+      } finally {
+        rmTree(sf1Dir)
+        rmTree(dw1)
+      }
     }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but must not shrink the
-    // headline total; _cold duplicates would double-count the ETL phase
+    // headline total; _cold duplicates would double-count the ETL phase,
+    // and the 10×-data scale rows (_sf1/_10x) measure a DIFFERENT corpus —
+    // summing two data scales into one headline would make the total
+    // incomparable across rounds
     val total = times.collect {
-      case (k, v) if v >= 0 && !k.endsWith("_cold") => v
+      case (k, v) if v >= 0 && !k.endsWith("_cold") &&
+        !k.endsWith("_sf1") && !k.endsWith("_10x") => v
     }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
