@@ -203,7 +203,10 @@ object Bench {
       "q_unigram_logrank",
       // r11: the exact-re-rank refined probe (recall repair over ADC) and
       // the fluency-gated composed curation pass
-      "q_ann_ivfpq_refined", "q_corpus_curate_fluent").foreach { name =>
+      "q_ann_ivfpq_refined", "q_corpus_curate_fluent",
+      // r11: Misra-Gries heavy hitters (candidates + exact verify) and
+      // the sketch-driven adaptive skew salting
+      "q_heavy_hitters", "q_skew_join_salted_adaptive").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

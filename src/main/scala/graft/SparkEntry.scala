@@ -162,6 +162,10 @@ object SparkEntry {
     "q_skew_join_salted" -> (RelationalOps.skewJoinSalted _),
     // the optimizer-owned twin: no salt, AQE skew-split handles hot keys
     "q_skew_join_aqe" -> (RelationalOps.skewJoinAqe _),
+    // sketch-detected hot keys: only keys the Misra-Gries summary flags
+    // get the 16-way salt; same plain-join oracle (salting is a cost
+    // device, never a semantics device)
+    "q_skew_join_salted_adaptive" -> (RelationalOps.skewJoinSaltedAdaptive _),
     "q_bloom_semijoin" -> (RelationalOps.bloomSemiJoin _),
     // mergeable count-min sketch, cells only (production form — no exact
     // truth in-plan); oracle rebuilds the identical cell matrix

@@ -628,6 +628,66 @@ object RelationalOps {
           .as("fracao"))
       .orderBy("event_id")
 
+  /** Adaptive skew salting — [[skewJoinSalted]] with the hot-key set
+    * DETECTED instead of assumed: a Misra-Gries summary
+    * ([[graft.functions.MisraGries]], O(k) state, one bounded aggregate
+    * over the fact side — never an exact per-key pre-aggregation) flags
+    * keys whose estimated share reaches 5%, and ONLY those keys get the
+    * 16-way salt: the dim side explodes hot keys over all shard ids and
+    * keeps cold keys at a single salt-0 row, the fact side shards hot
+    * keys by `pmod(event_id, 16)` and leaves cold keys at salt 0.
+    *
+    * Cost posture at 100 TB: uniform salting pays the dim×16 explode
+    * and the widened shuffle key on EVERY row whether or not skew
+    * exists; the adaptive form confines that cost to the hot set (the
+    * summary pass is one O(k)-state aggregate, the class of pass a
+    * pipeline often already runs for stats). Detection is a COST
+    * device, never a semantics device: salting is row-identity-
+    * preserving for any hot-key classification, so correctness cannot
+    * depend on the sketch — the gate pins the result against the same
+    * plain-join oracle as the uniform-salt form. The MG bound makes the
+    * flagging one-sided-certain: a key at share ≥ 1/20 + 1/(k+1)
+    * (≈6.5% at k=64) can never be missed; below that the undercount may
+    * leave a borderline key unsalted, which AQE's runtime skew split
+    * still catches downstream.
+    */
+  def skewJoinSaltedAdaptive(spark: SparkSession, dir: String): DataFrame =
+    skewJoinSaltedAdaptiveOf(skewEvents(events(spark, dir)))
+
+  private[graft] def skewJoinSaltedAdaptiveOf(ev: DataFrame): DataFrame = {
+    val shards = 16
+    val hot = detectHotKeys(ev, "event_type", 64, 20)
+    val isHot =
+      if (hot.isEmpty) lit(false) else col("event_type").isInCollection(hot)
+    val dim = skewDim(ev).withColumn("salt",
+      explode(when(isHot, sequence(lit(0), lit(shards - 1)))
+        .otherwise(array(lit(0)))))
+    val fato = ev.withColumn("salt",
+      when(isHot, pmod(col("event_id"), lit(shards)).cast("int"))
+        .otherwise(lit(0)))
+    fato.join(dim.hint("merge"), Seq("event_type", "salt"))
+      .select(col("event_id"), col("event_type"), col("n_tipo"), col("soma_tipo"),
+        (col("value").cast("decimal(18,2)").cast("double") / col("soma_tipo"))
+          .as("fracao"))
+      .orderBy("event_id")
+  }
+
+  /** Keys whose Misra-Gries-estimated count reaches n/shareDen, from one
+    * bounded-state pass (summary + exact n in the same aggregate). The
+    * estimate only undercounts (by ≤ n/(k+1)), so the flag set is a
+    * SUBSET of keys at share ≥ 1/shareDen and certainly contains every
+    * key at share ≥ 1/shareDen + 1/(k+1). Sorted for determinism.
+    */
+  private[graft] def detectHotKeys(df: DataFrame, keyCol: String, k: Int,
+      shareDen: Int): Seq[String] = {
+    val row = df.select(col(keyCol).cast("string").as("k"))
+      .agg(graft.functions.MisraGries.udafCol(k)(col("k")).as("mg"),
+        count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    row.getMap[String, Long](0)
+      .collect { case (key, c) if c * shareDen >= n => key }.toSeq.sorted
+  }
+
   /** Count-min sketch, PRODUCTION FORM (extension — the mergeable
     * frequency sketch a streaming or 100 TB pipeline uses when exact
     * per-key counts don't fit): d=4 hash rows × w=64 buckets, built

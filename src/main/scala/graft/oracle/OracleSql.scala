@@ -532,6 +532,16 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, d.n_tipo, d.soma_ti
        CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) / d.soma_tipo AS fracao
 FROM events e JOIN d USING (event_type)
 ORDER BY event_id""",
+    // the adaptively-salted join (Misra-Gries-detected hot keys) is the
+    // same plain join — detection is a cost device too
+    "q_skew_join_salted_adaptive" ->
+      """WITH d AS (SELECT event_type, COUNT(*) AS n_tipo,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_tipo
+           FROM events GROUP BY event_type)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, d.n_tipo, d.soma_tipo,
+       CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) / d.soma_tipo AS fracao
+FROM events e JOIN d USING (event_type)
+ORDER BY event_id""",
     // the bloom-pruned semi join must equal the plain semi join — the
     // bloom is a cost device, never a semantics device
     "q_bloom_semijoin" ->

@@ -835,6 +835,40 @@ object Streams {
     graft.text.CurationOps.hllReadState(spark, state).orderBy("balde")
   }
 
+  /** The heavy-hitter summary maintained as a STREAM — the incremental
+    * twin of graft.text.CurationOps.heavyHitters: each micro-batch's
+    * Misra-Gries summary merges into the committed state with the same
+    * mergeable-summaries operation the batch aggregator's partition
+    * merge uses, under the StoreCommit exactly-once protocol (replays
+    * skipped at the batchId watermark, crashed batches re-stage over
+    * their own dirs). The superset guarantee survives the micro-batch
+    * merge tree by the same n/(k+1) bound as the partition merge tree,
+    * so the read-time resolve (exact verify of the candidates over the
+    * ingested corpus) lands on the IDENTICAL result as the one-shot
+    * batch form — gated against the same GROUP BY/HAVING oracle.
+    */
+  def heavyHittersStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_hh_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.CurationOps.hhApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.text.CurationOps.hhResolve(spark, state, spark.read.parquet(sub("in")))
+  }
+
   /** One signal-passing doc arriving at the streamed dedup stage (public
     * for codegen).
     */

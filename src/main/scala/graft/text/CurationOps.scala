@@ -219,6 +219,133 @@ object CurationOps {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  // -------------------------------------------------------- heavy hitters
+
+  /** Misra-Gries summary size: k = 2/φ at support φ = 2/10000 = 0.02%.
+    * Sized from the SUPPORT FRACTION, not an absolute count, so the
+    * guarantee scales: error ≤ n/(k+1) < φ·n/2 < threshold at EVERY
+    * corpus size — the candidate set is a certified superset of the
+    * heavy hitters at sf0.001 and at 100 TB alike.
+    */
+  private[graft] val hhK = 10000
+
+  /** Heavy-hitter threshold ⌈φ·n⌉ with φ = 2/hhK — integer-exact
+    * arithmetic so Spark and DuckDB compute the identical cutoff.
+    */
+  private[graft] def hhThreshold(n: Long): Long = (2 * n + hhK - 1) / hhK
+
+  /** Heavy-hitter (frequent-item) detection over the corpus's 3-shingle
+    * stream — boilerplate-passage discovery at support φ = 0.02%, the
+    * RefinedWeb/CCNet-style step that finds template passages by
+    * frequency. Two corpus passes, NO exact full aggregation:
+    *
+    *   1. one bounded-state pass computes the Misra-Gries candidate
+    *      summary and the exact stream length n TOGETHER (one global
+    *      aggregate, O(k) partials per partition — at 100 TB this is
+    *      the difference between shuffling 10k summary entries and
+    *      shuffling every distinct shingle);
+    *   2. an exact verify recounts ONLY the ≤k candidates (broadcast
+    *      semi-join prunes the scan side before any shuffle) and keeps
+    *      those at or above ⌈φ·n⌉.
+    *
+    * The sketch guarantee (undercount ≤ n/(k+1) < φ·n/2) certifies no
+    * true heavy hitter can be missing from the candidates, and the
+    * verify recount makes the output EXACT and deterministic — gate-able
+    * against a plain GROUP BY/HAVING oracle even though no exact global
+    * aggregation ever ran. The candidate collect is O(k), the same
+    * class as the k-means centroid collect.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val sh = hhShingles(documents(s, d))
+    val row = sh.agg(
+      graft.functions.MisraGries.udafCol(hhK)(col("shingle")).as("mg"),
+      count(lit(1)).as("n")).head()
+    val cand = row.getMap[String, Long](0).keys.toSeq
+    hhVerify(s, sh, cand, hhThreshold(row.getLong(1)))
+  }
+
+  private[graft] def hhShingles(docs: DataFrame): DataFrame =
+    docs.selectExpr(s"explode(${SH.spark}) AS shingle")
+
+  private def hhVerify(s: SparkSession, sh: DataFrame, cand: Seq[String],
+      thr: Long): DataFrame = {
+    import s.implicits._
+    sh.join(broadcast(cand.toDF("shingle")), Seq("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= thr)
+      .orderBy(desc("freq"), asc("shingle"))
+  }
+
+  /** One streamed micro-batch of heavy-hitter maintenance, EXACTLY-ONCE
+    * under the [[graft.etl.StoreCommit]] protocol: the batch's own
+    * Misra-Gries summary merges into the committed summary with the
+    * SAME mergeable-summaries operation the aggregator uses internally
+    * (no re-implemented merge to drift), the exact stream length
+    * accumulates alongside, and the result stages into a per-batch dir
+    * behind the atomic commit pointer. State is O(k) rows per batch
+    * regardless of corpus size; the superset guarantee survives the
+    * batch-merge tree by the same bound as the partition-merge tree. A
+    * sentinel row (NULL shingle) carries n_total even through the
+    * pathological compress-to-empty case.
+    */
+  private[graft] def hhApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    import s.implicits._
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val bRow = hhShingles(batch).agg(
+      graft.functions.MisraGries.udafCol(hhK)(col("shingle")).as("mg"),
+      count(lit(1)).as("n")).head()
+    val bSummary = Map.from(bRow.getMap[String, Long](0))
+    val (pSummary, pN) = prior match {
+      case Some((dir, _)) =>
+        val st = s.read.parquet(s"$stateDir/$dir")
+        (st.where(col("shingle").isNotNull).select("shingle", "c").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap,
+          st.agg(max(col("n_total"))).head().getLong(0))
+      case None => (Map.empty[String, Long], 0L)
+    }
+    val merged = graft.functions.MisraGries(hhK).merge(pSummary, bSummary)
+    val n = pN + bRow.getLong(1)
+    (merged.toSeq.toDF("shingle", "c") unionByName
+        Seq((null: String, 0L)).toDF("shingle", "c"))
+      .withColumn("n_total", lit(n))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/sum_b$batchId")
+    StoreCommit.commit(stateDir, s"sum_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "sum_b")
+  }
+
+  /** Resolve the committed summary state against the ingested corpus:
+    * exact verify of the candidates at the accumulated n — the serving
+    * read that makes stream and batch land on the identical result.
+    */
+  private[graft] def hhResolve(s: SparkSession, stateDir: String,
+      corpus: DataFrame): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"heavy-hitter state not initialized: $stateDir"))
+    val st = s.read.parquet(s"$stateDir/$dir")
+    val n = st.agg(max(col("n_total"))).head().getLong(0)
+    val cand = st.where(col("shingle").isNotNull).select("shingle")
+      .collect().map(_.getString(0)).toSeq
+    hhVerify(s, hhShingles(corpus), cand, hhThreshold(n))
+  }
+
+  /** One oracle for both heavy-hitter forms (one-shot and streamed
+    * summary-merge): the exact GROUP BY/HAVING truth at the support-
+    * derived threshold — computable here precisely because the verify
+    * pass made the sketch-driven result exact.
+    */
+  private lazy val heavyHittersOracle: String =
+    s"""WITH ex AS (SELECT unnest(${SH.duck}) AS shingle FROM documents),
+n AS (SELECT COUNT(*) AS n FROM ex),
+c AS (SELECT shingle, COUNT(*) AS freq FROM ex GROUP BY 1)
+SELECT shingle, CAST(freq AS BIGINT) AS freq
+FROM c, n
+WHERE freq >= (2 * n.n + ${hhK - 1}) // $hhK
+ORDER BY freq DESC, shingle"""
+
   /** One oracle for both HLL forms (one-shot and streamed MAX-merge). */
   private lazy val sketchHllOracle: String =
     s"""WITH ex AS (SELECT unnest(${SH.duck}) AS s FROM documents),
@@ -755,6 +882,13 @@ ORDER BY d.doc_id"""
     "q_sketch_hll" -> (sketchHll _),
     // the register table maintained per micro-batch by bucket-wise MAX
     "q_sketch_hll_stream" -> (graft.streaming.Streams.sketchHllStreamed _),
+    // Misra-Gries candidates + exact verify: boilerplate shingles at
+    // support 0.02%, no exact full aggregation anywhere
+    "q_heavy_hitters" -> (heavyHitters _),
+    // the summary maintained per micro-batch by the mergeable-summaries
+    // merge, resolution at read time
+    "q_heavy_hitters_stream" ->
+      (graft.streaming.Streams.heavyHittersStreamed _),
     "q_unigram_logrank" -> (unigramLogRank _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
@@ -809,6 +943,8 @@ FROM kth""",
     "q_sketch_hll" -> sketchHllOracle,
     // the streamed per-batch MAX-merge converges to the same registers
     "q_sketch_hll_stream" -> sketchHllOracle,
+    "q_heavy_hitters" -> heavyHittersOracle,
+    "q_heavy_hitters_stream" -> heavyHittersOracle,
     // the frequency-prior score re-derived: same vocab counts, same
     // bin-length floor(log2), same integer sum + one division
     "q_unigram_logrank" ->
