@@ -260,6 +260,12 @@ object Bench {
     time("q_ann_ivfpq_indexed") {
       graft.sim.EmbeddingOps.annIvfPqIndexed(spark, sfDir, ivfpqIdx).count()
     }
+    // the serving refine: same stored index, exact re-rank of the ADC
+    // shortlist as point lookups — the recall repair at serving cost
+    time("q_ann_ivfpq_refined_indexed") {
+      graft.sim.EmbeddingOps.annIvfPqRefinedIndexed(spark, sfDir, ivfpqIdx)
+        .count()
+    }
     rmTree(ivfpqIdx)
     rmTree(pqIdx)
     rmTree(kmIdx)

@@ -679,12 +679,21 @@ object EmbeddingOps {
     * and the final top-k ranks by exact L2². The oracle recomputes both
     * trainings, the ADC shortlist, and the exact re-scoring — bit-exact.
     */
-  def annIvfPqRefined(s: SparkSession, d: String): DataFrame = {
+  def annIvfPqRefined(s: SparkSession, d: String): DataFrame =
+    refineExact(s, d, ivfPqAdcSims(s, d))
+
+  /** The exact re-rank tail over any (query_id, sim = −adist, vec_id)
+    * ADC candidate stream — shared by the self-contained refined probe
+    * and the index-served refined probe, so the two forms re-score the
+    * identical shortlist shape and gate against the same oracle.
+    */
+  private def refineExact(s: SparkSession, d: String,
+      adcSims: DataFrame): DataFrame = {
     import s.implicits._
     // ADC shortlist: top-REFINE_C through the same bounded aggregator
     // tail as the plain probe (partial+final aggregate, O(c) state)
     val aggC = graft.functions.TopKByScore(REFINE_C).toColumn
-    val shortlist = ivfPqAdcSims(s, d).as[(Long, Double, Long)]
+    val shortlist = adcSims.as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, sim, id) => (sim, id) }
       .agg(aggC.name("top"))
@@ -819,6 +828,19 @@ object EmbeddingOps {
     * form, so it gates against the same oracle.
     */
   def annIvfPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val sims = ivfPqIndexedAdcSims(s, d, indexDir)
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The index-served ADC candidate scores — the stored-index twin of
+    * [[ivfPqAdcSims]], shared by the plain indexed probe and the
+    * refined (exact re-rank) indexed probe.
+    */
+  private def ivfPqIndexedAdcSims(s: SparkSession, d: String,
+      indexDir: String): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
     val pcents = s.read.parquet(s"$indexDir/codebooks")
     val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
@@ -841,13 +863,21 @@ object EmbeddingOps {
     val cands = routed.join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(lutParts(lut)), Seq("query_id"))
-    val sims = cands.select(col("query_id"),
-      (-expr(adcSum)).as("sim"), col("vec_id"))
-    rankViaTopK(s, sims)
-      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
-        col("rank"))
-      .orderBy("query_id", "rank")
+    cands.select(col("query_id"), (-expr(adcSum)).as("sim"), col("vec_id"))
   }
+
+  /** [[annIvfPqRefined]] served from the persisted composed index: the
+    * ADC shortlist comes off the stored codes (partition-pruned to the
+    * routed cells), and ONLY the re-rank touches original vectors —
+    * c·|queries| point lookups, which is the production read pattern: a
+    * query never scans raw vectors, it refines a 4·k-deep compressed
+    * shortlist. Stored centroids/codebooks are the same trainings the
+    * self-contained form recomputes, so this gates BIT-EXACTLY against
+    * the same refined oracle.
+    */
+  def annIvfPqRefinedIndexed(s: SparkSession, d: String,
+      indexDir: String): DataFrame =
+    refineExact(s, d, ivfPqIndexedAdcSims(s, d, indexDir))
 
   /** Driver-contract wrapper (staleness-fingerprinted build-once). The
     * composed build sources its coarse centroids from the auto k-means
@@ -863,6 +893,20 @@ object EmbeddingOps {
     autoIndexed(d, "_ivfpq",
       buildIvfPqIndex(s, d, _, built("_km"), built("_pq")),
       annIvfPqIndexed(s, d, _))
+  }
+
+  /** Driver-contract wrapper for the index-served refined probe (shares
+    * the composed index with [[annIvfPqIndexedAuto]] — build once,
+    * refine many).
+    */
+  def annIvfPqRefinedIndexedAuto(s: SparkSession, d: String): DataFrame = {
+    def built(suffix: String): Option[String] = {
+      val dir = defaultIndexDir(d) + suffix
+      if (new java.io.File(dir, "_built").exists()) Some(dir) else None
+    }
+    autoIndexed(d, "_ivfpq",
+      buildIvfPqIndex(s, d, _, built("_km"), built("_pq")),
+      annIvfPqRefinedIndexed(s, d, _))
   }
 
   /** Gated flat view of the trained centroids. */
@@ -1136,7 +1180,10 @@ object EmbeddingOps {
     "q_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
     // the composed probe + exact re-rank of the top-REFINE_C ADC
     // candidates against the original vectors
-    "q_ann_ivfpq_refined" -> (annIvfPqRefined _))
+    "q_ann_ivfpq_refined" -> (annIvfPqRefined _),
+    // the serving form: ADC shortlist off the stored codes, exact
+    // re-rank as point lookups — bit-identical to the refined probe
+    "q_ann_ivfpq_refined_indexed" -> (annIvfPqRefinedIndexedAuto _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -1522,7 +1569,8 @@ FROM embeddings ORDER BY vec_id""",
     // two-stage train + probe bit-exactly — same oracle as q_ann_ivfpq
     "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     // shortlist ADC rank <= REFINE_C, exact L2^2 re-rank, top-k
-    "q_ann_ivfpq_refined" -> annIvfPqRefinedOracle)
+    "q_ann_ivfpq_refined" -> annIvfPqRefinedOracle,
+    "q_ann_ivfpq_refined_indexed" -> annIvfPqRefinedOracle)
 
   /** Shared CTE chain: Lloyd training → final assignment → cell-blocked
     * cosine pairs ≥ 0.4 (`pares`) — one source for the near-dup oracle and
