@@ -204,9 +204,10 @@ object Bench {
       // r11: the exact-re-rank refined probe (recall repair over ADC) and
       // the fluency-gated composed curation pass
       "q_ann_ivfpq_refined", "q_corpus_curate_fluent",
-      // r11: Misra-Gries heavy hitters (candidates + exact verify) and
-      // the sketch-driven adaptive skew salting
-      "q_heavy_hitters", "q_skew_join_salted_adaptive").foreach { name =>
+      // r11: Misra-Gries heavy hitters (candidates + exact verify), the
+      // sketch-driven adaptive skew salting, and the boilerplate signal
+      "q_heavy_hitters", "q_skew_join_salted_adaptive",
+      "q_boilerplate_frac").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

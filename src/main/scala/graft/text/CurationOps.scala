@@ -332,6 +332,48 @@ object CurationOps {
     hhVerify(s, hhShingles(corpus), cand, hhThreshold(n))
   }
 
+  /** Per-doc boilerplate fraction — the signal the heavy-hitter set
+    * exists to feed: the share of a doc's 3-shingles that are corpus-
+    * heavy (template/boilerplate passages found by [[heavyHitters]]).
+    * A doc dominated by corpus-frequent shingles is boilerplate, not
+    * content — the RefinedWeb-style drop candidate. One broadcast join
+    * of the exploded shingle stream against the ≤k exact-verified heavy
+    * set, then a per-doc rollup: no all-pairs, no second corpus-wide
+    * aggregation beyond the sketch pass already inside heavyHitters.
+    */
+  def boilerplateFrac(s: SparkSession, d: String): DataFrame = {
+    val heavy = heavyHitters(s, d).select("shingle")
+    val docs = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"${SH.spark} AS shingles")
+    val hits = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(heavy), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_boiler"))
+      .selectExpr("doc_id", "CAST(n_shingles AS INTEGER) AS n_shingles",
+        "CAST(n_boiler AS INTEGER) AS n_boiler",
+        "CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS taxa_boiler")
+      .orderBy("doc_id")
+  }
+
+  private lazy val boilerplateFracOracle: String =
+    s"""WITH ex AS (SELECT unnest(${SH.duck}) AS shingle FROM documents),
+n AS (SELECT COUNT(*) AS n FROM ex),
+c AS (SELECT shingle, COUNT(*) AS freq FROM ex GROUP BY 1),
+heavy AS (SELECT shingle FROM c, n WHERE freq >= (2 * n.n + ${hhK - 1}) // $hhK),
+sh AS (SELECT doc_id, ${SH.duck} AS shingles FROM documents),
+hits AS (SELECT doc_id, COUNT(*) AS n_boiler
+         FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) e
+         WHERE shingle IN (SELECT shingle FROM heavy) GROUP BY doc_id)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+  CAST(len(s.shingles) AS INTEGER) AS n_shingles,
+  CAST(coalesce(h.n_boiler, 0) AS INTEGER) AS n_boiler,
+  CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / CAST(len(s.shingles) AS DOUBLE) AS taxa_boiler
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY doc_id"""
+
   /** One oracle for both heavy-hitter forms (one-shot and streamed
     * summary-merge): the exact GROUP BY/HAVING truth at the support-
     * derived threshold — computable here precisely because the verify
@@ -889,6 +931,8 @@ ORDER BY d.doc_id"""
     // merge, resolution at read time
     "q_heavy_hitters_stream" ->
       (graft.streaming.Streams.heavyHittersStreamed _),
+    // the signal the heavy set feeds: per-doc boilerplate-shingle share
+    "q_boilerplate_frac" -> (boilerplateFrac _),
     "q_unigram_logrank" -> (unigramLogRank _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
@@ -945,6 +989,7 @@ FROM kth""",
     "q_sketch_hll_stream" -> sketchHllOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_heavy_hitters_stream" -> heavyHittersOracle,
+    "q_boilerplate_frac" -> boilerplateFracOracle,
     // the frequency-prior score re-derived: same vocab counts, same
     // bin-length floor(log2), same integer sum + one division
     "q_unigram_logrank" ->

@@ -97,6 +97,19 @@ class HeavyHitterSpec extends SparkSpec {
       oneShot.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("boilerplate fraction is non-vacuous and bounded") {
+    val bf = CurationOps.boilerplateFrac(spark, tiny)
+    val rows = bf.collect()
+    assert(rows.length > 0)
+    assert(rows.exists(_.getInt(2) > 0),
+      "a corpus with heavy shingles must show boilerplate hits")
+    rows.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0, s"frac out of range: $r")
+      assert(r.getInt(2) <= r.getInt(1), s"hits exceed shingles: $r")
+    }
+  }
+
   test("adaptive salting flags only sketch-hot keys and preserves row identity") {
     import spark.implicits._
     // one 50%-share hot key among 100 cold keys
