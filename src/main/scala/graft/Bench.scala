@@ -207,7 +207,10 @@ object Bench {
       // r11: Misra-Gries heavy hitters (candidates + exact verify), the
       // sketch-driven adaptive skew salting, and the boilerplate signal
       "q_heavy_hitters", "q_skew_join_salted_adaptive",
-      "q_boilerplate_frac").foreach { name =>
+      "q_boilerplate_frac",
+      // r11: the materialized KPI maintained under appends (two
+      // maintenance batches + read-time rollup per rep)
+      "q_kpi_incremental").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

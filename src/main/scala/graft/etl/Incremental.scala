@@ -141,6 +141,93 @@ object Incremental {
       .write.mode(mode).partitionBy("ano").parquet(dw)
   }
 
+  // ------------------------------------------------- aggregate maintenance
+
+  private def kpiStateDir(d: String): String = dwDir(d) + "_kpi"
+
+  /** Incremental AGGREGATE maintenance — the materialized-view member of
+    * the incremental family (facts append partitions, SCD2 dims merge
+    * versions, ANN indexes append cells; aggregates MERGE PARTIALS): a
+    * per-product revenue rollup kept current under fact appends, so a
+    * dashboard refresh never re-scans history.
+    *
+    * Design: the maintained state is keyed by sk_produto — a pure
+    * fact-side partial (SUM decimal, COUNT), sum-mergeable and exact —
+    * and the presentation join (categoria) happens at READ time against
+    * the dimension. Per batch the cost is O(|batch|) scan + O(|products|)
+    * merge; the decimal sums are associative, so (historical partial) ⊕
+    * (increment partial) is BIT-IDENTICAL to the one-shot aggregate —
+    * which is exactly what the gate checks: q_kpi_incremental runs the
+    * split lifecycle against the SAME DuckDB oracle as
+    * kpi6_vendas_categoria (one full recompute).
+    *
+    * State lives behind the [[StoreCommit]] pointer: each batch stages a
+    * merged snapshot into a per-batch dir and advances the batchId
+    * watermark, so a foreachBatch redelivery (streamed twin) is skipped
+    * and a mid-apply crash re-stages deterministically — the same
+    * exactly-once posture as the SCD2 store.
+    */
+  def kpiIncremental(s: SparkSession, d: String): DataFrame = {
+    val state = kpiStateDir(d)
+    StoreCommit.wipe(state)
+    val dims = ensureDims(s, d)
+    applyKpiBatch(s, d, Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cut)), state, 0L, dims)
+    applyKpiBatch(s, d, Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(cut)), state, 1L, dims)
+    readKpiState(s, d, state)
+  }
+
+  /** One maintenance batch: derive the batch's fact lines (STORED SK
+    * maps, the factIncremental discipline), partial-aggregate them by
+    * sk_produto, key-merge with the committed state, commit. Exposed for
+    * the streamed twin and the spec.
+    */
+  private[graft] def applyKpiBatch(s: SparkSession, d: String,
+      orders: DataFrame, state: String, batchId: Long,
+      dims: Seq[DataFrame]): Unit = {
+    val prior = StoreCommit.committed(state)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val Seq(dp, dc, dv, dl) = dims
+    val partial = Star
+      .fatoVendasFromDims(orders, Tables.lineitem(s, d), dp, dc, dv, dl)
+      .groupBy("sk_produto")
+      .agg(sum(col("valor_total")).cast("decimal(38,2)").as("total"),
+        count(lit(1)).as("n"))
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$state/$dir"))
+          .groupBy("sk_produto")
+          .agg(sum(col("total")).cast("decimal(38,2)").as("total"),
+            sum(col("n")).as("n"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$state/agg_b$batchId")
+    StoreCommit.commit(state, s"agg_b$batchId", batchId)
+    StoreCommit.cleanupStale(state, "agg_b")
+  }
+
+  /** Read-time presentation: the O(|products|) state joins the dimension
+    * and rolls up to category — the kpi6 surface, bit-identical to the
+    * one-shot aggregate because decimal addition is associative.
+    */
+  private[graft] def readKpiState(s: SparkSession, d: String,
+      state: String): DataFrame = {
+    val (dir, _) = StoreCommit.committed(state).getOrElse(
+      throw new IllegalStateException(s"KPI state not initialized: $state"))
+    s.read.parquet(s"$state/$dir")
+      .join(broadcast(Star.dimProduto(s, d)), Seq("sk_produto"))
+      .groupBy("categoria")
+      .agg(sum(col("total")).cast("double").as("total_vendas"),
+        sum(col("n")).as("quantidade_vendas"))
+      .orderBy(desc("total_vendas"), asc("categoria"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fact_incremental" -> (factIncremental _))
+    "q_fact_incremental" -> (factIncremental _),
+    // the materialized-view lifecycle: two maintenance batches, then the
+    // read-time rollup — same oracle as the one-shot kpi6
+    "q_kpi_incremental" -> (kpiIncremental _),
+    "q_kpi_incremental_stream" ->
+      (graft.streaming.Streams.kpiIncrementalStreamed _))
 }

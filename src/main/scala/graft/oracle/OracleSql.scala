@@ -106,6 +106,17 @@ fato AS (
   private def sumd(c: String) =
     s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** kpi6, shared verbatim with the incrementally-maintained view gates
+    * (q_kpi_incremental and its streamed twin): one recompute truth for
+    * the one-shot and maintained forms.
+    */
+  private lazy val kpi6Sql: String = withStar(
+    s"""SELECT p.categoria, ${sumd("f.valor_total")} AS total_vendas,
+       COUNT(*) AS quantidade_vendas
+FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
+GROUP BY p.categoria
+ORDER BY total_vendas DESC, categoria""")
+
   val all: Map[String, String] = Map(
     // ------------------------------------------------ star-schema builds
     "star_dim_produto" -> withStar(
@@ -176,12 +187,12 @@ FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
 GROUP BY p.nome_produto
 ORDER BY total_vendas DESC, nome_produto
 LIMIT 5"""),
-    "kpi6_vendas_categoria" -> withStar(
-      s"""SELECT p.categoria, ${sumd("f.valor_total")} AS total_vendas,
-       COUNT(*) AS quantidade_vendas
-FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
-GROUP BY p.categoria
-ORDER BY total_vendas DESC, categoria"""),
+    "kpi6_vendas_categoria" -> kpi6Sql,
+    // the incrementally-maintained materialized view (batch + streamed
+    // twins) must land on the one-shot aggregate — decimal partial sums
+    // are associative, so the gate is bit-exact, not approximate
+    "q_kpi_incremental" -> kpi6Sql,
+    "q_kpi_incremental_stream" -> kpi6Sql,
     "kpi7_vendas_pais" -> withStar(
       s"""SELECT l.pais, ${sumd("f.valor_total")} AS total_vendas
 FROM fato f JOIN dim_localidade l ON f.sk_localidade = l.sk_localidade

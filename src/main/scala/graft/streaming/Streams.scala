@@ -639,6 +639,39 @@ object Streams {
         "qtd_vendida", "valor_bruto", "valor_desconto")
   }
 
+  /** The materialized KPI maintained as a STREAM — the incremental twin
+    * of graft.etl.Incremental.kpiIncremental: order slices arrive as a
+    * file stream, each micro-batch derives its fact lines against the
+    * STORED SK maps and key-merges its sk_produto partial into the
+    * committed state (exactly-once via the StoreCommit batchId
+    * watermark). Decimal partial sums are associative, so any arrival
+    * batching lands on the one-shot aggregate — gated against the SAME
+    * DuckDB oracle as kpi6_vendas_categoria.
+    */
+  def kpiIncrementalStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_kpi_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val o = graft.Tables.orders(spark, dir)
+    o.filter(col("o_orderdate") < lit("1996-01-01"))
+      .coalesce(1).write.parquet(sub("in"))
+    o.filter(col("o_orderdate") >= lit("1996-01-01"))
+      .coalesce(1).write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val dims = graft.etl.Incremental.ensureDims(spark, dir)
+    val oStream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = oStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.etl.Incremental.applyKpiBatch(spark, dir, batch, state,
+          batchId, dims)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.etl.Incremental.readKpiState(spark, dir, state)
+  }
+
   /** SCD2 dimension maintenance as a STREAMING UPSERT — the foreachBatch
     * read-modify-write pattern every table-format-less streaming DW
     * runs: update batches arrive as a file stream (two staged

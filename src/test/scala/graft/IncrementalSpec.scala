@@ -60,4 +60,39 @@ class IncrementalSpec extends SparkSpec {
       rm(new java.io.File(s"$dw-dims"))
     }
   }
+
+  test("maintained KPI state: O(|products|) rows, replay is a no-op, equals the one-shot aggregate") {
+    import graft.etl.{Incremental, StoreCommit}
+    val state = s"/tmp/graft_kpi_spec_${System.nanoTime()}"
+    try {
+      val dims = Incremental.ensureDims(spark, tiny)
+      val hist = Tables.orders(spark, tiny)
+        .filter(col("o_orderdate") < lit("1996-01-01"))
+      val incr = Tables.orders(spark, tiny)
+        .filter(col("o_orderdate") >= lit("1996-01-01"))
+      Incremental.applyKpiBatch(spark, tiny, hist, state, 0L, dims)
+      Incremental.applyKpiBatch(spark, tiny, incr, state, 1L, dims)
+      val committed = StoreCommit.committed(state)
+      val stateRows = spark.read.parquet(s"$state/${committed.get._1}")
+      // the maintained state is the REDUCED partial — bounded by the
+      // product dimension, not the fact
+      assert(stateRows.count() <=
+        graft.etl.Star.dimProduto(spark, tiny).count())
+      val before = stateRows.orderBy("sk_produto").collect().toSeq
+      // foreachBatch redelivery: watermark absorbs it bit-for-bit
+      Incremental.applyKpiBatch(spark, tiny, incr, state, 1L, dims)
+      assert(StoreCommit.committed(state) === committed, "pointer moved on replay")
+      assert(spark.read.parquet(s"$state/${committed.get._1}")
+        .orderBy("sk_produto").collect().toSeq === before,
+        "replay mutated the committed state")
+      // maintained ≡ one-shot: decimal partial sums are associative
+      val maintained = Incremental.readKpiState(spark, tiny, state).collect()
+      val oneShot = graft.kpi.Kpis.kpi6VendasPorCategoria(
+        graft.etl.Star.fatoVendas(spark, tiny),
+        graft.etl.Star.dimProduto(spark, tiny)).collect()
+      assert(maintained.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq)
+    } finally {
+      StoreCommit.wipe(state)
+    }
+  }
 }
