@@ -98,6 +98,20 @@ object ScaleProbe {
     val (l2, lr2) = lifecycle(work)
     println(f"scd2 lifecycle: 1x $lr1%,d rows $l1%.1f s   x$n%d ${lr2}%,d rows $l2%.1f s   " +
       f"rows=${lr2.toDouble / lr1}%.1fx time=${l2 / l1}%.2fx")
+
+    // r11: the maintained KPI under fact growth — both maintenance
+    // batches are fact-bound (Nx orders) while the state merge and the
+    // read-time rollup are O(|products|) (fixed), so the whole two-batch
+    // lifecycle must scale ~Nx; output rows are category-bound (fixed).
+    def kpiMaint(dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = etl.Incremental.kpiIncremental(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (m1, mr1) = kpiMaint(src)
+    val (m2, mr2) = kpiMaint(work)
+    println(f"kpi maintained: 1x $mr1%,d rows $m1%.1f s   x$n%d ${mr2}%,d rows $m2%.1f s   " +
+      f"time=${m2 / m1}%.2fx")
     spark.stop()
   }
 
@@ -171,7 +185,13 @@ object ScaleProbe {
       // scale exactly Nx and time ~Nx (the sharding's whole point: the
       // dominant language no longer serializes through one reducer)
       ("token_budget", d => text.CurationOps.tokenBudgetFill(spark, d).count(), false),
-      ("seq_packing", d => text.CurationOps.seqPacking(spark, d).count(), true))
+      ("seq_packing", d => text.CurationOps.seqPacking(spark, d).count(), true),
+      // r11 heavy hitters: two corpus passes + an O(k) summary merge —
+      // time must scale ~Nx. Rows are NOT comparable across scales: the
+      // support threshold grows with n while a prefix-disjoint replica's
+      // per-shingle counts stay at their 1x values, so heavy rows
+      // legitimately vanish at Nx — time is the only honest check here
+      ("heavy_hitters", d => text.CurationOps.heavyHitters(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>
