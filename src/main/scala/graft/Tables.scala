@@ -11,7 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The generator writes parquet `timestamp[us]` WITHOUT `isAdjustedToUTC`,
+    * which Spark 4 reads as TIMESTAMP_NTZ. Downstream code (unix_micros,
+    * streaming event-time, the java.sql.Timestamp encoders) requires
+    * TimestampType; every graft session pins spark.sql.session.timeZone=UTC,
+    * so this cast is a bit-exact relabel, never a wall-clock shift.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, d(c).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

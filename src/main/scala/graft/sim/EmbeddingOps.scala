@@ -459,7 +459,7 @@ object EmbeddingOps {
     * [[kmeansCentroidsOf]] for the train-base split's role in the
     * incremental index path).
     */
-  private def pqCodebooksOf(base: DataFrame): DataFrame = {
+  private[graft] def pqCodebooksOf(base: DataFrame): DataFrame = {
     val quant = "transform(sub, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
     var cents = base.filter(col("vec_id") < PQ_K)
@@ -531,7 +531,9 @@ object EmbeddingOps {
     * 0-based, and array_sort on the (key, value) struct orders by key, so
     * position == id in both nestings.
     */
-  private def lutParts(lut: DataFrame): DataFrame =
+  // private[graft] for PqSpec: the density guard must be provable by a
+  // spec that retrains with an emptied cell, not just asserted in prose
+  private[graft] def lutParts(lut: DataFrame): DataFrame =
     lut.groupBy(col("query_id"), col("m"))
       .agg(array_sort(collect_list(struct(col("code"), col("part")))).as("cp"))
       .select(col("query_id"), col("m"),

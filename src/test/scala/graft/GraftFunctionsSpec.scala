@@ -161,4 +161,30 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("cosine_sim"))
   }
+
+  test("l2_sq rejects length-mismatched vectors instead of reading garbage") {
+    // ArrayData element reads are unchecked — before the guard, a 3-elem
+    // vs 4-elem pair returned a plausible-but-wrong distance
+    GraftFunctions.register(spark)
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    val err = intercept[Exception] {
+      spark.sql("""SELECT l2_sq(
+        array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))""").collect()
+    }
+    assert(messages(err).contains("length mismatch"), messages(err))
+  }
+
+  test("l2_sq rejects null elements instead of reading garbage") {
+    GraftFunctions.register(spark)
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    val err = intercept[Exception] {
+      spark.sql("""SELECT l2_sq(
+        array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))""").collect()
+    }
+    assert(messages(err).contains("null element"), messages(err))
+  }
 }

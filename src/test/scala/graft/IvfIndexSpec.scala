@@ -186,4 +186,29 @@ class IvfIndexSpec extends SparkSpec {
     val c1 = spark.read.parquet(s"$selfDir/centroids").orderBy("cell").collect()
     assert(c3 === c1, "fallback training must still produce the trained centroids")
   }
+
+  test("a composed build pointed at an :incr index retrains, never reuses") {
+    import org.apache.spark.sql.functions.col
+    // the incremental lifecycle's index is trained on the 9/10 build
+    // slice and stamped fingerprint+":incr" — a composed build over the
+    // FULL corpus must see that stamp as a mismatch and run its own
+    // Lloyd, not silently serve slice-trained centroids as full-corpus
+    EmbeddingOps.annIvfKmeansIncr(spark, tiny).collect(): Unit
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val incrDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_incr_$h"
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$incrDir/_fingerprint")).endsWith(":incr"))
+    val composedDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_incrsrc").toString
+    EmbeddingOps.buildIvfPqIndex(spark, tiny, composedDir, Some(incrDir))
+    val composed = spark.read.parquet(s"$composedDir/centroids")
+      .orderBy("cell").collect()
+    val sliceTrained = spark.read.parquet(s"$incrDir/centroids")
+      .orderBy("cell").collect()
+    val fullTrained = EmbeddingOps.kmeansCentroids(spark, tiny)
+      .orderBy("cell").collect()
+    assert(composed === fullTrained, "composed build must carry full-corpus training")
+    assert(!(composed.toSeq == sliceTrained.toSeq),
+      "slice-trained and full-trained centroids must actually differ for this test to bite")
+  }
 }

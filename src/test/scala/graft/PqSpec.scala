@@ -47,4 +47,34 @@ class PqSpec extends SparkSpec {
         s"ADC must decompose the decoded L2²: $r vs $l2")
     }
   }
+
+  test("a Lloyd round that empties a PQ cell fails the LUT build loudly") {
+    // Engineer the empty cell the guard exists for: deterministic init
+    // takes the K smallest vec_ids' sub-vectors as centroids, so making
+    // vec 0 and vec 1 identical duplicates centroids 0 and 1; the
+    // assignment tie-break (min on (dist, cell)) sends every member to
+    // cell 0, pqRecompute's groupBy drops the now-empty cell 1, and the
+    // codebook comes out non-dense. Before the guard this silently
+    // shifted every higher code's positional ADC lookup.
+    import spark.implicits._
+    val vecs = (0 until 32).map { id =>
+      val base = if (id == 1) 0 else id // vec 1 duplicates vec 0
+      (id.toLong, Array.tabulate(64)(i => (base * 64 + i).toFloat))
+    }
+    val subBase = vecs.toDF("vec_id", "embedding")
+      .withColumn("m", explode(sequence(lit(0), lit(3))))
+      .selectExpr("vec_id", "m", "slice(embedding, m * 16 + 1, 16) AS sub")
+    val cents = EmbeddingOps.pqCodebooksOf(subBase)
+    assert(cents.groupBy("m").count().collect().forall(_.getLong(1) < 8),
+      "setup must actually produce a non-dense codebook")
+    val lut = cents.select(lit(0L).as("query_id"), col("m"),
+      col("cell").as("code"), lit(1.0).as("part"))
+    val ex = intercept[Exception] {
+      EmbeddingOps.lutParts(lut).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("non-dense PQ codebook"),
+      s"expected the explicit density error, got: ${messages(ex)}")
+  }
 }
