@@ -210,7 +210,10 @@ object Bench {
       "q_boilerplate_frac",
       // r11: the materialized KPI maintained under appends (two
       // maintenance batches + read-time rollup per rep)
-      "q_kpi_incremental").foreach { name =>
+      "q_kpi_incremental",
+      // r12: cluster-granular deterministic train/val/test assignment
+      // (LSH pairs → components → hash split, end-to-end per rep)
+      "q_split_leakage_safe").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
@@ -472,19 +475,24 @@ object Bench {
       }
     }
 
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // -1 failure sentinels stay visible per-query but must not shrink the
-    // headline total; _cold duplicates would double-count the ETL phase,
-    // and the 10×-data scale rows (_sf1/_10x) measure a DIFFERENT corpus —
-    // summing two data scales into one headline would make the total
-    // incomparable across rounds
+    // a failed query is recorded as JSON null (never a plausible number or
+    // a -1 that a consumer might sum) AND listed in an explicit `errors`
+    // field; the internal -1.0 sentinel exists only between time() and here
+    val qs = times.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val errs = times.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // failures must not shrink the headline total; _cold duplicates would
+    // double-count the ETL phase, and the 10×-data scale rows (_sf1/_10x)
+    // measure a DIFFERENT corpus — summing two data scales into one
+    // headline would make the total incomparable across rounds
     val total = times.collect {
       case (k, v) if v >= 0 && !k.endsWith("_cold") &&
         !k.endsWith("_sf1") && !k.endsWith("_10x") => v
     }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the line to a file: two rounds of BENCH data were lost to
     // stdout-scrape failures (BENCH_r01/r02 parsed:null). The driver can

@@ -41,7 +41,11 @@ object Scd {
       coalesce(col("c_mktsegment"), lit("N/A")).as("segmento"))
 
   /** Deterministic incremental batch: every 7th key changes segment;
-    * every 13th key arrives as a NEW customer. New keys are -(key + 1) —
+    * every 13th key arrives as a NEW customer; every 17th key (excluding
+    * %7 overlaps — update keys must be unique) NULLs its name, so the
+    * kernel's null-safe change detection (`<=>` / IS DISTINCT FROM) is
+    * exercised by gated data, not just asserted — under three-valued
+    * `<>` these rows would silently not version. New keys are -(key+1) —
     * strictly negative, so guaranteed disjoint from the (non-negative)
     * business-key domain at every scale factor, unlike an additive
     * offset, which a large enough key domain would eventually collide
@@ -55,7 +59,10 @@ object Scd {
       .select((-(col("id_cliente") + 1)).as("id_cliente"),
         concat(lit("Novo "), col("nome")).as("nome"),
         lit("NOVO").as("segmento"))
-    changed.unionByName(fresh)
+    val nulled = base.filter(
+        col("id_cliente") % 17 === 0 && col("id_cliente") % 7 =!= 0)
+      .withColumn("nome", lit(null).cast("string"))
+    changed.unionByName(fresh).unionByName(nulled)
   }
 
   /** Type 1 merge: updates win, unmatched dimension rows survive. */
@@ -374,7 +381,10 @@ object Scd {
 up AS (
   SELECT id_cliente, nome, 'ATUALIZADO' AS segmento FROM dim WHERE id_cliente % 7 = 0
   UNION ALL
-  SELECT -(id_cliente + 1), 'Novo ' || nome, 'NOVO' FROM dim WHERE id_cliente % 13 = 0)"""
+  SELECT -(id_cliente + 1), 'Novo ' || nome, 'NOVO' FROM dim WHERE id_cliente % 13 = 0
+  UNION ALL
+  SELECT id_cliente, CAST(NULL AS VARCHAR), segmento FROM dim
+  WHERE id_cliente % 17 = 0 AND id_cliente % 7 <> 0)"""
 
   /** One-shot SCD2 oracle — shared by the batch gate and the streamed
     * foreachBatch upsert, which must converge to the identical table.

@@ -256,7 +256,11 @@ object CurationOps {
     * class as the k-means centroid collect.
     */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
-    val sh = hhShingles(documents(s, d))
+    // the MG pass and the verify recount both consume the full 3-shingle
+    // explosion; unbarriered, each pass re-reads the docs and re-runs the
+    // tokenize+shingle projection (the explosion was the dominant cost of
+    // the whole query, paid twice) — one materialization serves both
+    val sh = graft.Checkpoint.barrier(hhShingles(documents(s, d)))
     val row = sh.agg(
       graft.functions.MisraGries.udafCol(hhK)(col("shingle")).as("mg"),
       count(lit(1)).as("n")).head()

@@ -763,6 +763,39 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment a training-data
+    * pipeline must make AFTER near-dup detection: the unit of assignment
+    * is the near-dup CLUSTER, not the document, so two near-duplicates
+    * can never straddle train and eval (the eval-contamination leak a
+    * doc-level random split creates at a rate proportional to dup
+    * density — exactly the leak [[graft.text.CurationOps.decontaminate]]
+    * detects after the fact; this operator prevents it by construction).
+    * Deterministic, seedless: the split is a pure function of the
+    * canonical id (md5 → 60-bit int → mod 10: 0-7 train, 8 val, 9
+    * test), so re-runs and incremental arrivals assign identically and
+    * the ~80/10/10 proportions follow from hash uniformity.
+    *
+    * Scale shape: cluster labels come from the banded LSH pipeline
+    * (never all-pairs, bounded by near-dup density); the split itself
+    * is one left join of corpus ids against the label table plus a
+    * per-row hash — no shuffle beyond the label join, no RNG state.
+    */
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d) // (doc_id, cluster); clustered docs only
+    documents(s, d).selectExpr("CAST(doc_id AS BIGINT) AS doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      // singletons are their own cluster — same rule as min-propagation
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("bucket",
+        expr(s"${hash60("CAST(cluster AS STRING)").spark} % 10"))
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster", "split")
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
     * (lang, token-count bucket), as a PREFIX-FILTERED set-similarity join
     * (Bayardo/Chaudhuri SSJoin):
@@ -923,6 +956,7 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_canonical" -> (dedupCanonical _),
+    "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_dedup_simhash64" -> (simhashPairs64(_, _)),
     "q_dedup_passage" -> (passageDedup(_, _)),
     "q_passage_clean" -> (passageClean(_, _)),
@@ -1120,6 +1154,23 @@ LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
   ON d.doc_id = a.cluster
 WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
 ORDER BY doc_id""",
+      // cluster-granular deterministic split: same recursive components,
+      // same md5→60-bit hash rule as the Spark form
+      "q_split_leakage_safe" ->
+        s"""WITH RECURSIVE $clusterCtes,
+labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc),
+assigned AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+bucketed AS (
+  SELECT doc_id, cluster,
+         ${hash60("CAST(cluster AS VARCHAR)").duck} % 10 AS bucket
+  FROM assigned)
+SELECT doc_id, cluster,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM bucketed ORDER BY doc_id""",
       "q_dedup_simhash64" -> simhash64Oracle,
       "q_dedup_passage" -> passageOracle(),
       "q_passage_clean" -> passageCleanOracle(),

@@ -167,4 +167,38 @@ class ScdPitSpec extends SparkSpec {
         "replayed half-staged batch must converge to the one-shot table")
     } finally rmTree(state)
   }
+
+  test("state store absorbs a crash BETWEEN the two stage writes: history landed, current did not") {
+    import org.apache.spark.sql.functions.col
+    val state = s"/tmp/graft_scd2_crash2_${System.nanoTime()}"
+    try {
+      Scd.initStateStore(spark, tiny, state)
+      val up = Scd.updateBatch(spark, tiny)
+      Scd.applyBatchToStore(spark, state, up.filter(col("id_cliente") >= 0),
+        "1999-01-01", batchId = 0L)
+      val b1 = up.filter(col("id_cliente") < 0)
+      // forge the narrower crash window the two-write stage leaves open:
+      // hist_b1 is fully written, the worker dies BEFORE current_b1 —
+      // on disk that is a staged history dir with no current sibling
+      Scd.stageBatch(spark, state, "current_b0", b1, "1999-01-01", batchId = 1L)
+      rmTree(s"$state/current_b1")
+      // the orphaned history staging is above the committed watermark, so
+      // readers must not see it and reads must not fail on the missing dir
+      val preReplay = Scd.readStateStore(spark, state)
+        .orderBy("id_cliente", "valid_from", "vigente").collect()
+      assert(!preReplay.exists(r => r.getAs[Long]("id_cliente") < 0),
+        "orphaned history staging leaked into the read path")
+      // redelivery re-runs BOTH writes in overwrite mode: the orphaned
+      // hist_b1 is replaced, never appended beside — no duplicate
+      // (key, valid_from, valid_to) rows can survive the replay
+      Scd.applyBatchToStore(spark, state, b1, "1999-01-01", batchId = 1L)
+      val store = Scd.readStateStore(spark, state)
+      val dupes = store.groupBy("id_cliente", "valid_from", "valid_to")
+        .count().filter(col("count") > 1).count()
+      assert(dupes === 0, "replay duplicated history rows")
+      assert(store.orderBy("id_cliente", "valid_from", "vigente").collect()
+        === Scd.scd2(spark, tiny).collect(),
+        "crash-between-writes replay must converge to the one-shot table")
+    } finally rmTree(state)
+  }
 }
