@@ -212,8 +212,9 @@ object Bench {
       // maintenance batches + read-time rollup per rep)
       "q_kpi_incremental",
       // r12: cluster-granular deterministic train/val/test assignment
-      // (LSH pairs → components → hash split, end-to-end per rep)
-      "q_split_leakage_safe").foreach { name =>
+      // (LSH pairs → components → hash split, end-to-end per rep) and
+      // the seeded shuffle-to-shards training layout
+      "q_split_leakage_safe", "q_shuffle_shards").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

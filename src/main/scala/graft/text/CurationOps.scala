@@ -790,6 +790,39 @@ ORDER BY balde"""
       .orderBy("lang", "doc_id")
   }
 
+  /** Deterministic shuffle-to-shards — the reproducible global shuffle a
+    * training run needs over the finished corpus (data order is part of
+    * the training recipe; "shuffle once, stream shards" is the standard
+    * at-scale layout). Each doc gets a pseudorandom 60-bit key from a
+    * seeded md5 of its id; shard = key mod N and the within-shard order
+    * is the key order, so every shard is a uniform random subsample,
+    * shard sizes balance by hash uniformity, and the whole assignment is
+    * a pure function of (seed, doc_id) — re-runs and audits reproduce it
+    * exactly, no RNG state anywhere.
+    *
+    * Scale shape: NO global sort and no single-reducer window — the
+    * only shuffle is the hash partition on shard, and the position
+    * window runs per shard, all shards in parallel (the same discipline
+    * that sharded [[tokenBudgetFill]]'s cumsum). A trainer reading
+    * shards round-robin sees a full-corpus shuffle without any engine
+    * ever holding a global order. Each shard's rank sorts in one task,
+    * so N_SHARDS is the parallelism/size knob: size it so a shard fits
+    * a task's external sort comfortably (100 TB / 10k shards ≈ 10 GB) —
+    * the gate pins 8 only because the oracle corpus is 500 docs.
+    */
+  private val shuffleSeed = "graft-v1"
+  private val shuffleNShards = 8
+  def shuffleShards(s: SparkSession, d: String): DataFrame = {
+    val key = TextExprs.hash60(s"concat('$shuffleSeed:', CAST(doc_id AS STRING))")
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${key.spark} AS h")
+      .withColumn("shard", expr(s"CAST(h % $shuffleNShards AS INT)"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")) - 1).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------- composed curation
 
   /** The composed curation pass — what a corpus build actually runs:
@@ -950,7 +983,8 @@ ORDER BY d.doc_id"""
       (graft.streaming.Streams.corpusCurateFluentStreamed _),
     "q_mix_epochs" -> (mixEpochs _),
     "q_token_budget" -> (tokenBudgetFill _),
-    "q_seq_packing" -> (seqPacking _))
+    "q_seq_packing" -> (seqPacking _),
+    "q_shuffle_shards" -> (shuffleShards _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1071,6 +1105,17 @@ FROM (SELECT doc_id, lang, n_tokens,
             FROM documents))
 ORDER BY lang, doc_id"""
     },
+    // same seeded md5 → 60-bit key, same mod-N shard, same per-shard
+    // rank — the two engines must agree on every (doc, shard, pos) cell
+    "q_shuffle_shards" ->
+      s"""SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(h % $shuffleNShards AS INTEGER) AS shard, h
+      FROM (SELECT doc_id,
+                   ${TextExprs.hash60(s"('$shuffleSeed:' || CAST(doc_id AS VARCHAR))").duck} AS h
+            FROM documents))
+ORDER BY doc_id""",
     "q_corpus_curate" -> corpusCurateOracle,
     // the streamed form converges to the same batch relation
     "q_corpus_curate_stream" -> corpusCurateOracle,

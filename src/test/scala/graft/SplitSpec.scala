@@ -41,4 +41,39 @@ class SplitSpec extends SparkSpec {
     assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0,
       s"empty eval split: $counts")
   }
+
+  // ---- shuffle-to-shards (the reproducible training-order layout) ----
+
+  private lazy val shards = graft.text.CurationOps.shuffleShards(spark, tiny).cache()
+
+  test("shuffle covers every doc once, shards balanced by hash uniformity") {
+    val n = Tables.documents(spark, tiny).count()
+    assert(shards.count() === n)
+    assert(shards.select("doc_id").distinct().count() === n)
+    val sizes = shards.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8)
+    // binomial(500, 1/8): mean 62.5, sd ~7.4 — 3.5 sd bounds
+    assert(sizes.forall(c => c > 36 && c < 89), s"unbalanced: ${sizes.toSeq}")
+  }
+
+  test("positions are contiguous 0..size-1 within every shard") {
+    import org.apache.spark.sql.functions._
+    val bad = shards.groupBy("shard").agg(
+      min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.count() === 0)
+  }
+
+  test("shard order is shuffled, not id order, and fully deterministic") {
+    import org.apache.spark.sql.functions._
+    // within a shard, pos order must not be doc_id order (that would mean
+    // the \"shuffle\" preserved ingest order) — count order inversions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+    val inversions = shards.withColumn("prev_id", lag("doc_id", 1).over(w))
+      .filter(col("prev_id") > col("doc_id")).count()
+    assert(inversions > 0, "per-shard order degenerated to id order")
+    assert(graft.text.CurationOps.shuffleShards(spark, tiny).collect()
+      === shards.collect())
+  }
 }
