@@ -127,6 +127,11 @@ object SparkEntry {
     // cross-batch pairs through state; same oracle as the batch form
     "q_dedup_minhash_stream" ->
       (graft.streaming.Streams.dedupMinhashStreamed _),
+    // the leakage-safe split maintained under arrivals: the streamed band
+    // index accumulates near-dup edges, components + the shared hash-split
+    // tail close the assignment; same oracle as the batch form
+    "q_split_leakage_safe_stream" ->
+      (graft.streaming.Streams.splitLeakageSafeStreamed _),
     // streamed VERIFIED near-dup: SimHash64 band state carries the BIGINT
     // signature, exact hamming checked at emission — only true near-dups
     // leave the operator; same oracle as the batch q_dedup_simhash64

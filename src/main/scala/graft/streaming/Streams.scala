@@ -329,6 +329,41 @@ object Streams {
     }
   }
 
+  /** The leakage-safe split maintained under streaming arrivals: the
+    * stateful band index ([[lshPairsStream]]) accumulates near-dup
+    * edges incrementally as docs arrive (cross-batch pairs can only
+    * come from state — the two-file staging forces them through it);
+    * the assignment read then closes components over the accumulated
+    * edge set and applies the SAME deterministic hash-split tail as the
+    * batch form (graft.text.TextOps.splitAssign — shared kernel, cannot
+    * drift). Determinism of the split rule (a pure function of the
+    * canonical id) is what makes incremental maintenance sound:
+    * a singleton's assignment never changes, and a doc's split moves
+    * only when its cluster gains a lower canonical — exactly the merge
+    * events the band index emits. Converges to the batch
+    * q_split_leakage_safe; same oracle.
+    */
+  def splitLeakageSafeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = graft.text.TextExprs.tokens("text")
+    runDocStreamGate(spark, dir, "split") { stream =>
+      lshPairsStream(stream
+        .selectExpr("doc_id", s"${T.spark} AS toks")
+        .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
+        .selectExpr("doc_id", s"${graft.text.TextOps.lshBandsExpr} AS bands")
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey")))
+        .selectExpr("concat(CAST(band_idx AS STRING), '|', bkey) AS band", "doc_id")
+        .as[BandedDoc]).toDF()
+    } { sink =>
+      val clusters = graft.text.TextOps.componentsOf(
+        sink.select("doc_a", "doc_b").distinct())
+      graft.text.TextOps.splitAssign(
+        graft.Tables.documents(spark, dir)
+          .selectExpr("CAST(doc_id AS BIGINT) AS doc_id"),
+        clusters)
+    }
+  }
+
   /** One (pigeonhole band key, doc, signature) row of the streamed
     * SimHash index (public for codegen).
     */

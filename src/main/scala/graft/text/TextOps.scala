@@ -780,10 +780,16 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
     * is one left join of corpus ids against the label table plus a
     * per-row hash — no shuffle beyond the label join, no RNG state.
     */
-  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
-    val clusters = dedupClusters(s, d) // (doc_id, cluster); clustered docs only
-    documents(s, d).selectExpr("CAST(doc_id AS BIGINT) AS doc_id")
-      .join(clusters, Seq("doc_id"), "left")
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame =
+    splitAssign(documents(s, d).selectExpr("CAST(doc_id AS BIGINT) AS doc_id"),
+      dedupClusters(s, d))
+
+  /** The assignment tail shared by the batch form and the streamed twin
+    * (whose cluster labels come from the incrementally-maintained band
+    * index) — one kernel, so the two forms cannot drift.
+    */
+  private[graft] def splitAssign(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters, Seq("doc_id"), "left")
       // singletons are their own cluster — same rule as min-propagation
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("bucket",
@@ -794,7 +800,26 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
           .otherwise("test"))
       .select("doc_id", "cluster", "split")
       .orderBy("doc_id")
-  }
+
+  /** The leakage-safe-split oracle body over the shared recursive
+    * components CTEs — one definition for the batch gate and the
+    * streamed twin.
+    */
+  private def splitOracle(clusterCtes: String): String =
+    s"""WITH RECURSIVE $clusterCtes,
+labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc),
+assigned AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+bucketed AS (
+  SELECT doc_id, cluster,
+         ${hash60("CAST(cluster AS VARCHAR)").duck} % 10 AS bucket
+  FROM assigned)
+SELECT doc_id, cluster,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM bucketed ORDER BY doc_id"""
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard, blocked on
     * (lang, token-count bucket), as a PREFIX-FILTERED set-similarity join
@@ -1155,22 +1180,11 @@ LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
 WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
 ORDER BY doc_id""",
       // cluster-granular deterministic split: same recursive components,
-      // same md5→60-bit hash rule as the Spark form
-      "q_split_leakage_safe" ->
-        s"""WITH RECURSIVE $clusterCtes,
-labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc),
-assigned AS (
-  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
-  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
-bucketed AS (
-  SELECT doc_id, cluster,
-         ${hash60("CAST(cluster AS VARCHAR)").duck} % 10 AS bucket
-  FROM assigned)
-SELECT doc_id, cluster,
-       CASE WHEN bucket <= 7 THEN 'train'
-            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
-FROM bucketed ORDER BY doc_id""",
+      // same md5→60-bit hash rule as the Spark form; the streamed twin
+      // (band-index edges accumulated across micro-batches) converges to
+      // the same relation, so both gate against this one oracle
+      "q_split_leakage_safe" -> splitOracle(clusterCtes),
+      "q_split_leakage_safe_stream" -> splitOracle(clusterCtes),
       "q_dedup_simhash64" -> simhash64Oracle,
       "q_dedup_passage" -> passageOracle(),
       "q_passage_clean" -> passageCleanOracle(),

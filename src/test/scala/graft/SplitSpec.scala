@@ -42,6 +42,11 @@ class SplitSpec extends SparkSpec {
       s"empty eval split: $counts")
   }
 
+  test("streamed split (incremental band index) converges to the batch assignment") {
+    assert(graft.streaming.Streams.splitLeakageSafeStreamed(spark, tiny)
+      .collect() === split.collect())
+  }
+
   // ---- shuffle-to-shards (the reproducible training-order layout) ----
 
   private lazy val shards = graft.text.CurationOps.shuffleShards(spark, tiny).cache()
