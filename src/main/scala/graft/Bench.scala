@@ -213,8 +213,10 @@ object Bench {
       "q_kpi_incremental",
       // r12: cluster-granular deterministic train/val/test assignment
       // (LSH pairs → components → hash split, end-to-end per rep) and
-      // the seeded shuffle-to-shards training layout
-      "q_split_leakage_safe", "q_shuffle_shards").foreach { name =>
+      // the seeded shuffle-to-shards training layout, and α-temperature
+      // language mixing (integer-exact targets, sharded rank)
+      "q_split_leakage_safe", "q_shuffle_shards",
+      "q_mix_temperature").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -790,6 +790,62 @@ ORDER BY balde"""
       .orderBy("lang", "doc_id")
   }
 
+  /** TEMPERATURE (α) language mixing — the T5/LLaMA-style resample that
+    * flattens corpus proportions: language g with n_g docs gets target
+    * share ∝ n_g^α (α = 0.5 here), which UPWEIGHTS small languages —
+    * their docs repeat across epochs — and downweights the dominant one.
+    * All arithmetic that decides the output is INTEGER-exact so the gate
+    * is bit-exact across engines: the weight is floor(sqrt(n_g·10⁶))
+    * (sqrt is IEEE correctly-rounded in both engines, floor pins the
+    * bit), the target t_g = total·w_g div Σw (integer div), and each
+    * doc's copy count spreads t_g over the language's docs in
+    * deterministic sampling-hash order — position ≤ (t_g mod n_g) gets
+    * one extra copy, so Σ copies = t_g exactly: a fractional epoch
+    * realized without RNG.
+    *
+    * Scale shape: per-language totals are one tiny aggregate (broadcast
+    * back); the per-language position is SHARDED on a sampling-hash
+    * prefix (local row_number + broadcast shard offsets —
+    * [[tokenBudgetFill]]'s discipline), so no reducer ever ranks a whole
+    * language; the copy explosion is bounded by the epoch factor, never
+    * corpus².
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        s"${sampleHash("doc_id").spark} AS amostra")
+      .withColumn("shard", expr("substring(amostra, 1, 2)")))
+    val weights = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT)"))
+    val denom = weights.agg(sum("w").as("denom"), sum("n").as("total"))
+    val targets = weights.crossJoin(broadcast(denom))
+      .withColumn("alvo", expr("CAST(total * w div denom AS BIGINT)"))
+      .select("lang", "n", "alvo")
+    // sharded per-language position in (amostra, doc_id) order —
+    // contiguous hash-prefix ranges, so local rank + lower-shard counts
+    // = the global rank a single window would produce
+    val offs = docs.groupBy("lang", "shard").agg(count(lit(1)).as("tot"))
+      .withColumn("off",
+        sum(col("tot")).over(Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("tot"))
+      .select("lang", "shard", "off")
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("amostra", "doc_id")
+    docs
+      .withColumn("r_local", row_number().over(wLocal))
+      .join(broadcast(offs), Seq("lang", "shard"))
+      .withColumn("posicao", (col("r_local") + col("off")).cast("long"))
+      .join(broadcast(targets), Seq("lang"))
+      .withColumn("n_copias", expr(
+        "alvo div n + CASE WHEN posicao <= alvo % n THEN 1 ELSE 0 END"))
+      .where("n_copias >= 1")
+      .selectExpr("doc_id", "lang", "posicao", "n_copias",
+        "explode(sequence(1, n_copias)) AS epoca")
+      .select("doc_id", "lang", "posicao", "n_copias", "epoca")
+      .orderBy("doc_id", "epoca")
+  }
+
   /** Deterministic shuffle-to-shards — the reproducible global shuffle a
     * training run needs over the finished corpus (data order is part of
     * the training recipe; "shuffle once, stream shards" is the standard
@@ -984,7 +1040,8 @@ ORDER BY d.doc_id"""
     "q_mix_epochs" -> (mixEpochs _),
     "q_token_budget" -> (tokenBudgetFill _),
     "q_seq_packing" -> (seqPacking _),
-    "q_shuffle_shards" -> (shuffleShards _))
+    "q_shuffle_shards" -> (shuffleShards _),
+    "q_mix_temperature" -> (mixTemperature _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1116,6 +1173,33 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    ${TextExprs.hash60(s"('$shuffleSeed:' || CAST(doc_id AS VARCHAR))").duck} AS h
             FROM documents))
 ORDER BY doc_id""",
+    // α-temperature mixing: identical integer derivation (isqrt weight,
+    // integer-div target, position-cyclic copy spread) — the oracle's
+    // global row_number stands in for the Spark side's sharded rank
+    "q_mix_temperature" ->
+      s"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         ${sampleHash("doc_id").duck} AS amostra
+  FROM documents),
+sizes AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+  FROM base GROUP BY lang),
+denom AS (SELECT SUM(w) AS denom, SUM(n) AS total FROM sizes),
+targets AS (
+  SELECT lang, n, CAST(total * w // denom AS BIGINT) AS alvo
+  FROM sizes CROSS JOIN denom),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY amostra, doc_id) AS BIGINT) AS posicao
+  FROM base),
+copied AS (
+  SELECT r.doc_id, r.lang, r.posicao,
+         t.alvo // t.n + CASE WHEN r.posicao <= t.alvo % t.n THEN 1 ELSE 0 END AS n_copias
+  FROM ranked r JOIN targets t USING (lang))
+SELECT doc_id, lang, posicao, n_copias,
+       CAST(unnest(range(1, n_copias + 1)) AS BIGINT) AS epoca
+FROM copied WHERE n_copias >= 1 ORDER BY doc_id, epoca""",
     "q_corpus_curate" -> corpusCurateOracle,
     // the streamed form converges to the same batch relation
     "q_corpus_curate_stream" -> corpusCurateOracle,

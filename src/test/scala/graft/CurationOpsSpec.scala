@@ -291,6 +291,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("temperature mixing flattens language shares: exact targets, upweights small, downweights dominant") {
+    val out = CurationOps.mixTemperature(spark, tiny).cache()
+    val orig = Tables.documents(spark, tiny).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val copies = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the integer-exact targets independently
+    val total = orig.values.sum
+    val w = orig.map { case (l, n) => l -> math.sqrt(n.toDouble * 1e6).floor.toLong }
+    val denom = w.values.sum
+    val alvo = w.map { case (l, wl) => l -> total * wl / denom }
+    assert(copies == alvo.filter(_._2 >= 1),
+      s"copy totals must equal the integer targets: $copies vs $alvo")
+    // flattening direction: the dominant language loses share, the
+    // smallest gains; upweighted languages genuinely repeat docs
+    val dominant = orig.maxBy(_._2)._1
+    val smallest = orig.minBy(_._2)._1
+    assert(copies(dominant) < orig(dominant), "dominant language must downweight")
+    assert(copies(smallest) > orig(smallest), "smallest language must upweight")
+    assert(out.filter(col("epoca") === 2).count() > 0,
+      "upweighting must produce second-epoch copies")
+    out.unpersist()
+  }
+
   test("vocab induction: top-V is a broadcast anti-join + distributed top-k, OOV consistent") {
     val df = CurationOps.vocabOov(spark, tiny, 20)
     val plan = df.queryExecution.executedPlan.toString
