@@ -231,7 +231,8 @@ class CurationOpsSpec extends SparkSpec {
   test("budget/packing cumsum windows are sharded, never one reducer per language") {
     for ((name, df) <- Seq(
         "token_budget" -> CurationOps.tokenBudgetFill(spark, tiny),
-        "seq_packing" -> CurationOps.seqPacking(spark, tiny))) {
+        "seq_packing" -> CurationOps.seqPacking(spark, tiny),
+        "mix_temperature" -> CurationOps.mixTemperature(spark, tiny))) {
       df.collect() // settle the AQE final plan before inspecting it
       // API-level window check (allNodes recurses through the childless
       // QueryStageExec stage boundaries): each WindowExec's partition
@@ -254,7 +255,7 @@ class CurationOpsSpec extends SparkSpec {
         .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang")
       val langs = docs.select("lang").distinct().count()
       val shardGroups = name match {
-        case "token_budget" =>
+        case "token_budget" | "mix_temperature" =>
           docs.selectExpr("lang",
             "substring(md5(CAST(doc_id AS STRING)), 1, 2) AS sh")
             .distinct().count()
