@@ -216,7 +216,9 @@ object Bench {
       // the seeded shuffle-to-shards training layout, and α-temperature
       // language mixing (integer-exact targets, sharded rank)
       "q_split_leakage_safe", "q_shuffle_shards",
-      "q_mix_temperature").foreach { name =>
+      "q_mix_temperature",
+      // r12: per-cell prototype quota (diversity-balanced subsample)
+      "q_sample_diverse").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -354,6 +354,42 @@ object EmbeddingOps {
       .select(col("vec_id"), col("cell"), col("dist"))
       .orderBy("vec_id")
 
+  /** DIVERSITY-BALANCED subsample — coverage-preserving corpus
+    * reduction: up to [[DiverseQ]] vectors per trained k-means cell,
+    * nearest-to-centroid (most prototypical) first, so every semantic
+    * region keeps representation no matter how skewed the cell
+    * populations are. This balances on LEARNED structure where
+    * stratified/quota sampling balance on metadata strata — the
+    * SemDeDup-era recipe for pruning over-represented content while
+    * never emptying a region of meaning-space.
+    *
+    * Scale shape: assignment is the one-broadcast-join k-means serving
+    * pass; per-cell selection is the bounded top-k AGGREGATOR (O(Q)
+    * sorted state per cell, partial+final merge) — never a per-cell sort
+    * window, so a billion-vector cell costs one pass, not a sort.
+    */
+  private val DiverseQ = 25
+  def sampleDiverse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val asg = assignCells(s, corpus(s, d).select("vec_id", "embedding"),
+      kmeansCentroids(s, d))
+    val agg = graft.functions.TopKByScore(DiverseQ).toColumn
+    // score = −dist: the aggregator keeps (score DESC, id ASC) ⇒ the Q
+    // smallest distances, ties to the smaller vec_id — the exact order
+    // the oracle's (dist ASC, vec_id ASC) row_number reproduces
+    asg.select(col("cell").cast("long").as("cell"), (-col("dist")).as("s"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sc, id) => (sc, id) }
+      .agg(agg.name("top"))
+      .toDF("cell", "top")
+      .select(col("cell"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("cell").cast("int").as("cell"), col("p._2").as("vec_id"),
+        (-col("p._1")).as("dist"), (col("pos") + 1).cast("int").as("posicao"))
+      .orderBy("cell", "posicao")
+  }
+
   /** IVF probe under the TRAINED k-means quantizer: each demo query is
     * routed to its own k-means cell (its L2 assignment — the nProbe=1
     * probe under the quantizer's native metric) and ranked by cosine
@@ -1159,6 +1195,8 @@ object EmbeddingOps {
     "q_ann_ivf_indexed" -> (annIvfIndexedAuto _),
     "q_kmeans_cells" -> (kmeansCells _),
     "q_kmeans_centroids" -> (kmeansCentroidsFlat _),
+    // per-cell prototype quota: diversity-balanced corpus subsample
+    "q_sample_diverse" -> (sampleDiverse _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
     "q_ann_ivf_kmeans_incr" -> (annIvfKmeansIncr _),
@@ -1510,6 +1548,24 @@ SELECT vec_id, cell, dist FROM (
            ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
   FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
 WHERE rn = 1 ORDER BY vec_id""",
+    // per-cell quota over the same assignment: nearest-to-centroid
+    // first, ties to the smaller vec_id — mirrors the bounded top-k
+    // aggregator's (score DESC, id ASC) order exactly
+    "q_sample_diverse" ->
+      s"""WITH $kmeansCtes,
+asg AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT b.vec_id, c.cell,
+           ${l2sq("b.embedding", "c.centroid").duck} AS dist,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1)
+SELECT cell, vec_id, dist, posicao FROM (
+  SELECT cell, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS posicao
+  FROM asg)
+WHERE posicao <= $DiverseQ ORDER BY cell, posicao""",
     "q_kmeans_centroids" ->
       s"""WITH $kmeansCtes
 SELECT cell, CAST(i AS INTEGER) AS i, centroid[i] AS m

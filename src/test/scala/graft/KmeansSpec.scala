@@ -34,6 +34,40 @@ class KmeansSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("diversity sample: per-cell quota of nearest prototypes, via the bounded aggregator") {
+    import org.apache.spark.sql.functions._
+    val df = EmbeddingOps.sampleDiverse(spark, tiny)
+    val rows = df.collect()
+    val byCell = rows.groupBy(_.getInt(0))
+    // quota respected, positions contiguous from 1, dists ascending
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length <= 25, s"cell $cell over quota")
+      val pos = rs.map(_.getInt(3)).sorted
+      assert(pos.toSeq === (1 to rs.length), s"cell $cell positions")
+      val dists = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, s"cell $cell order")
+    }
+    // every non-empty assignment cell keeps representation — coverage is
+    // the whole point of balancing on learned structure
+    val asgCells = EmbeddingOps.kmeansCells(spark, tiny)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(byCell.keySet === asgCells, "a semantic region lost all representation")
+    // the selection must be exactly the quota nearest per cell
+    val truth = EmbeddingOps.kmeansCells(spark, tiny).collect()
+      .groupBy(_.getInt(1)).map { case (c, rs) =>
+        c -> rs.sortBy(r => (r.getDouble(2), r.getLong(0))).take(25)
+          .map(_.getLong(0)).toSet
+      }
+    byCell.foreach { case (c, rs) =>
+      assert(rs.map(_.getLong(1)).toSet === truth(c), s"cell $c selection")
+    }
+    // scale posture: selection is the O(Q)-state aggregator, never a
+    // per-cell sort window
+    val hasWindow = allNodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(!hasWindow, "diversity quota planned a sort window")
+  }
+
   test("the kmeans-quantized probe ranks within the query's own cell") {
     val rows = EmbeddingOps.annIvfKmeans(spark, tiny).collect()
     assert(rows.length === 40) // 8 queries x top-5
