@@ -191,7 +191,19 @@ object ScaleProbe {
       // support threshold grows with n while a prefix-disjoint replica's
       // per-shingle counts stay at their 1x values, so heavy rows
       // legitimately vanish at Nx — time is the only honest check here
-      ("heavy_hitters", d => text.CurationOps.heavyHitters(spark, d).count(), false))
+      ("heavy_hitters", d => text.CurationOps.heavyHitters(spark, d).count(), false),
+      // r12 training-layout ops. split: one row per doc, edges bounded by
+      // near-dup density — rows must scale ~Nx (LSH re-randomizes per
+      // replica like minhash_lsh, so 3N slack applies) and time ~Nx.
+      // shuffle_shards: one row per doc, per-shard rank — rows exactly Nx.
+      // mix_temperature: output tracks Σ targets ≈ corpus size, ~Nx; the
+      // sharded rank keeps the dominant language off a single reducer.
+      // sample_diverse: FIXED quota × cells output at any corpus size —
+      // only time is meaningful (one assignment pass + O(Q) aggregator).
+      ("split_leakage", d => text.TextOps.splitLeakageSafe(spark, d).count(), true),
+      ("shuffle_shards", d => text.CurationOps.shuffleShards(spark, d).count(), true),
+      ("mix_temperature", d => text.CurationOps.mixTemperature(spark, d).count(), true),
+      ("sample_diverse", d => sim.EmbeddingOps.sampleDiverse(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>
