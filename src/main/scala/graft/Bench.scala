@@ -249,6 +249,12 @@ object Bench {
     time("q_embed_neardup_indexed") {
       graft.sim.EmbeddingOps.embedNearDupIndexed(spark, sfDir, kmIdx).count()
     }
+    // diversity-quota SERVING off the same index: stored assignment +
+    // one broadcast distance join + the bounded aggregator — vs the
+    // self-contained q_sample_diverse that re-trains per invocation
+    time("q_sample_diverse_indexed") {
+      graft.sim.EmbeddingOps.sampleDiverseIndexed(spark, sfDir, kmIdx).count()
+    }
     // PQ lifecycle split: codebook training + corpus encoding are the
     // build; the served ADC probe reads the compressed index only
     val pqIdx = s"/tmp/graft_bench_pq_${System.nanoTime()}"

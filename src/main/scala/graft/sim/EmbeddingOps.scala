@@ -369,14 +369,44 @@ object EmbeddingOps {
     * window, so a billion-vector cell costs one pass, not a sort.
     */
   private val DiverseQ = 25
-  def sampleDiverse(s: SparkSession, d: String): DataFrame = {
+  def sampleDiverse(s: SparkSession, d: String): DataFrame =
+    diverseTail(s, assignCells(s, corpus(s, d).select("vec_id", "embedding"),
+      kmeansCentroids(s, d)).select("vec_id", "cell", "dist"))
+
+  /** [[sampleDiverse]] SERVED from a persisted k-means index: the stored
+    * cells table already carries each vector's assignment, so only the
+    * distance to its OWN stored centroid is recomputed (one broadcast
+    * join over the assigned cell — no training, no argmin over all
+    * cells). Same l2_sq kernel on the same values ⇒ bit-identical to the
+    * self-contained form; gated by the same oracle.
+    */
+  def sampleDiverseIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val asg = s.read.parquet(s"$indexDir/cells")
+      .select("vec_id", "embedding", "cell")
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+      .select("vec_id", "cell", "dist")
+    diverseTail(s, asg)
+  }
+
+  /** Build-once wrapper sharing the `_km` index with the near-dup and
+    * probe serving paths — one quantizer training feeds every derived
+    * artifact.
+    */
+  def sampleDiverseIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_km", buildIvfIndexKmeans(s, d, _), sampleDiverseIndexed(s, d, _))
+
+  /** Per-cell quota selection over an explicit (vec_id, cell, dist)
+    * assignment — the shared tail of the self-contained and index-backed
+    * forms. Score = −dist: the aggregator keeps (score DESC, id ASC) ⇒
+    * the Q smallest distances, ties to the smaller vec_id — the exact
+    * order the oracle's (dist ASC, vec_id ASC) row_number reproduces.
+    */
+  private def diverseTail(s: SparkSession, asg: DataFrame): DataFrame = {
     import s.implicits._
-    val asg = assignCells(s, corpus(s, d).select("vec_id", "embedding"),
-      kmeansCentroids(s, d))
     val agg = graft.functions.TopKByScore(DiverseQ).toColumn
-    // score = −dist: the aggregator keeps (score DESC, id ASC) ⇒ the Q
-    // smallest distances, ties to the smaller vec_id — the exact order
-    // the oracle's (dist ASC, vec_id ASC) row_number reproduces
     asg.select(col("cell").cast("long").as("cell"), (-col("dist")).as("s"),
         col("vec_id"))
       .as[(Long, Double, Long)]
@@ -1197,6 +1227,8 @@ object EmbeddingOps {
     "q_kmeans_centroids" -> (kmeansCentroidsFlat _),
     // per-cell prototype quota: diversity-balanced corpus subsample
     "q_sample_diverse" -> (sampleDiverse _),
+    // the served form off the persisted k-means index (no training)
+    "q_sample_diverse_indexed" -> (sampleDiverseIndexedAuto _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
     "q_ann_ivf_kmeans_incr" -> (annIvfKmeansIncr _),
@@ -1230,6 +1262,25 @@ object EmbeddingOps {
     * DuckDB re-runs the identical computation and the gate is bit-exact.
     */
   private def kmeansCtes: String = kmeansCtesTrainedOn("kbase", "")
+
+  /** Shared by the self-contained and index-served diversity-sample
+    * gates: full Lloyd re-train, assignment, per-cell quota.
+    */
+  private lazy val sampleDiverseOracle: String =
+    s"""WITH $kmeansCtes,
+asg AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT b.vec_id, c.cell,
+           ${l2sq("b.embedding", "c.centroid").duck} AS dist,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1)
+SELECT cell, vec_id, dist, posicao FROM (
+  SELECT cell, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS posicao
+  FROM asg)
+WHERE posicao <= $DiverseQ ORDER BY cell, posicao"""
 
   /** The Lloyd CTE chain with an explicit TRAINING source — `trainSrc`
     * feeds init and every round's assignment; the full `kbase` stays
@@ -1550,22 +1601,11 @@ SELECT vec_id, cell, dist FROM (
 WHERE rn = 1 ORDER BY vec_id""",
     // per-cell quota over the same assignment: nearest-to-centroid
     // first, ties to the smaller vec_id — mirrors the bounded top-k
-    // aggregator's (score DESC, id ASC) order exactly
-    "q_sample_diverse" ->
-      s"""WITH $kmeansCtes,
-asg AS (
-  SELECT vec_id, cell, dist FROM (
-    SELECT b.vec_id, c.cell,
-           ${l2sq("b.embedding", "c.centroid").duck} AS dist,
-           row_number() OVER (PARTITION BY b.vec_id ORDER BY
-             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
-    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
-  WHERE rn = 1)
-SELECT cell, vec_id, dist, posicao FROM (
-  SELECT cell, vec_id, dist,
-         CAST(row_number() OVER (PARTITION BY cell ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS posicao
-  FROM asg)
-WHERE posicao <= $DiverseQ ORDER BY cell, posicao""",
+    // aggregator's (score DESC, id ASC) order exactly; the index-served
+    // form recomputes the same distances off the stored assignment, so
+    // it gates against the same oracle (mapped right below)
+    "q_sample_diverse" -> sampleDiverseOracle,
+    "q_sample_diverse_indexed" -> sampleDiverseOracle,
     "q_kmeans_centroids" ->
       s"""WITH $kmeansCtes
 SELECT cell, CAST(i AS INTEGER) AS i, centroid[i] AS m

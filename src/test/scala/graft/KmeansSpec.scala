@@ -68,6 +68,11 @@ class KmeansSpec extends SparkSpec {
     assert(!hasWindow, "diversity quota planned a sort window")
   }
 
+  test("index-served diversity sample is bit-identical to the self-contained form") {
+    assert(EmbeddingOps.sampleDiverseIndexedAuto(spark, tiny).collect()
+      === EmbeddingOps.sampleDiverse(spark, tiny).collect())
+  }
+
   test("the kmeans-quantized probe ranks within the query's own cell") {
     val rows = EmbeddingOps.annIvfKmeans(spark, tiny).collect()
     assert(rows.length === 40) // 8 queries x top-5
