@@ -218,7 +218,8 @@ object Bench {
       "q_split_leakage_safe", "q_shuffle_shards",
       "q_mix_temperature",
       // r12: per-cell prototype quota (diversity-balanced subsample)
-      "q_sample_diverse").foreach { name =>
+      // and the short→long curriculum banding
+      "q_sample_diverse", "q_curriculum_stages").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -475,6 +475,45 @@ ORDER BY balde"""
           s"$FluencyNum * s_corpus * n_toks THEN 1 ELSE 0 END AS ok_fluency")
   }
 
+  /** CURRICULUM staging — the short→long banding a curriculum-learning
+    * schedule trains through (sequence length is the classic curriculum
+    * key): each doc lands in one of four stages by its token count
+    * RELATIVE to the corpus mean length — <75% = 'curta', <100% =
+    * 'media_curta', <125% = 'media_longa', ≥125% = 'longa' — with the
+    * unigram-fluency evidence carried alongside for within-stage
+    * refinement. Every boundary test is an exact BIGINT
+    * cross-multiplication (100·n_toks·n_docs vs pct·t_corpus — the
+    * [[FluencyNum]] device: mean = t_corpus/n_docs never materializes
+    * as a float), so banding is aggregation-order-invariant and gates
+    * bit-exactly: no floating-point threshold to straddle, no RNG.
+    *
+    * Scale shape: NO global sort anywhere — a curriculum needs stage
+    * BANDS, not a total order (within a stage the training order comes
+    * from [[shuffleShards]]); the plan is one token-frequency aggregate,
+    * one equi-join back, one per-doc integer sum, and a three-value
+    * broadcast. Same int64 headroom caveat as the fluency gate,
+    * documented there.
+    */
+  def curriculumStages(s: SparkSession, d: String): DataFrame = {
+    val ex = documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", s"explode(${T.spark}) AS tok")
+    val weights = unigramWeightsOf(
+      ex.groupBy("tok").agg(count(lit(1)).as("cnt")))
+    val perDoc = ex.join(weights, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("soma_pesos"), count(lit(1)).as("n_toks"))
+    val tot = perDoc.agg(sum(col("n_toks")).as("t_corpus"),
+      count(lit(1)).as("n_docs"))
+    perDoc.crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "CAST(n_toks AS INTEGER) AS n_tokens",
+        "soma_pesos",
+        """CASE WHEN 100 * n_toks * n_docs <  75 * t_corpus THEN 'curta'
+                WHEN 100 * n_toks * n_docs < 100 * t_corpus THEN 'media_curta'
+                WHEN 100 * n_toks * n_docs < 125 * t_corpus THEN 'media_longa'
+                ELSE 'longa' END AS estagio""")
+      .orderBy("doc_id")
+  }
+
   /** The two corpus-wide aggregate verdicts — vocab coverage
     * (q_vocab_oov's `taxa_oov <= 0.5` rule) and the unigram fluency
     * prior (q_unigram_logrank's score under the relative keep rule) —
@@ -1027,6 +1066,7 @@ ORDER BY d.doc_id"""
     // the signal the heavy set feeds: per-doc boilerplate-shingle share
     "q_boilerplate_frac" -> (boilerplateFrac _),
     "q_unigram_logrank" -> (unigramLogRank _),
+    "q_curriculum_stages" -> (curriculumStages _),
     "q_text_redact" -> (textRedact _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
@@ -1099,6 +1139,25 @@ SELECT t.doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
        CAST(SUM(f.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS escore_fluencia
 FROM toks t JOIN freq f ON t.tok = f.tok
 GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // curriculum banding: identical integer cross-multiplication rule
+    "q_curriculum_stages" ->
+      s"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(${T.duck}) AS tok FROM documents),
+freq AS (
+  SELECT tok,
+         CAST(length(regexp_replace(bin(COUNT(*)), '^0+', '')) - 1 AS BIGINT) AS w
+  FROM toks GROUP BY tok),
+per_doc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(f.w) AS BIGINT) AS soma_pesos
+  FROM toks t JOIN freq f ON t.tok = f.tok GROUP BY t.doc_id),
+tot AS (SELECT SUM(n_toks) AS t_corpus, COUNT(*) AS n_docs FROM per_doc)
+SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens, soma_pesos,
+       CASE WHEN 100 * n_toks * n_docs <  75 * t_corpus THEN 'curta'
+            WHEN 100 * n_toks * n_docs < 100 * t_corpus THEN 'media_curta'
+            WHEN 100 * n_toks * n_docs < 125 * t_corpus THEN 'media_longa'
+            ELSE 'longa' END AS estagio
+FROM per_doc CROSS JOIN tot ORDER BY doc_id""",
     "q_text_redact" ->
       s"""SELECT doc_id,
 CAST(len(regexp_extract_all(texto, '$emailRe')) AS INTEGER) AS n_emails,

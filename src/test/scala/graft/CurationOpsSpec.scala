@@ -316,6 +316,31 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curriculum stages: exact length banding, all four bands populated, no sort anywhere") {
+    val df = CurationOps.curriculumStages(spark, tiny)
+    val rows = df.collect()
+    val tCorpus = rows.map(_.getInt(1).toLong).sum
+    val nDocs = rows.length.toLong
+    // every doc's band must match the integer cross-multiplication rule
+    rows.foreach { r =>
+      val n = r.getInt(1).toLong
+      val expected =
+        if (100 * n * nDocs < 75 * tCorpus) "curta"
+        else if (100 * n * nDocs < 100 * tCorpus) "media_curta"
+        else if (100 * n * nDocs < 125 * tCorpus) "media_longa"
+        else "longa"
+      assert(r.getString(3) === expected, s"doc ${r.getLong(0)}")
+    }
+    val bands = rows.groupBy(_.getString(3)).map { case (k, v) => k -> v.length }
+    assert(bands.keySet === Set("curta", "media_curta", "media_longa", "longa"),
+      s"a band is empty on this corpus: $bands")
+    // a curriculum needs bands, not a total order — no sort window and no
+    // global Sort below the final presentation orderBy
+    val hasWindow = allNodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(!hasWindow, "curriculum staging planned a window")
+  }
+
   test("vocab induction: top-V is a broadcast anti-join + distributed top-k, OOV consistent") {
     val df = CurationOps.vocabOov(spark, tiny, 20)
     val plan = df.queryExecution.executedPlan.toString
