@@ -78,6 +78,31 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most similar corpus vectors whose label DIFFERS from the
+    * query's — the near-miss examples a retrieval/embedding trainer
+    * wants as negatives. Same scale shape as the brute baseline (tiny
+    * query set broadcast against one partitioned corpus scan, bounded
+    * O(k)-state aggregator for the rank tail); the label exclusion is a
+    * pushed-down filter on the scan side. Composes unchanged with the
+    * IVF probe path when the corpus outgrows a full scan — the filter
+    * rides on the probed cells.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).selectExpr(
+      "CAST(vec_id AS BIGINT) AS vec_id",
+      "CAST(label AS INTEGER) AS label", "embedding")
+    val q = base.filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_label", "q_emb")
+    val sims = broadcast(q).crossJoin(base)
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("sim"),
+        col("vec_id"))
+    rankViaTopK(s, sims)
+  }
+
   /** 8-bit random-hyperplane LSH signatures — the scale path for ANN:
     * vectors sharing a bucket are join candidates.
     */
@@ -1241,6 +1266,8 @@ object EmbeddingOps {
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
     "q_ann_brute" -> (annBruteForce _),
+    // label-excluded top-k: near-miss negatives for contrastive training
+    "q_hard_negatives" -> (hardNegatives _),
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)),
     "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _),
@@ -1635,6 +1662,18 @@ sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vizinho,
   ${dot("q.embedding", "c.embedding", DIM).duck} / (q.nrm * c.nrm) AS sim
   FROM base q CROSS JOIN base c
   WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id)
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
+  FROM sims)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    "q_hard_negatives" ->
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(label AS INTEGER) AS label, embedding,
+  ${normDuck("embedding")} AS nrm FROM embeddings),
+sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vizinho,
+  ${dot("q.embedding", "c.embedding", DIM).duck} / (q.nrm * c.nrm) AS sim
+  FROM base q CROSS JOIN base c
+  WHERE q.vec_id < $N_QUERIES AND c.label <> q.label)
 SELECT query_id, vizinho, sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
   FROM sims)

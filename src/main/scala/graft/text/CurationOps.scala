@@ -619,6 +619,34 @@ ORDER BY balde"""
         s"length(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]'), '$phoneRe', '[TEL]')) AS tamanho_redigido")
       .orderBy("doc_id")
 
+  private val ccRe = "[0-9]{13,19}"
+
+  /** Same synthesized-PII device for card-like numbers: one 16-digit run
+    * per doc, derived from doc_id by a fixed multiplier so Luhn validity
+    * lands pseudo-randomly (~10% of docs). (X: STRING/VARCHAR cast.)
+    */
+  private val ccAugmented: X = X(
+    spark = "concat(text, ' cc ', lpad(CAST(doc_id * 7919 % 10000000000000000 AS STRING), 16, '0'))",
+    duck = "concat(text, ' cc ', lpad(CAST(doc_id * 7919 % 10000000000000000 AS VARCHAR), 16, '0'))")
+
+  /** Checksum-validated PII detection: digit runs of plausible card
+    * length are only PII when the Luhn check digit verifies — the
+    * validator every serious scrubber runs to cut false positives on
+    * order ids / timestamps. Counts candidates and Luhn-valid hits,
+    * masks ALL candidates (conservative scrub), surfaces the masked text
+    * as md5. Zero-shuffle per-row projection; the Luhn fold is exact
+    * integer arithmetic shared verbatim with the oracle (TextExprs).
+    */
+  def piiLuhn(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"${ccAugmented.spark} AS texto")
+      .selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(texto, '$ccRe', 0)) AS INTEGER) AS n_candidatos",
+        s"CAST(size(filter(regexp_extract_all(texto, '$ccRe', 0), x -> ${luhnValid("x").spark})) AS INTEGER) AS n_validos",
+        s"md5(regexp_replace(texto, '$ccRe', '[NUM]')) AS hash_redigido")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ repetition
 
   private val dupTri = dupFraction(SH)
@@ -680,6 +708,104 @@ ORDER BY balde"""
         "CAST(n_contaminados AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS razao_contaminacao",
         "CASE WHEN CAST(n_contaminados AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END AS contaminado")
       .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- corpus novelty
+
+  /** The "already trained on" reference corpus: a fixed source set. At
+    * production scale this is the previous crawl's shingle-hash store.
+    */
+  private val noveltyRef = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** N-gram novelty vs a reference corpus — the "what is actually new in
+    * this crawl" signal: per doc, the fraction of its distinct 3-shingles
+    * absent from the reference sources' shingle set. Docs ≈0 are
+    * re-crawls of known content; the curation funnel keeps high-novelty
+    * docs. Same scale shape as decontamination: the join runs on the
+    * 60-bit shingle hash (8-byte shuffle keys, never raw text), one
+    * distinct + one anti equi-join — the reference side is NOT broadcast
+    * (at 100 TB it is itself corpus-sized).
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val refIn = noveltyRef.map(r => s"'$r'").mkString(", ")
+    // barrier: the shingle→hash projection feeds the reference side, the
+    // per-doc side, and the final n_shingles — tokenize + digest once
+    val hashed = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source", s"${SH.spark} AS sh")
+      .selectExpr("doc_id", "source",
+        s"array_distinct(transform(sh, x -> ${hash60("x").spark})) AS shd"))
+    val ex = hashed.select(col("doc_id"), col("source"), explode(col("shd")).as("h"))
+    val ref = ex.filter(s"source IN ($refIn)").select("h").distinct()
+    val novel = ex.join(ref, Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novos"))
+    hashed.selectExpr("doc_id", "CAST(size(shd) AS INTEGER) AS n_shingles")
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novos"))
+      .selectExpr("doc_id", "n_shingles", "CAST(n_novos AS INTEGER) AS n_novos",
+        "CAST(n_novos AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS taxa_nova")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- importance resampling
+
+  private val DSIR_B = 256
+  private val DSIR_SCALE = 1048576L // 2^20 fixed point
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"), integer-exact: hashed
+    * unigram features (60-bit md5 hash mod B buckets), a target/raw
+    * bucket-frequency ratio in 2^20 fixed point, per-doc importance =
+    * sum of its tokens' bucket ratios. The paper sums log-ratios; this
+    * sums fixed-point ratios instead so the score is an exact BIGINT —
+    * order-independent under any shuffle, bit-identical in both engines,
+    * and free of transcendentals whose last bit differs across libm
+    * builds (the same policy as the unigram fluency prior). The additive
+    * corpus-size normalizers the log form carries cancel in the
+    * per-token-normalized score, so ranking is unaffected. Target
+    * distribution here: lang='en' docs.
+    *
+    * Scale: one token-explode materialized once (barrier) feeds two
+    * map-combinable grouped counts; the B-row ratio table broadcasts
+    * into the per-doc sum — the only full shuffle is the doc_id groupBy.
+    */
+  def dsirScore(s: SparkSession, d: String): DataFrame = {
+    val ex = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", s"${T.spark} AS t")
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("term"))
+      .selectExpr("doc_id", "lang", s"${hash60("term").spark} % $DSIR_B AS balde"))
+    val cq = ex.groupBy("balde").agg(count(lit(1)).as("cq"))
+    val cp = ex.filter("lang = 'en'").groupBy("balde").agg(count(lit(1)).as("cp"))
+    val ratio = cq.join(cp, Seq("balde"), "left")
+      .na.fill(0L, Seq("cp"))
+      .selectExpr("balde", s"(cp + 1) * $DSIR_SCALE div (cq + 1) AS v")
+    ex.join(broadcast(ratio), Seq("balde"))
+      .groupBy("doc_id")
+      .agg(sum("v").as("pontuacao"), count(lit(1)).as("n_tokens"))
+      .selectExpr("doc_id", "CAST(n_tokens AS INTEGER) AS n_tokens",
+        "CAST(pontuacao AS BIGINT) AS pontuacao",
+        "CAST(pontuacao * 1000 div n_tokens AS BIGINT) AS pontuacao_norm")
+      .orderBy("doc_id")
+  }
+
+  /** The resampling step: keep the top ⌈n/4⌉ docs by per-token
+    * importance (ties broken by doc_id). The gate form derives k from
+    * the corpus size so one SQL string gates every SF; the production
+    * form fixes k as a token-budget constant, which turns the rank
+    * window into a distributed TakeOrderedAndProject (see q_topk) — the
+    * count-window here is the only reason a single-partition sort
+    * appears, and it is gate-only.
+    */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dsirScore(s, d)
+      .select("doc_id", "pontuacao_norm")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("posicao", row_number()
+        .over(Window.orderBy(desc("pontuacao_norm"), asc("doc_id"))))
+      .filter(expr("posicao <= (n + 3) div 4"))
+      .selectExpr("CAST(posicao AS INTEGER) AS posicao", "doc_id",
+        "pontuacao_norm")
+      .orderBy("posicao")
   }
 
   // ---------------------------------------------- mixture, budget, packing
@@ -1068,8 +1194,15 @@ ORDER BY d.doc_id"""
     "q_unigram_logrank" -> (unigramLogRank _),
     "q_curriculum_stages" -> (curriculumStages _),
     "q_text_redact" -> (textRedact _),
+    // checksum-validated card-number detection (Luhn fold, shared X)
+    "q_pii_luhn" -> (piiLuhn _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
+    // novelty vs a reference corpus: anti-join on the 60-bit shingle hash
+    "q_ngram_novelty" -> (ngramNovelty _),
+    // DSIR-style hashed-unigram importance score + top-quartile resample
+    "q_dsir_score" -> (dsirScore _),
+    "q_dsir_select" -> (dsirSelect _),
     "q_corpus_curate" -> (corpusCurate _),
     // the curation pass + the fluency prior (perplexity-proxy) gate
     "q_corpus_curate_fluent" -> (corpusCurateFluent _),
@@ -1084,6 +1217,25 @@ ORDER BY d.doc_id"""
     "q_mix_temperature" -> (mixTemperature _))
 
   // ------------------------------------------------------------- oracles
+
+  /** Shared CTE chain for the DSIR gates: token explode → bucket hash →
+    * target/raw counts → fixed-point ratio → per-doc score. DuckDB SUM
+    * over BIGINT widens to HUGEINT; the final casts pin BIGINT/INTEGER
+    * exactly as the Spark side does.
+    */
+  private def dsirCtes: String =
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, ${T.duck} AS t FROM documents),
+ex AS (SELECT doc_id, lang, ${hash60("term").duck} % $DSIR_B AS balde
+       FROM (SELECT doc_id, lang, unnest(t) AS term FROM toks)),
+cq AS (SELECT balde, COUNT(*) AS cq FROM ex GROUP BY balde),
+cp AS (SELECT balde, COUNT(*) AS cp FROM ex WHERE lang = 'en' GROUP BY balde),
+ratio AS (SELECT q.balde, (coalesce(p.cp, 0) + 1) * $DSIR_SCALE // (q.cq + 1) AS v
+          FROM cq q LEFT JOIN cp p ON q.balde = p.balde),
+per AS (SELECT e.doc_id, SUM(r.v) AS pontuacao, COUNT(*) AS n_tokens
+        FROM ex e JOIN ratio r ON e.balde = r.balde GROUP BY e.doc_id),
+sc AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         CAST(pontuacao AS BIGINT) AS pontuacao,
+         CAST(pontuacao * 1000 // n_tokens AS BIGINT) AS pontuacao_norm FROM per)"""
 
   val oracle: Map[String, String] = Map(
     "q_vocab_oov" -> vocabOovOracle(),
@@ -1166,6 +1318,35 @@ md5(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]', 'g'), '$phoneRe'
 CAST(length(regexp_replace(regexp_replace(texto, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[TEL]', 'g')) AS INTEGER) AS tamanho_redigido
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${augmented.duck} AS texto FROM documents)
 ORDER BY doc_id""",
+    "q_pii_luhn" ->
+      s"""SELECT doc_id,
+CAST(len(regexp_extract_all(texto, '$ccRe')) AS INTEGER) AS n_candidatos,
+CAST(len(list_filter(regexp_extract_all(texto, '$ccRe'), x -> ${luhnValid("x").duck})) AS INTEGER) AS n_validos,
+md5(regexp_replace(texto, '$ccRe', '[NUM]', 'g')) AS hash_redigido
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${ccAugmented.duck} AS texto FROM documents)
+ORDER BY doc_id""",
+    "q_ngram_novelty" ->
+      s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+  list_distinct(list_transform(${SH.duck}, x -> ${hash60("x").duck})) AS shd FROM documents),
+ex AS (SELECT doc_id, source, unnest(shd) AS h FROM sh),
+ref AS (SELECT DISTINCT h FROM ex WHERE source IN (${noveltyRef.map(r => s"'$r'").mkString(", ")})),
+nv AS (SELECT doc_id, COUNT(*) AS n_novos FROM ex
+       WHERE h NOT IN (SELECT h FROM ref) GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(s.shd) AS INTEGER) AS n_shingles,
+  CAST(coalesce(n.n_novos, 0) AS INTEGER) AS n_novos,
+  CAST(coalesce(n.n_novos, 0) AS DOUBLE) / CAST(len(s.shd) AS DOUBLE) AS taxa_nova
+FROM sh s LEFT JOIN nv n ON s.doc_id = n.doc_id
+ORDER BY s.doc_id""",
+    "q_dsir_score" ->
+      s"""$dsirCtes
+SELECT doc_id, n_tokens, pontuacao, pontuacao_norm FROM sc ORDER BY doc_id""",
+    "q_dsir_select" ->
+      s"""$dsirCtes,
+rk AS (SELECT doc_id, pontuacao_norm,
+         CAST(row_number() OVER (ORDER BY pontuacao_norm DESC, doc_id) AS INTEGER) AS posicao,
+         COUNT(*) OVER () AS n FROM sc)
+SELECT posicao, doc_id, pontuacao_norm FROM rk
+WHERE posicao <= (n + 3) // 4 ORDER BY posicao""",
     "q_text_repetition" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
 CAST(len(${T.duck}) AS INTEGER) AS n_tokens,

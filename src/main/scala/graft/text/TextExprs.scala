@@ -193,6 +193,26 @@ object TextExprs {
       bits.map(_.duck).mkString("concat(", ", ", ")"))
   }
 
+  /** Luhn checksum validity of a NON-EMPTY decimal-digit string
+    * expression, as a boolean: positions count from the right, every
+    * second digit doubled with the classic 9-subtraction, sum ≡ 0 mod 10.
+    * Pure integer fold over the digits — no transcendental, no float.
+    * (Spark `sequence(1, n)` counts DOWN for n<1, so callers must
+    * guarantee a non-empty string — ours are lpad'ed to fixed width.)
+    */
+  def luhnValid(c: String): X = {
+    def digit(sub: String) = s"instr('0123456789', $sub) - 1"
+    val dS = digit(s"substring($c, length($c) - i + 1, 1)")
+    val dD = digit(s"substring($c, CAST(length($c) - i + 1 AS INTEGER), 1)")
+    X(
+      spark = s"aggregate(sequence(1, length($c)), 0, (acc, i) -> acc + " +
+        s"CASE WHEN i % 2 = 1 THEN $dS " +
+        s"ELSE ($dS) * 2 - CASE WHEN $dS > 4 THEN 9 ELSE 0 END END) % 10 = 0",
+      duck = s"list_sum(list_transform(range(1, length($c) + 1), i -> " +
+        s"CASE WHEN i % 2 = 1 THEN $dD " +
+        s"ELSE ($dD) * 2 - CASE WHEN $dD > 4 THEN 9 ELSE 0 END END)) % 10 = 0")
+  }
+
   // ---------------------------------------------------- curation primitives
 
   /** Deterministic sampling hash: first 4 hex chars of md5 of the decimal

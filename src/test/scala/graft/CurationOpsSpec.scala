@@ -360,4 +360,60 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getInt(2) == expected, s"doc ${r.getLong(0)} oov")
     }
   }
+
+  test("luhn validator: reference vectors and the planted candidates check out") {
+    import spark.implicits._
+    val v = Seq("79927398713", "79927398710", "4532015112830366").toDF("c")
+      .selectExpr(s"CASE WHEN ${graft.text.TextExprs.luhnValid("c").spark} THEN 1 ELSE 0 END AS v")
+      .collect().map(_.getInt(0)).toSeq
+    assert(v == Seq(1, 0, 1), "Luhn reference vectors")
+    def luhn(s: String): Boolean = s.reverse.zipWithIndex.map { case (ch, i) =>
+      val d = ch - '0'
+      if (i % 2 == 0) d else { val x = d * 2; if (x > 9) x - 9 else x }
+    }.sum % 10 == 0
+    val rows = CurationOps.piiLuhn(spark, tiny).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: one planted candidate")
+      val cand = f"${r.getLong(0) * 7919 % 10000000000000000L}%016d"
+      assert((r.getInt(2) == 1) == luhn(cand),
+        s"doc ${r.getLong(0)}: validity must come from the checksum alone")
+    }
+  }
+
+  test("ngram novelty: reference-source docs are never novel; signal non-degenerate") {
+    val src = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val refSrc = Set("src0", "src1", "src2", "src3", "src4")
+    val rows = CurationOps.ngramNovelty(spark, tiny).collect()
+    assert(rows.length == src.size)
+    rows.foreach { r =>
+      val (tot, novel) = (r.getInt(1), r.getInt(2))
+      assert(novel >= 0 && novel <= tot)
+      assert(math.abs(r.getDouble(3) - novel.toDouble / tot) < 1e-12)
+      if (refSrc(src(r.getLong(0))))
+        assert(novel == 0, s"reference doc ${r.getLong(0)} reported novel shingles")
+    }
+    assert(rows.exists(_.getInt(2) > 0), "no novelty anywhere — degenerate signal")
+  }
+
+  test("dsir: importance concentrates on the target distribution; resample keeps the exact top quartile") {
+    val langs = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = CurationOps.dsirScore(spark, tiny).collect()
+    assert(rows.length == langs.size)
+    val (en, rest) = rows.partition(r => langs(r.getLong(0)) == "en")
+    def meanNorm(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(3)).sum.toDouble / rs.length
+    assert(meanNorm(en) > meanNorm(rest),
+      s"target-language docs must outscore the rest: ${meanNorm(en)} vs ${meanNorm(rest)}")
+    val sel = CurationOps.dsirSelect(spark, tiny).collect()
+    val k = (rows.length + 3) / 4
+    assert(sel.length == k, s"top quartile is $k docs")
+    val expect = rows.sortBy(r => (-r.getLong(3), r.getLong(0))).take(k)
+      .map(_.getLong(0)).toSeq
+    assert(sel.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq == expect,
+      "selection must be exactly the (norm DESC, doc_id) top quartile")
+  }
 }

@@ -189,6 +189,23 @@ class EngineSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("hard negatives: k rows per query, no neighbor shares the query's label") {
+    val labels = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS id", "CAST(label AS INT) AS l")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.sim.EmbeddingOps.hardNegatives(spark, tiny).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == labels.keySet.filter(_ < 8L),
+      "every demo query must produce negatives")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q must get exactly k negatives")
+      rs.foreach { r =>
+        assert(labels(r.getLong(1)) != labels(q),
+          s"query $q: neighbor ${r.getLong(1)} shares its label — not a negative")
+      }
+    }
+  }
+
   test("dedup clusters: iteration caches don't accrete; labels are component minima") {
     def pinnedNonCheckpoint: Int = spark.sparkContext.getPersistentRDDs.values
       .count(r => !r.isCheckpointed)
