@@ -219,7 +219,12 @@ object Bench {
       "q_mix_temperature",
       // r12: per-cell prototype quota (diversity-balanced subsample)
       // and the short→long curriculum banding
-      "q_sample_diverse", "q_curriculum_stages").foreach { name =>
+      "q_sample_diverse", "q_curriculum_stages",
+      // r12: DSIR importance scoring (hashed-unigram fixed-point ratio),
+      // shingle-hash novelty vs the reference sources, Luhn-validated
+      // PII scan, and label-excluded hard-negative top-k
+      "q_dsir_score", "q_ngram_novelty", "q_pii_luhn",
+      "q_hard_negatives").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -482,6 +482,36 @@ object EmbeddingOps {
     rankProbed(s, hits)
   }
 
+  /** Hard negatives served through the IVF route — the scale path for
+    * [[hardNegatives]]: the query probes its nProbe nearest cells under
+    * the trained quantizer and the label exclusion rides on the probed
+    * candidates, so negative mining never scans the full corpus (the
+    * same brute→probe trade as q_ann_brute vs q_ann_ivf_kmeans; recall
+    * follows the probe knob). The candidate-side label attach is an
+    * equi-join on vec_id; the 8-row query-label table broadcasts.
+    */
+  def hardNegativesIvf(s: SparkSession, d: String, nProbe: Int = 2): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = assignCells(s, base, cents)
+    val lab = corpus(s, d).select(col("vec_id"), col("label"))
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    val qlab = lab.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_label")
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val c = asg.select(col("vec_id"), col("embedding"), col("cell"))
+      .join(lab, Seq("vec_id"))
+    val hits = routed.join(broadcast(qlab), Seq("query_id"))
+      .join(c, routed("cell") === c("cell") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_emb"), routed("cell"), col("vec_id"),
+        col("embedding"))
+    rankProbed(s, hits)
+  }
+
   // ------------------------------------------------- product quantization
   // The COMPRESSED index path (IVF-PQ's second stage): the 64-dim float
   // vector (256 bytes) is split into M=4 16-dim subspaces, each trained
@@ -1268,6 +1298,9 @@ object EmbeddingOps {
     "q_ann_brute" -> (annBruteForce _),
     // label-excluded top-k: near-miss negatives for contrastive training
     "q_hard_negatives" -> (hardNegatives _),
+    // the scale path: the exclusion rides on the IVF-probed candidates
+    "q_hard_negatives_ivf" ->
+      ((s: SparkSession, d: String) => hardNegativesIvf(s, d, 2)),
     "q_ann_lsh_buckets" -> (lshBuckets _),
     "q_embed_neardup" -> (embedNearDup(_, _)),
     "q_embed_neardup_indexed" -> (embedNearDupIndexedAuto _),
@@ -1571,7 +1604,20 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     kmeansProbeOracleFrom(kmeansCtesTrainedOn("ktrain",
       "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"), 1)
 
-  private def kmeansProbeOracleFrom(ctes: String, nProbe: Int): String =
+  /** The label-excluded probe oracle: the standard kmeans probe chain
+    * plus a label CTE joined onto both candidate and query sides, with
+    * same-label candidates dropped before ranking.
+    */
+  private def hardNegIvfOracle(nProbe: Int): String =
+    kmeansProbeOracleFrom(
+      kmeansCtes + ",\nlab AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
+        "CAST(label AS INTEGER) AS label FROM embeddings)",
+      nProbe,
+      candJoins = "\n  JOIN lab lb ON lb.vec_id = b.vec_id" +
+        "\n  JOIN lab lq ON lq.vec_id = r.query_id AND lb.label <> lq.label")
+
+  private def kmeansProbeOracleFrom(ctes: String, nProbe: Int,
+      candJoins: String = ""): String =
     s"""WITH $ctes,
 fin AS (
   SELECT vec_id, embedding, cell,
@@ -1597,7 +1643,7 @@ SELECT query_id, cell, vizinho, sim, rank FROM (
          CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
            ${dot("r.q_emb", "b.embedding", DIM).duck} / (r.qnrm * b.nrm) DESC,
            b.vec_id) AS INTEGER) AS rank
-  FROM routed r JOIN fin b ON r.cell = b.cell AND r.query_id <> b.vec_id)
+  FROM routed r JOIN fin b ON r.cell = b.cell AND r.query_id <> b.vec_id$candJoins)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
@@ -1640,6 +1686,9 @@ FROM cent$KMEANS_ITERS, (SELECT unnest(generate_series(1, $DIM)) AS i)
 ORDER BY cell, i""",
     "q_ann_ivf_kmeans" -> kmeansProbeOracle(1),
     "q_ann_ivf_kmeans_probe2" -> kmeansProbeOracle(2),
+    // the label-excluded probe must match the same chain with the
+    // exclusion joined in before ranking
+    "q_hard_negatives_ivf" -> hardNegIvfOracle(2),
     "q_ann_topk_agg" ->
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
   ${normDuck("embedding")} AS nrm FROM embeddings),

@@ -397,6 +397,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.exists(_.getInt(2) > 0), "no novelty anywhere — degenerate signal")
   }
 
+  test("dsir plan: the B-row ratio table broadcasts; novelty anti-joins on the hash") {
+    val sc = CurationOps.dsirScore(spark, tiny)
+    sc.collect()
+    val plan = sc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-row ratio table must broadcast into the per-doc sum:\n$plan")
+    val nv = CurationOps.ngramNovelty(spark, tiny)
+    nv.collect()
+    val nvPlan = nv.queryExecution.executedPlan.toString
+    assert(nvPlan.contains("LeftAnti"),
+      s"novelty must anti-join the reference shingle set:\n$nvPlan")
+  }
+
   test("dsir: importance concentrates on the target distribution; resample keeps the exact top quartile") {
     val langs = Tables.documents(spark, tiny)
       .selectExpr("CAST(doc_id AS BIGINT) AS id", "lang")

@@ -206,6 +206,21 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives via IVF probe: label exclusion holds on the probed candidates") {
+    val labels = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS id", "CAST(label AS INT) AS l")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.sim.EmbeddingOps.hardNegativesIvf(spark, tiny, 2).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q: at most k negatives from the probe")
+      rs.foreach { r =>
+        assert(labels(r.getLong(2)) != labels(q),
+          s"query $q: probed neighbor ${r.getLong(2)} shares its label")
+      }
+    }
+  }
+
   test("dedup clusters: iteration caches don't accrete; labels are component minima") {
     def pinnedNonCheckpoint: Int = spark.sparkContext.getPersistentRDDs.values
       .count(r => !r.isCheckpointed)
