@@ -281,13 +281,15 @@ object Streams {
     * `job(docStream)` to a parquet sink under `Trigger.AvailableNow`, and
     * hands the sink to `post` for the follow-up batch shaping.
     */
-  private def runDocStreamGate(spark: SparkSession, dir: String, tag: String)(
+  private def runDocStreamGate(spark: SparkSession, dir: String, tag: String,
+      cols: Seq[String] =
+        Seq("CAST(doc_id AS BIGINT) AS doc_id", "text", "lang"))(
       job: DataFrame => DataFrame)(post: DataFrame => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = tempDir(s"graft_${tag}_stream")
     def sub(n: String) = base.resolve(n).toString
     val docs = graft.Tables.documents(spark, dir)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text", "lang")
+      .selectExpr(cols: _*)
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
     docs.filter(col("doc_id") % 2 === 1).coalesce(1)
       .write.mode("append").parquet(sub("in"))
@@ -1031,6 +1033,69 @@ object Streams {
     * q_corpus_curate_fluent, so batch boundaries, arrival order, and the
     * static-prior deployment split must all be invisible in the result.
     */
+  /** [[graft.text.CurationOps.ngramNovelty]] under streaming arrivals:
+    * the reference shingle-hash store is derived statically (at 100 TB
+    * it is the previous crawl's persisted store), each arriving doc's
+    * distinct shingle hashes anti-join it per micro-batch (stream-static
+    * left anti — supported shape, no state), and the per-doc rollup
+    * closes at read time. Converges to the batch relation; same oracle.
+    */
+  def ngramNoveltyStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.CurationOps
+    val statics = graft.Checkpoint.barrier(
+      graft.Tables.documents(spark, dir)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source",
+          s"${CurationOps.hashedShinglesExpr} AS shd"))
+    val ref = statics
+      .filter(s"source IN (${CurationOps.noveltyRefIn})")
+      .select(explode(col("shd")).as("h")).distinct()
+    runDocStreamGate(spark, dir, "novelty",
+      cols = Seq("CAST(doc_id AS BIGINT) AS doc_id", "text")) { stream =>
+      stream
+        .selectExpr("doc_id", s"${CurationOps.hashedShinglesExpr} AS shd")
+        .select(col("doc_id"), explode(col("shd")).as("h"))
+        .join(ref, Seq("h"), "left_anti")
+    } { sink =>
+      val novel = sink.groupBy("doc_id").agg(count(lit(1)).as("n_novos"))
+      statics.selectExpr("doc_id", "CAST(size(shd) AS INTEGER) AS n_shingles")
+        .join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novos"))
+        .selectExpr("doc_id", "n_shingles",
+          "CAST(n_novos AS INTEGER) AS n_novos",
+          "CAST(n_novos AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS taxa_nova")
+        .orderBy("doc_id")
+    }
+  }
+
+  /** [[graft.text.CurationOps.dsirScore]] under streaming arrivals: the
+    * B-row fixed-point ratio table is the statically trained model;
+    * arriving docs explode to (doc_id, bucket) and broadcast-join it per
+    * micro-batch; the integer per-doc sum closes at read time (exact —
+    * order-independent by construction). Same oracle as the batch form.
+    */
+  def dsirScoreStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.CurationOps
+    val T = graft.text.TextExprs.tokens("text")
+    val ratio = graft.Checkpoint.barrier(
+      CurationOps.dsirRatioOf(CurationOps.dsirExplode(spark, dir)))
+    runDocStreamGate(spark, dir, "dsir",
+      cols = Seq("CAST(doc_id AS BIGINT) AS doc_id", "text")) { stream =>
+      stream
+        .selectExpr("doc_id", s"${T.spark} AS t")
+        .select(col("doc_id"), explode(col("t")).as("term"))
+        .selectExpr("doc_id", s"${CurationOps.dsirBucketExpr} AS balde")
+        .join(broadcast(ratio), Seq("balde"))
+        .select("doc_id", "v")
+    } { sink =>
+      sink.groupBy("doc_id")
+        .agg(sum("v").as("pontuacao"), count(lit(1)).as("n_tokens"))
+        .selectExpr("doc_id", "CAST(n_tokens AS INTEGER) AS n_tokens",
+          "CAST(pontuacao AS BIGINT) AS pontuacao",
+          "CAST(pontuacao * 1000 div n_tokens AS BIGINT) AS pontuacao_norm")
+        .orderBy("doc_id")
+    }
+  }
+
   def corpusCurateFluentStreamed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fluent = graft.Checkpoint.barrier(

@@ -717,6 +717,15 @@ ORDER BY balde"""
     */
   private val noveltyRef = Seq("src0", "src1", "src2", "src3", "src4")
 
+  private[graft] def noveltyRefIn: String =
+    noveltyRef.map(r => s"'$r'").mkString(", ")
+
+  /** The per-doc distinct-shingle-hash projection (Spark dialect) — one
+    * source for the batch op and the streamed twin.
+    */
+  private[graft] def hashedShinglesExpr: String =
+    s"array_distinct(transform(${SH.spark}, x -> ${hash60("x").spark}))"
+
   /** N-gram novelty vs a reference corpus — the "what is actually new in
     * this crawl" signal: per doc, the fraction of its distinct 3-shingles
     * absent from the reference sources' shingle set. Docs ≈0 are
@@ -727,13 +736,12 @@ ORDER BY balde"""
     * (at 100 TB it is itself corpus-sized).
     */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val refIn = noveltyRef.map(r => s"'$r'").mkString(", ")
+    val refIn = noveltyRefIn
     // barrier: the shingle→hash projection feeds the reference side, the
     // per-doc side, and the final n_shingles — tokenize + digest once
     val hashed = graft.Checkpoint.barrier(documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source", s"${SH.spark} AS sh")
-      .selectExpr("doc_id", "source",
-        s"array_distinct(transform(sh, x -> ${hash60("x").spark})) AS shd"))
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source",
+        s"$hashedShinglesExpr AS shd"))
     val ex = hashed.select(col("doc_id"), col("source"), explode(col("shd")).as("h"))
     val ref = ex.filter(s"source IN ($refIn)").select("h").distinct()
     val novel = ex.join(ref, Seq("h"), "left_anti")
@@ -768,16 +776,32 @@ ORDER BY balde"""
     * map-combinable grouped counts; the B-row ratio table broadcasts
     * into the per-doc sum — the only full shuffle is the doc_id groupBy.
     */
-  def dsirScore(s: SparkSession, d: String): DataFrame = {
-    val ex = graft.Checkpoint.barrier(documents(s, d)
+  /** The (doc_id, lang, bucket) token explode, materialized once — both
+    * grouped counts and the per-doc sum read it.
+    */
+  private[graft] def dsirExplode(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoint.barrier(documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", s"${T.spark} AS t")
       .select(col("doc_id"), col("lang"), explode(col("t")).as("term"))
-      .selectExpr("doc_id", "lang", s"${hash60("term").spark} % $DSIR_B AS balde"))
+      .selectExpr("doc_id", "lang", s"$dsirBucketExpr AS balde"))
+
+  private[graft] def dsirBucketExpr: String =
+    s"${hash60("term").spark} % $DSIR_B"
+
+  /** The B-row fixed-point ratio table off an explode — the static model
+    * the streamed twin scores arrivals against.
+    */
+  private[graft] def dsirRatioOf(ex: DataFrame): DataFrame = {
     val cq = ex.groupBy("balde").agg(count(lit(1)).as("cq"))
     val cp = ex.filter("lang = 'en'").groupBy("balde").agg(count(lit(1)).as("cp"))
-    val ratio = cq.join(cp, Seq("balde"), "left")
+    cq.join(cp, Seq("balde"), "left")
       .na.fill(0L, Seq("cp"))
       .selectExpr("balde", s"(cp + 1) * $DSIR_SCALE div (cq + 1) AS v")
+  }
+
+  def dsirScore(s: SparkSession, d: String): DataFrame = {
+    val ex = dsirExplode(s, d)
+    val ratio = dsirRatioOf(ex)
     ex.join(broadcast(ratio), Seq("balde"))
       .groupBy("doc_id")
       .agg(sum("v").as("pontuacao"), count(lit(1)).as("n_tokens"))
@@ -1200,8 +1224,15 @@ ORDER BY d.doc_id"""
     "q_decontaminate" -> (decontaminate _),
     // novelty vs a reference corpus: anti-join on the 60-bit shingle hash
     "q_ngram_novelty" -> (ngramNovelty _),
+    // the streamed twin: arrivals anti-join the static reference store
+    "q_ngram_novelty_stream" ->
+      (graft.streaming.Streams.ngramNoveltyStreamed _),
     // DSIR-style hashed-unigram importance score + top-quartile resample
     "q_dsir_score" -> (dsirScore _),
+    // the streamed twin: stream-static broadcast join against the
+    // statically derived fixed-point ratio table
+    "q_dsir_score_stream" ->
+      (graft.streaming.Streams.dsirScoreStreamed _),
     "q_dsir_select" -> (dsirSelect _),
     "q_corpus_curate" -> (corpusCurate _),
     // the curation pass + the fluency prior (perplexity-proxy) gate
@@ -1236,6 +1267,23 @@ per AS (SELECT e.doc_id, SUM(r.v) AS pontuacao, COUNT(*) AS n_tokens
 sc AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
          CAST(pontuacao AS BIGINT) AS pontuacao,
          CAST(pontuacao * 1000 // n_tokens AS BIGINT) AS pontuacao_norm FROM per)"""
+
+  private def noveltyOracle: String =
+    s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+  list_distinct(list_transform(${SH.duck}, x -> ${hash60("x").duck})) AS shd FROM documents),
+ex AS (SELECT doc_id, source, unnest(shd) AS h FROM sh),
+ref AS (SELECT DISTINCT h FROM ex WHERE source IN ($noveltyRefIn)),
+nv AS (SELECT doc_id, COUNT(*) AS n_novos FROM ex
+       WHERE h NOT IN (SELECT h FROM ref) GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(s.shd) AS INTEGER) AS n_shingles,
+  CAST(coalesce(n.n_novos, 0) AS INTEGER) AS n_novos,
+  CAST(coalesce(n.n_novos, 0) AS DOUBLE) / CAST(len(s.shd) AS DOUBLE) AS taxa_nova
+FROM sh s LEFT JOIN nv n ON s.doc_id = n.doc_id
+ORDER BY s.doc_id"""
+
+  private def dsirScoreOracle: String =
+    s"""$dsirCtes
+SELECT doc_id, n_tokens, pontuacao, pontuacao_norm FROM sc ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q_vocab_oov" -> vocabOovOracle(),
@@ -1325,21 +1373,12 @@ CAST(len(list_filter(regexp_extract_all(texto, '$ccRe'), x -> ${luhnValid("x").d
 md5(regexp_replace(texto, '$ccRe', '[NUM]', 'g')) AS hash_redigido
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${ccAugmented.duck} AS texto FROM documents)
 ORDER BY doc_id""",
-    "q_ngram_novelty" ->
-      s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-  list_distinct(list_transform(${SH.duck}, x -> ${hash60("x").duck})) AS shd FROM documents),
-ex AS (SELECT doc_id, source, unnest(shd) AS h FROM sh),
-ref AS (SELECT DISTINCT h FROM ex WHERE source IN (${noveltyRef.map(r => s"'$r'").mkString(", ")})),
-nv AS (SELECT doc_id, COUNT(*) AS n_novos FROM ex
-       WHERE h NOT IN (SELECT h FROM ref) GROUP BY doc_id)
-SELECT s.doc_id, CAST(len(s.shd) AS INTEGER) AS n_shingles,
-  CAST(coalesce(n.n_novos, 0) AS INTEGER) AS n_novos,
-  CAST(coalesce(n.n_novos, 0) AS DOUBLE) / CAST(len(s.shd) AS DOUBLE) AS taxa_nova
-FROM sh s LEFT JOIN nv n ON s.doc_id = n.doc_id
-ORDER BY s.doc_id""",
-    "q_dsir_score" ->
-      s"""$dsirCtes
-SELECT doc_id, n_tokens, pontuacao, pontuacao_norm FROM sc ORDER BY doc_id""",
+    "q_ngram_novelty" -> noveltyOracle,
+    // the streamed twin converges to the same per-doc novelty relation
+    "q_ngram_novelty_stream" -> noveltyOracle,
+    "q_dsir_score" -> dsirScoreOracle,
+    // the streamed twin scores arrivals against the same static ratio
+    "q_dsir_score_stream" -> dsirScoreOracle,
     "q_dsir_select" ->
       s"""$dsirCtes,
 rk AS (SELECT doc_id, pontuacao_norm,
