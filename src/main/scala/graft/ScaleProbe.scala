@@ -203,7 +203,19 @@ object ScaleProbe {
       ("split_leakage", d => text.TextOps.splitLeakageSafe(spark, d).count(), true),
       ("shuffle_shards", d => text.CurationOps.shuffleShards(spark, d).count(), true),
       ("mix_temperature", d => text.CurationOps.mixTemperature(spark, d).count(), true),
-      ("sample_diverse", d => sim.EmbeddingOps.sampleDiverse(spark, d).count(), false))
+      ("sample_diverse", d => sim.EmbeddingOps.sampleDiverse(spark, d).count(), false),
+      // r12 selection signals: novelty/dsir/pii emit one row per doc —
+      // rows exactly Nx; novelty's shingle-hash anti-join and dsir's
+      // bucket join + doc_id groupBy are equi shapes, so time must track
+      // ~Nx (the prefix perturbation keeps replicas' shingle/bucket
+      // domains disjoint, so the reference store and the per-bucket
+      // counts grow Nx without cross-replica collisions). The IVF-served
+      // hard negatives return a fixed top-k for the 8 demo queries at
+      // any corpus size — only time is meaningful (probe is cell-bound)
+      ("ngram_novelty", d => text.CurationOps.ngramNovelty(spark, d).count(), true),
+      ("dsir_score", d => text.CurationOps.dsirScore(spark, d).count(), true),
+      ("pii_luhn", d => text.CurationOps.piiLuhn(spark, d).count(), true),
+      ("hard_neg_ivf", d => sim.EmbeddingOps.hardNegativesIvf(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>

@@ -101,6 +101,8 @@ object SparkEntry {
     "q_date_ops" -> (RelationalOps.dateOps _),
     "q_json_extract" -> (RelationalOps.jsonExtract _),
     "q_events_hourly" -> (RelationalOps.eventsHourly _),
+    // strict-order conversion funnel (view → click → purchase)
+    "q_funnel" -> (RelationalOps.funnelSteps _),
     "q_percentiles" -> (RelationalOps.percentiles _),
     "q_scalar_subquery" -> (RelationalOps.scalarSubquery _),
     "q_pivot" -> (RelationalOps.pivotEvents _),

@@ -451,6 +451,35 @@ object RelationalOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
       .orderBy("hora", "event_type")
 
+  /** Strict-order funnel analysis (view → click → purchase): per user,
+    * the earliest view, the earliest click AFTER that view, the earliest
+    * purchase AFTER that click — the conversion-path primitive every
+    * event pipeline reports on, with strict ordering so a click that
+    * precedes the first view can never count. Three grouped mins chained
+    * by equi-joins on user_id: after the first groupBy every later stage
+    * reuses the same hash partitioning (co-partitioned joins, map-side
+    * combinable mins) — no window, no per-user sort, no cross join, the
+    * shape that holds at any event volume.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_compra"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .selectExpr("user_id", "t_view", "t_click", "t_compra",
+        "CASE WHEN t_compra IS NOT NULL THEN 1 ELSE 0 END AS converteu")
+      .orderBy("user_id")
+  }
+
   /** Bin-blocked RANGE join (extension — the join shape OSS Spark has no
     * native strategy for): every event falling inside each "flash promo"
     * window `[ts, ts+1h)` opened by a high-value purchase, aggregated per

@@ -832,6 +832,18 @@ ORDER BY balde"""
       .orderBy("posicao")
   }
 
+  /** The production resample: k is a token-budget CONSTANT, so the
+    * selection plans as a distributed TakeOrderedAndProject (per-
+    * partition top-k, O(k) state, no global sort and no count window) —
+    * the form that holds at any corpus size. CurationOpsSpec pins the
+    * plan shape; the gate pins the selected set.
+    */
+  def dsirSelectTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    dsirScore(s, d)
+      .select("doc_id", "pontuacao_norm")
+      .orderBy(desc("pontuacao_norm"), asc("doc_id"))
+      .limit(k)
+
   // ---------------------------------------------- mixture, budget, packing
 
   /** Per-language epoch weights for mixture resampling, split into whole
@@ -1234,6 +1246,8 @@ ORDER BY d.doc_id"""
     "q_dsir_score_stream" ->
       (graft.streaming.Streams.dsirScoreStreamed _),
     "q_dsir_select" -> (dsirSelect _),
+    // the fixed-budget production form: distributed top-k, no window
+    "q_dsir_select_topk" -> (dsirSelectTopK(_, _)),
     "q_corpus_curate" -> (corpusCurate _),
     // the curation pass + the fluency prior (perplexity-proxy) gate
     "q_corpus_curate_fluent" -> (corpusCurateFluent _),
@@ -1379,6 +1393,10 @@ ORDER BY doc_id""",
     "q_dsir_score" -> dsirScoreOracle,
     // the streamed twin scores arrivals against the same static ratio
     "q_dsir_score_stream" -> dsirScoreOracle,
+    "q_dsir_select_topk" ->
+      s"""$dsirCtes
+SELECT doc_id, pontuacao_norm FROM sc
+ORDER BY pontuacao_norm DESC, doc_id LIMIT 100""",
     "q_dsir_select" ->
       s"""$dsirCtes,
 rk AS (SELECT doc_id, pontuacao_norm,

@@ -410,6 +410,23 @@ class CurationOpsSpec extends SparkSpec {
       s"novelty must anti-join the reference shingle set:\n$nvPlan")
   }
 
+  test("dsir fixed-budget resample: distributed top-k, no window; prefix of the quartile rank") {
+    val df = CurationOps.dsirSelectTopK(spark, tiny, 10)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-k selection must plan as distributed top-k:\n$plan")
+    assert(!allNodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "fixed-k selection must not plan a window")
+    // same order rule as the quartile form: its first 10 rows
+    val quart = CurationOps.dsirSelect(spark, tiny).collect()
+      .sortBy(_.getInt(0)).take(10).map(_.getLong(1)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == quart,
+      "fixed-k selection must be a prefix of the ranked quartile")
+  }
+
   test("dsir: importance concentrates on the target distribution; resample keeps the exact top quartile") {
     val langs = Tables.documents(spark, tiny)
       .selectExpr("CAST(doc_id AS BIGINT) AS id", "lang")

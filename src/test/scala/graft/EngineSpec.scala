@@ -189,6 +189,43 @@ class EngineSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("funnel: strict ordering holds and matches an in-JVM replay") {
+    val rows = ops.RelationalOps.funnelSteps(spark, tiny).collect()
+    assert(rows.nonEmpty)
+    // strict order inside each emitted row
+    rows.foreach { r =>
+      val tv = r.getTimestamp(1)
+      if (!r.isNullAt(2)) assert(r.getTimestamp(2).after(tv), s"user ${r.getLong(0)}")
+      if (!r.isNullAt(3)) {
+        assert(!r.isNullAt(2), "purchase step requires the click step")
+        assert(r.getTimestamp(3).after(r.getTimestamp(2)), s"user ${r.getLong(0)}")
+      }
+    }
+    // independent replay over the raw events, in epoch micros
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ev = Tables.events(spark, tiny)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val evs = byUser(u)
+      val tv = evs.filter(_._2 == "view").map(_._3).min
+      assert(us(r.getTimestamp(1)) == tv, s"user $u first view")
+      val clicks = evs.filter(e => e._2 == "click" && e._3 > tv).map(_._3)
+      assert(r.isNullAt(2) == clicks.isEmpty, s"user $u click presence")
+      if (clicks.nonEmpty) {
+        val tc = clicks.min
+        assert(us(r.getTimestamp(2)) == tc, s"user $u first post-view click")
+        val buys = evs.filter(e => e._2 == "purchase" && e._3 > tc).map(_._3)
+        assert(r.isNullAt(3) == buys.isEmpty, s"user $u purchase presence")
+        if (buys.nonEmpty)
+          assert(us(r.getTimestamp(3)) == buys.min, s"user $u first purchase")
+      }
+    }
+  }
+
   test("hard negatives: k rows per query, no neighbor shares the query's label") {
     val labels = Tables.embeddings(spark, tiny)
       .selectExpr("CAST(vec_id AS BIGINT) AS id", "CAST(label AS INT) AS l")
