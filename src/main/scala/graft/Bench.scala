@@ -222,9 +222,10 @@ object Bench {
       "q_sample_diverse", "q_curriculum_stages",
       // r12: DSIR importance scoring (hashed-unigram fixed-point ratio),
       // shingle-hash novelty vs the reference sources, Luhn-validated
-      // PII scan, and label-excluded hard-negative top-k
+      // PII scan, label-excluded hard-negative top-k, and the
+      // strict-order conversion funnel
       "q_dsir_score", "q_ngram_novelty", "q_pii_luhn",
-      "q_hard_negatives").foreach { name =>
+      "q_hard_negatives", "q_funnel").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -103,6 +103,9 @@ object SparkEntry {
     "q_events_hourly" -> (RelationalOps.eventsHourly _),
     // strict-order conversion funnel (view → click → purchase)
     "q_funnel" -> (RelationalOps.funnelSteps _),
+    // the stateful streamed twin: watermark-gated per-user buffer folded
+    // in event-time order into the three monotone marks; same oracle
+    "q_funnel_stream" -> (graft.streaming.Streams.funnelStreamed _),
     "q_percentiles" -> (RelationalOps.percentiles _),
     "q_scalar_subquery" -> (RelationalOps.scalarSubquery _),
     "q_pivot" -> (RelationalOps.pivotEvents _),

@@ -117,6 +117,21 @@ FROM fato f JOIN dim_produto p ON f.sk_produto = p.sk_produto
 GROUP BY p.categoria
 ORDER BY total_vendas DESC, categoria""")
 
+  private val funnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_compra FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_compra,
+       CASE WHEN p.t_compra IS NOT NULL THEN 1 ELSE 0 END AS converteu
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id"""
+
   val all: Map[String, String] = Map(
     // ------------------------------------------------ star-schema builds
     "star_dim_produto" -> withStar(
@@ -514,20 +529,9 @@ GROUP BY 1, 2
 ORDER BY hora, event_type""",
     // strict-order funnel: each stage's min is bounded below by the
     // previous stage's timestamp, so out-of-order events never count
-    "q_funnel" ->
-      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
-       WHERE event_type = 'view' GROUP BY user_id),
-c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
-      JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
-p AS (SELECT e.user_id, MIN(e.ts) AS t_compra FROM events e
-      JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
-SELECT v.user_id, v.t_view, c.t_click, p.t_compra,
-       CASE WHEN p.t_compra IS NOT NULL THEN 1 ELSE 0 END AS converteu
-FROM v LEFT JOIN c ON v.user_id = c.user_id
-       LEFT JOIN p ON v.user_id = p.user_id
-ORDER BY v.user_id""",
+    "q_funnel" -> funnelSql,
+    // the stateful streamed twin converges to the same relation
+    "q_funnel_stream" -> funnelSql,
     // the Spark side bins both relations on fixed-width time bins and
     // equi-joins; DuckDB answers the same query with its native IEJoin
     // inequality join — two different algorithms that must agree

@@ -1121,6 +1121,145 @@ object Streams {
     }
   }
 
+  // ------------------------------------------------------ streamed funnel
+
+  /** A buffered funnel event (µs timestamp + type; public for codegen). */
+  final case class FunnelPending(us: Long, tpe: String)
+  /** Per-user funnel state: the watermark-gated pending buffer plus the
+    * three monotone funnel marks in µs (-1 = unset).
+    */
+  final case class FunnelBufState(buf: Seq[FunnelPending],
+                                  tView: Long, tClick: Long, tBuy: Long)
+  final case class FunnelRow(user_id: Long,
+                             t_view: java.sql.Timestamp,
+                             t_click: java.sql.Timestamp,
+                             t_compra: java.sql.Timestamp,
+                             converteu: Int)
+
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** [[graft.ops.RelationalOps.funnelSteps]] as a stateful stream:
+    * events buffer per user until the watermark finalizes them, then
+    * fold in event-time order into the three monotone marks — first
+    * view, first click strictly after it, first purchase strictly after
+    * that. In ascending event-time order the marks never need revision
+    * (the reason the batch "min after previous stage" is
+    * prefix-computable), so per-user state after folding is O(1) plus
+    * the trailing unfinalized buffer, which the watermark horizon
+    * bounds. Rows emit at the final timer flush; equal-µs ties are
+    * harmless because every stage comparison is strict.
+    */
+  def funnelFold(events: Dataset[Event],
+                 watermarkDelay: String = "10 minutes"): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    val funnelTypes = Set("view", "click", "purchase")
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelRow](
+        OutputMode.Append, timeout) {
+        case (uid, it, state: GroupState[FunnelBufState]) =>
+          val prior = state.getOption.getOrElse(FunnelBufState(Nil, -1L, -1L, -1L))
+          def fold(st: FunnelBufState, evs: Seq[FunnelPending]): FunnelBufState = {
+            var (tv, tc, tb) = (st.tView, st.tClick, st.tBuy)
+            evs.foreach { e =>
+              e.tpe match {
+                case "view" if tv < 0 => tv = e.us
+                case "click" if tv >= 0 && e.us > tv && tc < 0 => tc = e.us
+                case "purchase" if tc >= 0 && e.us > tc && tb < 0 => tb = e.us
+                case _ =>
+              }
+            }
+            FunnelBufState(Nil, tv, tc, tb)
+          }
+          def emit(fin: FunnelBufState): Iterator[FunnelRow] =
+            if (fin.tView >= 0)
+              Iterator.single(FunnelRow(uid, usToTs(fin.tView),
+                if (fin.tClick >= 0) usToTs(fin.tClick) else null,
+                if (fin.tBuy >= 0) usToTs(fin.tBuy) else null,
+                if (fin.tBuy >= 0) 1 else 0))
+            else Iterator.empty
+          if (state.hasTimedOut) {
+            val fin = fold(prior, prior.buf.sortBy(p => (p.us, p.tpe)))
+            state.remove()
+            emit(fin)
+          } else {
+            val incoming = it.filter(e => funnelTypes(e.event_type))
+              .map(e => FunnelPending(tsToUs(e.ts), e.event_type)).toSeq
+            if (!streaming) {
+              emit(fold(prior, (prior.buf ++ incoming).sortBy(p => (p.us, p.tpe))))
+            } else {
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              val all = (prior.buf ++ incoming).sortBy(p => (p.us, p.tpe))
+              val (ready, pending) = all.partition(_.us < wmUs)
+              state.update(fold(prior, ready).copy(buf = pending))
+              val maxUs = (all.map(_.us) :+ 0L).max
+              state.setTimeoutTimestamp(
+                math.max(maxUs / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** The streamed funnel as a gated batch-comparable query: one real
+    * micro-batch (so the watermark can never drop real events), two
+    * sentinel batches — the first advances the watermark past every real
+    * event, the second gives the engine a batch in which the flush
+    * timers fire. Gated against the same DuckDB oracle as q_funnel.
+    */
+  def funnelStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delayMin = 10
+    val base = tempDir("graft_funnel_stream")
+    val streamDir = base.resolve("in")
+    java.nio.file.Files.createDirectory(streamDir)
+    val stage = base.resolve("stage").toString
+    val outDir = base.resolve("out").toString
+    val cpDir = base.resolve("cp").toString
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      col("value").cast("double").as("value"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def sentinel(uid: Long, offsetMin: Int) = Seq(
+      Event(uid, new java.sql.Timestamp(
+        maxTs.getTime + offsetMin * 60000L), uid, "sentinel", 0.0)).toDF()
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    stageFile(ev, "000_events.parquet", t0)
+    stageFile(sentinel(-1L, delayMin + 1), "001_s1.parquet", t0 + 60000)
+    stageFile(sentinel(-2L, delayMin + 61), "002_s2.parquet", t0 + 120000)
+    val sch = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = funnelFold(stream.as[Event], s"$delayMin minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_compra"), col("converteu"))
+      .orderBy("user_id")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int,

@@ -381,4 +381,27 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("jac_out").as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 0.6)))
   }
+
+  test("funnel fold in batch mode equals the relational funnel") {
+    import spark.implicits._
+    val ev = Tables.events(spark, tiny).selectExpr(
+      "CAST(event_id AS BIGINT) AS event_id", "ts",
+      "CAST(user_id AS BIGINT) AS user_id", "event_type",
+      "CAST(value AS DOUBLE) AS value")
+      .as[graft.streaming.Streams.Event]
+    val folded = graft.streaming.Streams.funnelFold(ev).toDF()
+      .select("user_id", "t_view", "t_click", "t_compra", "converteu")
+      .orderBy("user_id").collect()
+    val batch = graft.ops.RelationalOps.funnelSteps(spark, tiny).collect()
+    assert(folded.length == batch.length)
+    folded.zip(batch).foreach { case (f, b) =>
+      assert(f.getLong(0) == b.getLong(0))
+      (1 to 3).foreach { i =>
+        assert(f.isNullAt(i) == b.isNullAt(i), s"user ${f.getLong(0)} col $i")
+        if (!f.isNullAt(i))
+          assert(f.getTimestamp(i) == b.getTimestamp(i), s"user ${f.getLong(0)} col $i")
+      }
+      assert(f.getInt(4) == b.getInt(4))
+    }
+  }
 }
