@@ -735,15 +735,11 @@ ORDER BY balde"""
     * distinct + one anti equi-join — the reference side is NOT broadcast
     * (at 100 TB it is itself corpus-sized).
     */
-  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val refIn = noveltyRefIn
-    // barrier: the shingle→hash projection feeds the reference side, the
-    // per-doc side, and the final n_shingles — tokenize + digest once
-    val hashed = graft.Checkpoint.barrier(documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source",
-        s"$hashedShinglesExpr AS shd"))
-    val ex = hashed.select(col("doc_id"), col("source"), explode(col("shd")).as("h"))
-    val ref = ex.filter(s"source IN ($refIn)").select("h").distinct()
+  /** The shared scoring tail: per-doc novel count = distinct shingle
+    * hashes absent from `ref`, anti-joined on the 8-byte hash.
+    */
+  private def noveltyTail(hashed: DataFrame, ref: DataFrame): DataFrame = {
+    val ex = hashed.select(col("doc_id"), explode(col("shd")).as("h"))
     val novel = ex.join(ref, Seq("h"), "left_anti")
       .groupBy("doc_id").agg(count(lit(1)).as("n_novos"))
     hashed.selectExpr("doc_id", "CAST(size(shd) AS INTEGER) AS n_shingles")
@@ -752,6 +748,62 @@ ORDER BY balde"""
       .selectExpr("doc_id", "n_shingles", "CAST(n_novos AS INTEGER) AS n_novos",
         "CAST(n_novos AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS taxa_nova")
       .orderBy("doc_id")
+  }
+
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    // barrier: the shingle→hash projection feeds the reference side, the
+    // per-doc side, and the final n_shingles — tokenize + digest once
+    val hashed = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source",
+        s"$hashedShinglesExpr AS shd"))
+    val ref = hashed.filter(s"source IN ($noveltyRefIn)")
+      .select(explode(col("shd")).as("h")).distinct()
+    noveltyTail(hashed, ref)
+  }
+
+  /** Build the persisted reference store: the reference sources'
+    * DISTINCT shingle hashes as a one-column parquet — the "previous
+    * crawl's store" the served form reads, so re-crawl scoring never
+    * re-tokenizes the reference corpus.
+    */
+  private[graft] def buildNoveltyStore(s: SparkSession, d: String,
+      dir: String): Unit =
+    documents(s, d)
+      .filter(s"source IN ($noveltyRefIn)")
+      .selectExpr(s"$hashedShinglesExpr AS shd")
+      .select(explode(col("shd")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/ref_hashes")
+
+  /** The served form: score against the persisted store (built once per
+    * dataset fingerprint, like the ANN auto-indexes) — bit-identical to
+    * the self-contained form, same oracle.
+    */
+  def ngramNoveltyIndexedAuto(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_novelty_store_" +
+      docsFingerprint(d)
+    val marker = new java.io.File(dir, "_built")
+    if (!marker.exists()) {
+      buildNoveltyStore(s, d, dir)
+      marker.createNewFile()
+    }
+    val hashed = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        s"$hashedShinglesExpr AS shd"))
+    noveltyTail(hashed, s.read.parquet(s"$dir/ref_hashes"))
+  }
+
+  /** md5 over every documents file's (path, length, mtime) — the
+    * staleness key the novelty store's auto-build location carries, so
+    * regenerated testdata can never be scored against a stale store.
+    */
+  private def docsFingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$d/documents.parquet"))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   // ------------------------------------------------- importance resampling
@@ -1239,6 +1291,8 @@ ORDER BY d.doc_id"""
     // the streamed twin: arrivals anti-join the static reference store
     "q_ngram_novelty_stream" ->
       (graft.streaming.Streams.ngramNoveltyStreamed _),
+    // the served form: scored against the persisted shingle-hash store
+    "q_ngram_novelty_indexed" -> (ngramNoveltyIndexedAuto _),
     // DSIR-style hashed-unigram importance score + top-quartile resample
     "q_dsir_score" -> (dsirScore _),
     // the streamed twin: stream-static broadcast join against the
@@ -1390,6 +1444,8 @@ ORDER BY doc_id""",
     "q_ngram_novelty" -> noveltyOracle,
     // the streamed twin converges to the same per-doc novelty relation
     "q_ngram_novelty_stream" -> noveltyOracle,
+    // the store-served form must be bit-identical to the self-contained
+    "q_ngram_novelty_indexed" -> noveltyOracle,
     "q_dsir_score" -> dsirScoreOracle,
     // the streamed twin scores arrivals against the same static ratio
     "q_dsir_score_stream" -> dsirScoreOracle,
