@@ -101,6 +101,8 @@ object SparkEntry {
     "q_date_ops" -> (RelationalOps.dateOps _),
     "q_json_extract" -> (RelationalOps.jsonExtract _),
     "q_events_hourly" -> (RelationalOps.eventsHourly _),
+    // overlapping 1h/15min sliding-window rollup
+    "q_events_sliding" -> (RelationalOps.eventsSliding _),
     // strict-order conversion funnel (view → click → purchase)
     "q_funnel" -> (RelationalOps.funnelSteps _),
     // the stateful streamed twin: watermark-gated per-user buffer folded

@@ -451,6 +451,26 @@ object RelationalOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
       .orderBy("hora", "event_type")
 
+  /** SLIDING-window rollup (1-hour windows every 15 minutes): the
+    * standard overlapping-window aggregate — each event lands in exactly
+    * 4 windows, so the explode factor is the overlap ratio (a constant),
+    * and the aggregation stays one map-combinable groupBy on
+    * (window, type). Spark's `window()` generator handles the explode;
+    * the oracle reproduces the epoch-aligned 15-minute grid by explicit
+    * arithmetic. Money sums ride DECIMAL(18,2), cast to double only at
+    * the edge (the repo-wide decimal discipline).
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("inicio"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("fim"),
+        col("event_type"), col("n"), col("soma_valor"))
+      .orderBy("inicio", "event_type")
+
   /** Strict-order funnel analysis (view → click → purchase): per user,
     * the earliest view, the earliest click AFTER that view, the earliest
     * purchase AFTER that click — the conversion-path primitive every
