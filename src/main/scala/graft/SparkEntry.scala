@@ -103,6 +103,10 @@ object SparkEntry {
     "q_events_hourly" -> (RelationalOps.eventsHourly _),
     // overlapping 1h/15min sliding-window rollup
     "q_events_sliding" -> (RelationalOps.eventsSliding _),
+    // the watermarked streaming form: append mode finalizes every real
+    // window once the sentinel advances the watermark; same oracle
+    "q_events_sliding_stream" ->
+      (graft.streaming.Streams.eventsSlidingStreamed _),
     // strict-order conversion funnel (view → click → purchase)
     "q_funnel" -> (RelationalOps.funnelSteps _),
     // the stateful streamed twin: watermark-gated per-user buffer folded

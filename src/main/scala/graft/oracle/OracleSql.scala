@@ -543,6 +543,21 @@ SELECT inicio, fim, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
 FROM w GROUP BY inicio, fim, event_type
 ORDER BY inicio, event_type""",
+    // the watermarked streamed form finalizes the identical windows
+    "q_events_sliding_stream" ->
+      """WITH w AS (
+  SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS inicio,
+         strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS fim,
+         event_type, value
+  FROM (SELECT e.event_type, e.value,
+               time_bucket(INTERVAL '15 minutes', e.ts) - g.k * INTERVAL '15 minutes' AS ws,
+               e.ts
+        FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) g)
+  WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR)
+SELECT inicio, fim, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+FROM w GROUP BY inicio, fim, event_type
+ORDER BY inicio, event_type""",
     // strict-order funnel: each stage's min is bounded below by the
     // previous stage's timestamp, so out-of-order events never count
     "q_funnel" -> funnelSql,

@@ -1211,6 +1211,67 @@ object Streams {
       }
   }
 
+  /** [[graft.ops.RelationalOps.eventsSliding]] as a WATERMARKED
+    * streaming aggregation — the flagship Structured Streaming shape
+    * (overlapping event-time windows + append-mode finalization) run as
+    * a real job and gated against the batch oracle: one real
+    * micro-batch, then a sentinel whose event time pushes the watermark
+    * past every real window's end so append mode finalizes and emits
+    * ALL of them (the sentinel's own windows carry only sentinel rows
+    * and are filtered from the gate shape). State is one row per open
+    * (window, type) — the watermark horizon bounds it.
+    */
+  def eventsSlidingStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delayMin = 10
+    val base = tempDir("graft_sliding_stream")
+    val streamDir = base.resolve("in")
+    java.nio.file.Files.createDirectory(streamDir)
+    val stage = base.resolve("stage").toString
+    val outDir = base.resolve("out").toString
+    val cpDir = base.resolve("cp").toString
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      col("value").cast("double").as("value"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def sentinel(uid: Long, offsetMin: Int) = Seq(
+      Event(uid, new java.sql.Timestamp(
+        maxTs.getTime + offsetMin * 60000L), uid, "sentinel", 0.0)).toDF()
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    stageFile(ev, "000_events.parquet", t0)
+    // the sentinel's event time exceeds every real window end (+1h) plus
+    // the watermark delay, so every real window finalizes
+    stageFile(sentinel(-1L, 60 + delayMin + 1), "001_s1.parquet", t0 + 60000)
+    val sch = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = stream
+      .withWatermark("ts", s"$delayMin minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("inicio"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("fim"),
+        col("event_type"), col("n"), col("soma_valor"))
+      .orderBy("inicio", "event_type")
+  }
+
   /** The streamed funnel as a gated batch-comparable query: one real
     * micro-batch (so the watermark can never drop real events), two
     * sentinel batches — the first advances the watermark past every real
