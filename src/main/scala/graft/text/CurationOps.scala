@@ -806,6 +806,36 @@ ORDER BY balde"""
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  // ----------------------------------------------------- corpus data card
+
+  /** The corpus data card: the per-(lang, source) release report a
+    * corpus drop ships with — doc and token volume, quality-pass and
+    * repetition counts, mean doc length. Every cell is an integer-exact
+    * count off the shared signal templates (the means are exact-integer
+    * ratios lowered to double at the edge), one map-combinable groupBy
+    * over a single corpus scan — the reporting pass costs one pass.
+    */
+  def corpusCard(s: SparkSession, d: String): DataFrame = {
+    val quality = TextOps.qualityVerdict(_.spark, "size")
+    documents(s, d)
+      .selectExpr("lang", "source",
+        s"size(${T.spark}) AS n_tokens",
+        s"CASE WHEN ($quality) = 'boa' THEN 1 ELSE 0 END AS boa",
+        s"${repetitiveCase(dupTri.spark, topTok.spark)} AS repetitivo")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("boa").as("n_boa"),
+        sum("repetitivo").as("n_repetitivos"))
+      .selectExpr("lang", "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(n_boa AS BIGINT) AS n_boa",
+        "CAST(n_repetitivos AS BIGINT) AS n_repetitivos",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+      .orderBy("lang", "source")
+  }
+
   // ------------------------------------------------- importance resampling
 
   private val DSIR_B = 256
@@ -1293,6 +1323,8 @@ ORDER BY d.doc_id"""
       (graft.streaming.Streams.ngramNoveltyStreamed _),
     // the served form: scored against the persisted shingle-hash store
     "q_ngram_novelty_indexed" -> (ngramNoveltyIndexedAuto _),
+    // the per-(lang, source) release report off one corpus scan
+    "q_corpus_card" -> (corpusCard _),
     // DSIR-style hashed-unigram importance score + top-quartile resample
     "q_dsir_score" -> (dsirScore _),
     // the streamed twin: stream-static broadcast join against the
@@ -1446,6 +1478,20 @@ ORDER BY doc_id""",
     "q_ngram_novelty_stream" -> noveltyOracle,
     // the store-served form must be bit-identical to the self-contained
     "q_ngram_novelty_indexed" -> noveltyOracle,
+    "q_corpus_card" -> {
+      val quality = TextOps.qualityVerdict(_.duck, "len")
+      s"""SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(boa) AS BIGINT) AS n_boa,
+  CAST(SUM(repetitivo) AS BIGINT) AS n_repetitivos,
+  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS media_tokens
+FROM (SELECT lang, source, len(${T.duck}) AS n_tokens,
+        CASE WHEN ($quality) = 'boa' THEN 1 ELSE 0 END AS boa,
+        ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
+      FROM documents)
+GROUP BY lang, source ORDER BY lang, source"""
+    },
     "q_dsir_score" -> dsirScoreOracle,
     // the streamed twin scores arrivals against the same static ratio
     "q_dsir_score_stream" -> dsirScoreOracle,
