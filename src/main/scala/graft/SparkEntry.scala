@@ -107,6 +107,9 @@ object SparkEntry {
     // window once the sentinel advances the watermark; same oracle
     "q_events_sliding_stream" ->
       (graft.streaming.Streams.eventsSlidingStreamed _),
+    // idempotent ingest: at-least-once re-sends deduped by keyed state
+    "q_dedup_events_stream" ->
+      (graft.streaming.Streams.dedupEventsStreamed _),
     // strict-order conversion funnel (view → click → purchase)
     "q_funnel" -> (RelationalOps.funnelSteps _),
     // the stateful streamed twin: watermark-gated per-user buffer folded

@@ -543,6 +543,14 @@ SELECT inicio, fim, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
 FROM w GROUP BY inicio, fim, event_type
 ORDER BY inicio, event_type""",
+    // idempotent ingest dedup: the stream received the corpus plus a
+    // verbatim re-send of every 7th event — correct keyed dedup makes
+    // the output the original table exactly
+    "q_dedup_events_stream" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+       CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events ORDER BY event_id""",
     // the watermarked streamed form finalizes the identical windows
     "q_events_sliding_stream" ->
       """WITH w AS (

@@ -1272,6 +1272,57 @@ object Streams {
       .orderBy("inicio", "event_type")
   }
 
+  /** Idempotent event ingestion: at-least-once delivery re-sends rows,
+    * and the ingest edge must dedup them by key across micro-batches —
+    * Spark's `dropDuplicatesWithinWatermark` with per-key state whose
+    * retention the watermark bounds (the production contract: a re-send
+    * arrives within the delivery window, not arbitrarily late). Gated
+    * by staging the corpus PLUS a verbatim re-send of every 7th event
+    * in a second micro-batch: correct dedup makes the output the
+    * original events table exactly, which IS the oracle — no special
+    * SQL, just the table itself.
+    */
+  def dedupEventsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_evdedup_stream")
+    val streamDir = base.resolve("in")
+    java.nio.file.Files.createDirectory(streamDir)
+    val stage = base.resolve("stage").toString
+    val outDir = base.resolve("out").toString
+    val cpDir = base.resolve("cp").toString
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      col("value").cast("double").as("value"))
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    stageFile(ev, "000_events.parquet", t0)
+    // the at-least-once re-send: every 7th event again, verbatim
+    stageFile(ev.filter(col("event_id") % 7 === 0), "001_resend.parquet",
+      t0 + 60000)
+    val sch = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    // the delivery window spans the staged corpus, so a re-send is never
+    // "late" — it always meets its state row and dedups
+    val q = stream
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** The streamed funnel as a gated batch-comparable query: one real
     * micro-batch (so the watermark can never drop real events), two
     * sentinel batches — the first advances the watermark past every real
