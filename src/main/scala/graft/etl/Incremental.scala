@@ -47,8 +47,13 @@ object Incremental {
     * gate exercises both writer modes every time and a rerun can never
     * double-append.
     */
-  def factIncremental(s: SparkSession, d: String): DataFrame = {
-    val dw = buildSplit(s, d)
+  def factIncremental(s: SparkSession, d: String): DataFrame =
+    readFact(s, buildSplit(s, d))
+
+  /** The star_fato_vendas presentation form of a partitioned DW dir
+    * (doubles for the money columns, full deterministic order).
+    */
+  private def readFact(s: SparkSession, dw: String): DataFrame =
     s.read.parquet(dw).drop("ano")
       .withColumn("valor_bruto", col("valor_bruto").cast("double"))
       .withColumn("valor_desconto", col("valor_desconto").cast("double"))
@@ -58,6 +63,37 @@ object Incremental {
         "valor_bruto", "valor_desconto", "valor_total")
       .orderBy("id_pedido", "numero_linha", "sk_produto", "sk_vendedor",
         "qtd_vendida", "valor_bruto", "valor_desconto")
+
+  /** Idempotent partition BACKFILL — the DW correction primitive: one
+    * year of the fact is recomputed from source and rewritten in place
+    * under dynamic partition overwrite, which replaces ONLY the
+    * partitions present in the incoming write; every other year's files
+    * are never opened (IncrementalSpec pins the untouched partitions'
+    * file identities). The gate: full build, then backfill 1996 — the
+    * read-back must equal the one-shot rebuild row-for-row (same oracle
+    * as q_fact_incremental). At 100 TB this is how a bad upstream day
+    * gets corrected: recompute the slice, swap its partitions, touch
+    * nothing else — no truncate-reload, no table lock.
+    */
+  def factBackfill(s: SparkSession, d: String): DataFrame = {
+    val dw = buildFull(s, d)
+    backfillYear(s, d, dw, 1996)
+    readFact(s, dw)
+  }
+
+  private[graft] def buildFull(s: SparkSession, d: String): String = {
+    val dw = dwDir(d) + "_backfill/fato"
+    writeSlice(s, d, lit(true), dw, "overwrite", ensureDims(s, d))
+    dw
+  }
+
+  private[graft] def backfillYear(s: SparkSession, d: String, dw: String,
+      ano: Int): Unit = {
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writeSlice(s, d, year(col("o_orderdate")) === ano, dw, "overwrite",
+      ensureDims(s, d))
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   /** Runs historical overwrite + increment append; returns the DW path.
@@ -225,6 +261,8 @@ object Incremental {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fact_incremental" -> (factIncremental _),
+    // dynamic-partition-overwrite backfill of one year, whole-DW gated
+    "q_fact_backfill" -> (factBackfill _),
     // the materialized-view lifecycle: two maintenance batches, then the
     // read-time rollup — same oracle as the one-shot kpi6
     "q_kpi_incremental" -> (kpiIncremental _),

@@ -176,6 +176,15 @@ CAST(valor_desconto AS DOUBLE) AS valor_desconto,
 CAST(valor_total AS DOUBLE) AS valor_total
 FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
 sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
+    // the backfilled DW must equal the one-shot rebuild row-for-row
+    "q_fact_backfill" -> withStar(
+      """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
+sk_localidade, sk_tempo, qtd_vendida,
+CAST(valor_bruto AS DOUBLE) AS valor_bruto,
+CAST(valor_desconto AS DOUBLE) AS valor_desconto,
+CAST(valor_total AS DOUBLE) AS valor_total
+FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
     // decimal fidelity gate: VARCHAR of a DECIMAL(18,2) pins value AND
     // scale ("12345.60") identically in Spark and DuckDB
     "star_fato_vendas_dec" -> withStar(

@@ -61,6 +61,50 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-overwrite backfill replaces only the backfilled year") {
+    def listing(dw: String): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(dw)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ano="))
+        .map { p =>
+          p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+        }.toMap
+    }
+    val dw = s"/tmp/graft_backfill_spec_${System.nanoTime()}"
+    try {
+      val dims = Incremental.writeDims(spark, tiny, s"$dw-dims")
+      Incremental.writeSlice(spark, tiny, lit(true), dw, "overwrite", dims)
+      val full = spark.read.parquet(dw)
+      val fullRows = full.count()
+      val before = listing(dw)
+      Thread.sleep(1100) // mtime resolution guard
+      val prev = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try Incremental.writeSlice(spark, tiny,
+        year(col("o_orderdate")) === 1996, dw, "overwrite", dims)
+      finally spark.conf
+        .set("spark.sql.sources.partitionOverwriteMode", prev)
+      val after = listing(dw)
+      assert(after.keySet == before.keySet,
+        "backfill must not add or drop partitions")
+      before.foreach { case (p, files) =>
+        if (p == "ano=1996")
+          assert(after(p) != files, "the backfilled year must be rewritten")
+        else
+          assert(after(p) == files, s"backfill touched unrelated partition $p")
+      }
+      assert(spark.read.parquet(dw).count() == fullRows,
+        "backfill must preserve the row count")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dw))
+      rm(new java.io.File(s"$dw-dims"))
+    }
+  }
+
   test("maintained KPI state: O(|products|) rows, replay is a no-op, equals the one-shot aggregate") {
     import graft.etl.{Incremental, StoreCommit}
     val state = s"/tmp/graft_kpi_spec_${System.nanoTime()}"
