@@ -225,7 +225,9 @@ object Bench {
       // PII scan, label-excluded hard-negative top-k, and the
       // strict-order conversion funnel
       "q_dsir_score", "q_ngram_novelty", "q_pii_luhn",
-      "q_hard_negatives", "q_funnel", "q_events_sliding").foreach { name =>
+      "q_hard_negatives", "q_funnel", "q_events_sliding",
+      // r12: full build + one-year dynamic-overwrite swap per rep
+      "q_fact_backfill").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
