@@ -226,6 +226,8 @@ object Bench {
       // strict-order conversion funnel
       "q_dsir_score", "q_ngram_novelty", "q_pii_luhn",
       "q_hard_negatives", "q_funnel", "q_events_sliding",
+      // r12: the TPC-H-shaped composed analytics (Q3/Q5 forms)
+      "q_shipping_priority", "q_regional_volume",
       // r12: full build + one-year dynamic-overwrite swap per rep
       "q_fact_backfill").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -101,6 +101,9 @@ object SparkEntry {
     "q_date_ops" -> (RelationalOps.dateOps _),
     "q_json_extract" -> (RelationalOps.jsonExtract _),
     "q_events_hourly" -> (RelationalOps.eventsHourly _),
+    // composed TPC-H-shaped analytics over the sales tables
+    "q_shipping_priority" -> (RelationalOps.shippingPriority _),
+    "q_regional_volume" -> (RelationalOps.regionalVolume _),
     // overlapping 1h/15min sliding-window rollup
     "q_events_sliding" -> (RelationalOps.eventsSliding _),
     // the watermarked streaming form: append mode finalizes every real

@@ -451,6 +451,64 @@ object RelationalOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("soma_valor"))
       .orderBy("hora", "event_type")
 
+  /** Exact line revenue: DECIMAL(18,2) price × DECIMAL(9,4) discount
+    * complement — the product and its sum stay exact rationals in both
+    * engines (cast to double only at presentation), so the composed
+    * analytics below gate bit-exactly despite double source columns.
+    */
+  private val receita =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)")))
+
+  /** TPC-H Q3-shaped composed analytics (shipping priority): top-10
+    * unshipped-revenue orders for one market segment at a cutoff date.
+    * Three-table join with BOTH date filters pushed to their scans, one
+    * grouped exact-decimal sum, and the top-10 via TakeOrderedAndProject
+    * (orderBy+limit — never a global sort). The segment filter prunes
+    * the customer side before the join.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(spark, dir).filter(col("o_orderdate") < "1996-03-15")
+    val l = lineitem(spark, dir).filter(col("l_shipdate") > "1996-03-15")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(receita).cast("double").as("receita"))
+      .select(col("l_orderkey"), col("receita"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("data_pedido"),
+        col("o_orderpriority"))
+      .orderBy(desc("receita"), asc("data_pedido"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped composed analytics (regional volume): revenue by
+    * nation for one region-year, where supplier and customer share the
+    * nation (the "local volume" condition). Six-table join: region and
+    * nation are tiny (broadcast), the c⋈o⋈l spine shuffles on its keys,
+    * and the locality condition (c_nationkey = s_nationkey) rides the
+    * supplier join. One grouped exact-decimal sum, nation-bounded
+    * output.
+    */
+  def regionalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n = nation(spark, dir)
+    val r = region(spark, dir).filter(col("r_name") === "ASIA")
+    val o = orders(spark, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+    customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(receita).cast("double").as("receita"))
+      .orderBy(desc("receita"), asc("n_name"))
+  }
+
   /** SLIDING-window rollup (1-hour windows every 15 minutes): the
     * standard overlapping-window aggregate — each event lands in exactly
     * 4 windows, so the explode factor is the overlap ratio (a constant),

@@ -536,6 +536,35 @@ ORDER BY receita DESC, n_name""",
 FROM events
 GROUP BY 1, 2
 ORDER BY hora, event_type""",
+    // TPC-H Q3 shape: exact-decimal revenue, deterministic top-10
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS receita,
+  strftime(o_orderdate, '%Y-%m-%d') AS data_pedido, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY receita DESC, data_pedido, l_orderkey LIMIT 10""",
+    // TPC-H Q5 shape: local (customer-nation = supplier-nation) volume
+    "q_regional_volume" ->
+      """SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS receita
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY receita DESC, n_name""",
     // sliding windows: every event belongs to exactly 4 of the
     // epoch-aligned 15-minute-grid 1-hour windows — k=0..3 steps back
     "q_events_sliding" ->
