@@ -81,6 +81,24 @@ class IvfRecallSpec extends SparkSpec {
     assert(rk1 >= 0.8, s"trained quantizer on separable clusters, got $rk1")
   }
 
+  test("hard-negative recall: probing more cells recovers more cross-label near-misses") {
+    val truth = EmbeddingOps.hardNegatives(spark, clusteredDir)
+      .select("query_id", "vizinho").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> 1).toMap
+    assert(truth.size === K * 5, "brute ground truth: 8 queries x top-5")
+    val r2 = recallAt5(truth,
+      EmbeddingOps.hardNegativesIvf(spark, clusteredDir, 2))
+    val r4 = recallAt5(truth,
+      EmbeddingOps.hardNegativesIvf(spark, clusteredDir, 4))
+    assert(r4 >= r2, s"widening the probe must not lose negatives: " +
+      s"recall(4)=$r4 < recall(2)=$r2")
+    // every label lives in its own cell here, so the query's own cell
+    // holds NO negatives — the probe's extra cells are where all the
+    // cross-label near-misses are; with 3 extra cells of 7 possible the
+    // probe must recover a meaningful share
+    assert(r4 > 0.0, "the widened probe must find cross-label near-misses")
+  }
+
   test("exact re-rank repairs ADC quantization error: refined recall@5 strictly above the unrefined probe") {
     import org.apache.spark.sql.functions._
     // ground truth here is the exact-L2 top-5 (the metric the PQ family
