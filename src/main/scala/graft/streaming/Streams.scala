@@ -685,6 +685,34 @@ object Streams {
     * batching lands on the one-shot aggregate — gated against the SAME
     * DuckDB oracle as kpi6_vendas_categoria.
     */
+  /** [[graft.text.CurationOps.corpusCard]] maintained under streaming
+    * arrivals: each micro-batch's partial card merges into the committed
+    * state by integer addition (foreachBatch + StoreCommit, exactly-once
+    * under redelivery), and the read-time presentation is bit-identical
+    * to the one-shot scan because every cell is an associative count.
+    * Same oracle as the batch card.
+    */
+  def corpusCardStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_card_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "source", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.CurationOps.applyCardBatch(spark, batch, sub("state"), batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.text.CurationOps.readCardState(spark, sub("state"))
+  }
+
   def kpiIncrementalStreamed(spark: SparkSession, dir: String): DataFrame = {
     val base = tempDir("graft_kpi_stream")
     def sub(n: String) = base.resolve(n).toString

@@ -836,6 +836,59 @@ ORDER BY balde"""
       .orderBy("lang", "source")
   }
 
+  /** Per-batch card maintenance for the streamed form: the arriving
+    * docs' partial card merges into the committed state by integer
+    * addition (every cell is a mergeable count by construction), staged
+    * into an immutable per-batch dir with an atomic pointer advance —
+    * the batchId watermark makes a foreachBatch redelivery a no-op
+    * (exactly-once), the same StoreCommit discipline as the maintained
+    * KPI and SCD2 stores.
+    */
+  private[graft] def applyCardBatch(s: SparkSession, docs: DataFrame,
+      state: String, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(state)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val quality = TextOps.qualityVerdict(_.spark, "size")
+    val partial = docs.selectExpr("lang", "source",
+        s"size(${T.spark}) AS n_tokens",
+        s"CASE WHEN ($quality) = 'boa' THEN 1 ELSE 0 END AS boa",
+        s"${repetitiveCase(dupTri.spark, topTok.spark)} AS repetitivo")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum("boa").as("n_boa"), sum("repetitivo").as("n_repetitivos"))
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$state/$dir"))
+          .groupBy("lang", "source")
+          .agg(sum("n_docs").as("n_docs"),
+            sum("total_tokens").as("total_tokens"),
+            sum("n_boa").as("n_boa"),
+            sum("n_repetitivos").as("n_repetitivos"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$state/card_b$batchId")
+    StoreCommit.commit(state, s"card_b$batchId", batchId)
+    StoreCommit.cleanupStale(state, "card_b")
+  }
+
+  /** Read-time presentation of the maintained card state — the exact
+    * q_corpus_card shape (integer addition is associative, so the
+    * maintained state is bit-identical to the one-shot scan).
+    */
+  private[graft] def readCardState(s: SparkSession, state: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(state).getOrElse(
+      throw new IllegalStateException(s"card state not initialized: $state"))
+    s.read.parquet(s"$state/$dir")
+      .selectExpr("lang", "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(n_boa AS BIGINT) AS n_boa",
+        "CAST(n_repetitivos AS BIGINT) AS n_repetitivos",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+      .orderBy("lang", "source")
+  }
+
   // ------------------------------------------------- importance resampling
 
   private val DSIR_B = 256
@@ -1325,6 +1378,10 @@ ORDER BY d.doc_id"""
     "q_ngram_novelty_indexed" -> (ngramNoveltyIndexedAuto _),
     // the per-(lang, source) release report off one corpus scan
     "q_corpus_card" -> (corpusCard _),
+    // the card maintained incrementally under arrivals (StoreCommit
+    // exactly-once); associative counts make state == one-shot scan
+    "q_corpus_card_stream" ->
+      (graft.streaming.Streams.corpusCardStreamed _),
     // DSIR-style hashed-unigram importance score + top-quartile resample
     "q_dsir_score" -> (dsirScore _),
     // the streamed twin: stream-static broadcast join against the
@@ -1384,6 +1441,22 @@ ORDER BY s.doc_id"""
   private def dsirScoreOracle: String =
     s"""$dsirCtes
 SELECT doc_id, n_tokens, pontuacao, pontuacao_norm FROM sc ORDER BY doc_id"""
+
+  /** Shared by the one-shot card gate and its maintained-state twin. */
+  private lazy val corpusCardOracle: String = {
+    val quality = TextOps.qualityVerdict(_.duck, "len")
+    s"""SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(boa) AS BIGINT) AS n_boa,
+  CAST(SUM(repetitivo) AS BIGINT) AS n_repetitivos,
+  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS media_tokens
+FROM (SELECT lang, source, len(${T.duck}) AS n_tokens,
+        CASE WHEN ($quality) = 'boa' THEN 1 ELSE 0 END AS boa,
+        ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
+      FROM documents)
+GROUP BY lang, source ORDER BY lang, source"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q_vocab_oov" -> vocabOovOracle(),
@@ -1478,20 +1551,9 @@ ORDER BY doc_id""",
     "q_ngram_novelty_stream" -> noveltyOracle,
     // the store-served form must be bit-identical to the self-contained
     "q_ngram_novelty_indexed" -> noveltyOracle,
-    "q_corpus_card" -> {
-      val quality = TextOps.qualityVerdict(_.duck, "len")
-      s"""SELECT lang, source,
-  CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-  CAST(SUM(boa) AS BIGINT) AS n_boa,
-  CAST(SUM(repetitivo) AS BIGINT) AS n_repetitivos,
-  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS media_tokens
-FROM (SELECT lang, source, len(${T.duck}) AS n_tokens,
-        CASE WHEN ($quality) = 'boa' THEN 1 ELSE 0 END AS boa,
-        ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
-      FROM documents)
-GROUP BY lang, source ORDER BY lang, source"""
-    },
+    "q_corpus_card" -> corpusCardOracle,
+    // the maintained state must be bit-identical to the one-shot scan
+    "q_corpus_card_stream" -> corpusCardOracle,
     "q_dsir_score" -> dsirScoreOracle,
     // the streamed twin scores arrivals against the same static ratio
     "q_dsir_score_stream" -> dsirScoreOracle,
