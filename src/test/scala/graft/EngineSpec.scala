@@ -189,6 +189,24 @@ class EngineSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("composed analytics plans: top-k never global-sorts; no cartesian anywhere") {
+    val q3 = ops.RelationalOps.shippingPriority(spark, tiny)
+    q3.collect()
+    val p3 = q3.queryExecution.executedPlan.toString
+    assert(p3.contains("TakeOrderedAndProject"),
+      s"Q3's top-10 must be a distributed top-k:\n$p3")
+    val q5 = ops.RelationalOps.regionalVolume(spark, tiny)
+    q5.collect()
+    val p5 = q5.queryExecution.executedPlan.toString
+    Seq(p3, p5).foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"composed analytics must stay equi-join only:\n$p")
+    }
+    assert(p5.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast into the Q5 spine:\n$p5")
+  }
+
   test("funnel: strict ordering holds and matches an in-JVM replay") {
     val rows = ops.RelationalOps.funnelSteps(spark, tiny).collect()
     assert(rows.nonEmpty)
