@@ -30,6 +30,9 @@ object ScaleProbe {
     if (args.contains("--dedup")) {
       dedupProbe(args.filterNot(_ == "--dedup")); return
     }
+    if (args.contains("--events")) {
+      eventsProbe(args.filterNot(_ == "--events")); return
+    }
     val n = if (args.length > 0) args(0).toInt else 10
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val src = "/root/testdata/sf0.1"
@@ -113,6 +116,64 @@ object ScaleProbe {
     println(f"kpi maintained: 1x $mr1%,d rows $m1%.1f s   x$n%d ${mr2}%,d rows $m2%.1f s   " +
       f"time=${m2 / m1}%.2fx")
     spark.stop()
+  }
+
+  /** The EVENTS-family growth probe: events replicated Nx with offset
+    * user/event ids AND a per-replica TIME SHIFT (366 days per replica),
+    * so replicas are disjoint in every dimension the operators key on —
+    * users never share sessions or funnels across replicas, time windows
+    * and promo intervals never overlap across replicas. Under that
+    * perturbation every event operator's output must scale exactly Nx
+    * and its time ~Nx; a time-colocated replication would instead grow
+    * the range join's TRUE output density quadratically (windows × points
+    * both Nx in the same bins), which is a data property, not a cost
+    * property — the shift isolates the algorithmic axis the probe is
+    * after.
+    */
+  private def eventsProbe(rest: Array[String]): Unit = {
+    val n = if (rest.length > 0) rest(0).toInt else 10
+    val work = if (rest.length > 1) rest(1) else "/tmp/graft_scaleprobe_events"
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reps = spark.range(n).select(col("id").as("rep"))
+    Tables.events(spark, src).crossJoin(reps).selectExpr(
+        "event_id + rep * 1000000000 AS event_id",
+        "timestampadd(DAY, CAST(rep * 366 AS INT), ts) AS ts",
+        "user_id + rep * 1000000000 AS user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    val probeOps: Seq[(String, String => Long)] = Seq(
+      ("funnel", d => graft.ops.RelationalOps.funnelSteps(spark, d).count()),
+      ("sessionize", d => graft.ops.RelationalOps.sessionizeBatch(spark, d).count()),
+      ("events_sliding", d => graft.ops.RelationalOps.eventsSliding(spark, d).count()),
+      ("events_hourly", d => graft.ops.RelationalOps.eventsHourly(spark, d).count()),
+      ("range_join", d => graft.ops.RelationalOps.rangeJoinBinned(spark, d).count()),
+      ("asof_join", d => graft.ops.RelationalOps.asofAttribution(spark, d).count()))
+    println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
+    var fails = 0
+    probeOps.foreach { case (name, f) =>
+      val t0 = System.nanoTime(); val c1 = f(src)
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); val c2 = f(work)
+      val s2 = (System.nanoTime() - t1) / 1e9
+      val rowsX = c2.toDouble / math.max(c1, 1L)
+      val timeX = s2 / s1
+      val quad = timeX > 3.0 * n || rowsX > 3.0 * n
+      if (quad) fails += 1
+      println(f"$name%-16s $c1%9d $s1%8.2f $c2%10d $s2%8.2f $rowsX%7.1fx $timeX%7.1fx  ${if (quad) "QUADRATIC?" else "linear"}")
+    }
+    spark.stop()
+    if (fails > 0) { System.err.println(s"[events-probe] FAIL: $fails op(s) grew super-linearly"); sys.exit(1) }
   }
 
   /** The dedup/ANN growth probe (see object Scaladoc). A quadratic
