@@ -63,4 +63,6 @@ with DAG(
         task_id="curate_dedup", bash_command=spark_submit_cmd("dedup"))
     final = BashOperator(
         task_id="curate_final", bash_command=spark_submit_cmd("final"))
-    signals >> dedup >> final
+    report = BashOperator(
+        task_id="curate_report", bash_command=spark_submit_cmd("report"))
+    signals >> dedup >> final >> report

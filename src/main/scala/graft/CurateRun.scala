@@ -29,7 +29,7 @@ import graft.text.{CurationOps, TextOps}
   * Two invocation shapes:
   *   runMain graft.CurateRun [sfDir] [outDir]
   *     — the whole funnel in one process (development / single-job mode);
-  *   runMain graft.CurateRun --stage signals|dedup|final <sfDir> <outDir>
+  *   runMain graft.CurateRun --stage signals|dedup|final|report <sfDir> <outDir>
   *     — ONE stage per process, later stages reading the previous stage's
   *       keep-list parquet from outDir: the task-boundary read-back
   *       contract `dags/graft_curate_dag.py` orchestrates (the same
@@ -196,9 +196,22 @@ object CurateRun {
       spark.read.parquet(s"$out/keep_dedup").count()
     case "final" =>
       writeFinal(spark, dir, spark.read.parquet(s"$out/keep_dedup"), out)
+    case "report" =>
+      // the release artifacts a corpus drop ships beside the data: the
+      // per-(lang, source) card, the DSIR importance scores, and the
+      // novelty-vs-reference fractions — each a gated operator, written
+      // as parquet next to the corpus
+      import graft.text.CurationOps
+      CurationOps.corpusCard(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/report/card")
+      CurationOps.dsirScore(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/report/dsir")
+      CurationOps.ngramNovelty(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/report/novelty")
+      spark.read.parquet(s"$out/report/card").count()
     case other =>
       throw new IllegalArgumentException(
-        s"unknown stage '$other' (expected signals|dedup|final)")
+        s"unknown stage '$other' (expected signals|dedup|final|report)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -81,17 +81,19 @@ def check_curate(dag_cls) -> None:
     dag = load_dag(dag_cls, "graft_curate_dag")
     assert dag.dag_id == "graft_curate", dag.dag_id
     tasks = {t.task_id: t for t in dag.tasks}
-    chain = ["curate_signals", "curate_dedup", "curate_final"]
+    chain = ["curate_signals", "curate_dedup", "curate_final",
+             "curate_report"]
     assert set(tasks) == set(chain), set(tasks)
     for prev, nxt in zip(chain, chain[1:]):
         assert tasks[nxt].upstream == {prev}, \
             f"{nxt} must depend on {prev} only, got {tasks[nxt].upstream}"
     assert tasks[chain[0]].upstream == set()
-    for task_id, stage in zip(chain, ["signals", "dedup", "final"]):
+    for task_id, stage in zip(chain, ["signals", "dedup", "final", "report"]):
         cmd = tasks[task_id].bash_command
         assert "graft.CurateRun" in cmd, cmd
         assert f"--stage {stage}" in cmd, cmd
-    print("dag ok: curate signals -> dedup -> final, three spark-submit tasks")
+    print("dag ok: curate signals -> dedup -> final -> report, "
+          "four spark-submit tasks")
 
 
 def main() -> int:
