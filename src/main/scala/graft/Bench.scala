@@ -229,7 +229,13 @@ object Bench {
       // r12: the TPC-H-shaped composed analytics (Q3/Q5 forms)
       "q_shipping_priority", "q_regional_volume",
       // r12: full build + one-year dynamic-overwrite swap per rep
-      "q_fact_backfill").foreach { name =>
+      "q_fact_backfill",
+      // r12.4: lexical retrieval (tokenize + invert + serve, end-to-end),
+      // transition-graph PageRank (5 barriered iterations), the per-day
+      // distinct-user HLL register table, and the median/MAD robust
+      // length-outlier signal
+      "q_bm25_topk", "q_pagerank", "q_sketch_hll_grouped",
+      "q_quality_outliers").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
@@ -266,6 +272,17 @@ object Bench {
     time("q_sample_diverse_indexed") {
       graft.sim.EmbeddingOps.sampleDiverseIndexed(spark, sfDir, kmIdx).count()
     }
+    // BM25 lifecycle split, same pattern: tokenize + invert + persist is
+    // the build; the served probe reads only the query terms' postings
+    // buckets off the partitioned index
+    val bmIdx = s"/tmp/graft_bench_bm25_${System.nanoTime()}"
+    time("bm25_index_build") {
+      graft.text.RetrievalOps.buildBm25Index(spark, sfDir, bmIdx)
+    }
+    time("q_bm25_served") {
+      graft.text.RetrievalOps.bm25Served(spark, bmIdx).count()
+    }
+    rmTree(bmIdx)
     // PQ lifecycle split: codebook training + corpus encoding are the
     // build; the served ADC probe reads the compressed index only
     val pqIdx = s"/tmp/graft_bench_pq_${System.nanoTime()}"

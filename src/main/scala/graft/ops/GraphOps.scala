@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Checkpoint.BarrierOps
+
+/** Graph-shaped analytics over the events stream: weighted PageRank on
+  * the page-transition graph, and per-day HLL distinct-user registers.
+  *
+  * Why PageRank in a training-data engine: link-graph centrality is the
+  * standard source-quality PRIOR for web-crawl corpora (OPIC/harmonic
+  * centrality in CommonCrawl ranking, quality-weighted sampling by
+  * domain rank) — the curation funnel consumes it exactly like the
+  * unigram-fluency prior. Here the graph is the user click-transition
+  * graph (page k_i → k_{i+1} per user in event-time order), PageRank
+  * weighted by transition counts.
+  *
+  * Scale shape: edges come from one per-user event-time sort (a window
+  * lead — the same shuffle sessionization already pays), then grouped to
+  * (src, dst, w). Each of the 5 fixed iterations is one equi-join of the
+  * rank vector against the edge list + one grouped fold, shuffling on
+  * dst — O(edges) per iteration, never all-pairs, with an eager barrier
+  * per iteration so plan depth stays O(1) (same device as the min-label
+  * components loop). Node count enters only as a scalar aggregate.
+  *
+  * Cross-engine exactness: every per-node sum (incoming contributions,
+  * dangling mass) is folded LEFT-TO-RIGHT in a pinned order (sort_array
+  * → aggregate vs list(… ORDER BY) → list_sum — the proven fold pair);
+  * all other arithmetic is correctly-rounded double ops spelled
+  * identically in both dialects, so the 5-iteration ranks hash-match
+  * bit-exactly.
+  */
+object GraphOps {
+
+  private val D = "CAST(0.85 AS DOUBLE)"
+  private val ITERS = 5
+
+  /** The (src, dst, w) transition edges + the node universe. */
+  private def transitionEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "event_id", "ts",
+        "CAST(get_json_object(props, '$.k') AS INT) AS page")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = ev
+      .withColumn("dst", lead("page", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("page").as("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .barrier() // feeds out-weights, the node set, and every iteration
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .barrier()
+    (edges, nodes)
+  }
+
+  /** Weighted PageRank, damping 0.85, 5 fixed iterations, dangling mass
+    * redistributed uniformly. Returns (node, r) with the exact
+    * 5-iteration rank.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val (edges, nodes) = transitionEdges(s, d)
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).barrier()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .selectExpr("node", "CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r")
+      .barrier()
+    for (_ <- 1 to ITERS) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .selectExpr("dst AS node", "src",
+          "(r * CAST(w AS DOUBLE)) / CAST(ow AS DOUBLE) AS c")
+        .groupBy("node")
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .selectExpr("node",
+          "aggregate(transform(cs, p -> p.c), CAST(0 AS DOUBLE), (s, v) -> s + v) AS cin")
+      // dangling mass: rank sitting on nodes with no out-edges, folded
+      // in node order; empty set folds to 0 in both engines
+      val dang = r.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(sort_array(collect_list(struct(col("node"), col("r")))).as("ds"))
+        .selectExpr(
+          "aggregate(transform(ds, p -> p.r), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dm")
+      r = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(dang))
+        .selectExpr("node",
+          s"CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) + $D * " +
+            "(coalesce(cin, CAST(0 AS DOUBLE)) + dm / CAST(n AS DOUBLE)) AS r")
+        .barrier() // truncate lineage: plan stays O(1) per iteration
+    }
+    r.orderBy("node")
+  }
+
+  private def pagerankOracle: String = {
+    val base = s"""ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$$.k') AS INTEGER) AS page
+  FROM events),
+seq AS (
+  SELECT page AS src,
+         lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM nodes, nn)"""
+    val iters = (1 to ITERS).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+  SELECT e.dst AS node,
+         list_sum(list((r.r * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE)
+                       ORDER BY e.src)) AS cin
+  FROM edges e JOIN $p r ON e.src = r.node JOIN outw o ON e.src = o.src
+  GROUP BY 1),
+d$i AS (
+  SELECT coalesce(list_sum(list(r.r ORDER BY r.node)), CAST(0 AS DOUBLE)) AS dm
+  FROM $p r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+r$i AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE) + $D *
+           (coalesce(c.cin, CAST(0 AS DOUBLE)) + d$i.dm / CAST(nn.n AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN c$i c ON n.node = c.node, nn, d$i)"""
+    }.mkString(",\n")
+    s"WITH $base,\n$iters\nSELECT node, r FROM r$ITERS ORDER BY node"
+  }
+
+  // ------------------------------------------------- grouped HLL sketch
+
+  private val hllBucketDiv = 4503599627370496L // 2^52: 8 bucket + 52 rank bits
+
+  /** HLL registers per (day, bucket) — distinct users per day as a
+    * MERGEABLE sketch table, the grouped form of the corpus-wide HLL in
+    * CurationOps: m = 256 buckets from the top 8 bits of the 60-bit user
+    * hash, register = MAX leading-zero rank of the low 52 bits. MAX is
+    * idempotent/associative/commutative, so the per-day distinct-user
+    * surface needs NO distinct shuffle — a partial+final HashAggregate
+    * emitting ≤ 256 rows per day regardless of event volume, and any two
+    * days (or any two corpus slices of the same day) merge by bucket-wise
+    * MAX. This is the daily-active-users surface at 100 TB: the sketch
+    * table is O(days × 256), queries over arbitrary date ranges merge
+    * registers instead of rescanning events.
+    */
+  def hllGroupedDaily(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      // string-pinned day key: a DATE column round-trips differently
+      // through the two engines' pandas bridges (datetime.date vs
+      // datetime64), so the gate pins the ISO rendering both spell
+      // identically
+      .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS dia",
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .selectExpr("dia",
+        s"CAST(h div $hllBucketDiv AS INT) AS balde",
+        s"h % $hllBucketDiv AS resto")
+      .selectExpr("dia", "balde",
+        "CAST(53 - length(regexp_replace(bin(resto), '^0+', '')) AS INT) AS rho")
+      .groupBy("dia", "balde").agg(max(col("rho")).as("registro"))
+      .orderBy("dia", "balde")
+
+  private def hllGroupedOracle: String =
+    s"""WITH hs AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dia,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events)
+SELECT dia, balde, registro FROM (
+  SELECT dia, CAST(h // $hllBucketDiv AS INTEGER) AS balde,
+         MAX(CAST(53 - length(regexp_replace(bin(h % $hllBucketDiv), '^0+', '')) AS INTEGER)) AS registro
+  FROM hs GROUP BY 1, 2)
+ORDER BY dia, balde"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // weighted PageRank over the user page-transition graph
+    "q_pagerank" -> (pagerank _),
+    // per-day distinct-user HLL register table (mergeable DAU sketch)
+    "q_sketch_hll_grouped" -> (hllGroupedDaily _))
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
+    "q_sketch_hll_grouped" -> hllGroupedOracle)
+}

@@ -796,7 +796,7 @@ ORDER BY balde"""
     * staleness key the novelty store's auto-build location carries, so
     * regenerated testdata can never be scored against a stale store.
     */
-  private def docsFingerprint(d: String): String = {
+  private[graft] def docsFingerprint(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
@@ -888,6 +888,61 @@ ORDER BY balde"""
         "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
       .orderBy("lang", "source")
   }
+
+  // ------------------------------------------------- robust outlier signal
+
+  /** Robust per-language length-outlier detection: median + MAD (median
+    * absolute deviation) over n_chars, flagging docs whose absolute
+    * deviation exceeds 3×MAD — the robust z-score curation signal
+    * (mean/stddev break down exactly on the heavy-tailed length
+    * distributions web corpora have; one 100 MB page drags a mean, not a
+    * median). Output carries the per-doc deviation so the funnel can
+    * threshold differently per mixture.
+    *
+    * Exactness: both engines interpolate the exact percentile the same
+    * way (value at rank (n−1)·q, linear between neighbors), so medians
+    * over integers land on .0/.5 — exactly representable — and every
+    * comparison is deterministic. No double summation anywhere.
+    *
+    * Scale note: the gate pins EXACT medians (percentile), which sorts
+    * per group; at 100 TB the same shape runs with
+    * approx_percentile(…, 0.5, ε) — identical plan, bounded-memory
+    * sketch — with the 3×MAD rule unchanged (the flag tolerates the
+    * ε-rank error by construction; 3×MAD is a heuristic cut, not an
+    * exact boundary).
+    */
+  def qualityOutliers(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", "lang",
+      "CAST(n_chars AS BIGINT) AS n_chars")
+    val med = base.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = base.join(med, Seq("lang"))
+      .selectExpr("doc_id", "lang", "n_chars", "med",
+        "abs(CAST(n_chars AS DOUBLE) - med) AS adev")
+    val mad = dev.groupBy("lang")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq("lang"))
+      .selectExpr("doc_id", "lang", "n_chars", "med", "adev", "mad",
+        "CASE WHEN adev > CAST(3 AS DOUBLE) * mad THEN 1 ELSE 0 END AS atipico")
+      .orderBy("doc_id")
+  }
+
+  private def qualityOutliersOracle: String =
+    """WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents),
+med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM base GROUP BY 1),
+dev AS (
+  SELECT b.doc_id, b.lang, b.n_chars, m.med,
+         abs(CAST(b.n_chars AS DOUBLE) - m.med) AS adev
+  FROM base b JOIN med m USING (lang)),
+mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars, d.med, d.adev, m.mad,
+       CASE WHEN d.adev > CAST(3 AS DOUBLE) * m.mad THEN 1 ELSE 0 END AS atipico
+FROM dev d JOIN mad m USING (lang)
+ORDER BY doc_id"""
 
   // ------------------------------------------------- importance resampling
 
@@ -1378,6 +1433,8 @@ ORDER BY d.doc_id"""
     "q_ngram_novelty_indexed" -> (ngramNoveltyIndexedAuto _),
     // the per-(lang, source) release report off one corpus scan
     "q_corpus_card" -> (corpusCard _),
+    // robust per-language length outliers (median + 3×MAD)
+    "q_quality_outliers" -> (qualityOutliers _),
     // the card maintained incrementally under arrivals (StoreCommit
     // exactly-once); associative counts make state == one-shot scan
     "q_corpus_card_stream" ->
@@ -1552,6 +1609,7 @@ ORDER BY doc_id""",
     // the store-served form must be bit-identical to the self-contained
     "q_ngram_novelty_indexed" -> noveltyOracle,
     "q_corpus_card" -> corpusCardOracle,
+    "q_quality_outliers" -> qualityOutliersOracle,
     // the maintained state must be bit-identical to the one-shot scan
     "q_corpus_card_stream" -> corpusCardOracle,
     "q_dsir_score" -> dsirScoreOracle,

@@ -1,0 +1,322 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import TextExprs._
+import graft.Checkpoint.BarrierOps
+
+/** Lexical retrieval over the corpus: BM25 top-k ranking against a fixed
+  * query set, end-to-end and served from a persisted inverted index.
+  *
+  * Why it belongs in a training-data engine: retrieval is how a curation
+  * pipeline mines targeted subsets ("find the docs about X for the
+  * mixture", mining hard negatives for embedding training, targeted
+  * decontamination against benchmark queries) — the lexical twin of the
+  * ANN serving path in [[graft.sim.EmbeddingOps]].
+  *
+  * Scoring is BM25 with a RATIONAL idf, (N − df + ½)/(df + ½) — the
+  * classic Robertson idf without the log. The log changes ranking
+  * monotonicity only when queries mix terms (it dampens rare-term
+  * dominance); the rational form keeps every arithmetic step inside
+  * correctly-rounded double ops (+,−,×,÷ — no transcendental), so the
+  * scores are bit-exact across engines and the gate can hash-compare
+  * them (same policy as TF-IDF's rational idf, TextOps.tfidfWeight).
+  * The per-(query, doc) sum over matched terms is folded LEFT-TO-RIGHT
+  * in term order (sort_array → aggregate vs list(… ORDER BY) →
+  * list_sum), the proven-bit-exact fold pair.
+  *
+  * Scale shape: one tokenize pass, two grouped counts (tf, df), a
+  * broadcast of the (tiny) query-term set against the postings on the
+  * term key, and a per-query ranking window bounded by the candidate
+  * set. The corpus is never shuffled on anything but (doc_id, term);
+  * the query side is constant-size. The indexed form persists the
+  * postings so serving never re-tokenizes — at 100 TB the index is
+  * built once per corpus version and each retrieval touches only the
+  * postings of the query's terms (partition-pruned by term).
+  */
+object RetrievalOps {
+
+  private val T = tokens("text")
+
+  private val K1 = "CAST(1.2 AS DOUBLE)"
+  private val B = "CAST(0.75 AS DOUBLE)"
+  private val TOPK = 10
+
+  /** The fixed query set (query_id → terms). Terms are drawn from the
+    * corpus vocabulary; a term absent from every document simply joins
+    * to no postings (correct BM25: it contributes 0 to every doc).
+    */
+  private[graft] val bmQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("fast", "hash", "join"),
+    2 -> Seq("window", "agg", "stream"),
+    3 -> Seq("customer", "query", "sort"),
+    4 -> Seq("vector", "scan"))
+
+  /** The per-term BM25 score with every step explicitly double-cast so
+    * both dialects evaluate the identical correctly-rounded op sequence:
+    * idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·len/avgdl)).
+    * `avgdl` is spelled sumlen/nd (one division) rather than a
+    * pre-divided column so the oracle cannot drift on where the
+    * rounding happens.
+    */
+  private def termScore(tf: String, df: String, len: String,
+                        nd: String, sumlen: String): String = {
+    val avgdl = s"(CAST($sumlen AS DOUBLE) / CAST($nd AS DOUBLE))"
+    val idf = s"((CAST($nd - $df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      s"(CAST($df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    val norm = s"(CAST(1 AS DOUBLE) - $B + $B * (CAST($len AS DOUBLE) / $avgdl))"
+    s"($idf * ((CAST($tf AS DOUBLE) * ($K1 + CAST(1 AS DOUBLE))) / " +
+      s"(CAST($tf AS DOUBLE) + $K1 * $norm)))"
+  }
+
+  /** Postings (term, doc_id, tf, len, df) + corpus stats (nd, sumlen) —
+    * the inverted index. One tokenize pass feeds tf, df and the length
+    * table; built once behind a barrier for the end-to-end form,
+    * persisted by [[buildBm25Index]] for the served form.
+    */
+  private def bm25Index(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+      .select(col("doc_id"), col("t"), size(col("t")).as("len"))
+      .barrier() // one tokenize pass feeds tf, df AND the stats row
+    val tf = toks.select(col("doc_id"), col("len"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = tf.join(dfx, Seq("term"))
+      .select("term", "doc_id", "tf", "len", "df")
+    val stats = toks.agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
+    (postings, stats)
+  }
+
+  /** Shared serving tail: broadcast the query terms against the postings,
+    * score per matched term, fold per (query, doc) in term order, rank.
+    */
+  private def bm25Serve(s: SparkSession, postings: DataFrame,
+                        stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val scored = broadcast(q).join(postings, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id", "term",
+        s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+    scored.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("tsc"))
+      .selectExpr("query_id", "doc_id",
+        "aggregate(transform(tsc, p -> p.sc), CAST(0 AS DOUBLE), (s, v) -> s + v) AS score")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= TOPK)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** End-to-end BM25: tokenize → index → serve in one plan. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val (postings, stats) = bm25Index(s, d)
+    bm25Serve(s, postings, stats)
+  }
+
+  /** Persist the inverted index: postings parquet PARTITIONED BY a term
+    * hash-bucket (so a query's terms prune to their buckets at read
+    * time) + the 1-row stats table. The production shape: built once per
+    * corpus version, served many times without touching `text`.
+    */
+  private[graft] def buildBm25Index(s: SparkSession, d: String,
+      dir: String): Unit = {
+    val (postings, stats) = bm25Index(s, d)
+    postings
+      .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The served form: score against the persisted index (auto-built once
+    * per dataset fingerprint, like the ANN auto-indexes and the novelty
+    * store) — bit-identical to the end-to-end form, same oracle. The
+    * read plan touches only the term-buckets of the query's terms.
+    */
+  def bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
+      CurationOps.docsFingerprint(d)
+    val marker = new java.io.File(dir, "_built")
+    if (!marker.exists()) {
+      buildBm25Index(s, d, dir)
+      marker.createNewFile()
+    }
+    bm25Served(s, dir)
+  }
+
+  /** Serve the fixed query set from an already-built index dir — the
+    * probe the bench times separately from the build.
+    */
+  private[graft] def bm25Served(s: SparkSession, dir: String): DataFrame = {
+    val qterms = bmQueries.flatMap(_._2).distinct
+    val buckets = qterms.map(t => s"abs(hash('$t')) % 16").mkString(", ")
+    val postings = s.read.parquet(s"$dir/postings")
+      // partition-prune to the query terms' buckets BEFORE the term join
+      .filter(expr(s"tb IN ($buckets)"))
+      .drop("tb")
+    bm25Serve(s, postings, s.read.parquet(s"$dir/stats"))
+  }
+
+  // --------------------------------------------------- hybrid retrieval
+
+  /** Hybrid lexical+dense retrieval via Reciprocal Rank Fusion:
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)) over the BM25 top-k and the
+    * dense (brute cosine) top-k for the same query ids — the standard
+    * fusion for "BM25 recalls exact wording, embeddings recall
+    * paraphrase" retrieval stacks, and the production shape for mining
+    * training subsets with both signals. Queries pair by id: BM25 query
+    * i fuses with the ANN query whose vector is vec_id i (documents and
+    * embeddings share the 0..N id space in the testdata).
+    *
+    * RRF consumes RANKS only (the integer position, never the raw
+    * scores), so fusing two differently-scaled scorers needs no score
+    * normalization — and the fused value is two exact double divisions
+    * plus one two-term sum, bit-exact across engines by construction.
+    * Absent-from-list is pinned as rank 0 (sentinel) so the output
+    * carries no nullable ints (which round-trip differently through the
+    * two pandas bridges).
+    *
+    * Scale shape: both inputs are already bounded top-k lists (O(queries
+    * × k) rows), so the fusion join + re-rank is driver-free,
+    * broadcast-sized work regardless of corpus size.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qids = bmQueries.map(_._1)
+    val lex = bm25TopK(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = graft.sim.EmbeddingOps.annBruteForce(s, d)
+      .filter(col("query_id").isin(qids.map(_.toLong): _*))
+      .select(col("query_id").cast("int").as("query_id"),
+        col("vizinho").as("doc_id"), col("rank").as("dense_rank"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .na.fill(0, Seq("lex_rank", "dense_rank"))
+      .selectExpr("query_id", "doc_id", "lex_rank", "dense_rank",
+        "CASE WHEN lex_rank > 0 THEN CAST(1 AS DOUBLE) / CAST(60 + lex_rank AS DOUBLE) ELSE CAST(0 AS DOUBLE) END + " +
+          "CASE WHEN dense_rank > 0 THEN CAST(1 AS DOUBLE) / CAST(60 + dense_rank AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rrf")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id")))
+        .cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def hybridOracle: String = {
+    val vals = bmQueries
+      .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
+      .mkString(", ")
+    val qids = bmQueries.map(_._1).mkString(", ")
+    val dotQC = dot("q.embedding", "c.embedding", 64).duck
+    s"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS len FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS nd, sum(len) AS sumlen FROM lens),
+q(query_id, term) AS (VALUES $vals),
+ts AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+         ${termScore("tf.tf", "dfx.df", "l.len", "stats.nd", "stats.sumlen")} AS sc
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfx ON q.term = dfx.term
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats),
+lagg AS (
+  SELECT query_id, doc_id, list_sum(list(sc ORDER BY term)) AS score
+  FROM ts GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+    FROM lagg)
+  WHERE lex_rank <= $TOPK),
+vbase AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         sqrt(${dot("embedding", "embedding", 64).duck}) AS nrm
+  FROM embeddings),
+vsims AS (
+  SELECT CAST(q.vec_id AS INTEGER) AS query_id, c.vec_id AS doc_id,
+         $dotQC / (q.nrm * c.nrm) AS sim
+  FROM vbase q CROSS JOIN vbase c
+  WHERE q.vec_id IN ($qids) AND q.vec_id <> c.vec_id),
+dense AS (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INTEGER) AS dense_rank
+    FROM vsims)
+  WHERE dense_rank <= 5),
+fused AS (
+  SELECT coalesce(l.query_id, de.query_id) AS query_id,
+         coalesce(l.doc_id, de.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0) AS lex_rank,
+         coalesce(de.dense_rank, 0) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense de
+    ON l.query_id = de.query_id AND l.doc_id = de.doc_id),
+scored AS (
+  SELECT query_id, doc_id, lex_rank, dense_rank,
+         CASE WHEN lex_rank > 0 THEN CAST(1 AS DOUBLE) / CAST(60 + lex_rank AS DOUBLE) ELSE CAST(0 AS DOUBLE) END +
+         CASE WHEN dense_rank > 0 THEN CAST(1 AS DOUBLE) / CAST(60 + dense_rank AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rrf
+  FROM fused)
+SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+FROM scored
+ORDER BY query_id, rank"""
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  private def bm25Oracle: String = {
+    val vals = bmQueries
+      .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS len FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS nd, sum(len) AS sumlen FROM lens),
+q(query_id, term) AS (VALUES $vals),
+ts AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+         ${termScore("tf.tf", "dfx.df", "l.len", "stats.nd", "stats.sumlen")} AS sc
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfx ON q.term = dfx.term
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats),
+agg AS (
+  SELECT query_id, doc_id,
+         list_sum(list(sc ORDER BY term)) AS score
+  FROM ts GROUP BY 1, 2),
+r AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM agg)
+SELECT query_id, doc_id, score, rank FROM r
+WHERE rank <= $TOPK
+ORDER BY query_id, rank"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> (bm25TopK _),
+    // the persisted-inverted-index serving path; same oracle
+    "q_bm25_indexed" -> (bm25Indexed _),
+    // reciprocal-rank fusion of the BM25 and dense top-k lists
+    "q_hybrid_rrf" -> (hybridRrf _))
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_topk" -> bm25Oracle,
+    "q_bm25_indexed" -> bm25Oracle,
+    "q_hybrid_rrf" -> hybridOracle)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+import graft.text.{CurationOps, RetrievalOps}
+
+/** BM25 retrieval, PageRank centrality, grouped HLL, robust outliers —
+  * semantic properties the hash gate can't express: ranking monotonicity,
+  * served-index equivalence, rank-mass conservation, sketch accuracy,
+  * and the 3×MAD flag contract.
+  */
+class RetrievalGraphSpec extends SparkSpec {
+
+  test("bm25: ranks are contiguous and scores monotone within each query") {
+    val out = RetrievalOps.bm25TopK(spark, tiny).collect()
+    val byQ = out.groupBy(_.getAs[Int]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+      assert(scores.forall(_ > 0.0))
+    }
+  }
+
+  test("bm25: the served index form is bit-identical to end-to-end") {
+    val a = RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
+    val b = RetrievalOps.bm25Indexed(spark, tiny).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bm25: engine score matches a from-scratch Scala recompute") {
+    // independent recompute (plain Scala, no Spark expressions) of every
+    // (query, doc) score for query 1, folded in term order like the engine
+    val docs = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val nd = docs.size.toDouble
+    val sumlen = docs.values.map(_.size).sum.toDouble
+    val avgdl = sumlen / nd
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toDouble }
+    val qterms = RetrievalOps.bmQueries.toMap.apply(1).sorted
+    def score(doc: Seq[String]): Double = {
+      val len = doc.size.toDouble
+      qterms.foldLeft(0.0) { (acc, t) =>
+        val tf = doc.count(_ == t).toDouble
+        if (tf == 0) acc
+        else {
+          val idf = (nd - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          acc + idf * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (len / avgdl))))
+        }
+      }
+    }
+    val engine = RetrievalOps.bm25TopK(spark, tiny)
+      .filter(col("query_id") === 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(engine.nonEmpty)
+    engine.foreach { case (id, sc) =>
+      assert(math.abs(sc - score(docs(id))) < 1e-12, s"doc $id")
+    }
+  }
+
+  test("hybrid rrf: fused score is exactly the reciprocal-rank sum and ordering follows it") {
+    val rows = RetrievalOps.hybridRrf(spark, tiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = r.getAs[Int]("lex_rank")
+      val den = r.getAs[Int]("dense_rank")
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (den > 0) 1.0 / (60 + den) else 0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+      assert(lex > 0 || den > 0, "every fused row came from at least one list")
+    }
+    rows.groupBy(_.getAs[Int]("query_id")).foreach { case (_, qr) =>
+      val byRank = qr.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("rrf")).toSeq
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pagerank: rank mass is conserved and every node is reachable-positive") {
+    val r = GraphOps.pagerank(spark, tiny).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Double]("r")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
+    assert(r.forall(_.getAs[Double]("r") > 0.0))
+  }
+
+  test("pagerank: determinism — two runs produce identical doubles") {
+    val a = GraphOps.pagerank(spark, tiny).collect().toSeq
+    val b = GraphOps.pagerank(spark, tiny).collect().toSeq
+    assert(a == b)
+  }
+
+  test("grouped hll: per-day estimate tracks the exact distinct-user count") {
+    val regs = GraphOps.hllGroupedDaily(spark, tiny).collect()
+      .groupBy(_.getAs[String]("dia"))
+      .map { case (d, rows) =>
+        d -> rows.map(r => r.getAs[Int]("balde") -> r.getAs[Int]("registro")).toMap
+      }
+    val exact = Tables.events(spark, tiny)
+      .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS dia", "user_id")
+      .groupBy("dia").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getAs[String]("dia") -> r.getAs[Long]("n")).toMap
+    assert(regs.keySet == exact.keySet)
+    regs.foreach { case (d, m) =>
+      val est = CurationOps.hllEstimateOf(m)
+      val n = exact(d).toDouble
+      assert(math.abs(est - n) / n < 0.25, s"day $d est=$est exact=$n")
+    }
+  }
+
+  test("quality outliers: the 3×MAD flag contract holds row by row") {
+    val rows = CurationOps.qualityOutliers(spark, tiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val adev = r.getAs[Double]("adev")
+      val mad = r.getAs[Double]("mad")
+      val flag = r.getAs[Int]("atipico")
+      assert((adev > 3.0 * mad) == (flag == 1))
+      // medians over integers land on exact halves
+      assert(r.getAs[Double]("med") * 2 == math.rint(r.getAs[Double]("med") * 2))
+    }
+  }
+}
