@@ -144,11 +144,17 @@ r$i AS (
     * registers instead of rescanning events.
     */
   def hllGroupedDaily(s: SparkSession, d: String): DataFrame =
-    graft.Tables.events(s, d)
-      // string-pinned day key: a DATE column round-trips differently
-      // through the two engines' pandas bridges (datetime.date vs
-      // datetime64), so the gate pins the ISO rendering both spell
-      // identically
+    hllGroupedRegisters(graft.Tables.events(s, d)).orderBy("dia", "balde")
+
+  /** The (dia, balde, registro) derivation over any events batch — one
+    * kernel for the one-shot gate and the streamed per-batch MAX-merge,
+    * so the two forms cannot drift. The day key is string-pinned: a DATE
+    * column round-trips differently through the two engines' pandas
+    * bridges (datetime.date vs datetime64), so the gate pins the ISO
+    * rendering both spell identically.
+    */
+  private[graft] def hllGroupedRegisters(events: DataFrame): DataFrame =
+    events
       .selectExpr("CAST(CAST(ts AS DATE) AS STRING) AS dia",
         "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
       .selectExpr("dia",
@@ -157,7 +163,68 @@ r$i AS (
       .selectExpr("dia", "balde",
         "CAST(53 - length(regexp_replace(bin(resto), '^0+', '')) AS INT) AS rho")
       .groupBy("dia", "balde").agg(max(col("rho")).as("registro"))
-      .orderBy("dia", "balde")
+
+  /** One streamed micro-batch of grouped-register maintenance,
+    * EXACTLY-ONCE under graft.etl.StoreCommit: the batch's (dia, balde)
+    * partial registers MAX-merge into the committed table (MAX is
+    * idempotent/associative/commutative, so the maintained state is
+    * bit-identical to the one-shot scan regardless of how arrivals
+    * split across batches). State is O(days × 256) rows.
+    */
+  private[graft] def hllGroupedApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val partial = hllGroupedRegisters(batch)
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
+          .groupBy("dia", "balde").agg(max(col("registro")).as("registro"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/regs_b$batchId")
+    StoreCommit.commit(stateDir, s"regs_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "regs_b")
+  }
+
+  /** The committed grouped-register table. */
+  private[graft] def hllGroupedReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"grouped HLL state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir")
+  }
+
+  /** Range-merged distinct-user registers: MAX-merge the per-day tables
+    * across the first week — the read path the sketch table exists FOR
+    * (distinct users over an arbitrary date range WITHOUT rescanning
+    * events: merge ≤ range × 256 register rows instead). The cutoff is
+    * data-derived (min day + 6) so the query is scale-factor-agnostic;
+    * ISO string compare IS date compare.
+    */
+  def hllRangeMerge(s: SparkSession, d: String): DataFrame = {
+    val regs = hllGroupedRegisters(graft.Tables.events(s, d)).barrier()
+    val cut = regs.agg(min("dia").as("d0"))
+      .selectExpr("CAST(date_add(CAST(d0 AS DATE), 6) AS STRING) AS corte")
+    regs.crossJoin(broadcast(cut))
+      .filter(col("dia") <= col("corte"))
+      .groupBy("balde").agg(max(col("registro")).as("registro"))
+      .orderBy("balde")
+  }
+
+  private def hllRangeOracle: String =
+    s"""WITH hs AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dia,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+regs AS (
+  SELECT dia, CAST(h // $hllBucketDiv AS INTEGER) AS balde,
+         MAX(CAST(53 - length(regexp_replace(bin(h % $hllBucketDiv), '^0+', '')) AS INTEGER)) AS registro
+  FROM hs GROUP BY 1, 2),
+corte AS (SELECT CAST(CAST(MIN(dia) AS DATE) + 6 AS VARCHAR) AS c FROM regs)
+SELECT balde, MAX(registro) AS registro
+FROM regs, corte WHERE dia <= corte.c
+GROUP BY balde ORDER BY balde"""
 
   private def hllGroupedOracle: String =
     s"""WITH hs AS (
@@ -174,9 +241,17 @@ ORDER BY dia, balde"""
     // weighted PageRank over the user page-transition graph
     "q_pagerank" -> (pagerank _),
     // per-day distinct-user HLL register table (mergeable DAU sketch)
-    "q_sketch_hll_grouped" -> (hllGroupedDaily _))
+    "q_sketch_hll_grouped" -> (hllGroupedDaily _),
+    // the table maintained per micro-batch by (dia, balde)-wise MAX
+    "q_sketch_hll_grouped_stream" ->
+      (graft.streaming.Streams.hllGroupedStreamed _),
+    // the read path the sketch exists for: merge a week of registers
+    "q_sketch_hll_range" -> (hllRangeMerge _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
-    "q_sketch_hll_grouped" -> hllGroupedOracle)
+    "q_sketch_hll_grouped" -> hllGroupedOracle,
+    // the streamed MAX-merge converges to the same register table
+    "q_sketch_hll_grouped_stream" -> hllGroupedOracle,
+    "q_sketch_hll_range" -> hllRangeOracle)
 }

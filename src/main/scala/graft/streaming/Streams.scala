@@ -933,6 +933,66 @@ object Streams {
     graft.text.CurationOps.hllReadState(spark, state).orderBy("balde")
   }
 
+  /** The per-day grouped HLL register table maintained as a STREAM —
+    * incremental twin of graft.ops.GraphOps.hllGroupedDaily: each
+    * micro-batch's (dia, balde) partial registers MAX-merge into the
+    * committed state under StoreCommit exactly-once. Arrivals split by
+    * event parity, so every day spans both batches and the merge is
+    * exercised on every group — the read-back must still be
+    * bit-identical to the one-shot scan (same oracle).
+    */
+  def hllGroupedStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_hll_grouped_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts", "user_id")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.GraphOps.hllGroupedApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.GraphOps.hllGroupedReadState(spark, state).orderBy("dia", "balde")
+  }
+
+  /** The BM25 inverted index maintained as a STREAM — incremental twin
+    * of graft.text.RetrievalOps.bm25TopK: each micro-batch's raw
+    * postings APPEND onto the committed store and the (nd, sumlen)
+    * stats add on (integer addition — associative), under StoreCommit
+    * exactly-once. df is derived at read time from the accumulated
+    * postings, so the served top-k is bit-identical to the one-shot
+    * build no matter how documents split across batches (same oracle).
+    */
+  def bm25Streamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_bm25_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.RetrievalOps.bm25ApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.text.RetrievalOps.bm25ReadState(spark, state)
+  }
+
   /** The heavy-hitter summary maintained as a STREAM — the incremental
     * twin of graft.text.CurationOps.heavyHitters: each micro-batch's
     * Misra-Gries summary merges into the committed state with the same

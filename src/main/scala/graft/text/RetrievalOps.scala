@@ -70,30 +70,39 @@ object RetrievalOps {
       s"(CAST($tf AS DOUBLE) + $K1 * $norm)))"
   }
 
-  /** Postings (term, doc_id, tf, len, df) + corpus stats (nd, sumlen) —
-    * the inverted index. One tokenize pass feeds tf, df and the length
-    * table; built once behind a barrier for the end-to-end form,
-    * persisted by [[buildBm25Index]] for the served form.
+  /** Raw postings (term, doc_id, tf, len) from any document batch — the
+    * append-only unit of the inverted index. df is NOT baked in: it is
+    * derived at read time by a per-term count over the postings, which
+    * (a) makes the persisted index append-only under arrivals (the
+    * streamed twin unions batch postings; no read-modify-write of df
+    * columns), and (b) stays correct under term-bucket pruning, because
+    * every posting of a term lives in that term's bucket.
+    */
+  private def docPostings(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+      .select(col("doc_id"), size(col("t")).as("len"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "len")
+
+  /** Postings (raw) + corpus stats (nd, sumlen) for the end-to-end form.
+    * One tokenize pass behind a barrier feeds tf AND the stats row.
     */
   private def bm25Index(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val toks = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
-      .select(col("doc_id"), col("t"), size(col("t")).as("len"))
-      .barrier() // one tokenize pass feeds tf, df AND the stats row
-    val tf = toks.select(col("doc_id"), col("len"), explode(col("t")).as("term"))
-      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val postings = tf.join(dfx, Seq("term"))
-      .select("term", "doc_id", "tf", "len", "df")
-    val stats = toks.agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
+    val postings = docPostings(documents(s, d)).barrier()
+    val stats = postings.select("doc_id", "len").distinct()
+      .agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
     (postings, stats)
   }
 
-  /** Shared serving tail: broadcast the query terms against the postings,
-    * score per matched term, fold per (query, doc) in term order, rank.
+  /** Shared serving tail over RAW postings: derive df per term, broadcast
+    * the query terms against the postings, score per matched term, fold
+    * per (query, doc) in term order, rank.
     */
-  private def bm25Serve(s: SparkSession, postings: DataFrame,
+  private def bm25Serve(s: SparkSession, raw: DataFrame,
                         stats: DataFrame): DataFrame = {
+    val dfx = raw.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = raw.join(dfx, Seq("term"))
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
@@ -139,7 +148,10 @@ object RetrievalOps {
     * read plan touches only the term-buckets of the query's terms.
     */
   def bm25Indexed(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
+    // v2: layout version is part of the path — the fingerprint tracks the
+    // DATA, not the index schema, so a layout change (raw postings,
+    // read-time df) must never read a store built by the old writer
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_v2_" +
       CurationOps.docsFingerprint(d)
     val marker = new java.io.File(dir, "_built")
     if (!marker.exists()) {
@@ -160,6 +172,52 @@ object RetrievalOps {
       .filter(expr(s"tb IN ($buckets)"))
       .drop("tb")
     bm25Serve(s, postings, s.read.parquet(s"$dir/stats"))
+  }
+
+  // ------------------------------------------- incremental index (stream)
+
+  /** One streamed micro-batch of inverted-index maintenance,
+    * EXACTLY-ONCE: derive the batch's raw postings, UNION them onto the
+    * committed postings (append-only — df lives at read time, so there
+    * is no read-modify-write), add the batch's (docs, tokens) counts
+    * onto the committed stats (integer addition: associative, so the
+    * maintained stats are bit-identical to the one-shot scan), stage
+    * and atomically advance the commit pointer (graft.etl.StoreCommit).
+    * A replayed batch is skipped at the batchId watermark; a crashed
+    * batch re-stages over its own partial files.
+    */
+  private[graft] def bm25ApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val part = docPostings(batch).barrier()
+    val pStats = part.select("doc_id", "len").distinct()
+      .agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
+    val (post, stats) = prior match {
+      case Some((dir, _)) =>
+        val oldPost = s.read.parquet(s"$stateDir/$dir/postings")
+        val oldStats = s.read.parquet(s"$stateDir/$dir/stats")
+        (part.unionByName(oldPost),
+          pStats.unionByName(oldStats)
+            .agg(sum("nd").as("nd"), sum("sumlen").as("sumlen")))
+      case None => (part, pStats)
+    }
+    post.write.mode("overwrite").parquet(s"$stateDir/idx_b$batchId/postings")
+    stats.write.mode("overwrite").parquet(s"$stateDir/idx_b$batchId/stats")
+    StoreCommit.commit(stateDir, s"idx_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "idx_b")
+  }
+
+  /** Serve the fixed query set from the maintained store — same tail as
+    * the one-shot form, so the streamed result is gated against the
+    * identical oracle.
+    */
+  private[graft] def bm25ReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"bm25 state not initialized: $stateDir"))
+    bm25Serve(s, s.read.parquet(s"$stateDir/$dir/postings"),
+      s.read.parquet(s"$stateDir/$dir/stats"))
   }
 
   // --------------------------------------------------- hybrid retrieval
@@ -313,10 +371,14 @@ ORDER BY query_id, rank"""
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
     // reciprocal-rank fusion of the BM25 and dense top-k lists
-    "q_hybrid_rrf" -> (hybridRrf _))
+    "q_hybrid_rrf" -> (hybridRrf _),
+    // the index maintained under arrivals (append-only postings,
+    // additive stats, read-time df); served result must be identical
+    "q_bm25_stream" -> (graft.streaming.Streams.bm25Streamed _))
 
   val oracle: Map[String, String] = Map(
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
-    "q_hybrid_rrf" -> hybridOracle)
+    "q_hybrid_rrf" -> hybridOracle,
+    "q_bm25_stream" -> bm25Oracle)
 }

@@ -112,6 +112,36 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("bm25 store: batch replays are skipped and the served result matches one-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_store_spec").toString
+    val docs = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, b0, 0L)
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, b1, 1L)
+    val served = graft.text.RetrievalOps.bm25ReadState(spark, dir).collect().toSeq
+    // at-least-once delivery: replaying BOTH batches must change nothing
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, b0, 0L)
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, b1, 1L)
+    val replayed = graft.text.RetrievalOps.bm25ReadState(spark, dir).collect().toSeq
+    assert(served == replayed)
+    val oneShot = graft.text.RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
+    assert(served == oneShot)
+  }
+
+  test("grouped hll: range merge equals registers over the filtered events") {
+    val merged = graft.ops.GraphOps.hllRangeMerge(spark, tiny).collect()
+      .map(r => r.getAs[Int]("balde") -> r.getAs[Int]("registro")).toMap
+    val regs = graft.ops.GraphOps.hllGroupedDaily(spark, tiny).collect()
+    val cut = regs.map(_.getAs[String]("dia")).min
+    val cutDate = java.time.LocalDate.parse(cut).plusDays(6).toString
+    val expect = regs.filter(_.getAs[String]("dia") <= cutDate)
+      .groupBy(_.getAs[Int]("balde"))
+      .map { case (b, rows) => b -> rows.map(_.getAs[Int]("registro")).max }
+    assert(merged == expect)
+  }
+
   test("quality outliers: the 3×MAD flag contract holds row by row") {
     val rows = CurationOps.qualityOutliers(spark, tiny).collect()
     assert(rows.nonEmpty)
