@@ -158,7 +158,15 @@ object ScaleProbe {
       ("events_sliding", d => graft.ops.RelationalOps.eventsSliding(spark, d).count()),
       ("events_hourly", d => graft.ops.RelationalOps.eventsHourly(spark, d).count()),
       ("range_join", d => graft.ops.RelationalOps.rangeJoinBinned(spark, d).count()),
-      ("asof_join", d => graft.ops.RelationalOps.asofAttribution(spark, d).count()))
+      ("asof_join", d => graft.ops.RelationalOps.asofAttribution(spark, d).count()),
+      // r12.4: PageRank's node set is the fixed page domain (rows 1x at
+      // any event volume) — the linear cost is the per-user lead window
+      // + the per-iteration edge joins, whose edge list is capped at
+      // |pages|²; time must track ~Nx from the window alone. The grouped
+      // HLL emits ≤ 256 rows per day — replicas shift days, so rows ~Nx
+      // with per-day work constant.
+      ("pagerank", d => graft.ops.GraphOps.pagerank(spark, d).count()),
+      ("hll_grouped", d => graft.ops.GraphOps.hllGroupedDaily(spark, d).count()))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     probeOps.foreach { case (name, f) =>
@@ -276,7 +284,14 @@ object ScaleProbe {
       ("ngram_novelty", d => text.CurationOps.ngramNovelty(spark, d).count(), true),
       ("dsir_score", d => text.CurationOps.dsirScore(spark, d).count(), true),
       ("pii_luhn", d => text.CurationOps.piiLuhn(spark, d).count(), true),
-      ("hard_neg_ivf", d => sim.EmbeddingOps.hardNegativesIvf(spark, d).count(), false))
+      ("hard_neg_ivf", d => sim.EmbeddingOps.hardNegativesIvf(spark, d).count(), false),
+      // r12.4: BM25 end-to-end. The replica token prefix makes every
+      // replica's vocabulary disjoint, so the fixed query set matches
+      // nothing beyond its own replica (rows not meaningful) — the
+      // measured cost is the index construction (tokenize + tf/df
+      // groupBys + stats), which must track ~Nx: postings grow Nx and
+      // both groupBys are equi-shuffles on (doc, term)/(term) keys.
+      ("bm25_topk", d => text.RetrievalOps.bm25TopK(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>

@@ -127,6 +127,92 @@ r$i AS (
     s"WITH $base,\n$iters\nSELECT node, r FROM r$ITERS ORDER BY node"
   }
 
+  // ---------------------------------------------------- path mining
+
+  /** Frequent-journey mining: the top-20 3-step event-type paths across
+    * all users — the sequential-pattern complement of the fixed-pattern
+    * funnel (funnelSteps asks "how many users did view→click→purchase";
+    * this asks "WHICH 3-step paths happen most"). Scale shape: the same
+    * per-user event-time sort the sessionizer pays (one shuffle on
+    * user_id), two intra-partition leads, then a grouped count over a
+    * key space bounded by |event_types|³ — the top-k is
+    * TakeOrderedAndProject over ≤ 125 rows, never a global sort of the
+    * events.
+    */
+  def pathMining(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("caminho"))
+      .groupBy("caminho").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("caminho"))
+      .limit(20)
+  }
+
+  private def pathMiningOracle: String =
+    """WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events)
+SELECT e1 || '>' || e2 || '>' || e3 AS caminho, count(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, caminho LIMIT 20"""
+
+  // ------------------------------------------- engagement prior (join)
+
+  /** Engagement-weighted curation prior: per-page conversion evidence
+    * (purchases and total value from the events stream) joined onto the
+    * documents served from that page — the behavioral quality signal a
+    * crawl pipeline derives from click logs ("pages users buy from host
+    * better training text than pages they bounce off"). The testdata has
+    * no real doc↔page foreign key, so the linkage is the documented
+    * stand-in doc_id % 100 = page (the props.k domain); the join shape
+    * is the real thing: the event side aggregates to ≤ |pages| rows
+    * FIRST and broadcasts onto the corpus — the corpus is never
+    * shuffled, which is the only join order that survives 100 TB of
+    * documents.
+    *
+    * The per-page value sum is folded in (ts, event_id) order via the
+    * pinned-fold pair, so the double is bit-exact cross-engine.
+    */
+  def engagementPrior(s: SparkSession, d: String): DataFrame = {
+    val byPage = graft.Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(get_json_object(props, '$.k') AS INT) AS pagina",
+        "ts", "event_id", "value")
+      .groupBy("pagina")
+      .agg(count(lit(1)).as("n_compras"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("vs"))
+      .selectExpr("pagina", "n_compras",
+        "aggregate(transform(vs, p -> p.value), CAST(0 AS DOUBLE), (s, v) -> s + v) AS valor_compras")
+    graft.Tables.documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+        "CAST(doc_id % 100 AS INT) AS pagina")
+      .join(broadcast(byPage), Seq("pagina"), "left")
+      .na.fill(0L, Seq("n_compras")).na.fill(0.0, Seq("valor_compras"))
+      .select("doc_id", "lang", "pagina", "n_compras", "valor_compras")
+      .orderBy("doc_id")
+  }
+
+  private def engagementOracle: String =
+    """WITH byp AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS pagina,
+         count(*) AS n_compras,
+         list_sum(list(value ORDER BY ts, event_id)) AS valor_compras
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       CAST(d.doc_id % 100 AS INTEGER) AS pagina,
+       coalesce(b.n_compras, 0) AS n_compras,
+       coalesce(b.valor_compras, CAST(0 AS DOUBLE)) AS valor_compras
+FROM documents d LEFT JOIN byp b ON d.doc_id % 100 = b.pagina
+ORDER BY doc_id"""
+
   // ------------------------------------------------- grouped HLL sketch
 
   private val hllBucketDiv = 4503599627370496L // 2^52: 8 bucket + 52 rank bits
@@ -246,12 +332,18 @@ ORDER BY dia, balde"""
     "q_sketch_hll_grouped_stream" ->
       (graft.streaming.Streams.hllGroupedStreamed _),
     // the read path the sketch exists for: merge a week of registers
-    "q_sketch_hll_range" -> (hllRangeMerge _))
+    "q_sketch_hll_range" -> (hllRangeMerge _),
+    // top-20 3-step event-type journeys (sequential-pattern mining)
+    "q_path_mining" -> (pathMining _),
+    // per-page purchase evidence broadcast onto the corpus
+    "q_engagement_prior" -> (engagementPrior _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
     "q_sketch_hll_grouped" -> hllGroupedOracle,
     // the streamed MAX-merge converges to the same register table
     "q_sketch_hll_grouped_stream" -> hllGroupedOracle,
-    "q_sketch_hll_range" -> hllRangeOracle)
+    "q_sketch_hll_range" -> hllRangeOracle,
+    "q_path_mining" -> pathMiningOracle,
+    "q_engagement_prior" -> engagementOracle)
 }

@@ -142,6 +142,39 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(merged == expect)
   }
 
+  test("path mining: 3-gram mass accounting and top-20 contract") {
+    val rows = graft.ops.GraphOps.pathMining(spark, tiny).collect()
+    assert(rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n")).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // total 3-gram mass across ALL paths = Σ_users max(0, n_events − 2);
+    // the top-20 can't exceed it
+    val perUser = Tables.events(spark, tiny).groupBy("user_id").count()
+      .collect().map(r => math.max(0L, r.getAs[Long]("count") - 2)).sum
+    assert(counts.sum <= perUser)
+    assert(rows.forall(_.getAs[String]("caminho").split(">").length == 3))
+  }
+
+  test("engagement prior: page aggregates broadcast onto the corpus") {
+    val df = graft.ops.GraphOps.engagementPrior(spark, tiny)
+    val rows = df.collect()
+    val exact = Tables.events(spark, tiny)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(get_json_object(props, '$.k') AS INT) AS pagina")
+      .groupBy("pagina").count().collect()
+      .map(r => r.getAs[Int]("pagina") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_compras") ==
+        exact.getOrElse(r.getAs[Int]("pagina"), 0L))
+    }
+    // the corpus side must NOT shuffle: the page aggregate broadcasts
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    df.collect() // materialize to finalize AQE
+    val plan = df.queryExecution.executedPlan
+    assert(allNodes(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected a broadcast hash join for the page-evidence join")
+  }
+
   test("quality outliers: the 3×MAD flag contract holds row by row") {
     val rows = CurationOps.qualityOutliers(spark, tiny).collect()
     assert(rows.nonEmpty)
