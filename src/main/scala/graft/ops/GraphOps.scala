@@ -92,6 +92,99 @@ object GraphOps {
     r.orderBy("node")
   }
 
+  /** PERSONALIZED PageRank: the restart vector is the purchase
+    * distribution over pages (p(page) = purchases on page / total
+    * purchases) instead of uniform — "centrality as seen from
+    * conversion", the topic-conditioned source prior (rank pages by how
+    * reachable they are FROM the pages users actually buy on). Same
+    * 5-iteration power method, r₀ = p, teleport AND dangling mass
+    * redistribute by p: r' = 0.15·p + 0.85·(in + dm·p). Mass is still
+    * conserved (Σp = 1). Kept as its own loop rather than a
+    * parametrization of [[pagerank]]: the uniform form's base term is
+    * spelled 0.15/n while this one is 0.15·p, and collapsing them would
+    * change one side's floating-op order — the gates pin bits, not just
+    * math.
+    */
+  def pagerankPersonalized(s: SparkSession, d: String): DataFrame = {
+    val (edges, nodes) = transitionEdges(s, d)
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).barrier()
+    val buys = graft.Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(get_json_object(props, '$.k') AS INT) AS node")
+      .groupBy("node").agg(count(lit(1)).as("cnt"))
+    val total = buys.agg(sum("cnt").as("total"))
+    val pvec = nodes.join(buys, Seq("node"), "left")
+      .crossJoin(broadcast(total))
+      .selectExpr("node",
+        "coalesce(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), CAST(0 AS DOUBLE)) AS p")
+      .barrier() // feeds r0, every teleport term, and the dangling term
+    var r = pvec.selectExpr("node", "p AS r")
+    for (_ <- 1 to ITERS) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .selectExpr("dst AS node", "src",
+          "(r * CAST(w AS DOUBLE)) / CAST(ow AS DOUBLE) AS c")
+        .groupBy("node")
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .selectExpr("node",
+          "aggregate(transform(cs, p -> p.c), CAST(0 AS DOUBLE), (s, v) -> s + v) AS cin")
+      val dang = r.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(sort_array(collect_list(struct(col("node"), col("r")))).as("ds"))
+        .selectExpr(
+          "aggregate(transform(ds, p -> p.r), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dm")
+      r = pvec
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .selectExpr("node",
+          s"CAST(0.15 AS DOUBLE) * p + $D * " +
+            "(coalesce(cin, CAST(0 AS DOUBLE)) + dm * p) AS r")
+        .barrier()
+    }
+    r.orderBy("node")
+  }
+
+  private def pagerankPersonalizedOracle: String = {
+    val base = s"""ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(json_extract_string(props, '$$.k') AS INTEGER) AS page
+  FROM events),
+seq AS (
+  SELECT page AS src,
+         lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+buys AS (SELECT page AS node, count(*) AS cnt FROM ev
+         WHERE event_type = 'purchase' GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM buys),
+pvec AS (
+  SELECT n.node,
+         coalesce(CAST(b.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), CAST(0 AS DOUBLE)) AS p
+  FROM nodes n LEFT JOIN buys b ON n.node = b.node, tot t),
+r0 AS (SELECT node, p AS r FROM pvec)"""
+    val iters = (1 to ITERS).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+  SELECT e.dst AS node,
+         list_sum(list((r.r * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE)
+                       ORDER BY e.src)) AS cin
+  FROM edges e JOIN $prev r ON e.src = r.node JOIN outw o ON e.src = o.src
+  GROUP BY 1),
+d$i AS (
+  SELECT coalesce(list_sum(list(r.r ORDER BY r.node)), CAST(0 AS DOUBLE)) AS dm
+  FROM $prev r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+r$i AS (
+  SELECT v.node,
+         CAST(0.15 AS DOUBLE) * v.p + $D *
+           (coalesce(c.cin, CAST(0 AS DOUBLE)) + d$i.dm * v.p) AS r
+  FROM pvec v LEFT JOIN c$i c ON v.node = c.node, d$i)"""
+    }.mkString(",\n")
+    s"WITH $base,\n$iters\nSELECT node, r FROM r$ITERS ORDER BY node"
+  }
+
   private def pagerankOracle: String = {
     val base = s"""ev AS (
   SELECT user_id, event_id, ts,
@@ -326,6 +419,8 @@ ORDER BY dia, balde"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // weighted PageRank over the user page-transition graph
     "q_pagerank" -> (pagerank _),
+    // the purchase-conditioned restart vector (personalized PageRank)
+    "q_pagerank_personalized" -> (pagerankPersonalized _),
     // per-day distinct-user HLL register table (mergeable DAU sketch)
     "q_sketch_hll_grouped" -> (hllGroupedDaily _),
     // the table maintained per micro-batch by (dia, balde)-wise MAX
@@ -340,6 +435,7 @@ ORDER BY dia, balde"""
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_pagerank_personalized" -> pagerankPersonalizedOracle,
     "q_sketch_hll_grouped" -> hllGroupedOracle,
     // the streamed MAX-merge converges to the same register table
     "q_sketch_hll_grouped_stream" -> hllGroupedOracle,

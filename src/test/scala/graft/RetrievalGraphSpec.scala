@@ -63,6 +63,21 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("bm25 served plan: the postings scan is pruned to the query terms' buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("bm25_prune_spec").toString
+    graft.text.RetrievalOps.buildBm25Index(spark, tiny, dir)
+    val df = graft.text.RetrievalOps.bm25Served(spark, dir)
+    df.collect() // finalize AQE
+    val postScans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }
+    assert(postScans.nonEmpty, "expected a postings file scan")
+    assert(postScans.forall(_.partitionFilters.nonEmpty),
+      "the tb IN (...) filter must prune postings partitions at the scan")
+  }
+
   test("hybrid rrf: fused score is exactly the reciprocal-rank sum and ordering follows it") {
     val rows = RetrievalOps.hybridRrf(spark, tiny).collect()
     assert(rows.nonEmpty)
@@ -86,6 +101,25 @@ class RetrievalGraphSpec extends SparkSpec {
     val total = r.map(_.getAs[Double]("r")).sum
     assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
     assert(r.forall(_.getAs[Double]("r") > 0.0))
+  }
+
+  test("personalized pagerank: mass conserved; zero-restart sinks rank below uniform form") {
+    val pers = graft.ops.GraphOps.pagerankPersonalized(spark, tiny).collect()
+      .map(r => r.getAs[Int]("node") -> r.getAs[Double]("r")).toMap
+    assert(math.abs(pers.values.sum - 1.0) < 1e-9)
+    // the restart vector concentrates mass on purchase pages: total rank
+    // on pages WITH purchases must exceed their share under the uniform
+    // form (teleport feeds them directly)
+    val buys = Tables.events(spark, tiny)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(get_json_object(props, '$.k') AS INT) AS node")
+      .distinct().collect().map(_.getAs[Int]("node")).toSet
+    val unif = graft.ops.GraphOps.pagerank(spark, tiny).collect()
+      .map(r => r.getAs[Int]("node") -> r.getAs[Double]("r")).toMap
+    val persBuyMass = pers.filter(kv => buys(kv._1)).values.sum
+    val unifBuyMass = unif.filter(kv => buys(kv._1)).values.sum
+    assert(persBuyMass >= unifBuyMass,
+      s"purchase pages hold $persBuyMass personalized vs $unifBuyMass uniform")
   }
 
   test("pagerank: determinism — two runs produce identical doubles") {
