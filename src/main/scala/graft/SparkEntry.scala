@@ -28,7 +28,7 @@ object SparkEntry {
     graft.text.RetrievalOps.queries ++ graft.ops.GraphOps.queries ++
     graft.sim.EmbeddingOps.queries ++
     graft.multimodal.Multimodal.queries ++ graft.etl.Scd.queries ++
-    graft.etl.Incremental.queries
+    graft.etl.Incremental.queries ++ graft.etl.Cdc.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // star-schema ETL builds (reference dims + fact, SURVEY §2.1-2.3)
@@ -201,5 +201,6 @@ object SparkEntry {
     graft.text.TextOps.oracle ++ graft.text.CurationOps.oracle ++
     graft.text.RetrievalOps.oracle ++ graft.ops.GraphOps.oracle ++
     graft.sim.EmbeddingOps.oracle ++
-    graft.multimodal.Multimodal.oracle ++ graft.etl.Scd.oracle
+    graft.multimodal.Multimodal.oracle ++ graft.etl.Scd.oracle ++
+    graft.etl.Cdc.oracle
 }

@@ -963,6 +963,37 @@ object Streams {
     graft.ops.GraphOps.hllGroupedReadState(spark, state).orderBy("dia", "balde")
   }
 
+  /** The CDC changelog ingested as a STREAM — incremental twin of
+    * graft.etl.Cdc.cdcApply: micro-batches append onto the committed
+    * log (StoreCommit exactly-once), latest-seq-wins resolves at read.
+    * The staging deliberately delivers the seq-2 slice (updates +
+    * tombstones) in the FIRST batch and the seq-1 inserts in the
+    * second — out-of-order arrival — which read-time resolution
+    * handles by construction; a compact-on-write store that kept only
+    * live rows would have lost the early tombstones. Same oracle as
+    * the batch apply.
+    */
+  def cdcStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_cdc_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val log = graft.etl.Cdc.changelog(spark, dir)
+    log.filter(col("seq") === 2).coalesce(1).write.parquet(sub("in"))
+    log.filter(col("seq") === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.etl.Cdc.cdcApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.etl.Cdc.cdcReadState(spark, state)
+  }
+
   /** The BM25 inverted index maintained as a STREAM — incremental twin
     * of graft.text.RetrievalOps.bm25TopK: each micro-batch's raw
     * postings APPEND onto the committed store and the (nd, sumlen)
