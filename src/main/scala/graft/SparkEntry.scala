@@ -195,6 +195,8 @@ object SparkEntry {
     "q_sketch_countmin" -> (RelationalOps.countMinCells _),
     // column-level profile (nulls/distincts/min/max in one scan)
     "q_profile_orders" -> (RelationalOps.profileOrders _),
+    // mergeable equi-width histogram cells (the quantile-family sketch)
+    "q_sketch_histogram" -> (RelationalOps.histogramCells _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++

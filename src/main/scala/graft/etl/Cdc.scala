@@ -77,6 +77,29 @@ object Cdc {
     StoreCommit.cleanupStale(stateDir, "log_b")
   }
 
+  /** Log COMPACTION — the maintenance the append-only store needs so the
+    * log doesn't grow with change volume forever: keep only each key's
+    * latest row, INCLUDING delete tombstones (a compaction that dropped
+    * D rows would resurrect a key if its I replayed later or arrived
+    * late), staged + committed under the SAME batch watermark so a
+    * crashed compaction leaves the uncompacted log live and replays
+    * still dedup correctly. State goes from O(changes) to O(keys);
+    * served resolution is unchanged — latest-wins over a latest-only
+    * log is the identity.
+    */
+  private[graft] def cdcCompact(s: SparkSession, stateDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val (dir, last) = StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"cdc state not initialized: $stateDir"))
+    val w = Window.partitionBy("o_orderkey").orderBy(desc("seq"))
+    s.read.parquet(s"$stateDir/$dir")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .write.mode("overwrite").parquet(s"$stateDir/log_compact$last")
+    StoreCommit.commit(stateDir, s"log_compact$last", last)
+    StoreCommit.cleanupStale(stateDir, "log_")
+  }
+
   /** Read-time resolution of the maintained log. */
   private[graft] def cdcReadState(s: SparkSession, stateDir: String): DataFrame = {
     val (dir, _) = StoreCommit.committed(stateDir).getOrElse(

@@ -826,6 +826,32 @@ object RelationalOps {
       .orderBy("i", "bucket")
   }
 
+  /** Equi-width histogram sketch over l_extendedprice — the QUANTILE
+    * member of the sketch family (KMV distinct / HLL distinct / count-min
+    * frequency / Misra-Gries heavy hitters / this): 64 fixed-width bins
+    * between the exact min and max, cells are plain integer counts —
+    * idempotent-free but ASSOCIATIVE, so cells from any corpus split or
+    * any day merge by addition (the property a 100 TB profile needs:
+    * maintain per-partition histograms, add them at read). Quantile
+    * estimation (walk the cumulative counts; error ≤ one bin width) is
+    * HARNESS work in ScaleOpsSpec-style fashion — the production sketch
+    * never computes the exact truth it exists to avoid.
+    *
+    * Cross-engine exactness: the bin index is floor((x−min)·64/(max−min))
+    * clamped to 63 — three correctly-rounded double ops in one pinned
+    * order, then an exact floor; min/max are exact scans. (Spelled as
+    * ·64/range, NOT /width, so there is exactly one division.)
+    */
+  def histogramCells(spark: SparkSession, dir: String): DataFrame = {
+    val b = lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val mm = b.agg(min("x").as("mn"), max("x").as("mx"))
+    b.crossJoin(broadcast(mm))
+      .selectExpr(
+        "least(CAST(floor((x - mn) * CAST(64 AS DOUBLE) / (mx - mn)) AS INT), 63) AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .orderBy("bin")
+  }
+
   /** Test-harness twin of [[countMinCells]]: per-user exact count,
     * sketch estimate (min over the key's d buckets), and the
     * overestimation — the error probe that validates the sketch's bounds

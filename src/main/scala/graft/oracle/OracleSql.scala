@@ -674,5 +674,11 @@ pr AS (SELECT i, ((h1 + i * h2) % 1000000007) % 64 AS bucket
        FROM h CROSS JOIN rows_)
 SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
 FROM pr GROUP BY i, bucket
-ORDER BY i, bucket""")
+ORDER BY i, bucket""",
+    "q_sketch_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT CAST(least(CAST(floor((l_extendedprice - mn) * CAST(64 AS DOUBLE) / (mx - mn)) AS INTEGER), 63) AS INTEGER) AS bin
+  FROM lineitem, mm)
+GROUP BY bin ORDER BY bin""")
 }
