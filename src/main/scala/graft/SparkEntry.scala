@@ -197,6 +197,9 @@ object SparkEntry {
     "q_profile_orders" -> (RelationalOps.profileOrders _),
     // mergeable equi-width histogram cells (the quantile-family sketch)
     "q_sketch_histogram" -> (RelationalOps.histogramCells _),
+    // the cell table maintained per micro-batch by additive merge
+    "q_sketch_histogram_stream" ->
+      (graft.streaming.Streams.histogramStreamed _),
     "q_sql_frontend" -> (RelationalOps.sqlFrontend _))
 
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++

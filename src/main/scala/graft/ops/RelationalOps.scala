@@ -852,6 +852,42 @@ object RelationalOps {
       .orderBy("bin")
   }
 
+  /** One streamed micro-batch of histogram maintenance, EXACTLY-ONCE:
+    * the batch's cells ADD onto the committed cells (integer addition —
+    * associative, so the maintained table is bit-identical to the
+    * one-shot scan under any batch split). `mn`/`mx` are the sketch's
+    * CONFIG — fixed at stream start like any production histogram's
+    * bounds — passed in so every batch bins identically.
+    */
+  private[graft] def histogramApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, mn: Double, mx: Double, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val partial = batch
+      .selectExpr(
+        s"least(CAST(floor((l_extendedprice - CAST('$mn' AS DOUBLE)) * CAST(64 AS DOUBLE) / " +
+          s"(CAST('$mx' AS DOUBLE) - CAST('$mn' AS DOUBLE))) AS INT), 63) AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
+          .groupBy("bin").agg(sum("c").as("c"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/hist_b$batchId")
+    StoreCommit.commit(stateDir, s"hist_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "hist_b")
+  }
+
+  /** The committed cell table. */
+  private[graft] def histogramReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"histogram state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir")
+      .selectExpr("bin", "CAST(c AS BIGINT) AS c").orderBy("bin")
+  }
+
   /** Test-harness twin of [[countMinCells]]: per-user exact count,
     * sketch estimate (min over the key's d buckets), and the
     * overestimation — the error probe that validates the sketch's bounds

@@ -680,5 +680,12 @@ ORDER BY i, bucket""",
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM (
   SELECT CAST(least(CAST(floor((l_extendedprice - mn) * CAST(64 AS DOUBLE) / (mx - mn)) AS INTEGER), 63) AS INTEGER) AS bin
   FROM lineitem, mm)
+GROUP BY bin ORDER BY bin""",
+    // the streamed additive merge converges to the same cell table
+    "q_sketch_histogram_stream" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT CAST(least(CAST(floor((l_extendedprice - mn) * CAST(64 AS DOUBLE) / (mx - mn)) AS INTEGER), 63) AS INTEGER) AS bin
+  FROM lineitem, mm)
 GROUP BY bin ORDER BY bin""")
 }

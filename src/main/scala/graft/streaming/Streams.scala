@@ -963,6 +963,39 @@ object Streams {
     graft.ops.GraphOps.hllGroupedReadState(spark, state).orderBy("dia", "balde")
   }
 
+  /** The equi-width histogram maintained as a STREAM — incremental twin
+    * of graft.ops.RelationalOps.histogramCells: per-batch cells ADD into
+    * the committed table (StoreCommit exactly-once). The bounds are
+    * derived once, statically, before the stream starts — the sketch's
+    * config, like any production histogram — so every batch bins
+    * identically and the maintained table is bit-identical to the
+    * one-shot scan (same oracle).
+    */
+  def histogramStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_hist_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    val Array(mn, mx) = li.agg(org.apache.spark.sql.functions.min("l_extendedprice"),
+      org.apache.spark.sql.functions.max("l_extendedprice"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    li.filter(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    li.filter(col("l_orderkey") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.RelationalOps.histogramApplyBatch(
+          spark, state, batch, mn, mx, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.RelationalOps.histogramReadState(spark, state)
+  }
+
   /** The CDC changelog ingested as a STREAM — incremental twin of
     * graft.etl.Cdc.cdcApply: micro-batches append onto the committed
     * log (StoreCommit exactly-once), latest-seq-wins resolves at read.

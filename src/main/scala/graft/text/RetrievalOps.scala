@@ -209,6 +209,32 @@ object RetrievalOps {
     StoreCommit.cleanupStale(stateDir, "idx_b")
   }
 
+  /** Postings-store COMPACTION — the small-file maintenance the
+    * append-only index needs: every micro-batch leaves its own parquet
+    * files, so after N batches a serve pays N file opens per partition.
+    * Compaction rewrites the committed postings clustered by term
+    * (repartition on term + sortWithinPartitions) into a bounded file
+    * count, staged + committed under the SAME batch watermark — a crash
+    * mid-compaction leaves the uncompacted store live, and replays
+    * still dedup. Postings rows are immutable facts (unlike the CDC
+    * log there is nothing to supersede), so compaction is purely a
+    * layout rewrite; the served result must be bit-identical.
+    */
+  private[graft] def bm25CompactStore(s: SparkSession, stateDir: String,
+      nFiles: Int = 4): Unit = {
+    import graft.etl.StoreCommit
+    val (dir, last) = StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"bm25 state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir/postings")
+      .repartition(nFiles, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$stateDir/idx_compact$last/postings")
+    s.read.parquet(s"$stateDir/$dir/stats")
+      .write.mode("overwrite").parquet(s"$stateDir/idx_compact$last/stats")
+    StoreCommit.commit(stateDir, s"idx_compact$last", last)
+    StoreCommit.cleanupStale(stateDir, "idx_")
+  }
+
   /** Serve the fixed query set from the maintained store — same tail as
     * the one-shot form, so the streamed result is gated against the
     * identical oracle.

@@ -164,6 +164,25 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(served == oneShot)
   }
 
+  test("bm25 store compaction: bounded files, served result bit-identical, appends continue") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_compact_spec").toString
+    val docs = Tables.documents(spark, tiny)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, docs.filter(col("doc_id") % 3 === 0), 0L)
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, docs.filter(col("doc_id") % 3 === 1), 1L)
+    val before = graft.text.RetrievalOps.bm25ReadState(spark, dir).collect().toSeq
+    graft.text.RetrievalOps.bm25CompactStore(spark, dir, nFiles = 2)
+    val (cd, _) = graft.etl.StoreCommit.committed(dir).get
+    val files = new java.io.File(s"$dir/$cd/postings").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"expected ≤2 postings files after compaction, got $files")
+    assert(graft.text.RetrievalOps.bm25ReadState(spark, dir).collect().toSeq == before)
+    // the store must keep accepting appends after compaction
+    graft.text.RetrievalOps.bm25ApplyBatch(spark, dir, docs.filter(col("doc_id") % 3 === 2), 2L)
+    val full = graft.text.RetrievalOps.bm25ReadState(spark, dir).collect().toSeq
+    assert(full == graft.text.RetrievalOps.bm25TopK(spark, tiny).collect().toSeq)
+  }
+
   test("grouped hll: range merge equals registers over the filtered events") {
     val merged = graft.ops.GraphOps.hllRangeMerge(spark, tiny).collect()
       .map(r => r.getAs[Int]("balde") -> r.getAs[Int]("registro")).toMap
