@@ -235,7 +235,11 @@ object Bench {
       // distinct-user HLL register table, and the median/MAD robust
       // length-outlier signal
       "q_bm25_topk", "q_pagerank", "q_sketch_hll_grouped",
-      "q_quality_outliers").foreach { name =>
+      "q_quality_outliers",
+      // r12.5: personalized PageRank, journey mining, the engagement
+      // broadcast join, the histogram sketch, and the CDC apply
+      "q_pagerank_personalized", "q_path_mining", "q_engagement_prior",
+      "q_sketch_histogram", "q_cdc_apply").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

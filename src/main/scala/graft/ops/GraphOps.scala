@@ -271,7 +271,11 @@ GROUP BY 1 ORDER BY n DESC, caminho LIMIT 20"""
     * documents.
     *
     * The per-page value sum is folded in (ts, event_id) order via the
-    * pinned-fold pair, so the double is bit-exact cross-engine.
+    * pinned-fold pair, so the double is bit-exact cross-engine. Honest
+    * scale caveat: that fold collects one list per page, and a page's
+    * purchase count is unbounded — at 100 TB the swap is a plain
+    * sum(value) (order-free, loses only last-ulp cross-engine equality)
+    * or an exact decimal sum; the join shape is unchanged either way.
     */
   def engagementPrior(s: SparkSession, d: String): DataFrame = {
     val byPage = graft.Tables.events(s, d)
