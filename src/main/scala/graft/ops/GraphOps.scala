@@ -232,18 +232,61 @@ r$i AS (
     * TakeOrderedAndProject over ≤ 125 rows, never a global sort of the
     * events.
     */
-  def pathMining(s: SparkSession, d: String): DataFrame = {
+  def pathMining(s: SparkSession, d: String): DataFrame =
+    pathCounts(graft.Tables.events(s, d))
+      .orderBy(desc("n"), asc("caminho"))
+      .limit(20)
+
+  /** The (caminho, n) counts over any USER-COMPLETE events slice — the
+    * kernel shared by the one-shot gate and the streamed twin. The
+    * shard unit must be the user: a 3-gram spans consecutive events of
+    * one user, so any split that keeps each user whole makes the
+    * per-slice counts ADD to the global counts; a time split would cut
+    * paths at batch boundaries.
+    */
+  private[graft] def pathCounts(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    graft.Tables.events(s, d)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("e2", lead("event_type", 1).over(w))
       .withColumn("e3", lead("event_type", 2).over(w))
       .filter(col("e3").isNotNull)
       .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("caminho"))
       .groupBy("caminho").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("caminho"))
-      .limit(20)
+  }
+
+  /** One streamed micro-batch of path-count maintenance, EXACTLY-ONCE:
+    * the batch's counts ADD onto the committed counts (the harness
+    * stages user-complete batches — see [[pathCounts]]). Top-20
+    * resolution happens at read, so the maintained state keeps ALL
+    * paths (≤ |event_types|³ rows) and the served answer is
+    * bit-identical to the one-shot scan.
+    */
+  private[graft] def pathApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val partial = pathCounts(batch)
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
+          .groupBy("caminho").agg(sum("n").as("n"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/paths_b$batchId")
+    StoreCommit.commit(stateDir, s"paths_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "paths_b")
+  }
+
+  /** Read-time top-20 over the maintained counts. */
+  private[graft] def pathReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"path state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir")
+      .selectExpr("caminho", "CAST(n AS BIGINT) AS n")
+      .orderBy(desc("n"), asc("caminho")).limit(20)
   }
 
   private def pathMiningOracle: String =
@@ -434,6 +477,9 @@ ORDER BY dia, balde"""
     "q_sketch_hll_range" -> (hllRangeMerge _),
     // top-20 3-step event-type journeys (sequential-pattern mining)
     "q_path_mining" -> (pathMining _),
+    // the counts maintained under USER-complete arrivals; top-20 at read
+    "q_path_mining_stream" ->
+      (graft.streaming.Streams.pathMiningStreamed _),
     // per-page purchase evidence broadcast onto the corpus
     "q_engagement_prior" -> (engagementPrior _))
 
@@ -445,5 +491,7 @@ ORDER BY dia, balde"""
     "q_sketch_hll_grouped_stream" -> hllGroupedOracle,
     "q_sketch_hll_range" -> hllRangeOracle,
     "q_path_mining" -> pathMiningOracle,
+    // user-complete batch counts add to the one-shot counts
+    "q_path_mining_stream" -> pathMiningOracle,
     "q_engagement_prior" -> engagementOracle)
 }

@@ -996,6 +996,35 @@ object Streams {
     graft.ops.RelationalOps.histogramReadState(spark, state)
   }
 
+  /** Journey-path counts maintained as a STREAM — incremental twin of
+    * graft.ops.GraphOps.pathMining. The staging shards by USER parity
+    * (each user's full history in one batch): a 3-gram spans one user's
+    * consecutive events, so user-complete slices make per-batch counts
+    * ADD exactly; top-20 resolves at read. StoreCommit exactly-once;
+    * same oracle as the one-shot scan.
+    */
+  def pathMiningStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_path_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+    ev.filter(col("user_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    ev.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.GraphOps.pathApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.GraphOps.pathReadState(spark, state)
+  }
+
   /** The CDC changelog ingested as a STREAM — incremental twin of
     * graft.etl.Cdc.cdcApply: micro-batches append onto the committed
     * log (StoreCommit exactly-once), latest-seq-wins resolves at read.
