@@ -95,6 +95,49 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("bm25 scoring: monotone in tf, anti-monotone in df and len") {
+    // the engine's formula is pinned to this Scala form by the
+    // from-scratch recompute test above, so formula-level properties
+    // transfer to the engine
+    def score(tf: Double, df: Double, len: Double, nd: Double, avgdl: Double): Double = {
+      val idf = (nd - df + 0.5) / (df + 0.5)
+      idf * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (len / avgdl))))
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val nd = 10 + rnd.nextInt(10000)
+      val df = 1 + rnd.nextInt(nd)
+      val len = 1 + rnd.nextInt(500)
+      val avgdl = 1.0 + rnd.nextDouble() * 500
+      val tf = 1 + rnd.nextInt(50)
+      val s0 = score(tf, df, len, nd, avgdl)
+      assert(score(tf + 1, df, len, nd, avgdl) > s0, "tf must raise the score")
+      if (df + 1 <= nd)
+        assert(score(tf, df + 1, len, nd, avgdl) < s0, "df must lower the score")
+      assert(score(tf, df, len + 1, nd, avgdl) < s0, "length must be penalized")
+    }
+  }
+
+  test("cdc apply: state is invariant under any regrouping of the changelog into batches") {
+    val log = graft.etl.Cdc.changelog(spark, tiny)
+    val expect = graft.etl.Cdc.cdcApply(spark, tiny).collect().toSeq
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"cdc_prop_$trial").toString
+      // random 3-way split by key hash — batches interleave I/U/D
+      // arbitrarily; only seq order semantics may matter, and resolution
+      // is by seq, not arrival
+      val salt = rnd.nextInt(1000)
+      (0 until 3).foreach { b =>
+        val part = log.filter(abs(hash(col("o_orderkey") + salt)) % 3 === b)
+        graft.etl.Cdc.cdcApplyBatch(spark, dir, part, b.toLong)
+      }
+      assert(graft.etl.Cdc.cdcReadState(spark, dir).collect().toSeq == expect,
+        s"trial $trial (salt $salt) diverged from the one-shot apply")
+    }
+  }
+
   test("pagerank: rank mass is conserved and every node is reachable-positive") {
     val r = GraphOps.pagerank(spark, tiny).collect()
     assert(r.nonEmpty)
