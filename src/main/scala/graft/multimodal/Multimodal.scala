@@ -124,6 +124,46 @@ object Multimodal {
   /** Oracle-checkable binary metadata query (the pure-SQL subset of the
     * plumbing: byte length, content hash, magic-prefix hex).
     */
+  /** RESIZE: fixed-size nearest-neighbor thumbnails, batch-wise per
+    * partition like every codec step. The image path is REAL — direct
+    * pixel sampling `getRGB(c·w/tw, r·h/th)` on the decoded image, which
+    * IS nearest-neighbor resize as exact integer math (no Graphics2D
+    * rendering pipeline, whose interpolation could vary by JVM); the
+    * non-image fallback nearest-neighbor-samples the payload BYTES at
+    * positions ⌊k·n/(tw·th)⌋ — deterministic, and SQL-reproducible,
+    * which is what lets the resize gate be DuckDB-oracled over the
+    * text-derived fixtures while MultimodalSpec pins the real-image path
+    * on a synthesized PNG. Thumbs travel as a joined string + integer
+    * checksum (array cells round-trip differently through the two
+    * pandas bridges).
+    */
+  def resizeThumbs(media: Dataset[Media], tw: Int = 8, th: Int = 8): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: java.io.IOException => null }
+      val thumb: Array[Int] =
+        if (img != null) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          Array.tabulate(tw * th) { k =>
+            img.getRGB((k % tw) * w / tw, (k / tw) * h / th) & 0xFFFFFF
+          }
+        } else {
+          val n = m.payload.length
+          Array.tabulate(tw * th)(k => m.payload(k * n / (tw * th)) & 0xff)
+        }
+      val checksum = thumb.zipWithIndex
+        .foldLeft(0L) { case (acc, (p, k)) => (acc + (k + 1).toLong * p) % 1000003L }
+      (m.media_id, tw, th, thumb.mkString("-"), checksum.toInt)
+    }).toDF("media_id", "thumb_w", "thumb_h", "thumb", "checksum")
+  }
+
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeThumbs(ingestFromDocuments(graft.Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
   def metaQuery(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir).selectExpr(
       "CAST(doc_id AS BIGINT) AS media_id",
@@ -203,9 +243,29 @@ sims AS (
 SELECT query_id, vizinho, sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
   FROM sims)
-WHERE rank <= $TOP_K ORDER BY query_id, rank""")
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // the fixtures are text-derived (non-image), so every row takes the
+    // byte-sampling fallback, which this SQL re-derives byte-for-byte
+    "q_multimodal_resize" ->
+      """WITH bytes AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents),
+thumbs AS (
+  SELECT media_id,
+         list_transform(range(0, 64), k ->
+           ('0x' || substring(h, 2 * CAST(k * n // 64 AS INTEGER) + 1, 2))::INTEGER) AS t
+  FROM bytes)
+SELECT media_id, 8 AS thumb_w, 8 AS thumb_h,
+       array_to_string(t, '-') AS thumb,
+       CAST(list_sum(list_transform(range(1, 65), k -> (CAST(k AS BIGINT) * t[k]) % 1000003)) % 1000003 AS INTEGER) AS checksum
+FROM thumbs ORDER BY media_id"""
+)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (metaQuery _),
-    "q_multimodal_ann" -> (annQuery _))
+    "q_multimodal_ann" -> (annQuery _),
+    // nearest-neighbor thumbnail resize (real pixels for images,
+    // byte-sampled stand-in for non-image payloads)
+    "q_multimodal_resize" -> (resizeQuery _))
 }

@@ -81,4 +81,25 @@ class MultimodalSpec extends SparkSpec {
         graft.text.TextExprs.dot("f_a", "f_b", 16).spark))
     assert(sims.filter($"dot".isNull).count() === 0)
   }
+
+  test("resize: real-image path is exact nearest-neighbor pixel sampling") {
+    import spark.implicits._
+    // 16x8 PNG, left half pure red, right half pure blue
+    val w = 16; val h = 8
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      bi.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val media = Seq(Multimodal.Media(1L, "image", bos.toByteArray)).toDS()
+    val row = Multimodal.resizeThumbs(media).collect().head
+    val thumb = row.getAs[String]("thumb").split("-").map(_.toInt)
+    assert(thumb.length === 64)
+    // thumb col c samples source x = c*16/8 = 2c: cols 0-3 red, 4-7 blue
+    for (k <- thumb.indices) {
+      val expected = if (k % 8 < 4) 0xFF0000 else 0x0000FF
+      assert(thumb(k) === expected, s"pixel $k")
+    }
+  }
 }
