@@ -710,6 +710,55 @@ ORDER BY balde"""
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of the exact
+    * shingle-overlap [[decontaminate]]: an eval doc is flagged when its
+    * MinHash-LSH band keys collide with ANY train doc's (the
+    * Dolma/RefinedWeb-style benchmark sweep that catches paraphrased or
+    * lightly-edited leakage exact shingles miss). Reuses the identical
+    * signature/band derivation as the dedup family (TextOps
+    * shingle_minhashes kernel + lshBandsExpr; oracle reuses
+    * lshCtesShared), same train/eval convention as the exact form
+    * (doc_id ≡ 0 mod 10 → eval). Scale shape: the probe is an equi-join
+    * on (band_idx, band_key) — O(docs × 4) rows, train side never
+    * broadcast (benchmark sweeps run against corpus-scale training sets).
+    */
+  def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // one signature pass feeds the train index AND the probe (eager
+    // barrier, same device as the dedup family's signature stage)
+    val bandsOf = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+      .selectExpr("doc_id", "shingle_minhashes(toks, 3, 8) AS mh")
+      .selectExpr("doc_id", s"${TextOps.lshBandsExpr} AS bands")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bkey"))))
+    val train = bandsOf.filter("doc_id % 10 <> 0")
+      .toDF("doc_treino", "band_idx", "bkey")
+    val hits = bandsOf.filter("doc_id % 10 = 0")
+      .join(train, Seq("band_idx", "bkey"))
+      .groupBy("doc_id")
+      .agg(countDistinct("doc_treino").as("n_vizinhos"))
+    documents(s, d).selectExpr("CAST(doc_id AS BIGINT) AS doc_id")
+      .filter("doc_id % 10 = 0")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_vizinhos"))
+      .selectExpr("doc_id", "n_vizinhos",
+        "CASE WHEN n_vizinhos > 0 THEN 1 ELSE 0 END AS contaminado")
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateFuzzyOracle: String =
+    s"""WITH ${TextOps.lshCtesShared},
+train AS (SELECT doc_id AS doc_treino, band_idx, bkey FROM expl WHERE doc_id % 10 <> 0),
+hits AS (
+  SELECT e.doc_id, COUNT(DISTINCT t.doc_treino) AS n_vizinhos
+  FROM expl e JOIN train t ON e.band_idx = t.band_idx AND e.bkey = t.bkey
+  WHERE e.doc_id % 10 = 0 GROUP BY 1)
+SELECT d.doc_id AS doc_id, coalesce(h.n_vizinhos, 0) AS n_vizinhos,
+       CASE WHEN coalesce(h.n_vizinhos, 0) > 0 THEN 1 ELSE 0 END AS contaminado
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id"""
+
   // ------------------------------------------------------- corpus novelty
 
   /** The "already trained on" reference corpus: a fixed source set. At
@@ -1424,6 +1473,8 @@ ORDER BY d.doc_id"""
     "q_pii_luhn" -> (piiLuhn _),
     "q_text_repetition" -> (textRepetition _),
     "q_decontaminate" -> (decontaminate _),
+    // MinHash-band near-dup leakage sweep (catches paraphrase leakage)
+    "q_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     // novelty vs a reference corpus: anti-join on the 60-bit shingle hash
     "q_ngram_novelty" -> (ngramNovelty _),
     // the streamed twin: arrivals anti-join the static reference store
@@ -1634,6 +1685,7 @@ ${dupTri.duck} AS razao_trigramas_dup,
 ${topTok.duck} AS fracao_token_top,
 ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
 FROM documents ORDER BY doc_id""",
+    "q_decontaminate_fuzzy" -> decontaminateFuzzyOracle,
     "q_decontaminate" ->
       s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
   list_distinct(list_transform(${SH.duck}, s -> ${hash60("s").duck})) AS shd FROM documents),

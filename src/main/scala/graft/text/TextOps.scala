@@ -1013,6 +1013,24 @@ SELECT doc_a, doc_b, jaccard FROM (
   GROUP BY a.doc_id, b.doc_id, a.n, b.n)
 WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
+  /** Shared DuckDB CTE chain: documents → shingle md5s → parsed halves →
+    * 8 minhashes → band keys → exploded (doc, band_idx, band_key) — one
+    * source for the dedup-pair oracles here and the fuzzy-decontamination
+    * oracle in CurationOps, so the band derivations can never drift.
+    */
+  private[graft] lazy val lshCtesShared: String = {
+    val mhDuck = (0 until 8).map(i => s"${minhash("a1", "a2", i).duck} AS mh$i")
+    val bandsDuck = (0 until 4)
+      .map(j => s"md5(concat(mh${2 * j}, '_', mh${2 * j + 1}))")
+      .mkString("[", ", ", "]")
+    s"""sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${md5List(SH.duck).duck} AS hs FROM documents),
+halves AS (SELECT doc_id, ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2 FROM sh),
+mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM halves),
+bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
+expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
+         FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)"""
+  }
+
   private def simhash64Oracle: String = {
     val bandEqs = (0 until 4)
       .map(j => s"((a.sig >> ${16 * (3 - j)}) & 65535) = ((b.sig >> ${16 * (3 - j)}) & 65535)")
@@ -1051,19 +1069,7 @@ n AS (SELECT COUNT(*) AS n FROM toks)"""
         .mkString(" AND ")
       s"CASE WHEN NOT ($allZero) AND $geAll THEN '$l' ELSE $rest END"
     }
-    val mhDuck = (0 until 8).map(i => s"${minhash("a1", "a2", i).duck} AS mh$i")
-    val bandsDuck = (0 until 4)
-      .map(j => s"md5(concat(mh${2 * j}, '_', mh${2 * j + 1}))")
-      .mkString("[", ", ", "]")
-    // shared CTE chain: documents → shingle md5s → parsed halves →
-    // 8 minhashes → band keys → exploded (doc, band_idx, band_key)
-    val lshCtes =
-      s"""sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${md5List(SH.duck).duck} AS hs FROM documents),
-halves AS (SELECT doc_id, ${hashHalf("hs", 1).duck} AS a1, ${hashHalf("hs", 17).duck} AS a2 FROM sh),
-mh AS (SELECT doc_id, ${mhDuck.mkString(", ")} FROM halves),
-bands AS (SELECT doc_id, $bandsDuck AS bands FROM mh),
-expl AS (SELECT doc_id, i.i AS band_idx, bands[i.i + 1] AS bkey
-         FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i)"""
+    val lshCtes = lshCtesShared
     // connected components over the LSH pairs: the recursive reach CTE the
     // cluster and canonical-dedup oracles share
     val clusterCtes =
