@@ -239,7 +239,13 @@ object Bench {
       // r12.5: personalized PageRank, journey mining, the engagement
       // broadcast join, the histogram sketch, and the CDC apply
       "q_pagerank_personalized", "q_path_mining", "q_engagement_prior",
-      "q_sketch_histogram", "q_cdc_apply").foreach { name =>
+      "q_sketch_histogram", "q_cdc_apply",
+      // r12.6: the declarative constraint suite (one scan per rule
+      // family + key anti-joins), per-user hourly forward-fill
+      // densification, the degree-oriented triangle census, blocked
+      // Levenshtein entity matching, and hash-priority weighted sampling
+      "q_dq_checks", "q_time_gapfill", "q_triangle_count",
+      "q_fuzzy_match", "q_weighted_sample").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

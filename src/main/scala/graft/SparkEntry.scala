@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
     graft.text.TextOps.queries ++ graft.text.CurationOps.queries ++
     graft.text.RetrievalOps.queries ++ graft.ops.GraphOps.queries ++
+    graft.ops.QualityOps.queries ++
     graft.sim.EmbeddingOps.queries ++
     graft.multimodal.Multimodal.queries ++ graft.etl.Scd.queries ++
     graft.etl.Incremental.queries ++ graft.etl.Cdc.queries
@@ -205,6 +206,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = graft.oracle.OracleSql.all ++
     graft.text.TextOps.oracle ++ graft.text.CurationOps.oracle ++
     graft.text.RetrievalOps.oracle ++ graft.ops.GraphOps.oracle ++
+    graft.ops.QualityOps.oracle ++
     graft.sim.EmbeddingOps.oracle ++
     graft.multimodal.Multimodal.oracle ++ graft.etl.Scd.oracle ++
     graft.etl.Cdc.oracle

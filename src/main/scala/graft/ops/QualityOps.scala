@@ -1,0 +1,441 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Data-release quality gates and the remaining curation-adjacent
+  * relational devices: a declarative constraint suite (the check a
+  * pipeline runs before promoting a snapshot — cf. the reference's
+  * implicit trust in its CSV inputs, SURVEY §2.1, made explicit),
+  * per-entity time-grid resampling with forward fill, degree-oriented
+  * triangle counting on the page-transition graph, blocked fuzzy
+  * entity matching, and deterministic hash-priority weighted sampling.
+  *
+  * Scale shapes:
+  *   - constraint suite: every table-local rule family is ONE scan
+  *     (a multi-aggregate fold unpivoted by `stack`); referential
+  *     rules are anti-joins on the key (broadcast when the dim is
+  *     bounded, shuffle otherwise) — never a row-wise rule loop.
+  *   - gap-fill: the grid is `explode(sequence(...))` per entity (no
+  *     driver-side calendar), observations reduce to one row per
+  *     (entity, grid cell) BEFORE the join, and the fill is a single
+  *     per-entity window pass.
+  *   - triangles: edges oriented low-degree → high-degree so every
+  *     wedge is enumerated at its minimum-degree vertex — the classic
+  *     bound (sum of squared out-degrees ≤ m^1.5) that keeps hub
+  *     vertices from exploding the wedge join at web scale.
+  *   - fuzzy match: levenshtein only WITHIN (block, length-band)
+  *     equi-join groups — all-pairs never materializes.
+  *   - weighted sample: priority = hash/weight per row, then a
+  *     TakeOrderedAndProject top-k — O(k) memory per partition, no
+  *     global sort, reproducible across engines and runs.
+  */
+object QualityOps {
+
+  // ---------------------------------------------------------------- dq
+
+  /** Declarative constraint suite over the sales tables: primary-key
+    * uniqueness, domain membership, range, and referential integrity,
+    * each reported as (rule, checked, violations, passed). Local rules
+    * per table fold in one scan; FK rules are key anti-joins.
+    */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    val c = customer(s, d)
+
+    // orders-local rules: one scan, multi-aggregate, unpivoted
+    val oLocal = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+      coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)), lit(0L)).as("v_status"),
+      coalesce(sum(when(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L)).as("v_price"))
+      .selectExpr("""stack(3,
+        'orders.pk_unique',           n, v_pk,
+        'orders.status_domain',       n, v_status,
+        'orders.totalprice_positive', n, v_price)
+        AS (rule, checked, violations)""")
+
+    // lineitem-local rules: one scan
+    val liLocal = li.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)), lit(0L)).as("v_qty"),
+      coalesce(sum(when(col("l_discount") > 0.08, 1L)
+        .otherwise(0L)), lit(0L)).as("v_disc"))
+      .selectExpr("""stack(2,
+        'lineitem.quantity_range',   n, v_qty,
+        'lineitem.discount_le_8pct', n, v_disc)
+        AS (rule, checked, violations)""")
+
+    // referential integrity: anti-join violation counts. customer is a
+    // bounded dim → broadcast; orders grows with the fact → shuffle
+    // anti-join (AQE-owned), optionally bloom-prefiltered at 100 TB.
+    val oFk = o.join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(o.agg(count(lit(1)).as("checked")))
+      .select(lit("orders.fk_customer").as("rule"),
+        col("checked"), col("violations"))
+    val liFk = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(li.agg(count(lit(1)).as("checked")))
+      .select(lit("lineitem.fk_orders").as("rule"),
+        col("checked"), col("violations"))
+
+    oLocal.unionByName(liLocal).unionByName(oFk).unionByName(liFk)
+      .select(col("rule"),
+        col("checked").cast("long").as("checked"),
+        col("violations").cast("long").as("violations"),
+        (col("violations") === 0).as("passed"))
+      .orderBy("rule")
+  }
+
+  /** The events-side constraint suite (domain / range / payload-shape
+    * rules only — all row-local, so the streamed twin's per-batch
+    * counts ADD exactly). Two rules genuinely fire on the generated
+    * data ('error' events exist; value has a tail past 450) — the gate
+    * pins nonzero violation counts, not just a wall of zeros.
+    */
+  def dqEvents(s: SparkSession, d: String): DataFrame =
+    dqEventsPartial(events(s, d))
+      .select(col("rule"), col("checked"), col("violations"),
+        (col("violations") === 0).as("passed"))
+      .orderBy("rule")
+
+  /** One-scan partial rule counts for a slice of events (additive). */
+  private[graft] def dqEventsPartial(ev: DataFrame): DataFrame =
+    ev.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(
+        !col("event_type").isin("view", "click", "purchase", "signup"), 1L)
+        .otherwise(0L)), lit(0L)).as("v_type"),
+      coalesce(sum(when(col("value").isNull ||
+        col("value") < 0 || col("value") > 450, 1L)
+        .otherwise(0L)), lit(0L)).as("v_value"),
+      coalesce(sum(when(
+        get_json_object(col("props"), "$.k").cast("int").isNull ||
+          get_json_object(col("props"), "$.k").cast("int") < 0 ||
+          get_json_object(col("props"), "$.k").cast("int") > 99, 1L)
+        .otherwise(0L)), lit(0L)).as("v_props"))
+      .selectExpr("""stack(3,
+        'events.type_no_error', n, v_type,
+        'events.value_range',   n, v_value,
+        'events.props_key_domain', n, v_props)
+        AS (rule, checked, violations)""")
+      .select(col("rule"), col("checked").cast("long").as("checked"),
+        col("violations").cast("long").as("violations"))
+
+  /** Streamed-twin batch step: fold a micro-batch's partial counts into
+    * the committed rule table by per-rule SUM (exactly-once via the
+    * StoreCommit pointer — replays of a committed batch are no-ops).
+    */
+  private[graft] def dqApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return
+    val partial = dqEventsPartial(batch)
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
+          .groupBy("rule")
+          .agg(sum("checked").as("checked"), sum("violations").as("violations"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/dq_b$batchId")
+    StoreCommit.commit(stateDir, s"dq_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "dq_b")
+  }
+
+  /** Read path of the maintained rule table. */
+  private[graft] def dqReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"dq state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir")
+      .select(col("rule"), col("checked").cast("long").as("checked"),
+        col("violations").cast("long").as("violations"),
+        (col("violations") === 0).as("passed"))
+      .orderBy("rule")
+  }
+
+  // ----------------------------------------------------------- gapfill
+
+  /** Per-user hourly resample of the event stream with forward fill:
+    * every hour between a user's first and last event gets a row; the
+    * carried value is the user's latest observation at or before that
+    * hour (latest = max (ts, event_id) — pinned, not arbitrary).
+    * The standard feature-engineering densification for training on
+    * regularly-sampled sequences.
+    */
+  def timeGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("hora", date_trunc("hour", col("ts")))
+    // one row per (user, hour): the in-hour latest observation
+    val wObs = Window.partitionBy("user_id", "hora")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = ev.withColumn("rn", row_number().over(wObs))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hora"), col("value").as("valor_obs"))
+    // per-user dense hour grid, generated in-plan (no driver calendar)
+    val grid = ev.groupBy("user_id")
+      .agg(min("hora").as("h0"), max("hora").as("h1"))
+      .select(col("user_id"), explode(
+        sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hora"))
+    val wFill = Window.partitionBy("user_id").orderBy("hora")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hora"), "left")
+      .select(col("user_id"), col("hora"),
+        last(col("valor_obs"), ignoreNulls = true).over(wFill).as("valor"),
+        col("valor_obs").isNotNull.as("observado"))
+      .orderBy("user_id", "hora")
+  }
+
+  // --------------------------------------------------------- triangles
+
+  /** Degree-oriented triangle count on the undirected page-transition
+    * graph, plus the wedge count and global clustering coefficient.
+    * Each edge is oriented from its lower-(degree, id) endpoint, so
+    * wedges are enumerated only at a triangle's minimum-degree vertex
+    * — the bound that survives power-law hubs at crawl scale.
+    */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).selectExpr("user_id", "ts", "event_id",
+      "CAST(get_json_object(props, '$.k') AS INT) AS page")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = ev.withColumn("dst", lead("page", 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("page"))
+      .select(least(col("page"), col("dst")).as("a"),
+        greatest(col("page"), col("dst")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // orient low (deg, id) -> high (deg, id)
+    val ed = e
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the orientation source; close against the canonical set
+    val wedgePairs = ed.as("e1").join(ed.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(least(col("e1.v"), col("e2.v")).as("x"),
+        greatest(col("e1.v"), col("e2.v")).as("y"))
+    val tri = wedgePairs.join(e,
+        col("x") === col("a") && col("y") === col("b"))
+      .agg(count(lit(1)).as("triangles"))
+    val edgeN = e.agg(count(lit(1)).as("edges"))
+    val wedgeN = deg.agg(coalesce(sum(col("dg") * (col("dg") - 1) / 2),
+      lit(0L)).cast("long").as("wedges"))
+    edgeN.crossJoin(wedgeN).crossJoin(tri)
+      .select(col("edges").cast("long").as("edges"), col("wedges"),
+        col("triangles").cast("long").as("triangles"),
+        (lit(3.0) * col("triangles").cast("double") /
+          col("wedges").cast("double")).as("cc_global"))
+  }
+
+  // ------------------------------------------------------- fuzzy match
+
+  /** Blocked fuzzy entity matching: candidate duplicate customer pairs
+    * within a (nation, name-length) block at Levenshtein distance ≤ 2.
+    * The entity-resolution primitive — blocking keys make the
+    * quadratic comparison local to each block.
+    */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      trim(col("c_name")).as("nome"),
+      col("c_nationkey").cast("int").as("bloco"))
+      .withColumn("blen", length(col("nome")))
+    c.as("x").join(c.as("y"),
+        col("x.bloco") === col("y.bloco") &&
+          col("x.blen") === col("y.blen") &&
+          col("x.id") < col("y.id") &&
+          levenshtein(col("x.nome"), col("y.nome")) <= 2)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        levenshtein(col("x.nome"), col("y.nome")).cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------- weighted sample
+
+  /** Deterministic weighted sampling: per-doc priority = hash / weight
+    * (weight = n_chars), keep the k smallest. Longer documents are
+    * proportionally likelier to survive; the md5-derived hash makes the
+    * draw reproducible across engines, runs, and partitionings — the
+    * property ad-hoc rand() sampling can't give a released corpus.
+    * Executes as TakeOrderedAndProject: O(k) per partition, no global
+    * sort.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr("doc_id", "n_chars",
+      """CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
+         16, 10) AS BIGINT) AS DOUBLE)
+         / CAST(n_chars AS DOUBLE) AS prioridade""")
+      .orderBy("prioridade", "doc_id").limit(100)
+
+  // ----------------------------------------------------------- oracles
+
+  private val dqChecksOracle: String =
+    """SELECT rule, checked, violations, violations = 0 AS passed FROM (
+  SELECT 'orders.pk_unique' AS rule,
+         (SELECT count(*) FROM orders) AS checked,
+         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS violations
+  UNION ALL
+  SELECT 'orders.status_domain',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P'))
+  UNION ALL
+  SELECT 'orders.totalprice_positive',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+  UNION ALL
+  SELECT 'orders.fk_customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.quantity_range',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+  UNION ALL
+  SELECT 'lineitem.discount_le_8pct',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_discount > 0.08)
+  UNION ALL
+  SELECT 'lineitem.fk_orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+ORDER BY rule"""
+
+  private val dqEventsOracle: String =
+    """SELECT rule, checked, violations, violations = 0 AS passed FROM (
+  SELECT 'events.type_no_error' AS rule,
+         (SELECT count(*) FROM events) AS checked,
+         (SELECT count(*) FROM events
+          WHERE event_type NOT IN ('view','click','purchase','signup')) AS violations
+  UNION ALL
+  SELECT 'events.value_range',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE value IS NULL OR value < 0 OR value > 450)
+  UNION ALL
+  SELECT 'events.props_key_domain',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+             OR CAST(json_extract_string(props, '$.k') AS INTEGER) < 0
+             OR CAST(json_extract_string(props, '$.k') AS INTEGER) > 99))
+ORDER BY rule"""
+
+  private val gapfillOracle: String =
+    """WITH ev AS (
+  SELECT user_id, ts, event_id, value, date_trunc('hour', ts) AS hora
+  FROM events),
+obs AS (
+  SELECT user_id, hora, value AS valor_obs FROM (
+    SELECT user_id, hora, value,
+           row_number() OVER (PARTITION BY user_id, hora
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(hora), max(hora), INTERVAL 1 HOUR)) AS hora
+  FROM ev GROUP BY user_id)
+SELECT g.user_id, g.hora,
+       last_value(o.valor_obs IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.hora
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS valor,
+       o.valor_obs IS NOT NULL AS observado
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hora = o.hora
+ORDER BY g.user_id, g.hora"""
+
+  private val triangleOracle: String =
+    """WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS page
+  FROM events),
+tr AS (
+  SELECT page AS src,
+         lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM tr WHERE dst IS NOT NULL AND src <> dst),
+deg AS (
+  SELECT n, count(*) AS dg FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges,
+       CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS BIGINT) AS wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
+       3.0 * CAST((SELECT t FROM tri) AS DOUBLE)
+         / CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS DOUBLE) AS cc_global"""
+
+  private val fuzzyOracle: String =
+    """WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, trim(c_name) AS nome,
+         CAST(c_nationkey AS INTEGER) AS bloco,
+         length(trim(c_name)) AS blen
+  FROM customer)
+SELECT x.id AS id_a, y.id AS id_b,
+       CAST(levenshtein(x.nome, y.nome) AS INTEGER) AS dist
+FROM c x JOIN c y
+  ON x.bloco = y.bloco AND x.blen = y.blen AND x.id < y.id
+ AND levenshtein(x.nome, y.nome) <= 2
+ORDER BY id_a, id_b"""
+
+  private val weightedSampleOracle: String =
+    """SELECT doc_id, n_chars,
+       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade
+FROM documents ORDER BY prioridade, doc_id LIMIT 100"""
+
+  // ------------------------------------------------------ registration
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // declarative constraint suite over the star inputs (PK/domain/
+    // range/FK), one scan per table-local family + key anti-joins
+    "q_dq_checks" -> (dqChecks _),
+    // the events-side (row-local) rule suite — two rules genuinely fire
+    "q_dq_events" -> (dqEvents _),
+    // the rule table maintained additively per micro-batch
+    "q_dq_events_stream" ->
+      (graft.streaming.Streams.dqEventsStreamed _),
+    // per-user hourly resample + forward fill (sequence densification)
+    "q_time_gapfill" -> (timeGapfill _),
+    // degree-oriented triangle census of the page-transition graph
+    "q_triangle_count" -> (triangleCount _),
+    // blocked Levenshtein entity matching (nation × name-length blocks)
+    "q_fuzzy_match" -> (fuzzyMatch _),
+    // reproducible hash-priority weighted sample of the corpus
+    "q_weighted_sample" -> (weightedSample _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dq_checks" -> dqChecksOracle,
+    "q_dq_events" -> dqEventsOracle,
+    // per-batch counts are additive → the stream converges to the scan
+    "q_dq_events_stream" -> dqEventsOracle,
+    "q_time_gapfill" -> gapfillOracle,
+    "q_triangle_count" -> triangleOracle,
+    "q_fuzzy_match" -> fuzzyOracle,
+    "q_weighted_sample" -> weightedSampleOracle)
+}

@@ -963,6 +963,37 @@ object Streams {
     graft.ops.GraphOps.hllGroupedReadState(spark, state).orderBy("dia", "balde")
   }
 
+  /** The events constraint suite maintained as a STREAM — incremental
+    * twin of graft.ops.QualityOps.dqEvents. Every rule is row-local, so
+    * any sharding makes per-batch (checked, violations) counts ADD
+    * exactly; the committed rule table is folded by per-rule SUM
+    * (StoreCommit exactly-once) and reads back bit-identical to the
+    * one-shot scan (same oracle). This is the production shape of a
+    * data-quality monitor: rules evaluated on arrival, violations
+    * visible continuously, never a full rescan.
+    */
+  def dqEventsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_dq_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "event_type", "value", "props")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.QualityOps.dqApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.QualityOps.dqReadState(spark, state)
+  }
+
   /** The equi-width histogram maintained as a STREAM — incremental twin
     * of graft.ops.RelationalOps.histogramCells: per-batch cells ADD into
     * the committed table (StoreCommit exactly-once). The bounds are

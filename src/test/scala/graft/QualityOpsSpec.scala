@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.QualityOps
+
+/** The data-quality / resample / graph-census / entity-match /
+  * weighted-sample family at sf0.001: semantic invariants the DuckDB
+  * hash gate can't express (cross-form agreement, monotonicities,
+  * grid density), plus plan-shape checks for the scale devices.
+  */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dqChecks: every rule rows present, FK+PK rules pass on generated data") {
+    val out = QualityOps.dqChecks(spark, tiny).collect()
+    val byRule = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byRule.keySet === Set(
+      "orders.pk_unique", "orders.status_domain", "orders.totalprice_positive",
+      "orders.fk_customer", "lineitem.quantity_range",
+      "lineitem.discount_le_8pct", "lineitem.fk_orders"))
+    // structural rules hold on the generated star
+    for (r <- Seq("orders.pk_unique", "orders.fk_customer", "lineitem.fk_orders"))
+      assert(byRule(r)._3, s"$r should pass")
+    // the deliberately tight range rule fires (discounts reach 0.10)
+    assert(byRule("lineitem.discount_le_8pct")._2 > 0)
+    // passed is derived, never out of sync with the count
+    out.foreach(r => assert(r.getBoolean(3) === (r.getLong(2) == 0L)))
+    // checked = full table cardinality
+    assert(byRule("orders.pk_unique")._1 ===
+      Tables.orders(spark, tiny).count())
+  }
+
+  test("dqEvents: row-local rules, 'error' events counted as violations") {
+    val out = QualityOps.dqEvents(spark, tiny).collect()
+    val byRule = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val errors = Tables.events(spark, tiny)
+      .filter(col("event_type") === "error").count()
+    assert(errors > 0, "generated data should contain error events")
+    assert(byRule("events.type_no_error") === errors)
+    assert(byRule("events.props_key_domain") === 0L)
+  }
+
+  test("dqEvents: partial counts are additive across any row split") {
+    val ev = Tables.events(spark, tiny)
+    val whole = QualityOps.dqEvents(spark, tiny)
+      .select("rule", "checked", "violations").as[(String, Long, Long)]
+      .collect().map { case (k, v, w) => k -> (v, w) }.toMap
+    val a = graft.ops.QualityOps.dqEventsPartial(ev.filter(col("event_id") % 3 === 0))
+    val b = graft.ops.QualityOps.dqEventsPartial(ev.filter(col("event_id") % 3 =!= 0))
+    val merged = a.unionByName(b).groupBy("rule")
+      .agg(sum("checked").as("c"), sum("violations").as("v"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, v) => k -> (c, v) }.toMap
+    assert(merged === whole)
+  }
+
+  test("timeGapfill: dense per-user hourly grid, forward fill total") {
+    val out = QualityOps.timeGapfill(spark, tiny).cache()
+    // no hour on the grid lacks a carried value (first grid hour is an
+    // observation by construction)
+    assert(out.filter(col("valor").isNull).count() === 0)
+    // grid density: rows per user == span hours + 1, exactly
+    val spans = Tables.events(spark, tiny)
+      .groupBy("user_id")
+      .agg(((unix_timestamp(date_trunc("hour", max("ts"))) -
+        unix_timestamp(date_trunc("hour", min("ts")))) / 3600 + 1)
+        .cast("long").as("expected"))
+    val actual = out.groupBy("user_id").agg(count(lit(1)).as("got"))
+    assert(spans.join(actual, "user_id")
+      .filter(col("expected") =!= col("got")).count() === 0)
+    // observed hours carry their own (latest in-hour) value verbatim
+    val observed = out.filter(col("observado"))
+    val direct = Tables.events(spark, tiny)
+      .withColumn("hora", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "hora")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hora"), col("value").as("direto"))
+    assert(observed.join(direct, Seq("user_id", "hora"))
+      .filter(col("valor") =!= col("direto")).count() === 0)
+    out.unpersist(): Unit
+  }
+
+  test("triangleCount: oriented census equals the naive a<b triple join") {
+    val row = QualityOps.triangleCount(spark, tiny).collect().head
+    val (edges, wedges, tris) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // rebuild the canonical edge set and count naively
+    val ev = Tables.events(spark, tiny).selectExpr("user_id", "ts", "event_id",
+      "CAST(get_json_object(props, '$.k') AS INT) AS page")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val e = ev.withColumn("dst", lead("page", 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("page"))
+      .select(least(col("page"), col("dst")).as("a"),
+        greatest(col("page"), col("dst")).as("b")).distinct().cache()
+    assert(e.count() === edges)
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(naive === tris)
+    assert(wedges >= tris * 3, "every triangle contributes 3 wedges")
+    assert(row.getDouble(3) === 3.0 * tris.toDouble / wedges.toDouble)
+    e.unpersist(): Unit
+  }
+
+  test("fuzzyMatch: pairs canonical, distance bounded, block-consistent") {
+    val out = QualityOps.fuzzyMatch(spark, tiny)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, dv) =>
+      assert(a < b); assert(dv >= 1 && dv <= 2)
+    }
+    // every emitted pair really is in the same nation block
+    val nation = Tables.customer(spark, tiny)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (a, b, _) => assert(nation(a) === nation(b)) }
+  }
+
+  test("weightedSample: deterministic, size-k, priority-sorted, weight-biased") {
+    val s1 = QualityOps.weightedSample(spark, tiny)
+      .as[(Long, Long, Double)].collect()
+    val s2 = QualityOps.weightedSample(spark, tiny)
+      .as[(Long, Long, Double)].collect()
+    assert(s1.toSeq === s2.toSeq, "hash priority must be run-stable")
+    assert(s1.length === 100)
+    assert(s1.map(_._3).toSeq === s1.map(_._3).sorted.toSeq)
+    // weighting bias: sampled docs skew longer than the corpus mean
+    val corpusMean = Tables.documents(spark, tiny)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = s1.map(_._2.toDouble).sum / s1.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("weightedSample plan: top-k runs as TakeOrderedAndProject, no global sort") {
+    val plan = QualityOps.weightedSample(spark, tiny)
+      .queryExecution.executedPlan
+    assert(allNodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]))
+  }
+}
