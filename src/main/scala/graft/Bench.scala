@@ -245,7 +245,10 @@ object Bench {
       // densification, the degree-oriented triangle census, blocked
       // Levenshtein entity matching, and hash-priority weighted sampling
       "q_dq_checks", "q_time_gapfill", "q_triangle_count",
-      "q_fuzzy_match", "q_weighted_sample").foreach { name =>
+      "q_fuzzy_match", "q_weighted_sample",
+      // r12.6: snapshot diff (full-outer key join, null-safe compare)
+      // and rational-PMI collocation mining (array-local bigrams)
+      "q_table_diff", "q_phrase_pmi").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

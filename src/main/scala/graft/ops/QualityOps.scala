@@ -286,6 +286,131 @@ object QualityOps {
          / CAST(n_chars AS DOUBLE) AS prioridade""")
       .orderBy("prioridade", "doc_id").limit(100)
 
+  // -------------------------------------------------------- table diff
+
+  /** Snapshot diff — the data-regression primitive: given two versions
+    * of a table, emit every added / removed / changed row. Here the two
+    * versions are derived deterministically from orders (old: keys
+    * ∤10; new: keys ∤1000+1, with a price restatement on keys ÷7), so
+    * all three classes are nonempty and the gate pins each. One
+    * full-outer shuffle join on the key; change detection is null-safe
+    * column compare (at 100 TB you'd first reduce the non-key columns
+    * to one digest per side inside Spark — same plan shape, narrower
+    * exchange).
+    */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    val old = o.filter(col("k") % 10 =!= 0)
+      .select(col("k").as("ka"), col("status").as("status_old"),
+        col("price").as("price_old"))
+    val neu = o.filter(col("k") % 1000 =!= 1)
+      .select(col("k").as("kb"), col("status").as("status_new"),
+        when(col("k") % 7 === 0,
+          col("price") * lit(1.1).cast("double"))
+          .otherwise(col("price")).as("price_new"))
+    old.join(neu, col("ka") === col("kb"), "full_outer")
+      .withColumn("change",
+        when(col("ka").isNull, "added")
+          .when(col("kb").isNull, "removed")
+          .when(!(col("status_old") <=> col("status_new")) ||
+            !(col("price_old") <=> col("price_new")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        col("change"), col("status_old"), col("status_new"),
+        col("price_old"), col("price_new"))
+      .orderBy("o_orderkey")
+  }
+
+  // -------------------------------------------------------- phrase PMI
+
+  private val PMI_MIN_COUNT = 5
+  private val PMI_TOPK = 50
+
+  /** Collocation mining (word2phrase-style): top-k adjacent bigrams by
+    * pointwise mutual information, PMI spelled as the exact rational
+    * n_ab·N / (n_a·n_b) — integer products then ONE correctly-rounded
+    * double division, so scores gate bit-exactly (log-PMI is monotone
+    * in this ratio, so the ranking is identical). Bigrams derive
+    * array-locally (zip the token array with its own tail — no
+    * per-token window shuffle); the min-count filter runs BEFORE the
+    * unigram joins, and candidate bigrams after it are vocabulary-
+    * bounded, not corpus-bounded.
+    */
+  def phrasePmi(s: SparkSession, d: String): DataFrame = {
+    val counts = pmiCounts(documents(s, d))
+    pmiRank(counts._1, counts._2)
+  }
+
+  /** (unigram counts, bigram counts ≥ min support) for a doc slice —
+    * both are doc-local, so counts ADD under doc-complete sharding.
+    * The bigram min-count filter must NOT run here (a bigram can cross
+    * the threshold only after merging slices) — it runs at rank time.
+    */
+  private[graft] def pmiCounts(docs: DataFrame): (DataFrame, DataFrame) = {
+    import graft.text.TextExprs
+    val t = TextExprs.tokens("lower(text)")
+    val base = docs.selectExpr(s"${t.spark} AS toks")
+    val uni = base.selectExpr("explode(toks) AS w")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .selectExpr("""explode(zip_with(
+          slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          (a, b) -> struct(a AS w1, b AS w2))) AS p""")
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    (uni, bi)
+  }
+
+  /** Rank merged counts: min-support filter, unigram joins, rational
+    * PMI, deterministic top-k.
+    */
+  private[graft] def pmiRank(uni: DataFrame, bi: DataFrame): DataFrame = {
+    val nTotal = uni.agg(sum("n_w").as("nn"))
+    bi.filter(col("n_ab") >= PMI_MIN_COUNT)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .selectExpr("w1", "w2", "CAST(n_ab AS BIGINT) AS n_ab",
+        "CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(n_ab * nn AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS score")
+      .orderBy(desc("score"), asc("w1"), asc("w2")).limit(PMI_TOPK)
+  }
+
+  /** Streamed-twin batch step: fold a doc-complete micro-batch's
+    * unigram + bigram counts into the committed pair of count tables
+    * (both live under one commit pointer — one atomic state version).
+    */
+  private[graft] def pmiApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return
+    val (uni, bi) = pmiCounts(batch)
+    val (mUni, mBi) = prior match {
+      case Some((dir, _)) =>
+        (uni.unionByName(s.read.parquet(s"$stateDir/$dir/uni"))
+          .groupBy("w").agg(sum("n_w").as("n_w")),
+          bi.unionByName(s.read.parquet(s"$stateDir/$dir/bi"))
+            .groupBy("w1", "w2").agg(sum("n_ab").as("n_ab")))
+      case None => (uni, bi)
+    }
+    mUni.write.mode("overwrite").parquet(s"$stateDir/pmi_b$batchId/uni")
+    mBi.write.mode("overwrite").parquet(s"$stateDir/pmi_b$batchId/bi")
+    StoreCommit.commit(stateDir, s"pmi_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "pmi_b")
+  }
+
+  /** Read path: rank the maintained counts (same top-k as the scan). */
+  private[graft] def pmiReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"pmi state not initialized: $stateDir"))
+    pmiRank(s.read.parquet(s"$stateDir/$dir/uni"),
+      s.read.parquet(s"$stateDir/$dir/bi"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   private val dqChecksOracle: String =
@@ -409,6 +534,49 @@ ORDER BY id_a, id_b"""
             AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade
 FROM documents ORDER BY prioridade, doc_id LIMIT 100"""
 
+  private val tableDiffOracle: String =
+    """WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+         o_totalprice AS price
+  FROM orders),
+old AS (
+  SELECT k AS ka, status AS status_old, price AS price_old
+  FROM o WHERE k % 10 <> 0),
+neu AS (
+  SELECT k AS kb, status AS status_new,
+         CASE WHEN k % 7 = 0 THEN price * CAST(1.1 AS DOUBLE)
+              ELSE price END AS price_new
+  FROM o WHERE k % 1000 <> 1),
+j AS (
+  SELECT coalesce(ka, kb) AS o_orderkey,
+         CASE WHEN ka IS NULL THEN 'added'
+              WHEN kb IS NULL THEN 'removed'
+              WHEN status_old IS DISTINCT FROM status_new
+                OR price_old IS DISTINCT FROM price_new THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         status_old, status_new, price_old, price_new
+  FROM old FULL OUTER JOIN neu ON ka = kb)
+SELECT * FROM j WHERE change <> 'unchanged' ORDER BY o_orderkey"""
+
+  private val phrasePmiOracle: String =
+    s"""WITH base AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+uni AS (
+  SELECT w, count(*) AS n_w FROM (SELECT unnest(toks) AS w FROM base)
+  GROUP BY w),
+nt AS (SELECT CAST(sum(n_w) AS BIGINT) AS nn FROM uni),
+bi AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_ab FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> [toks[i], toks[i + 1]])) AS p
+    FROM base WHERE len(toks) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= $PMI_MIN_COUNT)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ua.n_w AS BIGINT) AS n_a, CAST(ub.n_w AS BIGINT) AS n_b,
+       CAST(n_ab * nn AS DOUBLE) / CAST(ua.n_w * ub.n_w AS DOUBLE) AS score
+FROM bi JOIN uni ua ON ua.w = bi.w1 JOIN uni ub ON ub.w = bi.w2, nt
+ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
+
   // ------------------------------------------------------ registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -427,7 +595,14 @@ FROM documents ORDER BY prioridade, doc_id LIMIT 100"""
     // blocked Levenshtein entity matching (nation × name-length blocks)
     "q_fuzzy_match" -> (fuzzyMatch _),
     // reproducible hash-priority weighted sample of the corpus
-    "q_weighted_sample" -> (weightedSample _))
+    "q_weighted_sample" -> (weightedSample _),
+    // snapshot diff: added/removed/changed rows between table versions
+    "q_table_diff" -> (tableDiff _),
+    // top-k adjacent-bigram collocations by rational PMI
+    "q_phrase_pmi" -> (phrasePmi _),
+    // the PMI count tables maintained under doc-complete arrivals
+    "q_phrase_pmi_stream" ->
+      (graft.streaming.Streams.phrasePmiStreamed _))
 
   val oracle: Map[String, String] = Map(
     "q_dq_checks" -> dqChecksOracle,
@@ -437,5 +612,9 @@ FROM documents ORDER BY prioridade, doc_id LIMIT 100"""
     "q_time_gapfill" -> gapfillOracle,
     "q_triangle_count" -> triangleOracle,
     "q_fuzzy_match" -> fuzzyOracle,
-    "q_weighted_sample" -> weightedSampleOracle)
+    "q_weighted_sample" -> weightedSampleOracle,
+    "q_table_diff" -> tableDiffOracle,
+    "q_phrase_pmi" -> phrasePmiOracle,
+    // doc-complete batch counts add → the stream ranks identically
+    "q_phrase_pmi_stream" -> phrasePmiOracle)
 }

@@ -994,6 +994,35 @@ object Streams {
     graft.ops.QualityOps.dqReadState(spark, state)
   }
 
+  /** PMI collocation counts maintained as a STREAM — incremental twin
+    * of graft.ops.QualityOps.phrasePmi. Bigrams are doc-local, so
+    * DOC-complete micro-batches make both count tables ADD exactly;
+    * the min-support filter and top-k resolve at read time (a bigram
+    * may cross the threshold only after merging slices). One commit
+    * pointer covers the unigram + bigram pair — state versions are
+    * atomic. Same oracle as the one-shot scan.
+    */
+  def phrasePmiStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_pmi_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.QualityOps.pmiApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.QualityOps.pmiReadState(spark, state)
+  }
+
   /** The equi-width histogram maintained as a STREAM — incremental twin
     * of graft.ops.RelationalOps.histogramCells: per-batch cells ADD into
     * the committed table (StoreCommit exactly-once). The bounds are

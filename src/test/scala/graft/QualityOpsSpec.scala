@@ -137,6 +137,59 @@ class QualityOpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("tableDiff: all three change classes present, classification exact") {
+    val out = QualityOps.tableDiff(spark, tiny).cache()
+    val classes = out.select("change").distinct()
+      .as[String].collect().toSet
+    assert(classes === Set("added", "removed", "changed"))
+    // added rows have no old side; removed rows no new side
+    assert(out.filter(col("change") === "added")
+      .filter(col("status_old").isNotNull || col("price_old").isNotNull)
+      .count() === 0)
+    assert(out.filter(col("change") === "removed")
+      .filter(col("status_new").isNotNull || col("price_new").isNotNull)
+      .count() === 0)
+    // changed rows really differ, and only on the restated keys (÷7)
+    val changed = out.filter(col("change") === "changed")
+    assert(changed.filter(col("price_old") === col("price_new")).count() === 0)
+    assert(changed.filter(col("o_orderkey") % 7 =!= 0).count() === 0)
+    // class membership follows the construction arithmetic exactly
+    assert(out.filter(col("change") === "added")
+      .filter(col("o_orderkey") % 10 =!= 0).count() === 0)
+    assert(out.filter(col("change") === "removed")
+      .filter(col("o_orderkey") % 1000 =!= 1).count() === 0)
+    out.unpersist(): Unit
+  }
+
+  test("phrasePmi: scores are the exact rational, ranking monotone in it") {
+    val out = QualityOps.phrasePmi(spark, tiny)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { case (_, _, nab, na, nb, score) =>
+      assert(nab >= 5)
+      assert(nab <= na && nab <= nb,
+        "a bigram can't outnumber either unigram")
+      assert(score > 0)
+    }
+    // descending by score with (w1, w2) tiebreak
+    val scores = out.map(_._6).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+  }
+
+  test("phrasePmi: doc-complete split counts merge to the one-shot counts") {
+    val docs = Tables.documents(spark, tiny).select("doc_id", "text")
+    val (u, b) = QualityOps.pmiCounts(docs)
+    val (u1, b1) = QualityOps.pmiCounts(docs.filter(col("doc_id") % 2 === 0))
+    val (u2, b2) = QualityOps.pmiCounts(docs.filter(col("doc_id") % 2 === 1))
+    val mergedUni = u1.unionByName(u2).groupBy("w").agg(sum("n_w").as("n_w"))
+    val mergedBi = b1.unionByName(b2).groupBy("w1", "w2")
+      .agg(sum("n_ab").as("n_ab"))
+    assert(mergedUni.exceptAll(u).count() === 0 &&
+      u.exceptAll(mergedUni).count() === 0)
+    assert(mergedBi.exceptAll(b).count() === 0 &&
+      b.exceptAll(mergedBi).count() === 0)
+  }
+
   test("weightedSample plan: top-k runs as TakeOrderedAndProject, no global sort") {
     val plan = QualityOps.weightedSample(spark, tiny)
       .queryExecution.executedPlan
