@@ -246,9 +246,11 @@ object Bench {
       // Levenshtein entity matching, and hash-priority weighted sampling
       "q_dq_checks", "q_time_gapfill", "q_triangle_count",
       "q_fuzzy_match", "q_weighted_sample",
-      // r12.6: snapshot diff (full-outer key join, null-safe compare)
-      // and rational-PMI collocation mining (array-local bigrams)
-      "q_table_diff", "q_phrase_pmi").foreach { name =>
+      // r12.6: snapshot diff (full-outer key join, null-safe compare),
+      // rational-PMI collocation mining (array-local bigrams), and the
+      // built-in session_window sessionizer beside the lag/cumsum form
+      "q_table_diff", "q_phrase_pmi",
+      "q_sessionize", "q_sessionize_native").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -130,6 +130,8 @@ object SparkEntry {
     "q_distinct_stats" -> (RelationalOps.distinctStats _),
     "q_asof_join" -> (RelationalOps.asofAttribution _),
     "q_sessionize" -> (RelationalOps.sessionizeBatch _),
+    // the built-in session_window form — same sessions, same oracle
+    "q_sessionize_native" -> (RelationalOps.sessionizeNative _),
     // the STREAMED sessionizer (file source → flatMapGroupsWithState →
     // parquet sink under Trigger.AvailableNow), gated against the same
     // oracle as the batch twin

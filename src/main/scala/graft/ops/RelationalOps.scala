@@ -235,6 +235,35 @@ object RelationalOps {
       .orderBy("user_id", "sessao")
   }
 
+  /** The NATIVE twin of [[sessionizeBatch]]: Spark's built-in
+    * `session_window` aggregation instead of the hand-rolled lag/cumsum
+    * — the "compose existing ops" preference made concrete, and the
+    * form that also runs UNCHANGED as a streaming aggregation (the
+    * lag/cumsum form can't — analytic windows aren't streamable).
+    * Boundary semantics verified empirically (SessionWindowSpec): an
+    * event exactly 30:00.000000 after the last MERGES and 30:00.000001
+    * SPLITS — i.e. session_window's split predicate is `gap > 30min`,
+    * identical to the lag form's, so both gate against the SAME
+    * oracle. Plan shape: one
+    * shuffle on user_id; the per-user session ordinal is a second
+    * window pass over the already-reduced session rows (|sessions| ≪
+    * |events|), not over the event stream.
+    */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = events(spark, dir)
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_eventos"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("inicio"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("fim"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("valor"))
+    val bySessionStart = Window.partitionBy("user_id").orderBy(col("sw.start"))
+    sessions
+      .withColumn("sessao", row_number().over(bySessionStart).cast("int"))
+      .select("user_id", "sessao", "n_eventos", "inicio", "fim", "valor")
+      .orderBy("user_id", "sessao")
+  }
+
   /** Salted two-phase aggregation — the skew pattern: event_type has only
     * a handful of hot keys, so phase 1 spreads each key over 16 salt
     * shards (shuffle is uniform), phase 2 merges the 16 partials per key.

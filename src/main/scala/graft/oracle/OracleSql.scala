@@ -132,7 +132,36 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
        LEFT JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id"""
 
+  /** Shared by q_sessionize AND q_sessionize_native — the built-in
+    * session_window form produces byte-identical sessions to the
+    * lag/cumsum form (both split strictly PAST the 30-min gap;
+    * boundary pinned by SessionWindowSpec).
+    */
+  private val sessionizeSql: String =
+    """WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS quebra
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(quebra) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS sessao
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sessao AS INTEGER) AS sessao,
+       COUNT(*) AS n_eventos,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS inicio,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS fim,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor
+FROM sess
+GROUP BY user_id, sessao
+ORDER BY user_id, sessao"""
+
   val all: Map[String, String] = Map(
+    "q_sessionize_native" -> sessionizeSql,
     // ------------------------------------------------ star-schema builds
     "star_dim_produto" -> withStar(
       "SELECT * FROM dim_produto ORDER BY sk_produto"),
@@ -436,28 +465,7 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts > c.ts
 ORDER BY purchase_id""",
-    "q_sessionize" ->
-      """WITH marked AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-              THEN 1 ELSE 0 END AS quebra
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT *, SUM(quebra) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS UNBOUNDED PRECEDING) AS sessao
-  FROM marked
-)
-SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sessao AS INTEGER) AS sessao,
-       COUNT(*) AS n_eventos,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS inicio,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS fim,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor
-FROM sess
-GROUP BY user_id, sessao
-ORDER BY user_id, sessao""",
+    "q_sessionize" -> sessionizeSql,
     // the streamed inner interval join must emit exactly the pairs a
     // batch interval join computes (Streams.attributionStreamed)
     "q_attribution_stream" ->
