@@ -136,6 +136,11 @@ object SparkEntry {
     // parquet sink under Trigger.AvailableNow), gated against the same
     // oracle as the batch twin
     "q_sessionize_stream" -> (graft.streaming.Streams.sessionizeStreamed _),
+    // the NATIVE streaming form: the same session_window aggregation as
+    // q_sessionize_native under a watermark in append mode — zero custom
+    // state code; sentinel-flushed; same oracle
+    "q_sessionize_window_stream" ->
+      (graft.streaming.Streams.sessionizeWindowStreamed _),
     // the streamed INNER interval join (stream-stream, both sides
     // watermarked), gated against a plain batch interval-join oracle
     "q_attribution_stream" -> (graft.streaming.Streams.attributionStreamed _),

@@ -286,11 +286,45 @@ object QualityOps {
     * sort.
     */
   def weightedSample(s: SparkSession, d: String): DataFrame =
-    documents(s, d).selectExpr("doc_id", "n_chars",
+    wsTopK(wsPriorities(documents(s, d)))
+
+  private val WS_K = 100
+
+  /** Row-local hash priority for a doc slice. */
+  private[graft] def wsPriorities(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "n_chars",
       """CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
          16, 10) AS BIGINT) AS DOUBLE)
          / CAST(n_chars AS DOUBLE) AS prioridade""")
-      .orderBy("prioridade", "doc_id").limit(100)
+
+  private[graft] def wsTopK(pri: DataFrame): DataFrame =
+    pri.orderBy("prioridade", "doc_id").limit(WS_K)
+
+  /** Streamed-twin batch step: the top-k is mergeable (priority is
+    * row-local), so fold the batch's candidate top-k into the committed
+    * k-row store and re-truncate — never more than 2k rows in flight.
+    */
+  private[graft] def wsApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return
+    val partial = wsTopK(wsPriorities(batch))
+    val merged = prior match {
+      case Some((dir, _)) =>
+        wsTopK(partial.unionByName(s.read.parquet(s"$stateDir/$dir")))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/ws_b$batchId")
+    StoreCommit.commit(stateDir, s"ws_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "ws_b")
+  }
+
+  private[graft] def wsReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"ws state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir").orderBy("prioridade", "doc_id")
+  }
 
   // -------------------------------------------------------- table diff
 
@@ -602,6 +636,9 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_fuzzy_match" -> (fuzzyMatch _),
     // reproducible hash-priority weighted sample of the corpus
     "q_weighted_sample" -> (weightedSample _),
+    // the sample maintained under arrivals (mergeable top-k store)
+    "q_weighted_sample_stream" ->
+      (graft.streaming.Streams.weightedSampleStreamed _),
     // snapshot diff: added/removed/changed rows between table versions
     "q_table_diff" -> (tableDiff _),
     // top-k adjacent-bigram collocations by rational PMI
@@ -619,6 +656,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_triangle_count" -> triangleOracle,
     "q_fuzzy_match" -> fuzzyOracle,
     "q_weighted_sample" -> weightedSampleOracle,
+    // merged per-batch top-k recovers the global top-k exactly
+    "q_weighted_sample_stream" -> weightedSampleOracle,
     "q_table_diff" -> tableDiffOracle,
     "q_phrase_pmi" -> phrasePmiOracle,
     // doc-complete batch counts add → the stream ranks identically

@@ -162,6 +162,9 @@ ORDER BY user_id, sessao"""
 
   val all: Map[String, String] = Map(
     "q_sessionize_native" -> sessionizeSql,
+    // the streaming session_window aggregation finalizes exactly the
+    // batch sessions once the sentinel advances the watermark
+    "q_sessionize_window_stream" -> sessionizeSql,
     // ------------------------------------------------ star-schema builds
     "star_dim_produto" -> withStar(
       "SELECT * FROM dim_produto ORDER BY sk_produto"),

@@ -994,6 +994,110 @@ object Streams {
     graft.ops.QualityOps.dqReadState(spark, state)
   }
 
+  /** The NATIVE session_window sessionizer run as a real STREAMING
+    * aggregation — the point of graft.ops.RelationalOps.sessionizeNative:
+    * the same groupBy(user_id, session_window(ts, gap)) spelling, now
+    * under a watermark in append mode. No custom state code at all —
+    * Spark's session-window state store merges windows and the
+    * watermark finalizes a session once nothing can extend it. Two
+    * far-future sentinel events (negative user_ids, filtered at read)
+    * advance the watermark past every real session's close and then
+    * trigger the eviction batch, exactly as in the
+    * flatMapGroupsWithState twin. Money folds as DECIMAL inside the
+    * state (exact, order-independent), cast to double only at read.
+    * Same oracle as q_sessionize / q_sessionize_native.
+    */
+  def sessionizeWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMin = 30
+    val delayMin = 10
+    val base = tempDir("graft_sessw_stream")
+    val streamDir = base.resolve("in"); java.nio.file.Files.createDirectory(streamDir)
+    val stage = base.resolve("stage").toString
+    val outDir = base.resolve("out").toString
+    val cpDir = base.resolve("cp").toString
+
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"),
+      col("value").cast("decimal(18,2)").as("value"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def sentinel(uid: Long, offsetMin: Int): DataFrame = {
+      import spark.implicits._
+      Seq((uid, new java.sql.Timestamp(maxTs.getTime + offsetMin * 60000L),
+        uid, BigDecimal(0)))
+        .toDF("event_id", "ts", "user_id", "value")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("value").cast("decimal(18,2)").as("value"))
+    }
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    val t0 = System.currentTimeMillis()
+    stageFile(ev, "000_events.parquet", t0)
+    stageFile(sentinel(-1L, gapMin + delayMin + 1), "001_s1.parquet", t0 + 60000)
+    stageFile(sentinel(-2L, gapMin + delayMin + 61), "002_s2.parquet", t0 + 120000)
+
+    val sch = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = stream
+      .withWatermark("ts", s"$delayMin minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMin minutes").as("sw"))
+      .agg(count(lit(1)).as("n_eventos"),
+        min(col("ts")).as("inicio_ts"), max(col("ts")).as("fim_ts"),
+        sum(col("value")).as("valor_dec"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .withColumn("sessao", row_number().over(
+        Window.partitionBy("user_id").orderBy("inicio_ts")).cast("int"))
+      .select(col("user_id"), col("sessao"),
+        col("n_eventos").cast("long").as("n_eventos"),
+        date_format(col("inicio_ts"), "yyyy-MM-dd HH:mm:ss").as("inicio"),
+        date_format(col("fim_ts"), "yyyy-MM-dd HH:mm:ss").as("fim"),
+        col("valor_dec").cast("double").as("valor"))
+      .orderBy("user_id", "sessao")
+  }
+
+  /** The weighted sample maintained as a STREAM — incremental twin of
+    * graft.ops.QualityOps.weightedSample. Hash-priority is row-local,
+    * so the top-k is MERGEABLE: top-k(slice A) ∪ top-k(slice B) ⊇
+    * global top-k, and re-ranking the union recovers it exactly —
+    * per-batch candidate top-k folds into the committed k-row store
+    * (StoreCommit exactly-once). The production shape of maintaining a
+    * released sample under corpus growth without rescans.
+    */
+  def weightedSampleStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_wsample_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "n_chars")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.QualityOps.wsApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.QualityOps.wsReadState(spark, state)
+  }
+
   /** PMI collocation counts maintained as a STREAM — incremental twin
     * of graft.ops.QualityOps.phrasePmi. Bigrams are doc-local, so
     * DOC-complete micro-batches make both count tables ADD exactly;

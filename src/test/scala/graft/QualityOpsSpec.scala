@@ -190,6 +190,19 @@ class QualityOpsSpec extends SparkSpec {
       b.exceptAll(mergedBi).count() === 0)
   }
 
+  test("weightedSample: per-slice top-k merge recovers the global top-k") {
+    val docs = Tables.documents(spark, tiny).select("doc_id", "n_chars")
+    val whole = QualityOps.wsTopK(QualityOps.wsPriorities(docs))
+      .as[(Long, Long, Double)].collect().toSeq
+    val a = QualityOps.wsTopK(
+      QualityOps.wsPriorities(docs.filter(col("doc_id") % 2 === 0)))
+    val b = QualityOps.wsTopK(
+      QualityOps.wsPriorities(docs.filter(col("doc_id") % 2 === 1)))
+    val merged = QualityOps.wsTopK(a.unionByName(b))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(merged === whole)
+  }
+
   test("weightedSample plan: top-k runs as TakeOrderedAndProject, no global sort") {
     val plan = QualityOps.weightedSample(spark, tiny)
       .queryExecution.executedPlan
