@@ -148,6 +148,10 @@ object SparkEntry {
     // the watermark proves no match can arrive (sentinel-flushed)
     "q_attribution_stream_outer" ->
       (graft.streaming.Streams.attributionStreamedOuter _),
+    // the FULL OUTER form: unmatched rows flush in BOTH directions once
+    // the other side's watermark proves no match can arrive
+    "q_attribution_stream_full" ->
+      (graft.streaming.Streams.attributionStreamedFull _),
     // streamed MinHash-LSH dedup: per-band stateful index, pairs emitted
     // incrementally as the later doc arrives; two-file staging forces
     // cross-batch pairs through state; same oracle as the batch form

@@ -495,6 +495,19 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
 ORDER BY purchase_id, click_id""",
+    // the FULL OUTER streamed interval join: both directions of
+    // unmatched row must flush (Streams.attributionStreamedFull)
+    "q_attribution_stream_full" ->
+      """SELECT COALESCE(CAST(p.event_id AS BIGINT), -1) AS purchase_id,
+       CAST(COALESCE(p.user_id, c.user_id) AS BIGINT) AS user_id,
+       COALESCE(CAST(c.event_id AS BIGINT), -1) AS click_id,
+       COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '1900-01-01 00:00:00') AS ts_compra,
+       COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '1900-01-01 00:00:00') AS ts_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+ORDER BY purchase_id, click_id""",
     // the streamed sessionizer is gated against the SAME oracle as its
     // batch twin: the stream must converge to the batch answer once the
     // watermark passes every event (Streams.sessionizeStreamed)

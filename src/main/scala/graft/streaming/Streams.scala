@@ -120,6 +120,29 @@ object Streams {
         col("p.ts").as("ts_compra"), col("c.ts").as("ts_click"))
   }
 
+  /** FULL OUTER stream-stream interval join — the last cell of the
+    * join-mode matrix: unmatched purchases AND unmatched clicks both
+    * emit (null far-side columns) once the OTHER side's watermark
+    * proves no match can arrive. An unmatched click is held until the
+    * purchase watermark passes the click's forward join window
+    * (purchases up to ts_click + 1h could still match), symmetric to
+    * the unmatched-purchase case — state stays watermark-bounded on
+    * both sides.
+    */
+  def attributionStreamFull(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    val c = clicks.withWatermark("ts", "70 minutes").alias("c")
+    p.join(c, expr(
+      """p.user_id = c.user_id AND
+        |c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin),
+      "fullOuter")
+      .select(col("p.event_id").as("purchase_id"),
+        coalesce(col("p.user_id"), col("c.user_id")).as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.ts").as("ts_compra"), col("c.ts").as("ts_click"))
+  }
+
   /** The streamed interval-join attribution as a gated batch-comparable
     * query: runs [[attributionStream]] (INNER stream-stream interval join,
     * both sides watermarked) as a real streaming job over the events
@@ -218,6 +241,63 @@ object Streams {
       .select(col("purchase_id"), col("user_id"),
         coalesce(col("click_id"), lit(-1L)).as("click_id"),
         date_format(col("ts_compra"), "yyyy-MM-dd HH:mm:ss").as("ts_compra"),
+        coalesce(date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss"),
+          lit("1900-01-01 00:00:00")).as("ts_click"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** The FULL OUTER form gated: like [[attributionStreamedOuter]] but
+    * with [[attributionStreamFull]] — both directions of unmatched row
+    * must flush. The same sentinel schedule works symmetrically: the
+    * +72 min sentinels put EACH side's watermark past the other side's
+    * last join window (purchase wm = maxTs+62 min > last click + 1 h;
+    * click wm = maxTs+2 min > last purchase), the +150 min pair gives
+    * the join the batch in which eviction runs. All nullable outputs
+    * COALESCE to sentinels so the compare and ordering stay null-free;
+    * unmatched clicks sort under purchase_id = −1, keyed by click_id.
+    */
+  def attributionStreamedFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = tempDir("graft_attrf_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir).select(
+      col("event_id").cast("long").as("event_id"), col("ts"),
+      col("user_id").cast("long").as("user_id"), col("event_type"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def stage(df: DataFrame, side: String, name: String, mtime: Long): Unit = {
+      val tmp = sub(s"stage_$side$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(sub(side)).resolve(name)
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    def sentinel(uid: Long, offsetMin: Int, kind: String) = Seq(
+      (uid, new java.sql.Timestamp(maxTs.getTime + offsetMin * 60000L),
+        uid, kind)).toDF("event_id", "ts", "user_id", "event_type")
+    val t0 = System.currentTimeMillis()
+    stage(ev.filter(col("event_type") === "purchase"), "p", "000.parquet", t0)
+    stage(sentinel(-2L, 72, "purchase"), "p", "001.parquet", t0 + 60000)
+    stage(sentinel(-2L, 150, "purchase"), "p", "002.parquet", t0 + 120000)
+    stage(ev.filter(col("event_type") === "click"), "c", "000.parquet", t0)
+    stage(sentinel(-1L, 72, "click"), "c", "001.parquet", t0 + 60000)
+    stage(sentinel(-1L, 150, "click"), "c", "002.parquet", t0 + 120000)
+    def src(n: String) = spark.readStream
+      .schema(spark.read.parquet(sub(n)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub(n))
+    val q = attributionStreamFull(src("p"), src("c"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out")).filter(col("user_id") >= 0)
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(date_format(col("ts_compra"), "yyyy-MM-dd HH:mm:ss"),
+          lit("1900-01-01 00:00:00")).as("ts_compra"),
         coalesce(date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss"),
           lit("1900-01-01 00:00:00")).as("ts_click"))
       .orderBy("purchase_id", "click_id")
