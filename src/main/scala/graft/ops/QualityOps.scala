@@ -73,19 +73,25 @@ object QualityOps {
         'lineitem.discount_le_8pct', n, v_disc)
         AS (rule, checked, violations)""")
 
-    // referential integrity: anti-join violation counts. customer is a
-    // bounded dim → broadcast; orders grows with the fact → shuffle
-    // anti-join (AQE-owned), optionally bloom-prefiltered at 100 TB.
+    // referential integrity: LEFT join against the (unique-keyed) parent
+    // and count nulls — checked and violations fall out of ONE pass over
+    // the child (an anti-join + separate count would rescan it). The
+    // unique parent key means no fan-out, so count(*) stays the child
+    // cardinality. customer is a bounded dim → broadcast; orders grows
+    // with the fact → shuffle join (AQE-owned), bloom-prefiltered at
+    // 100 TB.
     val oFk = o.join(broadcast(c.select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-      .crossJoin(o.agg(count(lit(1)).as("checked")))
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("checked"),
+        coalesce(sum(when(col("c_custkey").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
       .select(lit("orders.fk_customer").as("rule"),
         col("checked"), col("violations"))
     val liFk = li.join(o.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-      .crossJoin(li.agg(count(lit(1)).as("checked")))
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("checked"),
+        coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
       .select(lit("lineitem.fk_orders").as("rule"),
         col("checked"), col("violations"))
 
@@ -231,8 +237,7 @@ object QualityOps {
     // wedges at the orientation source; close against the canonical set
     val wedgePairs = ed.as("e1").join(ed.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(least(col("e1.v"), col("e2.v")).as("x"),
-        greatest(col("e1.v"), col("e2.v")).as("y"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
     val tri = wedgePairs.join(e,
         col("x") === col("a") && col("y") === col("b"))
       .agg(count(lit(1)).as("triangles"))
@@ -259,15 +264,17 @@ object QualityOps {
       trim(col("c_name")).as("nome"),
       col("c_nationkey").cast("int").as("bloco"))
       .withColumn("blen", length(col("nome")))
-    // the banded (threshold) distance runs INSIDE the join condition —
-    // O(t·len) early-exit DP per candidate, evaluated during the hash
-    // probe so rejected pairs never materialize (measured 15.6 s →
-    // 9.3 s at sf0.1 vs the unbounded form); the exact distance is
-    // recomputed only for the ~3% survivors. Past ~10⁴-member blocks
+    // the length BAND |Δlen| ≤ 2 is a sound filter (levenshtein ≥ length
+    // difference), not a narrowing — insertion/deletion near-dups stay
+    // reachable; the banded (threshold) distance runs INSIDE the join
+    // condition — O(t·len) early-exit DP per candidate, evaluated during
+    // the hash probe so rejected pairs never materialize (measured
+    // 15.6 s → 9.3 s at sf0.1 vs the unbounded form); the exact distance
+    // is recomputed only for the ~3% survivors. Past ~10⁴-member blocks
     // the documented upgrade is PassJoin-style segment indexing.
     c.as("x").join(c.as("y"),
         col("x.bloco") === col("y.bloco") &&
-          col("x.blen") === col("y.blen") &&
+          abs(col("x.blen") - col("y.blen")) <= 2 &&
           col("x.id") < col("y.id") &&
           levenshtein(col("x.nome"), col("y.nome"), 2) >= 0)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -290,12 +297,15 @@ object QualityOps {
 
   private val WS_K = 100
 
-  /** Row-local hash priority for a doc slice. */
-  private[graft] def wsPriorities(docs: DataFrame): DataFrame =
+  /** Row-local hash priority for a doc slice — the 60-bit hash comes
+    * from the shared TextExprs pair so the Spark and DuckDB spellings
+    * cannot drift independently.
+    */
+  private[graft] def wsPriorities(docs: DataFrame): DataFrame = {
+    val h = graft.text.TextExprs.hash60("CAST(doc_id AS STRING)")
     docs.selectExpr("doc_id", "n_chars",
-      """CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
-         16, 10) AS BIGINT) AS DOUBLE)
-         / CAST(n_chars AS DOUBLE) AS prioridade""")
+      s"CAST(${h.spark} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade")
+  }
 
   private[graft] def wsTopK(pri: DataFrame): DataFrame =
     pri.orderBy("prioridade", "doc_id").limit(WS_K)
@@ -564,15 +574,16 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges,
 SELECT x.id AS id_a, y.id AS id_b,
        CAST(levenshtein(x.nome, y.nome) AS INTEGER) AS dist
 FROM c x JOIN c y
-  ON x.bloco = y.bloco AND x.blen = y.blen AND x.id < y.id
+  ON x.bloco = y.bloco AND abs(x.blen - y.blen) <= 2 AND x.id < y.id
  AND levenshtein(x.nome, y.nome) <= 2
 ORDER BY id_a, id_b"""
 
-  private val weightedSampleOracle: String =
-    """SELECT doc_id, n_chars,
-       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade
+  private val weightedSampleOracle: String = {
+    val h = graft.text.TextExprs.hash60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, n_chars,
+       CAST(${h.duck} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade
 FROM documents ORDER BY prioridade, doc_id LIMIT 100"""
+  }
 
   private val tableDiffOracle: String =
     """WITH o AS (

@@ -198,67 +198,20 @@ object Streams {
     *    ts_click → 1900-01-01) in both engines, keeping the compare and
     *    the total ordering null-free.
     */
-  def attributionStreamedOuter(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = tempDir("graft_attro_stream")
-    def sub(n: String) = base.resolve(n).toString
-    val ev = graft.Tables.events(spark, dir).select(
-      col("event_id").cast("long").as("event_id"), col("ts"),
-      col("user_id").cast("long").as("user_id"), col("event_type"))
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-    def stage(df: DataFrame, side: String, name: String, mtime: Long): Unit = {
-      val tmp = sub(s"stage_$side$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dest = java.nio.file.Paths.get(sub(side)).resolve(name)
-      java.nio.file.Files.createDirectories(dest.getParent)
-      java.nio.file.Files.copy(part.toPath, dest)
-      dest.toFile.setLastModified(mtime)
-    }
-    def sentinel(uid: Long, offsetMin: Int, kind: String) = Seq(
-      (uid, new java.sql.Timestamp(maxTs.getTime + offsetMin * 60000L),
-        uid, kind)).toDF("event_id", "ts", "user_id", "event_type")
-    val t0 = System.currentTimeMillis()
-    // click watermark delay is 70 min: +72 min puts the click-side
-    // watermark past every real ts; purchase sentinels keep the global
-    // (min) watermark from pinning at the purchase side's last real row
-    stage(ev.filter(col("event_type") === "purchase"), "p", "000.parquet", t0)
-    stage(sentinel(-2L, 72, "purchase"), "p", "001.parquet", t0 + 60000)
-    stage(sentinel(-2L, 150, "purchase"), "p", "002.parquet", t0 + 120000)
-    stage(ev.filter(col("event_type") === "click"), "c", "000.parquet", t0)
-    stage(sentinel(-1L, 72, "click"), "c", "001.parquet", t0 + 60000)
-    stage(sentinel(-1L, 150, "click"), "c", "002.parquet", t0 + 120000)
-    def src(n: String) = spark.readStream
-      .schema(spark.read.parquet(sub(n)).schema)
-      .option("maxFilesPerTrigger", "1").parquet(sub(n))
-    val q = attributionStreamOuter(src("p"), src("c"))
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.read.parquet(sub("out")).filter(col("user_id") >= 0)
-      .select(col("purchase_id"), col("user_id"),
-        coalesce(col("click_id"), lit(-1L)).as("click_id"),
-        date_format(col("ts_compra"), "yyyy-MM-dd HH:mm:ss").as("ts_compra"),
-        coalesce(date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss"),
-          lit("1900-01-01 00:00:00")).as("ts_click"))
-      .orderBy("purchase_id", "click_id")
-  }
-
-  /** The FULL OUTER form gated: like [[attributionStreamedOuter]] but
-    * with [[attributionStreamFull]] — both directions of unmatched row
-    * must flush. The same sentinel schedule works symmetrically: the
-    * +72 min sentinels put EACH side's watermark past the other side's
-    * last join window (purchase wm = maxTs+62 min > last click + 1 h;
-    * click wm = maxTs+2 min > last purchase), the +150 min pair gives
-    * the join the batch in which eviction runs. All nullable outputs
-    * COALESCE to sentinels so the compare and ordering stay null-free;
-    * unmatched clicks sort under purchase_id = −1, keyed by click_id.
+  /** Shared two-sided staging + run for the outer/full attribution
+    * forms: purchase and click file sources, each with the +72/+150 min
+    * sentinel schedule (the +72 pair puts EACH side's watermark past
+    * the other side's last join window — the click delay is 70 min, so
+    * +72 clears every real ts; purchase sentinels keep the global (min)
+    * watermark from pinning at the purchase side's last real row — and
+    * the +150 pair gives the join the batch in which eviction runs).
+    * Returns the raw sink parquet; callers project/coalesce per form.
     */
-  def attributionStreamedFull(spark: SparkSession, dir: String): DataFrame = {
+  private def attributionStagedRun(spark: SparkSession, dir: String,
+      tag: String,
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import spark.implicits._
-    val base = tempDir("graft_attrf_stream")
+    val base = tempDir(tag)
     def sub(n: String) = base.resolve(n).toString
     val ev = graft.Tables.events(spark, dir).select(
       col("event_id").cast("long").as("event_id"), col("ts"),
@@ -287,12 +240,36 @@ object Streams {
     def src(n: String) = spark.readStream
       .schema(spark.read.parquet(sub(n)).schema)
       .option("maxFilesPerTrigger", "1").parquet(sub(n))
-    val q = attributionStreamFull(src("p"), src("c"))
+    val q = join(src("p"), src("c"))
       .writeStream.outputMode("append").format("parquet")
       .option("path", sub("out")).option("checkpointLocation", sub("cp"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(sub("out")).filter(col("user_id") >= 0)
+    spark.read.parquet(sub("out"))
+  }
+
+  def attributionStreamedOuter(spark: SparkSession, dir: String): DataFrame =
+    attributionStagedRun(spark, dir, "graft_attro_stream",
+      attributionStreamOuter)
+      .filter(col("user_id") >= 0)
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        date_format(col("ts_compra"), "yyyy-MM-dd HH:mm:ss").as("ts_compra"),
+        coalesce(date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss"),
+          lit("1900-01-01 00:00:00")).as("ts_click"))
+      .orderBy("purchase_id", "click_id")
+
+  /** The FULL OUTER form gated: [[attributionStagedRun]] with
+    * [[attributionStreamFull]] — both directions of unmatched row must
+    * flush (purchase wm = maxTs+62 min > last click + 1 h; click wm =
+    * maxTs+2 min > last purchase). All nullable outputs COALESCE to
+    * sentinels so the compare and ordering stay null-free; unmatched
+    * clicks sort under purchase_id = −1, keyed by click_id.
+    */
+  def attributionStreamedFull(spark: SparkSession, dir: String): DataFrame =
+    attributionStagedRun(spark, dir, "graft_attrf_stream",
+      attributionStreamFull)
+      .filter(col("user_id") >= 0)
       .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"),
         coalesce(col("click_id"), lit(-1L)).as("click_id"),
@@ -301,7 +278,6 @@ object Streams {
         coalesce(date_format(col("ts_click"), "yyyy-MM-dd HH:mm:ss"),
           lit("1900-01-01 00:00:00")).as("ts_click"))
       .orderBy("purchase_id", "click_id")
-  }
 
   /** One (band key, doc) row of the streamed LSH index (public for
     * codegen).
