@@ -166,7 +166,19 @@ object ScaleProbe {
       // HLL emits ≤ 256 rows per day — replicas shift days, so rows ~Nx
       // with per-day work constant.
       ("pagerank", d => graft.ops.GraphOps.pagerank(spark, d).count()),
-      ("hll_grouped", d => graft.ops.GraphOps.hllGroupedDaily(spark, d).count()))
+      ("hll_grouped", d => graft.ops.GraphOps.hllGroupedDaily(spark, d).count()),
+      // r12.6: gap-fill emits one row per (user, span hour) — replicas
+      // add users, so rows ~Nx and the grid explode + fill window are
+      // per-user local. The triangle census' page domain is FIXED
+      // (replicas reuse pages 0..99): the edge universe saturates at
+      // |pages|² and output stays one row — time tracks the per-user
+      // lead window ~Nx, wedge work is corpus-independent. The native
+      // sessionizer mirrors sessionize (~Nx session rows). dq_events
+      // always emits 3 rule rows; its one-scan aggregate must track ~Nx.
+      ("time_gapfill", d => graft.ops.QualityOps.timeGapfill(spark, d).count()),
+      ("triangle_count", d => graft.ops.QualityOps.triangleCount(spark, d).count()),
+      ("sessionize_native", d => graft.ops.RelationalOps.sessionizeNative(spark, d).count()),
+      ("dq_events", d => graft.ops.QualityOps.dqEvents(spark, d).count()))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     probeOps.foreach { case (name, f) =>
@@ -291,7 +303,14 @@ object ScaleProbe {
       // measured cost is the index construction (tokenize + tf/df
       // groupBys + stats), which must track ~Nx: postings grow Nx and
       // both groupBys are equi-shuffles on (doc, term)/(term) keys.
-      ("bm25_topk", d => text.RetrievalOps.bm25TopK(spark, d).count(), false))
+      ("bm25_topk", d => text.RetrievalOps.bm25TopK(spark, d).count(), false),
+      // r12.6: PMI's bigram/unigram counts are per-replica disjoint under
+      // the token prefix (both groupBys equi-shuffle on the gram), output
+      // is the fixed top-50 — only time is meaningful. The weighted
+      // sample returns its fixed k at any corpus size — time is the
+      // hash projection + TakeOrderedAndProject, must track ~Nx.
+      ("phrase_pmi", d => graft.ops.QualityOps.phrasePmi(spark, d).count(), false),
+      ("weighted_sample", d => graft.ops.QualityOps.weightedSample(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>
