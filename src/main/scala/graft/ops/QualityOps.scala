@@ -348,18 +348,28 @@ object QualityOps {
     * to one digest per side inside Spark — same plan shape, narrower
     * exchange).
     */
-  def tableDiff(s: SparkSession, d: String): DataFrame = {
+  /** The two deterministically-derived snapshot versions of orders the
+    * diff/roundtrip gates run on (old: keys ∤10; new: keys ∤1000+1 with
+    * a price restatement on keys ÷7) — all three change classes
+    * nonempty by construction.
+    */
+  private[graft] def snapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val o = orders(s, d).select(
       col("o_orderkey").cast("long").as("k"),
       col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
     val old = o.filter(col("k") % 10 =!= 0)
-      .select(col("k").as("ka"), col("status").as("status_old"),
-        col("price").as("price_old"))
     val neu = o.filter(col("k") % 1000 =!= 1)
-      .select(col("k").as("kb"), col("status").as("status_new"),
-        when(col("k") % 7 === 0,
-          col("price") * lit(1.1).cast("double"))
-          .otherwise(col("price")).as("price_new"))
+      .withColumn("price", when(col("k") % 7 === 0,
+        col("price") * lit(1.1).cast("double")).otherwise(col("price")))
+    (old, neu)
+  }
+
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val (old0, neu0) = snapshots(s, d)
+    val old = old0.select(col("k").as("ka"), col("status").as("status_old"),
+      col("price").as("price_old"))
+    val neu = neu0.select(col("k").as("kb"), col("status").as("status_new"),
+      col("price").as("price_new"))
     old.join(neu, col("ka") === col("kb"), "full_outer")
       .withColumn("change",
         when(col("ka").isNull, "added")
@@ -371,6 +381,28 @@ object QualityOps {
       .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
         col("change"), col("status_old"), col("status_new"),
         col("price_old"), col("price_new"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The diff→apply ROUNDTRIP: [[tableDiff]]'s output, read as a
+    * changelog (added→I, changed→U carrying the new row, removed→D
+    * tombstone), applied onto the old snapshot must reconstruct the new
+    * snapshot EXACTLY — the algebraic contract that makes a diff usable
+    * as an incremental transport (ship the changelog, not the table).
+    * The oracle computes the new snapshot directly, so the gate pins
+    * apply(old, diff(old, new)) == new cross-engine. Apply is one
+    * anti-join (untouched keys) + a union of the changelog's I/U rows —
+    * O(|old| + |Δ|), never a rebuild.
+    */
+  def diffApplyRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val (old, _) = snapshots(s, d)
+    val log = tableDiff(s, d).select(col("o_orderkey").as("k"),
+      when(col("change") === "added", "I")
+        .when(col("change") === "removed", "D").otherwise("U").as("op"),
+      col("status_new").as("status"), col("price_new").as("price"))
+    old.join(log.select("k"), Seq("k"), "left_anti")
+      .unionByName(log.filter(col("op") =!= "D").drop("op"))
+      .select(col("k").as("o_orderkey"), col("status"), col("price"))
       .orderBy("o_orderkey")
   }
 
@@ -609,6 +641,16 @@ j AS (
   FROM old FULL OUTER JOIN neu ON ka = kb)
 SELECT * FROM j WHERE change <> 'unchanged' ORDER BY o_orderkey"""
 
+  private val diffRoundtripOracle: String =
+    """WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+         o_totalprice AS price
+  FROM orders)
+SELECT k AS o_orderkey, status,
+       CASE WHEN k % 7 = 0 THEN price * CAST(1.1 AS DOUBLE)
+            ELSE price END AS price
+FROM o WHERE k % 1000 <> 1 ORDER BY o_orderkey"""
+
   private val phrasePmiOracle: String =
     s"""WITH base AS (
   SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
@@ -652,6 +694,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
       (graft.streaming.Streams.weightedSampleStreamed _),
     // snapshot diff: added/removed/changed rows between table versions
     "q_table_diff" -> (tableDiff _),
+    // the diff applied as a changelog reconstructs the new snapshot
+    "q_diff_apply_roundtrip" -> (diffApplyRoundtrip _),
     // top-k adjacent-bigram collocations by rational PMI
     "q_phrase_pmi" -> (phrasePmi _),
     // the PMI count tables maintained under doc-complete arrivals
@@ -670,6 +714,9 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     // merged per-batch top-k recovers the global top-k exactly
     "q_weighted_sample_stream" -> weightedSampleOracle,
     "q_table_diff" -> tableDiffOracle,
+    // the oracle computes the new snapshot directly — the gate pins
+    // apply(old, diff(old, new)) == new
+    "q_diff_apply_roundtrip" -> diffRoundtripOracle,
     "q_phrase_pmi" -> phrasePmiOracle,
     // doc-complete batch counts add → the stream ranks identically
     "q_phrase_pmi_stream" -> phrasePmiOracle)

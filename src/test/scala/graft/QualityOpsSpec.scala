@@ -161,6 +161,14 @@ class QualityOpsSpec extends SparkSpec {
     out.unpersist(): Unit
   }
 
+  test("diffApplyRoundtrip: applying the diff reconstructs the new snapshot") {
+    val applied = QualityOps.diffApplyRoundtrip(spark, tiny)
+    val (_, neu) = QualityOps.snapshots(spark, tiny)
+    val want = neu.select(col("k").as("o_orderkey"), col("status"), col("price"))
+    assert(applied.exceptAll(want).count() === 0 &&
+      want.exceptAll(applied).count() === 0)
+  }
+
   test("phrasePmi: scores are the exact rational, ranking monotone in it") {
     val out = QualityOps.phrasePmi(spark, tiny)
       .as[(String, String, Long, Long, Long, Double)].collect()
