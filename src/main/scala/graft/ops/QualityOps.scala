@@ -221,6 +221,14 @@ object QualityOps {
       .select(least(col("page"), col("dst")).as("a"),
         greatest(col("page"), col("dst")).as("b"))
       .distinct()
+    triangleCensus(e)
+  }
+
+  /** The census over an arbitrary canonical (a < b, distinct) edge set
+    * — split out so the oriented algorithm is property-testable on
+    * generated graphs, not just the one events-derived instance.
+    */
+  private[graft] def triangleCensus(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))

@@ -107,6 +107,50 @@ class QualityOpsSpec extends SparkSpec {
     e.unpersist(): Unit
   }
 
+  test("triangleCensus: random graphs match the local reference count") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val nNodes = 4 + rnd.nextInt(8)
+      val edges = (for {
+        a <- 0 until nNodes; b <- (a + 1) until nNodes
+        if rnd.nextDouble() < 0.45
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        val localTris = (for {
+          x <- 0 until nNodes; y <- (x + 1) until nNodes; z <- (y + 1) until nNodes
+          if adj((x, y)) && adj((x, z)) && adj((y, z))
+        } yield 1).size.toLong
+        val localWedges = (0 until nNodes).map { v =>
+          val d = edges.count(e => e._1 == v || e._2 == v).toLong
+          d * (d - 1) / 2
+        }.sum
+        val row = QualityOps.triangleCensus(
+          edges.toDF("a", "b")).collect().head
+        assert(row.getLong(0) === edges.size.toLong)
+        assert(row.getLong(1) === localWedges)
+        assert(row.getLong(2) === localTris,
+          s"oriented census diverged on edges=$edges")
+      }
+    }
+  }
+
+  test("dqEvents: additivity holds under a random modulus split") {
+    val rnd = new scala.util.Random(7)
+    val ev = Tables.events(spark, tiny)
+    val whole = QualityOps.dqEvents(spark, tiny)
+      .select("rule", "checked", "violations").as[(String, Long, Long)]
+      .collect().map { case (k, c, v) => k -> (c, v) }.toMap
+    val m = 2 + rnd.nextInt(5)
+    val merged = (0 until m).map(i =>
+        graft.ops.QualityOps.dqEventsPartial(ev.filter(col("event_id") % m === i)))
+      .reduce(_ unionByName _)
+      .groupBy("rule").agg(sum("checked").as("c"), sum("violations").as("v"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, v) => k -> (c, v) }.toMap
+    assert(merged === whole, s"split modulus $m broke additivity")
+  }
+
   test("fuzzyMatch: pairs canonical, distance bounded, block-consistent") {
     val out = QualityOps.fuzzyMatch(spark, tiny)
       .as[(Long, Long, Int)].collect()

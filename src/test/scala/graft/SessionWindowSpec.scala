@@ -39,6 +39,41 @@ class SessionWindowSpec extends SparkSpec {
       "session 1 holds the boundary pair, session 2 the split event")
   }
 
+  test("native == batch on random event sets seeded with exact-gap boundaries") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(1234)
+    val gapUs = 30L * 60 * 1000000
+    for (trial <- 1 to 4) {
+      val rows = (1 to 3).flatMap { uid =>
+        var t = Timestamp.valueOf("2024-03-01 00:00:00").getTime * 1000 +
+          rnd.nextInt(1000000)
+        (1 to 8 + rnd.nextInt(15)).map { i =>
+          // inter-arrival mix: random within 90min, EXACTLY the gap, or
+          // 1µs past it — the three regimes the split predicate sees
+          val delta = rnd.nextInt(3) match {
+            case 0 => 1L + math.abs(rnd.nextLong()) % (90L * 60 * 1000000)
+            case 1 => gapUs
+            case _ => gapUs + 1
+          }
+          t += delta
+          // build at FULL µs precision (Timestamp(millis) would floor
+          // away the 1µs boundary this test exists to exercise)
+          val ts = new Timestamp((t / 1000000L) * 1000L)
+          ts.setNanos(((t % 1000000L) * 1000L).toInt)
+          (uid * 100L + i, ts, uid.toLong,
+            "view", rnd.nextDouble() * 100, "{}")
+        }
+      }
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_sessprop_$trial").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$tmp/events.parquet")
+      val a = RelationalOps.sessionizeBatch(spark, tmp).collect().toSeq
+      val b = RelationalOps.sessionizeNative(spark, tmp).collect().toSeq
+      assert(a === b, s"forms diverged on trial $trial")
+    }
+  }
+
   test("native plan: one exchange on user_id feeds the session aggregation") {
     val plan = RelationalOps.sessionizeNative(spark, tiny)
       .queryExecution.executedPlan
