@@ -8,8 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional comma-separated query-name filter (3rd arg or env) for
     // fast single-operator iteration; the driver always runs the full set
+    // blank entries dropped: SPARK_GRAFT_ONLY="" must mean "no filter",
+    // not "match only the empty name" (which silently dumps nothing)
     val only: Set[String] = (args.drop(2).headOption orElse
-      sys.env.get("SPARK_GRAFT_ONLY")).map(_.split(",").toSet).getOrElse(Set.empty)
+      sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -164,6 +164,17 @@ object Multimodal {
     resizeThumbs(ingestFromDocuments(graft.Tables.documents(spark, dir)))
       .orderBy("media_id")
 
+  /** The frame-sampling contract gated: one row per kept frame
+    * (media_id, frame_no, bytes) — frames travel as hex so the compare
+    * is byte-for-byte across both pandas bridges.
+    */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(ingestFromDocuments(graft.Tables.documents(spark, dir)))
+      .selectExpr("media_id", "CAST(frame_no AS INT) AS frame_no",
+        "CAST(length(frame) AS INT) AS n_bytes",
+        "upper(hex(frame)) AS frame_hex")
+      .orderBy("media_id", "frame_no")
+
   def metaQuery(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir).selectExpr(
       "CAST(doc_id AS BIGINT) AS media_id",
@@ -244,6 +255,21 @@ SELECT query_id, vizinho, sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
   FROM sims)
 WHERE rank <= $TOP_K ORDER BY query_id, rank""",
+    // the byte-window frame sample re-derived on the payload hex: frame
+    // k covers hex chars [k·128+1, k·128+128], kept when k % 4 == 0
+    "q_multimodal_frames" ->
+      """WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents),
+frames AS (
+  SELECT media_id, CAST(k AS INTEGER) AS frame_no,
+         substring(h, CAST(k * 128 + 1 AS INTEGER), 128) AS fh
+  FROM b, unnest(generate_series(0, CAST((n - 1) // 64 AS BIGINT))) AS t(k)
+  WHERE k % 4 = 0)
+SELECT media_id, frame_no, CAST(length(fh) // 2 AS INTEGER) AS n_bytes,
+       upper(fh) AS frame_hex
+FROM frames ORDER BY media_id, frame_no""",
     // the fixtures are text-derived (non-image), so every row takes the
     // byte-sampling fallback, which this SQL re-derives byte-for-byte
     "q_multimodal_resize" ->
@@ -267,5 +293,7 @@ FROM thumbs ORDER BY media_id"""
     "q_multimodal_ann" -> (annQuery _),
     // nearest-neighbor thumbnail resize (real pixels for images,
     // byte-sampled stand-in for non-image payloads)
-    "q_multimodal_resize" -> (resizeQuery _))
+    "q_multimodal_resize" -> (resizeQuery _),
+    // every-4th 64-byte frame window, exploded one row per frame
+    "q_multimodal_frames" -> (framesQuery _))
 }
