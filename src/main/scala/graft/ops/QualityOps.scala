@@ -180,10 +180,17 @@ object QualityOps {
     * The standard feature-engineering densification for training on
     * regularly-sampled sequences.
     */
-  def timeGapfill(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("hora", date_trunc("hour", col("ts")))
+  def timeGapfill(s: SparkSession, d: String): DataFrame =
+    gapfillOf(events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+      .orderBy("user_id", "hora")
+
+  /** The fill over an arbitrary event slice — every step is per-user
+    * local, so USER-complete slices produce exactly their users' rows
+    * of the whole-table answer (the streamed twin's additivity unit).
+    */
+  private[graft] def gapfillOf(evIn: DataFrame): DataFrame = {
+    val ev = evIn.withColumn("hora", date_trunc("hour", col("ts")))
     // one row per (user, hour): the in-hour latest observation
     val wObs = Window.partitionBy("user_id", "hora")
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -201,7 +208,32 @@ object QualityOps {
       .select(col("user_id"), col("hora"),
         last(col("valor_obs"), ignoreNulls = true).over(wFill).as("valor"),
         col("valor_obs").isNotNull.as("observado"))
-      .orderBy("user_id", "hora")
+  }
+
+  /** Streamed-twin batch step: a USER-complete micro-batch's fill rows
+    * ARE their users' final rows — append them to the committed store
+    * (exactly-once), no merge needed.
+    */
+  private[graft] def gapfillApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return
+    val partial = gapfillOf(batch)
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/gf_b$batchId")
+    StoreCommit.commit(stateDir, s"gf_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "gf_b")
+  }
+
+  private[graft] def gapfillReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"gapfill state not initialized: $stateDir"))
+    s.read.parquet(s"$stateDir/$dir").orderBy("user_id", "hora")
   }
 
   // --------------------------------------------------------- triangles
@@ -212,16 +244,51 @@ object QualityOps {
     * wedges are enumerated only at a triangle's minimum-degree vertex
     * — the bound that survives power-law hubs at crawl scale.
     */
-  def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).selectExpr("user_id", "ts", "event_id",
-      "CAST(get_json_object(props, '$.k') AS INT) AS page")
+  def triangleCount(s: SparkSession, d: String): DataFrame =
+    triangleCensus(transitionEdgesOf(events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("props"))))
+
+  /** Canonical undirected transition edges of an event slice — a
+    * transition spans one user's consecutive events, so USER-complete
+    * slices contribute their exact edge sets (the streamed twin's
+    * accumulation unit; the global set is the distinct union).
+    */
+  private[graft] def transitionEdgesOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val e = ev.withColumn("dst", lead("page", 1).over(w))
+    ev.selectExpr("user_id", "ts", "event_id",
+      "CAST(get_json_object(props, '$.k') AS INT) AS page")
+      .withColumn("dst", lead("page", 1).over(w))
       .filter(col("dst").isNotNull && col("dst") =!= col("page"))
       .select(least(col("page"), col("dst")).as("a"),
         greatest(col("page"), col("dst")).as("b"))
       .distinct()
-    triangleCensus(e)
+  }
+
+  /** Streamed-twin batch step: distinct-union the batch's edges into
+    * the committed edge store (exactly-once); the census runs at read.
+    * State is O(|edge universe|), not O(events) — the whole point of
+    * maintaining the graph instead of the event log.
+    */
+  private[graft] def triangleApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return
+    val partial = transitionEdgesOf(batch)
+    val merged = prior match {
+      case Some((dir, _)) =>
+        partial.unionByName(s.read.parquet(s"$stateDir/$dir")).distinct()
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/tri_b$batchId")
+    StoreCommit.commit(stateDir, s"tri_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "tri_b")
+  }
+
+  private[graft] def triangleReadState(s: SparkSession, stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"triangle state not initialized: $stateDir"))
+    triangleCensus(s.read.parquet(s"$stateDir/$dir"))
   }
 
   /** The census over an arbitrary canonical (a < b, distinct) edge set
@@ -691,8 +758,14 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
       (graft.streaming.Streams.dqEventsStreamed _),
     // per-user hourly resample + forward fill (sequence densification)
     "q_time_gapfill" -> (timeGapfill _),
+    // the fill maintained under USER-complete arrivals (append store)
+    "q_time_gapfill_stream" ->
+      (graft.streaming.Streams.timeGapfillStreamed _),
     // degree-oriented triangle census of the page-transition graph
     "q_triangle_count" -> (triangleCount _),
+    // the edge set maintained under arrivals; census at read
+    "q_triangle_count_stream" ->
+      (graft.streaming.Streams.triangleStreamed _),
     // blocked Levenshtein entity matching (nation × name-length blocks)
     "q_fuzzy_match" -> (fuzzyMatch _),
     // reproducible hash-priority weighted sample of the corpus
@@ -716,7 +789,11 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     // per-batch counts are additive → the stream converges to the scan
     "q_dq_events_stream" -> dqEventsOracle,
     "q_time_gapfill" -> gapfillOracle,
+    // user-complete slices append to exactly the one-shot rows
+    "q_time_gapfill_stream" -> gapfillOracle,
     "q_triangle_count" -> triangleOracle,
+    // the accumulated edge set censuses to the one-shot answer
+    "q_triangle_count_stream" -> triangleOracle,
     "q_fuzzy_match" -> fuzzyOracle,
     "q_weighted_sample" -> weightedSampleOracle,
     // merged per-batch top-k recovers the global top-k exactly

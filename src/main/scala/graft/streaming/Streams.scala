@@ -1154,6 +1154,65 @@ object Streams {
     graft.ops.QualityOps.wsReadState(spark, state)
   }
 
+  /** The hourly gap-fill maintained as a STREAM — incremental twin of
+    * graft.ops.QualityOps.timeGapfill. Every step (in-hour latest
+    * observation, grid explode, fill window) is per-user local, so
+    * USER-complete micro-batches produce exactly their users' final
+    * rows — the committed store just appends them (StoreCommit
+    * exactly-once); same oracle as the one-shot scan. The production
+    * shape of feature-table densification under user-cohort backfills.
+    */
+  def timeGapfillStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_gapfill_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "value")
+    ev.filter(col("user_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    ev.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.QualityOps.gapfillApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.QualityOps.gapfillReadState(spark, state)
+  }
+
+  /** The transition-graph triangle census maintained as a STREAM —
+    * incremental twin of graft.ops.QualityOps.triangleCount. A
+    * transition spans one user's consecutive events, so USER-complete
+    * micro-batches contribute exact edge sets; the committed store
+    * distinct-unions them (O(|edge universe|) state, never the event
+    * log) and the census runs at read. Same oracle as the scan.
+    */
+  def triangleStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_tri_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "props")
+    ev.filter(col("user_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    ev.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.QualityOps.triangleApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.QualityOps.triangleReadState(spark, state)
+  }
+
   /** PMI collocation counts maintained as a STREAM — incremental twin
     * of graft.ops.QualityOps.phrasePmi. Bigrams are doc-local, so
     * DOC-complete micro-batches make both count tables ADD exactly;
