@@ -165,6 +165,14 @@ class QualityOpsSpec extends SparkSpec {
     out.foreach { case (a, b, _) => assert(nation(a) === nation(b)) }
   }
 
+  test("fuzzyMatchEdJoin: prefix-filtered pairs == block-quadratic pairs") {
+    val a = QualityOps.fuzzyMatch(spark, tiny)
+      .as[(Long, Long, Int)].collect().toSeq
+    val b = QualityOps.fuzzyMatchEdJoin(spark, tiny)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(a === b, "the two algorithms must produce the identical pair set")
+  }
+
   test("weightedSample: deterministic, size-k, priority-sorted, weight-biased") {
     val s1 = QualityOps.weightedSample(spark, tiny)
       .as[(Long, Long, Double)].collect()
