@@ -46,56 +46,49 @@ object QualityOps {
     val li = lineitem(s, d)
     val c = customer(s, d)
 
-    // orders-local rules: one scan, multi-aggregate, unpivoted
-    val oLocal = o.agg(
-      count(lit(1)).as("n"),
-      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
-      coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
-        .otherwise(0L)), lit(0L)).as("v_status"),
-      coalesce(sum(when(col("o_totalprice").isNull ||
-        col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L)).as("v_price"))
-      .selectExpr("""stack(3,
+    // ONE scan per child table: the FK check is a LEFT join against the
+    // unique-keyed parent (no fan-out, so count(*) stays the child
+    // cardinality and every row-local rule folds unchanged into the
+    // post-join aggregate) — local rules and the FK null-count come out
+    // of the same pass, then unpivot by stack. customer is a bounded
+    // dim → broadcast; orders grows with the fact → shuffle join
+    // (AQE-owned), bloom-prefiltered at 100 TB.
+    val oRules = o.join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+        coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)), lit(0L)).as("v_status"),
+        coalesce(sum(when(col("o_totalprice").isNull ||
+          col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L)).as("v_price"),
+        coalesce(sum(when(col("c_custkey").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("v_fk"))
+      .selectExpr("""stack(4,
         'orders.pk_unique',           n, v_pk,
         'orders.status_domain',       n, v_status,
-        'orders.totalprice_positive', n, v_price)
+        'orders.totalprice_positive', n, v_price,
+        'orders.fk_customer',         n, v_fk)
         AS (rule, checked, violations)""")
 
-    // lineitem-local rules: one scan
-    val liLocal = li.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(when(col("l_quantity").isNull ||
-        col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-        .otherwise(0L)), lit(0L)).as("v_qty"),
-      coalesce(sum(when(col("l_discount") > 0.08, 1L)
-        .otherwise(0L)), lit(0L)).as("v_disc"))
-      .selectExpr("""stack(2,
-        'lineitem.quantity_range',   n, v_qty,
-        'lineitem.discount_le_8pct', n, v_disc)
-        AS (rule, checked, violations)""")
-
-    // referential integrity: LEFT join against the (unique-keyed) parent
-    // and count nulls — checked and violations fall out of ONE pass over
-    // the child (an anti-join + separate count would rescan it). The
-    // unique parent key means no fan-out, so count(*) stays the child
-    // cardinality. customer is a bounded dim → broadcast; orders grows
-    // with the fact → shuffle join (AQE-owned), bloom-prefiltered at
-    // 100 TB.
-    val oFk = o.join(broadcast(c.select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "left")
-      .agg(count(lit(1)).as("checked"),
-        coalesce(sum(when(col("c_custkey").isNull, 1L).otherwise(0L)),
-          lit(0L)).as("violations"))
-      .select(lit("orders.fk_customer").as("rule"),
-        col("checked"), col("violations"))
-    val liFk = li.join(o.select(col("o_orderkey")),
+    val liRules = li.join(o.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left")
-      .agg(count(lit(1)).as("checked"),
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("l_quantity").isNull ||
+          col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)), lit(0L)).as("v_qty"),
+        coalesce(sum(when(col("l_discount") > 0.08, 1L)
+          .otherwise(0L)), lit(0L)).as("v_disc"),
         coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
-          lit(0L)).as("violations"))
-      .select(lit("lineitem.fk_orders").as("rule"),
-        col("checked"), col("violations"))
+          lit(0L)).as("v_fk"))
+      .selectExpr("""stack(3,
+        'lineitem.quantity_range',   n, v_qty,
+        'lineitem.discount_le_8pct', n, v_disc,
+        'lineitem.fk_orders',        n, v_fk)
+        AS (rule, checked, violations)""")
 
-    oLocal.unionByName(liLocal).unionByName(oFk).unionByName(liFk)
+    oRules.unionByName(liRules)
       .select(col("rule"),
         col("checked").cast("long").as("checked"),
         col("violations").cast("long").as("violations"),
