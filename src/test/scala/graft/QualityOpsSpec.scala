@@ -31,6 +31,28 @@ class QualityOpsSpec extends SparkSpec {
       Tables.orders(spark, tiny).count())
   }
 
+  test("dqChecks plan: one CHILD scan per table; parent sides key-only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = QualityOps.dqChecks(spark, tiny).queryExecution.executedPlan
+    val scans = allNodes(plan).collect {
+      case f: FileSourceScanExec =>
+        (f.relation.location.rootPaths.head.getName, f.output.map(_.name))
+    }
+    // each table is scanned ONCE as a rule child; orders appears a
+    // second time as lineitem's FK parent, and that scan must be
+    // column-pruned to the join key alone (like customer's parent scan)
+    assert(scans.map(_._1).sorted === Seq("customer.parquet",
+      "lineitem.parquet", "orders.parquet", "orders.parquet"),
+      s"unexpected scan set: $scans")
+    val parentScans = scans.filter { case (t, cols) =>
+      (t == "orders.parquet" && cols == Seq("o_orderkey")) ||
+        (t == "customer.parquet" && cols == Seq("c_custkey"))
+    }
+    assert(parentScans.map(_._1).sorted ===
+      Seq("customer.parquet", "orders.parquet"),
+      s"parent-side scans not pruned to the key: $scans")
+  }
+
   test("dqEvents: row-local rules, 'error' events counted as violations") {
     val out = QualityOps.dqEvents(spark, tiny).collect()
     val byRule = out.map(r => r.getString(0) -> r.getLong(2)).toMap
