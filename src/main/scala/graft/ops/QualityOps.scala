@@ -621,6 +621,124 @@ object QualityOps {
       s.read.parquet(s"$stateDir/$dir/bi"))
   }
 
+  // --------------------------------------------------------- BPE merges
+
+  private val BPE_ROUNDS = 5
+  private val BPE_SEP = "\u0001"
+
+  /** On-engine BPE merge induction at word granularity: BPE_ROUNDS
+    * iterations of (count adjacent symbol pairs over the corpus → take
+    * the most frequent, ties by pair ascending → greedily merge its
+    * non-overlapping occurrences left-to-right). The tokenizer-training
+    * primitive — each round is ONE corpus-wide pair-count groupBy and
+    * one windowed merge pass (no string rewriting; the merge is a
+    * positional accept/drop computed with the same window device in
+    * both engines, so the gate pins all five merge decisions).
+    *
+    * Greedy left-to-right spelled as windows: only a pair with
+    * simbolo_a == simbolo_b can have OVERLAPPING matches (match at p
+    * and p+1 forces t[p+1] to be both y and x), and those overlaps form
+    * runs of consecutive matched positions — greedy accepts ranks
+    * 1,3,5,… within each run; for a≠b every run has length 1 and all
+    * matches merge. The argmax pair is a 1-row driver collect per round
+    * (bounded, like the Lloyd rounds); each round ends at a barrier so
+    * plan depth stays O(1) across iterations.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import graft.Checkpoint.BarrierOps
+    val w = Window.partitionBy("did").orderBy("pos")
+    var tk = documents(s, d).selectExpr("doc_id AS did",
+      """posexplode(split(trim(lower(text)), '\\s+')) AS (pos, t)""")
+      .barrier()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to BPE_ROUNDS) {
+      val top = tk.withColumn("b", lead("t", 1).over(w))
+        .filter(col("b").isNotNull)
+        .groupBy(col("t").as("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect().head
+      val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, x, y, n))
+      val m = tk.withColumn("mt",
+        col("t") === lit(x) && lead("t", 1).over(w) === lit(y))
+      val accept = m.filter(col("mt"))
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("did", "grp").orderBy("pos")))
+        .filter(col("rk") % 2 === 1)
+        .select(col("did"), col("pos"))
+        .barrier()
+      tk = m
+        .join(accept.withColumn("isacc", lit(true)), Seq("did", "pos"), "left")
+        .join(accept.select(col("did"), (col("pos") + 1).as("pos"))
+          .withColumn("isprev", lit(true)), Seq("did", "pos"), "left")
+        .filter(col("isprev").isNull)
+        .withColumn("t", when(col("isacc"),
+          concat(col("t"), lit(BPE_SEP), lit(y))).otherwise(col("t")))
+        .withColumn("pos", row_number().over(w))
+        .select("did", "pos", "t")
+        .barrier()
+    }
+    val s2 = s
+    import s2.implicits._
+    merges.toSeq.toDF("rodada", "simbolo_a", "simbolo_b", "n")
+      .select(col("rodada").cast("int").as("rodada"),
+        col("simbolo_a"), col("simbolo_b"), col("n").cast("long").as("n"))
+      .orderBy("rodada")
+  }
+
+  /** The oracle unrolls the same BPE_ROUNDS rounds as CTE blocks — the
+    * identical window device, so every merge decision (argmax pair AND
+    * the greedy accept set feeding the next round's counts) gates
+    * bit-exactly. Every CTE is `AS MATERIALIZED`: each round references
+    * the previous round's tables ~3×, so inlined CTEs recompute the
+    * whole chain combinatorially (the un-hinted form ran minutes;
+    * materialized, 0.24 s at sf0.01).
+    */
+  private def bpeOracle: String = {
+    val head = """WITH tk1 AS MATERIALIZED (
+  SELECT did, CAST(i AS BIGINT) AS pos, toks[i] AS t
+  FROM (SELECT doc_id AS did,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+       unnest(generate_series(1, len(toks))) AS u(i))"""
+    val rounds = (1 to BPE_ROUNDS).map { r =>
+      s""", best$r AS MATERIALIZED (
+  SELECT a, b, count(*) AS n FROM (
+    SELECT did, t AS a, lead(t) OVER (PARTITION BY did ORDER BY pos) AS b
+    FROM tk$r)
+  WHERE b IS NOT NULL GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+m$r AS MATERIALIZED (
+  SELECT did, pos, t,
+         coalesce(t = (SELECT a FROM best$r) AND
+           lead(t) OVER (PARTITION BY did ORDER BY pos) =
+             (SELECT b FROM best$r), false) AS mt
+  FROM tk$r),
+acc$r AS MATERIALIZED (
+  SELECT did, pos FROM (
+    SELECT did, pos,
+           row_number() OVER (PARTITION BY did, grp ORDER BY pos) AS rk
+    FROM (SELECT did, pos,
+                 pos - row_number() OVER (PARTITION BY did ORDER BY pos) AS grp
+          FROM m$r WHERE mt))
+  WHERE rk % 2 = 1),
+tk${r + 1} AS MATERIALIZED (
+  SELECT m.did,
+         row_number() OVER (PARTITION BY m.did ORDER BY m.pos) AS pos,
+         CASE WHEN a.pos IS NOT NULL
+              THEN m.t || chr(1) || (SELECT b FROM best$r)
+              ELSE m.t END AS t
+  FROM m$r m
+  LEFT JOIN acc$r a ON a.did = m.did AND a.pos = m.pos
+  LEFT JOIN acc$r p ON p.did = m.did AND p.pos = m.pos - 1
+  WHERE p.pos IS NULL)"""
+    }.mkString("")
+    val tail = (1 to BPE_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS rodada, a AS simbolo_a,
+       b AS simbolo_b, CAST(n AS BIGINT) AS n FROM best$r"""
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$tail\nORDER BY rodada"
+  }
+
   // ----------------------------------------------------------- oracles
 
   private val dqChecksOracle: String =
@@ -834,6 +952,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_diff_apply_roundtrip" -> (diffApplyRoundtrip _),
     // top-k adjacent-bigram collocations by rational PMI
     "q_phrase_pmi" -> (phrasePmi _),
+    // word-level BPE merge induction: 5 corpus-wide merge rounds
+    "q_bpe_merges" -> (bpeMerges _),
     // the PMI count tables maintained under doc-complete arrivals
     "q_phrase_pmi_stream" ->
       (graft.streaming.Streams.phrasePmiStreamed _))
@@ -860,6 +980,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     // apply(old, diff(old, new)) == new
     "q_diff_apply_roundtrip" -> diffRoundtripOracle,
     "q_phrase_pmi" -> phrasePmiOracle,
+    // the unrolled 5-round CTE twin pins every merge decision
+    "q_bpe_merges" -> bpeOracle,
     // doc-complete batch counts add → the stream ranks identically
     "q_phrase_pmi_stream" -> phrasePmiOracle)
 }

@@ -173,6 +173,36 @@ class QualityOpsSpec extends SparkSpec {
     assert(merged === whole, s"split modulus $m broke additivity")
   }
 
+  test("bpeMerges: matches an independent scan-loop reference") {
+    // local greedy left-to-right BPE at word granularity — a different
+    // implementation shape (sequential scan) than the windowed form
+    val docsRaw = Tables.documents(spark, tiny)
+      .orderBy("doc_id").select("text").as[String].collect()
+      .map(_.trim.toLowerCase.split("\\s+").toVector)
+    var docs = docsRaw
+    val want = (1 to 5).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach(d => d.zip(d.tail).foreach(p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1))
+      val ((x, y), n) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      docs = docs.map { d =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == x && d(i + 1) == y) {
+            out += d(i) + "\u0001" + d(i + 1); i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.result()
+      }
+      (r, x, y, n)
+    }
+    val got = QualityOps.bpeMerges(spark, tiny)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === want,
+      "windowed greedy merge must equal the sequential scan loop")
+  }
+
   test("fuzzyMatch: pairs canonical, distance bounded, block-consistent") {
     val out = QualityOps.fuzzyMatch(spark, tiny)
       .as[(Long, Long, Int)].collect()
