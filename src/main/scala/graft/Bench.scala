@@ -250,7 +250,10 @@ object Bench {
       // rational-PMI collocation mining (array-local bigrams), and the
       // built-in session_window sessionizer beside the lag/cumsum form
       "q_table_diff", "q_phrase_pmi",
-      "q_sessionize", "q_sessionize_native").foreach { name =>
+      "q_sessionize", "q_sessionize_native",
+      // r12.6: five BPE merge rounds end-to-end (pair-count shuffle +
+      // windowed greedy merge + barrier per round)
+      "q_bpe_merges").foreach { name =>
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
