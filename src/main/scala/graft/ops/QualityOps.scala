@@ -644,12 +644,36 @@ object QualityOps {
     * (bounded, like the Lloyd rounds); each round ends at a barrier so
     * plan depth stays O(1) across iterations.
     */
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeRoundsOf(s, documents(s, d).selectExpr("doc_id AS did",
+      """posexplode(split(trim(lower(text)), '\\s+')) AS (pos, t)"""))
+
+  /** CHARACTER-level BPE within word boundaries — the real tokenizer
+    * algorithm: symbols start as single characters, the sequence unit
+    * is the word (merges never cross a word boundary, exactly as in
+    * Sennrich-style BPE), and the same five merge rounds run on the
+    * character pair counts. The symbolization mirrors the oracle's
+    * substring-by-position spelling so both engines see identical
+    * initial symbols.
+    */
+  def bpeMergesChar(s: SparkSession, d: String): DataFrame =
+    bpeRoundsOf(s, documents(s, d)
+      .selectExpr("doc_id",
+        """posexplode(split(trim(lower(text)), '\\s+')) AS (wi, wd)""")
+      .selectExpr(
+        "concat(CAST(doc_id AS STRING), ':', CAST(wi AS STRING)) AS did",
+        "wd", "explode(sequence(1, length(wd))) AS i")
+      .selectExpr("did", "CAST(i AS BIGINT) AS pos",
+        "substring(wd, i, 1) AS t"))
+
+  /** The shared round engine over an initial (did, pos, t) symbol
+    * table: BPE_ROUNDS iterations of pair-count argmax + windowed
+    * greedy merge.
+    */
+  private def bpeRoundsOf(s: SparkSession, tk0: DataFrame): DataFrame = {
     import graft.Checkpoint.BarrierOps
     val w = Window.partitionBy("did").orderBy("pos")
-    var tk = documents(s, d).selectExpr("doc_id AS did",
-      """posexplode(split(trim(lower(text)), '\\s+')) AS (pos, t)""")
-      .barrier()
+    var tk = tk0.barrier()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to BPE_ROUNDS) {
       val top = tk.withColumn("b", lead("t", 1).over(w))
@@ -694,13 +718,27 @@ object QualityOps {
     * whole chain combinatorially (the un-hinted form ran minutes;
     * materialized, 0.24 s at sf0.01).
     */
-  private def bpeOracle: String = {
-    val head = """WITH tk1 AS MATERIALIZED (
+  private def bpeOracle: String = bpeOracleFrom(
+    """WITH tk1 AS MATERIALIZED (
   SELECT did, CAST(i AS BIGINT) AS pos, toks[i] AS t
   FROM (SELECT doc_id AS did,
                string_split_regex(trim(lower(text)), '\s+') AS toks
         FROM documents),
-       unnest(generate_series(1, len(toks))) AS u(i))"""
+       unnest(generate_series(1, len(toks))) AS u(i))""")
+
+  private def bpeOracleChar: String = bpeOracleFrom(
+    """WITH w AS MATERIALIZED (
+  SELECT doc_id, wi, words[wi] AS wd
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS words
+        FROM documents),
+       unnest(generate_series(1, len(words))) AS u(wi)),
+tk1 AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(wi AS VARCHAR) AS did,
+         CAST(i AS BIGINT) AS pos, substring(wd, i, 1) AS t
+  FROM w, unnest(generate_series(1, length(wd))) AS u2(i))""")
+
+  private def bpeOracleFrom(head: String): String = {
     val rounds = (1 to BPE_ROUNDS).map { r =>
       s""", best$r AS MATERIALIZED (
   SELECT a, b, count(*) AS n FROM (
@@ -954,6 +992,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_phrase_pmi" -> (phrasePmi _),
     // word-level BPE merge induction: 5 corpus-wide merge rounds
     "q_bpe_merges" -> (bpeMerges _),
+    // the real tokenizer form: char-level symbols, word-bounded merges
+    "q_bpe_merges_char" -> (bpeMergesChar _),
     // the PMI count tables maintained under doc-complete arrivals
     "q_phrase_pmi_stream" ->
       (graft.streaming.Streams.phrasePmiStreamed _))
@@ -982,6 +1022,7 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_phrase_pmi" -> phrasePmiOracle,
     // the unrolled 5-round CTE twin pins every merge decision
     "q_bpe_merges" -> bpeOracle,
+    "q_bpe_merges_char" -> bpeOracleChar,
     // doc-complete batch counts add → the stream ranks identically
     "q_phrase_pmi_stream" -> phrasePmiOracle)
 }
