@@ -670,7 +670,25 @@ object QualityOps {
     * table: BPE_ROUNDS iterations of pair-count argmax + windowed
     * greedy merge.
     */
-  private def bpeRoundsOf(s: SparkSession, tk0: DataFrame): DataFrame = {
+  private def bpeRoundsOf(s: SparkSession, tk0: DataFrame): DataFrame =
+    bpeLoop(s, tk0)._1
+
+  /** The ENCODE closing the train→apply loop: the symbol vocabulary
+    * after the five learned word-level merges — top-20 symbols by
+    * corpus count (merged symbols displayed with '+' between parts).
+    * The same rounds run; only the read-out differs, so the gate pins
+    * that applying the merges produces exactly the tokenization the
+    * training rounds left behind.
+    */
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    val (_, tk) = bpeLoop(s, documents(s, d).selectExpr("doc_id AS did",
+      """posexplode(split(trim(lower(text)), '\\s+')) AS (pos, t)"""))
+    tk.select(replace(col("t"), lit(BPE_SEP), lit("+")).as("simbolo"))
+      .groupBy("simbolo").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(desc("n"), asc("simbolo")).limit(20)
+  }
+
+  private def bpeLoop(s: SparkSession, tk0: DataFrame): (DataFrame, DataFrame) = {
     import graft.Checkpoint.BarrierOps
     val w = Window.partitionBy("did").orderBy("pos")
     var tk = tk0.barrier()
@@ -704,10 +722,11 @@ object QualityOps {
     }
     val s2 = s
     import s2.implicits._
-    merges.toSeq.toDF("rodada", "simbolo_a", "simbolo_b", "n")
+    val mergeDf = merges.toSeq.toDF("rodada", "simbolo_a", "simbolo_b", "n")
       .select(col("rodada").cast("int").as("rodada"),
         col("simbolo_a"), col("simbolo_b"), col("n").cast("long").as("n"))
       .orderBy("rodada")
+    (mergeDf, tk)
   }
 
   /** The oracle unrolls the same BPE_ROUNDS rounds as CTE blocks — the
@@ -775,6 +794,18 @@ tk${r + 1} AS MATERIALIZED (
        b AS simbolo_b, CAST(n AS BIGINT) AS n FROM best$r"""
     }.mkString("\nUNION ALL\n")
     s"$head$rounds\n$tail\nORDER BY rodada"
+  }
+
+  /** The encode read-out: same unrolled rounds, final tokenization's
+    * top-20 symbol counts instead of the merge table.
+    */
+  private def bpeVocabOracle: String = {
+    val body = bpeOracle
+    val withoutTail = body.substring(0, body.indexOf("\nSELECT CAST(1 AS INTEGER)"))
+    s"""$withoutTail
+SELECT simbolo, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT replace(t, chr(1), '+') AS simbolo FROM tk${BPE_ROUNDS + 1})
+GROUP BY simbolo ORDER BY n DESC, simbolo LIMIT 20"""
   }
 
   // ----------------------------------------------------------- oracles
@@ -994,6 +1025,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_bpe_merges" -> (bpeMerges _),
     // the real tokenizer form: char-level symbols, word-bounded merges
     "q_bpe_merges_char" -> (bpeMergesChar _),
+    // the encode step: post-merge symbol vocabulary, top-20 by count
+    "q_bpe_vocab" -> (bpeVocab _),
     // the PMI count tables maintained under doc-complete arrivals
     "q_phrase_pmi_stream" ->
       (graft.streaming.Streams.phrasePmiStreamed _))
@@ -1023,6 +1056,7 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     // the unrolled 5-round CTE twin pins every merge decision
     "q_bpe_merges" -> bpeOracle,
     "q_bpe_merges_char" -> bpeOracleChar,
+    "q_bpe_vocab" -> bpeVocabOracle,
     // doc-complete batch counts add → the stream ranks identically
     "q_phrase_pmi_stream" -> phrasePmiOracle)
 }
