@@ -310,7 +310,13 @@ object ScaleProbe {
       // sample returns its fixed k at any corpus size — time is the
       // hash projection + TakeOrderedAndProject, must track ~Nx.
       ("phrase_pmi", d => graft.ops.QualityOps.phrasePmi(spark, d).count(), false),
-      ("weighted_sample", d => graft.ops.QualityOps.weightedSample(spark, d).count(), false))
+      ("weighted_sample", d => graft.ops.QualityOps.weightedSample(spark, d).count(), false),
+      // r12.6: five BPE rounds — each is one corpus-wide pair-count
+      // shuffle + a per-sequence window pass, so time must track ~Nx;
+      // the merge table is 5 rows at any corpus size (the learned pairs
+      // themselves may differ across scales — replica prefixes change
+      // the vocabulary — so only time is meaningful)
+      ("bpe_merges", d => graft.ops.QualityOps.bpeMerges(spark, d).count(), false))
     println(f"${"op"}%-16s ${"1x_rows"}%9s ${"1x_sec"}%8s ${s"${n}x_rows"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s  verdict")
     var fails = 0
     ops.foreach { case (name, f, rowsChecked) =>
