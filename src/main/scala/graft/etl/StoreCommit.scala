@@ -54,6 +54,26 @@ object StoreCommit {
       StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** The full exactly-once batch-apply skeleton every single-table
+    * maintained store shares: skip replays of committed batches, hand
+    * `merge` the prior committed state (if any), stage the result into
+    * this batch's dir, advance the pointer, drop superseded dirs. The
+    * merge function is the ONLY thing that differs between stores
+    * (per-rule SUM, mergeable top-k, append, distinct-union, …).
+    */
+  def applyOnce(s: org.apache.spark.sql.SparkSession, stateDir: String,
+      prefix: String, batchId: Long)(
+      merge: Option[org.apache.spark.sql.DataFrame] =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    val prior = committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return
+    val merged = merge(prior.map { case (dir, _) =>
+      s.read.parquet(s"$stateDir/$dir") })
+    merged.write.mode("overwrite").parquet(s"$stateDir/$prefix$batchId")
+    commit(stateDir, s"$prefix$batchId", batchId)
+    cleanupStale(stateDir, prefix)
+  }
+
   /** Delete every data dir under `stateDir` that starts with `prefix`
     * but is not the committed dir — superseded state and crashed-attempt
     * staging. Call after a commit (or before a fresh init).

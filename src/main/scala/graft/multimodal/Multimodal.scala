@@ -263,10 +263,13 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank""",
          octet_length(encode(text)) AS n
   FROM documents),
 frames AS (
+  -- n > 0 guard: DuckDB's // truncates toward zero, so an EMPTY
+  -- payload would make (n-1)//64 = 0 and fabricate a phantom frame 0
+  -- (Spark's grouped(64) on zero bytes emits nothing)
   SELECT media_id, CAST(k AS INTEGER) AS frame_no,
          substring(h, CAST(k * 128 + 1 AS INTEGER), 128) AS fh
   FROM b, unnest(generate_series(0, CAST((n - 1) // 64 AS BIGINT))) AS t(k)
-  WHERE k % 4 = 0)
+  WHERE k % 4 = 0 AND n > 0)
 SELECT media_id, frame_no, CAST(length(fh) // 2 AS INTEGER) AS n_bytes,
        upper(fh) AS frame_hex
 FROM frames ORDER BY media_id, frame_no""",

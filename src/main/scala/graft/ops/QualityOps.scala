@@ -47,13 +47,17 @@ object QualityOps {
     val c = customer(s, d)
 
     // ONE scan per child table: the FK check is a LEFT join against the
-    // unique-keyed parent (no fan-out, so count(*) stays the child
-    // cardinality and every row-local rule folds unchanged into the
-    // post-join aggregate) — local rules and the FK null-count come out
-    // of the same pass, then unpivot by stack. customer is a bounded
-    // dim → broadcast; orders grows with the fact → shuffle join
-    // (AQE-owned), bloom-prefiltered at 100 TB.
-    val oRules = o.join(broadcast(c.select(col("c_custkey"))),
+    // parent's DISTINCT key set (distinct, not trust: a parent with a
+    // duplicated key — the very defect the suite detects — would
+    // otherwise fan the child out and corrupt every row-local count;
+    // EXISTS semantics are what an FK check means anyway). With the
+    // join provably 1:≤1, count(*) stays the child cardinality and
+    // every row-local rule folds unchanged into the post-join
+    // aggregate — local rules and the FK null-count come out of the
+    // same pass, then unpivot by stack. customer is a bounded dim →
+    // broadcast; orders grows with the fact → shuffle join (AQE-owned),
+    // bloom-prefiltered at 100 TB.
+    val oRules = o.join(broadcast(c.select(col("c_custkey")).distinct()),
         col("o_custkey") === col("c_custkey"), "left")
       .agg(
         count(lit(1)).as("n"),
@@ -71,7 +75,7 @@ object QualityOps {
         'orders.fk_customer',         n, v_fk)
         AS (rule, checked, violations)""")
 
-    val liRules = li.join(o.select(col("o_orderkey")),
+    val liRules = li.join(o.select(col("o_orderkey")).distinct(),
         col("l_orderkey") === col("o_orderkey"), "left")
       .agg(
         count(lit(1)).as("n"),
@@ -133,25 +137,15 @@ object QualityOps {
 
   /** Streamed-twin batch step: fold a micro-batch's partial counts into
     * the committed rule table by per-rule SUM (exactly-once via the
-    * StoreCommit pointer — replays of a committed batch are no-ops).
+    * shared StoreCommit.applyOnce skeleton).
     */
   private[graft] def dqApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return
-    val partial = dqEventsPartial(batch)
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
-          .groupBy("rule")
-          .agg(sum("checked").as("checked"), sum("violations").as("violations"))
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "dq_b", batchId) { prior =>
+      val partial = dqEventsPartial(batch)
+      prior.fold(partial)(p => partial.unionByName(p).groupBy("rule")
+        .agg(sum("checked").as("checked"), sum("violations").as("violations")))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/dq_b$batchId")
-    StoreCommit.commit(stateDir, s"dq_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "dq_b")
-  }
 
   /** Read path of the maintained rule table. */
   private[graft] def dqReadState(s: SparkSession, stateDir: String): DataFrame = {
@@ -208,20 +202,11 @@ object QualityOps {
     * (exactly-once), no merge needed.
     */
   private[graft] def gapfillApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return
-    val partial = gapfillOf(batch)
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "gf_b", batchId) { prior =>
+      val partial = gapfillOf(batch)
+      prior.fold(partial)(partial.unionByName(_))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/gf_b$batchId")
-    StoreCommit.commit(stateDir, s"gf_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "gf_b")
-  }
 
   private[graft] def gapfillReadState(s: SparkSession, stateDir: String): DataFrame = {
     val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
@@ -263,20 +248,11 @@ object QualityOps {
     * maintaining the graph instead of the event log.
     */
   private[graft] def triangleApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return
-    val partial = transitionEdgesOf(batch)
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir")).distinct()
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "tri_b", batchId) { prior =>
+      val partial = transitionEdgesOf(batch)
+      prior.fold(partial)(p => partial.unionByName(p).distinct())
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/tri_b$batchId")
-    StoreCommit.commit(stateDir, s"tri_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "tri_b")
-  }
 
   private[graft] def triangleReadState(s: SparkSession, stateDir: String): DataFrame = {
     val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
@@ -382,9 +358,18 @@ object QualityOps {
       trim(col("c_name")).as("nome"),
       col("c_nationkey").cast("int").as("bloco"))
       .withColumn("blen", length(col("nome")))
-    val grams = c.selectExpr("id", "nome", "bloco", "blen",
-      """explode(transform(sequence(1, length(nome) - 1),
-         i -> struct(substring(nome, i, 2) AS g, i AS pos))) AS gp""")
+    // the prefix theorem needs >= q·τ+1 grams to guarantee a surviving
+    // signature gram; strings with fewer (length <= q·τ+1 = 5) take the
+    // SHORT path below — exactly how Ed-Join treats them. Names of
+    // length < 2 have no bigrams at all (and sequence(1, 0) would
+    // count DOWN in Spark, fabricating junk grams), so gram generation
+    // is also gated on length >= 2.
+    val long = c.filter(col("blen") > 5)
+    val short = c.filter(col("blen") <= 5)
+    val grams = long.filter(col("blen") >= 2)
+      .selectExpr("id", "nome", "bloco", "blen",
+        """explode(transform(sequence(1, length(nome) - 1),
+           i -> struct(substring(nome, i, 2) AS g, i AS pos))) AS gp""")
       .select(col("id"), col("nome"), col("bloco"), col("blen"),
         col("gp.g").as("g"), col("gp.pos").as("pos"))
     // global rarity order (df asc, gram, position) — both sides of a
@@ -395,15 +380,27 @@ object QualityOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy("df", "g", "pos")))
       .filter(col("rn") <= 5) // q·τ + 1
-    val cand = sig.as("x").join(sig.as("y"),
+    val gramCand = sig.as("x").join(sig.as("y"),
         col("x.g") === col("y.g") &&
           col("x.bloco") === col("y.bloco") &&
           abs(col("x.blen") - col("y.blen")) <= 2 &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.nome").as("na"), col("y.nome").as("nb"))
-      .distinct()
-    cand
+    // short names are few and carry no signature guarantee: pair each
+    // against its whole block (both orders, so short×long pairs keep
+    // id_a < id_b canonical) — the bounded completion Ed-Join specifies
+    val shortCand = short.as("x").join(c.as("y"),
+        col("x.bloco") === col("y.bloco") &&
+          abs(col("x.blen") - col("y.blen")) <= 2 &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        when(col("x.id") < col("y.id"), col("x.nome"))
+          .otherwise(col("y.nome")).as("na"),
+        when(col("x.id") < col("y.id"), col("y.nome"))
+          .otherwise(col("x.nome")).as("nb"))
+    gramCand.unionByName(shortCand).distinct()
       .withColumn("dist", levenshtein(col("na"), col("nb"), 2).cast("int"))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -443,20 +440,11 @@ object QualityOps {
     * k-row store and re-truncate — never more than 2k rows in flight.
     */
   private[graft] def wsApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return
-    val partial = wsTopK(wsPriorities(batch))
-    val merged = prior match {
-      case Some((dir, _)) =>
-        wsTopK(partial.unionByName(s.read.parquet(s"$stateDir/$dir")))
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "ws_b", batchId) { prior =>
+      val partial = wsTopK(wsPriorities(batch))
+      prior.fold(partial)(p => wsTopK(partial.unionByName(p)))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/ws_b$batchId")
-    StoreCommit.commit(stateDir, s"ws_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "ws_b")
-  }
 
   private[graft] def wsReadState(s: SparkSession, stateDir: String): DataFrame = {
     val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
@@ -660,6 +648,11 @@ object QualityOps {
     bpeRoundsOf(s, documents(s, d)
       .selectExpr("doc_id",
         """posexplode(split(trim(lower(text)), '\\s+')) AS (wi, wd)""")
+      // empty words (whitespace-only docs) must drop BEFORE the char
+      // explode: Spark's sequence(1, 0) counts DOWN ([1, 0]) and would
+      // fabricate two empty symbols the oracle's generate_series(1, 0)
+      // (empty) never sees
+      .filter(length(col("wd")) > 0)
       .selectExpr(
         "concat(CAST(doc_id AS STRING), ':', CAST(wi AS STRING)) AS did",
         "wd", "explode(sequence(1, length(wd))) AS i")
@@ -693,11 +686,19 @@ object QualityOps {
     val w = Window.partitionBy("did").orderBy("pos")
     var tk = tk0.barrier()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to BPE_ROUNDS) {
-      val top = tk.withColumn("b", lead("t", 1).over(w))
+    var exhausted = false
+    for (r <- 1 to BPE_ROUNDS if !exhausted) {
+      val topOpt = tk.withColumn("b", lead("t", 1).over(w))
         .filter(col("b").isNotNull)
         .groupBy(col("t").as("a"), col("b")).agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect().head
+        .orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect().headOption
+      if (topOpt.isEmpty) {
+        // no adjacent pairs remain (every sequence merged to one
+        // symbol): stop with the merges learned so far instead of
+        // crashing — a corpus with < BPE_ROUNDS viable rounds is legal
+        exhausted = true
+      } else {
+      val top = topOpt.get
       val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, x, y, n))
       val m = tk.withColumn("mt",
@@ -719,6 +720,7 @@ object QualityOps {
         .withColumn("pos", row_number().over(w))
         .select("did", "pos", "t")
         .barrier()
+      }
     }
     val s2 = s
     import s2.implicits._
