@@ -264,21 +264,12 @@ r$i AS (
     * bit-identical to the one-shot scan.
     */
   private[graft] def pathApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
-    val partial = pathCounts(batch)
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
-          .groupBy("caminho").agg(sum("n").as("n"))
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "paths_b", batchId) { prior =>
+      val partial = pathCounts(batch)
+      prior.fold(partial)(p => partial.unionByName(p)
+        .groupBy("caminho").agg(sum("n").as("n")))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/paths_b$batchId")
-    StoreCommit.commit(stateDir, s"paths_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "paths_b")
-  }
 
   /** Read-time top-20 over the maintained counts. */
   private[graft] def pathReadState(s: SparkSession, stateDir: String): DataFrame = {
@@ -398,21 +389,12 @@ ORDER BY doc_id"""
     * split across batches). State is O(days × 256) rows.
     */
   private[graft] def hllGroupedApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
-    val partial = hllGroupedRegisters(batch)
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
-          .groupBy("dia", "balde").agg(max(col("registro")).as("registro"))
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "regs_b", batchId) { prior =>
+      val partial = hllGroupedRegisters(batch)
+      prior.fold(partial)(p => partial.unionByName(p)
+        .groupBy("dia", "balde").agg(max(col("registro")).as("registro")))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/regs_b$batchId")
-    StoreCommit.commit(stateDir, s"regs_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "regs_b")
-  }
 
   /** The committed grouped-register table. */
   private[graft] def hllGroupedReadState(s: SparkSession, stateDir: String): DataFrame = {

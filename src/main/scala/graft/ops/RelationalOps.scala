@@ -889,25 +889,16 @@ object RelationalOps {
     * bounds — passed in so every batch bins identically.
     */
   private[graft] def histogramApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, mn: Double, mx: Double, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
-    val partial = batch
-      .selectExpr(
-        s"least(CAST(floor((l_extendedprice - CAST('$mn' AS DOUBLE)) * CAST(64 AS DOUBLE) / " +
-          s"(CAST('$mx' AS DOUBLE) - CAST('$mn' AS DOUBLE))) AS INT), 63) AS bin")
-      .groupBy("bin").agg(count(lit(1)).as("c"))
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
-          .groupBy("bin").agg(sum("c").as("c"))
-      case None => partial
+      batch: DataFrame, mn: Double, mx: Double, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "hist_b", batchId) { prior =>
+      val partial = batch
+        .selectExpr(
+          s"least(CAST(floor((l_extendedprice - CAST('$mn' AS DOUBLE)) * CAST(64 AS DOUBLE) / " +
+            s"(CAST('$mx' AS DOUBLE) - CAST('$mn' AS DOUBLE))) AS INT), 63) AS bin")
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      prior.fold(partial)(p => partial.unionByName(p)
+        .groupBy("bin").agg(sum("c").as("c")))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/hist_b$batchId")
-    StoreCommit.commit(stateDir, s"hist_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "hist_b")
-  }
 
   /** The committed cell table. */
   private[graft] def histogramReadState(s: SparkSession, stateDir: String): DataFrame = {

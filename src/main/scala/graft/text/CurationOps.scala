@@ -183,21 +183,12 @@ object CurationOps {
     * is O(m)=256 rows per batch regardless of corpus size.
     */
   private[graft] def hllApplyBatch(s: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(stateDir)
-    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
-    val partial = hllRegistersOf(batch)
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$stateDir/$dir"))
-          .groupBy("balde").agg(max(col("registro")).as("registro"))
-      case None => partial
+      batch: DataFrame, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, stateDir, "regs_b", batchId) { prior =>
+      val partial = hllRegistersOf(batch)
+      prior.fold(partial)(p => partial.unionByName(p)
+        .groupBy("balde").agg(max(col("registro")).as("registro")))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/regs_b$batchId")
-    StoreCommit.commit(stateDir, s"regs_b$batchId", batchId)
-    StoreCommit.cleanupStale(stateDir, "regs_b")
-  }
 
   /** The committed register table. */
   private[graft] def hllReadState(s: SparkSession, stateDir: String): DataFrame = {
@@ -894,10 +885,8 @@ ORDER BY d.doc_id"""
     * KPI and SCD2 stores.
     */
   private[graft] def applyCardBatch(s: SparkSession, docs: DataFrame,
-      state: String, batchId: Long): Unit = {
-    import graft.etl.StoreCommit
-    val prior = StoreCommit.committed(state)
-    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+      state: String, batchId: Long): Unit =
+    graft.etl.StoreCommit.applyOnce(s, state, "card_b", batchId) { prior =>
     val quality = TextOps.qualityVerdict(_.spark, "size")
     val partial = docs.selectExpr("lang", "source",
         s"size(${T.spark}) AS n_tokens",
@@ -906,19 +895,12 @@ ORDER BY d.doc_id"""
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
         sum("boa").as("n_boa"), sum("repetitivo").as("n_repetitivos"))
-    val merged = prior match {
-      case Some((dir, _)) =>
-        partial.unionByName(s.read.parquet(s"$state/$dir"))
-          .groupBy("lang", "source")
-          .agg(sum("n_docs").as("n_docs"),
-            sum("total_tokens").as("total_tokens"),
-            sum("n_boa").as("n_boa"),
-            sum("n_repetitivos").as("n_repetitivos"))
-      case None => partial
-    }
-    merged.write.mode("overwrite").parquet(s"$state/card_b$batchId")
-    StoreCommit.commit(state, s"card_b$batchId", batchId)
-    StoreCommit.cleanupStale(state, "card_b")
+    prior.fold(partial)(p => partial.unionByName(p)
+      .groupBy("lang", "source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        sum("n_boa").as("n_boa"),
+        sum("n_repetitivos").as("n_repetitivos")))
   }
 
   /** Read-time presentation of the maintained card state — the exact
