@@ -246,6 +246,10 @@ object Bench {
       // Levenshtein entity matching, and hash-priority weighted sampling
       "q_dq_checks", "q_time_gapfill", "q_triangle_count",
       "q_fuzzy_match", "q_weighted_sample",
+      // r13: the deletion-neighborhood fuzzy form — the candidate
+      // generator whose cost is entropy-independent (the scale winner on
+      // the low-entropy name domain; bench proves the crossover)
+      "q_fuzzy_match_delnbr",
       // r12.6: snapshot diff (full-outer key join, null-safe compare),
       // rational-PMI collocation mining (array-local bigrams), and the
       // built-in session_window sessionizer beside the lag/cumsum form

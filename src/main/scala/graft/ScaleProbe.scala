@@ -33,6 +33,9 @@ object ScaleProbe {
     if (args.contains("--events")) {
       eventsProbe(args.filterNot(_ == "--events")); return
     }
+    if (args.contains("--fuzzy")) {
+      fuzzyProbe(args.filterNot(_ == "--fuzzy")); return
+    }
     val n = if (args.length > 0) args(0).toInt else 10
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val src = "/root/testdata/sf0.1"
@@ -194,6 +197,65 @@ object ScaleProbe {
     }
     spark.stop()
     if (fails > 0) { System.err.println(s"[events-probe] FAIL: $fails op(s) grew super-linearly"); sys.exit(1) }
+  }
+
+  /** The FUZZY-MATCH growth probe: customers replicated Nx with offset
+    * custkeys and a 3-char per-replica tag INSERTED after "Customer#"
+    * (name surgery at a fixed position). Within a replica every pairwise
+    * distance is unchanged (the tag is identical), so each replica
+    * carries the source's exact near-dup structure; across replicas the
+    * tags differ in all 3 positions, so every cross-replica distance is
+    * ≥ 3 > τ — true pairs scale EXACTLY Nx while each (nation) block's
+    * membership grows Nx. That is precisely the regime where the
+    * block-quadratic DP must read ~N²x probes/time and an
+    * entropy-independent candidate generator must read ~Nx. All three
+    * forms are counted (they must agree at both scales — a scale-only
+    * correctness check no sf0.01 gate can express) and timed.
+    */
+  private def fuzzyProbe(rest: Array[String]): Unit = {
+    val n = if (rest.length > 0) rest(0).toInt else 10
+    val work = if (rest.length > 1) rest(1) else "/tmp/graft_scaleprobe_fuzzy"
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reps = spark.range(n).select(col("id").as("rep"))
+    Tables.customer(spark, src).crossJoin(reps).selectExpr(
+        "c_custkey + rep * 1000000000 AS c_custkey",
+        """concat(substring(c_name, 1, 9), repeat(char(65 + rep % 26), 3),
+           substring(c_name, 10)) AS c_name""",
+        "c_nationkey")
+      .write.mode("overwrite").parquet(s"$work/customer.parquet")
+
+    val forms: Seq[(String, String => DataFrame)] = Seq(
+      ("blocked_dp", d => graft.ops.QualityOps.fuzzyMatch(spark, d)),
+      ("edjoin", d => graft.ops.QualityOps.fuzzyMatchEdJoin(spark, d)),
+      ("delete_nbr", d => graft.ops.QualityOps.fuzzyMatchDeleteNbr(spark, d)))
+    println(f"${"form"}%-12s ${"1x_pairs"}%9s ${"1x_sec"}%8s ${s"${n}x_pairs"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s")
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    forms.foreach { case (name, f) =>
+      val t0 = System.nanoTime(); val c1 = f(src).count()
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); val c2 = f(work).count()
+      val s2 = (System.nanoTime() - t1) / 1e9
+      counts(name) = (c1, c2)
+      println(f"$name%-12s $c1%9d $s1%8.2f $c2%10d $s2%8.2f ${c2.toDouble / math.max(c1, 1L)}%7.1fx ${s2 / s1}%7.1fx")
+    }
+    val distinct = counts.values.toSet
+    if (distinct.size != 1) {
+      System.err.println(s"[fuzzy-probe] FAIL: forms disagree: $counts"); spark.stop(); sys.exit(1)
+    }
+    val (c1, c2) = counts("delete_nbr")
+    if (c2 != n * c1) {
+      System.err.println(s"[fuzzy-probe] FAIL: pairs must scale exactly ${n}x ($c1 -> $c2)"); spark.stop(); sys.exit(1)
+    }
+    spark.stop()
   }
 
   /** The dedup/ANN growth probe (see object Scaladoc). A quadratic

@@ -66,6 +66,20 @@ object SparkEntry {
         .orderBy("id_pedido", "numero_linha",
         "sk_produto", "sk_vendedor", "qtd_vendida", "valor_bruto",
         "valor_desconto")),
+    // the fact build ingesting the reference's PRIMARY input format
+    // (S1, dags/etl_dim_produto.py:14-16): all 7 sales tables staged as
+    // real CSV — header, quoted fields, explicit \N nulls, µs
+    // timestamps — then the identical star build. The oracle reads the
+    // original PARQUET, so a hash match proves the CSV scan is lossless
+    // end to end, not just test-asserted.
+    "star_fato_vendas_csv" -> ((s, d) =>
+      Star.fatoVendas(s, graft.etl.CsvStage.stage(s, d))
+        .withColumn("valor_bruto", col("valor_bruto").cast("double"))
+        .withColumn("valor_desconto", col("valor_desconto").cast("double"))
+        .withColumn("valor_total", col("valor_total").cast("double"))
+        .orderBy("id_pedido", "numero_linha",
+        "sk_produto", "sk_vendedor", "qtd_vendida", "valor_bruto",
+        "valor_desconto")),
     // the 10-KPI analytical surface (SURVEY §2.4-2.5)
     "kpi1_faturamento_bruto" -> ((s, d) =>
       Kpis.kpi1FaturamentoBruto(Star.fatoVendas(s, d))),

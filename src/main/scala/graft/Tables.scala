@@ -10,8 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan automatically because every downstream transform is declarative.
   */
 object Tables {
+  /** Parquet by default; a dir staged by [[graft.etl.CsvStage]] (CSV files
+    * + saved schemas, no parquet) routes to the schema-directed CSV read —
+    * which lets every Star/KPI builder run unchanged over the reference's
+    * primary input format (CSV, dags/etl_dim_produto.py:14-16).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    if (new java.io.File(s"$dir/$name.parquet").exists() ||
+        !new java.io.File(s"$dir/$name.csv").exists())
+      normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    else graft.etl.CsvStage.readCsv(spark, dir, name)
 
   /** The generator writes parquet `timestamp[us]` WITHOUT `isAdjustedToUTC`,
     * which Spark 4 reads as TIMESTAMP_NTZ. Downstream code (unix_micros,

@@ -1,0 +1,88 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV staging for the reference's PRIMARY input format.
+  *
+  * The reference ingests its sources as CSV (`pd.read_csv`,
+  * dags/etl_dim_produto.py:14-16 and 12 sibling call sites); the graft
+  * testdata ships as parquet. This stage round-trips the sales tables
+  * through real CSV files — header row, quoted fields (embedded commas
+  * and quotes), an explicit null token distinct from the empty string,
+  * microsecond timestamps — so the star build can be oracle-gated END TO
+  * END over CSV input: the driver's DuckDB oracle reads the original
+  * parquet, the engine reads the staged CSV, and the hashes must meet.
+  *
+  * Round-trip exactness notes (each one is a way CSV silently corrupts
+  * data if defaulted):
+  *  - schema is WRITTEN alongside each table and applied on read —
+  *    CSV inference would re-guess types nondeterministically (the very
+  *    hazard parquet's self-describing schema avoids, Tables.scala:8);
+  *  - nullValue is `\N`, not the default empty string, so NULL and ""
+  *    stay distinguishable in both directions;
+  *  - timestampFormat carries microseconds (the default drops them);
+  *  - doubles round-trip via Java's shortest-round-trip toString, which
+  *    the schema-directed parse reads back bit-exactly.
+  */
+object CsvStage {
+  private val SalesTables = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  private[graft] val Opts = Map(
+    "header" -> "true",
+    "nullValue" -> "\\N",
+    // the writer TRIMS cell whitespace by default — " pad " would come
+    // back "pad"; both directions pinned off (CsvStageSpec)
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** CSV cannot represent a string value EQUAL to the null token (the
+    * reader maps the token to null even when quoted — an ambiguity of
+    * the format itself, same reason Postgres COPY escapes `\` in text
+    * mode). Refuse loudly at stage time rather than corrupt silently.
+    */
+  private[graft] def assertNoNullToken(df: DataFrame, table: String): Unit = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    if (strCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val clash = df.filter(
+        strCols.map(c => col(c) === lit("\\N")).reduce(_ || _)).limit(1)
+      require(clash.count() == 0,
+        s"$table contains the literal CSV null token \\N — staging would be lossy")
+    }
+  }
+
+  /** Stage `srcDir`'s sales tables as CSV under a source-keyed temp dir.
+    * Idempotent per source dir (a `_STAGED` marker skips re-staging), so
+    * gate + bench invocations pay the conversion once.
+    */
+  def stage(s: SparkSession, srcDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage_$h"
+    val marker = new java.io.File(s"$dir/_STAGED")
+    if (!marker.exists()) {
+      SalesTables.foreach { t =>
+        val df = graft.Tables.table(s, srcDir, t)
+        assertNoNullToken(df, t)
+        df.write.mode("overwrite").options(Opts).csv(s"$dir/$t.csv")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/$t.schema"),
+          df.schema.toDDL.getBytes("UTF-8")): Unit
+      }
+      marker.createNewFile(): Unit
+    }
+    dir
+  }
+
+  /** Schema-directed CSV read of a staged table — [[graft.Tables.table]]
+    * routes here when a dir carries `<name>.csv` instead of parquet.
+    */
+  def readCsv(s: SparkSession, dir: String, name: String): DataFrame = {
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$name.schema")), "UTF-8")
+    s.read.schema(ddl).options(Opts).csv(s"$dir/$name.csv")
+  }
+}

@@ -180,6 +180,50 @@ object Kernels {
     sig
   }
 
+  /** All ≤τ-deletion variants of a string, as 64-bit content hashes
+    * (FNV-1a over the surviving codepoints) — the SymSpell/FastSS
+    * candidate keys for edit-distance-bounded joins. Codepoint-level
+    * deletion matches the codepoint semantics of `levenshtein`, so the
+    * soundness theorem (ed ≤ τ ⟹ a shared member of D≤τ(a) ∩ D≤τ(b))
+    * holds for the verify step that consumes the collisions; hash
+    * collisions only ever ADD candidates, which the DP verify discards.
+    * One tight kernel pass replaces a transform+flatten+concat HOF stack
+    * (~O(L²) interpreted array allocations per row) and shuffles 8-byte
+    * longs instead of L-char strings.
+    */
+  def deletionNeighborhood(s: UTF8String, tau: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    val seen = new java.util.HashSet[java.lang.Long](1 + n + n * n / 2)
+    def hashSkipping(i: Int, j: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < n) {
+        if (k != i && k != j) { h ^= cps(k); h *= 0x100000001b3L }
+        k += 1
+      }
+      h
+    }
+    seen.add(hashSkipping(-1, -1)): Unit
+    if (tau >= 1) {
+      var i = 0
+      while (i < n) { seen.add(hashSkipping(i, -1)): Unit; i += 1 }
+    }
+    if (tau >= 2) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { seen.add(hashSkipping(i, j)): Unit; j += 1 }
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity over two float arrays: double accumulation,
     * strictly left-to-right (bit-identical to the SQL aggregate/zip_with
     * form and to the DuckDB oracle).
@@ -358,6 +402,29 @@ case class SortedInterCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_inter_count"
 }
 
+/** deletion_neighborhood(string, τ) → array<long>: hashed ≤τ-deletion
+  * variants (see [[Kernels.deletionNeighborhood]]) — candidate keys for
+  * edit-distance joins whose cost must not depend on string entropy.
+  */
+case class DeletionNeighborhood(child: Expression, tau: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"deletion_neighborhood expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.deletionNeighborhood(input.asInstanceOf[UTF8String], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.deletionNeighborhood($c, $tau)")
+  override protected def withNewChildInternal(c: Expression): DeletionNeighborhood =
+    copy(child = c)
+  override def prettyName: String = "deletion_neighborhood"
+}
+
 /** simhash64(array<string tokens>) → BIGINT signature (bit p of the hash
   * at position 64−p; see [[Kernels.simhash64]]).
   */
@@ -486,6 +553,8 @@ object GraftFunctions {
   def l2_sq(a: Column, b: Column): Column =
     toColumn(L2Sq(toExpr(a), toExpr(b)))
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def deletion_neighborhood(c: Column, tau: Int): Column =
+    toColumn(DeletionNeighborhood(toExpr(c), tau))
   def zorder64(a: Column, b: Column): Column =
     toColumn(ZOrder64(toExpr(a), toExpr(b)))
   def sorted_inter_count(a: Column, b: Column): Column =

@@ -78,6 +78,69 @@ object Multimodal {
       .as[Media]
   }
 
+  /** Real-PNG ingest: one genuine PNG per document, synthesized
+    * deterministically from doc_id — dimensions `w = 1 + (id·7) mod 48`,
+    * `h = 1 + (id·13) mod 32`, gray pixel `g(x,y) = (id·31 + x·17 +
+    * y·29) mod 256` packed as RGB `g·0x010101`. Because the payload is a
+    * REAL encoder's output (`javax.imageio` PNG, lossless) while the
+    * pixel content is pure arithmetic, the DuckDB oracle can predict the
+    * DECODED result of every downstream codec step exactly — which is
+    * what lets q_multimodal_decode_png / q_multimodal_resize_png put the
+    * genuine decode path (not the byte-sampling fallback) under the same
+    * hash discipline as everything else. Encode runs per partition,
+    * mirroring the batching a real media ingest uses.
+    */
+  def ingestSyntheticPng(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + (id * 7) % 48).toInt
+        val h = (1 + (id * 13) % 32).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + x * 17 + y * 29) % 256).toInt
+            img.setRGB(x, y, g * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Media(id, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Genuine-decode gate: metadata extracted from REAL PNG payloads. The
+    * magic column pins that real PNG bytes were produced (the 8-byte PNG
+    * signature), width/height pin that the real ImageIO decode path ran —
+    * the fallback's hash-derived stand-in dimensions could not match the
+    * oracle's arithmetic.
+    */
+  def decodePngQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = ingestSyntheticPng(graft.Tables.documents(spark, dir))
+    extractMeta(media).toDF()
+      .join(media.toDF().select(col("media_id"),
+        upper(substring(hex(col("payload")), 1, 16)).as("magic")), Seq("media_id"))
+      .selectExpr("media_id", "CAST(width AS INT) AS largura",
+        "CAST(height AS INT) AS altura", "magic")
+      .orderBy("media_id")
+  }
+
+  /** Genuine-resize gate: nearest-neighbor thumbnails over the DECODED
+    * raster of real PNGs — every sampled pixel and the checksum are
+    * arithmetic in (doc_id, x, y), so the oracle re-derives the resample
+    * exactly. PNG is lossless, so decode(encode(pixels)) == pixels and a
+    * hash match proves the real resize path end to end.
+    */
+  def resizePngQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeThumbs(ingestSyntheticPng(graft.Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
   /** Decode + metadata extraction, batched per partition: the codec is
     * invoked inside mapPartitions so per-batch setup cost (a real decoder
     * context) amortizes over the partition — the Scala analog of an
@@ -238,6 +301,32 @@ base AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    // the REAL-decode gates: the engine encodes + decodes genuine PNGs;
+    // the oracle predicts the decoded result arithmetically (the pixel
+    // field is a pure function of doc_id and PNG is lossless). A match
+    // is only possible if the real ImageIO path ran — the non-image
+    // fallback's hash dims / byte-sampled thumbs cannot reproduce it.
+    "q_multimodal_decode_png" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+CAST(1 + (doc_id * 7) % 48 AS INTEGER) AS largura,
+CAST(1 + (doc_id * 13) % 32 AS INTEGER) AS altura,
+'89504E470D0A1A0A' AS magic
+FROM documents ORDER BY media_id""",
+    "q_multimodal_resize_png" ->
+      """WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS w,
+         CAST(1 + (doc_id * 13) % 32 AS BIGINT) AS h
+  FROM documents),
+cells AS (
+  SELECT media_id, k,
+         ((media_id * 31 + ((k % 8) * w // 8) * 17
+                         + ((k // 8) * h // 8) * 29) % 256) * 65793 AS val
+  FROM dims, unnest(generate_series(0, CAST(63 AS BIGINT))) AS u(k))
+SELECT media_id, 8 AS thumb_w, 8 AS thumb_h,
+       string_agg(CAST(val AS VARCHAR), '-' ORDER BY k) AS thumb,
+       CAST(SUM((k + 1) * val) % 1000003 AS INTEGER) AS checksum
+FROM cells GROUP BY media_id ORDER BY media_id""",
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -294,6 +383,10 @@ FROM thumbs ORDER BY media_id"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (metaQuery _),
     "q_multimodal_ann" -> (annQuery _),
+    // REAL codec path, oracle-gated: genuine PNG payloads, genuine
+    // ImageIO decode — dims + signature / resampled raster + checksum
+    "q_multimodal_decode_png" -> (decodePngQuery _),
+    "q_multimodal_resize_png" -> (resizePngQuery _),
     // nearest-neighbor thumbnail resize (real pixels for images,
     // byte-sampled stand-in for non-image payloads)
     "q_multimodal_resize" -> (resizeQuery _),

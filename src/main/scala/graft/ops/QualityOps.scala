@@ -122,10 +122,14 @@ object QualityOps {
       coalesce(sum(when(col("value").isNull ||
         col("value") < 0 || col("value") > 450, 1L)
         .otherwise(0L)), lit(0L)).as("v_value"),
+      // try_cast, not cast: this rule COUNTS malformed payloads, so a
+      // non-numeric props value must register as a violation (null) —
+      // under ANSI mode a strict cast would instead abort the whole scan
+      // on exactly the dirty row the rule exists to detect
       coalesce(sum(when(
-        get_json_object(col("props"), "$.k").cast("int").isNull ||
-          get_json_object(col("props"), "$.k").cast("int") < 0 ||
-          get_json_object(col("props"), "$.k").cast("int") > 99, 1L)
+        expr("try_cast(get_json_object(props, '$.k') AS int)").isNull ||
+          expr("try_cast(get_json_object(props, '$.k') AS int)") < 0 ||
+          expr("try_cast(get_json_object(props, '$.k') AS int)") > 99, 1L)
         .otherwise(0L)), lit(0L)).as("v_props"))
       .selectExpr("""stack(3,
         'events.type_no_error', n, v_type,
@@ -234,7 +238,9 @@ object QualityOps {
   private[graft] def transitionEdgesOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev.selectExpr("user_id", "ts", "event_id",
-      "CAST(get_json_object(props, '$.k') AS INT) AS page")
+      // try_cast: a malformed props payload is a NON-edge (dropped by the
+      // null filters below), not a reason to abort the census batch
+      "TRY_CAST(get_json_object(props, '$.k') AS INT) AS page")
       .withColumn("dst", lead("page", 1).over(w))
       .filter(col("dst").isNotNull && col("dst") =!= col("page"))
       .select(least(col("page"), col("dst")).as("a"),
@@ -407,6 +413,69 @@ object QualityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** The scale form that WINS on the low-entropy name domain: a
+    * deletion-neighborhood join (the SymSpell device, itself the FastSS
+    * candidate scheme — Bocek et al. 2007 — distributed). Soundness: if
+    * ed(a,b) ≤ τ, fix one optimal alignment and delete from `a` the
+    * characters it substitutes-or-deletes and from `b` the characters
+    * it substitutes-or-inserts — at most τ deletions per side yield the
+    * SAME string, so every true pair collides on a shared member of
+    * D≤τ(a) ∩ D≤τ(b). Candidates are therefore equi-join collisions on
+    * (bloco, deletion-variant); the banded DP verifies survivors exactly
+    * as [[fuzzyMatch]] does — identical answer, different candidate
+    * generator.
+    *
+    * Why THIS filter survives the domain that defeats Ed-Join
+    * ([[fuzzyMatchEdJoin]]'s measured loss): a deletion variant keeps
+    * every character except the deleted ≤2, so the variant key retains
+    * the FULL discriminating digit suffix (7+ digits ≈ 10⁷ key entropy)
+    * no matter how flat the gram distribution is — rarity of individual
+    * grams is irrelevant. Cost model: O(n·L²/2) variant rows
+    * (L = name length; L = 18 → 172 variants/row — a constant-factor
+    * key amplification on the NAME column only, not the full row),
+    * shuffled by (bloco, variant); per-key bucket size stays O(1) except
+    * on genuine near-dup clusters, so candidates track TRUE PAIRS, not
+    * block². At 100× data the join is still a linear-cost hash join —
+    * versus the blocked DP whose (nation × length) blocks grow 100× and
+    * probes 10⁴×. Applicability boundary (why the suite keeps all three
+    * forms): D≤2 is O(L²) per string, the right trade for short entity
+    * keys (names, SKUs, ids; L ≲ 48 and τ ≤ 2) — for long strings or
+    * larger τ the q-gram prefix filter's O(q·τ+1) signature wins back.
+    */
+  def fuzzyMatchDeleteNbr(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      trim(col("c_name")).as("nome"),
+      col("c_nationkey").cast("int").as("bloco"))
+    // variant keys from the native kernel: D≤2 as 64-bit HASHES — one
+    // tight pass per row instead of a transform/flatten HOF stack, and
+    // the self-join shuffles (bloco, int64) keys with NO name payload
+    // (names re-join onto the ~|true pairs| candidate set afterwards,
+    // which at 100 TB beats dragging an L-char string through an
+    // L²/2-amplified shuffle). Hash collisions only add candidates; the
+    // DP verify removes them.
+    val vars = c.select(col("id"), col("bloco"),
+      explode(graft.functions.GraftFunctions
+        .deletion_neighborhood(col("nome"), 2)).as("v"))
+    // |Δlen| ≤ 2 needs no explicit band: variant equality (modulo hash
+    // collision) forces len(a) − da = len(b) − db with da, db ∈ [0, 2]
+    val cand = vars.as("x").join(vars.as("y"),
+        col("x.bloco") === col("y.bloco") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // banded DP verify: variant collision admits pairs up to ed 4
+    // (τ deletions each side), the threshold-2 DP keeps the true ones
+    // and its in-band return value IS the exact distance
+    cand
+      .join(c.select(col("id").as("id_a"), col("nome").as("na")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("nome").as("nb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("na"), col("nb"), 2))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   // --------------------------------------------------- weighted sample
 
   /** Deterministic weighted sampling: per-doc priority = hash / weight
@@ -428,8 +497,12 @@ object QualityOps {
     */
   private[graft] def wsPriorities(docs: DataFrame): DataFrame = {
     val h = graft.text.TextExprs.hash60("CAST(doc_id AS STRING)")
+    // greatest(n_chars, 1): an empty doc must not divide by zero — the
+    // null/±inf priority would sort differently in the two engines
+    // (Spark nulls-first vs DuckDB nulls-last), silently corrupting the
+    // reproducible-sample contract. The guard is identical in the oracle.
     docs.selectExpr("doc_id", "n_chars",
-      s"CAST(${h.spark} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade")
+      s"CAST(${h.spark} AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS prioridade")
   }
 
   private[graft] def wsTopK(pri: DataFrame): DataFrame =
@@ -739,13 +812,15 @@ object QualityOps {
     * whole chain combinatorially (the un-hinted form ran minutes;
     * materialized, 0.24 s at sf0.01).
     */
-  private def bpeOracle: String = bpeOracleFrom(
+  private def bpeOracle: String = bpeOracleFrom(bpeWordHead)
+
+  private def bpeWordHead: String =
     """WITH tk1 AS MATERIALIZED (
   SELECT did, CAST(i AS BIGINT) AS pos, toks[i] AS t
   FROM (SELECT doc_id AS did,
                string_split_regex(trim(lower(text)), '\s+') AS toks
         FROM documents),
-       unnest(generate_series(1, len(toks))) AS u(i))""")
+       unnest(generate_series(1, len(toks))) AS u(i))"""
 
   private def bpeOracleChar: String = bpeOracleFrom(
     """WITH w AS MATERIALIZED (
@@ -760,6 +835,19 @@ tk1 AS MATERIALIZED (
   FROM w, unnest(generate_series(1, length(wd))) AS u2(i))""")
 
   private def bpeOracleFrom(head: String): String = {
+    val tail = (1 to BPE_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS rodada, a AS simbolo_a,
+       b AS simbolo_b, CAST(n AS BIGINT) AS n FROM best$r"""
+    }.mkString("\nUNION ALL\n")
+    s"${bpeCtePrefix(head)}\n$tail\nORDER BY rodada"
+  }
+
+  /** The shared CTE chain (tk1 head + BPE_ROUNDS unrolled rounds) WITHOUT
+    * a final SELECT — the structural seam both read-outs compose on, so
+    * neither has to locate the other's tail by string search (a reformat
+    * of the merge tail can no longer break the vocab oracle).
+    */
+  private def bpeCtePrefix(head: String): String = {
     val rounds = (1 to BPE_ROUNDS).map { r =>
       s""", best$r AS MATERIALIZED (
   SELECT a, b, count(*) AS n FROM (
@@ -791,24 +879,18 @@ tk${r + 1} AS MATERIALIZED (
   LEFT JOIN acc$r p ON p.did = m.did AND p.pos = m.pos - 1
   WHERE p.pos IS NULL)"""
     }.mkString("")
-    val tail = (1 to BPE_ROUNDS).map { r =>
-      s"""SELECT CAST($r AS INTEGER) AS rodada, a AS simbolo_a,
-       b AS simbolo_b, CAST(n AS BIGINT) AS n FROM best$r"""
-    }.mkString("\nUNION ALL\n")
-    s"$head$rounds\n$tail\nORDER BY rodada"
+    s"$head$rounds"
   }
 
-  /** The encode read-out: same unrolled rounds, final tokenization's
-    * top-20 symbol counts instead of the merge table.
+  /** The encode read-out: same unrolled rounds (composed via
+    * [[bpeCtePrefix]], not by slicing [[bpeOracle]]'s text), final
+    * tokenization's top-20 symbol counts instead of the merge table.
     */
-  private def bpeVocabOracle: String = {
-    val body = bpeOracle
-    val withoutTail = body.substring(0, body.indexOf("\nSELECT CAST(1 AS INTEGER)"))
-    s"""$withoutTail
+  private def bpeVocabOracle: String =
+    s"""${bpeCtePrefix(bpeWordHead)}
 SELECT simbolo, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT replace(t, chr(1), '+') AS simbolo FROM tk${BPE_ROUNDS + 1})
 GROUP BY simbolo ORDER BY n DESC, simbolo LIMIT 20"""
-  }
 
   // ----------------------------------------------------------- oracles
 
@@ -862,9 +944,9 @@ ORDER BY rule"""
   SELECT 'events.props_key_domain',
          (SELECT count(*) FROM events),
          (SELECT count(*) FROM events
-          WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
-             OR CAST(json_extract_string(props, '$.k') AS INTEGER) < 0
-             OR CAST(json_extract_string(props, '$.k') AS INTEGER) > 99))
+          WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+             OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) < 0
+             OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 99))
 ORDER BY rule"""
 
   private val gapfillOracle: String =
@@ -892,7 +974,7 @@ ORDER BY g.user_id, g.hora"""
   private val triangleOracle: String =
     """WITH ev AS (
   SELECT user_id, ts, event_id,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS page
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS page
   FROM events),
 tr AS (
   SELECT page AS src,
@@ -930,7 +1012,7 @@ ORDER BY id_a, id_b"""
   private val weightedSampleOracle: String = {
     val h = graft.text.TextExprs.hash60("CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id, n_chars,
-       CAST(${h.duck} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prioridade
+       CAST(${h.duck} AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS prioridade
 FROM documents ORDER BY prioridade, doc_id LIMIT 100"""
   }
 
@@ -1012,6 +1094,9 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_fuzzy_match" -> (fuzzyMatch _),
     // the sub-quadratic path: Ed-Join q-gram prefix filter, same answer
     "q_fuzzy_match_edjoin" -> (fuzzyMatchEdJoin _),
+    // the deletion-neighborhood path: entropy-independent candidates,
+    // same answer — the form that wins on low-entropy name domains
+    "q_fuzzy_match_delnbr" -> (fuzzyMatchDeleteNbr _),
     // reproducible hash-priority weighted sample of the corpus
     "q_weighted_sample" -> (weightedSample _),
     // the sample maintained under arrivals (mergeable top-k store)
@@ -1047,6 +1132,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_fuzzy_match" -> fuzzyOracle,
     // the prefix-filtered algorithm must produce the identical pair set
     "q_fuzzy_match_edjoin" -> fuzzyOracle,
+    // so must the deletion-neighborhood algorithm
+    "q_fuzzy_match_delnbr" -> fuzzyOracle,
     "q_weighted_sample" -> weightedSampleOracle,
     // merged per-batch top-k recovers the global top-k exactly
     "q_weighted_sample_stream" -> weightedSampleOracle,

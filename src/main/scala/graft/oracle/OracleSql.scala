@@ -189,6 +189,17 @@ CAST(valor_desconto AS DOUBLE) AS valor_desconto,
 CAST(valor_total AS DOUBLE) AS valor_total
 FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
 sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
+    // the CSV-ingest twin: the engine builds from staged CSV while THIS
+    // oracle still reads the parquet originals — the hash meet is the
+    // lossless-round-trip proof for the reference's primary input format
+    "star_fato_vendas_csv" -> withStar(
+      """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
+sk_localidade, sk_tempo, qtd_vendida,
+CAST(valor_bruto AS DOUBLE) AS valor_bruto,
+CAST(valor_desconto AS DOUBLE) AS valor_desconto,
+CAST(valor_total AS DOUBLE) AS valor_total
+FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
     // incremental lifecycle gates (batch twin + the Structured Streaming
     // form): historical load + increment append must equal the full
     // rebuild — the oracle IS the full build

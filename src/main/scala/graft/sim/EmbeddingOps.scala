@@ -926,6 +926,125 @@ object EmbeddingOps {
       .parquet(s"$indexDir/codes")
   }
 
+  /** Tombstone DELETE for a persisted index — the missing third of the
+    * index lifecycle (build / append / delete). O(|delete batch|) write:
+    * deleted ids land in a keyed tombstone store under the index root
+    * (batch-partitioned, so a replayed delete overwrites itself — the
+    * same exactly-once shape as the appends); no retrain, no code
+    * rescan. Every index-served read anti-joins the tombstone set
+    * (broadcast — deletes are a vanishing fraction of a 100 TB corpus),
+    * so a delete is visible at the NEXT read; [[compactIvfPqIndex]]
+    * folds accumulated tombstones into the code partitions when their
+    * count warrants paying the rewrite.
+    */
+  private[graft] def deleteIvfPq(s: SparkSession, ids: DataFrame,
+      indexDir: String, batchId: Long): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$indexDir/tombstones")
+
+  /** The live tombstone set of an index, if any delete has happened. */
+  private[graft] def tombstonesOf(s: SparkSession,
+      indexDir: String): Option[DataFrame] =
+    if (new java.io.File(s"$indexDir/tombstones").exists())
+      Some(s.read.parquet(s"$indexDir/tombstones").select("vec_id").distinct())
+    else None
+
+  /** Fold tombstones into the code store and clear them. Rewrites ONLY
+    * the (cell, batch) partitions that actually contain a tombstoned
+    * row — the dynamic-overwrite surgical write the append path already
+    * uses — with one extra obligation dynamic overwrite cannot express:
+    * a partition whose EVERY row was deleted produces no output rows, so
+    * it would survive untouched; those fully-dead partitions are removed
+    * explicitly (driver work O(#affected partitions), never row-scaled).
+    * After compaction a serve with no tombstones is byte-identical to
+    * the tombstone-masked serve — IvfIndexSpec pins it.
+    */
+  private[graft] def compactIvfPqIndex(s: SparkSession, indexDir: String): Unit =
+    tombstonesOf(s, indexDir).foreach { t =>
+      val codes = s.read.parquet(s"$indexDir/codes")
+      // partition-column values come back with INFERRED types (batch=-1
+      // reads as Int) — pin both before collecting
+      val affected = codes.join(broadcast(t), Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("int"), col("batch").cast("long"))
+        .distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      if (affected.nonEmpty) {
+        val cells = affected.map(_._1).distinct.toSeq
+        val kept = s.read.parquet(s"$indexDir/codes")
+          .filter(col("cell").isin(cells: _*))
+          .join(broadcast(t), Seq("vec_id"), "left_anti")
+        // which (cell, batch) partitions still have survivors MUST be
+        // computed from `kept` BEFORE the overwrite: a post-write store
+        // read would still see the fully-dead partitions (dynamic
+        // overwrite never touched them — they produce no output rows)
+        // and wrongly count them as surviving
+        val surviving = kept
+          .select(col("cell").cast("int"), col("batch").cast("long"))
+          .distinct().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "batch").parquet(s"$indexDir/codes")
+        (affected.toSet -- surviving).foreach { case (c, b) =>
+          val dir = java.nio.file.Paths.get(s"$indexDir/codes/cell=$c/batch=$b")
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+      }
+      val tdir = java.nio.file.Paths.get(s"$indexDir/tombstones")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tdir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
+  /** The delete-set convention of the gated lifecycle: every 5th id
+    * (mod 5 == 4), which intersects BOTH the original build slice
+    * (ids ≡ 4 mod 10) and the appended arrival slice (ids ≡ 9 mod 10) —
+    * so the gate proves deletion works against built AND appended
+    * partitions; query vectors are never deleted.
+    */
+  private val DeleteVictims = col("vec_id") % 5 === 4 && col("vec_id") >= N_QUERIES
+
+  /** build → append → delete, returning the index dir (per-dataset,
+    * per-tag tmp; every step is replay-idempotent).
+    */
+  private def ivfPqDeletedIndexDir(s: SparkSession, d: String,
+      tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${tag}_$h"
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfPqIndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
+    appendIvfPqIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteIvfPq(s, base.filter(DeleteVictims).select("vec_id"), dir, batchId = 1L)
+    dir
+  }
+
+  /** The full index lifecycle gated: build on 9/10, append the arriving
+    * 1/10, tombstone-delete every (mod-5) 5th id, serve. The oracle
+    * computes the one-shot probe over the SURVIVING candidate set (same
+    * trainings — a delete must not retrain), so a hash match proves
+    * tombstone masking is exactly set-minus, across built and appended
+    * partitions alike.
+    */
+  def annIvfPqDeleted(s: SparkSession, d: String): DataFrame =
+    annIvfPqIndexed(s, d, ivfPqDeletedIndexDir(s, d, "del"))
+
+  /** Same lifecycle + [[compactIvfPqIndex]] before the serve: the
+    * physical fold of the tombstones must answer identically to the
+    * logical mask (same oracle) — and after it the store carries no
+    * tombstones at all.
+    */
+  def annIvfPqDeletedCompacted(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfPqDeletedIndexDir(s, d, "delc")
+    compactIvfPqIndex(s, dir)
+    annIvfPqIndexed(s, d, dir)
+  }
+
   /** The incremental IVF-PQ lifecycle as a gated query (the composed
     * sibling of [[annIvfKmeansIncr]]): build on 9/10 of the corpus,
     * cell-append the arriving 1/10 under the stored quantizer +
@@ -976,8 +1095,13 @@ object EmbeddingOps {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cell")))
     val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
-    val codes = s.read.parquet(s"$indexDir/codes")
+    // tombstone mask: deletes are visible at the next read without any
+    // store rewrite — an O(|tombstones|) broadcast anti-join on the
+    // already-pruned routed partitions (no-op when no delete happened)
+    val codesRaw = s.read.parquet(s"$indexDir/codes")
       .filter(col("cell").isin(probedCells.toSeq: _*))
+    val codes = tombstonesOf(s, indexDir).fold(codesRaw)(t =>
+      codesRaw.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val lut = pqSubCorpus(s, d).filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "m", "q_sub")
       .join(broadcast(pcents), Seq("m"))
@@ -1292,6 +1416,10 @@ object EmbeddingOps {
       (graft.streaming.Streams.ivfIndexStreamed _),
     // the composed compressed index maintained incrementally
     "q_ann_ivfpq_incr" -> (annIvfPqIncr _),
+    // the index lifecycle's missing third: build + append + tombstone
+    // DELETE, served masked / served after physical compaction
+    "q_ann_ivfpq_delete" -> (annIvfPqDeleted _),
+    "q_ann_ivfpq_delete_compact" -> (annIvfPqDeletedCompacted _),
     "q_ann_ivf_kmeans_probe2" -> ((s: SparkSession, d: String) => annIvfKmeansProbe(s, d, 2)),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
@@ -1511,13 +1639,21 @@ lut AS (
   FROM (SELECT * FROM pqbase WHERE vec_id < $N_QUERIES) q
   JOIN pcent$PQ_ITERS c ON q.m = c.m)"""
 
-  private val annIvfPqAdcRanked: String =
+  private val annIvfPqAdcRanked: String = annIvfPqAdcRankedWhere("TRUE")
+
+  /** The ADC-ranked candidate subselect with an extra candidate-set
+    * predicate — "TRUE" for the full index, a survival predicate for the
+    * delete-lifecycle oracles (the deleted ids must vanish from the
+    * CANDIDATE set before ranking, exactly what the tombstone anti-join
+    * does on the serve side).
+    */
+  private def annIvfPqAdcRankedWhere(surviving: String): String =
     s"""SELECT r.query_id, k.vec_id AS vizinho,
          l0.part + l1.part + l2.part + l3.part AS adist,
          CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
            l0.part + l1.part + l2.part + l3.part ASC, k.vec_id ASC) AS INTEGER) AS rank
   FROM ivrouted r
-  JOIN ivfin f ON f.cell = r.cell AND f.vec_id <> r.query_id
+  JOIN ivfin f ON f.cell = r.cell AND f.vec_id <> r.query_id AND ($surviving)
   JOIN pcodes k ON k.vec_id = f.vec_id
   JOIN lut l0 ON l0.query_id = r.query_id AND l0.m = 0 AND l0.code = k.c0
   JOIN lut l1 ON l1.query_id = r.query_id AND l1.m = 1 AND l1.code = k.c1
@@ -1528,6 +1664,23 @@ lut AS (
     s"""WITH ${annIvfPqOracleCtes(kCtes, pCtes)}
 SELECT query_id, vizinho, adist, rank FROM (
   $annIvfPqAdcRanked)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  /** The delete-lifecycle oracle: the SAME trainings as the incremental
+    * oracle (build slice only — a delete never retrains), assignment
+    * over the full corpus, and the candidate set minus the gated victim
+    * predicate (mod-5 4th ids, sparing the query vectors). Shared by the
+    * tombstone-masked and compacted serves — both must answer this.
+    */
+  private def annIvfPqDeleteOracle: String =
+    s"""WITH ${annIvfPqOracleCtes(
+      kmeansCtesTrainedOn("ktrain",
+        "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"),
+      pqCtesTrainedOn("pqtrain",
+        "pqtrain AS (SELECT * FROM pqbase WHERE vec_id % 10 <> 9),\n"))}
+SELECT query_id, vizinho, adist, rank FROM (
+  ${annIvfPqAdcRankedWhere(
+      s"NOT (f.vec_id % 5 = 4 AND f.vec_id >= $N_QUERIES)")})
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   /** The refined oracle: the ADC shortlist widened to REFINE_C, then
@@ -1663,6 +1816,9 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     // composed form: both trainings on the build slice, encode+assign
     // over the full corpus
     "q_ann_ivfpq_incr" -> annIvfPqIncrOracle,
+    // both delete serves answer the one-shot probe over the survivors
+    "q_ann_ivfpq_delete" -> annIvfPqDeleteOracle,
+    "q_ann_ivfpq_delete_compact" -> annIvfPqDeleteOracle,
     "q_kmeans_cells" ->
       s"""WITH $kmeansCtes
 SELECT vec_id, cell, dist FROM (

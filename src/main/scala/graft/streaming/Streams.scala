@@ -200,17 +200,29 @@ object Streams {
     */
   /** Shared two-sided staging + run for the outer/full attribution
     * forms: purchase and click file sources, each with the +72/+150 min
-    * sentinel schedule (the +72 pair puts EACH side's watermark past
-    * the other side's last join window — the click delay is 70 min, so
-    * +72 clears every real ts; purchase sentinels keep the global (min)
-    * watermark from pinning at the purchase side's last real row — and
-    * the +150 pair gives the join the batch in which eviction runs).
+    * sentinel schedule. Spark maintains ONE global watermark — the MIN
+    * over every watermarked input — so sentinels must go to BOTH sides:
+    * the +72 pair advances that global minimum past every real row's
+    * join window (the click delay is 70 min, so +72 clears every real
+    * ts; without purchase-side sentinels the purchase input would pin
+    * the global min at its last real row forever), and the +150 pair
+    * supplies a later data batch in which state eviction actually runs
+    * (eviction uses the watermark computed at the END of the previous
+    * batch). The final unmatched-row flush can also ride the trailing
+    * no-data micro-batch, so the run PINS
+    * spark.sql.streaming.noDataMicroBatches.enabled=true rather than
+    * inheriting whatever the session default was — with it disabled and
+    * no further data, rows whose eviction is proven only by the last
+    * batch's watermark would silently never emit.
     * Returns the raw sink parquet; callers project/coalesce per form.
     */
   private def attributionStagedRun(spark: SparkSession, dir: String,
       tag: String,
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import spark.implicits._
+    // see doc comment: the unmatched-row flush of the outer forms may be
+    // carried by the trailing no-data micro-batch — guarantee it exists
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val base = tempDir(tag)
     def sub(n: String) = base.resolve(n).toString
     val ev = graft.Tables.events(spark, dir).select(

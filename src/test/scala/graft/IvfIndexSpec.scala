@@ -211,4 +211,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(!(composed.toSeq == sliceTrained.toSeq),
       "slice-trained and full-trained centroids must actually differ for this test to bite")
   }
+
+  test("delete lifecycle: tombstone serve == compacted serve; compaction clears and shrinks") {
+    val masked = EmbeddingOps.annIvfPqDeleted(spark, tiny).collect()
+    val compacted = EmbeddingOps.annIvfPqDeletedCompacted(spark, tiny).collect()
+    assert(masked === compacted,
+      "physical fold must answer exactly like the logical tombstone mask")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val delDir = s"$tmp/graft_ivfpq_del_$h"     // tombstone-masked run
+    val delcDir = s"$tmp/graft_ivfpq_delc_$h"   // compacted run
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$delDir/tombstones")),
+      "masked run must still carry its tombstones")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$delcDir/tombstones")),
+      "compaction must clear the tombstone store")
+    // the compacted store must physically contain exactly the survivors
+    import spark.implicits._
+    val storeIds = spark.read.parquet(s"$delcDir/codes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(storeIds.nonEmpty)
+    assert(!storeIds.exists(id => id % 5 == 4 && id >= 8),
+      "no victim id may survive compaction physically")
+    val maskedIds = spark.read.parquet(s"$delDir/codes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(maskedIds.filterNot(id => id % 5 == 4 && id >= 8) === storeIds,
+      "compaction must drop exactly the victims")
+  }
 }

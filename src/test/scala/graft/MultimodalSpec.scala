@@ -102,4 +102,27 @@ class MultimodalSpec extends SparkSpec {
       assert(thumb(k) === expected, s"pixel $k")
     }
   }
+
+  test("synthetic PNG gates: real encode→decode round-trip matches the arithmetic oracle") {
+    // the Scala-side re-derivation of the DuckDB oracle formulas — any
+    // codec nondeterminism (color management, dimension drift) breaks it
+    val out = Multimodal.decodePngQuery(spark, tiny).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === (1 + (id * 7) % 48).toInt, s"width of $id")
+      assert(r.getInt(2) === (1 + (id * 13) % 32).toInt, s"height of $id")
+      assert(r.getString(3) === "89504E470D0A1A0A", s"PNG signature of $id")
+    }
+    val rz = Multimodal.resizePngQuery(spark, tiny).limit(50).collect()
+    rz.foreach { r =>
+      val id = r.getLong(0)
+      val w = 1 + (id * 7) % 48; val h = 1 + (id * 13) % 32
+      val want = Array.tabulate(64) { k =>
+        val x = (k % 8) * w / 8; val y = (k / 8) * h / 8
+        (((id * 31 + x * 17 + y * 29) % 256) * 0x010101).toInt
+      }
+      assert(r.getAs[String]("thumb") === want.mkString("-"), s"thumb of $id")
+    }
+  }
 }

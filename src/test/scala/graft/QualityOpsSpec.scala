@@ -225,6 +225,43 @@ class QualityOpsSpec extends SparkSpec {
     assert(a === b, "the two algorithms must produce the identical pair set")
   }
 
+  test("fuzzyMatchDeleteNbr: deletion-neighborhood pairs == block-quadratic pairs") {
+    val a = QualityOps.fuzzyMatch(spark, tiny)
+      .as[(Long, Long, Int)].collect().toSeq
+    val b = QualityOps.fuzzyMatchDeleteNbr(spark, tiny)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(a === b, "the two algorithms must produce the identical pair set")
+  }
+
+  test("fuzzyMatchDeleteNbr: ins/del/sub near-dups all survive the variant filter") {
+    // hand-built block exercising every edit kind at τ ≤ 2, plus a
+    // distance-3 decoy that a D2-variant collision could admit (ed ≤ 4)
+    // but the DP must reject
+    val rows = Seq(
+      (1L, "Customer#000001234", 7), // base
+      (2L, "Customer#000001235", 7), // 1 substitution
+      (3L, "Customer#00001234", 7),  // 1 deletion
+      (4L, "Customer#0000012345", 7),// 1 insertion
+      (5L, "Customer#000001299", 7), // 2 substitutions
+      (6L, "Customer#000001567", 7), // 3 substitutions — must NOT pair with 1
+      (7L, "Customer#000001234", 8)) // identical but other block — no pair
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fz").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = QualityOps.fuzzyMatchDeleteNbr(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val want = QualityOps.fuzzyMatch(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === want)
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((1L, 4L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.contains((1L, 6L)), "distance-3 decoy must be DP-rejected")
+    assert(!got.exists(t => t._1 == 7L || t._2 == 7L),
+      "cross-block identical name must not pair")
+  }
+
   test("weightedSample: deterministic, size-k, priority-sorted, weight-biased") {
     val s1 = QualityOps.weightedSample(spark, tiny)
       .as[(Long, Long, Double)].collect()
