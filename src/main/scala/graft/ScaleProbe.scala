@@ -36,6 +36,9 @@ object ScaleProbe {
     if (args.contains("--fuzzy")) {
       fuzzyProbe(args.filterNot(_ == "--fuzzy")); return
     }
+    if (args.contains("--stage-sf1")) {
+      stageSf1(args.filterNot(_ == "--stage-sf1")); return
+    }
     val n = if (args.length > 0) args(0).toInt else 10
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val src = "/root/testdata/sf0.1"
@@ -199,6 +202,78 @@ object ScaleProbe {
     if (fails > 0) { System.err.println(s"[events-probe] FAIL: $fails op(s) grew super-linearly"); sys.exit(1) }
   }
 
+  /** Stage a FULL synthetic sf1 testdata dir (10× sf0.1) so the ordinary
+    * correctness gate (graft.Verify + tools/check.py) can run at bench
+    * scale: gates verify at sf0.01 while bench runs sf0.1/sf1, so a
+    * scale-dependent bug (threshold routing, cutover paths, block
+    * growth) could pass every gate and still answer wrongly where the
+    * bench numbers are earned. Replication schemes per table family
+    * mirror the growth probes: documents get the bijective per-replica
+    * token prefix (within-replica near-dup structure preserved exactly,
+    * replicas mutually dissimilar), embeddings/new sales keys offset by
+    * 1e9 per replica, customers get the 3-char tag insert (cross-replica
+    * name distance ≥ 3), events time-shift 366 days per replica. The
+    * oracle recomputes truth on whatever data it is handed, so ANY
+    * scheme is correctness-valid — these keep result sizes ~10× instead
+    * of ~100×, which is what makes the sf1 oracle run affordable.
+    *
+    * Usage: runMain graft.ScaleProbe --stage-sf1 [workDir]
+    * then:  runMain graft.Verify <workDir> <outDir> <heavy,query,list>
+    *        python3 tools/check.py <workDir> <outDir> --only <same list>
+    */
+  private def stageSf1(rest: Array[String]): Unit = {
+    val work = if (rest.length > 0) rest(0) else "/tmp/graft_sf1"
+    val n = 10
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = spark.range(n).select(col("id").as("rep"))
+    Tables.documents(spark, src).crossJoin(reps).selectExpr(
+        "doc_id + rep * 1000000000 AS doc_id",
+        "array_join(transform(split(trim(text), '\\\\s+'), t -> concat('r', CAST(rep AS STRING), '_', t)), ' ') AS text",
+        "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    Tables.embeddings(spark, src).crossJoin(reps).selectExpr(
+        "vec_id + rep * 1000000000 AS vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    Tables.customer(spark, src).crossJoin(reps).selectExpr(
+        "c_custkey + rep * 1000000000 AS c_custkey",
+        """concat(substring(c_name, 1, 9), repeat(char(65 + rep % 26), 3),
+           substring(c_name, 10)) AS c_name""",
+        "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$work/customer.parquet")
+    // sales fact: offset order keys; custkeys stay in the replica-0 id
+    // range, which the replicated customer table still contains
+    Tables.orders(spark, src).crossJoin(reps).selectExpr(
+        "o_orderkey + rep * 1000000000 AS o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    Tables.lineitem(spark, src).crossJoin(reps).selectExpr(
+        "l_orderkey + rep * 1000000000 AS l_orderkey", "l_partkey",
+        "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    Tables.events(spark, src).crossJoin(reps).selectExpr(
+        "event_id + rep * 1000000000 AS event_id",
+        "timestampadd(DAY, CAST(rep * 366 AS INT), ts) AS ts",
+        "user_id + rep * 1000000000 AS user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      Tables.table(spark, src, t).write.mode("overwrite")
+        .parquet(s"$work/$t.parquet")
+    }
+    println(s"[stage-sf1] staged 10x sf0.1 at $work")
+    spark.stop()
+  }
+
   /** The FUZZY-MATCH growth probe: customers replicated Nx with offset
     * custkeys and a 3-char per-replica tag INSERTED after "Customer#"
     * (name surgery at a fixed position). Within a replica every pairwise
@@ -238,20 +313,28 @@ object ScaleProbe {
       ("edjoin", d => graft.ops.QualityOps.fuzzyMatchEdJoin(spark, d)),
       ("delete_nbr", d => graft.ops.QualityOps.fuzzyMatchDeleteNbr(spark, d)))
     println(f"${"form"}%-12s ${"1x_pairs"}%9s ${"1x_sec"}%8s ${s"${n}x_pairs"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s")
-    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // agreement is pinned on CONTENT (count + order-free row hash), not
+    // just cardinality — a form that emitted the right number of wrong
+    // pairs would still be caught
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("id_a"), col("id_b"), col("dist"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val res = scala.collection.mutable.Map.empty[String, ((Long, Long), (Long, Long))]
     forms.foreach { case (name, f) =>
-      val t0 = System.nanoTime(); val c1 = f(src).count()
+      val t0 = System.nanoTime(); val h1 = fp(f(src))
       val s1 = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime(); val c2 = f(work).count()
+      val t1 = System.nanoTime(); val h2 = fp(f(work))
       val s2 = (System.nanoTime() - t1) / 1e9
-      counts(name) = (c1, c2)
-      println(f"$name%-12s $c1%9d $s1%8.2f $c2%10d $s2%8.2f ${c2.toDouble / math.max(c1, 1L)}%7.1fx ${s2 / s1}%7.1fx")
+      res(name) = (h1, h2)
+      println(f"$name%-12s ${h1._1}%9d $s1%8.2f ${h2._1}%10d $s2%8.2f ${h2._1.toDouble / math.max(h1._1, 1L)}%7.1fx ${s2 / s1}%7.1fx")
     }
-    val distinct = counts.values.toSet
-    if (distinct.size != 1) {
-      System.err.println(s"[fuzzy-probe] FAIL: forms disagree: $counts"); spark.stop(); sys.exit(1)
+    if (res.values.toSet.size != 1) {
+      System.err.println(s"[fuzzy-probe] FAIL: forms disagree: $res"); spark.stop(); sys.exit(1)
     }
-    val (c1, c2) = counts("delete_nbr")
+    val ((c1, _), (c2, _)) = res("delete_nbr")
     if (c2 != n * c1) {
       System.err.println(s"[fuzzy-probe] FAIL: pairs must scale exactly ${n}x ($c1 -> $c2)"); spark.stop(); sys.exit(1)
     }

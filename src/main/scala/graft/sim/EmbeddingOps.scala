@@ -1284,6 +1284,23 @@ object EmbeddingOps {
     annIvfKmeansIndexed(s, d, dir)
   }
 
+  /** The k-means index's delete lifecycle gated (the raw-vector-store
+    * sibling of [[annIvfPqDeleted]]): build on 9/10, cell-append the
+    * arriving 1/10, tombstone the mod-5 victims (which span built AND
+    * appended partitions), serve. Same survivors oracle discipline.
+    */
+  def annIvfKmeansDeleted(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_del_$h"
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfIndexKmeansOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival),
+      dir, datasetFingerprint(d) + ":del")
+    appendIvfIndexKmeans(s, base.filter(IncrArrival), dir, batchId = 0L): Unit
+    deleteIvfPq(s, base.filter(DeleteVictims).select("vec_id"), dir, batchId = 1L)
+    annIvfKmeansIndexed(s, d, dir)
+  }
+
   /** Index-backed probe under the k-means quantizer: the query routes to
     * its nearest trained centroid by L2 (the quantizer's own metric — for
     * a corpus vector this reproduces its stored assignment, which is what
@@ -1343,8 +1360,13 @@ object EmbeddingOps {
       routed0: DataFrame): DataFrame = {
     val routed = graft.Checkpoint.barrier(routed0)
     val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
-    val cells = s.read.parquet(s"$indexDir/cells")
+    // tombstone mask (shared with the composed store, see deleteIvfPq):
+    // a delete is visible at the next probe as an O(|tombstones|)
+    // broadcast anti-join on the already-pruned partitions
+    val cellsRaw = s.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probedCells.toSeq: _*))
+    val cells = tombstonesOf(s, indexDir).fold(cellsRaw)(t =>
+      cellsRaw.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val hits = routed.join(cells,
         routed("cell") === cells("cell") && col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("q_emb"), routed("cell"),
@@ -1411,6 +1433,8 @@ object EmbeddingOps {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_kmeans_indexed" -> (annIvfKmeansIndexedAuto _),
     "q_ann_ivf_kmeans_incr" -> (annIvfKmeansIncr _),
+    // the raw-vector store's delete lifecycle (tombstone-masked serve)
+    "q_ann_ivf_kmeans_delete" -> (annIvfKmeansDeleted _),
     // the streamed ingest twin: arrivals cell-append per micro-batch
     "q_ann_ivf_kmeans_incr_stream" ->
       (graft.streaming.Streams.ivfIndexStreamed _),
@@ -1757,6 +1781,12 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     kmeansProbeOracleFrom(kmeansCtesTrainedOn("ktrain",
       "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"), 1)
 
+  /** incr trainings + the candidate set minus the delete victims. */
+  private def kmeansDeleteProbeOracle: String =
+    kmeansProbeOracleFrom(kmeansCtesTrainedOn("ktrain",
+      "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"), 1,
+      s" AND NOT (b.vec_id % 5 = 4 AND b.vec_id >= $N_QUERIES)")
+
   /** The label-excluded probe oracle: the standard kmeans probe chain
     * plus a label CTE joined onto both candidate and query sides, with
     * same-label candidates dropped before ranking.
@@ -1813,6 +1843,8 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     "q_ann_ivf_kmeans_incr" -> kmeansIncrProbeOracle,
     // the streamed ingest converges to the same appended index
     "q_ann_ivf_kmeans_incr_stream" -> kmeansIncrProbeOracle,
+    // deletion answers the one-shot probe over the survivors
+    "q_ann_ivf_kmeans_delete" -> kmeansDeleteProbeOracle,
     // composed form: both trainings on the build slice, encode+assign
     // over the full corpus
     "q_ann_ivfpq_incr" -> annIvfPqIncrOracle,

@@ -140,6 +140,12 @@ object RetrievalOps {
       .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
+    // doc-keyed length sidecar (doc_id, len): what a DELETE needs to
+    // adjust the aggregated (nd, sumlen) without scanning term buckets —
+    // a doc's postings are scattered across buckets by term, so without
+    // this 2-column table every delete would pay a full index scan
+    postings.select("doc_id", "len").distinct()
+      .write.mode("overwrite").parquet(s"$dir/doclens")
   }
 
   /** The served form: score against the persisted index (auto-built once
@@ -162,16 +168,149 @@ object RetrievalOps {
   }
 
   /** Serve the fixed query set from an already-built index dir — the
-    * probe the bench times separately from the build.
+    * probe the bench times separately from the build. Tombstoned docs
+    * (if any delete happened) are masked out of BOTH reads: postings
+    * (so the doc can't score) and the per-doc stats sidecar (so nd,
+    * avgdl and every term's read-time df shrink exactly as if the doc
+    * had never been indexed — BM25's globals are DERIVED here, which is
+    * what makes doc deletion a pure set-minus).
     */
   private[graft] def bm25Served(s: SparkSession, dir: String): DataFrame = {
     val qterms = bmQueries.flatMap(_._2).distinct
     val buckets = qterms.map(t => s"abs(hash('$t')) % 16").mkString(", ")
-    val postings = s.read.parquet(s"$dir/postings")
+    val postingsRaw = s.read.parquet(s"$dir/postings")
       // partition-prune to the query terms' buckets BEFORE the term join
       .filter(expr(s"tb IN ($buckets)"))
       .drop("tb")
-    bm25Serve(s, postings, s.read.parquet(s"$dir/stats"))
+    val statsRaw = s.read.parquet(s"$dir/stats")
+    val (postings, stats) = bm25Tombstones(s, dir) match {
+      case Some(t) =>
+        // postings: set-minus mask (read-time df then shrinks for free);
+        // stats: the aggregated (nd, sumlen) row minus the tombstones'
+        // recorded (count, Σlen) — integer arithmetic, so the adjusted
+        // globals are bit-identical to a never-indexed-the-victims build
+        val adj = t.agg(count(lit(1)).as("n_del"),
+          coalesce(sum("len"), lit(0L)).as("len_del"))
+        (postingsRaw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"),
+          statsRaw.crossJoin(broadcast(adj))
+            .select((col("nd") - col("n_del")).as("nd"),
+              (col("sumlen") - col("len_del")).as("sumlen")))
+      case None => (postingsRaw, statsRaw)
+    }
+    bm25Serve(s, postings, stats)
+  }
+
+  /** Tombstone DELETE for the persisted inverted index — the document
+    * sibling of the ANN store's delete (EmbeddingOps.deleteIvfPq):
+    * O(|delete batch|) write of doc ids, batch-partitioned so a replay
+    * overwrites itself; no postings lookup (a doc's terms live scattered
+    * across term buckets — finding them eagerly would cost a full index
+    * scan, exactly what tombstones avoid). Visible at the next serve via
+    * the anti-join mask; [[compactBm25Index]] folds them physically.
+    */
+  private[graft] def deleteBm25Docs(s: SparkSession, ids: DataFrame,
+      dir: String, batchId: Long): Unit =
+    // inner-join the doc-keyed sidecar: records each victim's len (the
+    // stats adjustment the serve needs) and silently no-ops ids that
+    // were never indexed — deleting an absent doc must not shift nd
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .join(s.read.parquet(s"$dir/doclens"), Seq("doc_id"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dir/tombstones")
+
+  private def bm25Tombstones(s: SparkSession, dir: String): Option[DataFrame] =
+    if (new java.io.File(s"$dir/tombstones").exists())
+      // distinct on (doc_id, len): a doc deleted by two batches must
+      // count once in the stats adjustment
+      Some(s.read.parquet(s"$dir/tombstones").select("doc_id", "len").distinct())
+    else None
+
+  /** Fold tombstones into the postings store and clear them. Postings:
+    * rewrite ONLY the term-buckets that contain a tombstoned doc's rows
+    * (dynamic overwrite; fully-dead buckets — possible when a bucket's
+    * every posting came from deleted docs — are removed explicitly, the
+    * same obligation the ANN compaction carries, with the surviving set
+    * computed from the kept rows BEFORE the overwrite). Stats: the
+    * per-doc sidecar is rewritten whole behind a materialization barrier
+    * (it is |docs| rows of two ints — the corpus-scaled object is the
+    * postings, not this).
+    */
+  private[graft] def compactBm25Index(s: SparkSession, dir: String): Unit =
+    bm25Tombstones(s, dir).foreach { t =>
+      val postings = s.read.parquet(s"$dir/postings")
+      val affected = postings.join(broadcast(t), Seq("doc_id"), "left_semi")
+        .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+      if (affected.nonEmpty) {
+        val kept = s.read.parquet(s"$dir/postings")
+          .filter(col("tb").isin(affected: _*))
+          .join(broadcast(t), Seq("doc_id"), "left_anti")
+        val surviving = kept.select(col("tb").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tb").parquet(s"$dir/postings")
+        (affected.toSet -- surviving).foreach { b =>
+          val dead = java.nio.file.Paths.get(s"$dir/postings/tb=$b")
+          if (java.nio.file.Files.exists(dead)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dead).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+      }
+      // fold the adjustment into the aggregated stats row and shrink the
+      // doc-keyed sidecar; both rewrites go through a materialization
+      // barrier so the overwrite never reads the files it replaces
+      val adj = t.agg(count(lit(1)).as("n_del"),
+        coalesce(sum("len"), lit(0L)).as("len_del"))
+      val newStats = graft.Checkpoint.barrier(
+        s.read.parquet(s"$dir/stats").crossJoin(broadcast(adj))
+          .select((col("nd") - col("n_del")).as("nd"),
+            (col("sumlen") - col("len_del")).as("sumlen")))
+      newStats.write.mode("overwrite").parquet(s"$dir/stats")
+      val keptLens = graft.Checkpoint.barrier(
+        s.read.parquet(s"$dir/doclens")
+          .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+      keptLens.write.mode("overwrite").parquet(s"$dir/doclens")
+      val tdir = java.nio.file.Paths.get(s"$dir/tombstones")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tdir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
+  /** The delete-set convention of the gated BM25 lifecycle: every 7th
+    * doc — ~14% of the corpus, which necessarily perturbs nd/avgdl (and
+    * thus every surviving score) as well as evicting scored docs.
+    */
+  private val Bm25DeleteVictims = col("doc_id") % 7 === 3
+
+  /** build → delete → serve, returning the index dir. */
+  private def bm25DeletedIndexDir(s: SparkSession, d: String,
+      tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${tag}_$h"
+    buildBm25Index(s, d, dir)
+    deleteBm25Docs(s,
+      documents(s, d).filter(Bm25DeleteVictims).select("doc_id"), dir, 0L)
+    dir
+  }
+
+  /** Document deletion gated end to end: the tombstone-masked serve must
+    * equal BM25 computed over the surviving corpus (the oracle's WHERE)
+    * — including the global-statistics shift every surviving score
+    * inherits.
+    */
+  def bm25Deleted(s: SparkSession, d: String): DataFrame =
+    bm25Served(s, bm25DeletedIndexDir(s, d, "del"))
+
+  /** Same lifecycle + physical compaction before the serve: identical
+    * answer, tombstone-free store.
+    */
+  def bm25DeletedCompacted(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25DeletedIndexDir(s, d, "delc")
+    compactBm25Index(s, dir)
+    bm25Served(s, dir)
   }
 
   // ------------------------------------------- incremental index (stream)
@@ -358,12 +497,19 @@ ORDER BY query_id, rank"""
 
   // ------------------------------------------------------------- oracle
 
-  private def bm25Oracle: String = {
+  private def bm25Oracle: String = bm25OracleOver("TRUE")
+
+  /** The BM25 oracle over a corpus SLICE — "TRUE" for the full corpus,
+    * the survivor predicate for the delete-lifecycle gates (deletion
+    * must behave as if the docs were never indexed, globals included).
+    */
+  private def bm25OracleOver(surviving: String): String = {
     val vals = bmQueries
       .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
       .mkString(", ")
     s"""WITH toks AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents
+  WHERE $surviving),
 lens AS (SELECT doc_id, len(t) AS len FROM toks),
 ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
@@ -396,6 +542,10 @@ ORDER BY query_id, rank"""
     "q_bm25_topk" -> (bm25TopK _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
+    // the index lifecycle's delete third: tombstone-masked serve and
+    // physically-compacted serve, both against the survivors oracle
+    "q_bm25_delete" -> (bm25Deleted _),
+    "q_bm25_delete_compact" -> (bm25DeletedCompacted _),
     // reciprocal-rank fusion of the BM25 and dense top-k lists
     "q_hybrid_rrf" -> (hybridRrf _),
     // the index maintained under arrivals (append-only postings,
@@ -406,5 +556,9 @@ ORDER BY query_id, rank"""
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
-    "q_bm25_stream" -> bm25Oracle)
+    "q_bm25_stream" -> bm25Oracle,
+    // deletion must answer as if the victims were never indexed —
+    // globals (nd, avgdl, read-time df) included
+    "q_bm25_delete" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
+    "q_bm25_delete_compact" -> bm25OracleOver("NOT (doc_id % 7 = 3)"))
 }

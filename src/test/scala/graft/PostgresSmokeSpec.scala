@@ -5,10 +5,15 @@ import graft.etl.Star
 
 /** Live Postgres wire smoke — the ONE component of the reference's
   * deployment (docker-compose.yaml:90-91, a Postgres DW) this sandbox
-  * cannot exercise: no server, zero egress. The mechanics are proven on
-  * embedded Derby (JdbcSinkSpec) and Spark's PostgresDialect SQL is
-  * pinned (PostgresDialectSpec); this spec closes the remaining gap the
-  * day an environment provides a server.
+  * cannot exercise. Audited r13: the sandbox DOES ship Postgres 15
+  * server binaries (initdb/pg_ctl/postgres), but no Postgres JDBC
+  * driver jar exists anywhere on the box (/opt/spark/jars, the offline
+  * coursier cache, system java dirs) and zero egress forbids resolving
+  * one — so Spark has no way to speak the wire protocol even to a local
+  * server, and build.sbt may not grow dependencies. The mechanics are
+  * proven on embedded Derby (JdbcSinkSpec) and Spark's PostgresDialect
+  * SQL is pinned (PostgresDialectSpec); this spec closes the remaining
+  * gap the day an environment provides a server AND the pgjdbc jar.
   *
   * Set GRAFT_PG_URL to a Spark-style JDBC URL, e.g.
   *   GRAFT_PG_URL='jdbc:postgresql://host:5432/dw?user=u&password=p'

@@ -78,6 +78,37 @@ class RetrievalGraphSpec extends SparkSpec {
       "the tb IN (...) filter must prune postings partitions at the scan")
   }
 
+  test("bm25 delete: masked serve == compacted serve; store shrinks, tombstones clear") {
+    import org.apache.spark.sql.functions.col
+    val masked = RetrievalOps.bm25Deleted(spark, tiny).collect()
+    val compacted = RetrievalOps.bm25DeletedCompacted(spark, tiny).collect()
+    assert(masked === compacted)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = System.getProperty("java.io.tmpdir")
+    assert(new java.io.File(s"$tmp/graft_bm25_del_$h/tombstones").exists(),
+      "masked run must still carry tombstones")
+    assert(!new java.io.File(s"$tmp/graft_bm25_delc_$h/tombstones").exists(),
+      "compaction must clear the tombstone store")
+    // no victim doc may survive physically, in postings or the doc-keyed
+    // length sidecar; the aggregated stats row must equal the survivors'
+    val delc = s"$tmp/graft_bm25_delc_$h"
+    assert(spark.read.parquet(s"$delc/postings")
+      .filter(col("doc_id") % 7 === 3).count() === 0)
+    assert(spark.read.parquet(s"$delc/doclens")
+      .filter(col("doc_id") % 7 === 3).count() === 0)
+    val st = spark.read.parquet(s"$delc/stats").head()
+    val lens = spark.read.parquet(s"$delc/doclens")
+    assert(st.getLong(0) === lens.count())
+    assert(st.getLong(1) === lens.agg(org.apache.spark.sql.functions.sum("len"))
+      .head().getLong(0))
+    // and the deletion must actually have changed the answer (globals
+    // shift) — otherwise this gate would pass vacuously
+    val full = RetrievalOps.bm25TopK(spark, tiny).collect()
+    assert(!(masked.toSeq == full.toSeq),
+      "deleting 1/7 of the corpus must perturb the top-k")
+  }
+
   test("hybrid rrf: fused score is exactly the reciprocal-rank sum and ordering follows it") {
     val rows = RetrievalOps.hybridRrf(spark, tiny).collect()
     assert(rows.nonEmpty)

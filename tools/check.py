@@ -3,6 +3,11 @@
 
 Usage:
   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [--run]
+                         [--only q_a,q_b,...]
+
+--only restricts the compare to the named queries (for single-operator
+iteration, or the staged-sf1 heavy-family run where only a subset was
+dumped).
 
 With --run, first executes `sbt "runMain graft.Verify <sf> <out>"`.
 Then, for every entry in <out>/oracle_sql.json:
@@ -38,6 +43,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if "--only" in sys.argv:
+        names = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_fail = 0
     for name in sorted(oracle):
         spark_path = Path(out_dir) / name
