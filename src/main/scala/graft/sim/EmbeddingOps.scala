@@ -1007,7 +1007,8 @@ object EmbeddingOps {
     * so the gate proves deletion works against built AND appended
     * partitions; query vectors are never deleted.
     */
-  private val DeleteVictims = col("vec_id") % 5 === 4 && col("vec_id") >= N_QUERIES
+  private[graft] val DeleteVictims =
+    col("vec_id") % 5 === 4 && col("vec_id") >= N_QUERIES
 
   /** build → append → delete, returning the index dir (per-dataset,
     * per-tag tmp; every step is replay-idempotent).
@@ -1435,6 +1436,10 @@ object EmbeddingOps {
     "q_ann_ivf_kmeans_incr" -> (annIvfKmeansIncr _),
     // the raw-vector store's delete lifecycle (tombstone-masked serve)
     "q_ann_ivf_kmeans_delete" -> (annIvfKmeansDeleted _),
+    // the same deletes arriving as a stream (per-batch tombstones,
+    // exactly-once) — answer must be arrival-shape-independent
+    "q_ann_ivf_kmeans_delete_stream" ->
+      (graft.streaming.Streams.ivfDeleteStreamed _),
     // the streamed ingest twin: arrivals cell-append per micro-batch
     "q_ann_ivf_kmeans_incr_stream" ->
       (graft.streaming.Streams.ivfIndexStreamed _),
@@ -1845,6 +1850,8 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     "q_ann_ivf_kmeans_incr_stream" -> kmeansIncrProbeOracle,
     // deletion answers the one-shot probe over the survivors
     "q_ann_ivf_kmeans_delete" -> kmeansDeleteProbeOracle,
+    // streamed deletes converge to the identical survivor set
+    "q_ann_ivf_kmeans_delete_stream" -> kmeansDeleteProbeOracle,
     // composed form: both trainings on the build slice, encode+assign
     // over the full corpus
     "q_ann_ivfpq_incr" -> annIvfPqIncrOracle,

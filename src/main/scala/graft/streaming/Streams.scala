@@ -893,6 +893,77 @@ object Streams {
     graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, dir, sub("idx"))
   }
 
+  /** The streamed DELETE twin of the k-means index lifecycle: the same
+    * build + append as [[ivfIndexStreamed]]'s batch sibling
+    * (q_ann_ivf_kmeans_delete), but the delete REQUESTS arrive as a file
+    * stream of vec_ids split across two micro-batches. Each batch lands
+    * as its own tombstone partition (deleteIvfPq keys the write by
+    * batchId, so a replayed micro-batch overwrites itself — the same
+    * exactly-once shape as the append path), and the probe after the
+    * stream drains must answer the SAME survivors oracle as the batch
+    * delete gate: how the victims arrived (one batch, two batches, a
+    * replay) must be unobservable in the answer.
+    */
+  def ivfDeleteStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_ivfdel_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildIvfIndexKmeansOn(spark,
+      emb.filter(!arrival), emb.filter(!arrival), sub("idx"), "stream-del")
+    graft.sim.EmbeddingOps.appendIvfIndexKmeans(spark, emb.filter(arrival),
+      sub("idx"), batchId = 0L): Unit
+    val victims = emb.filter(graft.sim.EmbeddingOps.DeleteVictims)
+      .select("vec_id")
+    victims.filter(expr("(vec_id div 5) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    victims.filter(expr("(vec_id div 5) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sim.EmbeddingOps.deleteIvfPq(spark, batch, sub("idx"), batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, dir, sub("idx"))
+  }
+
+  /** The streamed DELETE twin for the persisted BM25 index: document
+    * delete requests arrive as a file stream of doc_ids over two
+    * micro-batches, each landing as its own tombstone partition
+    * (RetrievalOps.deleteBm25Docs keys by batchId — replay-idempotent),
+    * and the serve after the drain must answer the survivors oracle
+    * exactly like the one-shot delete gate — globals (nd, avgdl,
+    * read-time df) included.
+    */
+  def bm25DeleteStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_bm25del_stream")
+    def sub(n: String) = base.resolve(n).toString
+    graft.text.RetrievalOps.buildBm25Index(spark, dir, sub("idx"))
+    val victims = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 3).select("doc_id")
+    victims.filter(expr("(doc_id div 7) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    victims.filter(expr("(doc_id div 7) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.RetrievalOps.deleteBm25Docs(spark, batch, sub("idx"), batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.text.RetrievalOps.bm25Served(spark, sub("idx"))
+  }
+
   /** The FULL star-maintenance loop as ONE stream — the capstone
     * composition of the SCD2 state store and the incremental PIT fact
     * load (the streamed twin of graft.etl.Scd.factScd2Lifecycle): order

@@ -546,6 +546,10 @@ ORDER BY query_id, rank"""
     // physically-compacted serve, both against the survivors oracle
     "q_bm25_delete" -> (bm25Deleted _),
     "q_bm25_delete_compact" -> (bm25DeletedCompacted _),
+    // delete requests arriving as a stream (per-batch tombstones,
+    // exactly-once) — arrival shape must be unobservable in the answer
+    "q_bm25_delete_stream" ->
+      (graft.streaming.Streams.bm25DeleteStreamed _),
     // reciprocal-rank fusion of the BM25 and dense top-k lists
     "q_hybrid_rrf" -> (hybridRrf _),
     // the index maintained under arrivals (append-only postings,
@@ -560,5 +564,7 @@ ORDER BY query_id, rank"""
     // deletion must answer as if the victims were never indexed —
     // globals (nd, avgdl, read-time df) included
     "q_bm25_delete" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
-    "q_bm25_delete_compact" -> bm25OracleOver("NOT (doc_id % 7 = 3)"))
+    "q_bm25_delete_compact" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
+    // streamed deletes converge to the identical survivor answer
+    "q_bm25_delete_stream" -> bm25OracleOver("NOT (doc_id % 7 = 3)"))
 }

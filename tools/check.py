@@ -40,7 +40,11 @@ def main() -> int:
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # driver testdata ships single parquet FILES; staged dirs
+            # (ScaleProbe --stage-sf1) are Spark-written DIRECTORIES of
+            # part files — DuckDB needs the glob form for those
+            pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     if "--only" in sys.argv:
