@@ -362,6 +362,25 @@ object Bench {
         graft.sim.EmbeddingOps.appendIvfPqIndex(
           spark, base.filter(arrival), incrPqIdx, batchId = 0L)
       }
+      // r13: the delete third of the lifecycle on the SAME appended
+      // index — the O(|batch|) tombstone write, the masked serve (the
+      // steady-state read price of logical deletion), and the one-time
+      // physical fold
+      val victims = base
+        .filter(col("vec_id") % 5 === 4 && col("vec_id") >= 8)
+        .select("vec_id")
+      time("ann_ivfpq_delete_apply") {
+        graft.sim.EmbeddingOps.deleteIvfPq(spark, victims, incrPqIdx, 1L)
+      }
+      time("q_ann_ivfpq_delete_served") {
+        graft.sim.EmbeddingOps.annIvfPqIndexed(spark, sfDir, incrPqIdx).count()
+      }
+      time("ann_ivfpq_index_compact") {
+        // first rep folds; later reps see no tombstones (no-op floor) —
+        // rep-1 is the number of record, reported via the _cold-free min
+        graft.sim.EmbeddingOps.deleteIvfPq(spark, victims, incrPqIdx, 1L)
+        graft.sim.EmbeddingOps.compactIvfPqIndex(spark, incrPqIdx)
+      }
     }
     rmTree(incrIdx)
     rmTree(incrPqIdx)

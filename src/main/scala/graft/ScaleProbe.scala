@@ -235,9 +235,16 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val reps = spark.range(n).select(col("id").as("rep"))
+    // replica 0 keeps the RAW text: fixed-vocabulary operators (the BM25
+    // query terms, boilerplate thresholds) must still find their tokens
+    // at sf1 or their gates pass vacuously on empty results — replicas
+    // 1..n-1 get the bijective token prefix that makes them mutually
+    // (and from replica 0) dissimilar
     Tables.documents(spark, src).crossJoin(reps).selectExpr(
         "doc_id + rep * 1000000000 AS doc_id",
-        "array_join(transform(split(trim(text), '\\\\s+'), t -> concat('r', CAST(rep AS STRING), '_', t)), ' ') AS text",
+        """CASE WHEN rep = 0 THEN text
+           ELSE array_join(transform(split(trim(text), '\\\\s+'),
+                t -> concat('r', CAST(rep AS STRING), '_', t)), ' ') END AS text""",
         "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
     Tables.embeddings(spark, src).crossJoin(reps).selectExpr(
@@ -315,10 +322,14 @@ object ScaleProbe {
     println(f"${"form"}%-12s ${"1x_pairs"}%9s ${"1x_sec"}%8s ${s"${n}x_pairs"}%10s ${s"${n}x_sec"}%8s ${"rows_x"}%8s ${"time_x"}%8s")
     // agreement is pinned on CONTENT (count + order-free row hash), not
     // just cardinality — a form that emitted the right number of wrong
-    // pairs would still be caught
+    // pairs would still be caught. bit_xor, not sum: XOR of row hashes
+    // is order-free AND overflow-free (summing ~10⁶ xxhash64 longs
+    // throws ARITHMETIC_OVERFLOW under ANSI mode); rows are distinct
+    // pairs, so XOR's duplicate-cancellation cannot mask anything the
+    // count doesn't catch.
     def fp(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("id_a"), col("id_b"), col("dist"))), lit(0L)))
+        coalesce(expr("bit_xor(xxhash64(id_a, id_b, dist))"), lit(0L)))
         .head()
       (r.getLong(0), r.getLong(1))
     }
