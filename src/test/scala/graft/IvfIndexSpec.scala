@@ -212,6 +212,21 @@ class IvfIndexSpec extends SparkSpec {
       "slice-trained and full-trained centroids must actually differ for this test to bite")
   }
 
+  test("tombstone-masked serve still partition-prunes the codes scan") {
+    // the delete mask must not cost the probe its scale posture: the
+    // anti-join layers ON TOP of the routed-cell isin, it must never
+    // widen the scan back to the full store
+    val delDf = EmbeddingOps.annIvfPqDeleted(spark, tiny)
+    delDf.collect() // finalize AQE
+    val codeScans = allNodes(delDf.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(codeScans.nonEmpty, "expected a scan over the index codes table")
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      "masked codes scan must keep the routed-cell PartitionFilters")
+  }
+
   test("delete lifecycle: tombstone serve == compacted serve; compaction clears and shrinks") {
     val masked = EmbeddingOps.annIvfPqDeleted(spark, tiny).collect()
     val compacted = EmbeddingOps.annIvfPqDeletedCompacted(spark, tiny).collect()

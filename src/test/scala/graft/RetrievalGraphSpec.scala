@@ -78,6 +78,21 @@ class RetrievalGraphSpec extends SparkSpec {
       "the tb IN (...) filter must prune postings partitions at the scan")
   }
 
+  test("bm25 masked serve still partition-prunes the postings scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the doc-tombstone anti-join must layer on top of the tb IN (...)
+    // bucket pruning, never widen the scan back to all term buckets
+    val df = RetrievalOps.bm25Deleted(spark, tiny)
+    df.collect()
+    val postScans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }
+    assert(postScans.nonEmpty, "expected a postings file scan")
+    assert(postScans.forall(_.partitionFilters.nonEmpty),
+      "masked postings scan must keep the query-term bucket PartitionFilters")
+  }
+
   test("bm25 delete: masked serve == compacted serve; store shrinks, tombstones clear") {
     import org.apache.spark.sql.functions.col
     val masked = RetrievalOps.bm25Deleted(spark, tiny).collect()
