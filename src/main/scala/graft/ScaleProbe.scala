@@ -242,8 +242,13 @@ object ScaleProbe {
     // (and from replica 0) dissimilar
     Tables.documents(spark, src).crossJoin(reps).selectExpr(
         "doc_id + rep * 1000000000 AS doc_id",
+        // NB triple-quoted Scala: backslashes are literal here, so '\\s+'
+        // reaches SQL as-is and parses to the \s+ regex (a normal Scala
+        // string needs '\\\\s+' for the same SQL text — getting this
+        // wrong makes split() match nothing, ONE token per doc, and the
+        // "prefixed" replicas stay ~96% similar to replica 0)
         """CASE WHEN rep = 0 THEN text
-           ELSE array_join(transform(split(trim(text), '\\\\s+'),
+           ELSE array_join(transform(split(trim(text), '\\s+'),
                 t -> concat('r', CAST(rep AS STRING), '_', t)), ' ') END AS text""",
         "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$work/documents.parquet")

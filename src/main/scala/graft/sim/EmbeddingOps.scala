@@ -1046,6 +1046,14 @@ object EmbeddingOps {
     annIvfPqIndexed(s, d, dir)
   }
 
+  /** The refined (exact re-rank) probe over the deleted index: the
+    * tombstone mask removes victims from the ADC shortlist, so the
+    * point-lookup re-rank only ever touches surviving ids — delete and
+    * refine compose with no extra machinery, which this gate pins.
+    */
+  def annIvfPqRefinedDeleted(s: SparkSession, d: String): DataFrame =
+    annIvfPqRefinedIndexed(s, d, ivfPqDeletedIndexDir(s, d, "del"))
+
   /** The incremental IVF-PQ lifecycle as a gated query (the composed
     * sibling of [[annIvfKmeansIncr]]): build on 9/10 of the corpus,
     * cell-append the arriving 1/10 under the stored quantizer +
@@ -1449,6 +1457,8 @@ object EmbeddingOps {
     // DELETE, served masked / served after physical compaction
     "q_ann_ivfpq_delete" -> (annIvfPqDeleted _),
     "q_ann_ivfpq_delete_compact" -> (annIvfPqDeletedCompacted _),
+    // delete × refine composition: exact re-rank over the masked index
+    "q_ann_ivfpq_refined_delete" -> (annIvfPqRefinedDeleted _),
     "q_ann_ivf_kmeans_probe2" -> ((s: SparkSession, d: String) => annIvfKmeansProbe(s, d, 2)),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_embed_norm" -> (embedNorm _),
@@ -1717,10 +1727,28 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * as the Spark kernel) and the final top-k by (exact ASC, id ASC).
     */
   private def annIvfPqRefinedOracle: String =
-    s"""WITH ${annIvfPqOracleCtes(kmeansCtes, pqCtes)},
+    annIvfPqRefinedOracleFrom(
+      annIvfPqOracleCtes(kmeansCtes, pqCtes), "TRUE")
+
+  /** The refined probe over the delete lifecycle's index: incr trainings
+    * (build slice) and the ADC candidate set minus the victims — the
+    * exact re-rank then only ever touches surviving shortlist ids.
+    */
+  private def annIvfPqRefinedDeleteOracle: String =
+    annIvfPqRefinedOracleFrom(
+      annIvfPqOracleCtes(
+        kmeansCtesTrainedOn("ktrain",
+          "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"),
+        pqCtesTrainedOn("pqtrain",
+          "pqtrain AS (SELECT * FROM pqbase WHERE vec_id % 10 <> 9),\n")),
+      s"NOT (f.vec_id % 5 = 4 AND f.vec_id >= $N_QUERIES)")
+
+  private def annIvfPqRefinedOracleFrom(ctes: String,
+      surviving: String): String =
+    s"""WITH $ctes,
 shortlist AS (
   SELECT query_id, vizinho FROM (
-  $annIvfPqAdcRanked)
+  ${annIvfPqAdcRankedWhere(surviving)})
   WHERE rank <= $REFINE_C)
 SELECT query_id, vizinho, dist, rank FROM (
   SELECT sl.query_id, sl.vizinho,
@@ -1858,6 +1886,8 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     // both delete serves answer the one-shot probe over the survivors
     "q_ann_ivfpq_delete" -> annIvfPqDeleteOracle,
     "q_ann_ivfpq_delete_compact" -> annIvfPqDeleteOracle,
+    // the refined probe over survivors: incr trainings, masked shortlist
+    "q_ann_ivfpq_refined_delete" -> annIvfPqRefinedDeleteOracle,
     "q_kmeans_cells" ->
       s"""WITH $kmeansCtes
 SELECT vec_id, cell, dist FROM (
