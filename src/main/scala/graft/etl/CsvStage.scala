@@ -55,12 +55,22 @@ object CsvStage {
   }
 
   /** Stage `srcDir`'s sales tables as CSV under a source-keyed temp dir.
-    * Idempotent per source dir (a `_STAGED` marker skips re-staging), so
-    * gate + bench invocations pay the conversion once.
+    * Idempotent per source CONTENT (a `_STAGED` marker skips re-staging),
+    * so gate + bench invocations pay the conversion once. The cache key
+    * fingerprints the source parquet files (path + size + mtime) AND the
+    * CSV option set — regenerated testdata at the same path, or a change
+    * to Opts, lands in a fresh staging dir instead of silently reusing a
+    * stale one.
     */
   def stage(s: SparkSession, srcDir: String): String = {
+    val src = new java.io.File(srcDir)
+    val fingerprint = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|") +
+      "||" + Opts.toSeq.sorted.mkString(",")
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$srcDir#$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage_$h"
     val marker = new java.io.File(s"$dir/_STAGED")
     if (!marker.exists()) {

@@ -222,7 +222,22 @@ object Streams {
     import spark.implicits._
     // see doc comment: the unmatched-row flush of the outer forms may be
     // carried by the trailing no-data micro-batch — guarantee it exists
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // for THIS run only; the prior session value is restored on exit so
+    // the setting never leaks into later queries on the shared session
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrior = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "true")
+    try attributionStagedRunInner(spark, dir, tag, join)
+    finally ndPrior match {
+      case Some(v) => spark.conf.set(ndKey, v)
+      case None    => spark.conf.unset(ndKey)
+    }
+  }
+
+  private def attributionStagedRunInner(spark: SparkSession, dir: String,
+      tag: String,
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import spark.implicits._
     val base = tempDir(tag)
     def sub(n: String) = base.resolve(n).toString
     val ev = graft.Tables.events(spark, dir).select(
