@@ -122,28 +122,8 @@ object Bench {
     // five sub-second jobs' fixed overheads; the fact follows alone.
     // Parameterized by source/sink dir so the 10× scale phase runs the
     // IDENTICAL build.
-    def starBuildTo(srcDir: String, dwDir: String): Unit = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val dims = Seq(
-        "dim_produto" -> (() => Star.dimProduto(spark, srcDir)),
-        "dim_cliente" -> (() => Star.dimCliente(spark, srcDir)),
-        "dim_vendedor" -> (() => Star.dimVendedor(spark, srcDir)),
-        "dim_localidade" -> (() => Star.dimLocalidade(spark, srcDir)),
-        "dim_tempo" -> (() => Star.dimTempo(spark)))
-      Await.result(Future.sequence(dims.map { case (name, build) =>
-        Future(graft.sink.Sink.parquet(build(), s"$dwDir/$name"))
-      }), Duration.Inf)
-      // note: NOT repartition(ano) before the write — the extra full-fact
-      // shuffle buys nothing here because AQE already coalesces output to
-      // ~2 files per year partition (measured: no improvement, within
-      // run-to-run noise at this scale).
-      val ano = (org.apache.spark.sql.functions.col("sk_tempo") / 10000).cast("int")
-      graft.sink.Sink.parquet(
-        Star.fatoVendas(spark, srcDir).withColumn("ano", ano),
-        s"$dwDir/fato_vendas", partitionBy = Seq("ano"))
-    }
+    def starBuildTo(srcDir: String, dwDir: String): Unit =
+      StarBench.starBuildTo(spark, srcDir, dwDir)
     time("etl_star_build") { starBuildTo(sfDir, dw) }
 
     // Phase 2 — KPI suite over the materialized DW (reference: KPIs.sql).
@@ -151,33 +131,8 @@ object Bench {
     // carries its own ano and the join would be ambiguous)
     // Reads are deferred so a failed ETL phase still yields a complete
     // JSON line with the KPIs marked -1 instead of a crashed run.
-    def kpiSuite(dwDir: String): Seq[(String, () => DataFrame)] = {
-      def rd(t: String) = spark.read.parquet(s"$dwDir/$t")
-      lazy val fatoAll = rd("fato_vendas")
-      lazy val fato = fatoAll.drop("ano")
-      lazy val dimP = rd("dim_produto")
-      lazy val dimC = rd("dim_cliente")
-      lazy val dimV = rd("dim_vendedor")
-      lazy val dimL = rd("dim_localidade")
-      lazy val dimT = rd("dim_tempo")
-      Seq(
-        "kpi1" -> (() => Kpis.kpi1FaturamentoBruto(fato)),
-        "kpi2" -> (() => Kpis.kpi2FaturamentoLiquido(fato)),
-        "kpi3" -> (() => Kpis.kpi3TotalDescontos(fato)),
-        "kpi4" -> (() => Kpis.kpi4ItensVendidos(fato)),
-        "kpi5" -> (() => Kpis.kpi5TopProdutos(fato, dimP)),
-        "kpi6" -> (() => Kpis.kpi6VendasPorCategoria(fato, dimP)),
-        "kpi7" -> (() => Kpis.kpi7PorNacao(fato, dimC)),
-        "kpi7_pais" -> (() => Kpis.kpi7PorPais(fato, dimL)),
-        "kpi8" -> (() => Kpis.kpi8Sazonalidade(fato, dimT)),
-        "kpi9" -> (() => Kpis.kpi9RankingVendedores(fato, dimV)),
-        "kpi10" -> (() => Kpis.kpi10TicketMedio(fato)),
-        // year-bounded seasonality: the ano=... predicate prunes fact
-        // partitions at the scan (PartitionFilters), reading one year only
-        "kpi8_pruned" -> (() => Kpis.kpi8Sazonalidade(
-          fatoAll.filter(org.apache.spark.sql.functions.col("ano") === 1996)
-            .drop("ano"), dimT)))
-    }
+    def kpiSuite(dwDir: String): Seq[(String, () => DataFrame)] =
+      StarBench.kpiSuite(spark, dwDir)
     kpiSuite(dw).foreach { case (name, q) => time(name) { q().collect() } }
 
     // Phase 3 — extension operators, self-contained on the raw tables.
@@ -498,21 +453,7 @@ object Bench {
       val sf1Dir = s"/tmp/graft_bench_sf1_${System.nanoTime()}"
       val dw1 = s"/tmp/graft_bench_dw1_${System.nanoTime()}"
       try {
-        val repsDf = spark.range(10).select(col("id").as("rep"))
-        def replicate(df: DataFrame, key: String): DataFrame =
-          df.crossJoin(repsDf).select(
-            df.columns.toIndexedSeq.map { c =>
-              if (c == key) (col(c) + col("rep") * 1000000000L).as(c)
-              else col(c)
-            }: _*)
-        replicate(Tables.orders(spark, sfDir), "o_orderkey")
-          .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
-        replicate(Tables.lineitem(spark, sfDir), "l_orderkey")
-          .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
-        Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-          Tables.table(spark, sfDir, t).write.mode("overwrite")
-            .parquet(s"$sf1Dir/$t.parquet")
-        }
+        StarBench.stage10x(spark, sfDir, sf1Dir)
         // one rep each: these are scale-ratio measurements against the
         // sf0.1 rows above (star ~2.3×-per-10×-data is the story)
         once("etl_star_build_sf1") { starBuildTo(sf1Dir, dw1) }
@@ -525,18 +466,7 @@ object Bench {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         once("etl_bucket_tables_build_10x") {
-          spark.sql("DROP TABLE IF EXISTS orders_bkt10")
-          spark.sql("DROP TABLE IF EXISTS lineitem_bkt10")
-          Tables.orders(spark, sf1Dir)
-            .repartition(cpus.toInt, col("o_orderkey"))
-            .write.mode("overwrite")
-            .bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
-            .saveAsTable("orders_bkt10")
-          Tables.lineitem(spark, sf1Dir)
-            .repartition(cpus.toInt, col("l_orderkey"))
-            .write.mode("overwrite")
-            .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
-            .saveAsTable("lineitem_bkt10")
+          StarBench.bucket10x(spark, sf1Dir, cpus.toInt)
         }
         if (spark.catalog.tableExists("orders_bkt10") &&
             spark.catalog.tableExists("lineitem_bkt10")) {

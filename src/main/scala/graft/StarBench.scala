@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.Star
+import graft.kpi.Kpis
+
+/** The star build + KPI suite shared by [[Bench]] (per-round artifact)
+  * and [[ScaleRemeasure]] (the idle 10×-scale re-measure). Factored out
+  * so the re-measure prices the IDENTICAL code path the round artifact
+  * prices — a divergent copy would make the two numbers incomparable.
+  */
+object StarBench {
+
+  /** Build + sink the full star (reference: the six Airflow DAG tasks).
+    * Dim sink jobs are submitted CONCURRENTLY so Spark's scheduler
+    * overlaps the small dim builds instead of serializing five
+    * sub-second jobs' fixed overheads; the fact follows alone.
+    */
+  def starBuildTo(spark: SparkSession, srcDir: String, dwDir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dims = Seq(
+      "dim_produto" -> (() => Star.dimProduto(spark, srcDir)),
+      "dim_cliente" -> (() => Star.dimCliente(spark, srcDir)),
+      "dim_vendedor" -> (() => Star.dimVendedor(spark, srcDir)),
+      "dim_localidade" -> (() => Star.dimLocalidade(spark, srcDir)),
+      "dim_tempo" -> (() => Star.dimTempo(spark)))
+    Await.result(Future.sequence(dims.map { case (name, build) =>
+      Future(graft.sink.Sink.parquet(build(), s"$dwDir/$name"))
+    }), Duration.Inf)
+    // note: NOT repartition(ano) before the write — the extra full-fact
+    // shuffle buys nothing here because AQE already coalesces output to
+    // ~2 files per year partition (measured: no improvement, within
+    // run-to-run noise at this scale).
+    val ano = (org.apache.spark.sql.functions.col("sk_tempo") / 10000).cast("int")
+    graft.sink.Sink.parquet(
+      Star.fatoVendas(spark, srcDir).withColumn("ano", ano),
+      s"$dwDir/fato_vendas", partitionBy = Seq("ano"))
+  }
+
+  /** The 13 KPI queries over a materialized DW (reference: KPIs.sql).
+    * Reads are deferred so a failed ETL phase still yields a complete
+    * bench line with the KPIs marked failed instead of a crashed run.
+    */
+  def kpiSuite(spark: SparkSession, dwDir: String): Seq[(String, () => DataFrame)] = {
+    def rd(t: String) = spark.read.parquet(s"$dwDir/$t")
+    lazy val fatoAll = rd("fato_vendas")
+    lazy val fato = fatoAll.drop("ano")
+    lazy val dimP = rd("dim_produto")
+    lazy val dimC = rd("dim_cliente")
+    lazy val dimV = rd("dim_vendedor")
+    lazy val dimL = rd("dim_localidade")
+    lazy val dimT = rd("dim_tempo")
+    Seq(
+      "kpi1" -> (() => Kpis.kpi1FaturamentoBruto(fato)),
+      "kpi2" -> (() => Kpis.kpi2FaturamentoLiquido(fato)),
+      "kpi3" -> (() => Kpis.kpi3TotalDescontos(fato)),
+      "kpi4" -> (() => Kpis.kpi4ItensVendidos(fato)),
+      "kpi5" -> (() => Kpis.kpi5TopProdutos(fato, dimP)),
+      "kpi6" -> (() => Kpis.kpi6VendasPorCategoria(fato, dimP)),
+      "kpi7" -> (() => Kpis.kpi7PorNacao(fato, dimC)),
+      "kpi7_pais" -> (() => Kpis.kpi7PorPais(fato, dimL)),
+      "kpi8" -> (() => Kpis.kpi8Sazonalidade(fato, dimT)),
+      "kpi9" -> (() => Kpis.kpi9RankingVendedores(fato, dimV)),
+      "kpi10" -> (() => Kpis.kpi10TicketMedio(fato)),
+      // year-bounded seasonality: the ano=... predicate prunes fact
+      // partitions at the scan (PartitionFilters), reading one year only
+      "kpi8_pruned" -> (() => Kpis.kpi8Sazonalidade(
+        fatoAll.filter(org.apache.spark.sql.functions.col("ano") === 1996)
+          .drop("ano"), dimT)))
+  }
+
+  /** Stage the 10× corpus: sf0.1's fact tables replicated 10× with
+    * offset order keys (≈ sf1), dims copied unchanged — the ScaleProbe
+    * construction used by Bench phase 6 and the idle re-measure.
+    */
+  def stage10x(spark: SparkSession, sfDir: String, sf1Dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val repsDf = spark.range(10).select(col("id").as("rep"))
+    def replicate(df: DataFrame, key: String): DataFrame =
+      df.crossJoin(repsDf).select(
+        df.columns.toIndexedSeq.map { c =>
+          if (c == key) (col(c) + col("rep") * 1000000000L).as(c)
+          else col(c)
+        }: _*)
+    replicate(Tables.orders(spark, sfDir), "o_orderkey")
+      .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+    replicate(Tables.lineitem(spark, sfDir), "l_orderkey")
+      .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables.table(spark, sfDir, t).write.mode("overwrite")
+        .parquet(s"$sf1Dir/$t.parquet")
+    }
+  }
+
+  /** Bucket the 10× fact tables for the zero-Exchange header⨝detail
+    * build (Bench phase 6's discipline: one repartition to `buckets`
+    * tasks, bucketed+sorted on the order key).
+    */
+  def bucket10x(spark: SparkSession, sf1Dir: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS orders_bkt10")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt10")
+    Tables.orders(spark, sf1Dir)
+      .repartition(buckets, col("o_orderkey"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt10")
+    Tables.lineitem(spark, sf1Dir)
+      .repartition(buckets, col("l_orderkey"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt10")
+  }
+}

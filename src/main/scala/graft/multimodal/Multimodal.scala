@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery — schema, partition-sized batching, feature
   * vector shape, composition with the similarity operators — is real and
   * tested. The codec behind [[DecodeStub.decode]] really decodes IMAGES
-  * (pure-JVM javax.imageio: PNG/JPEG/GIF/BMP); audio/video decode — which
-  * has no pure-JVM codec in this container — falls back to a
-  * deterministic stand-in so plumbing tests stay reproducible.
+  * (pure-JVM javax.imageio: PNG/JPEG/GIF/BMP) and [[DecodeStub.decodeAudio]]
+  * really decodes AUDIO (pure-JVM javax.sound.sampled: WAV/AIFF/AU RIFF
+  * parse + PCM samples); VIDEO decode — which has no pure-JVM codec in
+  * this container — falls back to a deterministic stand-in so plumbing
+  * tests stay reproducible.
   */
 object Multimodal {
 
@@ -19,15 +21,19 @@ object Multimodal {
   final case class MediaMeta(media_id: Long, kind: String, n_bytes: Int,
                              hash: String, width: Int, height: Int)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
+  final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                             bits: Int, n_frames: Long, duration_us: Long,
+                             pcm_checksum: Long)
 
   /** Codec: IMAGE decode is REAL — pure-JVM `javax.imageio` (PNG/JPEG/
     * GIF/BMP ship with the JDK, no external deps), returning the actual
     * pixel dimensions. Payloads ImageIO does not recognize (this
-    * container's text-derived fixtures; audio/video, which have no
-    * pure-JVM codec) fall back to a deterministic stand-in derived from
-    * the payload bytes, so plumbing tests stay reproducible. A production
-    * build swaps the fallback for JNI audio/video codecs; the signature
-    * and per-partition batching around it are unchanged either way.
+    * container's text-derived fixtures; audio — see [[decodeAudio]] —
+    * and video, which has no pure-JVM codec) fall back to a deterministic
+    * stand-in derived from the payload bytes, so plumbing tests stay
+    * reproducible. A production build swaps the video fallback for a JNI
+    * codec; the signature and per-partition batching around it are
+    * unchanged either way.
     */
   object DecodeStub {
     def decode(payload: Array[Byte]): (Int, Int) = {
@@ -52,6 +58,40 @@ object Multimodal {
       * multimodal→ANN composition be DuckDB-oracle-gated end-to-end
       * (q_multimodal_ann) instead of spec-only.
       */
+    /** REAL audio decode — pure-JVM `javax.sound.sampled` (the WAV/AIFF/AU
+      * readers ship with the JDK): parses the RIFF container, returns the
+      * actual format (sample rate / channels / bits), frame count, and the
+      * decoded PCM samples (signed 16-bit little-endian, the format the
+      * synthetic ingest writes). Returns None for payloads the JDK's audio
+      * system does not recognize — callers fall back to the deterministic
+      * stand-in, exactly like the image path.
+      */
+    def decodeAudio(payload: Array[Byte])
+        : Option[(Int, Int, Int, Long, Array[Int])] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        // sample extraction implemented for the PCM_SIGNED 16-bit LE mono
+        // layout the ingest produces; other layouts still return format
+        // metadata with an empty sample array
+        val samples: Array[Int] =
+          if (f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+              !f.isBigEndian &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            Array.tabulate(bytes.length / 2) { i =>
+              ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            }
+          else Array.empty[Int]
+        Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+          nFrames, samples))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
       val acc = new Array[Long](dim)
       var i = 0
@@ -113,6 +153,112 @@ object Multimodal {
         Media(id, "image", bos.toByteArray)
       }
     }
+  }
+
+  /** Real-WAV ingest: one genuine RIFF/WAVE file per document, synthesized
+    * deterministically from doc_id — sample rate from {8000, 10000, 20000}
+    * by `doc_id mod 3` (each divides 1 000 000, so duration_us stays exact
+    * integer), `n = 50 + (id·11) mod 200` frames of signed 16-bit mono PCM
+    * with `s(i) = (id·37 + i·1009) mod 65536 − 32768`. The container is a
+    * REAL encoder's output (`javax.sound.sampled.AudioSystem.write`, the
+    * JDK's WAVE writer) while the waveform is pure arithmetic, and WAV PCM
+    * is lossless — so the DuckDB oracle predicts the DECODED result of
+    * every downstream step exactly, the same construction that put the PNG
+    * decode path under hash discipline.
+    */
+  def ingestSyntheticWav(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 10000; case _ => 20000
+        }
+        val n = (50 + (id * 11) % 200).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 37 + i.toLong * 1009) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Media(id, "audio", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Position-weighted PCM checksum: `Σ (i+1)·(sᵢ+32768) mod 1000003`
+    * over unsigned-shifted samples — exact integer arithmetic at any
+    * length, SQL-reproducible, pins the ENTIRE decoded waveform (not
+    * just its length) the way the PNG raster checksum pins pixels.
+    */
+  private def pcmChecksum(samples: Array[Int]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < samples.length) {
+      acc = (acc + (i + 1).toLong * (samples(i) + 32768)) % 1000003L
+      i += 1
+    }
+    acc
+  }
+
+  /** Genuine audio-decode gate: format metadata + waveform checksum
+    * extracted from REAL WAV payloads through the REAL
+    * `javax.sound.sampled` parse. The magic column pins genuine RIFF
+    * bytes were produced; rate/frames/checksum pin that the real decode
+    * ran — the stand-in could not reproduce the oracle's arithmetic.
+    */
+  def decodeWavQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = ingestSyntheticWav(graft.Tables.documents(spark, dir))
+    val meta = media.mapPartitions { it =>
+      // per-partition: one decoder context amortized over the batch
+      it.flatMap { m =>
+        DecodeStub.decodeAudio(m.payload).map {
+          case (rate, ch, bits, nFrames, samples) =>
+            AudioMeta(m.media_id, rate, ch, bits, nFrames,
+              nFrames * (1000000L / rate), pcmChecksum(samples))
+        }
+      }
+    }
+    meta.toDF()
+      .join(media.toDF().select(col("media_id"),
+        upper(substring(hex(col("payload")), 1, 8)).as("magic")),
+        Seq("media_id"))
+      .orderBy("media_id")
+  }
+
+  /** Windowed-energy gate over the decoded PCM: non-overlapping 32-frame
+    * windows, each emitting frame count, integer sum of |sᵢ|, and the
+    * position-weighted checksum — the audio analog of the frame-sampling
+    * contract (one row per window), over REALLY-decoded samples.
+    */
+  def wavWindowsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = 32
+    ingestSyntheticWav(graft.Tables.documents(spark, dir))
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          DecodeStub.decodeAudio(m.payload).toSeq.flatMap {
+            case (_, _, _, _, samples) =>
+              samples.grouped(win).zipWithIndex.map { case (w, k) =>
+                (m.media_id, k, w.length,
+                  w.map(s => math.abs(s).toLong).sum, pcmChecksum(w))
+              }
+          }
+        }
+      }
+      .toDF("media_id", "window_no", "n_frames", "sum_abs", "checksum")
+      .selectExpr("media_id", "CAST(window_no AS INT) AS window_no",
+        "CAST(n_frames AS INT) AS n_frames", "sum_abs", "checksum")
+      .orderBy("media_id", "window_no")
   }
 
   /** Genuine-decode gate: metadata extracted from REAL PNG payloads. The
@@ -327,6 +473,43 @@ SELECT media_id, 8 AS thumb_w, 8 AS thumb_h,
        string_agg(CAST(val AS VARCHAR), '-' ORDER BY k) AS thumb,
        CAST(SUM((k + 1) * val) % 1000003 AS INTEGER) AS checksum
 FROM cells GROUP BY media_id ORDER BY media_id""",
+    // the REAL audio-decode gates: the engine encodes + decodes genuine
+    // RIFF/WAVE files; the oracle re-derives the decoded format and the
+    // waveform arithmetically (the PCM field is a pure function of doc_id
+    // and WAV is lossless). s(i) = (id·37 + i·1009) mod 65536 − 32768;
+    // the checksum weights the UNSIGNED value s+32768 = that mod term.
+    "q_multimodal_decode_wav" ->
+      """WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
+         CAST(50 + (doc_id * 11) % 200 AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT media_id, i, (media_id * 37 + i * 1009) % 65536 AS su
+  FROM p, unnest(generate_series(0, n - 1)) AS t(i)),
+ck AS (
+  SELECT media_id, CAST(SUM((i + 1) * su) % 1000003 AS BIGINT) AS pcm_checksum
+  FROM s GROUP BY media_id)
+SELECT p.media_id, CAST(rate AS INTEGER) AS sample_rate,
+       1 AS channels, 16 AS bits, n AS n_frames,
+       n * (1000000 // rate) AS duration_us,
+       ck.pcm_checksum, '52494646' AS magic
+FROM p JOIN ck ON p.media_id = ck.media_id ORDER BY p.media_id""",
+    "q_multimodal_wav_windows" ->
+      """WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(50 + (doc_id * 11) % 200 AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT media_id, i // 32 AS window_no, i % 32 AS pos,
+         (media_id * 37 + i * 1009) % 65536 AS su
+  FROM p, unnest(generate_series(0, n - 1)) AS t(i))
+SELECT media_id, CAST(window_no AS INTEGER) AS window_no,
+       CAST(COUNT(*) AS INTEGER) AS n_frames,
+       CAST(SUM(ABS(su - 32768)) AS BIGINT) AS sum_abs,
+       CAST(SUM((pos + 1) * su) % 1000003 AS BIGINT) AS checksum
+FROM s GROUP BY media_id, window_no ORDER BY media_id, window_no""",
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -387,6 +570,10 @@ FROM thumbs ORDER BY media_id"""
     // ImageIO decode — dims + signature / resampled raster + checksum
     "q_multimodal_decode_png" -> (decodePngQuery _),
     "q_multimodal_resize_png" -> (resizePngQuery _),
+    // REAL audio path, oracle-gated: genuine RIFF/WAVE payloads, genuine
+    // javax.sound.sampled decode — format + waveform checksum / windows
+    "q_multimodal_decode_wav" -> (decodeWavQuery _),
+    "q_multimodal_wav_windows" -> (wavWindowsQuery _),
     // nearest-neighbor thumbnail resize (real pixels for images,
     // byte-sampled stand-in for non-image payloads)
     "q_multimodal_resize" -> (resizeQuery _),

@@ -125,4 +125,61 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("thumb") === want.mkString("-"), s"thumb of $id")
     }
   }
+
+  test("decodeAudio: REAL WAV payloads decode to their true format and samples") {
+    // hand-build a WAV through the JDK encoder with known PCM, then
+    // assert the decode path returns the format AND the exact samples —
+    // the real javax.sound.sampled path, not a stand-in
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(10000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, ch, bits, n, decoded)) =
+      Multimodal.DecodeStub.decodeAudio(bos.toByteArray)
+    assert(rate === 10000 && ch === 1 && bits === 16)
+    assert(n === samples.length.toLong)
+    assert(decoded.toSeq === samples.toSeq) // WAV PCM is lossless
+    // a non-audio payload must fall through, like the image fallback
+    assert(Multimodal.DecodeStub.decodeAudio(
+      "not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("synthetic WAV gates: real encode→decode round-trip matches the arithmetic oracle") {
+    val out = Multimodal.decodeWavQuery(spark, tiny).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val rate = (id % 3) match { case 0 => 8000; case 1 => 10000; case _ => 20000 }
+      val n = 50 + (id * 11) % 200
+      assert(r.getAs[Int]("sample_rate") === rate, s"rate of $id")
+      assert(r.getAs[Int]("channels") === 1 && r.getAs[Int]("bits") === 16)
+      assert(r.getAs[Long]("n_frames") === n, s"frames of $id")
+      assert(r.getAs[Long]("duration_us") === n * (1000000L / rate))
+      assert(r.getAs[String]("magic") === "52494646", s"RIFF magic of $id")
+      val want = (0L until n).foldLeft(0L) { (acc, i) =>
+        (acc + (i + 1) * ((id * 37 + i * 1009) % 65536)) % 1000003L
+      }
+      assert(r.getAs[Long]("pcm_checksum") === want, s"waveform of $id")
+    }
+    // window rows partition the frames exactly: per-doc window count and
+    // total frame count re-derived
+    val win = Multimodal.wavWindowsQuery(spark, tiny)
+      .groupBy("media_id")
+      .agg(count("*").as("n_win"), sum("n_frames").as("n_total"))
+      .collect()
+    win.foreach { r =>
+      val id = r.getLong(0)
+      val n = 50 + (id * 11) % 200
+      assert(r.getAs[Long]("n_total") === n, s"total frames of $id")
+      assert(r.getAs[Long]("n_win") === (n + 31) / 32, s"windows of $id")
+    }
+  }
 }
