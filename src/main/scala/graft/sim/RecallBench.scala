@@ -1,0 +1,134 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Absolute recall@k of every ANN index family against brute-force
+  * truth, measured on the gated data at the gated probe parameters —
+  * and RE-measured after the append → delete → compact lifecycle, so an
+  * index whose recall silently degrades under churn shows up as a
+  * number, not a hash mismatch the exactness gates structurally cannot
+  * see (r13 VERDICT "What's missing" #2).
+  *
+  * k = 5 — the TOP_K every gate and serve path in [[EmbeddingOps]]
+  * runs; measuring a k nothing serves would price a phantom path.
+  *
+  * Two truth sets, because churn changes the corpus: fresh indexes are
+  * scored against brute truth over the FULL corpus; churned indexes
+  * (build 9/10 → append 1/10 → tombstone the mod-5 victims) against
+  * brute truth over the SURVIVORS — each recall is internally
+  * consistent. The churn-degradation question ("did slice-trained
+  * codebooks + appended cells lose recall?") is answered by the
+  * `*_fresh_surv` rows: the SAME survivor corpus indexed fresh, so
+  * `churned` vs `fresh_surv` isolates lifecycle effects from content.
+  *
+  * Prints one JSON line; reproduce with
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.sim.RecallBench"`.
+  */
+object RecallBench {
+
+  /** recall@k: fraction of truth (query, neighbor) pairs the served
+    * ranking retrieved. Both sides are 8 queries × top-5 — O(k) rows.
+    */
+  def recall(truth: DataFrame, served: DataFrame): Double = {
+    val t = truth.select("query_id", "vizinho").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = served.select("query_id", "vizinho").collect()
+      .count(r => t.contains((r.getLong(0), r.getLong(1))))
+    hits.toDouble / t.size
+  }
+
+  /** Brute-force cosine top-5 over an arbitrary candidate base — the
+    * survivor-corpus truth the churned indexes are scored against.
+    */
+  private[graft] def bruteOver(s: SparkSession, base: DataFrame): DataFrame = {
+    val q = base.filter(col("vec_id") < 8).toDF("query_id", "q_emb")
+    val sims = broadcast(q).crossJoin(base)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("sim"),
+        col("vec_id"))
+    EmbeddingOps.rankViaTopK(s, sims)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val truthFull = EmbeddingOps.annBruteForce(spark, sfDir).cache()
+    truthFull.count(): Unit
+    val truthSurv = bruteOver(spark,
+      base.filter(!EmbeddingOps.DeleteVictims)).cache()
+    truthSurv.count(): Unit
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def row(name: String, truth: DataFrame)(served: => DataFrame): Unit =
+      out(name) =
+        try recall(truth, served)
+        catch { case e: Throwable =>
+          System.err.println(s"[recall] $name failed: ${e.getMessage}"); -1.0
+        }
+
+    // fresh indexes at the gated probe parameters, vs full-corpus truth
+    row("ivf", truthFull) { EmbeddingOps.annIvfIndexedAuto(spark, sfDir) }
+    row("ivf_kmeans", truthFull) {
+      EmbeddingOps.annIvfKmeansIndexedAuto(spark, sfDir)
+    }
+    row("pq", truthFull) { EmbeddingOps.annPqIndexedAuto(spark, sfDir) }
+    row("ivfpq", truthFull) { EmbeddingOps.annIvfPqIndexedAuto(spark, sfDir) }
+    row("ivfpq_refined", truthFull) {
+      EmbeddingOps.annIvfPqRefinedIndexedAuto(spark, sfDir)
+    }
+
+    // the lifecycle-churned indexes (build 9/10 → append → delete — the
+    // gated constructions), vs survivor truth
+    row("ivf_kmeans_churned", truthSurv) {
+      EmbeddingOps.annIvfKmeansDeleted(spark, sfDir)
+    }
+    row("ivfpq_churned", truthSurv) { EmbeddingOps.annIvfPqDeleted(spark, sfDir) }
+    row("ivfpq_churned_compacted", truthSurv) {
+      EmbeddingOps.annIvfPqDeletedCompacted(spark, sfDir)
+    }
+    row("ivfpq_refined_churned", truthSurv) {
+      EmbeddingOps.annIvfPqRefinedDeleted(spark, sfDir)
+    }
+
+    // the same survivor corpus indexed FRESH — churned vs fresh_surv is
+    // the churn-degradation delta proper
+    val surv = base.filter(!EmbeddingOps.DeleteVictims)
+    locally {
+      val dir = s"/tmp/graft_recall_fresh_ivfpq_${System.nanoTime()}"
+      row("ivfpq_fresh_surv", truthSurv) {
+        EmbeddingOps.buildIvfPqIndexOn(spark, surv, surv, dir)
+        EmbeddingOps.annIvfPqIndexed(spark, sfDir, dir)
+      }
+    }
+    locally {
+      val dir = s"/tmp/graft_recall_fresh_km_${System.nanoTime()}"
+      row("ivf_kmeans_fresh_surv", truthSurv) {
+        EmbeddingOps.buildIvfIndexKmeansOn(spark, surv, surv, dir,
+          s"recall-fresh-surv:$sfDir")
+        EmbeddingOps.annIvfKmeansIndexed(spark, sfDir, dir)
+      }
+    }
+
+    val qs = out.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"ann_recall_at_5","sf":"$sfDir","recall":$qs}""")
+    spark.stop()
+  }
+}

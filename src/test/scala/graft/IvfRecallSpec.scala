@@ -122,4 +122,45 @@ class IvfRecallSpec extends SparkSpec {
       s"re-scoring the top-${4 * 5} ADC candidates with exact vectors must " +
         s"recover neighbors ADC misranked: refined=$refined unrefined=$unrefined")
   }
+
+  test("index churn (append+delete) does not degrade recall vs a fresh survivor index") {
+    import org.apache.spark.sql.functions._
+    // the r13 verdict's blind spot: an index whose recall silently
+    // degrades under append/delete churn passes every exactness gate
+    // (they pin the algorithm, not the quality). Pin it here: on the
+    // clustered corpus, the lifecycle-churned index (build 9/10 →
+    // cell-append 1/10 → tombstone the mod-5 victims) must score within
+    // ε of the SAME survivor corpus indexed fresh, against brute-force
+    // survivor truth. ε = 0.1 (= one neighbor of 8×5 truth pairs, plus
+    // slack for slice-trained-codebook drift); a churn bug that drops a
+    // cell or mis-masks loses far more.
+    val base = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val surv = base.filter(!EmbeddingOps.DeleteVictims)
+    val truthSurv = graft.sim.RecallBench.bruteOver(spark, surv)
+      .select("query_id", "vizinho").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> 1).toMap
+    assert(truthSurv.size === K * 5)
+
+    val churnedPq = recallAt5(truthSurv,
+      EmbeddingOps.annIvfPqDeleted(spark, clusteredDir))
+    val freshPqDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_fpq").toString
+    EmbeddingOps.buildIvfPqIndexOn(spark, surv, surv, freshPqDir)
+    val freshPq = recallAt5(truthSurv,
+      EmbeddingOps.annIvfPqIndexed(spark, clusteredDir, freshPqDir))
+    assert(churnedPq >= freshPq - 0.1,
+      s"IVF-PQ recall degraded under churn: churned=$churnedPq fresh=$freshPq")
+
+    val churnedKm = recallAt5(truthSurv,
+      EmbeddingOps.annIvfKmeansDeleted(spark, clusteredDir))
+    val freshKmDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_fkm").toString
+    EmbeddingOps.buildIvfIndexKmeansOn(spark, surv, surv, freshKmDir,
+      "recall-spec-fresh-surv")
+    val freshKm = recallAt5(truthSurv,
+      EmbeddingOps.annIvfKmeansIndexed(spark, clusteredDir, freshKmDir))
+    assert(churnedKm >= freshKm - 0.1,
+      s"IVF recall degraded under churn: churned=$churnedKm fresh=$freshKm")
+  }
 }
