@@ -80,6 +80,13 @@ object SparkEntry {
         .orderBy("id_pedido", "numero_linha",
         "sk_produto", "sk_vendedor", "qtd_vendida", "valor_bruto",
         "valor_desconto")),
+    // the DIRTY twin (r13 verdict item 6): same build over a staging
+    // with 6 injected malformed lines, PERMISSIVE + corrupt-capture —
+    // the parquet oracle hash proves exactly the bad lines rejected
+    "star_fato_vendas_csv_dirty" ->
+      ((s, d) => graft.etl.CsvStage.dirtyFatoQuery(s, d)),
+    "q_csv_dirty_audit" ->
+      ((s, d) => graft.etl.CsvStage.dirtyAuditQuery(s, d)),
     // the 10-KPI analytical surface (SURVEY §2.4-2.5)
     "kpi1_faturamento_bruto" -> ((s, d) =>
       Kpis.kpi1FaturamentoBruto(Star.fatoVendas(s, d))),

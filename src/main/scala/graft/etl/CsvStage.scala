@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** CSV staging for the reference's PRIMARY input format.
   *
@@ -94,5 +95,135 @@ object CsvStage {
     val ddl = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/$name.schema")), "UTF-8")
     s.read.schema(ddl).options(Opts).csv(s"$dir/$name.csv")
+  }
+
+  // ------------------------------------------------------ dirty ingest
+
+  /** The number of malformed lines [[stageDirty]] injects — the audit
+    * gate's expected reject count.
+    */
+  private[graft] val NCorrupt = 6
+
+  /** Stage the sales tables as CSV, then CORRUPT the lineitem table with
+    * [[NCorrupt]] deterministic malformed lines (wrong arity both ways,
+    * unparseable number / timestamp / double) appended as an extra part
+    * file. Real CSV ingestion means malformed rows; the clean gate only
+    * proves the round trip. The lines are built FROM the staged schema so
+    * each one is malformed in exactly one way and everything else parses.
+    */
+  def stageDirty(s: SparkSession, srcDir: String): String = {
+    val clean = stage(s, srcDir)
+    val dir = clean + "_dirty"
+    val marker = new java.io.File(s"$dir/_STAGED")
+    if (!marker.exists()) {
+      // copy the staged tree (part files + .schema sidecars)
+      val src = java.nio.file.Paths.get(clean)
+      val dst = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(src).iterator().asScala
+        .filter(p => !p.getFileName.toString.startsWith("_"))
+        .foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else {
+            java.nio.file.Files.createDirectories(t.getParent)
+            java.nio.file.Files.copy(p, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }: Unit
+      val ddl = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$clean/lineitem.schema")), "UTF-8")
+      val fields = ddl.split(",").map(_.trim.split("\\s+", 2))
+      def cell(tp: String): String = tp match {
+        case t if t.startsWith("TIMESTAMP") => "2020-01-01 00:00:00.000000"
+        case "BIGINT" | "INT"               => "1"
+        case "DOUBLE"                       => "1.0"
+        case _                              => "zz"
+      }
+      val full = fields.map(f => cell(f(1)))
+      val tsIdx = fields.indexWhere(_(1).startsWith("TIMESTAMP"))
+      val numIdx = fields.indexWhere(f => f(1) == "BIGINT" || f(1) == "INT")
+      val dblIdx = fields.indexWhere(_(1) == "DOUBLE")
+      require(tsIdx >= 0 && numIdx >= 0 && dblIdx >= 0, "lineitem schema shape")
+      val corrupt = Seq(
+        "x",                                              // arity 1
+        "1,2",                                            // arity short
+        full.updated(numIdx, "notanumber").mkString(","), // bad integer
+        full.updated(tsIdx, "never-oclock").mkString(","),// bad timestamp
+        (full :+ "extra").mkString(","),                  // arity long
+        full.updated(dblIdx, "12.5abc").mkString(","))    // bad double
+      require(corrupt.size == NCorrupt)
+      // header=true skips the FIRST line of every part file, so the
+      // injected file leads with a dummy header line
+      java.nio.file.Files.write(
+        dst.resolve("lineitem.csv").resolve("zzz-corrupt.csv"),
+        (fields.map(_(0)).mkString(",") +: corrupt).mkString("\n")
+          .getBytes("UTF-8")): Unit
+      marker.createNewFile(): Unit
+    }
+    dir
+  }
+
+  /** PERMISSIVE read of a (possibly corrupted) staged table: the staged
+    * schema plus a `_corrupt` capture column — malformed lines land with
+    * `_corrupt` = the raw line instead of killing the job or silently
+    * passing as null-filled rows.
+    */
+  def readCsvDirty(s: SparkSession, dir: String, name: String): DataFrame = {
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$name.schema")), "UTF-8")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    s.read.schema(schema).options(Opts)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$dir/$name.csv")
+  }
+
+  /** The dirty-ingest fact gate: the full star build over the corrupted
+    * staging, with survivors (`_corrupt IS NULL`) flowing into the fact
+    * and rejects dropped. The oracle reads the ORIGINAL parquet, so a
+    * hash match proves the PERMISSIVE read rejected EXACTLY the injected
+    * lines — nothing real lost, nothing corrupt admitted.
+    */
+  def dirtyFatoQuery(s: SparkSession, d: String): DataFrame = {
+    val dirty = stageDirty(s, d)
+    // the barrier is CORRECTNESS, not tuning: CSV `_corrupt` is judged
+    // against the scan's REQUIRED columns only (parser column pruning),
+    // so a downstream plan that never reads l_shipdate would let the
+    // bad-timestamp line through as a clean row. Materializing the
+    // full-width survivor parse forces every column through the parser
+    // BEFORE Catalyst prunes for the fact build. (Measured: without it,
+    // 3 of the 6 injected lines survive into the fact.)
+    val survivors = graft.Checkpoint.barrier(
+      readCsvDirty(s, dirty, "lineitem")
+        .filter(col("_corrupt").isNull).drop("_corrupt"))
+    Star.fatoVendasFrom(s, dirty, graft.Tables.table(s, dirty, "orders"),
+      survivors)
+      .withColumn("valor_bruto", col("valor_bruto").cast("double"))
+      .withColumn("valor_desconto", col("valor_desconto").cast("double"))
+      .withColumn("valor_total", col("valor_total").cast("double"))
+      .orderBy("id_pedido", "numero_linha", "sk_produto", "sk_vendedor",
+        "qtd_vendida", "valor_bruto", "valor_desconto")
+  }
+
+  /** The reject-audit gate: corrupt vs surviving row counts from the
+    * same PERMISSIVE read. The scan is cached first — Spark disallows a
+    * raw-CSV query whose referenced columns are ONLY the corrupt-record
+    * column (the documented cache-then-query workaround); at audit scale
+    * the cache is O(table); a 100 TB ingest uses badRecordsPath instead
+    * of an inline audit.
+    */
+  def dirtyAuditQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dirty = stageDirty(s, d)
+    val raw = readCsvDirty(s, dirty, "lineitem").cache()
+    try {
+      val corrupt = raw.filter(col("_corrupt").isNotNull).count()
+      val good = raw.filter(col("_corrupt").isNull).count()
+      Seq(("lineitem", corrupt, good))
+        .toDF("tabela", "corrotas", "sobreviventes")
+    } finally raw.unpersist(): Unit
   }
 }

@@ -307,6 +307,14 @@ object QualityOps {
     * within a (nation, name-length) block at Levenshtein distance ≤ 2.
     * The entity-resolution primitive — blocking keys make the
     * quadratic comparison local to each block.
+    *
+    * GATE-ONLY since r14 (the oracle-comparison form): the deployment
+    * default is [[fuzzyMatchDeleteNbr]], which produces the identical
+    * pair set with an entropy-independent candidate cost and won at
+    * every measured scale (3.2 vs 7.2 s at sf0.1; 8.0× vs 52.9× growth
+    * at 10× — SCALE_VERIFY_r13.md). Compose new consumers against the
+    * delete-neighborhood form; keep this one for the three-algorithm
+    * equivalence gate.
     */
   def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(

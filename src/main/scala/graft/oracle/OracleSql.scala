@@ -200,6 +200,22 @@ CAST(valor_desconto AS DOUBLE) AS valor_desconto,
 CAST(valor_total AS DOUBLE) AS valor_total
 FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
 sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
+    // the dirty-ingest twin: the engine reads a staging with 6 injected
+    // malformed lines under PERMISSIVE + corrupt-capture; this oracle
+    // reads the clean parquet — a hash meet proves the rejects were
+    // EXACTLY the injected lines (nothing real lost, nothing bad kept)
+    "star_fato_vendas_csv_dirty" -> withStar(
+      """SELECT id_pedido, numero_linha, sk_produto, sk_cliente, sk_vendedor,
+sk_localidade, sk_tempo, qtd_vendida,
+CAST(valor_bruto AS DOUBLE) AS valor_bruto,
+CAST(valor_desconto AS DOUBLE) AS valor_desconto,
+CAST(valor_total AS DOUBLE) AS valor_total
+FROM fato ORDER BY id_pedido, numero_linha, sk_produto,
+sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
+    // reject audit: 6 injected corrupt lines, survivors = the clean table
+    "q_csv_dirty_audit" ->
+      """SELECT 'lineitem' AS tabela, CAST(6 AS BIGINT) AS corrotas,
+CAST(COUNT(*) AS BIGINT) AS sobreviventes FROM lineitem""",
     // incremental lifecycle gates (batch twin + the Structured Streaming
     // form): historical load + increment append must equal the full
     // rebuild — the oracle IS the full build

@@ -56,4 +56,28 @@ class CsvStageSpec extends SparkSpec {
     assert(e.getMessage.contains("null token"))
     CsvStage.assertNoNullToken(Seq((1L, "ok")).toDF("k", "v"), "t")
   }
+
+  test("dirty staging: PERMISSIVE read rejects every injected malformation, keeps every real row") {
+    val dirty = CsvStage.stageDirty(spark, tiny)
+    val raw = CsvStage.readCsvDirty(spark, dirty, "lineitem").cache()
+    try {
+      val corrupt = raw.filter(col("_corrupt").isNotNull)
+      // all six kinds rejected: arity 1 / arity short / bad integer /
+      // bad timestamp / arity long / bad double
+      assert(corrupt.count() === CsvStage.NCorrupt.toLong)
+      val raws = corrupt.select("_corrupt").collect().map(_.getString(0))
+      assert(raws.exists(_ == "x"), "arity-1 line captured verbatim")
+      assert(raws.exists(_ == "1,2"), "short line captured verbatim")
+      assert(raws.exists(_.contains("notanumber")), "bad integer line")
+      assert(raws.exists(_.contains("never-oclock")), "bad timestamp line")
+      assert(raws.exists(_.endsWith(",extra")), "long line")
+      assert(raws.exists(_.contains("12.5abc")), "bad double line")
+      // survivors are EXACTLY the clean table
+      val clean = Tables.table(spark, tiny, "lineitem")
+      val surv = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+      assert(surv.count() === clean.count())
+      assert(surv.exceptAll(clean).count() === 0 &&
+        clean.exceptAll(surv).count() === 0)
+    } finally raw.unpersist(): Unit
+  }
 }
