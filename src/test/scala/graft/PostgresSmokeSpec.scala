@@ -11,9 +11,12 @@ import graft.etl.Star
   * coursier cache, system java dirs) and zero egress forbids resolving
   * one — so Spark has no way to speak the wire protocol even to a local
   * server, and build.sbt may not grow dependencies. The mechanics are
-  * proven on embedded Derby (JdbcSinkSpec) and Spark's PostgresDialect
-  * SQL is pinned (PostgresDialectSpec); this spec closes the remaining
-  * gap the day an environment provides a server AND the pgjdbc jar.
+  * proven on embedded Derby (JdbcSinkSpec), Spark's PostgresDialect
+  * SQL is pinned (PostgresDialectSpec), and since r14 the SERVER-side
+  * semantics (reference DDL, COPY load, NUMERIC rounding, aggregate
+  * parity) run against a real local Postgres 15 in PostgresServerSpec;
+  * this spec closes the last sliver — the literal JDBC wire — the day
+  * an environment provides the pgjdbc jar.
   *
   * Set GRAFT_PG_URL to a Spark-style JDBC URL, e.g.
   *   GRAFT_PG_URL='jdbc:postgresql://host:5432/dw?user=u&password=p'
