@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery — schema, partition-sized batching, feature
   * vector shape, composition with the similarity operators — is real and
   * tested. The codec behind [[DecodeStub.decode]] really decodes IMAGES
-  * (pure-JVM javax.imageio: PNG/JPEG/GIF/BMP) and [[DecodeStub.decodeAudio]]
+  * (pure-JVM javax.imageio: PNG/JPEG/GIF/BMP), [[DecodeStub.decodeAudio]]
   * really decodes AUDIO (pure-JVM javax.sound.sampled: WAV/AIFF/AU RIFF
-  * parse + PCM samples); VIDEO decode — which has no pure-JVM codec in
-  * this container — falls back to a deterministic stand-in so plumbing
-  * tests stay reproducible.
+  * parse + PCM samples), and [[DecodeStub.decodeVideoFrames]] really
+  * decodes MULTI-FRAME motion payloads (pure-JVM javax.imageio animated
+  * GIF — every frame's raster). H.264-class codecs have no pure-JVM
+  * implementation; those payloads fall back to a deterministic stand-in
+  * so plumbing tests stay reproducible (a production build swaps in a
+  * JNI codec behind the same signature).
   */
 object Multimodal {
 
@@ -58,6 +61,43 @@ object Multimodal {
       * multimodal→ANN composition be DuckDB-oracle-gated end-to-end
       * (q_multimodal_ann) instead of spec-only.
       */
+    /** REAL multi-frame (video-class) decode — pure-JVM `javax.imageio`
+      * GIF: parses the GIF89a container, returns EVERY frame's decoded
+      * raster. Animated GIF is the one genuine multi-frame motion format
+      * the JDK can both write and read losslessly (palette-indexed, so
+      * ≤256-color content round-trips pixel-exact — probe-verified), which
+      * is what lets the frame-sampling contract run over REALLY-decoded
+      * video frames; H.264-class codecs remain the documented JNI stub.
+      * Returns (width, height, frames as row-major 0-255 gray arrays);
+      * None for payloads the GIF reader does not recognize.
+      */
+    def decodeVideoFrames(payload: Array[Byte])
+        : Option[(Int, Int, IndexedSeq[Array[Int]])] =
+      try {
+        val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        r.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        val n = r.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val imgs = (0 until n).map(r.read)
+          val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
+          Some((w, h, imgs.map { img =>
+            val a = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                a(y * w + x) = img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            a
+          }))
+        }
+      } catch { case _: Exception => None }
+
     /** REAL audio decode — pure-JVM `javax.sound.sampled` (the WAV/AIFF/AU
       * readers ship with the JDK): parses the RIFF container, returns the
       * actual format (sample rate / channels / bits), frame count, and the
@@ -192,6 +232,124 @@ object Multimodal {
         Media(id, "audio", bos.toByteArray)
       }
     }
+  }
+
+  /** Real animated-GIF ingest: one genuine GIF89a per document,
+    * synthesized deterministically from doc_id — `F = 2 + id mod 6`
+    * frames of `w = 8 + (id·5) mod 24` × `h = 4 + (id·3) mod 16` 8-bit
+    * gray, pixel `g(f,x,y) = (id·11 + f·7 + x·17 + y·29) mod 256`. The
+    * container is a REAL encoder's output (`javax.imageio` GIF sequence
+    * writer) and palette-indexed GIF is lossless for gray content, so the
+    * oracle predicts every decoded frame exactly — the same construction
+    * as the PNG and WAV gates, extended to the multi-frame (video)
+    * contract.
+    */
+  def ingestSyntheticGif(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val frames = (2 + id % 6).toInt
+        val w = (8 + (id * 5) % 24).toInt
+        val h = (4 + (id * 3) % 16).toInt
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        // interlace OFF: the JDK GIF writer's interlaced (progressive)
+        // encoding row-shuffles frames whose height has no full 8-row
+        // pass (probe-measured on h=4: decoded rows came back permuted)
+        val prm = wr.getDefaultWriteParam
+        prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster().setSample(x, y, 0,
+                ((id * 11 + f * 7 + x * 17 + y * 29) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), prm)
+          f += 1
+        }
+        wr.endWriteSequence()
+        ios.close()
+        Media(id, "video", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Genuine multi-frame decode gate: container metadata + an
+    * all-frames raster checksum from REAL GIF payloads through the REAL
+    * multi-frame ImageIO decode. The magic pins genuine GIF89a bytes;
+    * the checksum (position-weighted over every pixel of every frame,
+    * mod 1000003) pins the full decoded frame stack.
+    */
+  def decodeGifQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = ingestSyntheticGif(graft.Tables.documents(spark, dir))
+    val meta = media.mapPartitions { it =>
+      it.flatMap { m =>
+        DecodeStub.decodeVideoFrames(m.payload).map { case (w, h, frames) =>
+          var acc = 0L
+          var f = 0
+          while (f < frames.length) {
+            val a = frames(f)
+            var k = 0
+            while (k < a.length) {
+              acc = (acc + (f.toLong * w * h + k + 1) * a(k)) % 1000003L
+              k += 1
+            }
+            f += 1
+          }
+          (m.media_id, frames.length, w, h, acc)
+        }
+      }
+    }.toDF("media_id", "n_frames", "largura", "altura", "checksum")
+    meta
+      .join(media.toDF().select(col("media_id"),
+        upper(substring(hex(col("payload")), 1, 12)).as("magic")),
+        Seq("media_id"))
+      .selectExpr("media_id", "CAST(n_frames AS INT) AS n_frames",
+        "CAST(largura AS INT) AS largura", "CAST(altura AS INT) AS altura",
+        "checksum", "magic")
+      .orderBy("media_id")
+  }
+
+  /** The frame-sampling contract over REALLY-decoded video frames: every
+    * 2nd frame of each GIF, one row per kept frame with its own raster
+    * checksum — the real-codec upgrade of [[sampleFrames]]'s byte-window
+    * stand-in.
+    */
+  def gifFrameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ingestSyntheticGif(graft.Tables.documents(spark, dir))
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          DecodeStub.decodeVideoFrames(m.payload).toSeq.flatMap {
+            case (w, h, frames) =>
+              frames.zipWithIndex.collect { case (a, f) if f % 2 == 0 =>
+                var acc = 0L
+                var k = 0
+                while (k < a.length) {
+                  acc = (acc + (k + 1).toLong * a(k)) % 1000003L
+                  k += 1
+                }
+                (m.media_id, f, w * h, acc)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "frame_no", "n_px", "checksum")
+      .selectExpr("media_id", "CAST(frame_no AS INT) AS frame_no",
+        "CAST(n_px AS INT) AS n_px", "checksum")
+      .orderBy("media_id", "frame_no")
   }
 
   /** Position-weighted PCM checksum: `Σ (i+1)·(sᵢ+32768) mod 1000003`
@@ -510,6 +668,46 @@ SELECT media_id, CAST(window_no AS INTEGER) AS window_no,
        CAST(SUM(ABS(su - 32768)) AS BIGINT) AS sum_abs,
        CAST(SUM((pos + 1) * su) % 1000003 AS BIGINT) AS checksum
 FROM s GROUP BY media_id, window_no ORDER BY media_id, window_no""",
+    // the REAL multi-frame (video) decode gates: genuine GIF89a
+    // containers, genuine multi-frame ImageIO decode; the oracle
+    // re-derives every decoded pixel arithmetically (lossless palette
+    // round-trip, probe-verified) — g(f,x,y) = (id·11+f·7+x·17+y·29)%256
+    "q_multimodal_decode_gif" ->
+      """WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(2 + doc_id % 6 AS BIGINT) AS nf,
+         CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS w,
+         CAST(4 + (doc_id * 3) % 16 AS BIGINT) AS h
+  FROM documents),
+px AS (
+  SELECT media_id, nf, w, h, f, k,
+         (media_id * 11 + f * 7 + (k % w) * 17 + (k // w) * 29) % 256 AS g
+  FROM p,
+       unnest(generate_series(0, nf - 1)) AS tf(f),
+       unnest(generate_series(0, w * h - 1)) AS tk(k))
+SELECT media_id, CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS largura, CAST(h AS INTEGER) AS altura,
+       CAST(SUM((f * w * h + k + 1) * g) % 1000003 AS BIGINT) AS checksum,
+       '474946383961' AS magic
+FROM px GROUP BY media_id, nf, w, h ORDER BY media_id""",
+    "q_multimodal_gif_frames" ->
+      """WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(2 + doc_id % 6 AS BIGINT) AS nf,
+         CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS w,
+         CAST(4 + (doc_id * 3) % 16 AS BIGINT) AS h
+  FROM documents),
+px AS (
+  SELECT media_id, w, h, f, k,
+         (media_id * 11 + f * 7 + (k % w) * 17 + (k // w) * 29) % 256 AS g
+  FROM p,
+       unnest(generate_series(0, nf - 1)) AS tf(f),
+       unnest(generate_series(0, w * h - 1)) AS tk(k)
+  WHERE f % 2 = 0)
+SELECT media_id, CAST(f AS INTEGER) AS frame_no,
+       CAST(w * h AS INTEGER) AS n_px,
+       CAST(SUM((k + 1) * g) % 1000003 AS BIGINT) AS checksum
+FROM px GROUP BY media_id, f, w, h ORDER BY media_id, frame_no""",
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -574,6 +772,11 @@ FROM thumbs ORDER BY media_id"""
     // javax.sound.sampled decode — format + waveform checksum / windows
     "q_multimodal_decode_wav" -> (decodeWavQuery _),
     "q_multimodal_wav_windows" -> (wavWindowsQuery _),
+    // REAL multi-frame (video) path, oracle-gated: genuine GIF89a
+    // payloads, genuine multi-frame ImageIO decode — container meta +
+    // full frame-stack checksum / every-2nd-frame sampling
+    "q_multimodal_decode_gif" -> (decodeGifQuery _),
+    "q_multimodal_gif_frames" -> (gifFrameSampleQuery _),
     // nearest-neighbor thumbnail resize (real pixels for images,
     // byte-sampled stand-in for non-image payloads)
     "q_multimodal_resize" -> (resizeQuery _),

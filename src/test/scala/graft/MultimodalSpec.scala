@@ -126,6 +126,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeVideoFrames: REAL animated GIFs decode to their true frames") {
+    // synthesize via the ingest path for one id, then decode and compare
+    // against the defining arithmetic — the real multi-frame ImageIO path
+    val m = Multimodal.ingestSyntheticGif(
+      Seq(5L).toDF("doc_id")).collect().head
+    assert(new String(m.payload, 0, 6, "US-ASCII") === "GIF89a")
+    val Some((w, h, frames)) = Multimodal.DecodeStub.decodeVideoFrames(m.payload)
+    val id = 5L
+    assert(w === (8 + (id * 5) % 24).toInt && h === (4 + (id * 3) % 16).toInt)
+    assert(frames.length === (2 + id % 6).toInt)
+    frames.zipWithIndex.foreach { case (a, f) =>
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          assert(a(y * w + x) ===
+            ((id * 11 + f * 7 + x * 17 + y * 29) % 256).toInt,
+            s"pixel ($x,$y) of frame $f")
+        }
+      }
+    }
+    // non-GIF payload falls through, like the image/audio fallbacks
+    assert(Multimodal.DecodeStub.decodeVideoFrames(
+      "not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
   test("decodeAudio: REAL WAV payloads decode to their true format and samples") {
     // hand-build a WAV through the JDK encoder with known PCM, then
     // assert the decode path returns the format AND the exact samples —
