@@ -577,6 +577,48 @@ object Multimodal {
     graft.sim.EmbeddingOps.rankViaTopK(spark, sims)
   }
 
+  /** Audio similarity search over REALLY-decoded PCM, end to end: WAV
+    * decode ([[DecodeStub.decodeAudio]], the genuine javax.sound parse) →
+    * an 8-dim exact-integer feature vector (dimension `j` accumulates
+    * `(i+1)·suᵢ mod 1009` over samples with `i mod 8 = j`, reduced mod
+    * 1000003 — the audio twin of [[DecodeStub.features]], exact in FLOAT
+    * at any length) → brute-force cosine top-5 through the same bounded
+    * [[graft.functions.TopKByScore]] aggregator tail as every ANN family.
+    * Because WAV PCM is lossless and the waveform is arithmetic in
+    * doc_id, the DuckDB oracle re-derives the vectors, the doubles, and
+    * the ranking bit-exactly — a full codec→feature→ANN pipeline under
+    * hash discipline.
+    */
+  def audioAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = ingestSyntheticWav(graft.Tables.documents(spark, dir))
+    val base = media.mapPartitions { it =>
+      it.flatMap { m =>
+        DecodeStub.decodeAudio(m.payload).map {
+          case (_, _, _, _, samples) =>
+            val acc = new Array[Long](FEAT_DIM_AUDIO)
+            var i = 0
+            while (i < samples.length) {
+              acc(i % FEAT_DIM_AUDIO) +=
+                ((i + 1).toLong * (samples(i) + 32768)) % 1009
+              i += 1
+            }
+            (m.media_id, acc.map(a => (a % 1000003L).toFloat))
+        }
+      }
+    }.toDF("media_id", "feature")
+    val q = base.filter(col("media_id") < N_QUERIES).toDF("query_id", "q_f")
+    val sims = broadcast(q).crossJoin(base)
+      .filter(col("query_id") =!= col("media_id"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_f"), col("feature"))
+          .as("sim"),
+        col("media_id"))
+    graft.sim.EmbeddingOps.rankViaTopK(spark, sims)
+  }
+
+  private val FEAT_DIM_AUDIO = 8
+
   /** DuckDB re-derivation of [[DecodeStub.features]] from the raw text
     * bytes: hex-parse each byte, position-weighted term mod 1009 into
     * dimension (i-1) mod 16, per-dim sum reduced mod 1000003 — all exact
@@ -708,6 +750,36 @@ SELECT media_id, CAST(f AS INTEGER) AS frame_no,
        CAST(w * h AS INTEGER) AS n_px,
        CAST(SUM((k + 1) * g) % 1000003 AS BIGINT) AS checksum
 FROM px GROUP BY media_id, f, w, h ORDER BY media_id, frame_no""",
+    // audio codec→feature→ANN, re-derived end to end: the decoded PCM is
+    // arithmetic in doc_id (WAV is lossless), features are exact
+    // integers, so the double cosine and the ranking are bit-identical
+    "q_multimodal_audio_ann" ->
+      s"""WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(50 + (doc_id * 11) % 200 AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT media_id, i, (media_id * 37 + i * 1009) % 65536 AS su
+  FROM p, unnest(generate_series(0, n - 1)) AS t(i)),
+feats AS (
+  SELECT media_id, i % $FEAT_DIM_AUDIO AS dim,
+         CAST(SUM(((i + 1) * su) % 1009) % 1000003 AS DOUBLE) AS f
+  FROM s GROUP BY media_id, i % $FEAT_DIM_AUDIO),
+vecs AS (
+  SELECT media_id, list(f ORDER BY dim) AS v FROM feats GROUP BY media_id),
+base AS (
+  SELECT media_id, v,
+         sqrt(${graft.text.TextExprs.dot("v", "v", FEAT_DIM_AUDIO).duck}) AS nrm
+  FROM vecs),
+sims AS (
+  SELECT q.media_id AS query_id, c.media_id AS vizinho,
+         ${graft.text.TextExprs.dot("q.v", "c.v", FEAT_DIM_AUDIO).duck} / (q.nrm * c.nrm) AS sim
+  FROM base q CROSS JOIN base c
+  WHERE q.media_id < $N_QUERIES AND q.media_id <> c.media_id)
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vizinho) AS INTEGER) AS rank
+  FROM sims)
+WHERE rank <= $TOP_K ORDER BY query_id, rank""",
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -777,6 +849,9 @@ FROM thumbs ORDER BY media_id"""
     // full frame-stack checksum / every-2nd-frame sampling
     "q_multimodal_decode_gif" -> (decodeGifQuery _),
     "q_multimodal_gif_frames" -> (gifFrameSampleQuery _),
+    // the full audio pipeline: real WAV decode → exact-integer features
+    // → brute cosine top-k (the similarity-search composition)
+    "q_multimodal_audio_ann" -> (audioAnnQuery _),
     // nearest-neighbor thumbnail resize (real pixels for images,
     // byte-sampled stand-in for non-image payloads)
     "q_multimodal_resize" -> (resizeQuery _),
