@@ -178,6 +178,11 @@ object SparkEntry {
     // cross-batch pairs through state; same oracle as the batch form
     "q_dedup_minhash_stream" ->
       (graft.streaming.Streams.dedupMinhashStreamed _),
+    // streamed multimodal decode: payload micro-batches through the
+    // SAME real-WAV codec kernel as the batch gate; stateless decode ⇒
+    // stream ≡ batch row-for-row; same oracle as q_multimodal_decode_wav
+    "q_multimodal_decode_wav_stream" ->
+      (graft.streaming.Streams.multimodalDecodeWavStreamed _),
     // the leakage-safe split maintained under arrivals: the streamed band
     // index accumulates near-dup edges, components + the shared hash-split
     // tail close the assignment; same oracle as the batch form

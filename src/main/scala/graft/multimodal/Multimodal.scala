@@ -24,9 +24,6 @@ object Multimodal {
   final case class MediaMeta(media_id: Long, kind: String, n_bytes: Int,
                              hash: String, width: Int, height: Int)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
-  final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
-                             bits: Int, n_frames: Long, duration_us: Long,
-                             pcm_checksum: Long)
 
   /** Codec: IMAGE decode is REAL — pure-JVM `javax.imageio` (PNG/JPEG/
     * GIF/BMP ship with the JDK, no external deps), returning the actual
@@ -373,25 +370,30 @@ object Multimodal {
     * bytes were produced; rate/frames/checksum pin that the real decode
     * ran — the stand-in could not reproduce the oracle's arithmetic.
     */
-  def decodeWavQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = ingestSyntheticWav(graft.Tables.documents(spark, dir))
-    val meta = media.mapPartitions { it =>
+  /** The decode applied to a relation of doc ids — ONE partition pass
+    * (ingest → real decode → meta + container magic), no self-join, so
+    * the identical kernel serves the batch gate and the streamed twin
+    * (a stateless per-micro-batch map; a stream-stream join would need
+    * watermarks for what a single pass computes for free).
+    */
+  def decodeWavRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    ingestSyntheticWav(docs).mapPartitions { it =>
       // per-partition: one decoder context amortized over the batch
       it.flatMap { m =>
         DecodeStub.decodeAudio(m.payload).map {
           case (rate, ch, bits, nFrames, samples) =>
-            AudioMeta(m.media_id, rate, ch, bits, nFrames,
-              nFrames * (1000000L / rate), pcmChecksum(samples))
+            (m.media_id, rate, ch, bits, nFrames,
+              nFrames * (1000000L / rate), pcmChecksum(samples),
+              m.payload.take(4).map("%02X".format(_)).mkString)
         }
       }
-    }
-    meta.toDF()
-      .join(media.toDF().select(col("media_id"),
-        upper(substring(hex(col("payload")), 1, 8)).as("magic")),
-        Seq("media_id"))
-      .orderBy("media_id")
+    }.toDF("media_id", "sample_rate", "channels", "bits", "n_frames",
+      "duration_us", "pcm_checksum", "magic")
   }
+
+  def decodeWavQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeWavRows(graft.Tables.documents(spark, dir)).orderBy("media_id")
 
   /** Windowed-energy gate over the decoded PCM: non-overlapping 32-frame
     * windows, each emitting frame count, integer sum of |sᵢ|, and the
@@ -646,6 +648,28 @@ base AS (
   FROM vecs
 )"""
 
+  /** The WAV decode oracle — shared verbatim by the batch gate and its
+    * streamed twin (stateless decode: stream ≡ batch row-for-row).
+    */
+  private val DecodeWavOracle: String =
+    """WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
+         CAST(50 + (doc_id * 11) % 200 AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT media_id, i, (media_id * 37 + i * 1009) % 65536 AS su
+  FROM p, unnest(generate_series(0, n - 1)) AS t(i)),
+ck AS (
+  SELECT media_id, CAST(SUM((i + 1) * su) % 1000003 AS BIGINT) AS pcm_checksum
+  FROM s GROUP BY media_id)
+SELECT p.media_id, CAST(rate AS INTEGER) AS sample_rate,
+       1 AS channels, 16 AS bits, n AS n_frames,
+       n * (1000000 // rate) AS duration_us,
+       ck.pcm_checksum, '52494646' AS magic
+FROM p JOIN ck ON p.media_id = ck.media_id ORDER BY p.media_id"""
+
   val oracle: Map[String, String] = Map(
     // the REAL-decode gates: the engine encodes + decodes genuine PNGs;
     // the oracle predicts the decoded result arithmetically (the pixel
@@ -678,24 +702,10 @@ FROM cells GROUP BY media_id ORDER BY media_id""",
     // waveform arithmetically (the PCM field is a pure function of doc_id
     // and WAV is lossless). s(i) = (id·37 + i·1009) mod 65536 − 32768;
     // the checksum weights the UNSIGNED value s+32768 = that mod term.
-    "q_multimodal_decode_wav" ->
-      """WITH p AS (
-  SELECT CAST(doc_id AS BIGINT) AS media_id,
-         CASE CAST(doc_id % 3 AS INTEGER)
-           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
-         CAST(50 + (doc_id * 11) % 200 AS BIGINT) AS n
-  FROM documents),
-s AS (
-  SELECT media_id, i, (media_id * 37 + i * 1009) % 65536 AS su
-  FROM p, unnest(generate_series(0, n - 1)) AS t(i)),
-ck AS (
-  SELECT media_id, CAST(SUM((i + 1) * su) % 1000003 AS BIGINT) AS pcm_checksum
-  FROM s GROUP BY media_id)
-SELECT p.media_id, CAST(rate AS INTEGER) AS sample_rate,
-       1 AS channels, 16 AS bits, n AS n_frames,
-       n * (1000000 // rate) AS duration_us,
-       ck.pcm_checksum, '52494646' AS magic
-FROM p JOIN ck ON p.media_id = ck.media_id ORDER BY p.media_id""",
+    // the streamed twin answers the SAME oracle (stateless decode ⇒
+    // stream ≡ batch row-for-row)
+    "q_multimodal_decode_wav_stream" -> DecodeWavOracle,
+    "q_multimodal_decode_wav" -> DecodeWavOracle,
     "q_multimodal_wav_windows" ->
       """WITH p AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -387,6 +387,21 @@ object Streams {
     post(spark.read.parquet(sub("out")))
   }
 
+  /** The multimodal decode as a streamed twin: media payloads arrive in
+    * micro-batches (two-file staging — half the corpus per batch, the
+    * cross-batch discipline of every doc-stream gate), each batch runs
+    * the IDENTICAL ingest+real-codec kernel as the batch gate
+    * ([[graft.multimodal.Multimodal.decodeWavRows]] — shared, cannot
+    * drift), append-sinked exactly once. Decode is stateless per row, so
+    * the streamed result must equal the batch result row-for-row; same
+    * DuckDB oracle as q_multimodal_decode_wav.
+    */
+  def multimodalDecodeWavStreamed(spark: SparkSession, dir: String): DataFrame =
+    runDocStreamGate(spark, dir, "wavdec",
+      Seq("CAST(doc_id AS BIGINT) AS doc_id")) { stream =>
+      graft.multimodal.Multimodal.decodeWavRows(stream)
+    } { _.orderBy("media_id") }
+
   /** [[lshPairsStream]] as a gated batch-comparable query (see
     * [[runDocStreamGate]] for the two-file cross-batch mechanics),
     * against the very same DuckDB oracle as the batch
