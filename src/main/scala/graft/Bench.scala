@@ -219,6 +219,11 @@ object Bench {
       // built-in session_window sessionizer beside the lag/cumsum form
       "q_table_diff", "q_phrase_pmi",
       "q_sessionize", "q_sessionize_native",
+      // r14: the real-codec multimodal paths — genuine WAV/GIF encode +
+      // decode per rep (the per-partition codec batch cost is the thing
+      // being priced) and the audio codec→feature→ANN composition
+      "q_multimodal_decode_wav", "q_multimodal_decode_gif",
+      "q_multimodal_audio_ann",
       // r12.6: five BPE merge rounds end-to-end (pair-count shuffle +
       // windowed greedy merge + barrier per round)
       "q_bpe_merges").foreach { name =>

@@ -126,9 +126,21 @@ object RecallBench {
       }
     }
 
+    // the quality/cost frontier: recall AND serve seconds vs probe width
+    // for the trained-quantizer probe — the knob a deployment tunes
+    val frontier = (1 to 4).map { np =>
+      val t0 = System.nanoTime()
+      val served = EmbeddingOps.annIvfKmeansProbe(spark, sfDir, np)
+      val r = recall(truthFull, served)
+      (np, r, (System.nanoTime() - t0) / 1e9)
+    }
+    val fr = frontier.map { case (np, r, s) =>
+      s"""{"nprobe":$np,"recall":$r,"sec":$s}"""
+    }.mkString("[", ",", "]")
+
     val qs = out.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"ann_recall_at_5","sf":"$sfDir","recall":$qs}""")
+    println(s"""{"metric":"ann_recall_at_5","sf":"$sfDir","recall":$qs,"kmeans_frontier":$fr}""")
     spark.stop()
   }
 }
