@@ -183,6 +183,11 @@ object SparkEntry {
     // stream ≡ batch row-for-row; same oracle as q_multimodal_decode_wav
     "q_multimodal_decode_wav_stream" ->
       (graft.streaming.Streams.multimodalDecodeWavStreamed _),
+    // streamed perceptual-hash: image micro-batches through the SAME
+    // real-PNG ingest + decode + aHash kernel as q_multimodal_phash;
+    // stateless hash ⇒ stream ≡ batch; bands-only oracle
+    "q_multimodal_phash_stream" ->
+      (graft.streaming.Streams.multimodalPhashStreamed _),
     // the leakage-safe split maintained under arrivals: the streamed band
     // index accumulates near-dup edges, components + the shared hash-split
     // tail close the assignment; same oracle as the batch form

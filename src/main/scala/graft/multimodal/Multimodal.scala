@@ -447,6 +447,144 @@ object Multimodal {
     resizeThumbs(ingestSyntheticPng(graft.Tables.documents(spark, dir)))
       .orderBy("media_id")
 
+  /** Near-duplicate PNG corpus for the perceptual-hash dedup family:
+    * groups of 4 variants share `gid = id/4` — same dimensions
+    * (`w = 1 + (gid·7) mod 48`, `h = 1 + (gid·13) mod 32`) and the same
+    * base pattern `(gid·31 + x·17 + y·29) mod 256` — but each variant
+    * perturbs every pixel the 8×8 nearest-neighbor sampler does NOT
+    * visit by `+v·53 mod 256` (byte-different payloads, perceptually
+    * identical thumbnails — the re-encoded/lightly-edited-image case
+    * pHash dedup exists for), and variant 3 additionally shifts sampled
+    * pixels at `(x·7 + y·11) mod 5 = 0` by +128 (a deterministic small
+    * nonzero Hamming distance, exercising the ≤T verify band). Real
+    * `javax.imageio` PNG encode per partition, like every codec ingest.
+    */
+  def ingestSyntheticPngNear(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gid = id / 4
+        val v = (id % 4).toInt
+        val w = (1 + (gid * 7) % 48).toInt
+        val h = (1 + (gid * 13) % 32).toInt
+        val sampledX = (0 until 8).map(c => c * w / 8).toSet
+        val sampledY = (0 until 8).map(r => r * h / 8).toSet
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = ((gid * 31 + x * 17 + y * 29) % 256).toInt
+            val g =
+              if (!(sampledX(x) && sampledY(y))) (base + v * 53) % 256
+              else if (v == 3 && (x * 7 + y * 11) % 5 == 0) (base + 128) % 256
+              else base
+            img.setRGB(x, y, g * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Media(id, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  /** The aHash kernel over the REALLY-decoded raster: 8×8 nearest-neighbor
+    * sample (the exact-integer `getRGB(c·w/8, r·h/8)` resampler the resize
+    * gate pinned), threshold each cell against the thumbnail sum
+    * (`64·tₖ > Σt` — strict, exact integers, no division), and pack the 64
+    * bits as FOUR 16-bit band values (k = 0..63 → band k/16, offset k mod
+    * 16). The bands ARE the LSH scheme: Hamming-close hashes must agree on
+    * ≥1 whole band (pigeonhole — ≤3 flipped bits cannot touch all 4), so
+    * near-dup search is an equi-join on (band_no, band_val), never
+    * all-pairs — and keeping 4×16 bits instead of one packed 64-bit word
+    * sidesteps signed-overflow asymmetries between the engines. Returns
+    * (media_id, largura, altura, b0..b3); payload column retained upstream.
+    */
+  def aHashBands(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        Option(img).map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val t = Array.tabulate(64)(k =>
+            im.getRGB((k % 8) * w / 8, (k / 8) * h / 8) & 0xFF)
+          val sum = t.foldLeft(0L)(_ + _)
+          val bands = Array.fill(4)(0)
+          var k = 0
+          while (k < 64) {
+            if (64L * t(k) > sum) bands(k / 16) |= 1 << (k % 16)
+            k += 1
+          }
+          (m.media_id, w, h, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }.toDF("media_id", "largura", "altura", "b0", "b1", "b2", "b3")
+  }
+
+  /** Shared by the batch phash gate and its streamed twin (stateless
+    * per-row decode+hash ⇒ stream ≡ batch row-for-row, same oracle).
+    */
+  def phashRows(docs: DataFrame): DataFrame =
+    aHashBands(ingestSyntheticPngNear(docs))
+
+  /** Per-image perceptual-hash gate: genuine PNG payloads → real ImageIO
+    * decode → aHash bands. The magic column pins real PNG bytes; the four
+    * band values pin every one of the 64 threshold bits against the
+    * oracle's arithmetic re-derivation.
+    */
+  def phashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = ingestSyntheticPngNear(graft.Tables.documents(spark, dir))
+    aHashBands(media)
+      .join(media.toDF().select(col("media_id"),
+        upper(substring(hex(col("payload")), 1, 16)).as("magic")), Seq("media_id"))
+      .selectExpr("media_id", "CAST(largura AS INT) AS largura",
+        "CAST(altura AS INT) AS altura",
+        "CAST(b0 AS INT) AS b0", "CAST(b1 AS INT) AS b1",
+        "CAST(b2 AS INT) AS b2", "CAST(b3 AS INT) AS b3", "magic")
+      .orderBy("media_id")
+  }
+
+  private val PHASH_HAMMING_T = 8
+
+  /** Image near-dup dedup over really-decoded pixels — the multimodal
+    * analog of the SimHash text family: aHash per image, candidates from
+    * an equi-join on exact (band_no, band_val) matches (shuffle on the
+    * band key — linear in matches, never all-pairs; the candidate set is
+    * the LSH recall contract, shared verbatim by the oracle), then a
+    * Hamming ≤ T verify over the four bands (`bit_count(a ^ b)` — native,
+    * codegen'd). Flat/low-contrast images hash toward all-zero bands and
+    * can inflate one bucket — the classic pHash caveat; at 100 TB that
+    * bucket is the salting candidate, and the verify stays cheap because
+    * it prices candidates, not the corpus.
+    */
+  def phashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bands = phashRows(graft.Tables.documents(spark, dir))
+      .select("media_id", "b0", "b1", "b2", "b3")
+    val exploded = bands.selectExpr("media_id",
+      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_no, band_val)")
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .distinct()
+    cand
+      .join(bands.toDF("a_id", "a0", "a1", "a2", "a3"), "a_id")
+      .join(bands.toDF("b_id", "c0", "c1", "c2", "c3"), "b_id")
+      .selectExpr("a_id", "b_id",
+        """CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+              + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT) AS hamming""")
+      .filter(col("hamming") <= PHASH_HAMMING_T)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Decode + metadata extraction, batched per partition: the codec is
     * invoked inside mapPartitions so per-batch setup cost (a real decoder
     * context) amortizes over the partition — the Scala analog of an
@@ -670,7 +808,95 @@ SELECT p.media_id, CAST(rate AS INTEGER) AS sample_rate,
        ck.pcm_checksum, '52494646' AS magic
 FROM p JOIN ck ON p.media_id = ck.media_id ORDER BY p.media_id"""
 
+  /** Shared aHash re-derivation: the near-dup corpus's sampled pixels,
+    * thumbnail sum, and the 64 threshold bits — all exact integers, so
+    * both phash oracles agree with the real decode bit-for-bit. Only the
+    * 64 SAMPLED positions are derived (the unsampled ones exist solely to
+    * make payloads differ), keeping the oracle O(64·N).
+    */
+  private def aHashCtes: String =
+    """dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(doc_id AS BIGINT) // 4 AS gid,
+         CAST(doc_id AS BIGINT) % 4 AS v,
+         1 + ((CAST(doc_id AS BIGINT) // 4) * 7) % 48 AS w,
+         1 + ((CAST(doc_id AS BIGINT) // 4) * 13) % 32 AS h
+  FROM documents),
+g AS (
+  SELECT media_id, k,
+         CASE WHEN v = 3 AND (sx * 7 + sy * 11) % 5 = 0
+              THEN ((gid * 31 + sx * 17 + sy * 29) % 256 + 128) % 256
+              ELSE (gid * 31 + sx * 17 + sy * 29) % 256 END AS t
+  FROM (
+    SELECT media_id, gid, v, k,
+           ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy
+    FROM dims, unnest(generate_series(0, CAST(63 AS BIGINT))) AS u(k))),
+tot AS (SELECT media_id, SUM(t) AS s FROM g GROUP BY media_id),
+bits AS MATERIALIZED (
+  SELECT g.media_id, k,
+         CASE WHEN 64 * t > s THEN 1 ELSE 0 END AS bit
+  FROM g JOIN tot ON g.media_id = tot.media_id)"""
+
   val oracle: Map[String, String] = Map(
+    // the perceptual-hash family: decoded-raster aHash (4×16-bit bands)
+    // re-derived arithmetically; the streamed twin answers the SAME
+    // oracle (stateless per-row hash ⇒ stream ≡ batch)
+    "q_multimodal_phash" ->
+      s"""WITH $aHashCtes,
+bands AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN k // 16 = 0 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b0,
+    CAST(SUM(CASE WHEN k // 16 = 1 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b1,
+    CAST(SUM(CASE WHEN k // 16 = 2 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b2,
+    CAST(SUM(CASE WHEN k // 16 = 3 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b3
+  FROM bits GROUP BY media_id)
+SELECT d.media_id, CAST(w AS INTEGER) AS largura, CAST(h AS INTEGER) AS altura,
+       b0, b1, b2, b3, '89504E470D0A1A0A' AS magic
+FROM bands JOIN dims d ON bands.media_id = d.media_id
+ORDER BY d.media_id""",
+    // the streamed twin ships the bands (the index-feed payload), no
+    // magic column — otherwise the identical re-derivation
+    "q_multimodal_phash_stream" ->
+      s"""WITH $aHashCtes,
+bands AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN k // 16 = 0 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b0,
+    CAST(SUM(CASE WHEN k // 16 = 1 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b1,
+    CAST(SUM(CASE WHEN k // 16 = 2 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b2,
+    CAST(SUM(CASE WHEN k // 16 = 3 THEN bit * (1 << CAST(k % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS b3
+  FROM bits GROUP BY media_id)
+SELECT d.media_id, CAST(w AS INTEGER) AS largura, CAST(h AS INTEGER) AS altura,
+       b0, b1, b2, b3
+FROM bands JOIN dims d ON bands.media_id = d.media_id
+ORDER BY d.media_id""",
+    // candidates = exact (band_no, band_val) equi-join — the identical
+    // LSH contract as the engine, in an independent engine — then the
+    // Hamming ≤ T verify over xor'd bands
+    "q_multimodal_phash_dedup" ->
+      s"""WITH $aHashCtes,
+bandsl AS MATERIALIZED (
+  SELECT media_id, k // 16 AS band_no,
+         CAST(SUM(bit * (1 << CAST(k % 16 AS INTEGER))) AS INTEGER) AS band_val
+  FROM bits GROUP BY media_id, k // 16),
+cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM bandsl a JOIN bandsl b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.media_id < b.media_id),
+wide AS MATERIALIZED (
+  SELECT media_id,
+         MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
+  FROM bandsl GROUP BY media_id)
+SELECT * FROM (
+  SELECT a_id, b_id,
+         CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+            + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS INTEGER) AS hamming
+  FROM cand JOIN wide wa ON wa.media_id = a_id JOIN wide wb ON wb.media_id = b_id)
+WHERE hamming <= $PHASH_HAMMING_T
+ORDER BY a_id, b_id""",
     // the REAL-decode gates: the engine encodes + decodes genuine PNGs;
     // the oracle predicts the decoded result arithmetically (the pixel
     // field is a pure function of doc_id and PNG is lossless). A match
@@ -850,6 +1076,10 @@ FROM thumbs ORDER BY media_id"""
     // ImageIO decode — dims + signature / resampled raster + checksum
     "q_multimodal_decode_png" -> (decodePngQuery _),
     "q_multimodal_resize_png" -> (resizePngQuery _),
+    // image near-dup dedup over really-decoded pixels: aHash bands per
+    // image, LSH-banded candidate join, Hamming-verified pairs
+    "q_multimodal_phash" -> (phashQuery _),
+    "q_multimodal_phash_dedup" -> (phashDedupQuery _),
     // REAL audio path, oracle-gated: genuine RIFF/WAVE payloads, genuine
     // javax.sound.sampled decode — format + waveform checksum / windows
     "q_multimodal_decode_wav" -> (decodeWavQuery _),
@@ -868,3 +1098,4 @@ FROM thumbs ORDER BY media_id"""
     // every-4th 64-byte frame window, exploded one row per frame
     "q_multimodal_frames" -> (framesQuery _))
 }
+

@@ -402,6 +402,26 @@ object Streams {
       graft.multimodal.Multimodal.decodeWavRows(stream)
     } { _.orderBy("media_id") }
 
+  /** The perceptual-hash kernel as a streamed twin: image payloads arrive
+    * in micro-batches, each batch runs the IDENTICAL real-PNG ingest +
+    * decode + aHash-band kernel as the batch gate
+    * ([[graft.multimodal.Multimodal.phashRows]] — shared, cannot drift);
+    * the magic join and final shaping run on the batch read of the sink.
+    * Hashing is stateless per row, so stream ≡ batch row-for-row; same
+    * DuckDB oracle as q_multimodal_phash (minus magic — the sink carries
+    * only the hash columns, so the twin re-pins the BANDS, the part a
+    * streamed index feed actually ships).
+    */
+  def multimodalPhashStreamed(spark: SparkSession, dir: String): DataFrame =
+    runDocStreamGate(spark, dir, "phash",
+      Seq("CAST(doc_id AS BIGINT) AS doc_id")) { stream =>
+      graft.multimodal.Multimodal.phashRows(stream)
+        .selectExpr("media_id", "CAST(largura AS INT) AS largura",
+          "CAST(altura AS INT) AS altura",
+          "CAST(b0 AS INT) AS b0", "CAST(b1 AS INT) AS b1",
+          "CAST(b2 AS INT) AS b2", "CAST(b3 AS INT) AS b3")
+    } { _.orderBy("media_id") }
+
   /** [[lshPairsStream]] as a gated batch-comparable query (see
     * [[runDocStreamGate]] for the two-file cross-batch mechanics),
     * against the very same DuckDB oracle as the batch

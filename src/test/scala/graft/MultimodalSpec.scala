@@ -206,4 +206,43 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_win") === (n + 31) / 32, s"windows of $id")
     }
   }
+
+  test("phash: variants hash perceptually, payloads differ, bands match the arithmetic oracle") {
+    // group gid=4 (ids 16..19): w=29, h=21 — both >8, so unsampled pixels
+    // exist and variants 0-2 have byte-different payloads with IDENTICAL
+    // thumbnails (the re-encoded-image case pHash dedup exists for)
+    val ids = Seq(16L, 17L, 18L, 19L).toDF("doc_id")
+    val media = Multimodal.ingestSyntheticPngNear(ids).collect()
+      .map(m => m.media_id -> m.payload).toMap
+    assert(media.values.map(_.toSeq).toSet.size === 4, "payloads all differ")
+    val bands = Multimodal.phashRows(ids).orderBy("media_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("b0"), r.getAs[Int]("b1"), r.getAs[Int]("b2"), r.getAs[Int]("b3")))
+      .toMap
+    assert(bands(16L) === bands(17L) && bands(16L) === bands(18L),
+      "unsampled-pixel perturbation must not move the hash")
+    // Scala re-derivation of the oracle arithmetic for every variant
+    (16L to 19L).foreach { id =>
+      val gid = id / 4; val v = id % 4
+      val w = (1 + (gid * 7) % 48).toInt; val h = (1 + (gid * 13) % 32).toInt
+      val t = Array.tabulate(64) { k =>
+        val sx = (k % 8) * w / 8; val sy = (k / 8) * h / 8
+        val base = ((gid * 31 + sx * 17 + sy * 29) % 256).toInt
+        if (v == 3 && (sx * 7 + sy * 11) % 5 == 0) (base + 128) % 256 else base
+      }
+      val sum = t.foldLeft(0L)(_ + _)
+      val want = Array.fill(4)(0)
+      for (k <- 0 until 64) if (64L * t(k) > sum) want(k / 16) |= 1 << (k % 16)
+      assert(bands(id) === ((want(0), want(1), want(2), want(3))), s"bands of $id")
+    }
+    // dedup: the zero-distance variants pair up through the banded join,
+    // every emitted pair is ordered and within the Hamming threshold
+    val pairs = Multimodal.phashDedupQuery(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val within = pairs.collect { case (a, b, hm) if a / 4 == b / 4 => (a, b, hm) }
+    assert(Set((16L, 17L), (16L, 18L), (17L, 18L)).subsetOf(
+      within.map(p => (p._1, p._2)).toSet))
+    assert(pairs.forall { case (a, b, hm) => a < b && hm >= 0 && hm <= 8 })
+    assert(within.collect { case (a, b, 0) => (a, b) }.nonEmpty)
+  }
 }
