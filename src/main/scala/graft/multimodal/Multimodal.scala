@@ -585,6 +585,42 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
+  /** Image dedup CLUSTERS: connected components over the verified
+    * perceptual-hash pairs, through the SAME size-routed machinery as the
+    * text families ([[graft.text.TextOps.componentsOf]]: driver union-find
+    * under the edge threshold, distributed path-halving label propagation
+    * above it) — the image corpus's "which files are the same picture"
+    * relation. Oracle: DuckDB RECURSIVE reachability closure over the
+    * identically-derived pairs — a different algorithm that must agree.
+    */
+  def phashClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.componentsOf(
+        phashDedupQuery(spark, dir).select("a_id", "b_id"))
+      .selectExpr("doc_id AS media_id", "cluster")
+      .orderBy("media_id")
+
+  /** END-TO-END image dedup: the surviving corpus after
+    * keep-one-per-cluster — canonical (minimum-id) image per perceptual
+    * cluster plus every unclustered singleton, with the number of
+    * near-dups each survivor absorbed. Same scale shape as the text
+    * canonical keep: one left-anti join against the (near-dup-density-
+    * bounded) non-canonical set + one absorbed-count join; the corpus is
+    * never shuffled on anything but its id.
+    */
+  def phashCanonicalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.text.TextOps.componentsOf(
+      phashDedupQuery(spark, dir).select("a_id", "b_id"))
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS media_id")
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
+    val absorbed = clusters.groupBy(col("cluster").as("media_id"))
+      .agg((count(lit(1)) - 1).as("n_absorbed"))
+    docs.join(dropped.select(col("doc_id").as("media_id")), Seq("media_id"), "left_anti")
+      .join(absorbed, Seq("media_id"), "left")
+      .na.fill(0, Seq("n_absorbed"))
+      .orderBy("media_id")
+  }
+
   /** Decode + metadata extraction, batched per partition: the codec is
     * invoked inside mapPartitions so per-batch setup cost (a real decoder
     * context) amortizes over the partition — the Scala analog of an
@@ -837,6 +873,36 @@ bits AS MATERIALIZED (
          CASE WHEN 64 * t > s THEN 1 ELSE 0 END AS bit
   FROM g JOIN tot ON g.media_id = tot.media_id)"""
 
+  /** [[aHashCtes]] extended through the verified near-dup pair set —
+    * shared by the dedup, clusters, and canonical oracles so the pair
+    * contract cannot drift between them.
+    */
+  private def phashPairCtes: String =
+    s"""$aHashCtes,
+bandsl AS MATERIALIZED (
+  SELECT media_id, k // 16 AS band_no,
+         CAST(SUM(bit * (1 << CAST(k % 16 AS INTEGER))) AS INTEGER) AS band_val
+  FROM bits GROUP BY media_id, k // 16),
+cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM bandsl a JOIN bandsl b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.media_id < b.media_id),
+wide AS MATERIALIZED (
+  SELECT media_id,
+         MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
+  FROM bandsl GROUP BY media_id),
+pares AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS INTEGER) AS hamming
+    FROM cand JOIN wide wa ON wa.media_id = a_id JOIN wide wb ON wb.media_id = b_id)
+  WHERE hamming <= $PHASH_HAMMING_T)"""
+
   val oracle: Map[String, String] = Map(
     // the perceptual-hash family: decoded-raster aHash (4×16-bit bands)
     // re-derived arithmetically; the streamed twin answers the SAME
@@ -873,30 +939,40 @@ ORDER BY d.media_id""",
     // LSH contract as the engine, in an independent engine — then the
     // Hamming ≤ T verify over xor'd bands
     "q_multimodal_phash_dedup" ->
-      s"""WITH $aHashCtes,
-bandsl AS MATERIALIZED (
-  SELECT media_id, k // 16 AS band_no,
-         CAST(SUM(bit * (1 << CAST(k % 16 AS INTEGER))) AS INTEGER) AS band_val
-  FROM bits GROUP BY media_id, k // 16),
-cand AS (
-  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
-  FROM bandsl a JOIN bandsl b
-    ON a.band_no = b.band_no AND a.band_val = b.band_val
-   AND a.media_id < b.media_id),
-wide AS MATERIALIZED (
-  SELECT media_id,
-         MAX(CASE WHEN band_no = 0 THEN band_val END) AS b0,
-         MAX(CASE WHEN band_no = 1 THEN band_val END) AS b1,
-         MAX(CASE WHEN band_no = 2 THEN band_val END) AS b2,
-         MAX(CASE WHEN band_no = 3 THEN band_val END) AS b3
-  FROM bandsl GROUP BY media_id)
-SELECT * FROM (
-  SELECT a_id, b_id,
-         CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
-            + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS INTEGER) AS hamming
-  FROM cand JOIN wide wa ON wa.media_id = a_id JOIN wide wb ON wb.media_id = b_id)
-WHERE hamming <= $PHASH_HAMMING_T
-ORDER BY a_id, b_id""",
+      s"""WITH $phashPairCtes
+SELECT a_id, b_id, hamming FROM pares ORDER BY a_id, b_id""",
+    // connected components over the verified phash pairs via RECURSIVE
+    // reachability closure + per-doc min — must agree with the engine's
+    // union-find / label propagation
+    "q_multimodal_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+edges AS (SELECT a_id AS a, b_id AS b FROM pares
+          UNION ALL SELECT b_id, a_id FROM pares),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT doc AS media_id, CAST(MIN(r) AS BIGINT) AS cluster
+FROM reach GROUP BY doc ORDER BY media_id""",
+    "q_multimodal_phash_canonical" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+edges AS (SELECT a_id AS a, b_id AS b FROM pares
+          UNION ALL SELECT b_id, a_id FROM pares),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       CAST(coalesce(a.n_absorbed, 0) AS BIGINT) AS n_absorbed
+FROM documents d
+LEFT JOIN (SELECT cluster, COUNT(*) - 1 AS n_absorbed
+           FROM labels GROUP BY cluster) a
+  ON d.doc_id = a.cluster
+WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> cluster)
+ORDER BY media_id""",
     // the REAL-decode gates: the engine encodes + decodes genuine PNGs;
     // the oracle predicts the decoded result arithmetically (the pixel
     // field is a pure function of doc_id and PNG is lossless). A match
@@ -1080,6 +1156,8 @@ FROM thumbs ORDER BY media_id"""
     // image, LSH-banded candidate join, Hamming-verified pairs
     "q_multimodal_phash" -> (phashQuery _),
     "q_multimodal_phash_dedup" -> (phashDedupQuery _),
+    "q_multimodal_phash_clusters" -> (phashClustersQuery _),
+    "q_multimodal_phash_canonical" -> (phashCanonicalQuery _),
     // REAL audio path, oracle-gated: genuine RIFF/WAVE payloads, genuine
     // javax.sound.sampled decode — format + waveform checksum / windows
     "q_multimodal_decode_wav" -> (decodeWavQuery _),
