@@ -224,6 +224,9 @@ object Bench {
       // being priced) and the audio codec→feature→ANN composition
       "q_multimodal_decode_wav", "q_multimodal_decode_gif",
       "q_multimodal_audio_ann",
+      // r14: image near-dup end-to-end — real PNG encode+decode, aHash,
+      // banded candidate join, Hamming verify (the multimodal dedup cost)
+      "q_multimodal_phash_dedup",
       // r12.6: five BPE merge rounds end-to-end (pair-count shuffle +
       // windowed greedy merge + barrier per round)
       "q_bpe_merges").foreach { name =>

@@ -565,8 +565,14 @@ object Multimodal {
     * it prices candidates, not the corpus.
     */
   def phashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val bands = phashRows(graft.Tables.documents(spark, dir))
-      .select("media_id", "b0", "b1", "b2", "b3")
+    // eager barrier: the hash table (5 ints/image) is read by BOTH sides
+    // of the candidate self-join and both wide rejoins — without it the
+    // codec ingest (the dominant cost) re-evaluates per branch; with it
+    // the corpus is decoded exactly once, which is how a deployment would
+    // persist a phash index anyway
+    val bands = graft.Checkpoint.barrier(
+      phashRows(graft.Tables.documents(spark, dir))
+        .select("media_id", "b0", "b1", "b2", "b3"))
     val exploded = bands.selectExpr("media_id",
       "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_no, band_val)")
     val cand = exploded.as("a").join(exploded.as("b"),
