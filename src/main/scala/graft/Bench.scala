@@ -227,6 +227,10 @@ object Bench {
       // r14: image near-dup end-to-end — real PNG encode+decode, aHash,
       // banded candidate join, Hamming verify (the multimodal dedup cost)
       "q_multimodal_phash_dedup",
+      // r14: bigram stupid-backoff LM scoring — train the count tables
+      // on the mod slice + score the rest via token-keyed equi-joins
+      // (the perplexity-filter cost, integer-exact bits)
+      "q_lm_perplexity",
       // r12.6: five BPE merge rounds end-to-end (pair-count shuffle +
       // windowed greedy merge + barrier per round)
       "q_bpe_merges").foreach { name =>

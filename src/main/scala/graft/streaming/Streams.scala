@@ -1660,6 +1660,37 @@ object Streams {
     }
   }
 
+  /** [[graft.text.CurationOps.lmPerplexity]] under streaming arrivals —
+    * the deployed shape of a perplexity filter: the bigram/unigram count
+    * tables are trained STATICALLY from the mod slice (fit once), the
+    * trained corpus total ships as an inlined literal (a model constant,
+    * not a joined relation — streams cannot re-aggregate the static
+    * side per batch anyway), and arriving docs explode to (posn, w₁, w₂)
+    * triples that stream-static left-join the tables per micro-batch.
+    * Per-token bits are integers, so the per-doc sum closes exactly at
+    * read time regardless of batch boundaries. All kernels are shared
+    * with the batch op ([[graft.text.CurationOps.lmTokenTriples]] /
+    * `lmJoined` / `lmBitsSelect` / `lmDocAgg`) — same oracle, so the
+    * deployment split must be invisible in the result.
+    */
+  def lmPerplexityStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.CurationOps
+    val statics = CurationOps.lmDocs(spark, dir)
+    val (uni, bi) = CurationOps.lmTrainTables(statics)
+    val biB = graft.Checkpoint.barrier(bi)
+    val nn = uni.agg(sum("n_w")).collect()(0).getLong(0)
+    runDocStreamGate(spark, dir, "lmppl",
+      cols = Seq("CAST(doc_id AS BIGINT) AS doc_id", "text")) { stream =>
+      val toks = stream
+        .filter(col("doc_id") % CurationOps.LmTrainMod =!= 0)
+        .selectExpr("doc_id",
+          s"${graft.text.TextExprs.tokens("text").spark} AS toks")
+      CurationOps.lmBitsSelect(
+        CurationOps.lmJoined(CurationOps.lmTokenTriples(toks), uni, biB),
+        nn.toString)
+    } { sink => CurationOps.lmDocAgg(sink) }
+  }
+
   /** [[graft.text.CurationOps.dsirScore]] under streaming arrivals: the
     * B-row fixed-point ratio table is the statically trained model;
     * arriving docs explode to (doc_id, bucket) and broadcast-join it per

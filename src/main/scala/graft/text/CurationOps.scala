@@ -393,6 +393,52 @@ SELECT balde, registro FROM (
   FROM hs GROUP BY 1)
 ORDER BY balde"""
 
+  /** One oracle for the batch LM gate (and its streamed twin): train
+    * counts on the mod slice, score the rest with the identical CASE.
+    * Every CTE is MATERIALIZED — the chain references uni/bi 2-3× and
+    * DuckDB would otherwise inline + recompute them combinatorially.
+    */
+  private lazy val lmPerplexityOracle: String = {
+    def dfl2(c: String) =
+      s"(length(regexp_replace(bin($c), '^0+', '')) - 1)"
+    s"""WITH docs AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
+train AS MATERIALIZED (SELECT toks FROM docs WHERE doc_id % $LmTrainMod = 0),
+uni AS MATERIALIZED (
+  SELECT tok AS w, COUNT(*) AS n_w
+  FROM (SELECT unnest(toks) AS tok FROM train) GROUP BY 1),
+tot AS MATERIALIZED (SELECT CAST(SUM(n_w) AS BIGINT) AS nn FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM train WHERE len(toks) >= 2) GROUP BY 1, 2),
+ex AS MATERIALIZED (
+  SELECT doc_id, u.p AS posn, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {
+      'p': i,
+      'w1': CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END,
+      'w2': toks[i]})) AS u
+    FROM docs WHERE doc_id % $LmTrainMod <> 0)),
+bits AS (
+  SELECT e.doc_id,
+    CASE WHEN e.posn > 1 AND b.n_ab IS NOT NULL
+      THEN ${dfl2("b.n_ab")} - ${dfl2("ua.n_w")}
+      ELSE coalesce(${dfl2("ub.n_w")}, -2) - ${dfl2("t.nn")} +
+           CASE WHEN e.posn > 1 THEN -2 ELSE 0 END END AS b,
+    CASE WHEN e.posn > 1 AND b.n_ab IS NOT NULL THEN 0 ELSE 1 END AS retro
+  FROM ex e
+  LEFT JOIN bi b ON e.w1 = b.w1 AND e.w2 = b.w2
+  LEFT JOIN uni ua ON e.w1 = ua.w
+  LEFT JOIN uni ub ON e.w2 = ub.w
+  CROSS JOIN tot t)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+  CAST(SUM(retro) AS BIGINT) AS n_retrocessos,
+  CAST(SUM(b) AS BIGINT) AS soma_bits,
+  CAST(-SUM(b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_por_token
+FROM bits GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Unigram log₂-rank fluency score — a CCNet-style frequency-prior
     * quality signal with NO transcendental functions: each token's
     * weight is floor(log₂(corpus frequency)) (exact integer, both
@@ -504,6 +550,128 @@ ORDER BY balde"""
                 ELSE 'longa' END AS estagio""")
       .orderBy("doc_id")
   }
+
+  /** Training slice for the bigram LM: 1 doc in 10 (deterministic
+    * doc_id mod — the same engine-agnostic split device as the
+    * leakage-safe splitter). Chosen so the scored 90% genuinely
+    * exercises the backoff path (~4% of its bigrams are unseen in the
+    * slice at the gated scale); a deployment trains the reference LM on
+    * a small curated slice and scores the whole corpus the same way.
+    */
+  private[graft] val LmTrainMod = 10L
+
+  /** floor(log₂(c)) of a positive BIGINT count — the bin-length device
+    * shared with [[unigramWeightsOf]], inlined as SQL so the same
+    * spelling runs in both engines.
+    */
+  private def fl2(c: String): String =
+    s"(length(regexp_replace(bin($c), '^0+', '')) - 1)"
+
+  /** Bigram language-model quality score with STUPID BACKOFF (Brants et
+    * al. 2007, "Large Language Models in Machine Translation") — the
+    * real-LM upgrade of [[unigramLogRank]]'s frequency prior: train
+    * bigram + unigram counts on the [[LmTrainMod]] slice, score every
+    * OTHER doc's tokens with
+    *
+    *   seen bigram:   log₂ c(w₁w₂) − log₂ c(w₁)          (bigram MLE)
+    *   backoff:       log₂ c(w₂)  − log₂ N  − 2          (α·c(w₂)/N)
+    *   OOV token:     −2 − log₂ N  (− 2 more off a bigram backoff)
+    *
+    * with every log₂ floored by the exact integer bin-length device —
+    * so a doc's score is an INTEGER bits sum (aggregation-order
+    * invariant, bit-exact across engines) and `bits_por_token` (mean
+    * negated bits ≈ cross-entropy in bits/token; 2^x is the perplexity)
+    * is one correctly-rounded division of exact integers. Stupid
+    * backoff is chosen over interpolated smoothing DELIBERATELY: its
+    * score needs no cross-term products (interpolation's
+    * λ·c₁₂·N + c₁·c₂ overflows int64 near N ≈ 10¹³), so the arithmetic
+    * stays exact at any corpus size — and it is the published
+    * at-scale choice (Brants: approaches Kneser-Ney as data grows).
+    * α is 1/4 (−2 bits, a power of two) rather than the paper's 0.4 to
+    * stay inside the integer device.
+    *
+    * Scale shape: two training-slice aggregates (token- and pair-keyed
+    * shuffles), then token-keyed equi-joins back to the exploded score
+    * stream — right sides are vocabulary-bounded (broadcastable while
+    * the vocab fits; plain shuffled equi-joins beyond), the corpus
+    * total is a 1-row broadcast, and the finish is one per-doc integer
+    * sum. No windows, no all-pairs, nothing quadratic.
+    */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = lmDocs(s, d)
+    val (uni, bi) = lmTrainTables(docs)
+    val tot = uni.agg(sum("n_w").cast("long").as("nn"))
+    val bits = lmBitsSelect(
+      lmJoined(lmTokenTriples(docs.filter(col("doc_id") % LmTrainMod =!= 0)),
+        uni, bi).crossJoin(broadcast(tot)), "nn")
+    lmDocAgg(bits)
+  }
+
+  /** (doc_id, toks) projection shared by the batch op and the stream. */
+  private[graft] def lmDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+
+  /** (unigram counts, bigram counts) over the training slice — uni is
+    * barriered because it is read by BOTH score-side joins + the total.
+    */
+  private[graft] def lmTrainTables(docs: DataFrame): (DataFrame, DataFrame) = {
+    val train = docs.filter(col("doc_id") % LmTrainMod === 0)
+    val uni = graft.Checkpoint.barrier(
+      train.selectExpr("explode(toks) AS w")
+        .groupBy("w").agg(count(lit(1)).as("n_w")))
+    val bi = train.filter(size(col("toks")) >= 2)
+      .selectExpr("""explode(zip_with(
+          slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          (a, b) -> struct(a AS w1, b AS w2))) AS p""")
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    (uni, bi)
+  }
+
+  /** (doc_id, posn, previous, current) per scored token — spelled as the
+    * same struct-transform the oracle uses, so position semantics cannot
+    * drift between engines (or between the batch op and the stream).
+    */
+  private[graft] def lmTokenTriples(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks)), i -> struct(
+             i AS p,
+             IF(i = 1, CAST(NULL AS STRING), element_at(toks, i - 1)) AS w1,
+             element_at(toks, i) AS w2))) AS u""")
+      .selectExpr("doc_id", "u.p AS posn", "u.w1 AS w1", "u.w2 AS w2")
+
+  /** The three trained-table lookups (left: posn=1 rows have NULL w1 and
+    * miss naturally; unseen bigrams/tokens miss into the backoff CASE).
+    */
+  private[graft] def lmJoined(ex: DataFrame, uni: DataFrame,
+      bi: DataFrame): DataFrame = ex
+    .join(bi, Seq("w1", "w2"), "left")
+    .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"), "left")
+    .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"), "left")
+
+  /** Per-token integer bits + backoff flag. `nnE` is the corpus-total
+    * expression — a joined column in the batch plan, an inlined literal
+    * in the deployed stream (the trained N ships with the model).
+    */
+  private[graft] def lmBitsSelect(j: DataFrame, nnE: String): DataFrame =
+    j.selectExpr("doc_id",
+      s"""CASE WHEN posn > 1 AND n_ab IS NOT NULL
+            THEN ${fl2("n_ab")} - ${fl2("n_a")}
+            ELSE coalesce(${fl2("n_b")}, -2) - ${fl2(nnE)} +
+                 CASE WHEN posn > 1 THEN -2 ELSE 0 END END AS b""",
+      "CASE WHEN posn > 1 AND n_ab IS NOT NULL THEN 0 ELSE 1 END AS retro")
+
+  /** Close the per-doc score: integer sums + ONE division. */
+  private[graft] def lmDocAgg(bits: DataFrame): DataFrame = bits
+    .groupBy("doc_id")
+    .agg(count(lit(1)).as("n_toks"), sum("retro").as("n_retro"),
+      sum("b").as("soma"))
+    .selectExpr("doc_id", "CAST(n_toks AS INTEGER) AS n_tokens",
+      "CAST(n_retro AS BIGINT) AS n_retrocessos",
+      "CAST(soma AS BIGINT) AS soma_bits",
+      "CAST(-soma AS DOUBLE) / CAST(n_toks AS DOUBLE) AS bits_por_token")
+    .orderBy("doc_id")
 
   /** The two corpus-wide aggregate verdicts — vocab coverage
     * (q_vocab_oov's `taxa_oov <= 0.5` rule) and the unigram fluency
@@ -1449,6 +1617,11 @@ ORDER BY d.doc_id"""
     // the signal the heavy set feeds: per-doc boilerplate-shingle share
     "q_boilerplate_frac" -> (boilerplateFrac _),
     "q_unigram_logrank" -> (unigramLogRank _),
+    // bigram stupid-backoff LM: integer bits cross-entropy per doc
+    "q_lm_perplexity" -> (lmPerplexity _),
+    // the deployed twin: statically trained tables, stream-static joins
+    "q_lm_perplexity_stream" ->
+      (graft.streaming.Streams.lmPerplexityStreamed _),
     "q_curriculum_stages" -> (curriculumStages _),
     "q_text_redact" -> (textRedact _),
     // checksum-validated card-number detection (Luhn fold, shared X)
@@ -1602,6 +1775,10 @@ SELECT t.doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
        CAST(SUM(f.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS escore_fluencia
 FROM toks t JOIN freq f ON t.tok = f.tok
 GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // the stupid-backoff bigram LM re-derived: same train slice, same
+    // count tables, same integer bin-length bits, one final division
+    "q_lm_perplexity" -> lmPerplexityOracle,
+    "q_lm_perplexity_stream" -> lmPerplexityOracle,
     // curriculum banding: identical integer cross-multiplication rule
     "q_curriculum_stages" ->
       s"""WITH toks AS (

@@ -446,4 +446,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(sel.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq == expect,
       "selection must be exactly the (norm DESC, doc_id) top quartile")
   }
+
+  test("lm: stupid-backoff bits pinned by hand on a 3-doc corpus (all branches)") {
+    import spark.implicits._
+    // train slice = doc 0 (0 % 10): "a b a c" → uni a=2,b=1,c=1, N=4;
+    // bi (a,b)=1,(b,a)=1,(a,c)=1. fl2: 2→1, 1→0, 4→2.
+    val docs = Seq(
+      (0L, Seq("a", "b", "a", "c")),
+      (1L, Seq("a", "b", "x")), // uni(-1) + bigram(0-1) + OOV-backoff(-2-2-2)
+      (3L, Seq("c", "a"))       // uni(0-2) + seen-uni backoff(1-2-2)
+    ).toDF("doc_id", "toks")
+    val (uni, bi) = CurationOps.lmTrainTables(docs)
+    val tot = uni.agg(sum("n_w").cast("long").as("nn"))
+    val out = CurationOps.lmDocAgg(CurationOps.lmBitsSelect(
+      CurationOps.lmJoined(
+        CurationOps.lmTokenTriples(docs.filter($"doc_id" % 10 =!= 0)),
+        uni, bi).crossJoin(broadcast(tot)), "nn"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3, 2L, -8L, 8.0 / 3),
+      (3L, 2, 2L, -5L, 2.5)))
+  }
+
+  test("lm: gated-scale invariants — train slice excluded, backoff fires, rarity costs bits") {
+    val rows = CurationOps.lmPerplexity(spark, tiny).collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && !ids.exists(_ % CurationOps.LmTrainMod == 0),
+      "trained docs must not be scored")
+    // every doc's first token lacks a bigram context → n_retrocessos ≥ 1
+    assert(rows.forall(_.getLong(2) >= 1L))
+    // the thin train slice must leave genuinely unseen bigrams somewhere
+    assert(rows.map(_.getLong(2)).sum > rows.length,
+      "backoff must fire beyond the per-doc first token")
+    // cross-entropy is positive and bounded by the OOV floor
+    val nTrainToks = CurationOps.lmDocs(spark, tiny)
+      .filter(col("doc_id") % CurationOps.LmTrainMod === 0)
+      .selectExpr("size(toks) AS n").agg(sum("n")).collect()(0).getLong(0)
+    val ceil = 4 + (63 - java.lang.Long.numberOfLeadingZeros(nTrainToks))
+    assert(rows.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= ceil),
+      s"bits/token must lie in (0, $ceil]")
+  }
 }
