@@ -87,6 +87,22 @@ object SparkEntry {
       ((s, d) => graft.etl.CsvStage.dirtyFatoQuery(s, d)),
     "q_csv_dirty_audit" ->
       ((s, d) => graft.etl.CsvStage.dirtyAuditQuery(s, d)),
+    // JSONL corpus ingestion (the LLM-data interchange format): the
+    // documents table staged as nested gzipped .jsonl shards, read back
+    // schema-directed (never inferred) and flattened — the parquet
+    // oracle hash proves the round trip lossless. Plus the dirty twin
+    // (6 injected malformed lines under PERMISSIVE + corrupt-capture)
+    // and its reject audit.
+    "q_ingest_jsonl" ->
+      ((s, d) => graft.etl.JsonlStage.ingestQuery(s, d)),
+    "q_ingest_jsonl_dirty" ->
+      ((s, d) => graft.etl.JsonlStage.dirtyIngestQuery(s, d)),
+    "q_jsonl_dirty_audit" ->
+      ((s, d) => graft.etl.JsonlStage.dirtyAuditQuery(s, d)),
+    // the streamed twin: one micro-batch per arriving shard, identical
+    // flatten kernel, same parquet oracle
+    "q_ingest_jsonl_stream" ->
+      ((s, d) => graft.streaming.Streams.ingestJsonlStreamed(s, d)),
     // the 10-KPI analytical surface (SURVEY §2.4-2.5)
     "kpi1_faturamento_bruto" -> ((s, d) =>
       Kpis.kpi1FaturamentoBruto(Star.fatoVendas(s, d))),

@@ -216,6 +216,24 @@ sk_vendedor, qtd_vendida, valor_bruto, valor_desconto"""),
     "q_csv_dirty_audit" ->
       """SELECT 'lineitem' AS tabela, CAST(6 AS BIGINT) AS corrotas,
 CAST(COUNT(*) AS BIGINT) AS sobreviventes FROM lineitem""",
+    // JSONL ingest: the engine reads nested gzipped .jsonl shards, this
+    // oracle reads the original parquet — a hash meet proves the round
+    // trip (JSON escaping, nested meta, explicit-schema read) lossless
+    "q_ingest_jsonl" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    // the dirty twin: survivors of the PERMISSIVE read must be EXACTLY
+    // the clean table (every injected malformation rejected, no phantom
+    // null-filled rows admitted)
+    "q_ingest_jsonl_dirty" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    "q_jsonl_dirty_audit" ->
+      """SELECT 'documents' AS tabela, CAST(6 AS BIGINT) AS corrotas,
+CAST(COUNT(*) AS BIGINT) AS sobreviventes FROM documents""",
+    "q_ingest_jsonl_stream" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     // incremental lifecycle gates (batch twin + the Structured Streaming
     // form): historical load + increment append must equal the full
     // rebuild — the oracle IS the full build

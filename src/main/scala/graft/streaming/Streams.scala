@@ -387,6 +387,30 @@ object Streams {
     post(spark.read.parquet(sub("out")))
   }
 
+  /** JSONL corpus ingestion as a stream: the staged `.jsonl.gz` shards
+    * ARE the stream source (`maxFilesPerTrigger=1` → one micro-batch per
+    * shard — the shard-lands-in-a-bucket deployment shape), read
+    * schema-directed and flattened by the IDENTICAL
+    * [[graft.etl.JsonlStage.flatten]] kernel as the batch gate, so wire
+    * semantics cannot drift. Ingestion is stateless per line, so the
+    * streamed result must equal batch q_ingest_jsonl row-for-row; same
+    * parquet oracle.
+    */
+  def ingestJsonlStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.JsonlStage
+    val staged = JsonlStage.stage(spark, dir)
+    val base = tempDir("graft_jsonl_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val stream = spark.readStream.schema(JsonlStage.stagedDdl(staged))
+      .option("maxFilesPerTrigger", "1").json(s"$staged/documents.jsonl")
+    val q = JsonlStage.flatten(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out")).orderBy("doc_id")
+  }
+
   /** The multimodal decode as a streamed twin: media payloads arrive in
     * micro-batches (two-file staging — half the corpus per batch, the
     * cross-batch discipline of every doc-stream gate), each batch runs
