@@ -1769,6 +1769,39 @@ object Streams {
     }
   }
 
+  /** [[graft.text.CurationOps.corpusCuratePpl]] under streaming
+    * arrivals: the low-perplexity keep set is the statically trained
+    * artifact (LM fit + whole-corpus scoring happen once, ahead of the
+    * stream — the curation-LM deployment shape), and arriving docs run
+    * the identical signal gates + broadcast-semi-join against it, with
+    * keep-min ownership state resolving cross-batch duplicates. Same
+    * oracle as the batch form.
+    */
+  def corpusCuratePplStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keep = graft.Checkpoint.barrier(
+      graft.text.CurationOps.pplKeepDocIds(spark, dir))
+    runDocStreamGate(spark, dir, "curate_ppl") { stream =>
+      curateKeepMinStream(
+        graft.text.CurationOps.curateSignals(stream, barrier = false)
+          .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
+          .join(broadcast(keep), Seq("doc_id"), "left_semi")
+          .selectExpr("md5(text) AS hash", "doc_id", "lang", "n_tokens")
+          .as[CurDoc]).toDF()
+    } { sink =>
+      sink.distinct()
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(sum(col("delta")).as("net"))
+        .where("net > 0")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .selectExpr("lang", "n_docs", "total_tokens",
+          "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+        .orderBy("lang")
+    }
+  }
+
   // ------------------------------------------------------ streamed funnel
 
   /** A buffered funnel event (µs timestamp + type; public for codegen). */

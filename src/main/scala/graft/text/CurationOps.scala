@@ -398,10 +398,18 @@ ORDER BY balde"""
     * Every CTE is MATERIALIZED — the chain references uni/bi 2-3× and
     * DuckDB would otherwise inline + recompute them combinatorially.
     */
-  private lazy val lmPerplexityOracle: String = {
+  /** The shared LM-oracle CTE chain: train counts on the mod slice, then
+    * explode the docs selected by `exWhere` to scored (posn, w₁, w₂)
+    * triples and their integer bits. Every CTE is MATERIALIZED — the
+    * chain references uni/bi 2-3× and DuckDB would otherwise inline +
+    * recompute them combinatorially. `exWhere` is the one degree of
+    * freedom: the gate scores the held-out slice, the composed curation
+    * scores everything.
+    */
+  private def lmOracleCtes(exWhere: String): String = {
     def dfl2(c: String) =
       s"(length(regexp_replace(bin($c), '^0+', '')) - 1)"
-    s"""WITH docs AS MATERIALIZED (
+    s"""docs AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
 train AS MATERIALIZED (SELECT toks FROM docs WHERE doc_id % $LmTrainMod = 0),
 uni AS MATERIALIZED (
@@ -419,7 +427,7 @@ ex AS MATERIALIZED (
       'p': i,
       'w1': CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END,
       'w2': toks[i]})) AS u
-    FROM docs WHERE doc_id % $LmTrainMod <> 0)),
+    FROM docs $exWhere)),
 bits AS (
   SELECT e.doc_id,
     CASE WHEN e.posn > 1 AND b.n_ab IS NOT NULL
@@ -431,13 +439,17 @@ bits AS (
   LEFT JOIN bi b ON e.w1 = b.w1 AND e.w2 = b.w2
   LEFT JOIN uni ua ON e.w1 = ua.w
   LEFT JOIN uni ub ON e.w2 = ub.w
-  CROSS JOIN tot t)
+  CROSS JOIN tot t)"""
+  }
+
+  /** One oracle for the batch LM gate (and its streamed twin). */
+  private lazy val lmPerplexityOracle: String =
+    s"""WITH ${lmOracleCtes(s"WHERE doc_id % $LmTrainMod <> 0")}
 SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
   CAST(SUM(retro) AS BIGINT) AS n_retrocessos,
   CAST(SUM(b) AS BIGINT) AS soma_bits,
   CAST(-SUM(b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_por_token
 FROM bits GROUP BY doc_id ORDER BY doc_id"""
-  }
 
   /** Unigram log₂-rank fluency score — a CCNet-style frequency-prior
     * quality signal with NO transcendental functions: each token's
@@ -634,7 +646,11 @@ FROM bits GROUP BY doc_id ORDER BY doc_id"""
     * drift between engines (or between the batch op and the stream).
     */
   private[graft] def lmTokenTriples(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id",
+    // the empty-doc guard is CORRECTNESS, not tidiness: Spark's
+    // sequence(1, 0) yields the DESCENDING [1, 0] (step defaults to -1
+    // when start > stop), which would mint two phantom positions per
+    // zero-token doc while the oracle's range(1, 1) is empty
+    docs.where(size(col("toks")) > 0).selectExpr("doc_id",
         """explode(transform(sequence(1, size(toks)), i -> struct(
              i AS p,
              IF(i = 1, CAST(NULL AS STRING), element_at(toks, i - 1)) AS w1,
@@ -672,6 +688,56 @@ FROM bits GROUP BY doc_id ORDER BY doc_id"""
       "CAST(soma AS BIGINT) AS soma_bits",
       "CAST(-soma AS DOUBLE) / CAST(n_toks AS DOUBLE) AS bits_por_token")
     .orderBy("doc_id")
+
+  /** Low-perplexity doc_id keep set over the WHOLE corpus, train slice
+    * included — a deployment scores everything with its curation LM (the
+    * held-out split is the GATE's measurement discipline, not the
+    * filter's; train docs just score a little optimistically). Keep
+    * rule: bits/token ≤ the corpus mean, spelled as the integer
+    * cross-multiplication soma·Σn ≥ Σsoma·n (bits sums are negative, so
+    * the inequality flips to ≥) — exact, division-free, the same device
+    * as the fluency and curriculum rules. Also the statically-trained
+    * artifact the streamed twin broadcast-joins against.
+    */
+  private[graft] def pplKeepDocIds(s: SparkSession, d: String): DataFrame = {
+    val docs = lmDocs(s, d)
+    val (uni, bi) = lmTrainTables(docs)
+    val tot = uni.agg(sum("n_w").cast("long").as("nn"))
+    // barriered: read by both the corpus total and the keep filter
+    val scores = graft.Checkpoint.barrier(
+      lmBitsSelect(lmJoined(lmTokenTriples(docs), uni, bi)
+          .crossJoin(broadcast(tot)), "nn")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("b").as("soma")))
+    val corpus = scores.agg(sum("n").as("tc"), sum("soma").as("sc"))
+    scores.crossJoin(broadcast(corpus))
+      .where(col("soma") * col("tc") >= col("sc") * col("n"))
+      .select("doc_id")
+  }
+
+  /** [[corpusCurate]] with the REAL-LM gate — the CCNet recipe's
+    * perplexity filter wired into the composed curation pass, upgrading
+    * [[corpusCurateFluent]]'s frequency prior to the trained bigram
+    * model: a doc must score at or below corpus-mean bits/token to
+    * survive, applied WITH the other signal gates before dedup (keep-one
+    * picks among perplexity survivors). Deployment shape per the r13
+    * directive: composed consumers run the deployment algorithm.
+    */
+  def corpusCuratePpl(s: SparkSession, d: String): DataFrame =
+    curateSignals(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text"),
+      barrier = true)
+      .where("qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0")
+      .join(pplKeepDocIds(s, d), Seq("doc_id"), "left_semi")
+      .withColumn("doc_keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where("doc_id = doc_keeper")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .selectExpr("lang", "n_docs", "total_tokens",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens")
+      .orderBy("lang")
 
   /** The two corpus-wide aggregate verdicts — vocab coverage
     * (q_vocab_oov's `taxa_oov <= 0.5` rule) and the unigram fluency
@@ -1622,6 +1688,10 @@ ORDER BY d.doc_id"""
     // the deployed twin: statically trained tables, stream-static joins
     "q_lm_perplexity_stream" ->
       (graft.streaming.Streams.lmPerplexityStreamed _),
+    // the LM deployed as a filter: perplexity-gated composed curation
+    "q_corpus_curate_ppl" -> (corpusCuratePpl _),
+    "q_corpus_curate_ppl_stream" ->
+      (graft.streaming.Streams.corpusCuratePplStreamed _),
     "q_curriculum_stages" -> (curriculumStages _),
     "q_text_redact" -> (textRedact _),
     // checksum-validated card-number detection (Luhn fold, shared X)
@@ -1779,6 +1849,8 @@ GROUP BY t.doc_id ORDER BY t.doc_id""",
     // count tables, same integer bin-length bits, one final division
     "q_lm_perplexity" -> lmPerplexityOracle,
     "q_lm_perplexity_stream" -> lmPerplexityOracle,
+    "q_corpus_curate_ppl" -> corpusCuratePplOracle,
+    "q_corpus_curate_ppl_stream" -> corpusCuratePplOracle,
     // curriculum banding: identical integer cross-multiplication rule
     "q_curriculum_stages" ->
       s"""WITH toks AS (
@@ -1966,6 +2038,44 @@ ORDER BY lang"""
     * rule (exact integer cross-multiplication, same constants) applied
     * alongside the other signal gates, before the dedup keeper window.
     */
+  /** The perplexity-gated composed curation, re-derived: the shared LM
+    * CTE chain over ALL docs, the integer mean-bits keep rule, then the
+    * identical signal-gate + keep-min-dedup + per-language rollup as the
+    * fluent form.
+    */
+  private[graft] lazy val corpusCuratePplOracle: String = {
+    val quality = TextOps.qualityVerdict(_.duck, "len")
+    val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"
+    s"""WITH ${lmOracleCtes("")},
+scores AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(b) AS BIGINT) AS soma
+  FROM bits GROUP BY doc_id),
+ltot AS (SELECT CAST(SUM(n) AS BIGINT) AS tc, CAST(SUM(soma) AS BIGINT) AS sc
+  FROM scores),
+keepppl AS (
+  SELECT doc_id FROM scores CROSS JOIN ltot WHERE soma * tc >= sc * n),
+base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text,
+         CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
+         $quality AS qualidade,
+         CASE WHEN $langOk THEN 1 ELSE 0 END AS lang_ok,
+         ${repetitiveCase(dupTri.duck, topTok.duck)} AS repetitivo
+  FROM documents),
+surv AS (
+  SELECT doc_id, lang, n_tokens,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS doc_keeper
+  FROM base
+  WHERE qualidade = 'boa' AND lang_ok = 1 AND repetitivo = 0
+    AND doc_id IN (SELECT doc_id FROM keepppl))
+SELECT lang, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS media_tokens
+FROM (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM surv
+      WHERE doc_id = doc_keeper
+      GROUP BY lang)
+ORDER BY lang"""
+  }
+
   private[graft] lazy val corpusCurateFluentOracle: String = {
       val quality = TextOps.qualityVerdict(_.duck, "len")
       val langOk = s"(${TextOps.langVerdict(_.duck)}) = lang"

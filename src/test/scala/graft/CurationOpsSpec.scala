@@ -469,6 +469,27 @@ class CurationOpsSpec extends SparkSpec {
       (3L, 2, 2L, -5L, 2.5)))
   }
 
+  test("lm: zero-token docs mint no phantom positions (sequence(1,0) is DESCENDING)") {
+    import spark.implicits._
+    // without the size guard, sequence(1, size(toks)) on an empty array
+    // yields [1, 0] — two phantom rows the oracle's empty range never has
+    val docs = Seq((1L, Seq.empty[String]), (2L, Seq("a"))).toDF("doc_id", "toks")
+    val out = CurationOps.lmTokenTriples(docs).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 2L,
+      "the empty doc must contribute zero scored positions")
+  }
+
+  test("lm: mean-bits keep rule — integer cross-multiplication, keep set strict subset") {
+    val keep = CurationOps.pplKeepDocIds(spark, tiny)
+    val n = Tables.documents(spark, tiny).count()
+    val k = keep.count()
+    assert(k > 0 && k < n, s"keep set must be a strict, non-empty subset ($k of $n)")
+    // the composed gate survives: per-language rollup non-empty, and no
+    // language gains docs relative to the fluency-gated form's universe
+    val out = CurationOps.corpusCuratePpl(spark, tiny).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+  }
+
   test("lm: gated-scale invariants — train slice excluded, backoff fires, rarity costs bits") {
     val rows = CurationOps.lmPerplexity(spark, tiny).collect()
     val ids = rows.map(_.getLong(0)).toSet
