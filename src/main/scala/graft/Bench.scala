@@ -229,8 +229,9 @@ object Bench {
       "q_multimodal_phash_dedup",
       // r14: bigram stupid-backoff LM scoring — train the count tables
       // on the mod slice + score the rest via token-keyed equi-joins
-      // (the perplexity-filter cost, integer-exact bits)
-      "q_lm_perplexity",
+      // (the perplexity-filter cost, integer-exact bits) — and the LM
+      // deployed as a filter inside the composed curation pass
+      "q_lm_perplexity", "q_corpus_curate_ppl",
       // r12.6: five BPE merge rounds end-to-end (pair-count shuffle +
       // windowed greedy merge + barrier per round)
       "q_bpe_merges").foreach { name =>

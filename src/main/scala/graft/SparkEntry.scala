@@ -103,6 +103,10 @@ object SparkEntry {
     // flatten kernel, same parquet oracle
     "q_ingest_jsonl_stream" ->
       ((s, d) => graft.streaming.Streams.ingestJsonlStreamed(s, d)),
+    // schema evolution across parquet shard generations: contract-schema
+    // read (no footer sweep) null-fills the columns old writers lacked
+    "q_evolve_schema" ->
+      ((s, d) => graft.etl.EvolveStage.evolveQuery(s, d)),
     // the 10-KPI analytical surface (SURVEY §2.4-2.5)
     "kpi1_faturamento_bruto" -> ((s, d) =>
       Kpis.kpi1FaturamentoBruto(Star.fatoVendas(s, d))),

@@ -234,6 +234,15 @@ CAST(COUNT(*) AS BIGINT) AS sobreviventes FROM documents""",
     "q_ingest_jsonl_stream" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
 CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    // schema evolution: even doc_ids were written by the gen1 producer
+    // (no source/n_chars yet) — the unified read must null-fill exactly
+    // those, and only those
+    "q_evolve_schema" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+CASE WHEN doc_id % 2 = 0 THEN NULL
+     ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents ORDER BY doc_id""",
     // incremental lifecycle gates (batch twin + the Structured Streaming
     // form): historical load + increment append must equal the full
     // rebuild — the oracle IS the full build
