@@ -538,7 +538,88 @@ WHERE rank <= $TOPK
 ORDER BY query_id, rank"""
   }
 
+  // ------------------------------------------------------ phrase search
+
+  /** The fixed phrase set (phrase_id → exact token sequence) — corpus
+    * vocabulary n-grams, including a 3-gram so the chained-join shape is
+    * actually exercised.
+    */
+  private[graft] val phrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("table", "scan"),
+    3 -> Seq("sort", "merge"),
+    4 -> Seq("window", "agg", "stream"))
+
+  /** Exact-phrase search via POSITIONAL postings — the retrieval feature
+    * BM25's bag-of-words postings cannot answer ("these words, adjacent,
+    * in this order"). Postings carry (term, doc_id, posn); a k-token
+    * phrase is k−1 chained equi-joins on (doc_id, posn − i), counting
+    * join survivors per doc. This is the INDEX-SERVING shape: each join
+    * leg filters the postings to ONE phrase term first, so on a
+    * term-bucketed persisted index (the BM25 layout,
+    * [[docPostings]]/[[bm25Indexed]]) a probe reads only the phrase
+    * terms' buckets — never the corpus. No windows, no all-pairs; the
+    * candidate stream after the first leg is |postings(w₁)|.
+    *
+    * The oracle recounts every phrase by an array-local adjacency scan
+    * (DuckDB list_filter over positions) — a genuinely different
+    * algorithm, which is the point of the gate.
+    */
+  def phraseSearch(s: SparkSession, d: String): DataFrame =
+    phraseSearchOver(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t"))
+
+  /** The join machinery over any (doc_id, t: array&lt;string&gt;) batch —
+    * separated so the overlap/adjacency semantics are spec-pinnable on a
+    * hand-built corpus.
+    */
+  private[graft] def phraseSearchOver(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .selectExpr("doc_id", "posexplode(t) AS (posn, term)")
+      .barrier()
+    val perPhrase = phrases.map { case (pid, words) =>
+      val first = pos.filter(col("term") === words.head)
+        .select(col("doc_id"), col("posn"))
+      val matched = words.zipWithIndex.drop(1).foldLeft(first) {
+        case (acc, (w, i)) =>
+          acc.join(
+            pos.filter(col("term") === w)
+              .select(col("doc_id"), (col("posn") - i).as("posn")),
+            Seq("doc_id", "posn"))
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ocorrencias"))
+        .select(lit(pid).as("frase_id"), col("doc_id"),
+          col("n_ocorrencias"))
+    }
+    perPhrase.reduce(_ unionByName _).orderBy("frase_id", "doc_id")
+  }
+
+  /** The phrase oracle, generated from the SAME phrase table: count
+    * positions i where all k tokens match in place. range's stop is
+    * len−k+2 so i+k−1 never overruns (and is empty when the doc is
+    * shorter than the phrase).
+    */
+  private lazy val phraseOracle: String = {
+    val arms = phrases.map { case (pid, words) =>
+      val k = words.size
+      val cond = words.zipWithIndex.map {
+        case (w, 0) => s"t[i] = '$w'"
+        case (w, i) => s"t[i+$i] = '$w'"
+      }.mkString(" AND ")
+      s"""SELECT $pid AS frase_id, doc_id,
+CAST(len(list_filter(range(1, len(t) - ${k - 2}), i -> $cond)) AS BIGINT) AS n_ocorrencias
+FROM toks"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents)
+SELECT frase_id, doc_id, n_ocorrencias FROM ($arms)
+WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // positional-postings exact-phrase probe (the chained-join serve)
+    "q_phrase_search" -> (phraseSearch _),
     "q_bm25_topk" -> (bm25TopK _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
@@ -557,6 +638,7 @@ ORDER BY query_id, rank"""
     "q_bm25_stream" -> (graft.streaming.Streams.bm25Streamed _))
 
   val oracle: Map[String, String] = Map(
+    "q_phrase_search" -> phraseOracle,
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,

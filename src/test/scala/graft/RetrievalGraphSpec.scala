@@ -25,6 +25,36 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("phrase search: overlapping matches count per position, 3-grams need full adjacency") {
+    import spark.implicits._
+    // "hash join" twice (overlapping context), "window agg stream" once
+    // with a decoy missing the last term, one doc with no phrase at all
+    val docs = Seq(
+      (1L, Seq("hash", "join", "hash", "join")),           // 2 occurrences
+      (2L, Seq("hash", "x", "join")),                      // adjacency broken
+      (3L, Seq("window", "agg", "stream", "window", "agg")), // 3-gram once
+      (4L, Seq("table"))                                   // shorter than phrase
+    ).toDF("doc_id", "t")
+    val out = RetrievalOps.phraseSearchOver(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1, 1L, 2L), (4, 3L, 1L)),
+      s"expected exactly {phrase1@doc1 x2, phrase4@doc3 x1}, got $out")
+  }
+
+  test("phrase search: the self-match degenerate — 'a a' over 'a a a' counts 2") {
+    import spark.implicits._
+    // a phrase whose tokens repeat must still count one match PER START
+    // POSITION (positions 1 and 2), not per token pair combination
+    val docs = Seq((1L, Seq("sort", "sort", "sort"))).toDF("doc_id", "t")
+    val out = RetrievalOps.phraseSearchOver(docs).collect()
+    assert(out.isEmpty, "no gated phrase matches this corpus")
+    // pin via the real phrase table: "sort merge" over sort,merge,sort,merge
+    val docs2 = Seq((7L, Seq("sort", "merge", "sort", "merge"))).toDF("doc_id", "t")
+    val out2 = RetrievalOps.phraseSearchOver(docs2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == Set((3, 7L, 2L)))
+  }
+
   test("bm25: the served index form is bit-identical to end-to-end") {
     val a = RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
     val b = RetrievalOps.bm25Indexed(spark, tiny).collect().toSeq
