@@ -64,16 +64,8 @@ object CsvStage {
     * stale one.
     */
   def stage(s: SparkSession, srcDir: String): String = {
-    val src = new java.io.File(srcDir)
-    val fingerprint = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|") +
-      "||" + Opts.toSeq.sorted.mkString(",")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$srcDir#$fingerprint".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage_$h"
-    val marker = new java.io.File(s"$dir/_STAGED")
+    val (dir, marker) = StageCache.resolve(srcDir,
+      Opts.toSeq.sorted.mkString(","), "graft_csv_stage")
     if (!marker.exists()) {
       SalesTables.foreach { t =>
         val df = graft.Tables.table(s, srcDir, t)

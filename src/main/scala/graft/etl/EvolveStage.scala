@@ -33,16 +33,8 @@ object EvolveStage {
     * like the other stages.
     */
   def stage(s: SparkSession, srcDir: String): String = {
-    val src = new java.io.File(srcDir)
-    val fingerprint = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|") +
-      "||" + UnifiedDdl
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$srcDir#$fingerprint".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_stage_$h"
-    val marker = new java.io.File(s"$dir/_STAGED")
+    val (dir, marker) = StageCache.resolve(srcDir, UnifiedDdl,
+      "graft_evolve_stage")
     if (!marker.exists()) {
       val docs = graft.Tables.documents(s, srcDir)
         .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text", "lang",

@@ -51,16 +51,8 @@ object JsonlStage {
     * files and the wire format are unchanged).
     */
   def stage(s: SparkSession, srcDir: String): String = {
-    val src = new java.io.File(srcDir)
-    val fingerprint = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|") +
-      "||" + WireDdl + s"|shards=$NShards"
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$srcDir#$fingerprint".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_stage_$h"
-    val marker = new java.io.File(s"$dir/_STAGED")
+    val (dir, marker) = StageCache.resolve(srcDir,
+      WireDdl + s"|shards=$NShards", "graft_jsonl_stage")
     if (!marker.exists()) {
       graft.Tables.documents(s, srcDir)
         .selectExpr("doc_id", "text",
