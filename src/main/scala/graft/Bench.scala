@@ -282,6 +282,16 @@ object Bench {
       graft.text.RetrievalOps.bm25Served(spark, bmIdx).count()
     }
     rmTree(bmIdx)
+    // positional-index lifecycle: posexplode + term-bucketed persist is
+    // the build; the phrase probe reads only its terms' buckets
+    val phIdx = s"/tmp/graft_bench_phrase_${System.nanoTime()}"
+    time("phrase_index_build") {
+      graft.text.RetrievalOps.buildPhraseIndex(spark, sfDir, phIdx)
+    }
+    time("q_phrase_served") {
+      graft.text.RetrievalOps.phraseServed(spark, phIdx).count()
+    }
+    rmTree(phIdx)
     // PQ lifecycle split: codebook training + corpus encoding are the
     // build; the served ADC probe reads the compressed index only
     val pqIdx = s"/tmp/graft_bench_pq_${System.nanoTime()}"

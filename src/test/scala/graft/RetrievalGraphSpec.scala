@@ -55,6 +55,19 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(out2 == Set((3, 7L, 2L)))
   }
 
+  test("phrase search: the served index form is bit-identical, and the probe partition-prunes to the phrase terms' buckets") {
+    val a = RetrievalOps.phraseSearch(spark, tiny).collect().toSeq
+    val b = RetrievalOps.phraseIndexed(spark, tiny).collect().toSeq
+    assert(a == b, "served probe must equal the end-to-end form")
+    // the scan must carry the tb partition filter — the serve-cost claim
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_index_v1_" +
+      CurationOps.docsFingerprint(tiny)
+    val plan = RetrievalOps.phraseServed(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tb"),
+      s"expected a tb partition filter in the served scan, got:\n$plan")
+  }
+
   test("bm25: the served index form is bit-identical to end-to-end") {
     val a = RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
     val b = RetrievalOps.bm25Indexed(spark, tiny).collect().toSeq
