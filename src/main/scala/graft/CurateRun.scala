@@ -51,7 +51,11 @@ object CurateRun {
     "not repetitive" -> "ok_rep",
     "lang-id agrees" -> "ok_lang",
     "vocab coverage" -> "ok_vocab",
-    "fluency prior" -> "ok_fluency")
+    "fluency prior" -> "ok_fluency",
+    // r14: the REAL-LM perplexity filter beside its frequency-prior
+    // proxy — the deployment funnel runs the trained model
+    // (CurationOps.pplKeepDocIds), kept last as the costliest signal
+    "lm perplexity" -> "ok_ppl")
 
   /** ONE corpus pass evaluating every per-row signal verdict (quality,
     * gopher battery, repetition, lang-ID agreement — the shared
@@ -69,14 +73,22 @@ object CurateRun {
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "text")
     val sig = CurationOps.curateSignals(base, barrier = false, withGopher = true)
     val agg = CurationOps.corpusAggVerdicts(s, d)
+    // the LM gate pays its own training+scoring pass (it cannot share
+    // the unigram projection: it needs positions and the bigram table);
+    // zero-token docs have no score and fail the gate, like vocabOov's
+    // empty-doc rule
+    val ppl = CurationOps.pplKeepDocIds(s, d)
+      .withColumn("ok_ppl", org.apache.spark.sql.functions.lit(1))
     graft.Checkpoint.barrier(
       sig.join(agg, Seq("doc_id"), "left")
+        .join(ppl, Seq("doc_id"), "left")
         .selectExpr("doc_id",
           "CASE WHEN qualidade = 'boa' THEN 1 ELSE 0 END AS ok_quality",
           "CASE WHEN gopher = 'mantem' THEN 1 ELSE 0 END AS ok_gopher",
           "CASE WHEN repetitivo = 0 THEN 1 ELSE 0 END AS ok_rep",
           "lang_ok AS ok_lang",
-          "ok_vocab", "ok_fluency"))
+          "ok_vocab", "ok_fluency",
+          "coalesce(ok_ppl, 0) AS ok_ppl"))
   }
 
   private def allSignalsOk: String =

@@ -7,11 +7,11 @@ package graft
   */
 class CurateRunSpec extends SparkSpec {
 
-  test("one-pass signal table keeps exactly what the six gated queries keep") {
+  test("one-pass signal table keeps exactly what the seven gated queries keep") {
     import graft.text.{CurationOps, TextOps}
     val onePass = CurateRun.signalTable(spark, tiny)
       .where("ok_quality = 1 AND ok_gopher = 1 AND ok_rep = 1 AND " +
-        "ok_lang = 1 AND ok_vocab = 1 AND ok_fluency = 1")
+        "ok_lang = 1 AND ok_vocab = 1 AND ok_fluency = 1 AND ok_ppl = 1")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // the reference composition: each gated query's keep set intersected
     // (fluency: the q_unigram_logrank scores under the shared relative
@@ -30,13 +30,18 @@ class CurateRunSpec extends SparkSpec {
       CurationOps.textRepetition(spark, tiny).where("repetitivo = 0"),
       TextOps.langId(spark, tiny).where("acerto = 1"),
       CurationOps.vocabOov(spark, tiny).where("taxa_oov <= 0.5"))
-    val perQuery = (fluent +: gates.map(_.select("doc_id").collect()
-      .map(_.getLong(0)).toSet)).reduce(_ intersect _)
+    val pplKeep = CurationOps.pplKeepDocIds(spark, tiny)
+      .collect().map(_.getLong(0)).toSet
+    val perQuery = (fluent +: pplKeep +: gates.map(_.select("doc_id")
+      .collect().map(_.getLong(0)).toSet)).reduce(_ intersect _)
     assert(onePass === perQuery,
       "one-pass funnel drifted from the per-query gates")
-    // the fluency gate must be non-vacuous on the tiny corpus — a
-    // threshold nothing fails would gate nothing
+    // the fluency and LM gates must be non-vacuous on the tiny corpus —
+    // a threshold nothing fails would gate nothing
     assert(fluent.size < lr.length, "fluency gate dropped no docs")
+    assert(pplKeep.size < lr.length, "LM perplexity gate dropped no docs")
+    assert((fluent -- pplKeep).nonEmpty || (pplKeep -- fluent).nonEmpty,
+      "the trained LM should disagree with the frequency prior somewhere")
   }
 
   test("curation funnel is monotone; written corpus matches the survivors; rerun identical") {
@@ -72,7 +77,7 @@ class CurateRunSpec extends SparkSpec {
       val staged = s"$out-staged"
       try {
         val nSig = CurateRun.runStage(spark, "signals", tiny, staged)
-        assert(nSig == funnel.find(_._1 == "fluency prior").get._2)
+        assert(nSig == funnel.find(_._1 == "lm perplexity").get._2)
         val nDed = CurateRun.runStage(spark, "dedup", tiny, staged)
         assert(nDed == funnel.find(_._1 == "not contaminated").get._2)
         val nFin = CurateRun.runStage(spark, "final", tiny, staged)
