@@ -627,6 +627,65 @@ ORDER BY query_id, rank"""
       .filter(expr(s"tb IN ($buckets)")).drop("tb"))
   }
 
+  /** The fixed NEAR query set: (query_id, first term, second term, slop)
+    * — ordered proximity, w₂ within `slop` positions AFTER w₁.
+    */
+  private[graft] val nearQueries: Seq[(Int, String, String, Int)] = Seq(
+    (1, "hash", "join", 3),
+    (2, "customer", "query", 4),
+    (3, "sort", "merge", 2))
+
+  /** Ordered proximity search (NEAR-k, the "sloppy phrase") — between
+    * exact-phrase adjacency and bag-of-words: count (i, j) position
+    * pairs with t[i]=w₁, t[j]=w₂, 0 < j−i ≤ k. Same positional postings
+    * as [[phraseSearch]]; the probe is a per-doc BANDED join — equi on
+    * doc_id with the range predicate on positions — over postings
+    * pre-filtered to ONE term each, so the non-equi band never touches
+    * more than |postings(w₁)| × |postings(w₂) ∩ same doc| candidates
+    * (both term-bucket-prunable on the persisted index). The oracle
+    * recounts array-locally with a nested-lambda window scan.
+    */
+  def proximitySearch(s: SparkSession, d: String): DataFrame =
+    proximityOver(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t"))
+
+  private[graft] def proximityOver(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .selectExpr("doc_id", "posexplode(t) AS (posn, term)")
+      .barrier()
+    val perQuery = nearQueries.map { case (qid, w1, w2, k) =>
+      val p1 = pos.filter(col("term") === w1)
+        .select(col("doc_id"), col("posn").as("p1"))
+      val p2 = pos.filter(col("term") === w2)
+        .select(col("doc_id"), col("posn").as("p2"))
+      p1.join(p2, p1("doc_id") === p2("doc_id") &&
+          col("p2") > col("p1") && col("p2") <= col("p1") + k)
+        .groupBy(p1("doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_pares"))
+        .select(lit(qid).as("consulta_id"), col("doc_id"), col("n_pares"))
+    }
+    perQuery.reduce(_ unionByName _).orderBy("consulta_id", "doc_id")
+  }
+
+  /** NEAR oracle from the SAME query table: for each w₁ position i,
+    * count w₂ positions in (i, i+k] clamped to the doc — nested lambda,
+    * outer variable captured in the inner filter.
+    */
+  private lazy val proximityOracle: String = {
+    val arms = nearQueries.map { case (qid, w1, w2, k) =>
+      s"""SELECT $qid AS consulta_id, doc_id,
+CAST(coalesce(list_sum(list_transform(range(1, len(t) + 1), i ->
+  CASE WHEN t[i] = '$w1' THEN
+    len(list_filter(range(i + 1, least(i + $k, len(t)) + 1), j -> t[j] = '$w2'))
+  ELSE 0 END)), 0) AS BIGINT) AS n_pares
+FROM toks"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents)
+SELECT consulta_id, doc_id, n_pares FROM ($arms)
+WHERE n_pares > 0 ORDER BY consulta_id, doc_id"""
+  }
+
   /** The index-serving gate: build-once (content-fingerprinted), then
     * probe — must be bit-identical to the end-to-end form, same oracle.
     */
@@ -668,6 +727,8 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search" -> (phraseSearch _),
     // the same probe served from the persisted term-bucketed index
     "q_phrase_search_indexed" -> (phraseIndexed _),
+    // ordered NEAR-k proximity (banded position join over the postings)
+    "q_phrase_near" -> (proximitySearch _),
     "q_bm25_topk" -> (bm25TopK _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
@@ -688,6 +749,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
   val oracle: Map[String, String] = Map(
     "q_phrase_search" -> phraseOracle,
     "q_phrase_search_indexed" -> phraseOracle,
+    "q_phrase_near" -> proximityOracle,
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,

@@ -68,6 +68,22 @@ class RetrievalGraphSpec extends SparkSpec {
       s"expected a tb partition filter in the served scan, got:\n$plan")
   }
 
+  test("proximity NEAR-k: ordered, exclusive of self, clamped at the slop") {
+    import spark.implicits._
+    // query 3 = (sort, merge, k=2): pairs must be ORDERED (merge before
+    // sort doesn't count), within 2 positions, adjacency included
+    val docs = Seq(
+      (1L, Seq("sort", "x", "merge")),          // j-i=2 ≤ 2 → 1 pair
+      (2L, Seq("sort", "x", "y", "merge")),     // j-i=3 > 2 → 0
+      (3L, Seq("merge", "sort")),               // wrong order → 0
+      (4L, Seq("sort", "merge", "merge"))       // j-i=1 and 2 → 2 pairs
+    ).toDF("doc_id", "t")
+    val out = RetrievalOps.proximityOver(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((3, 1L, 1L), (3, 4L, 2L)),
+      s"expected {q3@doc1 x1, q3@doc4 x2}, got $out")
+  }
+
   test("bm25: the served index form is bit-identical to end-to-end") {
     val a = RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
     val b = RetrievalOps.bm25Indexed(spark, tiny).collect().toSeq
