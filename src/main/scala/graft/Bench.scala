@@ -232,6 +232,9 @@ object Bench {
       // (the perplexity-filter cost, integer-exact bits) — and the LM
       // deployed as a filter inside the composed curation pass
       "q_lm_perplexity", "q_corpus_curate_ppl",
+      // r14: ordered NEAR-k proximity (banded position join); the exact
+      // phrase family is priced via its index build/serve split below
+      "q_phrase_near",
       // r12.6: five BPE merge rounds end-to-end (pair-count shuffle +
       // windowed greedy merge + barrier per round)
       "q_bpe_merges").foreach { name =>

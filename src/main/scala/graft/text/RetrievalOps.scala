@@ -649,10 +649,16 @@ ORDER BY query_id, rank"""
     proximityOver(documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t"))
 
-  private[graft] def proximityOver(docs: DataFrame): DataFrame = {
-    val pos = docs
+  private[graft] def proximityOver(docs: DataFrame): DataFrame =
+    proximityJoins(docs
       .selectExpr("doc_id", "posexplode(t) AS (posn, term)")
-      .barrier()
+      .barrier())
+
+  /** The banded-join probe over any positional postings relation —
+    * shared by the end-to-end and index-served forms like
+    * [[phraseJoins]].
+    */
+  private def proximityJoins(pos: DataFrame): DataFrame = {
     val perQuery = nearQueries.map { case (qid, w1, w2, k) =>
       val p1 = pos.filter(col("term") === w1)
         .select(col("doc_id"), col("posn").as("p1"))
@@ -665,6 +671,24 @@ ORDER BY query_id, rank"""
         .select(lit(qid).as("consulta_id"), col("doc_id"), col("n_pares"))
     }
     perQuery.reduce(_ unionByName _).orderBy("consulta_id", "doc_id")
+  }
+
+  /** NEAR served from the SAME persisted positional index as the exact
+    * phrases — one store, every positional query family reads only its
+    * terms' buckets.
+    */
+  def proximityIndexed(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_index_v1_" +
+      CurationOps.docsFingerprint(d)
+    val marker = new java.io.File(dir, "_built")
+    if (!marker.exists()) {
+      buildPhraseIndex(s, d, dir)
+      marker.createNewFile()
+    }
+    val terms = nearQueries.flatMap(q => Seq(q._2, q._3)).distinct
+    val buckets = terms.map(t => s"abs(hash('$t')) % 16").mkString(", ")
+    proximityJoins(s.read.parquet(s"$dir/postings")
+      .filter(expr(s"tb IN ($buckets)")).drop("tb"))
   }
 
   /** NEAR oracle from the SAME query table: for each w₁ position i,
@@ -729,6 +753,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search_indexed" -> (phraseIndexed _),
     // ordered NEAR-k proximity (banded position join over the postings)
     "q_phrase_near" -> (proximitySearch _),
+    "q_phrase_near_indexed" -> (proximityIndexed _),
     "q_bm25_topk" -> (bm25TopK _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
@@ -750,6 +775,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search" -> phraseOracle,
     "q_phrase_search_indexed" -> phraseOracle,
     "q_phrase_near" -> proximityOracle,
+    "q_phrase_near_indexed" -> proximityOracle,
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
