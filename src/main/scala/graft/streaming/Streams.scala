@@ -1522,6 +1522,36 @@ object Streams {
     graft.text.RetrievalOps.bm25ReadState(spark, state)
   }
 
+  /** The positional index maintained under document arrivals — the
+    * phrase-search twin of [[bm25Streamed]], same store protocol
+    * ([[graft.text.RetrievalOps.phraseApplyBatch]]: staged union-rewrite
+    * committed at the batchId watermark, exactly-once under replays).
+    * The final probe runs the identical chained-join machinery over the
+    * committed postings; arrival shape must be unobservable, so the gate
+    * shares q_phrase_search's oracle.
+    */
+  def phraseSearchStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_phrase_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(sub("in"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val state = sub("state")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.RetrievalOps.phraseApplyBatch(spark, state, batch, batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.text.RetrievalOps.phraseReadState(spark, state)
+  }
+
   /** The heavy-hitter summary maintained as a STREAM — the incremental
     * twin of graft.text.CurationOps.heavyHitters: each micro-batch's
     * Misra-Gries summary merges into the committed state with the same

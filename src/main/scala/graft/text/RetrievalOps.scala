@@ -710,6 +710,39 @@ SELECT consulta_id, doc_id, n_pares FROM ($arms)
 WHERE n_pares > 0 ORDER BY consulta_id, doc_id"""
   }
 
+  /** One micro-batch of positional postings into the streamed store —
+    * the BM25 store protocol ([[bm25ApplyBatch]]): replays of a
+    * committed batch skipped at the batchId watermark, the new state
+    * staged beside the old and committed atomically. Positional
+    * postings are immutable per-doc facts, so the union-rewrite needs
+    * no stats sidecar at all.
+    */
+  private[graft] def phraseApplyBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.etl.StoreCommit
+    val prior = StoreCommit.committed(stateDir)
+    if (prior.exists(_._2 >= batchId)) return // replay of a committed batch
+    val part = batch
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+      .selectExpr("doc_id", "posexplode(t) AS (posn, term)")
+    val post = prior match {
+      case Some((dir, _)) =>
+        part.unionByName(s.read.parquet(s"$stateDir/$dir/postings"))
+      case None => part
+    }
+    post.write.mode("overwrite").parquet(s"$stateDir/idx_b$batchId/postings")
+    StoreCommit.commit(stateDir, s"idx_b$batchId", batchId)
+    StoreCommit.cleanupStale(stateDir, "idx_b")
+  }
+
+  /** Serve the phrase set from the streamed store's committed state. */
+  private[graft] def phraseReadState(s: SparkSession,
+      stateDir: String): DataFrame = {
+    val (dir, _) = graft.etl.StoreCommit.committed(stateDir).getOrElse(
+      throw new IllegalStateException(s"phrase state not initialized: $stateDir"))
+    phraseJoins(s.read.parquet(s"$stateDir/$dir/postings"))
+  }
+
   /** The index-serving gate: build-once (content-fingerprinted), then
     * probe — must be bit-identical to the end-to-end form, same oracle.
     */
@@ -754,6 +787,9 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // ordered NEAR-k proximity (banded position join over the postings)
     "q_phrase_near" -> (proximitySearch _),
     "q_phrase_near_indexed" -> (proximityIndexed _),
+    // the positional index maintained under arrivals (exactly-once)
+    "q_phrase_search_stream" ->
+      (graft.streaming.Streams.phraseSearchStreamed _),
     "q_bm25_topk" -> (bm25TopK _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
@@ -776,6 +812,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search_indexed" -> phraseOracle,
     "q_phrase_near" -> proximityOracle,
     "q_phrase_near_indexed" -> proximityOracle,
+    "q_phrase_search_stream" -> phraseOracle,
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
