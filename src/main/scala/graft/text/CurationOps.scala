@@ -451,6 +451,67 @@ SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
   CAST(-SUM(b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_por_token
 FROM bits GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The trigram chain re-derived: one more MATERIALIZED count table and
+    * the two-token context window, same integer bit device.
+    */
+  private lazy val lmPerplexity3Oracle: String = {
+    def dfl2(c: String) =
+      s"(length(regexp_replace(bin($c), '^0+', '')) - 1)"
+    s"""WITH docs AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
+train AS MATERIALIZED (SELECT toks FROM docs WHERE doc_id % $LmTrainMod = 0),
+uni AS MATERIALIZED (
+  SELECT tok AS w, COUNT(*) AS n_w
+  FROM (SELECT unnest(toks) AS tok FROM train) GROUP BY 1),
+tot AS MATERIALIZED (SELECT CAST(SUM(n_w) AS BIGINT) AS nn FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM train WHERE len(toks) >= 2) GROUP BY 1, 2),
+tri AS MATERIALIZED (
+  SELECT w0, w1, w2, COUNT(*) AS n_abc FROM (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 2)) AS w0,
+           unnest(list_slice(toks, 2, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 3, len(toks))) AS w2
+    FROM train WHERE len(toks) >= 3) GROUP BY 1, 2, 3),
+ex AS MATERIALIZED (
+  SELECT doc_id, u.p AS posn, u.w0 AS w0, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {
+      'p': i,
+      'w0': CASE WHEN i <= 2 THEN NULL ELSE toks[i - 2] END,
+      'w1': CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END,
+      'w2': toks[i]})) AS u
+    FROM docs WHERE doc_id % $LmTrainMod <> 0)),
+bits AS (
+  SELECT e.doc_id,
+    CASE WHEN e.posn > 2 AND t3.n_abc IS NOT NULL
+      THEN ${dfl2("t3.n_abc")} - ${dfl2("bc.n_ab")}
+    WHEN e.posn > 1 AND b.n_ab IS NOT NULL
+      THEN ${dfl2("b.n_ab")} - ${dfl2("ub.n_w")} +
+           CASE WHEN e.posn > 2 THEN -2 ELSE 0 END
+    ELSE coalesce(${dfl2("uc.n_w")}, -2) - ${dfl2("t.nn")} +
+         CASE WHEN e.posn > 2 THEN -4 WHEN e.posn = 2 THEN -2
+              ELSE 0 END END AS b,
+    CASE WHEN e.posn > 2 AND t3.n_abc IS NOT NULL THEN 0
+         WHEN e.posn > 1 AND b.n_ab IS NOT NULL THEN
+           CASE WHEN e.posn > 2 THEN 1 ELSE 0 END
+         ELSE CASE WHEN e.posn > 2 THEN 2 WHEN e.posn = 2 THEN 1
+                   ELSE 0 END END AS retro
+  FROM ex e
+  LEFT JOIN tri t3 ON e.w0 = t3.w0 AND e.w1 = t3.w1 AND e.w2 = t3.w2
+  LEFT JOIN bi bc ON e.w0 = bc.w1 AND e.w1 = bc.w2
+  LEFT JOIN bi b ON e.w1 = b.w1 AND e.w2 = b.w2
+  LEFT JOIN uni ub ON e.w1 = ub.w
+  LEFT JOIN uni uc ON e.w2 = uc.w
+  CROSS JOIN tot t)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+  CAST(SUM(retro) AS BIGINT) AS n_retrocessos,
+  CAST(SUM(b) AS BIGINT) AS soma_bits,
+  CAST(-SUM(b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_por_token
+FROM bits GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Unigram log₂-rank fluency score — a CCNet-style frequency-prior
     * quality signal with NO transcendental functions: each token's
     * weight is floor(log₂(corpus frequency)) (exact integer, both
@@ -688,6 +749,85 @@ FROM bits GROUP BY doc_id ORDER BY doc_id"""
       "CAST(soma AS BIGINT) AS soma_bits",
       "CAST(-soma AS DOUBLE) / CAST(n_toks AS DOUBLE) AS bits_por_token")
     .orderBy("doc_id")
+
+  /** Trigram stupid backoff — the full published CHAIN (Brants et al.
+    * 2007 run 5-gram chains exactly this way): score each token by the
+    * highest-order n-gram its context has seen, paying −2 bits (α=1/4)
+    * per backoff LEVEL taken:
+    *
+    *   posn ≥ 3, trigram seen:  fl2 c(w₀w₁w₂) − fl2 c(w₀w₁)     (level 0)
+    *   bigram seen:             fl2 c(w₁w₂) − fl2 c(w₁) − 2·[posn>2]
+    *   else:                    (fl2 c(w₂) | −2) − fl2 N − 2·levels
+    *
+    * `n_retrocessos` here counts TOTAL backoff levels relative to the
+    * maximal order available at each position (posn 1 scored by unigram
+    * is level 0, not a backoff) — same column shape as the bigram gate
+    * but deliberately different semantics; the two are not comparable
+    * level-for-level. Denominator existence is structural: c(w₀w₁) ≥
+    * c(w₀w₁w₂) and c(w₁) ≥ c(w₁w₂), so a seen numerator always has a
+    * seen denominator. Scale shape: one extra pair-keyed training
+    * aggregate (the trigram table) and two extra vocabulary-bounded
+    * equi-joins over the scored stream; still nothing quadratic.
+    */
+  def lmPerplexity3(s: SparkSession, d: String): DataFrame = {
+    val docs = lmDocs(s, d)
+    val (uni, bi) = lmTrainTables(docs)
+    val tri = lmTriTable(docs)
+    val tot = uni.agg(sum("n_w").cast("long").as("nn"))
+    val j = lmTokenQuads(docs.filter(col("doc_id") % LmTrainMod =!= 0))
+      .join(tri, Seq("w0", "w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w0"), col("w2").as("w1"),
+        col("n_ab").as("n_ctx")), Seq("w0", "w1"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_b")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_c")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+    lmPerplexity3Parts(j)
+  }
+
+  /** The trigram CASE + per-doc close over the five-way-joined token
+    * stream — separated so the spec can pin every branch on a hand-built
+    * corpus through the PRODUCTION spelling.
+    */
+  private[graft] def lmPerplexity3Parts(j: DataFrame): DataFrame =
+    lmDocAgg(j.selectExpr("doc_id",
+      s"""CASE WHEN posn > 2 AND n_abc IS NOT NULL
+            THEN ${fl2("n_abc")} - ${fl2("n_ctx")}
+          WHEN posn > 1 AND n_ab IS NOT NULL
+            THEN ${fl2("n_ab")} - ${fl2("n_b")} +
+                 CASE WHEN posn > 2 THEN -2 ELSE 0 END
+          ELSE coalesce(${fl2("n_c")}, -2) - ${fl2("nn")} +
+               CASE WHEN posn > 2 THEN -4 WHEN posn = 2 THEN -2
+                    ELSE 0 END END AS b""",
+      """CASE WHEN posn > 2 AND n_abc IS NOT NULL THEN 0
+         WHEN posn > 1 AND n_ab IS NOT NULL THEN
+           CASE WHEN posn > 2 THEN 1 ELSE 0 END
+         ELSE CASE WHEN posn > 2 THEN 2 WHEN posn = 2 THEN 1
+                   ELSE 0 END END AS retro"""))
+
+  /** Trigram counts over the training slice. */
+  private[graft] def lmTriTable(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % LmTrainMod === 0)
+      .filter(size(col("toks")) >= 3)
+      .selectExpr("""explode(transform(sequence(1, size(toks) - 2), i -> struct(
+          element_at(toks, i) AS w0, element_at(toks, i + 1) AS w1,
+          element_at(toks, i + 2) AS w2))) AS q""")
+      .groupBy(col("q.w0").as("w0"), col("q.w1").as("w1"), col("q.w2").as("w2"))
+      .agg(count(lit(1)).as("n_abc"))
+
+  /** (doc_id, posn, w₀, w₁, w₂) per scored token — the two-token context
+    * window, NULL-padded at the doc head (NULL keys join to nothing, so
+    * head positions fall through the CASE to their maximal order).
+    */
+  private[graft] def lmTokenQuads(docs: DataFrame): DataFrame =
+    docs.where(size(col("toks")) > 0).selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks)), i -> struct(
+             i AS p,
+             IF(i <= 2, CAST(NULL AS STRING), element_at(toks, i - 2)) AS w0,
+             IF(i = 1, CAST(NULL AS STRING), element_at(toks, i - 1)) AS w1,
+             element_at(toks, i) AS w2))) AS u""")
+      .selectExpr("doc_id", "u.p AS posn", "u.w0 AS w0", "u.w1 AS w1",
+        "u.w2 AS w2")
 
   /** Low-perplexity doc_id keep set over the WHOLE corpus, train slice
     * included — a deployment scores everything with its curation LM (the
@@ -1688,6 +1828,8 @@ ORDER BY d.doc_id"""
     // the deployed twin: statically trained tables, stream-static joins
     "q_lm_perplexity_stream" ->
       (graft.streaming.Streams.lmPerplexityStreamed _),
+    // the trigram chain (tri→bi→uni, −2 bits per backoff level)
+    "q_lm_perplexity3" -> (lmPerplexity3 _),
     // the LM deployed as a filter: perplexity-gated composed curation
     "q_corpus_curate_ppl" -> (corpusCuratePpl _),
     "q_corpus_curate_ppl_stream" ->
@@ -1849,6 +1991,7 @@ GROUP BY t.doc_id ORDER BY t.doc_id""",
     // count tables, same integer bin-length bits, one final division
     "q_lm_perplexity" -> lmPerplexityOracle,
     "q_lm_perplexity_stream" -> lmPerplexityOracle,
+    "q_lm_perplexity3" -> lmPerplexity3Oracle,
     "q_corpus_curate_ppl" -> corpusCuratePplOracle,
     "q_corpus_curate_ppl_stream" -> corpusCuratePplOracle,
     // curriculum banding: identical integer cross-multiplication rule

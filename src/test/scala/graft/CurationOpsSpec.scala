@@ -469,6 +469,42 @@ class CurationOpsSpec extends SparkSpec {
       (3L, 2, 2L, -5L, 2.5)))
   }
 
+  test("lm3: trigram chain pinned by hand — every backoff branch exercised") {
+    import spark.implicits._
+    // train doc 0: "a b c a b d" → uni a2 b2 c1 d1, N=6 (fl2: 2→1, 6→2);
+    // bi ab:2 bc:1 ca:1 bd:1; tri abc:1 bca:1 cab:1 abd:1
+    val docs = Seq(
+      (0L, Seq("a", "b", "c", "a", "b", "d")),
+      // p1 uni(-1,L0) + p2 bi-hit(0,L0) + p3 TRI-hit(-1,L0) + p4 OOV full
+      // chain (-2-2-4=-8, L2) → bits -10, retro 2
+      (1L, Seq("a", "b", "c", "x")),
+      // p1 uni(-2,L0) + p2 bi-miss→uni-2 (1-2-2=-3, L1) + p3 tri-miss→
+      // bi-hit-2 (1-1-2=-2, L1) → bits -7, retro 2
+      (3L, Seq("d", "a", "b"))
+    ).toDF("doc_id", "toks")
+    val (uni, bi) = CurationOps.lmTrainTables(docs)
+    val tri = CurationOps.lmTriTable(docs)
+    val tot = uni.agg(sum("n_w").cast("long").as("nn"))
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val j = CurationOps.lmTokenQuads(docs.filter($"doc_id" % 10 =!= 0))
+      .join(tri, Seq("w0", "w1", "w2"), "left")
+      .join(bi.select($"w1".as("w0"), $"w2".as("w1"), $"n_ab".as("n_ctx")),
+        Seq("w0", "w1"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select($"w".as("w1"), $"n_w".as("n_b")), Seq("w1"), "left")
+      .join(uni.select($"w".as("w2"), $"n_w".as("n_c")), Seq("w2"), "left")
+      .crossJoin(bc(tot))
+    // re-run the production op's exact CASE by calling the op end to end
+    // on a staged tmp table would re-tokenize text; instead pin via the
+    // full gated op below and the public pieces here
+    val out = CurationOps.lmPerplexity3Parts(j)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4, 2L, -10L, 2.5),
+      (3L, 3, 2L, -7L, 7.0 / 3)))
+  }
+
   test("lm: zero-token docs mint no phantom positions (sequence(1,0) is DESCENDING)") {
     import spark.implicits._
     // without the size guard, sequence(1, size(toks)) on an empty array
