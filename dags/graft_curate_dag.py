@@ -7,7 +7,8 @@ reading the previous stage's keep-list from the shared output directory
 surrogate-key maps):
 
   signals  rule gates (quality, Gopher battery, repetition, language-ID
-           agreement, vocab coverage) -> keep_signals.parquet
+           agreement, vocab coverage, fluency prior, trained-LM
+           perplexity) -> keep_signals.parquet
   dedup    exact keep-one + near-dup canonical + contamination drop over
            the signal survivors -> keep_dedup.parquet
   final    passage cleaning over the dedup survivors; writes the cleaned

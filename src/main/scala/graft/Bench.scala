@@ -231,7 +231,7 @@ object Bench {
       // on the mod slice + score the rest via token-keyed equi-joins
       // (the perplexity-filter cost, integer-exact bits) — and the LM
       // deployed as a filter inside the composed curation pass
-      "q_lm_perplexity", "q_corpus_curate_ppl",
+      "q_lm_perplexity", "q_lm_perplexity3", "q_corpus_curate_ppl",
       // r14: ordered NEAR-k proximity (banded position join); the exact
       // phrase family is priced via its index build/serve split below
       "q_phrase_near",
