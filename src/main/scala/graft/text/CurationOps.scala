@@ -771,7 +771,10 @@ FROM bits GROUP BY doc_id ORDER BY doc_id"""
     */
   def lmPerplexity3(s: SparkSession, d: String): DataFrame = {
     val docs = lmDocs(s, d)
-    val (uni, bi) = lmTrainTables(docs)
+    val (uni, bi0) = lmTrainTables(docs)
+    // barriered: the bigram table feeds BOTH the context-pair and the
+    // bigram-level join — without it the explode+count runs twice
+    val bi = graft.Checkpoint.barrier(bi0)
     val tri = lmTriTable(docs)
     val tot = uni.agg(sum("n_w").cast("long").as("nn"))
     val j = lmTokenQuads(docs.filter(col("doc_id") % LmTrainMod =!= 0))

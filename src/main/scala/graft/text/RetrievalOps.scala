@@ -678,13 +678,7 @@ ORDER BY query_id, rank"""
     * terms' buckets.
     */
   def proximityIndexed(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_index_v1_" +
-      CurationOps.docsFingerprint(d)
-    val marker = new java.io.File(dir, "_built")
-    if (!marker.exists()) {
-      buildPhraseIndex(s, d, dir)
-      marker.createNewFile()
-    }
+    val dir = ensurePhraseIndex(s, d)
     val terms = nearQueries.flatMap(q => Seq(q._2, q._3)).distinct
     val buckets = terms.map(t => s"abs(hash('$t')) % 16").mkString(", ")
     proximityJoins(s.read.parquet(s"$dir/postings")
@@ -746,7 +740,13 @@ WHERE n_pares > 0 ORDER BY consulta_id, doc_id"""
   /** The index-serving gate: build-once (content-fingerprinted), then
     * probe — must be bit-identical to the end-to-end form, same oracle.
     */
-  def phraseIndexed(s: SparkSession, d: String): DataFrame = {
+  def phraseIndexed(s: SparkSession, d: String): DataFrame =
+    phraseServed(s, ensurePhraseIndex(s, d))
+
+  /** Build-once resolution of the shared positional store (content
+    * fingerprinted like the BM25 store) — used by both probe families.
+    */
+  private def ensurePhraseIndex(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_index_v1_" +
       CurationOps.docsFingerprint(d)
     val marker = new java.io.File(dir, "_built")
@@ -754,7 +754,7 @@ WHERE n_pares > 0 ORDER BY consulta_id, doc_id"""
       buildPhraseIndex(s, d, dir)
       marker.createNewFile()
     }
-    phraseServed(s, dir)
+    dir
   }
 
   /** The phrase oracle, generated from the SAME phrase table: count
