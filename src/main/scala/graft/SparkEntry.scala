@@ -107,6 +107,8 @@ object SparkEntry {
     // read (no footer sweep) null-fills the columns old writers lacked
     "q_evolve_schema" ->
       ((s, d) => graft.etl.EvolveStage.evolveQuery(s, d)),
+    "q_evolve_schema_stream" ->
+      ((s, d) => graft.streaming.Streams.evolveSchemaStreamed(s, d)),
     // the 10-KPI analytical surface (SURVEY §2.4-2.5)
     "kpi1_faturamento_bruto" -> ((s, d) =>
       Kpis.kpi1FaturamentoBruto(Star.fatoVendas(s, d))),

@@ -243,6 +243,13 @@ CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
 CASE WHEN doc_id % 2 = 0 THEN NULL
      ELSE CAST(n_chars AS BIGINT) END AS n_chars
 FROM documents ORDER BY doc_id""",
+    // the same contract-schema null-fill under streaming shard arrival
+    "q_evolve_schema_stream" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+CASE WHEN doc_id % 2 = 0 THEN NULL
+     ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents ORDER BY doc_id""",
     // incremental lifecycle gates (batch twin + the Structured Streaming
     // form): historical load + increment append must equal the full
     // rebuild — the oracle IS the full build

@@ -411,6 +411,29 @@ object Streams {
     spark.read.parquet(sub("out")).orderBy("doc_id")
   }
 
+  /** Schema evolution under streaming arrivals: the mixed-generation
+    * shard history ([[graft.etl.EvolveStage.stage]]) read as a file
+    * stream under the CONTRACT schema — a backfill stream consuming
+    * heterogeneous shard vintages must null-fill the columns old
+    * producers lacked exactly like the batch read (parquet by-name
+    * resolution is per file, so per-micro-batch arrival changes
+    * nothing). Same oracle as q_evolve_schema.
+    */
+  def evolveSchemaStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.EvolveStage
+    val staged = EvolveStage.stage(spark, dir)
+    val base = tempDir("graft_evolve_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val stream = spark.readStream.schema(EvolveStage.UnifiedDdl)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/{gen1,gen2}")
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out")).orderBy("doc_id")
+  }
+
   /** The multimodal decode as a streamed twin: media payloads arrive in
     * micro-batches (two-file staging — half the corpus per batch, the
     * cross-batch discipline of every doc-stream gate), each batch runs
