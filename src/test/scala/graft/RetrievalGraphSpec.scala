@@ -84,6 +84,12 @@ class RetrievalGraphSpec extends SparkSpec {
       s"expected {q3@doc1 x1, q3@doc4 x2}, got $out")
   }
 
+  test("proximity NEAR-k: the served index form is bit-identical to end-to-end") {
+    val a = RetrievalOps.proximitySearch(spark, tiny).collect().toSeq
+    val b = RetrievalOps.proximityIndexed(spark, tiny).collect().toSeq
+    assert(a == b, "served NEAR probe must equal the end-to-end form")
+  }
+
   test("bm25: the served index form is bit-identical to end-to-end") {
     val a = RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
     val b = RetrievalOps.bm25Indexed(spark, tiny).collect().toSeq
