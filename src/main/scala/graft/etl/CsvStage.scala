@@ -108,22 +108,7 @@ object CsvStage {
     val dir = clean + "_dirty"
     val marker = new java.io.File(s"$dir/_STAGED")
     if (!marker.exists()) {
-      // copy the staged tree (part files + .schema sidecars)
-      val src = java.nio.file.Paths.get(clean)
-      val dst = java.nio.file.Paths.get(dir)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(src).iterator().asScala
-        .filter(p => !p.getFileName.toString.startsWith("_"))
-        .foreach { p =>
-          val t = dst.resolve(src.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(t)
-          else {
-            java.nio.file.Files.createDirectories(t.getParent)
-            java.nio.file.Files.copy(p, t,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        }: Unit
+      StageCache.copyTree(clean, dir)
       val ddl = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$clean/lineitem.schema")), "UTF-8")
       val fields = ddl.split(",").map(_.trim.split("\\s+", 2))
@@ -149,7 +134,7 @@ object CsvStage {
       // header=true skips the FIRST line of every part file, so the
       // injected file leads with a dummy header line
       java.nio.file.Files.write(
-        dst.resolve("lineitem.csv").resolve("zzz-corrupt.csv"),
+        java.nio.file.Paths.get(dir, "lineitem.csv", "zzz-corrupt.csv"),
         (fields.map(_(0)).mkString(",") +: corrupt).mkString("\n")
           .getBytes("UTF-8")): Unit
       marker.createNewFile(): Unit

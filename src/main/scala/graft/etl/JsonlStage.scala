@@ -108,21 +108,7 @@ object JsonlStage {
     val dir = clean + "_dirty"
     val marker = new java.io.File(s"$dir/_STAGED")
     if (!marker.exists()) {
-      val src = java.nio.file.Paths.get(clean)
-      val dst = java.nio.file.Paths.get(dir)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(src).iterator().asScala
-        .filter(p => !p.getFileName.toString.startsWith("_"))
-        .foreach { p =>
-          val t = dst.resolve(src.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(t)
-          else {
-            java.nio.file.Files.createDirectories(t.getParent)
-            java.nio.file.Files.copy(p, t,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        }: Unit
+      StageCache.copyTree(clean, dir)
       val corrupt = Seq(
         // a stray non-JSON line (a crawl artifact, a log line)
         "this is not json",
@@ -138,7 +124,7 @@ object JsonlStage {
         """{"doc_id": 99999999999999999999999999, "text": "x", "meta": {"lang": "pt", "source": "web", "n_chars": 1}}""")
       require(corrupt.size == NCorrupt)
       java.nio.file.Files.write(
-        dst.resolve("documents.jsonl").resolve("zzz-corrupt.json"),
+        java.nio.file.Paths.get(dir, "documents.jsonl", "zzz-corrupt.json"),
         corrupt.mkString("\n").getBytes("UTF-8")): Unit
       marker.createNewFile(): Unit
     }

@@ -10,6 +10,28 @@ package graft.etl
   */
 private[etl] object StageCache {
 
+  /** Copy a staged tree (part files + schema sidecars), skipping the
+    * `_`-prefixed markers/SUCCESS files — the dirty stagers clone the
+    * clean staging before injecting their malformed shard.
+    */
+  def copyTree(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("_"))
+      .foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }: Unit
+  }
+
   /** Resolve the cache dir for (`srcDir`, `salt`) under `prefix`, and
     * its `_STAGED` marker. The caller stages iff the marker is absent
     * and creates it when done.
