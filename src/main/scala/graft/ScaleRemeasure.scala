@@ -55,6 +55,10 @@ object ScaleRemeasure {
 
     val sf1Dir = s"/tmp/graft_remeasure_sf1_${System.nanoTime()}"
     val dw1 = s"/tmp/graft_remeasure_dw1_${System.nanoTime()}"
+    // saved OUTSIDE the try so the finally can restore it even when a
+    // measurement mid-A/B throws (a leaked -1 threshold or a stray
+    // bucketed table would skew every later run in this JVM)
+    var abtSaved: Option[String] = None
     try {
       StarBench.stage10x(spark, sfDir, sf1Dir)
 
@@ -74,7 +78,7 @@ object ScaleRemeasure {
       times("kpi_suite_sf1_cold") = kpiRuns.head
 
       // bucketed vs shuffled, same discipline as Bench phase 6
-      val abtSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      abtSaved = Some(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       times("etl_bucket_tables_build_10x") =
@@ -109,11 +113,15 @@ object ScaleRemeasure {
       }
       times("etl_star_build_bucketed_10x") = ab.map(_._1).min
       times("etl_star_build_shuffled_10x") = ab.map(_._2).min
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtSaved)
+    } finally {
+      // conf restore + table drops live HERE, with the dir cleanup: an
+      // exception mid-measure must not leak the -1 broadcast threshold,
+      // the bucketed-scan conf, or the bucketed tables
+      abtSaved.foreach(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS orders_bkt10")
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt10")
-    } finally {
       rmTree(sf1Dir); rmTree(dw1); rmTree(wh)
     }
 

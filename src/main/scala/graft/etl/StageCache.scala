@@ -35,13 +35,29 @@ private[etl] object StageCache {
   /** Resolve the cache dir for (`srcDir`, `salt`) under `prefix`, and
     * its `_STAGED` marker. The caller stages iff the marker is absent
     * and creates it when done.
+    *
+    * The fingerprint walks the WHOLE source tree and hashes every data
+    * file's (relative path, size, mtime) — directory-shaped tables
+    * (Spark-written datasets) and CSV-routed sources fingerprint their
+    * actual content files, not a weak top-level dir entry, so
+    * regenerated testdata can never silently reuse a stale staging.
     */
   def resolve(srcDir: String, salt: String,
               prefix: String): (String, java.io.File) = {
-    val src = new java.io.File(srcDir)
-    val fingerprint = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|") +
+    val root = java.nio.file.Paths.get(srcDir)
+    import scala.jdk.CollectionConverters._
+    val files =
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      else Seq.empty
+    val fingerprint = files
+      .map(p => (root.relativize(p).toString, p))
+      .sortBy(_._1)
+      .map { case (rel, p) =>
+        s"$rel:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }.mkString("|") +
       "||" + salt
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$srcDir#$fingerprint".getBytes("UTF-8"))

@@ -537,12 +537,18 @@ object EmbeddingOps {
     pqSubOf(corpus(s, d).select("vec_id", "embedding"))
 
   /** The subspace explode over an explicit base — the incremental index
-    * path encodes arrival batches, not the whole corpus.
+    * path encodes arrival batches, not the whole corpus. `m` is the
+    * subspace count (PQ's real precision lever: per-subspace
+    * quantization error scales ~K^(−2/d) with d = DIM/m dims per
+    * subspace, so splitting finer buys exponentially more than adding
+    * codebook entries — the K=64 recall measurement demonstrates it).
     */
-  private def pqSubOf(base: DataFrame): DataFrame =
-    base.withColumn("m", explode(sequence(lit(0), lit(PQ_M - 1))))
+  private def pqSubOf(base: DataFrame, m: Int = PQ_M): DataFrame = {
+    val sub = DIM / m
+    base.withColumn("m", explode(sequence(lit(0), lit(m - 1))))
       .selectExpr("vec_id", "m",
-        s"slice(embedding, m * $PQ_SUB + 1, $PQ_SUB) AS sub")
+        s"slice(embedding, m * $sub + 1, $sub) AS sub")
+  }
 
   /** Per-subspace assignment: each (vec, m) to its nearest codebook entry
     * OF THAT SUBSPACE — the same struct-min partial+final aggregate as
@@ -580,10 +586,10 @@ object EmbeddingOps {
     * [[kmeansCentroidsOf]] for the train-base split's role in the
     * incremental index path).
     */
-  private[graft] def pqCodebooksOf(base: DataFrame): DataFrame = {
+  private[graft] def pqCodebooksOf(base: DataFrame, k: Int = PQ_K): DataFrame = {
     val quant = "transform(sub, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
-    var cents = base.filter(col("vec_id") < PQ_K)
+    var cents = base.filter(col("vec_id") < k)
       .selectExpr("m", "CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
     // final-round barrier only — the rounds nest linearly (see
     // kmeansCentroidsOf), so collapsing them into one job is safe and
@@ -614,12 +620,13 @@ object EmbeddingOps {
   /** Encode an explicit base under already-trained codebooks — the
     * incremental index path encodes only the arrival batch.
     */
-  private def pqCodesOfBase(subBase: DataFrame, cents: DataFrame): DataFrame =
+  private def pqCodesOfBase(subBase: DataFrame, cents: DataFrame,
+      m: Int = PQ_M): DataFrame =
     pqAssign(subBase, cents)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .selectExpr("vec_id" +:
-        (0 until PQ_M).map(m => s"CAST(mc[$m].cell AS INT) AS c$m"): _*)
+        (0 until m).map(i => s"CAST(mc[$i].cell AS INT) AS c$i"): _*)
       .orderBy("vec_id")
 
   /** ADC top-k probe over the compressed corpus: build the per-query LUT
@@ -654,7 +661,8 @@ object EmbeddingOps {
     */
   // private[graft] for PqSpec: the density guard must be provable by a
   // spec that retrains with an emptied cell, not just asserted in prose
-  private[graft] def lutParts(lut: DataFrame): DataFrame =
+  private[graft] def lutParts(lut: DataFrame, k: Int = PQ_K,
+      m: Int = PQ_M): DataFrame =
     lut.groupBy(col("query_id"), col("m"))
       .agg(array_sort(collect_list(struct(col("code"), col("part")))).as("cp"))
       .select(col("query_id"), col("m"),
@@ -663,20 +671,37 @@ object EmbeddingOps {
         // from the LUT and silently shift every higher code's position,
         // so non-density fails loudly here instead of misaligning
         expr(s"""transform(cp, (x, i) -> CASE
-          WHEN size(cp) = $PQ_K AND x.code = i THEN x.part
+          WHEN size(cp) = $k AND x.code = i THEN x.part
           ELSE raise_error('lutParts: non-dense PQ codebook — codes must be exactly 0..K-1 per subspace') END)""").as("row"))
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("row")))).as("mr"))
       .select(col("query_id"),
         expr(s"""transform(mr, (x, i) -> CASE
-          WHEN size(mr) = $PQ_M AND x.m = i THEN x.row
+          WHEN size(mr) = $m AND x.m = i THEN x.row
           ELSE raise_error('lutParts: non-dense subspace ids — m must be exactly 0..M-1') END)""").as("parts"))
 
-  /** Fixed left-to-right 4-part ADC sum via the parts lookup — the same
-    * addition order as the oracle's `part0 + part1 + part2 + part3`.
+  /** The codebook size of a TRAINED codebook table (max code + 1) — the
+    * index-served paths derive K from the stored artifact, so one serve
+    * implementation works for every code budget; an empty codebook cell
+    * still trips [[lutParts]]' density guard (the cell is absent from
+    * the table, so max+1 exceeds the LUT's entry count).
     */
-  private val adcSum =
-    s"parts[0][c0] + parts[1][c1] + parts[2][c2] + parts[3][c3]"
+  private def codebookK(pcents: DataFrame): Int =
+    pcents.agg(max(col("cell"))).head.getInt(0) + 1
+
+  /** The subspace count of a trained codebook table (max m + 1) — same
+    * derive-from-artifact contract as [[codebookK]].
+    */
+  private def codebookM(pcents: DataFrame): Int =
+    pcents.agg(max(col("m"))).head.getInt(0) + 1
+
+  /** Fixed left-to-right M-part ADC sum via the parts lookup — the same
+    * addition order as the oracle's `part0 + part1 + … + part{M-1}`.
+    */
+  private def adcSumM(m: Int): String =
+    (0 until m).map(i => s"parts[$i][c$i]").mkString(" + ")
+
+  private val adcSum = adcSumM(PQ_M)
 
   /** The ADC probe tail shared by the self-contained and index-backed
     * forms: LUT from `cents`, candidates from `codes`, fixed-order 4-part
@@ -805,17 +830,37 @@ object EmbeddingOps {
   def annIvfPqRefined(s: SparkSession, d: String): DataFrame =
     refineExact(s, d, ivfPqAdcSims(s, d))
 
+  /** The refined probe at an explicit shortlist depth — the knob that
+    * matters on a distance-concentrated corpus (unit vectors, top-5 vs
+    * 6th-neighbor gaps of ~0.003 on distances ~1.1, measured at sf0.1):
+    * no compressed-domain ranking can separate gaps that small at ANY
+    * code budget (the K=64 / M=16 recall rows prove it), so the
+    * production recall lever is ADC-as-shortlist + exact re-rank, and
+    * recall climbs with c toward the routing ceiling while the re-rank
+    * stays O(c·|queries|) point lookups — never a corpus scan.
+    */
+  def annIvfPqRefinedDeep(s: SparkSession, d: String, c: Int): DataFrame =
+    refineExact(s, d, ivfPqAdcSims(s, d), c)
+
+  /** Residual ADC shortlist + exact re-rank: the full production stack
+    * (coarse route → compressed candidate scoring → exact refine)
+    * composed over the residual encoder.
+    */
+  def annIvfPqResidualRefined(s: SparkSession, d: String, k: Int = PQ_K,
+      m: Int = PQ_M, c: Int = REFINE_C): DataFrame =
+    refineExact(s, d, ivfPqResidualAdcSims(s, d, k, m), c)
+
   /** The exact re-rank tail over any (query_id, sim = −adist, vec_id)
     * ADC candidate stream — shared by the self-contained refined probe
     * and the index-served refined probe, so the two forms re-score the
     * identical shortlist shape and gate against the same oracle.
     */
   private def refineExact(s: SparkSession, d: String,
-      adcSims: DataFrame): DataFrame = {
+      adcSims: DataFrame, c: Int = REFINE_C): DataFrame = {
     import s.implicits._
-    // ADC shortlist: top-REFINE_C through the same bounded aggregator
+    // ADC shortlist: top-c through the same bounded aggregator
     // tail as the plain probe (partial+final aggregate, O(c) state)
-    val aggC = graft.functions.TopKByScore(REFINE_C).toColumn
+    val aggC = graft.functions.TopKByScore(c).toColumn
     val shortlist = adcSims.as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, sim, id) => (sim, id) }
@@ -889,10 +934,10 @@ object EmbeddingOps {
     * build slice and lets [[appendIvfPqIndex]] fold arrivals in.
     */
   private[graft] def buildIvfPqIndexOn(s: SparkSession, trainBase: DataFrame,
-      assignBase: DataFrame, indexDir: String): Unit = {
+      assignBase: DataFrame, indexDir: String, k: Int = PQ_K): Unit = {
     val cents = kmeansCentroidsOf(trainBase)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val pcents = pqCodebooksOf(pqSubOf(trainBase))
+    val pcents = pqCodebooksOf(pqSubOf(trainBase), k)
     pcents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     pqCodesOfBase(pqSubOf(assignBase), pcents)
       .join(assignCells(s, assignBase, cents).select("vec_id", "cell"),
@@ -1118,7 +1163,7 @@ object EmbeddingOps {
       .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
     val cands = routed.join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .join(broadcast(lutParts(lut)), Seq("query_id"))
+      .join(broadcast(lutParts(lut, codebookK(pcents))), Seq("query_id"))
     cands.select(col("query_id"), (-expr(adcSum)).as("sim"), col("vec_id"))
   }
 
@@ -1163,6 +1208,233 @@ object EmbeddingOps {
     autoIndexed(d, "_ivfpq",
       buildIvfPqIndex(s, d, _, built("_km"), built("_pq")),
       annIvfPqRefinedIndexed(s, d, _))
+  }
+
+  // ------------------------------------- residual-encoded IVF-PQ
+  // Classic IVF-PQ (Jégou, Douze, Schmid — "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) does NOT quantize raw vectors:
+  // it quantizes RESIDUALS, vec − coarse_centroid(assigned cell). The
+  // residual distribution is centered and much lower-variance than the
+  // raw corpus (the coarse quantizer has already explained the
+  // between-cell structure), so the same codebook budget spends its
+  // entries on within-cell detail — which is where compressed-family
+  // recall comes from. The r14 measurement (raw-trained codebooks:
+  // 0.30@5 vs 0.975 for the uncompressed kmeans probe) is exactly the
+  // gap this closes. Everything else — ADC, the 4-code layout, the
+  // cell-partitioned store, append/delete/compact — is shared with the
+  // raw family; the only changes are (a) codebooks train on residual
+  // sub-vectors, (b) codes encode residuals, (c) the query LUT is built
+  // from the query's residual against its ROUTED cell's centroid.
+
+  /** Each vector's residual against its assigned coarse centroid:
+    * (vec_id, cell, embedding = vec − centroid[cell]) with the residual
+    * in double (float→double widening is exact, so the subtraction is
+    * one exact IEEE op the oracle reproduces bit-identically). One
+    * broadcast assignment pass + one broadcast centroid join — no
+    * corpus shuffle.
+    */
+  private def residualsUnder(s: SparkSession, base: DataFrame,
+      cents: DataFrame): DataFrame =
+    assignCells(s, base, cents).select("vec_id", "embedding", "cell")
+      .join(broadcast(cents), Seq("cell"))
+      .selectExpr("vec_id", "cell",
+        "zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y) AS embedding")
+
+  /** The self-contained residual-encoded IVF-PQ probe: coarse Lloyd,
+    * residuals, residual-trained codebooks, residual codes, and the ADC
+    * probe whose per-query LUT is the query's OWN residual against the
+    * codebooks (at nProbe=1 the routed cell is by definition the
+    * query's coarse assignment, so its residual row is already in the
+    * residual base). Gated bit-exactly — the oracle re-derives both
+    * trainings AND the residual subtraction.
+    */
+  def annIvfPqResidual(s: SparkSession, d: String, k: Int = PQ_K,
+      m: Int = PQ_M): DataFrame =
+    rankViaTopK(s, ivfPqResidualAdcSims(s, d, k, m))
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+
+  private def ivfPqResidualAdcSims(s: SparkSession, d: String,
+      k: Int = PQ_K, m: Int = PQ_M): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    // the residual table feeds codebook training, encoding, AND the
+    // query LUT — materialize it once
+    val res = graft.Checkpoint.barrier(residualsUnder(s, base, cents))
+    val pcents = pqCodebooksOf(pqSubOf(res.select("vec_id", "embedding"), m), k)
+    val indexed = graft.Checkpoint.barrier(
+      pqCodesOfBase(pqSubOf(res.select("vec_id", "embedding"), m), pcents, m)
+        .join(res.select("vec_id", "cell"), Seq("vec_id")))
+    val routed = indexed.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val lut = pqSubOf(res.filter(col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding"), m)
+      .toDF("query_id", "m", "q_sub")
+      .join(broadcast(pcents), Seq("m"))
+      .withColumn("part",
+        graft.functions.GraftFunctions.l2_sq(col("q_sub"), col("centroid")))
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
+    routed.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lutParts(lut, k, m)), Seq("query_id"))
+      .select(col("query_id"), (-expr(adcSumM(m))).as("sim"), col("vec_id"))
+  }
+
+  /** The residual index build over explicit bases: coarse Lloyd + the
+    * residual codebooks train on `trainBase`, the code table encodes
+    * `assignBase`'s residuals — same store layout as the raw composed
+    * index (centroids / codebooks / cell-partitioned codes), so the
+    * delete/compact machinery applies unchanged.
+    */
+  private[graft] def buildIvfPqResidualIndexOn(s: SparkSession,
+      trainBase: DataFrame, assignBase: DataFrame, indexDir: String,
+      k: Int = PQ_K, m: Int = PQ_M): Unit = {
+    val cents = kmeansCentroidsOf(trainBase)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val pcents = pqCodebooksOf(pqSubOf(
+      residualsUnder(s, trainBase, cents).select("vec_id", "embedding"), m), k)
+    pcents.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val asgRes = graft.Checkpoint.barrier(residualsUnder(s, assignBase, cents))
+    pqCodesOfBase(pqSubOf(asgRes.select("vec_id", "embedding"), m), pcents, m)
+      .join(asgRes.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Full-corpus residual index build (the fresh-index form). */
+  def buildIvfPqResidualIndex(s: SparkSession, d: String,
+      indexDir: String): Unit = {
+    val b = corpus(s, d).select("vec_id", "embedding")
+    buildIvfPqResidualIndexOn(s, b, b, indexDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/_fingerprint"), datasetFingerprint(d))
+  }
+
+  /** Incremental residual append: arrivals are residual-encoded under
+    * the STORED centroids + codebooks and land in their (cell, batch)
+    * partitions — O(|batch|), replay-idempotent, no retrain (same
+    * exactly-once shape as [[appendIvfPqIndex]]).
+    */
+  private[graft] def appendIvfPqResidualIndex(s: SparkSession,
+      newRows: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val pcents = s.read.parquet(s"$indexDir/codebooks")
+    val m = codebookM(pcents)
+    val asgRes = graft.Checkpoint.barrier(residualsUnder(s, newRows, cents))
+    pqCodesOfBase(pqSubOf(asgRes.select("vec_id", "embedding"), m), pcents, m)
+      .join(asgRes.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** The residual probe served from a persisted residual index: route
+    * each query on the stored centroids (carrying the routed centroid),
+    * subtract to get the query residual, build the LUT from its slices
+    * against the stored codebooks, and ADC-rank the routed cell's code
+    * partitions (partition-pruned scan; tombstone-masked when a delete
+    * happened). Bit-identical to the self-contained form — the routed
+    * cell's (dist ASC, cell ASC) window tie-break matches assignCells'
+    * struct-min exactly.
+    */
+  def annIvfPqResidualIndexed(s: SparkSession, d: String,
+      indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val pcents = s.read.parquet(s"$indexDir/codebooks")
+    // (K, M) come off the stored artifact — one serve for every code
+    // budget and subspace split
+    val k = codebookK(pcents)
+    val m = codebookM(pcents)
+    val sub = DIM / m
+    val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val routed = graft.Checkpoint.barrier(
+      q.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+        .filter(col("rn") === 1)
+        .selectExpr("query_id", "cell",
+          "zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y) AS q_res"))
+    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
+    val codesRaw = s.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val codes = tombstonesOf(s, indexDir).fold(codesRaw)(t =>
+      codesRaw.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val lut = routed
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .selectExpr("query_id", "m",
+        s"slice(q_res, m * $sub + 1, $sub) AS q_sub")
+      .join(broadcast(pcents), Seq("m"))
+      .withColumn("part",
+        graft.functions.GraftFunctions.l2_sq(col("q_sub"), col("centroid")))
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("part"))
+    val cands = routed.select("query_id", "cell").join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lutParts(lut, k, m)), Seq("query_id"))
+    rankViaTopK(s,
+      cands.select(col("query_id"), (-expr(adcSumM(m))).as("sim"), col("vec_id")))
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Driver-contract wrapper (staleness-fingerprinted build-once). */
+  def annIvfPqResidualIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_ivfpqres", buildIvfPqResidualIndex(s, d, _),
+      annIvfPqResidualIndexed(s, d, _))
+
+  /** build(9/10) → append(1/10) → tombstone-delete, residual form —
+    * reuses [[deleteIvfPq]]/[[compactIvfPqIndex]] verbatim: the
+    * tombstone store is encoder-agnostic.
+    */
+  private def ivfPqResidualDeletedIndexDir(s: SparkSession, d: String,
+      tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqres_${tag}_$h"
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfPqResidualIndexOn(s, base.filter(!IncrArrival),
+      base.filter(!IncrArrival), dir)
+    appendIvfPqResidualIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteIvfPq(s, base.filter(DeleteVictims).select("vec_id"), dir,
+      batchId = 1L)
+    dir
+  }
+
+  /** Incremental residual lifecycle gated: build on 9/10, residual-append
+    * the arriving 1/10 under the stored trainings, serve. Oracle: both
+    * trainings over the build slice, residual encode + assignment over
+    * the full corpus — bit-exact.
+    */
+  def annIvfPqResidualIncr(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqres_incr_$h"
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfPqResidualIndexOn(s, base.filter(!IncrArrival),
+      base.filter(!IncrArrival), dir)
+    appendIvfPqResidualIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    annIvfPqResidualIndexed(s, d, dir)
+  }
+
+  /** The residual delete lifecycle served tombstone-masked. */
+  def annIvfPqResidualDeleted(s: SparkSession, d: String): DataFrame =
+    annIvfPqResidualIndexed(s, d, ivfPqResidualDeletedIndexDir(s, d, "del"))
+
+  /** Same lifecycle + physical compaction before the serve — must answer
+    * identically to the masked serve (same oracle), and afterwards the
+    * store carries no tombstones.
+    */
+  def annIvfPqResidualDeletedCompacted(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfPqResidualDeletedIndexDir(s, d, "delc")
+    compactIvfPqIndex(s, dir)
+    annIvfPqResidualIndexed(s, d, dir)
   }
 
   /** Gated flat view of the trained centroids. */
@@ -1482,7 +1754,32 @@ object EmbeddingOps {
     "q_ann_ivfpq_refined" -> (annIvfPqRefined _),
     // the serving form: ADC shortlist off the stored codes, exact
     // re-rank as point lookups — bit-identical to the refined probe
-    "q_ann_ivfpq_refined_indexed" -> (annIvfPqRefinedIndexedAuto _))
+    "q_ann_ivfpq_refined_indexed" -> (annIvfPqRefinedIndexedAuto _),
+    // residual-encoded IVF-PQ (Jégou et al.): codebooks train on
+    // vec − coarse_centroid, the classic recall lever for the
+    // compressed family — self-contained, served, incremental, and
+    // the full delete/compact lifecycle
+    "q_ann_ivfpq_residual" ->
+      ((s: SparkSession, d: String) => annIvfPqResidual(s, d)),
+    // wide codebooks (K=64 → 24-bit codes): the code-budget lever
+    "q_ann_ivfpq_residual_k64" ->
+      ((s: SparkSession, d: String) => annIvfPqResidual(s, d, k = 64)),
+    // fine subspace split (M=16 × 4 dims → 48-bit codes): the
+    // precision lever that actually moves ADC recall
+    "q_ann_ivfpq_residual_m16" ->
+      ((s: SparkSession, d: String) => annIvfPqResidual(s, d, m = 16)),
+    // residual shortlist + exact re-rank: the full production stack
+    "q_ann_ivfpq_residual_refined" ->
+      ((s: SparkSession, d: String) => annIvfPqResidualRefined(s, d)),
+    // deep shortlist (c=80): the recall lever on a
+    // distance-concentrated corpus, still O(c·|queries|) lookups
+    "q_ann_ivfpq_refined_c80" ->
+      ((s: SparkSession, d: String) => annIvfPqRefinedDeep(s, d, 80)),
+    "q_ann_ivfpq_residual_indexed" -> (annIvfPqResidualIndexedAuto _),
+    "q_ann_ivfpq_residual_incr" -> (annIvfPqResidualIncr _),
+    "q_ann_ivfpq_residual_delete" -> (annIvfPqResidualDeleted _),
+    "q_ann_ivfpq_residual_delete_compact" ->
+      (annIvfPqResidualDeletedCompacted _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -1561,15 +1858,20 @@ $rounds"""
     * (init + every round read `trainSrc`); the FINAL encoding assignment
     * (`pcodes`) always covers the full `pqbase` — matching the
     * incremental index, which encodes arrivals under codebooks trained
-    * on the build slice.
+    * on the build slice. `src` is the vector table the sub-vector base
+    * explodes ("embeddings" for the raw-vector family; "rbase" for the
+    * residual-encoded family, whose vectors are the coarse-assignment
+    * residuals).
     */
-  private def pqCtesTrainedOn(trainSrc: String, trainCte: String): String = {
+  private def pqCtesTrainedOn(trainSrc: String, trainCte: String,
+      src: String = "embeddings", k: Int = PQ_K, m: Int = PQ_M): String = {
+    val subDim = DIM / m
     def asg(n: Int, cent: String, src: String) =
       s"""pasg$n AS (
   SELECT vec_id, m, sub, cell FROM (
     SELECT b.vec_id, b.m, b.sub, c.cell,
            row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
-             ${l2sq("b.sub", "c.centroid", PQ_SUB).duck} ASC, c.cell ASC) AS rn
+             ${l2sq("b.sub", "c.centroid", subDim).duck} ASC, c.cell ASC) AS rn
     FROM $src b JOIN $cent c ON b.m = c.m)
   WHERE rn = 1
 )"""
@@ -1579,7 +1881,7 @@ $rounds"""
     SELECT m, cell, i,
            CAST(SUM(CAST(round(CAST(sub[i] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / (COUNT(*) * 1000000.0) AS mean
-    FROM $src, (SELECT unnest(generate_series(1, $PQ_SUB)) AS i)
+    FROM $src, (SELECT unnest(generate_series(1, $subDim)) AS i)
     GROUP BY m, cell, i)
   GROUP BY m, cell
 )"""
@@ -1589,20 +1891,20 @@ $rounds"""
     // one extra assignment under the FINAL codebooks = the stored codes
     s"""pqbase AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, mm.m AS m,
-         list_slice(embedding, mm.m * $PQ_SUB + 1, (mm.m + 1) * $PQ_SUB) AS sub
-  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+         list_slice(embedding, mm.m * $subDim + 1, (mm.m + 1) * $subDim) AS sub
+  FROM $src CROSS JOIN (SELECT unnest([${(0 until m).mkString(", ")}]) AS m) mm),
 $trainCte pcent0 AS (
   SELECT m, CAST(vec_id AS INTEGER) AS cell,
-         list_transform(generate_series(1, $PQ_SUB), i ->
+         list_transform(generate_series(1, $subDim), i ->
            CAST(CAST(round(CAST(sub[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0) AS centroid
-  FROM $trainSrc WHERE vec_id < $PQ_K
+  FROM $trainSrc WHERE vec_id < $k
 ),
 $rounds,
 ${asg(PQ_ITERS + 1, s"pcent$PQ_ITERS", "pqbase")},
 pcodes AS (
   SELECT vec_id,
-         ${(0 until PQ_M).map(m =>
-            s"CAST(MAX(CASE WHEN m = $m THEN cell END) AS INTEGER) AS c$m")
+         ${(0 until m).map(i =>
+            s"CAST(MAX(CASE WHEN m = $i THEN cell END) AS INTEGER) AS c$i")
             .mkString(",\n         ")}
   FROM pasg${PQ_ITERS + 1} GROUP BY vec_id
 )"""
@@ -1730,6 +2032,14 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     annIvfPqRefinedOracleFrom(
       annIvfPqOracleCtes(kmeansCtes, pqCtes), "TRUE")
 
+  /** The deep-shortlist refined oracle (c=80): same chain, only the
+    * shortlist depth differs — the recall lever the refine-depth
+    * frontier measures.
+    */
+  private def annIvfPqRefinedC80Oracle: String =
+    annIvfPqRefinedOracleFrom(
+      annIvfPqOracleCtes(kmeansCtes, pqCtes), "TRUE", c = 80)
+
   /** The refined probe over the delete lifecycle's index: incr trainings
     * (build slice) and the ADC candidate set minus the victims — the
     * exact re-rank then only ever touches surviving shortlist ids.
@@ -1744,11 +2054,117 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
       s"NOT (f.vec_id % 5 = 4 AND f.vec_id >= $N_QUERIES)")
 
   private def annIvfPqRefinedOracleFrom(ctes: String,
-      surviving: String): String =
+      surviving: String, c: Int = REFINE_C): String =
     s"""WITH $ctes,
 shortlist AS (
   SELECT query_id, vizinho FROM (
   ${annIvfPqAdcRankedWhere(surviving)})
+  WHERE rank <= $c)
+SELECT query_id, vizinho, dist, rank FROM (
+  SELECT sl.query_id, sl.vizinho,
+         ${l2sq("q.embedding", "b.embedding").duck} AS dist,
+         CAST(row_number() OVER (PARTITION BY sl.query_id ORDER BY
+           ${l2sq("q.embedding", "b.embedding").duck} ASC, sl.vizinho ASC) AS INTEGER) AS rank
+  FROM shortlist sl
+  JOIN kbase q ON q.vec_id = sl.query_id
+  JOIN kbase b ON b.vec_id = sl.vizinho)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  /** The residual bases shared by the residual-encoded oracles: `rasg`
+    * re-derives every vector's coarse assignment under the FINAL trained
+    * centroids (carrying the centroid itself), and `rbase` is the
+    * per-vector residual — exactly the zip_with subtraction the Spark
+    * side encodes. CAST(embedding[i] AS DOUBLE) − centroid[i] is one
+    * exact IEEE subtraction in both engines, so residuals agree
+    * bit-exactly and everything downstream (codebook training, codes,
+    * ADC) inherits the exactness of the raw-vector family.
+    */
+  private def residualCtes: String =
+    s"""rasg AS (
+  SELECT vec_id, cell, embedding, centroid FROM (
+    SELECT b.vec_id, b.embedding, c.cell, c.centroid,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+),
+rbase AS (
+  SELECT vec_id, cell,
+         list_transform(generate_series(1, $DIM), i ->
+           CAST(embedding[i] AS DOUBLE) - centroid[i]) AS embedding
+  FROM rasg
+)"""
+
+  /** The residual-encoded composed oracle: coarse Lloyd (optionally on a
+    * training slice), full-corpus residuals under the trained centroids,
+    * per-subspace codebooks trained on RESIDUAL sub-vectors (optionally
+    * on a slice), residual codes over the full corpus, and the
+    * route-then-ADC probe where the query's LUT is built from its OWN
+    * residual (query routing at nProbe=1 IS the query's coarse
+    * assignment — `rasg` serves both). `surviving` masks the candidate
+    * set for the delete-lifecycle forms.
+    */
+  /** The residual oracle's shared WITH-body: coarse trainings, residual
+    * bases, residual-trained PQ CTEs, and the query LUT.
+    */
+  private def annIvfPqResidualOracleCtes(kCtes: String, pqTrainSrc: String,
+      pqTrainCte: String, k: Int, m: Int): String =
+    s"""$kCtes,
+$residualCtes,
+${pqCtesTrainedOn(pqTrainSrc, pqTrainCte, src = "rbase", k = k, m = m)},
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cell AS code,
+         ${l2sq("q.sub", "c.centroid", DIM / m).duck} AS part
+  FROM (SELECT * FROM pqbase WHERE vec_id < $N_QUERIES) q
+  JOIN pcent$PQ_ITERS c ON q.m = c.m)"""
+
+  /** The residual ADC-ranked candidate subselect — shared by the plain
+    * top-k and the refined oracles. ONE equi-join of the long-form
+    * codes (pasg's (vec_id, m, cell) — each candidate's M code rows)
+    * against the LUT on (query_id, m, code), pivoted to p0..p{M-1} and
+    * summed in fixed left-to-right order, so the doubles match Spark's
+    * adcSum bit-exactly. The r14-shaped alternative (M separate
+    * self-joins of the lut CTE) explodes in DuckDB's join reorderer at
+    * M=16 — 16 inlined lut copies joined on query_id alone are 8^16
+    * intermediate rows before the code predicates bite; this shape is
+    * linear in candidates × M by construction.
+    */
+  private def annIvfPqResidualAdcRanked(surviving: String, m: Int): String = {
+    val ps = (0 until m)
+      .map(i => s"MAX(CASE WHEN l.m = $i THEN l.part END) AS p$i")
+      .mkString(",\n           ")
+    val adist = (0 until m).map(i => s"p$i").mkString(" + ")
+    s"""SELECT query_id, vizinho, $adist AS adist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+           $adist ASC, vizinho ASC) AS INTEGER) AS rank
+  FROM (
+    SELECT r.query_id, f.vec_id AS vizinho,
+           $ps
+    FROM (SELECT vec_id AS query_id, cell FROM rasg WHERE vec_id < $N_QUERIES) r
+    JOIN rasg f ON f.cell = r.cell AND f.vec_id <> r.query_id AND ($surviving)
+    JOIN pasg${PQ_ITERS + 1} c ON c.vec_id = f.vec_id
+    JOIN lut l ON l.query_id = r.query_id AND l.m = c.m AND l.code = c.cell
+    GROUP BY r.query_id, f.vec_id)"""
+  }
+
+  private def annIvfPqResidualOracleFrom(kCtes: String, pqTrainSrc: String,
+      pqTrainCte: String, surviving: String, k: Int = PQ_K,
+      m: Int = PQ_M): String =
+    s"""WITH ${annIvfPqResidualOracleCtes(kCtes, pqTrainSrc, pqTrainCte, k, m)}
+SELECT query_id, vizinho, adist, rank FROM (
+  ${annIvfPqResidualAdcRanked(surviving, m)})
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  /** Residual shortlist + exact re-rank: the residual ADC candidates
+    * ranked to depth `c`, re-scored by exact L2² against the ORIGINAL
+    * vectors, final top-k by (exact ASC, id ASC) — the same refine tail
+    * as the raw refined oracle.
+    */
+  private def annIvfPqResidualRefinedOracle: String =
+    s"""WITH ${annIvfPqResidualOracleCtes(kmeansCtes, "pqbase", "", PQ_K, PQ_M)},
+shortlist AS (
+  SELECT query_id, vizinho FROM (
+  ${annIvfPqResidualAdcRanked("TRUE", PQ_M)})
   WHERE rank <= $REFINE_C)
 SELECT query_id, vizinho, dist, rank FROM (
   SELECT sl.query_id, sl.vizinho,
@@ -1759,6 +2175,51 @@ SELECT query_id, vizinho, dist, rank FROM (
   JOIN kbase q ON q.vec_id = sl.query_id
   JOIN kbase b ON b.vec_id = sl.vizinho)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  /** Full-corpus trainings — the fresh residual index (self-contained
+    * and index-served forms answer identically).
+    */
+  private def annIvfPqResidualOracle: String =
+    annIvfPqResidualOracleFrom(kmeansCtes, "pqbase", "", "TRUE")
+
+  /** The wide-codebook residual form (K=64 per subspace — 24-bit codes):
+    * the code-budget lever the recall measurement shows actually moves
+    * the compressed family on this corpus. Same training/encode/probe
+    * chain, only the init width changes.
+    */
+  private def annIvfPqResidualK64Oracle: String =
+    annIvfPqResidualOracleFrom(kmeansCtes, "pqbase", "", "TRUE", k = 64)
+
+  /** The fine-split residual form (M=16 subspaces of 4 dims, K=8 —
+    * 48-bit codes): per-subspace quantization error scales ~K^(−2/d),
+    * so splitting finer moves recall where widening K barely does.
+    */
+  private def annIvfPqResidualM16Oracle: String =
+    annIvfPqResidualOracleFrom(kmeansCtes, "pqbase", "", "TRUE", m = 16)
+
+  /** Build-slice trainings (vec_id % 10 <> 9), full-corpus residual
+    * encode + assignment — what residual build+append must be
+    * indistinguishable from.
+    */
+  private def annIvfPqResidualIncrOracle: String =
+    annIvfPqResidualOracleFrom(
+      kmeansCtesTrainedOn("ktrain",
+        "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"),
+      "pqtrain",
+      "pqtrain AS (SELECT * FROM pqbase WHERE vec_id % 10 <> 9),\n",
+      "TRUE")
+
+  /** The residual delete lifecycle: incr trainings (a delete never
+    * retrains) and the candidate set minus the gated victims — shared by
+    * the tombstone-masked and compacted serves.
+    */
+  private def annIvfPqResidualDeleteOracle: String =
+    annIvfPqResidualOracleFrom(
+      kmeansCtesTrainedOn("ktrain",
+        "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n"),
+      "pqtrain",
+      "pqtrain AS (SELECT * FROM pqbase WHERE vec_id % 10 <> 9),\n",
+      s"NOT (f.vec_id % 5 = 4 AND f.vec_id >= $N_QUERIES)")
 
   /** One oracle template serves every probe width (rk <= nProbe). */
   private def ivfOracle(nProbe: Int): String =
@@ -1981,7 +2442,26 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     // shortlist ADC rank <= REFINE_C, exact L2^2 re-rank, top-k
     "q_ann_ivfpq_refined" -> annIvfPqRefinedOracle,
-    "q_ann_ivfpq_refined_indexed" -> annIvfPqRefinedOracle)
+    "q_ann_ivfpq_refined_indexed" -> annIvfPqRefinedOracle,
+    // residual-encoded family: the oracle re-derives the coarse Lloyd,
+    // the per-vector residual subtraction, the residual-trained
+    // codebooks, the residual codes, and the residual-LUT ADC probe
+    "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
+    // same chain at K=64 — only the codebook init width differs
+    "q_ann_ivfpq_residual_k64" -> annIvfPqResidualK64Oracle,
+    // same chain at M=16 — only the subspace split differs
+    "q_ann_ivfpq_residual_m16" -> annIvfPqResidualM16Oracle,
+    // residual ADC shortlist, exact re-rank tail
+    "q_ann_ivfpq_residual_refined" -> annIvfPqResidualRefinedOracle,
+    // raw refined chain at shortlist depth 80
+    "q_ann_ivfpq_refined_c80" -> annIvfPqRefinedC80Oracle,
+    // the persisted-index serve must be bit-identical — same oracle
+    "q_ann_ivfpq_residual_indexed" -> annIvfPqResidualOracle,
+    // build-slice trainings, full-corpus residual encode + assignment
+    "q_ann_ivfpq_residual_incr" -> annIvfPqResidualIncrOracle,
+    // both delete serves answer the one-shot probe over the survivors
+    "q_ann_ivfpq_residual_delete" -> annIvfPqResidualDeleteOracle,
+    "q_ann_ivfpq_residual_delete_compact" -> annIvfPqResidualDeleteOracle)
 
   /** Shared CTE chain: Lloyd training → final assignment → cell-blocked
     * cosine pairs ≥ 0.4 (`pares`) — one source for the near-dup oracle and

@@ -1768,6 +1768,44 @@ object Streams {
     } { sink => CurationOps.lmDocAgg(sink) }
   }
 
+  /** [[graft.text.CurationOps.lmPerplexity3]] under streaming arrivals —
+    * the trigram chain deployed like the bigram twin: all THREE count
+    * tables (tri/bi/uni) trained statically from the mod slice, the
+    * trained N inlined as a model constant, and arriving docs explode
+    * to (posn, w₀, w₁, w₂) quads that stream-static left-join the
+    * tables per micro-batch. Per-token bits are integers, so the
+    * per-doc sum closes exactly at read time. Every kernel is shared
+    * with the batch op ([[graft.text.CurationOps.lmTokenQuads]] /
+    * `lmTriTable` / `lmBits3Select` / `lmDocAgg`) — same oracle, so
+    * batch boundaries and the deployment split are invisible.
+    */
+  def lmPerplexity3Streamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.CurationOps
+    val statics = CurationOps.lmDocs(spark, dir)
+    val (uni, bi0) = CurationOps.lmTrainTables(statics)
+    val bi = graft.Checkpoint.barrier(bi0)
+    val tri = graft.Checkpoint.barrier(CurationOps.lmTriTable(statics))
+    val nn = uni.agg(sum("n_w")).collect()(0).getLong(0)
+    runDocStreamGate(spark, dir, "lmppl3",
+      cols = Seq("CAST(doc_id AS BIGINT) AS doc_id", "text")) { stream =>
+      val toks = stream
+        .filter(col("doc_id") % CurationOps.LmTrainMod =!= 0)
+        .selectExpr("doc_id",
+          s"${graft.text.TextExprs.tokens("text").spark} AS toks")
+      CurationOps.lmBits3Select(
+        CurationOps.lmTokenQuads(toks)
+          .join(tri, Seq("w0", "w1", "w2"), "left")
+          .join(bi.select(col("w1").as("w0"), col("w2").as("w1"),
+            col("n_ab").as("n_ctx")), Seq("w0", "w1"), "left")
+          .join(bi, Seq("w1", "w2"), "left")
+          .join(uni.select(col("w").as("w1"), col("n_w").as("n_b")),
+            Seq("w1"), "left")
+          .join(uni.select(col("w").as("w2"), col("n_w").as("n_c")),
+            Seq("w2"), "left")
+          .withColumn("nn", lit(nn)))
+    } { sink => CurationOps.lmDocAgg(sink) }
+  }
+
   /** [[graft.text.CurationOps.dsirScore]] under streaming arrivals: the
     * B-row fixed-point ratio table is the statically trained model;
     * arriving docs explode to (doc_id, bucket) and broadcast-join it per

@@ -793,7 +793,15 @@ FROM bits GROUP BY doc_id ORDER BY doc_id"""
     * corpus through the PRODUCTION spelling.
     */
   private[graft] def lmPerplexity3Parts(j: DataFrame): DataFrame =
-    lmDocAgg(j.selectExpr("doc_id",
+    lmDocAgg(lmBits3Select(j))
+
+  /** The per-token trigram bits/backoff projection alone — the streamed
+    * twin emits THIS per micro-batch and closes the per-doc integer sum
+    * at read time ([[lmDocAgg]] in the sink stage), exactly like the
+    * bigram pair [[lmBitsSelect]]/[[lmDocAgg]].
+    */
+  private[graft] def lmBits3Select(j: DataFrame): DataFrame =
+    j.selectExpr("doc_id",
       s"""CASE WHEN posn > 2 AND n_abc IS NOT NULL
             THEN ${fl2("n_abc")} - ${fl2("n_ctx")}
           WHEN posn > 1 AND n_ab IS NOT NULL
@@ -806,7 +814,7 @@ FROM bits GROUP BY doc_id ORDER BY doc_id"""
          WHEN posn > 1 AND n_ab IS NOT NULL THEN
            CASE WHEN posn > 2 THEN 1 ELSE 0 END
          ELSE CASE WHEN posn > 2 THEN 2 WHEN posn = 2 THEN 1
-                   ELSE 0 END END AS retro"""))
+                   ELSE 0 END END AS retro""")
 
   /** Trigram counts over the training slice. */
   private[graft] def lmTriTable(docs: DataFrame): DataFrame =
@@ -1833,6 +1841,9 @@ ORDER BY d.doc_id"""
       (graft.streaming.Streams.lmPerplexityStreamed _),
     // the trigram chain (tri→bi→uni, −2 bits per backoff level)
     "q_lm_perplexity3" -> (lmPerplexity3 _),
+    // the trigram chain's deployed twin (batch/stream symmetry)
+    "q_lm_perplexity3_stream" ->
+      (graft.streaming.Streams.lmPerplexity3Streamed _),
     // the LM deployed as a filter: perplexity-gated composed curation
     "q_corpus_curate_ppl" -> (corpusCuratePpl _),
     "q_corpus_curate_ppl_stream" ->
@@ -1995,6 +2006,8 @@ GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_lm_perplexity" -> lmPerplexityOracle,
     "q_lm_perplexity_stream" -> lmPerplexityOracle,
     "q_lm_perplexity3" -> lmPerplexity3Oracle,
+    // streamed trigram converges to the batch relation — same oracle
+    "q_lm_perplexity3_stream" -> lmPerplexity3Oracle,
     "q_corpus_curate_ppl" -> corpusCuratePplOracle,
     "q_corpus_curate_ppl_stream" -> corpusCuratePplOracle,
     // curriculum banding: identical integer cross-multiplication rule

@@ -159,12 +159,39 @@ object RetrievalOps {
     // read-time df) must never read a store built by the old writer
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_v2_" +
       CurationOps.docsFingerprint(d)
+    bm25Served(s, publishOnce(dir)(buildBm25Index(s, d, _)))
+  }
+
+  /** Build-once with ATOMIC publish: the store is built into a private
+    * temp dir and renamed into the fingerprint-keyed location in one
+    * filesystem move, so a concurrent JVM (this repo's expected usage —
+    * parallel sbt sessions) can never observe a half-built store: the
+    * shared dir either exists fully-built or not at all. Losing the
+    * publish race is fine — the winner built from the same fingerprint,
+    * so its store is equivalent and ours is dropped.
+    */
+  private def publishOnce(dir: String)(build: String => Unit): String = {
     val marker = new java.io.File(dir, "_built")
     if (!marker.exists()) {
-      buildBm25Index(s, d, dir)
-      marker.createNewFile()
+      val tmp = s"$dir.tmp.${System.nanoTime()}"
+      build(tmp)
+      new java.io.File(tmp, "_built").createNewFile(): Unit
+      try
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      catch {
+        case e: java.io.IOException =>
+          // dest already present ⇒ a concurrent builder won the race;
+          // anything else is a real failure and must surface
+          if (!marker.exists()) throw e
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            .iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+      }
     }
-    bm25Served(s, dir)
+    dir
   }
 
   /** Serve the fixed query set from an already-built index dir — the
@@ -737,6 +764,146 @@ WHERE n_pares > 0 ORDER BY consulta_id, doc_id"""
     phraseJoins(s.read.parquet(s"$stateDir/$dir/postings"))
   }
 
+  // ------------------------------- parameterized phrase / NEAR search
+  // The r14 probe sets were compile-time constants; a real user calls
+  // phraseSearch(terms) with DATA. Here the query set itself is data:
+  // the corpus's top-4 adjacent bigrams by document frequency
+  // (deterministic (df DESC, w1, w2) tie-break), staged through a
+  // parquet round-trip — the artifact a production probe would ship —
+  // then read back and probed against the SAME persisted positional
+  // index, with the bucket pruning computed from the staged rows, not
+  // from literals. The oracle re-derives the identical query set in SQL
+  // and recounts array-locally, so nothing about the probe is baked in
+  // at compile time.
+
+  /** Top-4 adjacent bigrams by document frequency — the data-derived
+    * query set. Tiny by construction (LIMIT 4), so the global window
+    * that assigns frase_id ranks 4 rows.
+    */
+  private[graft] def derivedPhraseQueries(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
+      .filter(expr("size(t) >= 2"))
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS p")
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ord = Seq(desc("df"), asc("w1"), asc("w2"))
+    pairs.groupBy("w1", "w2")
+      .agg(countDistinct("doc_id").as("df"))
+      .orderBy(ord: _*).limit(4)
+      .withColumn("frase_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      .select(col("frase_id"), col("w1"), col("w2"))
+  }
+
+  /** Stage the derived query set as a parquet input (build-once per
+    * corpus fingerprint, atomic publish) — the probe reads queries from
+    * THIS file, never from code.
+    */
+  private def stagePhraseQueries(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_queries_v1_" +
+      CurationOps.docsFingerprint(d)
+    publishOnce(dir)(tmp =>
+      derivedPhraseQueries(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/queries"))
+  }
+
+  /** The staged query set + the persisted index's postings pruned to
+    * the staged terms' buckets. The bucket IN-list is computed by a
+    * tiny Spark job over the query table (so it uses Spark's own hash,
+    * exactly the partition column the index writer used) — O(|queries|)
+    * driver rows, the same PartitionFilters device as the fixed-set
+    * serve.
+    */
+  private def stagedProbeInputs(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val q = s.read.parquet(s"${stagePhraseQueries(s, d)}/queries")
+    val buckets = q.selectExpr("CAST(abs(hash(w1)) % 16 AS INT) AS b")
+      .union(q.selectExpr("CAST(abs(hash(w2)) % 16 AS INT)"))
+      .distinct().collect().map(_.getInt(0))
+    val pos = s.read.parquet(s"${ensurePhraseIndex(s, d)}/postings")
+      .filter(col("tb").isin(buckets.toSeq: _*)).drop("tb")
+    (q, pos)
+  }
+
+  /** Exact-phrase counts for the STAGED query set, served from the
+    * persisted index: one data-driven join pair — postings ⨝ queries on
+    * w1 (broadcast: queries are tiny), then the adjacency equi-join on
+    * (w2, doc_id, posn−1) — instead of per-phrase compiled legs, so any
+    * staged bigram set probes without a recompile.
+    */
+  def phraseParam(s: SparkSession, d: String): DataFrame = {
+    val (q, pos) = stagedProbeInputs(s, d)
+    val p1 = pos.join(broadcast(q), col("term") === col("w1"))
+      .select(col("frase_id"), col("w2"), col("doc_id"), col("posn"))
+    val p2 = pos.select(col("term").as("w2"), col("doc_id"),
+      (col("posn") - 1).as("posn"))
+    p1.join(p2, Seq("w2", "doc_id", "posn"))
+      .groupBy("frase_id", "doc_id")
+      .agg(count(lit(1)).as("n_ocorrencias"))
+      .orderBy("frase_id", "doc_id")
+  }
+
+  /** NEAR-3 for the SAME staged query set (w₂ within 3 positions after
+    * w₁): the banded per-doc join of the fixed-set probe, driven by the
+    * staged rows.
+    */
+  def nearParam(s: SparkSession, d: String): DataFrame = {
+    val (q, pos) = stagedProbeInputs(s, d)
+    val p1 = pos.join(broadcast(q), col("term") === col("w1"))
+      .select(col("frase_id").as("consulta_id"), col("w2"),
+        col("doc_id"), col("posn").as("p1"))
+    val p2 = pos.select(col("term").as("w2"), col("doc_id"),
+      col("posn").as("p2"))
+    p1.join(p2, Seq("w2", "doc_id"))
+      .filter(col("p2") > col("p1") && col("p2") <= col("p1") + 3)
+      .groupBy("consulta_id", "doc_id")
+      .agg(count(lit(1)).as("n_pares"))
+      .orderBy("consulta_id", "doc_id")
+  }
+
+  /** The shared derivation CTEs: adjacent bigram pairs and the top-4
+    * query set, re-derived by DuckDB with the same (df DESC, w1, w2)
+    * determinism.
+    */
+  private lazy val paramQsetCtes: String =
+    s"""toks AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+pares AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)),
+qset AS (
+  SELECT CAST(row_number() OVER (ORDER BY df DESC, w1, w2) AS INTEGER) AS frase_id,
+         w1, w2
+  FROM (SELECT w1, w2, count(DISTINCT doc_id) AS df FROM pares
+        GROUP BY w1, w2 ORDER BY df DESC, w1, w2 LIMIT 4))"""
+
+  /** Phrase-param oracle: derived qset ⨝ the adjacent-pair recount. */
+  private lazy val phraseParamOracle: String =
+    s"""WITH $paramQsetCtes
+SELECT q.frase_id, p.doc_id, count(*) AS n_ocorrencias
+FROM pares p JOIN qset q USING (w1, w2)
+GROUP BY q.frase_id, p.doc_id
+ORDER BY frase_id, doc_id"""
+
+  /** NEAR-param oracle: derived qset against a banded positional
+    * recount (b strictly after a, within 3).
+    */
+  private lazy val nearParamOracle: String =
+    s"""WITH $paramQsetCtes,
+posiciones AS (
+  SELECT doc_id, i AS posn, t[i] AS term
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks))
+SELECT q.frase_id AS consulta_id, a.doc_id AS doc_id, count(*) AS n_pares
+FROM qset q
+JOIN posiciones a ON a.term = q.w1
+JOIN posiciones b ON b.doc_id = a.doc_id AND b.term = q.w2
+     AND b.posn > a.posn AND b.posn <= a.posn + 3
+GROUP BY q.frase_id, a.doc_id
+ORDER BY consulta_id, a.doc_id"""
+
   /** The index-serving gate: build-once (content-fingerprinted), then
     * probe — must be bit-identical to the end-to-end form, same oracle.
     */
@@ -749,12 +916,7 @@ WHERE n_pares > 0 ORDER BY consulta_id, doc_id"""
   private def ensurePhraseIndex(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_index_v1_" +
       CurationOps.docsFingerprint(d)
-    val marker = new java.io.File(dir, "_built")
-    if (!marker.exists()) {
-      buildPhraseIndex(s, d, dir)
-      marker.createNewFile()
-    }
-    dir
+    publishOnce(dir)(buildPhraseIndex(s, d, _))
   }
 
   /** The phrase oracle, generated from the SAME phrase table: count
@@ -787,6 +949,11 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // ordered NEAR-k proximity (banded position join over the postings)
     "q_phrase_near" -> (proximitySearch _),
     "q_phrase_near_indexed" -> (proximityIndexed _),
+    // queries-as-DATA: the probe set is derived from the corpus, staged
+    // as parquet, read back, and served off the persisted index with
+    // bucket pruning computed from the staged rows — no recompile
+    "q_phrase_param" -> (phraseParam _),
+    "q_near_param" -> (nearParam _),
     // the positional index maintained under arrivals (exactly-once)
     "q_phrase_search_stream" ->
       (graft.streaming.Streams.phraseSearchStreamed _),
@@ -812,6 +979,10 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search_indexed" -> phraseOracle,
     "q_phrase_near" -> proximityOracle,
     "q_phrase_near_indexed" -> proximityOracle,
+    // the oracle re-derives the staged query set itself (same top-4
+    // bigram determinism), then recounts array-locally
+    "q_phrase_param" -> phraseParamOracle,
+    "q_near_param" -> nearParamOracle,
     "q_phrase_search_stream" -> phraseOracle,
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
