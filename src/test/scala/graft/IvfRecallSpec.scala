@@ -162,5 +162,20 @@ class IvfRecallSpec extends SparkSpec {
       EmbeddingOps.annIvfKmeansIndexed(spark, clusteredDir, freshKmDir))
     assert(churnedKm >= freshKm - 0.1,
       s"IVF recall degraded under churn: churned=$churnedKm fresh=$freshKm")
+
+    // the residual-encoded family must carry the same pin: its append
+    // path re-encodes arrivals' RESIDUALS under the stored trainings,
+    // so a centroid/codebook mismatch between build and append would
+    // show up here as a recall drop the exactness gates can't see
+    val churnedRes = recallAt5(truthSurv,
+      EmbeddingOps.annIvfPqResidualDeleted(spark, clusteredDir))
+    val freshResDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_fres").toString
+    EmbeddingOps.buildIvfPqResidualIndexOn(spark, surv, surv, freshResDir)
+    val freshRes = recallAt5(truthSurv,
+      EmbeddingOps.annIvfPqResidualIndexed(spark, clusteredDir, freshResDir))
+    assert(churnedRes >= freshRes - 0.1,
+      s"residual IVF-PQ recall degraded under churn: " +
+        s"churned=$churnedRes fresh=$freshRes")
   }
 }

@@ -68,6 +68,26 @@ class RetrievalGraphSpec extends SparkSpec {
       s"expected a tb partition filter in the served scan, got:\n$plan")
   }
 
+  test("parameterized probes: derived query set is the deterministic top-4, " +
+      "and the served plans partition-prune to the staged terms' buckets") {
+    // the query set is DATA: exactly 4 rows, dense frase_ids, and
+    // re-derivation is stable (same df-desc/lexicographic tie-break)
+    val q1 = RetrievalOps.derivedPhraseQueries(spark, tiny).collect().toSeq
+    val q2 = RetrievalOps.derivedPhraseQueries(spark, tiny).collect().toSeq
+    assert(q1 == q2, "query derivation must be deterministic")
+    assert(q1.map(_.getInt(0)).sorted == Seq(1, 2, 3, 4),
+      s"expected dense frase_ids 1..4, got $q1")
+    // both param probes carry the tb partition filter — the staged
+    // terms' buckets, computed from data, still prune the scan
+    for ((name, df) <- Seq(
+        "phraseParam" -> RetrievalOps.phraseParam(spark, tiny),
+        "nearParam" -> RetrievalOps.nearParam(spark, tiny))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [tb"),
+        s"$name: expected a tb partition filter in the served scan, got:\n$plan")
+    }
+  }
+
   test("proximity NEAR-k: ordered, exclusive of self, clamped at the slop") {
     import spark.implicits._
     // query 3 = (sort, merge, k=2): pairs must be ORDERED (merge before
