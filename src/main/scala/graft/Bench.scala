@@ -324,6 +324,18 @@ object Bench {
       graft.sim.EmbeddingOps.annIvfPqRefinedIndexed(spark, sfDir, ivfpqIdx)
         .count()
     }
+    // SQ8 lifecycle split (r15): training is ONE min/max aggregation, so
+    // the build should be dominated by the encode pass — and the served
+    // probe prices the family's pitch: near-exact ranking straight off
+    // the 4× codes, no refine stage
+    val sq8Idx = s"/tmp/graft_bench_sq8_${System.nanoTime()}"
+    time("ann_sq8_index_build") {
+      graft.sim.EmbeddingOps.buildSq8Index(spark, sfDir, sq8Idx)
+    }
+    time("q_ann_sq8_indexed") {
+      graft.sim.EmbeddingOps.annSq8Indexed(spark, sfDir, sq8Idx).count()
+    }
+    rmTree(sq8Idx)
     rmTree(ivfpqIdx)
     rmTree(pqIdx)
     rmTree(kmIdx)

@@ -1701,6 +1701,236 @@ object EmbeddingOps {
     */
   def annTopKAgg(s: SparkSession, d: String): DataFrame = annBruteForce(s, d)
 
+  // ------------------------------------------------ scalar quantization (SQ8)
+  // The OTHER point on the compression/recall frontier: 8 bits per
+  // DIMENSION (4× smaller than float32, vs PQ's 64×), trained by nothing
+  // more than a per-dimension corpus min/max — no Lloyd, no codebooks.
+  // Classic uniform scalar quantization (the SQ8 of FAISS's
+  // ScalarQuantizer and Milvus's SQ8 index type, per their public docs):
+  // code_i = floor((v_i − min_i) / (max_i − min_i) · 255), clamped to
+  // [0, 255]; serving reconstructs at bin centers and ranks by exact L2²
+  // against the raw query (asymmetric, like ADC — the query is never
+  // quantized). Where PQ's recall on this corpus collapses into the
+  // refine stage (distance concentration, see BENCH.md's recall table),
+  // SQ8's per-dim error is (range/256)²/12 per coordinate — small enough
+  // that compressed-domain ranking alone stays near-exact, making it the
+  // right first index for corpora where 4× is compression enough. At
+  // 100 TB both the training (one min/max aggregation, partial+final,
+  // one row out) and the encode (a map over the scan, broadcast min/max
+  // row) are single-pass and shuffle-free.
+  //
+  // Everything is engineered bit-exact vs the DuckDB oracle like the PQ
+  // family: min/max of float32 values is arithmetic-free, the code
+  // expression is the same textual double fold in both engines, and the
+  // reconstruction feeds the shared left-to-right L2² template.
+
+  private val SQ8_LEVELS = 255 // top code: codes span 0..255 inclusive
+
+  /** The paired (Spark, DuckDB) encode expression: per-dim uniform code
+    * over a broadcast min/max row; constant dims (mx = mn) encode 0.
+    * `i` is the engines' shared 1-based lambda position.
+    */
+  private def sq8CodeX(v: String, mns: String, mxs: String) =
+    graft.text.TextExprs.X(
+      spark = s"transform(sequence(1, $DIM), i -> " +
+        s"CASE WHEN element_at($mxs, i) = element_at($mns, i) THEN 0 " +
+        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), " +
+        s"floor((CAST(element_at($v, i) AS DOUBLE) - element_at($mns, i)) " +
+        s"/ (element_at($mxs, i) - element_at($mns, i)) * ${SQ8_LEVELS}.0)) AS INT) END)",
+      duck = s"list_transform(generate_series(1, $DIM), i -> " +
+        s"CASE WHEN $mxs[i] = $mns[i] THEN 0 " +
+        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), " +
+        s"floor(($v[i]::DOUBLE - $mns[i]) " +
+        s"/ ($mxs[i] - $mns[i]) * ${SQ8_LEVELS}.0)) AS INTEGER) END)")
+
+  /** Bin-center reconstruction of a code array under the same min/max
+    * row — identical textual arithmetic order in both engines.
+    */
+  private def sq8ReconX(codes: String, mns: String, mxs: String) =
+    graft.text.TextExprs.X(
+      spark = s"transform(sequence(1, $DIM), i -> " +
+        s"element_at($mns, i) + (CAST(element_at($codes, i) AS DOUBLE) + 0.5) " +
+        s"* (element_at($mxs, i) - element_at($mns, i)) / ${SQ8_LEVELS}.0)",
+      duck = s"list_transform(generate_series(1, $DIM), i -> " +
+        s"$mns[i] + ($codes[i]::DOUBLE + 0.5) " +
+        s"* ($mxs[i] - $mns[i]) / ${SQ8_LEVELS}.0)")
+
+  /** The trained quantizer, gate shape: one row per dimension with its
+    * corpus min/max (0-based `i` to match posexplode). At scale this is
+    * ONE partial+final aggregate over the corpus — 64 rows out.
+    */
+  def sq8MinMax(s: SparkSession, d: String): DataFrame =
+    sq8Dims(corpus(s, d)).orderBy("i")
+
+  private def sq8Dims(base: DataFrame): DataFrame = base
+    .select(posexplode(col("embedding")).as(Seq("i", "x")))
+    .groupBy("i")
+    .agg(min(col("x").cast("double")).as("mn"),
+      max(col("x").cast("double")).as("mx"))
+    .select(col("i").cast("int").as("i"), col("mn"), col("mx"))
+
+  /** The 64-row dims table folded to ONE broadcastable (mns, mxs) row —
+    * the artifact every encode and serve joins against.
+    */
+  private def sq8MinMaxRowOf(base: DataFrame): DataFrame = sq8Dims(base)
+    .groupBy()
+    .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("a"),
+      array_sort(collect_list(struct(col("i"), col("mx")))).as("b"))
+    .selectExpr("transform(a, p -> p.mn) AS mns",
+      "transform(b, p -> p.mx) AS mxs")
+
+  /** Encode a corpus under an already-trained min/max row: one scan, one
+    * broadcast, no shuffle — the shape that lets the append path encode
+    * only the arrival batch.
+    */
+  private def sq8CodesOfBase(base: DataFrame, mmRow: DataFrame): DataFrame =
+    base.crossJoin(broadcast(mmRow))
+      .withColumn("codes", expr(sq8CodeX("embedding", "mns", "mxs").spark))
+      .select("vec_id", "codes")
+
+  /** The compressed corpus, gate shape: codes folded to a comma string so
+    * the exactness compare is representation-stable across engines.
+    */
+  def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    sq8CodesOfBase(base, sq8MinMaxRowOf(base))
+      .selectExpr("vec_id",
+        "array_join(transform(codes, c -> CAST(c AS STRING)), ',') AS codes_str")
+      .orderBy("vec_id")
+  }
+
+  /** (query_id, −L2², vec_id) candidates of the asymmetric SQ8 probe:
+    * reconstruct each candidate at bin centers (computed once per
+    * candidate, not per query) and rank raw-query-vs-reconstruction by
+    * the exact L2² kernel. One scan of the code table, two broadcasts
+    * (min/max row, query set) — never a corpus shuffle.
+    */
+  private def sq8Sims(s: SparkSession, d: String, mmRow: DataFrame,
+      codes: DataFrame): DataFrame = {
+    val recon = codes.crossJoin(broadcast(mmRow))
+      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
+      .select("vec_id", "recon")
+    val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    recon.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
+          .as("sim"),
+        col("vec_id"))
+  }
+
+  private def sq8Probe(s: SparkSession, d: String, mmRow: DataFrame,
+      codes: DataFrame): DataFrame =
+    rankViaTopK(s, sq8Sims(s, d, mmRow, codes))
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+
+  /** Self-contained SQ8 top-k: train min/max, encode, probe. */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
+    sq8Probe(s, d, mm, sq8CodesOfBase(base, mm))
+  }
+
+  /** SQ8 shortlist + exact re-rank — the same composed production stack
+    * as the PQ refined probes, sharing [[refineExact]] so the re-rank
+    * tail is byte-identical across families.
+    */
+  def annSq8Refined(s: SparkSession, d: String, c: Int = REFINE_C): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
+    refineExact(s, d, sq8Sims(s, d, mm, sq8CodesOfBase(base, mm)), c)
+  }
+
+  /** Persist the SQ8 index: the one-row min/max table plus the code
+    * table — the 4× artifact a deployment scans instead of the float
+    * column. Train base and encode base are split for the incremental
+    * path (arrivals must encode under the STORED training).
+    */
+  private[graft] def buildSq8IndexOn(s: SparkSession, trainBase: DataFrame,
+      encodeBase: DataFrame, indexDir: String): Unit = {
+    val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(trainBase))
+    mm.write.mode("overwrite").parquet(s"$indexDir/minmax")
+    sq8CodesOfBase(encodeBase, mm).withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$indexDir/codes")
+  }
+
+  def buildSq8Index(s: SparkSession, d: String, indexDir: String): Unit = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildSq8IndexOn(s, base, base, indexDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/_fingerprint"), datasetFingerprint(d))
+  }
+
+  /** Append an arrival batch: encode ONLY the new rows under the stored
+    * min/max (no retraining — the contract every index family here
+    * keeps), written as a new batch partition so the write is O(batch).
+    */
+  private[graft] def appendSq8Index(s: SparkSession, newRows: DataFrame,
+      indexDir: String, batchId: Long): Unit = {
+    val mm = s.read.parquet(s"$indexDir/minmax")
+    sq8CodesOfBase(newRows, mm).withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$indexDir/codes")
+  }
+
+  /** Serve from the persisted index: read the stored min/max row and
+    * code table, mask any tombstones (the store shares the tombstone
+    * layout of the PQ family, so [[tombstonesOf]] works unchanged), and
+    * run the standard probe — bit-identical to the self-contained form.
+    */
+  def annSq8Indexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val mm = s.read.parquet(s"$indexDir/minmax")
+    val stored = s.read.parquet(s"$indexDir/codes").select("vec_id", "codes")
+    val codes = tombstonesOf(s, indexDir) match {
+      case Some(t) => stored.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => stored
+    }
+    sq8Probe(s, d, mm, codes)
+  }
+
+  /** Driver-contract wrapper (staleness-fingerprinted build-once). */
+  def annSq8IndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_sq8", buildSq8Index(s, d, _), annSq8Indexed(s, d, _))
+
+  /** The incremental lifecycle gated: min/max trained on 9/10 of the
+    * corpus, the arriving 1/10 encoded under the stored training and
+    * batch-appended, standard serve. Oracle: dims over the build slice,
+    * encode + probe over the full corpus — bit-exact, so a hash match
+    * proves the append path re-derives nothing.
+    */
+  def annSq8Incr(s: SparkSession, d: String): DataFrame = {
+    val dir = sq8LifecycleDir(d, "incr")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildSq8IndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
+    appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L)
+    annSq8Indexed(s, d, dir)
+  }
+
+  /** build → append → tombstone-delete → serve masked: the same
+    * lifecycle contract as the PQ families ([[annIvfPqDeleted]]), against
+    * built and appended partitions alike; the delete reuses the shared
+    * tombstone store ([[deleteIvfPq]] writes ids, [[tombstonesOf]] reads
+    * them back).
+    */
+  def annSq8Deleted(s: SparkSession, d: String): DataFrame = {
+    val dir = sq8LifecycleDir(d, "del")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildSq8IndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
+    appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteIvfPq(s, base.filter(DeleteVictims).select("vec_id"), dir, batchId = 1L)
+    annSq8Indexed(s, d, dir)
+  }
+
+  private def sq8LifecycleDir(d: String, tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_sq8_${tag}_$h"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe3" -> ((s: SparkSession, d: String) => annIvfProbe(s, d, 3)),
@@ -1779,7 +2009,20 @@ object EmbeddingOps {
     "q_ann_ivfpq_residual_incr" -> (annIvfPqResidualIncr _),
     "q_ann_ivfpq_residual_delete" -> (annIvfPqResidualDeleted _),
     "q_ann_ivfpq_residual_delete_compact" ->
-      (annIvfPqResidualDeletedCompacted _))
+      (annIvfPqResidualDeletedCompacted _),
+    // SQ8 scalar quantization: the 4×-compression frontier point whose
+    // compressed-domain ranking stays near-exact (per-dim 8-bit error
+    // vs PQ's per-subspace codebook error) — trained quantizer (64-row
+    // min/max), compressed corpus, probe, refined probe, persisted
+    // serve, incremental append, tombstone delete
+    "q_sq8_minmax" -> (sq8MinMax _),
+    "q_sq8_codes" -> (sq8Codes _),
+    "q_ann_sq8" -> (annSq8 _),
+    "q_ann_sq8_refined" ->
+      ((s: SparkSession, d: String) => annSq8Refined(s, d)),
+    "q_ann_sq8_indexed" -> (annSq8IndexedAuto _),
+    "q_ann_sq8_incr" -> (annSq8Incr _),
+    "q_ann_sq8_delete" -> (annSq8Deleted _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -2461,7 +2704,90 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_ivfpq_residual_incr" -> annIvfPqResidualIncrOracle,
     // both delete serves answer the one-shot probe over the survivors
     "q_ann_ivfpq_residual_delete" -> annIvfPqResidualDeleteOracle,
-    "q_ann_ivfpq_residual_delete_compact" -> annIvfPqResidualDeleteOracle)
+    "q_ann_ivfpq_residual_delete_compact" -> annIvfPqResidualDeleteOracle,
+    // SQ8: the oracle re-derives the per-dim min/max training, the
+    // uniform codes, the bin-center reconstructions, and the asymmetric
+    // L2² probe — all through the same paired expression templates
+    "q_sq8_minmax" -> sq8MinMaxOracle,
+    "q_sq8_codes" -> sq8CodesOracle,
+    "q_ann_sq8" -> annSq8Oracle,
+    "q_ann_sq8_refined" -> annSq8RefinedOracle,
+    // the persisted-index serve must be bit-identical — same oracle
+    "q_ann_sq8_indexed" -> annSq8Oracle,
+    // build-slice training, full-corpus encode under the stored min/max
+    "q_ann_sq8_incr" -> annSq8IncrOracle,
+    // slice-trained lifecycle, probe over the tombstone survivors
+    "q_ann_sq8_delete" -> annSq8DeleteOracle)
+
+  /** Shared SQ8 oracle CTE chain: min/max training (optionally over a
+    * slice), uniform codes, bin-center reconstructions — the DuckDB
+    * re-derivation of everything [[buildSq8IndexOn]] persists.
+    */
+  private def sq8Ctes(trainWhere: String): String =
+    s"""sqbase AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+  FROM embeddings),
+sqdims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
+    max(embedding[i]::DOUBLE) AS mx
+  FROM (SELECT * FROM sqbase $trainWhere), range(1, ${DIM + 1}) t(i)
+  GROUP BY i),
+sqmm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+  FROM sqdims),
+sqcodes AS (SELECT vec_id,
+  ${sq8CodeX("embedding", "mns", "mxs").duck} AS codes FROM sqbase, sqmm),
+sqrecon AS (SELECT vec_id,
+  ${sq8ReconX("codes", "mns", "mxs").duck} AS recon FROM sqcodes, sqmm)"""
+
+  private def sq8MinMaxOracle: String =
+    s"""WITH ${sq8Ctes("")}
+SELECT CAST(i - 1 AS INTEGER) AS i, mn, mx FROM sqdims ORDER BY i"""
+
+  private def sq8CodesOracle: String =
+    s"""WITH ${sq8Ctes("")}
+SELECT vec_id, array_to_string(codes, ',') AS codes_str
+FROM sqcodes ORDER BY vec_id"""
+
+  /** The ADC-style ranked subselect shared by the plain, incremental,
+    * delete, and refined SQ8 oracles.
+    */
+  private def sq8RankedSims(surviving: String): String =
+    s"""SELECT query_id, vizinho, adist,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY adist ASC, vizinho ASC) AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vizinho,
+    ${l2sq("q.embedding", "c.recon").duck} AS adist
+  FROM (SELECT * FROM sqbase WHERE vec_id < $N_QUERIES) q, sqrecon c
+  WHERE q.vec_id <> c.vec_id AND ($surviving))"""
+
+  private def annSq8OracleFrom(trainWhere: String,
+      surviving: String): String =
+    s"""WITH ${sq8Ctes(trainWhere)}
+SELECT query_id, vizinho, adist, rank FROM (
+${sq8RankedSims(surviving)})
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  private def annSq8Oracle: String = annSq8OracleFrom("", "TRUE")
+
+  private def annSq8IncrOracle: String =
+    annSq8OracleFrom("WHERE vec_id % 10 <> 9", "TRUE")
+
+  private def annSq8DeleteOracle: String =
+    annSq8OracleFrom("WHERE vec_id % 10 <> 9",
+      s"NOT (c.vec_id % 5 = 4 AND c.vec_id >= $N_QUERIES)")
+
+  private def annSq8RefinedOracle: String =
+    s"""WITH ${sq8Ctes("")},
+shortlist AS (SELECT query_id, vizinho FROM (
+${sq8RankedSims("TRUE")})
+  WHERE rank <= $REFINE_C)
+SELECT query_id, vizinho, dist, rank FROM (
+  SELECT sl.query_id, sl.vizinho,
+         ${l2sq("q.embedding", "b.embedding").duck} AS dist,
+         CAST(row_number() OVER (PARTITION BY sl.query_id ORDER BY
+           ${l2sq("q.embedding", "b.embedding").duck} ASC, sl.vizinho ASC) AS INTEGER) AS rank
+  FROM shortlist sl
+  JOIN sqbase q ON q.vec_id = sl.query_id
+  JOIN sqbase b ON b.vec_id = sl.vizinho)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   /** Shared CTE chain: Lloyd training → final assignment → cell-blocked
     * cosine pairs ≥ 0.4 (`pares`) — one source for the near-dup oracle and

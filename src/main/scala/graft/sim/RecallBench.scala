@@ -144,6 +144,12 @@ object RecallBench {
       EmbeddingOps.annIvfPqResidual(spark, sfDir, k = 16, m = 16)
     }
 
+    // SQ8 scalar quantization — the 4×-compression point: per-dim 8-bit
+    // error is small enough that compressed-domain ranking should sit
+    // near the L2-vs-cosine ceiling WITHOUT a refine stage, unlike PQ
+    row("sq8", truthFull) { EmbeddingOps.annSq8IndexedAuto(spark, sfDir) }
+    row("sq8_refined", truthFull) { EmbeddingOps.annSq8Refined(spark, sfDir) }
+
     // the refine-depth frontier — the lever that actually climbs on a
     // distance-concentrated corpus (unit vectors; 5th-vs-6th neighbor
     // gaps ~0.003 on distances ~1.1, so compressed-domain ranking is
@@ -176,6 +182,7 @@ object RecallBench {
     row("ivfpq_refined_vs_l2", truthL2) {
       EmbeddingOps.annIvfPqRefinedIndexedAuto(spark, sfDir)
     }
+    row("sq8_vs_l2", truthL2) { EmbeddingOps.annSq8IndexedAuto(spark, sfDir) }
 
     // the lifecycle-churned indexes (build 9/10 → append → delete — the
     // gated constructions), vs survivor truth
@@ -192,6 +199,7 @@ object RecallBench {
     row("ivfpq_residual_churned", truthSurv) {
       EmbeddingOps.annIvfPqResidualDeleted(spark, sfDir)
     }
+    row("sq8_churned", truthSurv) { EmbeddingOps.annSq8Deleted(spark, sfDir) }
 
     // the same survivor corpus indexed FRESH — churned vs fresh_surv is
     // the churn-degradation delta proper
@@ -208,6 +216,13 @@ object RecallBench {
       row("ivfpq_residual_fresh_surv", truthSurv) {
         EmbeddingOps.buildIvfPqResidualIndexOn(spark, surv, surv, dir)
         EmbeddingOps.annIvfPqResidualIndexed(spark, sfDir, dir)
+      }
+    }
+    locally {
+      val dir = s"/tmp/graft_recall_fresh_sq8_${System.nanoTime()}"
+      row("sq8_fresh_surv", truthSurv) {
+        EmbeddingOps.buildSq8IndexOn(spark, surv, surv, dir)
+        EmbeddingOps.annSq8Indexed(spark, sfDir, dir)
       }
     }
     locally {

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{EmbeddingOps, RecallBench}
+
+/** SQ8 scalar quantization — the properties the exactness gates
+  * structurally cannot see:
+  *
+  *  1. the reconstruction error bound: bin-center decoding of an 8-bit
+  *     uniform code is within half a bin width of the original value on
+  *     EVERY coordinate of EVERY vector (the v = max edge lands exactly
+  *     half a bin above the range, so the bound is tight, not slack);
+  *  2. the quality claim that justifies the family: at 8 bits per
+  *     dimension, compressed-domain ranking alone (no refine stage)
+  *     recalls nearly all exact-L2 neighbors — the property that
+  *     distinguishes SQ8 from PQ on this corpus.
+  */
+class Sq8Spec extends SparkSpec {
+
+  test("bin-center reconstruction is within half a bin of every coordinate") {
+    val mm = EmbeddingOps.sq8MinMax(spark, tiny).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val codes = EmbeddingOps.sq8Codes(spark, tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(',').map(_.toInt)).toMap
+    val raw = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(codes.keySet == raw.keySet, "every vector must be encoded")
+    var worst = 0.0
+    for ((id, v) <- raw; i <- v.indices) {
+      val (mn, mx) = mm(i)
+      val c = codes(id)(i)
+      assert(c >= 0 && c <= 255, s"code out of byte range: vec $id dim $i = $c")
+      val w = (mx - mn) / 255.0
+      val recon = mn + (c + 0.5) * w
+      val err = math.abs(recon - v(i).toDouble)
+      worst = math.max(worst, err)
+      assert(err <= w / 2.0 + 1e-12,
+        s"vec $id dim $i: |recon - v| = $err exceeds half a bin ${w / 2.0}")
+    }
+    assert(worst > 0.0, "the bound must be exercised, not vacuous")
+  }
+
+  test("compressed-domain SQ8 ranking recalls >= 0.9 of exact-L2 neighbors") {
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val truth = RecallBench.bruteL2Over(spark, base)
+    val served = EmbeddingOps.annSq8(spark, tiny)
+    val r = RecallBench.recall(truth, served)
+    assert(r >= 0.9, s"SQ8 without refine must stay near-exact vs L2 truth, " +
+      s"got recall@5 = $r")
+  }
+}
