@@ -812,6 +812,26 @@ object QualityOps {
     (mergeDf, tk)
   }
 
+  /** Per-document token counts UNDER the trained tokenizer — the
+    * token-budget read-out a data-mix planner prices corpora with:
+    * the five learned merges applied to every document, then a
+    * per-doc token count and distinct-symbol count. `q_text_tokens`
+    * counts whitespace tokens; this counts what the trained BPE
+    * actually emits, which is the number that matters when the budget
+    * is model-context tokens. Same rounds, different read-out — the
+    * gate pins that applying the merges yields exactly the
+    * tokenization training left behind, at document granularity.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, tk) = bpeLoop(s, documents(s, d).selectExpr("doc_id AS did",
+      """posexplode(split(trim(lower(text)), '\\s+')) AS (pos, t)"""))
+    tk.groupBy("did")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("t")).cast("long").as("n_simbolos"))
+      .selectExpr("CAST(did AS BIGINT) AS did", "n_tokens", "n_simbolos")
+      .orderBy("did")
+  }
+
   /** The oracle unrolls the same BPE_ROUNDS rounds as CTE blocks — the
     * identical window device, so every merge decision (argmax pair AND
     * the greedy accept set feeding the next round's counts) gates
@@ -899,6 +919,13 @@ tk${r + 1} AS MATERIALIZED (
 SELECT simbolo, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT replace(t, chr(1), '+') AS simbolo FROM tk${BPE_ROUNDS + 1})
 GROUP BY simbolo ORDER BY n DESC, simbolo LIMIT 20"""
+
+  /** The per-document encode read-out off the same unrolled chain. */
+  private def bpeEncodeOracle: String =
+    s"""${bpeCtePrefix(bpeWordHead)}
+SELECT CAST(did AS BIGINT) AS did, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_simbolos
+FROM tk${BPE_ROUNDS + 1} GROUP BY did ORDER BY did"""
 
   // ----------------------------------------------------------- oracles
 
@@ -1122,6 +1149,9 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_bpe_merges_char" -> (bpeMergesChar _),
     // the encode step: post-merge symbol vocabulary, top-20 by count
     "q_bpe_vocab" -> (bpeVocab _),
+    // the encode at document granularity: per-doc token counts under
+    // the trained merges — the model-context token budget read-out
+    "q_bpe_encode" -> (bpeEncode _),
     // the PMI count tables maintained under doc-complete arrivals
     "q_phrase_pmi_stream" ->
       (graft.streaming.Streams.phrasePmiStreamed _))
@@ -1154,6 +1184,8 @@ ORDER BY score DESC, w1, w2 LIMIT $PMI_TOPK"""
     "q_bpe_merges" -> bpeOracle,
     "q_bpe_merges_char" -> bpeOracleChar,
     "q_bpe_vocab" -> bpeVocabOracle,
+    // same chain, per-doc counts — pins the applied tokenization
+    "q_bpe_encode" -> bpeEncodeOracle,
     // doc-complete batch counts add → the stream ranks identically
     "q_phrase_pmi_stream" -> phrasePmiOracle)
 }

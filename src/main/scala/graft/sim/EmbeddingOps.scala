@@ -2022,6 +2022,10 @@ object EmbeddingOps {
       ((s: SparkSession, d: String) => annSq8Refined(s, d)),
     "q_ann_sq8_indexed" -> (annSq8IndexedAuto _),
     "q_ann_sq8_incr" -> (annSq8Incr _),
+    // arrivals as a micro-batched stream: answer must be
+    // arrival-shape-independent (same oracle as the batch incr)
+    "q_ann_sq8_incr_stream" ->
+      (graft.streaming.Streams.sq8IndexStreamed _),
     "q_ann_sq8_delete" -> (annSq8Deleted _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
@@ -2716,6 +2720,8 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_sq8_indexed" -> annSq8Oracle,
     // build-slice training, full-corpus encode under the stored min/max
     "q_ann_sq8_incr" -> annSq8IncrOracle,
+    // the micro-batched arrivals converge to the batch append exactly
+    "q_ann_sq8_incr_stream" -> annSq8IncrOracle,
     // slice-trained lifecycle, probe over the tombstone survivors
     "q_ann_sq8_delete" -> annSq8DeleteOracle)
 

@@ -990,6 +990,42 @@ object Streams {
     graft.sim.EmbeddingOps.annIvfKmeansIndexed(spark, dir, sub("idx"))
   }
 
+  /** The streamed ingest twin of the SQ8 index lifecycle
+    * (q_ann_sq8_incr): min/max trained on the 9/10 build slice, the
+    * arriving 1/10 split across two micro-batches, each encoded under
+    * the STORED training and landed as its own batch partition (the
+    * replay-idempotent dynamic overwrite the IVF append uses — a
+    * restarted micro-batch overwrites itself, exactly-once). The
+    * drained index must answer the same oracle as the batch incr gate:
+    * how the arrivals were sliced into batches is unobservable.
+    */
+  def sq8IndexStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_sq8_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildSq8IndexOn(spark,
+      emb.filter(!arrival), emb.filter(!arrival), sub("idx"))
+    val arr = emb.filter(arrival)
+    arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    arr.filter(expr("(vec_id div 10) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sim.EmbeddingOps.appendSq8Index(spark, batch, sub("idx"),
+          batchId): Unit
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annSq8Indexed(spark, dir, sub("idx"))
+  }
+
   /** The streamed DELETE twin of the k-means index lifecycle: the same
     * build + append as [[ivfIndexStreamed]]'s batch sibling
     * (q_ann_ivf_kmeans_delete), but the delete REQUESTS arrive as a file
