@@ -1925,6 +1925,49 @@ object EmbeddingOps {
     annSq8Indexed(s, d, dir)
   }
 
+  /** IVF·SQ8 — the composition that actually fits this corpus (BENCH.md
+    * r15): the trained coarse quantizer routes the query to its
+    * L2-nearest cell (search space ~N/k, partition-prunable exactly like
+    * IVF-PQ's code store), and WITHIN the cell candidates rank by the
+    * near-exact SQ8 reconstruction — so the composed serve keeps the
+    * kmeans family's 0.975 routing ceiling instead of burning it on
+    * codebook noise the way IVF-PQ does here. Min/max is GLOBAL (raw,
+    * not per-cell residual): the uniform quantizer's error is
+    * range-driven and already sits far below the corpus's neighbor gaps,
+    * so residualizing would buy precision nothing needs — and a global
+    * row keeps the append path training-free. The oracle re-derives both
+    * trainings (Lloyd + min/max), the assignment, the routing, and the
+    * in-cell reconstruction ranking, all bit-exact.
+    */
+  def annIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = assignCells(s, base, cents).select("vec_id", "cell")
+    val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
+    val codes = sq8CodesOfBase(base, mm).join(asg, Seq("vec_id"))
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val recon = codes.crossJoin(broadcast(mm))
+      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
+      .select("vec_id", "cell", "recon")
+    val sims = recon.join(broadcast(routed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
+          .as("sim"),
+        col("vec_id"))
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def sq8LifecycleDir(d: String, tag: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -2026,7 +2069,10 @@ object EmbeddingOps {
     // arrival-shape-independent (same oracle as the batch incr)
     "q_ann_sq8_incr_stream" ->
       (graft.streaming.Streams.sq8IndexStreamed _),
-    "q_ann_sq8_delete" -> (annSq8Deleted _))
+    "q_ann_sq8_delete" -> (annSq8Deleted _),
+    // the composed coarse-route + in-cell SQ8 ranking: cell-pruned
+    // search at the near-exact quantizer's recall
+    "q_ann_ivfsq8" -> (annIvfSq8 _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -2723,7 +2769,9 @@ FROM embeddings ORDER BY vec_id""",
     // the micro-batched arrivals converge to the batch append exactly
     "q_ann_sq8_incr_stream" -> annSq8IncrOracle,
     // slice-trained lifecycle, probe over the tombstone survivors
-    "q_ann_sq8_delete" -> annSq8DeleteOracle)
+    "q_ann_sq8_delete" -> annSq8DeleteOracle,
+    // both trainings + assignment + routing + in-cell recon ranking
+    "q_ann_ivfsq8" -> annIvfSq8Oracle)
 
   /** Shared SQ8 oracle CTE chain: min/max training (optionally over a
     * slice), uniform codes, bin-center reconstructions — the DuckDB
@@ -2779,6 +2827,42 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
   private def annSq8DeleteOracle: String =
     annSq8OracleFrom("WHERE vec_id % 10 <> 9",
       s"NOT (c.vec_id % 5 = 4 AND c.vec_id >= $N_QUERIES)")
+
+  /** IVF·SQ8 oracle: Lloyd + min/max both re-derived, corpus assignment
+    * and query routing under the trained centroids (nProbe=1, the
+    * (dist, cell) tie-break), then the in-cell reconstruction ranking.
+    */
+  private def annIvfSq8Oracle: String =
+    s"""WITH $kmeansCtes,
+${sq8Ctes("")},
+ivfin AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+),
+ivrouted AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             ${l2sq("q.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rk
+    FROM (SELECT * FROM kbase WHERE vec_id < $N_QUERIES) q
+    CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rk = 1
+)
+SELECT query_id, vizinho, adist, rank FROM (
+  SELECT r.query_id, c.vec_id AS vizinho,
+         ${l2sq("q.embedding", "c.recon").duck} AS adist,
+         CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
+           ${l2sq("q.embedding", "c.recon").duck} ASC, c.vec_id ASC) AS INTEGER) AS rank
+  FROM sqrecon c
+  JOIN ivfin a ON a.vec_id = c.vec_id
+  JOIN ivrouted r ON r.cell = a.cell
+  JOIN sqbase q ON q.vec_id = r.query_id
+  WHERE r.query_id <> c.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   private def annSq8RefinedOracle: String =
     s"""WITH ${sq8Ctes("")},

@@ -149,6 +149,10 @@ object RecallBench {
     // near the L2-vs-cosine ceiling WITHOUT a refine stage, unlike PQ
     row("sq8", truthFull) { EmbeddingOps.annSq8IndexedAuto(spark, sfDir) }
     row("sq8_refined", truthFull) { EmbeddingOps.annSq8Refined(spark, sfDir) }
+    // the composed route+SQ8 serve: should hold the kmeans family's
+    // routing ceiling (cell pruning costs recall only via routing, and
+    // in-cell SQ8 ranking is near-exact)
+    row("ivfsq8", truthFull) { EmbeddingOps.annIvfSq8(spark, sfDir) }
 
     // the refine-depth frontier — the lever that actually climbs on a
     // distance-concentrated corpus (unit vectors; 5th-vs-6th neighbor
