@@ -1968,6 +1968,68 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the composed IVF·SQ8 index: coarse centroids (tiny), the
+    * one-row min/max, and the code table `partitionBy(cell)` — the
+    * routed probe's scan prunes to its cell's partitions exactly like
+    * the IVF-PQ store, but what it reads per cell are the near-exact 4×
+    * codes instead of codebook indexes.
+    */
+  def buildIvfSq8Index(s: SparkSession, d: String, indexDir: String): Unit = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
+    mm.write.mode("overwrite").parquet(s"$indexDir/minmax")
+    val asg = assignCells(s, base, cents).select("vec_id", "cell")
+    sq8CodesOfBase(base, mm).join(asg, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/_fingerprint"), datasetFingerprint(d))
+  }
+
+  /** The composed serve off the persisted store: route on the stored
+    * centroids (broadcast), scan ONLY the routed cells' code partitions
+    * (the collected cell-id set is O(queries) rows — the same
+    * PartitionFilters device as the IVF-PQ serve), reconstruct and rank
+    * in-cell. Bit-identical to [[annIvfSq8]] — same oracle.
+    */
+  def annIvfSq8Indexed(s: SparkSession, d: String,
+      indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val mm = s.read.parquet(s"$indexDir/minmax")
+    val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val routed = graft.Checkpoint.barrier(
+      q.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("q_emb"), col("cell")))
+    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = s.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val recon = codes.crossJoin(broadcast(mm))
+      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
+      .select("vec_id", "cell", "recon")
+    val sims = recon.join(broadcast(routed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
+          .as("sim"),
+        col("vec_id"))
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Driver-contract wrapper (staleness-fingerprinted build-once). */
+  def annIvfSq8IndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_ivfsq8", buildIvfSq8Index(s, d, _),
+      annIvfSq8Indexed(s, d, _))
+
   private def sq8LifecycleDir(d: String, tag: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -2072,7 +2134,9 @@ object EmbeddingOps {
     "q_ann_sq8_delete" -> (annSq8Deleted _),
     // the composed coarse-route + in-cell SQ8 ranking: cell-pruned
     // search at the near-exact quantizer's recall
-    "q_ann_ivfsq8" -> (annIvfSq8 _))
+    "q_ann_ivfsq8" -> (annIvfSq8 _),
+    // the persisted form: routed cells' partitions only, stored codes
+    "q_ann_ivfsq8_indexed" -> (annIvfSq8IndexedAuto _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -2771,7 +2835,9 @@ FROM embeddings ORDER BY vec_id""",
     // slice-trained lifecycle, probe over the tombstone survivors
     "q_ann_sq8_delete" -> annSq8DeleteOracle,
     // both trainings + assignment + routing + in-cell recon ranking
-    "q_ann_ivfsq8" -> annIvfSq8Oracle)
+    "q_ann_ivfsq8" -> annIvfSq8Oracle,
+    // the partition-pruned serve must be bit-identical — same oracle
+    "q_ann_ivfsq8_indexed" -> annIvfSq8Oracle)
 
   /** Shared SQ8 oracle CTE chain: min/max training (optionally over a
     * slice), uniform codes, bin-center reconstructions — the DuckDB

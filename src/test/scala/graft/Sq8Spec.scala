@@ -41,6 +41,20 @@ class Sq8Spec extends SparkSpec {
     assert(worst > 0.0, "the bound must be exercised, not vacuous")
   }
 
+  test("IVF-SQ8 indexed serve prunes the code scan to the routed cells") {
+    val dir = s"/tmp/graft_sq8_plan_${System.nanoTime()}"
+    EmbeddingOps.buildIvfSq8Index(spark, tiny, dir)
+    val served = EmbeddingOps.annIvfSq8Indexed(spark, tiny, dir)
+    served.count(): Unit
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"codes scan must carry PartitionFilters from the probed-cell isin:\n$plan")
+    // and the served answer equals the self-contained composed probe
+    val a = served.collect().toSeq
+    val b = EmbeddingOps.annIvfSq8(spark, tiny).collect().toSeq
+    assert(a == b, "persisted serve must be bit-identical to the probe")
+  }
+
   test("compressed-domain SQ8 ranking recalls >= 0.9 of exact-L2 neighbors") {
     val base = Tables.embeddings(spark, tiny)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
