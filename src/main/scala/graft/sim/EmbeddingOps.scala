@@ -1939,7 +1939,23 @@ object EmbeddingOps {
     * trainings (Lloyd + min/max), the assignment, the routing, and the
     * in-cell reconstruction ranking, all bit-exact.
     */
-  def annIvfSq8(s: SparkSession, d: String): DataFrame = {
+  def annIvfSq8(s: SparkSession, d: String): DataFrame =
+    rankViaTopK(s, ivfSq8Sims(s, d))
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+
+  /** The composed probe + exact re-rank: the in-cell SQ8 shortlist
+    * (rank ≤ c) re-scored against the original vectors as point lookups
+    * — recovers the routing ceiling exactly (the one neighbor the
+    * quantization margin costs the plain composed probe comes back),
+    * sharing [[refineExact]] with every other refined family.
+    */
+  def annIvfSq8Refined(s: SparkSession, d: String,
+      c: Int = REFINE_C): DataFrame =
+    refineExact(s, d, ivfSq8Sims(s, d), c)
+
+  private def ivfSq8Sims(s: SparkSession, d: String): DataFrame = {
     val base = corpus(s, d).select("vec_id", "embedding")
     val cents = kmeansCentroids(s, d)
     val asg = assignCells(s, base, cents).select("vec_id", "cell")
@@ -1956,16 +1972,12 @@ object EmbeddingOps {
     val recon = codes.crossJoin(broadcast(mm))
       .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
       .select("vec_id", "cell", "recon")
-    val sims = recon.join(broadcast(routed), Seq("cell"))
+    recon.join(broadcast(routed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"),
         (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
           .as("sim"),
         col("vec_id"))
-    rankViaTopK(s, sims)
-      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
-        col("rank"))
-      .orderBy("query_id", "rank")
   }
 
   /** Persist the composed IVF·SQ8 index: coarse centroids (tiny), the
@@ -2136,7 +2148,10 @@ object EmbeddingOps {
     // search at the near-exact quantizer's recall
     "q_ann_ivfsq8" -> (annIvfSq8 _),
     // the persisted form: routed cells' partitions only, stored codes
-    "q_ann_ivfsq8_indexed" -> (annIvfSq8IndexedAuto _))
+    "q_ann_ivfsq8_indexed" -> (annIvfSq8IndexedAuto _),
+    // cell-pruned shortlist + exact re-rank: the full composed stack
+    "q_ann_ivfsq8_refined" ->
+      ((s: SparkSession, d: String) => annIvfSq8Refined(s, d)))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -2837,7 +2852,9 @@ FROM embeddings ORDER BY vec_id""",
     // both trainings + assignment + routing + in-cell recon ranking
     "q_ann_ivfsq8" -> annIvfSq8Oracle,
     // the partition-pruned serve must be bit-identical — same oracle
-    "q_ann_ivfsq8_indexed" -> annIvfSq8Oracle)
+    "q_ann_ivfsq8_indexed" -> annIvfSq8Oracle,
+    // cell-pruned shortlist, exact re-rank tail
+    "q_ann_ivfsq8_refined" -> annIvfSq8RefinedOracle)
 
   /** Shared SQ8 oracle CTE chain: min/max training (optionally over a
     * slice), uniform codes, bin-center reconstructions — the DuckDB
@@ -2898,8 +2915,8 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * and query routing under the trained centroids (nProbe=1, the
     * (dist, cell) tie-break), then the in-cell reconstruction ranking.
     */
-  private def annIvfSq8Oracle: String =
-    s"""WITH $kmeansCtes,
+  private def ivfSq8OracleCtes: String =
+    s"""$kmeansCtes,
 ${sq8Ctes("")},
 ivfin AS (
   SELECT vec_id, cell FROM (
@@ -2917,9 +2934,13 @@ ivrouted AS (
     FROM (SELECT * FROM kbase WHERE vec_id < $N_QUERIES) q
     CROSS JOIN cent$KMEANS_ITERS c)
   WHERE rk = 1
-)
-SELECT query_id, vizinho, adist, rank FROM (
-  SELECT r.query_id, c.vec_id AS vizinho,
+)"""
+
+  /** The composed probe's ranked candidate subselect, shared by the
+    * plain and refined IVF·SQ8 oracles.
+    */
+  private def ivfSq8RankedSims: String =
+    s"""SELECT r.query_id, c.vec_id AS vizinho,
          ${l2sq("q.embedding", "c.recon").duck} AS adist,
          CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
            ${l2sq("q.embedding", "c.recon").duck} ASC, c.vec_id ASC) AS INTEGER) AS rank
@@ -2927,7 +2948,27 @@ SELECT query_id, vizinho, adist, rank FROM (
   JOIN ivfin a ON a.vec_id = c.vec_id
   JOIN ivrouted r ON r.cell = a.cell
   JOIN sqbase q ON q.vec_id = r.query_id
-  WHERE r.query_id <> c.vec_id)
+  WHERE r.query_id <> c.vec_id"""
+
+  private def annIvfSq8Oracle: String =
+    s"""WITH $ivfSq8OracleCtes
+SELECT query_id, vizinho, adist, rank FROM (
+  $ivfSq8RankedSims)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
+  private def annIvfSq8RefinedOracle: String =
+    s"""WITH $ivfSq8OracleCtes,
+shortlist AS (SELECT query_id, vizinho FROM (
+  $ivfSq8RankedSims)
+  WHERE rank <= $REFINE_C)
+SELECT query_id, vizinho, dist, rank FROM (
+  SELECT sl.query_id, sl.vizinho,
+         ${l2sq("q.embedding", "b.embedding").duck} AS dist,
+         CAST(row_number() OVER (PARTITION BY sl.query_id ORDER BY
+           ${l2sq("q.embedding", "b.embedding").duck} ASC, sl.vizinho ASC) AS INTEGER) AS rank
+  FROM shortlist sl
+  JOIN sqbase q ON q.vec_id = sl.query_id
+  JOIN sqbase b ON b.vec_id = sl.vizinho)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   private def annSq8RefinedOracle: String =

@@ -153,6 +153,9 @@ object RecallBench {
     // routing ceiling (cell pruning costs recall only via routing, and
     // in-cell SQ8 ranking is near-exact)
     row("ivfsq8", truthFull) { EmbeddingOps.annIvfSq8(spark, sfDir) }
+    row("ivfsq8_refined", truthFull) {
+      EmbeddingOps.annIvfSq8Refined(spark, sfDir)
+    }
 
     // the refine-depth frontier — the lever that actually climbs on a
     // distance-concentrated corpus (unit vectors; 5th-vs-6th neighbor
