@@ -46,17 +46,27 @@ private[etl] object StageCache {
               prefix: String): (String, java.io.File) = {
     val root = java.nio.file.Paths.get(srcDir)
     import scala.jdk.CollectionConverters._
+    // the walk stream is closed (Files.walk javadoc requires it), its
+    // contents snapshotted before any stat call, and a file deleted by a
+    // concurrent process between the walk and the stat reads as 0:0 —
+    // the same don't-throw contract File.length/lastModified gave the
+    // pre-tree-walk fingerprint (a changed fingerprint re-stages, which
+    // is exactly the safe outcome for a source mutating underfoot)
     val files =
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-      else Seq.empty
+      if (java.nio.file.Files.exists(root)) {
+        val w = java.nio.file.Files.walk(root)
+        try w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toVector
+        finally w.close()
+      } else Vector.empty
+    def statOr0(f: java.nio.file.Path => Long, p: java.nio.file.Path): Long =
+      try f(p) catch { case _: java.io.IOException => 0L }
     val fingerprint = files
       .map(p => (root.relativize(p).toString, p))
       .sortBy(_._1)
       .map { case (rel, p) =>
-        s"$rel:${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+        s"$rel:${statOr0(java.nio.file.Files.size, p)}:" +
+          s"${statOr0(java.nio.file.Files.getLastModifiedTime(_).toMillis, p)}"
       }.mkString("|") +
       "||" + salt
     val h = java.security.MessageDigest.getInstance("MD5")

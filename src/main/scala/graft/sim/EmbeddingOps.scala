@@ -1058,11 +1058,19 @@ object EmbeddingOps {
   /** build → append → delete, returning the index dir (per-dataset,
     * per-tag tmp; every step is replay-idempotent).
     */
-  private def ivfPqDeletedIndexDir(s: SparkSession, d: String,
-      tag: String): String = {
+  /** Per-dataset, per-tag tmp dir for the rebuilt-per-call lifecycle
+    * gates (incr/delete constructions) — ONE copy of the md5 keying so
+    * the scheme can't silently diverge across families.
+    */
+  private def lifecycleDir(d: String, name: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${tag}_$h"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$h"
+  }
+
+  private def ivfPqDeletedIndexDir(s: SparkSession, d: String,
+      tag: String): String = {
+    val dir = lifecycleDir(d, s"ivfpq_$tag")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildIvfPqIndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
     appendIvfPqIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
@@ -1107,9 +1115,7 @@ object EmbeddingOps {
     * over the FULL corpus, composed probe — bit-exact.
     */
   def annIvfPqIncr(s: SparkSession, d: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_$h"
+    val dir = lifecycleDir(d, "ivfpq_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildIvfPqIndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
     appendIvfPqIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
@@ -1394,9 +1400,7 @@ object EmbeddingOps {
     */
   private def ivfPqResidualDeletedIndexDir(s: SparkSession, d: String,
       tag: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqres_${tag}_$h"
+    val dir = lifecycleDir(d, s"ivfpqres_$tag")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildIvfPqResidualIndexOn(s, base.filter(!IncrArrival),
       base.filter(!IncrArrival), dir)
@@ -1412,10 +1416,7 @@ object EmbeddingOps {
     * the full corpus — bit-exact.
     */
   def annIvfPqResidualIncr(s: SparkSession, d: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqres_incr_$h"
+    val dir = lifecycleDir(d, "ivfpqres_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildIvfPqResidualIndexOn(s, base.filter(!IncrArrival),
       base.filter(!IncrArrival), dir)
@@ -1551,9 +1552,7 @@ object EmbeddingOps {
     * centroids — exactly what build+append must land on, bit-exactly.
     */
   def annIvfKmeansIncr(s: SparkSession, d: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_incr_$h"
+    val dir = lifecycleDir(d, "ivf_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     // the stamp records what the centroids were trained ON — here the
     // 9/10 build slice, NOT the full dataset — so it must never equal
@@ -1571,9 +1570,7 @@ object EmbeddingOps {
     * appended partitions), serve. Same survivors oracle discipline.
     */
   def annIvfKmeansDeleted(s: SparkSession, d: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_del_$h"
+    val dir = lifecycleDir(d, "ivf_del")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildIvfIndexKmeansOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival),
       dir, datasetFingerprint(d) + ":del")
@@ -1664,16 +1661,15 @@ object EmbeddingOps {
     autoIndexed(d, "", buildIvfIndex(s, d, _), annIvfIndexed(s, d, 1, _))
 
   /** Build-once-then-probe with the staleness-fingerprinted location. */
+  /** Build-once with ATOMIC publish (shared [[graft.StorePublish]]
+    * device): the index is built into a private temp dir and renamed
+    * into the fingerprint-keyed location in one filesystem move, so a
+    * concurrent JVM can never probe a half-built store — the same
+    * contract the BM25/phrase text indexes publish under.
+    */
   private def autoIndexed(d: String, suffix: String,
-      build: String => Unit, probe: String => DataFrame): DataFrame = {
-    val dir = defaultIndexDir(d) + suffix
-    val marker = new java.io.File(dir, "_built")
-    if (!marker.exists()) {
-      build(dir)
-      marker.createNewFile()
-    }
-    probe(dir)
-  }
+      build: String => Unit, probe: String => DataFrame): DataFrame =
+    probe(graft.StorePublish.publishOnce(defaultIndexDir(d) + suffix)(build))
 
   /** md5 over every embeddings file's (path, length, mtime) — the
     * staleness fingerprint the auto-index locations AND the cross-index
@@ -1728,20 +1724,26 @@ object EmbeddingOps {
 
   /** The paired (Spark, DuckDB) encode expression: per-dim uniform code
     * over a broadcast min/max row; constant dims (mx = mn) encode 0.
-    * `i` is the engines' shared 1-based lambda position.
+    * `i` is the engines' shared 1-based lambda position. BOTH ends of
+    * the code range clamp — the incremental paths encode arrivals under
+    * a min/max trained on an earlier slice, so an arrival coordinate
+    * can land outside the trained range on either side (below min would
+    * otherwise floor to a NEGATIVE code, silently breaking the 8-bit
+    * store contract; the exactness gates can't see it because the
+    * oracle replicates the same expression).
     */
   private def sq8CodeX(v: String, mns: String, mxs: String) =
     graft.text.TextExprs.X(
       spark = s"transform(sequence(1, $DIM), i -> " +
         s"CASE WHEN element_at($mxs, i) = element_at($mns, i) THEN 0 " +
-        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), " +
+        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), greatest(CAST(0 AS DOUBLE), " +
         s"floor((CAST(element_at($v, i) AS DOUBLE) - element_at($mns, i)) " +
-        s"/ (element_at($mxs, i) - element_at($mns, i)) * ${SQ8_LEVELS}.0)) AS INT) END)",
+        s"/ (element_at($mxs, i) - element_at($mns, i)) * ${SQ8_LEVELS}.0))) AS INT) END)",
       duck = s"list_transform(generate_series(1, $DIM), i -> " +
         s"CASE WHEN $mxs[i] = $mns[i] THEN 0 " +
-        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), " +
+        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), greatest(CAST(0 AS DOUBLE), " +
         s"floor(($v[i]::DOUBLE - $mns[i]) " +
-        s"/ ($mxs[i] - $mns[i]) * ${SQ8_LEVELS}.0)) AS INTEGER) END)")
+        s"/ ($mxs[i] - $mns[i]) * ${SQ8_LEVELS}.0))) AS INTEGER) END)")
 
   /** Bin-center reconstruction of a code array under the same min/max
     * row — identical textual arithmetic order in both engines.
@@ -1955,6 +1957,20 @@ object EmbeddingOps {
       c: Int = REFINE_C): DataFrame =
     refineExact(s, d, ivfSq8Sims(s, d), c)
 
+  /** Route each (query_id, q_emb) to its single L2-nearest cell under
+    * the given centroids — the (dist ASC, cell ASC) tie-break every
+    * serve path and oracle shares; ONE copy so the tie-break can't
+    * silently diverge across the composed families.
+    */
+  private def routeToCell(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
   private def ivfSq8Sims(s: SparkSession, d: String): DataFrame = {
     val base = corpus(s, d).select("vec_id", "embedding")
     val cents = kmeansCentroids(s, d)
@@ -1962,18 +1978,15 @@ object EmbeddingOps {
     val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
     val codes = sq8CodesOfBase(base, mm).join(asg, Seq("vec_id"))
     val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
-    val routed = q.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("q_emb"), col("cell"))
-    val recon = codes.crossJoin(broadcast(mm))
-      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
-      .select("vec_id", "cell", "recon")
-    recon.join(broadcast(routed), Seq("cell"))
+    val routed = routeToCell(q, cents)
+    // join to the routed cells FIRST: the 64-dim reconstruction is only
+    // evaluated for in-cell candidates, not the ~(k−1)/k of the corpus
+    // the cell filter discards (bit-identical answer, fraction of the
+    // scan cost — the order the indexed serve already uses)
+    codes.join(broadcast(routed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(mm))
+      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
       .select(col("query_id"),
         (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
           .as("sim"),
@@ -2011,14 +2024,7 @@ object EmbeddingOps {
     val mm = s.read.parquet(s"$indexDir/minmax")
     val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val routed = graft.Checkpoint.barrier(
-      q.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("q_emb"), col("cell")))
+    val routed = graft.Checkpoint.barrier(routeToCell(q, cents))
     val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
     val codes = s.read.parquet(s"$indexDir/codes")
       .filter(col("cell").isin(probedCells.toSeq: _*))
@@ -2042,11 +2048,8 @@ object EmbeddingOps {
     autoIndexed(d, "_ivfsq8", buildIvfSq8Index(s, d, _),
       annIvfSq8Indexed(s, d, _))
 
-  private def sq8LifecycleDir(d: String, tag: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_sq8_${tag}_$h"
-  }
+  private def sq8LifecycleDir(d: String, tag: String): String =
+    lifecycleDir(d, s"sq8_$tag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),

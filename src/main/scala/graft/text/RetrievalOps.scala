@@ -170,29 +170,8 @@ object RetrievalOps {
     * publish race is fine — the winner built from the same fingerprint,
     * so its store is equivalent and ours is dropped.
     */
-  private def publishOnce(dir: String)(build: String => Unit): String = {
-    val marker = new java.io.File(dir, "_built")
-    if (!marker.exists()) {
-      val tmp = s"$dir.tmp.${System.nanoTime()}"
-      build(tmp)
-      new java.io.File(tmp, "_built").createNewFile(): Unit
-      try
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(dir),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      catch {
-        case e: java.io.IOException =>
-          // dest already present ⇒ a concurrent builder won the race;
-          // anything else is a real failure and must surface
-          if (!marker.exists()) throw e
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-            .iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-      }
-    }
-    dir
-  }
+  private def publishOnce(dir: String)(build: String => Unit): String =
+    graft.StorePublish.publishOnce(dir)(build)
 
   /** Serve the fixed query set from an already-built index dir — the
     * probe the bench times separately from the build. Tombstoned docs

@@ -41,6 +41,31 @@ class Sq8Spec extends SparkSpec {
     assert(worst > 0.0, "the bound must be exercised, not vacuous")
   }
 
+  test("arrivals outside the trained range clamp to the code boundaries") {
+    import spark.implicits._
+    val dim = 64
+    def vec(x: Float) = Array.fill(dim)(x).toSeq
+    // train on [1, 2] per dim, then append arrivals at 0 (below min —
+    // would floor to a NEGATIVE code without the lower clamp) and 9
+    // (above max — clamps to 255): the incremental paths encode under
+    // the STORED training, so out-of-range coordinates are their normal
+    // operating condition, not an edge case
+    val train = Seq((0L, vec(1.0f)), (1L, vec(2.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq8_clamp").toString
+    EmbeddingOps.buildSq8IndexOn(spark, train, train, dir)
+    val arrivals = Seq((2L, vec(0.0f)), (3L, vec(9.0f)))
+      .toDF("vec_id", "embedding")
+    EmbeddingOps.appendSq8Index(spark, arrivals, dir, batchId = 0L)
+    val got = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 2L)
+      .select(col("vec_id"), explode(col("codes")).as("c")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    assert(got(2L) == Set(0), s"below-min arrival must clamp to 0, got ${got(2L)}")
+    assert(got(3L) == Set(255), s"above-max arrival must clamp to 255, got ${got(3L)}")
+  }
+
   test("IVF-SQ8 indexed serve prunes the code scan to the routed cells") {
     val dir = s"/tmp/graft_sq8_plan_${System.nanoTime()}"
     EmbeddingOps.buildIvfSq8Index(spark, tiny, dir)
