@@ -103,6 +103,11 @@ object SparkEntry {
     // flatten kernel, same parquet oracle
     "q_ingest_jsonl_stream" ->
       ((s, d) => graft.streaming.Streams.ingestJsonlStreamed(s, d)),
+    // ORC interop gated: documents staged as multi-shard ORC, read back
+    // through the native ORC source — the parquet oracle hash proves
+    // the columnar round trip lossless
+    "q_ingest_orc" ->
+      ((s, d) => graft.etl.OrcStage.ingestQuery(s, d)),
     // schema evolution across parquet shard generations: contract-schema
     // read (no footer sweep) null-fills the columns old writers lacked
     "q_evolve_schema" ->

@@ -234,6 +234,11 @@ CAST(COUNT(*) AS BIGINT) AS sobreviventes FROM documents""",
     "q_ingest_jsonl_stream" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
 CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    // ORC round trip: the engine reads the ORC staging, this oracle the
+    // original parquet — a hash meet proves the interop lossless
+    "q_ingest_orc" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     // schema evolution: even doc_ids were written by the gen1 producer
     // (no source/n_chars yet) — the unified read must null-fill exactly
     // those, and only those
