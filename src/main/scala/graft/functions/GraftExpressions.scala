@@ -273,6 +273,41 @@ object Kernels {
     aa - 2.0 * ab + bb
   }
 
+  /** Fused SQ8 asymmetric distance: decode each code at its bin center
+    * under the broadcast (mns, mxs) row and accumulate the SAME
+    * |q|² − 2⟨q,recon⟩ + |recon|² fold as [[l2sq]] — recon_i =
+    * mn + (c + 0.5)·(mx − mn)/255 evaluated inline in the identical
+    * IEEE order as the sq8ReconX SQL template, so the result is
+    * bit-identical to l2_sq(q, recon) over a materialized recon array
+    * while never allocating that 64-double array per candidate (the
+    * HOF transform is also CodegenFallback — this stays inside
+    * WholeStageCodegen).
+    */
+  def sq8Adist(q: ArrayData, codes: ArrayData,
+      mns: ArrayData, mxs: ArrayData): Double = {
+    val n = q.numElements()
+    if (codes.numElements() != n || mns.numElements() != n ||
+        mxs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8_adist: length mismatch ($n / ${codes.numElements()} / " +
+          s"${mns.numElements()} / ${mxs.numElements()})")
+    var aa = 0.0; var ab = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || codes.isNullAt(i) || mns.isNullAt(i) ||
+          mxs.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sq8_adist: null element at position $i")
+      val x = q.getFloat(i).toDouble
+      val mn = mns.getDouble(i)
+      val mx = mxs.getDouble(i)
+      val y = mn + (codes.getInt(i).toDouble + 0.5) * (mx - mn) / 255.0
+      aa += x * x; ab += x * y; bb += y * y
+      i += 1
+    }
+    aa - 2.0 * ab + bb
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer — the same Unicode
     * standard DuckDB's nfc_normalize implements, so the two are
     * byte-identical on any input and the gate can hash full normalized
@@ -539,6 +574,35 @@ case class L2Sq(left: Expression, right: Expression)
   override def prettyName: String = "l2_sq"
 }
 
+/** sq8_adist(array<float>, array<int>, array<double>, array<double>) →
+  * double: the fused SQ8 asymmetric distance (see [[Kernels.sq8Adist]]
+  * for the bit-exactness contract with the recon + l2_sq composition).
+  */
+case class Sq8Adist(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _),
+            ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_adist expects (array<float>, array<int>, array<double>, " +
+          s"array<double>), got ${a.simpleString}, ${b.simpleString}, " +
+          s"${c.simpleString}, ${d.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(q: Any, c: Any, mn: Any, mx: Any): Any =
+    Kernels.sq8Adist(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c, mn, mx) =>
+      s"graft.functions.Kernels.sq8Adist($q, $c, $mn, $mx)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Sq8Adist =
+    copy(first = a, second = b, third = c, fourth = d)
+  override def prettyName: String = "sq8_adist"
+}
+
 /** Column-API wrappers + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.Shim.{toColumn, toExpr}
@@ -552,6 +616,8 @@ object GraftFunctions {
     toColumn(CosineSim(toExpr(a), toExpr(b)))
   def l2_sq(a: Column, b: Column): Column =
     toColumn(L2Sq(toExpr(a), toExpr(b)))
+  def sq8_adist(q: Column, codes: Column, mns: Column, mxs: Column): Column =
+    toColumn(Sq8Adist(toExpr(q), toExpr(codes), toExpr(mns), toExpr(mxs)))
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
   def deletion_neighborhood(c: Column, tau: Int): Column =
     toColumn(DeletionNeighborhood(toExpr(c), tau))

@@ -1802,23 +1802,23 @@ object EmbeddingOps {
   }
 
   /** (query_id, −L2², vec_id) candidates of the asymmetric SQ8 probe:
-    * reconstruct each candidate at bin centers (computed once per
-    * candidate, not per query) and rank raw-query-vs-reconstruction by
-    * the exact L2² kernel. One scan of the code table, two broadcasts
-    * (min/max row, query set) — never a corpus shuffle.
+    * one scan of the code table, two broadcasts (min/max row, query
+    * set), distance via the fused native [[graft.functions.Kernels
+    * .sq8Adist]] kernel — decode-at-bin-center and the L2² fold in one
+    * codegen'd pass, never materializing a reconstruction array per
+    * candidate (bit-identical to recon + l2_sq by construction; the
+    * oracle still verifies the composed SQL form). Never a corpus
+    * shuffle.
     */
   private def sq8Sims(s: SparkSession, d: String, mmRow: DataFrame,
       codes: DataFrame): DataFrame = {
-    val recon = codes.crossJoin(broadcast(mmRow))
-      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
-      .select("vec_id", "recon")
     val q = corpus(s, d).filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    recon.crossJoin(broadcast(q))
+    codes.crossJoin(broadcast(mmRow)).crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"),
-        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
-          .as("sim"),
+        (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
+          col("codes"), col("mns"), col("mxs"))).as("sim"),
         col("vec_id"))
   }
 
@@ -1979,17 +1979,15 @@ object EmbeddingOps {
     val codes = sq8CodesOfBase(base, mm).join(asg, Seq("vec_id"))
     val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
     val routed = routeToCell(q, cents)
-    // join to the routed cells FIRST: the 64-dim reconstruction is only
-    // evaluated for in-cell candidates, not the ~(k−1)/k of the corpus
-    // the cell filter discards (bit-identical answer, fraction of the
-    // scan cost — the order the indexed serve already uses)
+    // join to the routed cells FIRST (decode only in-cell candidates,
+    // not the ~(k−1)/k the cell filter discards), then the fused
+    // decode+distance kernel — bit-identical answer, codegen'd scan
     codes.join(broadcast(routed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .crossJoin(broadcast(mm))
-      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
       .select(col("query_id"),
-        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
-          .as("sim"),
+        (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
+          col("codes"), col("mns"), col("mxs"))).as("sim"),
         col("vec_id"))
   }
 
@@ -2028,14 +2026,12 @@ object EmbeddingOps {
     val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0))
     val codes = s.read.parquet(s"$indexDir/codes")
       .filter(col("cell").isin(probedCells.toSeq: _*))
-    val recon = codes.crossJoin(broadcast(mm))
-      .withColumn("recon", expr(sq8ReconX("codes", "mns", "mxs").spark))
-      .select("vec_id", "cell", "recon")
-    val sims = recon.join(broadcast(routed), Seq("cell"))
+    val sims = codes.join(broadcast(routed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(mm))
       .select(col("query_id"),
-        (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("recon")))
-          .as("sim"),
+        (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
+          col("codes"), col("mns"), col("mxs"))).as("sim"),
         col("vec_id"))
     rankViaTopK(s, sims)
       .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),

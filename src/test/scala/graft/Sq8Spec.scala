@@ -41,6 +41,30 @@ class Sq8Spec extends SparkSpec {
     assert(worst > 0.0, "the bound must be exercised, not vacuous")
   }
 
+  test("fused sq8_adist kernel equals materialized recon + L2 fold exactly") {
+    import spark.implicits._
+    // the probe paths ship the fused kernel; the oracle verifies the
+    // composed recon+l2 SQL — this pins the two IDENTICAL at the IEEE
+    // level on a hand case exercising both clamped boundaries
+    val q = Array(1.0f, 2.5f, -0.5f)
+    val c = Array(0, 255, 128)
+    val mn = Array(0.25, -1.0, -2.0)
+    val mx = Array(2.0, 3.0, 1.5)
+    val fused = Seq((q.toSeq, c.toSeq, mn.toSeq, mx.toSeq))
+      .toDF("q", "c", "mn", "mx")
+      .select(graft.functions.GraftFunctions.sq8_adist(
+        col("q"), col("c"), col("mn"), col("mx")).as("d"))
+      .head.getDouble(0)
+    var aa = 0.0; var ab = 0.0; var bb = 0.0
+    for (i <- 0 until 3) {
+      val x = q(i).toDouble
+      val y = mn(i) + (c(i).toDouble + 0.5) * (mx(i) - mn(i)) / 255.0
+      aa += x * x; ab += x * y; bb += y * y
+    }
+    val expected = aa - 2.0 * ab + bb
+    assert(fused == expected, s"fused=$fused expected=$expected (must be ==, not ~=)")
+  }
+
   test("arrivals outside the trained range clamp to the code boundaries") {
     import spark.implicits._
     val dim = 64
