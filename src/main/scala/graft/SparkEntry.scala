@@ -108,6 +108,9 @@ object SparkEntry {
     // the columnar round trip lossless
     "q_ingest_orc" ->
       ((s, d) => graft.etl.OrcStage.ingestQuery(s, d)),
+    // the streamed twin: one micro-batch per ORC shard, same oracle
+    "q_ingest_orc_stream" ->
+      ((s, d) => graft.streaming.Streams.ingestOrcStreamed(s, d)),
     // schema evolution across parquet shard generations: contract-schema
     // read (no footer sweep) null-fills the columns old writers lacked
     "q_evolve_schema" ->

@@ -239,6 +239,10 @@ CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     "q_ingest_orc" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
 CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    // the shard-per-micro-batch stream lands the identical rows
+    "q_ingest_orc_stream" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     // schema evolution: even doc_ids were written by the gen1 producer
     // (no source/n_chars yet) — the unified read must null-fill exactly
     // those, and only those

@@ -411,6 +411,30 @@ object Streams {
     spark.read.parquet(sub("out")).orderBy("doc_id")
   }
 
+  /** ORC ingest under streaming arrivals: the same multi-shard ORC
+    * staging ([[graft.etl.OrcStage.stage]]) consumed as a file stream,
+    * one micro-batch per shard — a backfill stream over a lakehouse's
+    * existing ORC holdings must land the identical rows as the batch
+    * read (same parquet oracle as q_ingest_orc).
+    */
+  def ingestOrcStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.OrcStage
+    val staged = OrcStage.stage(spark, dir)
+    val base = tempDir("graft_orc_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val schema = spark.read.orc(s"$staged/documents.orc").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").orc(s"$staged/documents.orc")
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", sub("out")).option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sub("out"))
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text", "lang",
+        "source", "CAST(n_chars AS BIGINT) AS n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Schema evolution under streaming arrivals: the mixed-generation
     * shard history ([[graft.etl.EvolveStage.stage]]) read as a file
     * stream under the CONTRACT schema — a backfill stream consuming
