@@ -291,6 +291,62 @@ object RetrievalOps {
   private val Bm25DeleteVictims = col("doc_id") % 7 === 3
 
   /** build → delete → serve, returning the index dir. */
+  /** Append NEW documents' postings to the persisted index — with
+    * [[deleteBm25Docs]] + [[compactBm25Index]] this composes into
+    * document UPDATE. O(|batch|): the new postings append into their
+    * term buckets, the one-row (nd, sumlen) stats adjust by integer
+    * addition (bit-identical to a from-scratch build), and the doclens
+    * sidecar is rewritten whole MINUS the appended ids' old rows (it is
+    * |docs| rows of two ints — the same whole-rewrite judgment the
+    * compaction makes) so a future delete of an updated doc subtracts
+    * the LIVE length, not both versions'.
+    *
+    * Caller contract: an appended doc_id must not be live in the
+    * postings store (tombstoned-then-compacted, or genuinely new) — the
+    * serve's tombstone mask is by doc_id, so re-adding an id while its
+    * tombstone is still pending would mask the new version too.
+    */
+  private[graft] def appendBm25Docs(s: SparkSession, docs: DataFrame,
+      dir: String): Unit = {
+    val postings = docPostings(docs).barrier()
+    val lens = postings.select("doc_id", "len").distinct()
+    postings
+      .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
+      .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
+    val add = lens.agg(count(lit(1)).as("n_add"),
+      coalesce(sum("len"), lit(0L)).as("len_add"))
+    val stats = graft.Checkpoint.barrier(
+      s.read.parquet(s"$dir/stats").crossJoin(broadcast(add))
+        .select((col("nd") + col("n_add")).as("nd"),
+          (col("sumlen") + col("len_add")).as("sumlen")))
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val doclens = graft.Checkpoint.barrier(
+      s.read.parquet(s"$dir/doclens")
+        .join(broadcast(lens.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(lens))
+    doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  /** Document UPDATE gated end to end: tombstone the old versions, fold
+    * physically (clearing the doc_id tombstones so the re-added ids can
+    * serve), append the new versions — the serve must equal BM25 over
+    * the corpus as modified, including every global statistic and the
+    * moved rankings (the update text appends two live QUERY terms, so
+    * updated docs genuinely re-rank, not just re-normalize).
+    */
+  def bm25Updated(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upd_$h"
+    buildBm25Index(s, d, dir)
+    val victims = documents(s, d).filter(Bm25DeleteVictims)
+    deleteBm25Docs(s, victims.select("doc_id"), dir, 0L)
+    compactBm25Index(s, dir)
+    appendBm25Docs(s, victims.selectExpr("doc_id",
+      "concat(text, ' vector scan') AS text"), dir)
+    bm25Served(s, dir)
+  }
+
   private def bm25DeletedIndexDir(s: SparkSession, d: String,
       tag: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -509,13 +565,25 @@ ORDER BY query_id, rank"""
     * the survivor predicate for the delete-lifecycle gates (deletion
     * must behave as if the docs were never indexed, globals included).
     */
-  private def bm25OracleOver(surviving: String): String = {
+  private def bm25OracleOver(surviving: String): String = bm25OracleFrom(
+    s"SELECT doc_id, text FROM documents WHERE $surviving")
+
+  /** The update-lifecycle oracle: BM25 over the corpus AS MODIFIED —
+    * the tombstone+compact+append composition must be indistinguishable
+    * from an index built on the new document versions.
+    */
+  private def bm25UpdateOracle: String = bm25OracleFrom(
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 3 " +
+      "THEN text || ' vector scan' ELSE text END AS text FROM documents")
+
+  /** The oracle body over an arbitrary (doc_id, text) source. */
+  private def bm25OracleFrom(docSrc: String): String = {
     val vals = bmQueries
       .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
       .mkString(", ")
     s"""WITH toks AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents
-  WHERE $surviving),
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t
+  FROM ($docSrc)),
 lens AS (SELECT doc_id, len(t) AS len FROM toks),
 ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
@@ -943,6 +1011,8 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // physically-compacted serve, both against the survivors oracle
     "q_bm25_delete" -> (bm25Deleted _),
     "q_bm25_delete_compact" -> (bm25DeletedCompacted _),
+    // the UPDATE lifecycle: tombstone old versions, compact, append new
+    "q_bm25_update" -> (bm25Updated _),
     // delete requests arriving as a stream (per-batch tombstones,
     // exactly-once) — arrival shape must be unobservable in the answer
     "q_bm25_delete_stream" ->
@@ -971,6 +1041,8 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // globals (nd, avgdl, read-time df) included
     "q_bm25_delete" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
     "q_bm25_delete_compact" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
+    // update must equal BM25 over the corpus as modified
+    "q_bm25_update" -> bm25UpdateOracle,
     // streamed deletes converge to the identical survivor answer
     "q_bm25_delete_stream" -> bm25OracleOver("NOT (doc_id % 7 = 3)"))
 }
