@@ -284,7 +284,7 @@ object Kernels {
     * WholeStageCodegen).
     */
   def sq8Adist(q: ArrayData, codes: ArrayData,
-      mns: ArrayData, mxs: ArrayData): Double = {
+      mns: ArrayData, mxs: ArrayData, levels: Int): Double = {
     val n = q.numElements()
     if (codes.numElements() != n || mns.numElements() != n ||
         mxs.numElements() != n)
@@ -301,7 +301,7 @@ object Kernels {
       val x = q.getFloat(i).toDouble
       val mn = mns.getDouble(i)
       val mx = mxs.getDouble(i)
-      val y = mn + (codes.getInt(i).toDouble + 0.5) * (mx - mn) / 255.0
+      val y = mn + (codes.getInt(i).toDouble + 0.5) * (mx - mn) / levels.toDouble
       aa += x * x; ab += x * y; bb += y * y
       i += 1
     }
@@ -579,7 +579,8 @@ case class L2Sq(left: Expression, right: Expression)
   * for the bit-exactness contract with the recon + l2_sq composition).
   */
 case class Sq8Adist(first: Expression, second: Expression,
-    third: Expression, fourth: Expression) extends QuaternaryExpression {
+    third: Expression, fourth: Expression, levels: Int)
+  extends QuaternaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(IntegerType, _),
@@ -593,10 +594,10 @@ case class Sq8Adist(first: Expression, second: Expression,
   override def dataType: DataType = DoubleType
   override def nullSafeEval(q: Any, c: Any, mn: Any, mx: Any): Any =
     Kernels.sq8Adist(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData], levels)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (q, c, mn, mx) =>
-      s"graft.functions.Kernels.sq8Adist($q, $c, $mn, $mx)")
+      s"graft.functions.Kernels.sq8Adist($q, $c, $mn, $mx, $levels)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): Sq8Adist =
     copy(first = a, second = b, third = c, fourth = d)
@@ -616,8 +617,10 @@ object GraftFunctions {
     toColumn(CosineSim(toExpr(a), toExpr(b)))
   def l2_sq(a: Column, b: Column): Column =
     toColumn(L2Sq(toExpr(a), toExpr(b)))
-  def sq8_adist(q: Column, codes: Column, mns: Column, mxs: Column): Column =
-    toColumn(Sq8Adist(toExpr(q), toExpr(codes), toExpr(mns), toExpr(mxs)))
+  def sq8_adist(q: Column, codes: Column, mns: Column, mxs: Column,
+      levels: Int): Column =
+    toColumn(Sq8Adist(toExpr(q), toExpr(codes), toExpr(mns), toExpr(mxs),
+      levels))
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
   def deletion_neighborhood(c: Column, tau: Int): Column =
     toColumn(DeletionNeighborhood(toExpr(c), tau))

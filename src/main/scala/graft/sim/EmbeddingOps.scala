@@ -1818,7 +1818,7 @@ object EmbeddingOps {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"),
         (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
-          col("codes"), col("mns"), col("mxs"))).as("sim"),
+          col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"),
         col("vec_id"))
   }
 
@@ -1987,7 +1987,7 @@ object EmbeddingOps {
       .crossJoin(broadcast(mm))
       .select(col("query_id"),
         (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
-          col("codes"), col("mns"), col("mxs"))).as("sim"),
+          col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"),
         col("vec_id"))
   }
 
@@ -2031,7 +2031,7 @@ object EmbeddingOps {
       .crossJoin(broadcast(mm))
       .select(col("query_id"),
         (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
-          col("codes"), col("mns"), col("mxs"))).as("sim"),
+          col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"),
         col("vec_id"))
     rankViaTopK(s, sims)
       .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),

@@ -42,7 +42,11 @@ object DedupBench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
 
-    val truth = TextOps.jaccardPairs(spark, sfDir, 0.5)
+    // blockBuckets=false: the prefix filter alone guarantees no >=t
+    // pair is lost, so this IS the exact same-lang truth set — the
+    // gate's (size/20) bucket block would silently drop boundary-
+    // straddling pairs from the recall denominator
+    val truth = TextOps.jaccardPairs(spark, sfDir, 0.5, blockBuckets = false)
       .select("doc_a", "doc_b", "jaccard")
     val cands = TextOps
       .minhashLshOf(spark, graft.Tables.documents(spark, sfDir))
@@ -57,9 +61,12 @@ object DedupBench {
       .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      // Jaccard deciles from the threshold up; s = 1.0 folds into the top
-      .withColumn("b", least(lit(4),
-        floor((col("jaccard") - 0.5) / 0.1).cast("int")))
+      // Jaccard deciles from the threshold up (explicit boundary
+      // compares — floor((j-0.5)/0.1) misbins exact boundary values
+      // like 0.6 under binary floating point); 1.0 folds into the top
+      .withColumn("b", when(col("jaccard") < 0.6, 0)
+        .when(col("jaccard") < 0.7, 1).when(col("jaccard") < 0.8, 2)
+        .when(col("jaccard") < 0.9, 3).otherwise(4))
       .groupBy("b")
       .agg(count(lit(1)).as("n"),
         sum(when(col("hit").isNotNull, 1).otherwise(0)).as("lsh_found"),
@@ -80,8 +87,10 @@ object DedupBench {
     }.mkString("[", ",", "]")
     val nAll = rows.map(_.getLong(1)).sum
     val foundAll = rows.map(_.getLong(2)).sum
+    val overall = // a corpus with no true pairs has no recall to report
+      if (nAll == 0) "null" else (foundAll.toDouble / nAll).toString
     println(s"""{"metric":"dedup_banding_recall","sf":"$sfDir",""" +
-      s""""n_true_pairs":$nAll,"lsh_overall":${foundAll.toDouble / nAll},""" +
+      s""""n_true_pairs":$nAll,"lsh_overall":$overall,""" +
       s""""buckets":$buckets}""")
     spark.stop()
   }

@@ -290,7 +290,6 @@ object RetrievalOps {
     */
   private val Bm25DeleteVictims = col("doc_id") % 7 === 3
 
-  /** build → delete → serve, returning the index dir. */
   /** Append NEW documents' postings to the persisted index — with
     * [[deleteBm25Docs]] + [[compactBm25Index]] this composes into
     * document UPDATE. O(|batch|): the new postings append into their
@@ -335,15 +334,10 @@ object RetrievalOps {
     * updated docs genuinely re-rank, not just re-normalize).
     */
   def bm25Updated(s: SparkSession, d: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upd_$h"
-    buildBm25Index(s, d, dir)
-    val victims = documents(s, d).filter(Bm25DeleteVictims)
-    deleteBm25Docs(s, victims.select("doc_id"), dir, 0L)
+    val dir = bm25DeletedIndexDir(s, d, "upd")
     compactBm25Index(s, dir)
-    appendBm25Docs(s, victims.selectExpr("doc_id",
-      "concat(text, ' vector scan') AS text"), dir)
+    appendBm25Docs(s, documents(s, d).filter(Bm25DeleteVictims)
+      .selectExpr("doc_id", "concat(text, ' vector scan') AS text"), dir)
     bm25Served(s, dir)
   }
 

@@ -839,7 +839,8 @@ FROM bucketed ORDER BY doc_id"""
     *     exact integers-ratio as the full inverted-index form (the DuckDB
     *     oracle, which still builds the full index, must agree bit-exact).
     */
-  def jaccardPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+  def jaccardPairs(s: SparkSession, d: String, threshold: Double = 0.5,
+      blockBuckets: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     // barrier: feeds the index build AND the verification join (an eager
@@ -866,7 +867,14 @@ FROM bucketed ORDER BY doc_id"""
       .barrier() // feeds both sides of the candidate self-join
     val a = idx.toDF("doc_a", "lang", "bucket", "s")
     val b = idx.toDF("doc_b", "lang", "bucket", "s")
-    val cands = a.join(b, Seq("s", "lang", "bucket"))
+    // the (size/20) bucket block is the GATE's definition (mirrored by
+    // its oracle) and drops cross-bucket pairs whose sizes straddle a
+    // boundary; blockBuckets=false keeps the prefix filter (which alone
+    // guarantees no >=t pair is lost) for callers needing EXACT truth
+    // over all same-lang pairs (DedupBench's recall denominator)
+    val joinKeys = if (blockBuckets) Seq("s", "lang", "bucket")
+      else Seq("s", "lang")
+    val cands = a.join(b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val fa = base.select(col("doc_id").as("doc_a"),

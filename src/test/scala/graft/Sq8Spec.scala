@@ -53,7 +53,7 @@ class Sq8Spec extends SparkSpec {
     val fused = Seq((q.toSeq, c.toSeq, mn.toSeq, mx.toSeq))
       .toDF("q", "c", "mn", "mx")
       .select(graft.functions.GraftFunctions.sq8_adist(
-        col("q"), col("c"), col("mn"), col("mx")).as("d"))
+        col("q"), col("c"), col("mn"), col("mx"), 255).as("d"))
       .head.getDouble(0)
     var aa = 0.0; var ab = 0.0; var bb = 0.0
     for (i <- 0 until 3) {
