@@ -88,6 +88,36 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("BM25 update keeps the doclens sidecar one-live-length-per-doc") {
+    import graft.text.RetrievalOps
+    // the update lifecycle's store invariant the oracle can't see: after
+    // tombstone → compact → append, doclens must carry exactly ONE row
+    // per doc_id, and the updated ids must carry the NEW length (+2
+    // appended query terms) — a doc with two doclens rows would make a
+    // FUTURE delete subtract both versions' lengths from the stats
+    RetrievalOps.bm25Updated(spark, tiny).count(): Unit
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upd_$h"
+    val lens = spark.read.parquet(s"$dir/doclens")
+    val dupes = lens.groupBy("doc_id").count().filter(col("count") > 1)
+    assert(dupes.isEmpty, s"doclens must be one row per doc: " +
+      s"${dupes.collect().toSeq}")
+    // updated docs' live length = whitespace tokens of text + 2
+    val expect = Tables.documents(spark, tiny)
+      .filter(col("doc_id") % 7 === 3)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        """size(split(trim(text), '\\s+')) + 2 AS want""")
+    val bad = lens.join(expect, Seq("doc_id"))
+      .filter(col("len") =!= col("want"))
+    assert(bad.isEmpty, s"updated ids must carry the NEW length: " +
+      s"${bad.collect().toSeq}")
+    // and the tombstones are gone (compaction cleared them, which is
+    // what lets the re-added ids serve)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must have cleared the tombstones before the append")
+  }
+
   test("proximity NEAR-k: ordered, exclusive of self, clamped at the slop") {
     import spark.implicits._
     // query 3 = (sort, merge, k=2): pairs must be ORDERED (merge before
