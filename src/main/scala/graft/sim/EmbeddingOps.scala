@@ -1941,8 +1941,8 @@ object EmbeddingOps {
     * trainings (Lloyd + min/max), the assignment, the routing, and the
     * in-cell reconstruction ranking, all bit-exact.
     */
-  def annIvfSq8(s: SparkSession, d: String): DataFrame =
-    rankViaTopK(s, ivfSq8Sims(s, d))
+  def annIvfSq8(s: SparkSession, d: String, nProbe: Int = 1): DataFrame =
+    rankViaTopK(s, ivfSq8Sims(s, d, nProbe))
       .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
         col("rank"))
       .orderBy("query_id", "rank")
@@ -1962,23 +1962,25 @@ object EmbeddingOps {
     * serve path and oracle shares; ONE copy so the tie-break can't
     * silently diverge across the composed families.
     */
-  private def routeToCell(q: DataFrame, cents: DataFrame): DataFrame =
+  private def routeToCell(q: DataFrame, cents: DataFrame,
+      nProbe: Int = 1): DataFrame =
     q.crossJoin(broadcast(cents))
       .withColumn("dist",
         graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"))
 
-  private def ivfSq8Sims(s: SparkSession, d: String): DataFrame = {
+  private def ivfSq8Sims(s: SparkSession, d: String,
+      nProbe: Int = 1): DataFrame = {
     val base = corpus(s, d).select("vec_id", "embedding")
     val cents = kmeansCentroids(s, d)
     val asg = assignCells(s, base, cents).select("vec_id", "cell")
     val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
     val codes = sq8CodesOfBase(base, mm).join(asg, Seq("vec_id"))
     val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
-    val routed = routeToCell(q, cents)
+    val routed = routeToCell(q, cents, nProbe)
     // join to the routed cells FIRST (decode only in-cell candidates,
     // not the ~(k−1)/k the cell filter discards), then the fused
     // decode+distance kernel — bit-identical answer, codegen'd scan
@@ -2145,12 +2147,16 @@ object EmbeddingOps {
     "q_ann_sq8_delete" -> (annSq8Deleted _),
     // the composed coarse-route + in-cell SQ8 ranking: cell-pruned
     // search at the near-exact quantizer's recall
-    "q_ann_ivfsq8" -> (annIvfSq8 _),
+    "q_ann_ivfsq8" ->
+      ((s: SparkSession, d: String) => annIvfSq8(s, d)),
     // the persisted form: routed cells' partitions only, stored codes
     "q_ann_ivfsq8_indexed" -> (annIvfSq8IndexedAuto _),
     // cell-pruned shortlist + exact re-rank: the full composed stack
     "q_ann_ivfsq8_refined" ->
-      ((s: SparkSession, d: String) => annIvfSq8Refined(s, d)))
+      ((s: SparkSession, d: String) => annIvfSq8Refined(s, d)),
+    // the probe-width recall knob, same as the kmeans family's
+    "q_ann_ivfsq8_probe2" ->
+      ((s: SparkSession, d: String) => annIvfSq8(s, d, nProbe = 2)))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -2853,7 +2859,9 @@ FROM embeddings ORDER BY vec_id""",
     // the partition-pruned serve must be bit-identical — same oracle
     "q_ann_ivfsq8_indexed" -> annIvfSq8Oracle,
     // cell-pruned shortlist, exact re-rank tail
-    "q_ann_ivfsq8_refined" -> annIvfSq8RefinedOracle)
+    "q_ann_ivfsq8_refined" -> annIvfSq8RefinedOracle,
+    // two routed cells per query, same ranked-candidate subselect
+    "q_ann_ivfsq8_probe2" -> annIvfSq8Probe2Oracle)
 
   /** Shared SQ8 oracle CTE chain: min/max training (optionally over a
     * slice), uniform codes, bin-center reconstructions — the DuckDB
@@ -2914,7 +2922,7 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * and query routing under the trained centroids (nProbe=1, the
     * (dist, cell) tie-break), then the in-cell reconstruction ranking.
     */
-  private def ivfSq8OracleCtes: String =
+  private def ivfSq8OracleCtes(nProbe: Int = 1): String =
     s"""$kmeansCtes,
 ${sq8Ctes("")},
 ivfin AS (
@@ -2932,7 +2940,7 @@ ivrouted AS (
              ${l2sq("q.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rk
     FROM (SELECT * FROM kbase WHERE vec_id < $N_QUERIES) q
     CROSS JOIN cent$KMEANS_ITERS c)
-  WHERE rk = 1
+  WHERE rk <= $nProbe
 )"""
 
   /** The composed probe's ranked candidate subselect, shared by the
@@ -2949,14 +2957,18 @@ ivrouted AS (
   JOIN sqbase q ON q.vec_id = r.query_id
   WHERE r.query_id <> c.vec_id"""
 
-  private def annIvfSq8Oracle: String =
-    s"""WITH $ivfSq8OracleCtes
+  private def annIvfSq8Oracle: String = annIvfSq8OracleProbe(1)
+
+  private def annIvfSq8Probe2Oracle: String = annIvfSq8OracleProbe(2)
+
+  private def annIvfSq8OracleProbe(nProbe: Int): String =
+    s"""WITH ${ivfSq8OracleCtes(nProbe)}
 SELECT query_id, vizinho, adist, rank FROM (
   $ivfSq8RankedSims)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   private def annIvfSq8RefinedOracle: String =
-    s"""WITH $ivfSq8OracleCtes,
+    s"""WITH ${ivfSq8OracleCtes()},
 shortlist AS (SELECT query_id, vizinho FROM (
   $ivfSq8RankedSims)
   WHERE rank <= $REFINE_C)
