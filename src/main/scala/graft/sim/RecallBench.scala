@@ -156,6 +156,9 @@ object RecallBench {
     row("ivfsq8_refined", truthFull) {
       EmbeddingOps.annIvfSq8Refined(spark, sfDir)
     }
+    row("ivfsq8_probe2", truthFull) {
+      EmbeddingOps.annIvfSq8(spark, sfDir, nProbe = 2)
+    }
 
     // the refine-depth frontier — the lever that actually climbs on a
     // distance-concentrated corpus (unit vectors; 5th-vs-6th neighbor
