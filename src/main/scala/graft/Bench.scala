@@ -335,6 +335,28 @@ object Bench {
     time("q_ann_sq8_indexed") {
       graft.sim.EmbeddingOps.annSq8Indexed(spark, sfDir, sq8Idx).count()
     }
+    // the COMPOSED route+SQ8 store (r16: the r15 gate-only family priced):
+    // coarse cells partition the code store, the served probe prunes to
+    // the routed cells and ranks through the fused sq8_adist kernel
+    val ivfSq8Idx = s"/tmp/graft_bench_ivfsq8_${System.nanoTime()}"
+    time("ann_ivfsq8_index_build") {
+      graft.sim.EmbeddingOps.buildIvfSq8Index(spark, sfDir, ivfSq8Idx)
+    }
+    time("q_ann_ivfsq8_indexed") {
+      graft.sim.EmbeddingOps.annIvfSq8Indexed(spark, sfDir, ivfSq8Idx).count()
+    }
+    rmTree(ivfSq8Idx)
+    // graph ANN (r16): per-cell kNN adjacency build (the quadratic-in-cell
+    // construction pass) vs the H-hop beam serve — the read-bounded
+    // alternative to the refine family's fixed c-deep shortlist
+    val graphIdx = s"/tmp/graft_bench_graph_${System.nanoTime()}"
+    time("ann_graph_index_build") {
+      graft.sim.EmbeddingOps.buildGraphIndex(spark, sfDir, graphIdx)
+    }
+    time("q_ann_graph_indexed") {
+      graft.sim.EmbeddingOps.annGraphIndexed(spark, sfDir, graphIdx).count()
+    }
+    rmTree(graphIdx)
     rmTree(sq8Idx)
     rmTree(ivfpqIdx)
     rmTree(pqIdx)

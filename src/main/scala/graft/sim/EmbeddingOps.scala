@@ -2049,6 +2049,215 @@ object EmbeddingOps {
   private def sq8LifecycleDir(d: String, tag: String): String =
     lifecycleDir(d, s"sq8_$tag")
 
+  // ------------------------------------------------ graph ANN (navigable per-cell graph)
+
+  /** Graph ANN parameters: per-node out-degree R, beam width B, hop
+    * count H. The visited set per query is bounded by construction at
+    * 1 + H·B·R rows (193 at the gated settings) — every serve-side rank
+    * window below is over that bound, never over a corpus-sized set.
+    */
+  private[graft] val GRAPH_R = 8
+  private[graft] val GRAPH_B = 8
+  private[graft] val GRAPH_H = 3
+
+  /** Per-cell exact-kNN adjacency under an explicit (vec_id, embedding,
+    * cell) assignment — the navigable graph of the graph-ANN family
+    * (Malkov & Yashunin's HNSW and Subramanya et al.'s DiskANN serve
+    * beam searches over exactly this kind of neighborhood graph; the
+    * deterministic kNN neighbor rule here is what makes the structure
+    * re-derivable by the DuckDB oracle, where HNSW's random level draws
+    * would not be). Construction is blocked on the trained quantizer
+    * cell — candidate pairs come from a cell equi-join, never all-pairs
+    * across the corpus, the same bounded-block shape as the SSJoin
+    * dedup family; cell populations are bounded by the quantizer's k,
+    * which scales with the corpus. Edge selection is the bounded
+    * [[graft.functions.TopKByScore]] aggregator (O(R) state per source,
+    * partial+final merge), ties (sim DESC, dst ASC).
+    */
+  private def graphEdgesOf(s: SparkSession, asg: DataFrame): DataFrame = {
+    import s.implicits._
+    val a = asg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
+      col("embedding").as("s_emb"))
+    val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
+      col("embedding").as("d_emb"))
+    val cand = a.join(b, col("a_cell") === col("b_cell") &&
+        col("src") =!= col("dst"))
+      .select(col("src"),
+        graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
+          .as("sim"),
+        col("dst"))
+    val agg = graft.functions.TopKByScore(GRAPH_R).toColumn
+    cand.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id) => (sim, id) }
+      .agg(agg.name("top"))
+      .toDF("src", "top")
+      .select(col("src"), explode(col("top")).as("p"))
+      .select(col("src"), col("p._2").as("dst"))
+      .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+  }
+
+  /** One entry point per cell: the vector nearest its cell's centroid
+    * (most central = best-connected beam seed), ties to the smaller
+    * vec_id — a partial+final MIN-struct aggregate over the assignment's
+    * already-computed distances, O(1) state per cell.
+    */
+  private def graphEntriesOf(asg: DataFrame): DataFrame = asg
+    .groupBy("cell")
+    .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
+    .select(col("cell"), col("m.vec_id").as("vec_id"))
+
+  /** Greedy beam search over the navigable graph — the serve shape that
+    * undercuts the refine family's fixed c-deep shortlist: per hop, the
+    * current best-B visited nodes expand their R out-edges, fresh
+    * arrivals are scored exactly, and after H hops the answer is the
+    * top-k of everything seen. Per-hop work is one equi-join of the
+    * O(queries·B) beam against the edge store and one point-lookup join
+    * for the fresh candidates' vectors — never a corpus scan; the
+    * visited set is bounded at 1 + H·B·R per query, so the beam-rank
+    * windows are over a constant-bounded set. Each hop's union goes
+    * through a checkpoint barrier: `visited` is referenced twice per
+    * hop (beam + anti-join), so unbarriered lineage would nest
+    * exponentially in H (the label-propagation precedent).
+    */
+  private def graphBeamServe(s: SparkSession, routed: DataFrame,
+      vecs: DataFrame, edges: DataFrame, entries: DataFrame): DataFrame =
+    rankViaTopK(s, graphBeamVisited(s, routed, vecs, edges, entries)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("sim"), col("vec_id")))
+
+  /** The H-hop walk itself, returning the scored visited set —
+    * (query_id, vec_id, sim), bounded at 1 + H·B·R rows per query.
+    */
+  private def graphBeamVisited(s: SparkSession, routed: DataFrame,
+      vecs: DataFrame, edges: DataFrame, entries: DataFrame): DataFrame = {
+    val q = routed.select("query_id", "q_emb")
+    def withSims(ids: DataFrame): DataFrame =
+      ids.join(vecs.select("vec_id", "embedding"), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+            .as("sim"))
+    var visited = graft.Checkpoint.barrier(withSims(
+      routed.join(entries, Seq("cell")).select("query_id", "vec_id")))
+    for (_ <- 1 to GRAPH_H) {
+      val beam = visited
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= GRAPH_B)
+        .select("query_id", "vec_id")
+      val frontier = beam
+        .join(edges.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+      val fresh = frontier.join(visited.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      visited = graft.Checkpoint.barrier(visited.unionByName(withSims(fresh)))
+    }
+    visited
+  }
+
+  /** Self-contained graph ANN: train the quantizer, build the per-cell
+    * kNN graph, route each demo query to its own cell (the nProbe=1 L2
+    * route — identical tie-breaks to the assignment), beam-search from
+    * the cell's entry point. Deterministic end to end, so the oracle
+    * re-derives graph construction AND the unrolled H-hop walk.
+    */
+  def annGraph(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val routed = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    graphBeamServe(s, routed, asg, graphEdgesOf(s, asg), graphEntriesOf(asg))
+  }
+
+  /** The visited id-set of the gated beam search — the cost side of the
+    * recall/cost frontier: |visited| per query IS the number of exact
+    * vector reads the serve paid (entry + every fresh frontier arrival).
+    * RecallBench reports its mean beside the recall row.
+    */
+  /** The trained adjacency itself — (src, dst, cell) — for structural
+    * assertions (degree bound, within-cell closure) and the bench's
+    * reads-per-query accounting.
+    */
+  private[graft] def graphEdges(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val asg = graft.Checkpoint.barrier(
+      assignCells(s, base, kmeansCentroids(s, d)))
+    graphEdgesOf(s, asg)
+  }
+
+  private[graft] def graphVisited(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val routed = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    graphBeamVisited(s, routed, asg, graphEdgesOf(s, asg), graphEntriesOf(asg))
+      .select("query_id", "vec_id")
+  }
+
+  /** Persist the graph index: trained centroids (tiny), the assigned
+    * vectors and the adjacency both PARTITIONED BY CELL — a beam search
+    * touches only its routed cell's partition, so the serve prunes at
+    * the scan (PartitionFilters), the same layout contract as the
+    * IVF-SQ8 store — plus the one-row-per-cell entry-point table.
+    */
+  def buildGraphIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroidsOf(base)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    asg.select("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    graphEdgesOf(s, asg).select("src", "dst", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/edges")
+    graphEntriesOf(asg)
+      .write.mode("overwrite").parquet(s"$indexDir/entries")
+  }
+
+  /** Beam search served from the persisted graph: queries route against
+    * the stored centroids (same (dist, cell) tie-break as the build's
+    * assignment ⇒ bit-identical cells), the routed cell ids — O(queries)
+    * of them — prune the vectors and edges scans to the routed
+    * partitions, and the walk itself is the shared [[graphBeamServe]].
+    */
+  def annGraphIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val q = corpus(s, d).select("vec_id", "embedding")
+      .filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_emb")
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val cells = routed.select("cell").distinct().collect().map(_.getInt(0))
+    val (vecs, edges) = graphPrunedStore(s, indexDir, cells.toSeq)
+    val entries = s.read.parquet(s"$indexDir/entries")
+    graphBeamServe(s, routed, vecs, edges, entries)
+  }
+
+  /** The routed-cell-pruned store reads the persisted serve walks over —
+    * factored so the plan audit (GraphAnnSpec) asserts PartitionFilters
+    * on the EXACT DataFrames the serve uses.
+    */
+  private[graft] def graphPrunedStore(s: SparkSession, indexDir: String,
+      cells: Seq[Int]): (DataFrame, DataFrame) = (
+    s.read.parquet(s"$indexDir/vectors").filter(col("cell").isin(cells: _*)),
+    s.read.parquet(s"$indexDir/edges").filter(col("cell").isin(cells: _*)))
+
+  /** Driver-contract wrapper (staleness-fingerprinted build-once,
+    * atomic publish).
+    */
+  def annGraphIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_graph", buildGraphIndex(s, d, _), annGraphIndexed(s, d, _))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe3" -> ((s: SparkSession, d: String) => annIvfProbe(s, d, 3)),
@@ -2156,7 +2365,13 @@ object EmbeddingOps {
       ((s: SparkSession, d: String) => annIvfSq8Refined(s, d)),
     // the probe-width recall knob, same as the kmeans family's
     "q_ann_ivfsq8_probe2" ->
-      ((s: SparkSession, d: String) => annIvfSq8(s, d, nProbe = 2)))
+      ((s: SparkSession, d: String) => annIvfSq8(s, d, nProbe = 2)),
+    // graph ANN: per-cell navigable kNN graph + H-hop beam search — the
+    // serving family whose exact reads scale with the walk (≤ 1+H·B·R),
+    // not with a fixed c-deep shortlist; self-contained and served off
+    // the persisted cell-partitioned adjacency
+    "q_ann_graph" -> (annGraph _),
+    "q_ann_graph_indexed" -> (annGraphIndexedAuto _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -2861,7 +3076,82 @@ FROM embeddings ORDER BY vec_id""",
     // cell-pruned shortlist, exact re-rank tail
     "q_ann_ivfsq8_refined" -> annIvfSq8RefinedOracle,
     // two routed cells per query, same ranked-candidate subselect
-    "q_ann_ivfsq8_probe2" -> annIvfSq8Probe2Oracle)
+    "q_ann_ivfsq8_probe2" -> annIvfSq8Probe2Oracle,
+    // graph ANN: DuckDB re-derives the Lloyd training, the per-cell kNN
+    // adjacency, the entry points, and the H-hop beam walk (unrolled,
+    // like every trained oracle in this file) — bit-exact
+    "q_ann_graph" -> graphOracle,
+    // routed against the stored centroids with identical tie-breaks, so
+    // the partition-pruned serve gates against the same oracle
+    "q_ann_graph_indexed" -> graphOracle)
+
+  /** The graph-ANN oracle: full re-derivation in SQL. `fin` is the
+    * trained serving assignment (with norms); `edges` the per-cell kNN
+    * adjacency under the gated out-degree R (ties sim DESC, dst ASC);
+    * `entries` each cell's centroid-nearest vector; the walk unrolls as
+    * H (beam, union) CTE pairs — UNION's set semantics is exactly the
+    * serve loop's anti-join dedupe — and the answer is the top-k of the
+    * final visited set, self excluded.
+    */
+  private def graphOracle: String = {
+    val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
+    val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
+    val hops = (1 to GRAPH_H).map { h =>
+      s"""b${h - 1} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT v.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS rk
+    FROM v${h - 1} v JOIN fin f ON v.vec_id = f.vec_id
+    JOIN qset q ON v.query_id = q.query_id)
+  WHERE rk <= $GRAPH_B
+),
+v$h AS MATERIALIZED (
+  SELECT query_id, vec_id FROM v${h - 1}
+  UNION
+  SELECT b.query_id, e.dst AS vec_id FROM b${h - 1} b JOIN edges e ON b.vec_id = e.src
+)"""
+    }.mkString(",\n")
+    s"""WITH $kmeansCtes,
+fin AS MATERIALIZED (
+  SELECT vec_id, embedding, cell,
+         ${normDuck("embedding")} AS nrm FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
+    FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+  WHERE rk <= $GRAPH_R
+),
+entries AS MATERIALIZED (
+  SELECT cell, vec_id FROM (
+    SELECT f.cell, f.vec_id,
+           row_number() OVER (PARTITION BY f.cell ORDER BY
+             ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
+    FROM fin f JOIN cent$KMEANS_ITERS c ON f.cell = c.cell)
+  WHERE rk = 1
+),
+qset AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qnrm, cell
+  FROM fin WHERE vec_id < $N_QUERIES
+),
+v0 AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id FROM qset q JOIN entries e ON q.cell = e.cell
+),
+$hops
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT v.query_id, v.vec_id AS vizinho, $simQ AS sim,
+         CAST(row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS INTEGER) AS rank
+  FROM v$GRAPH_H v JOIN fin f ON v.vec_id = f.vec_id
+  JOIN qset q ON v.query_id = q.query_id
+  WHERE v.query_id <> v.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+  }
 
   /** Shared SQ8 oracle CTE chain: min/max training (optionally over a
     * slice), uniform codes, bin-center reconstructions — the DuckDB

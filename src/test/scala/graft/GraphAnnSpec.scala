@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{EmbeddingOps, RecallBench}
+
+/** Graph ANN — the structural and quality properties the bit-exactness
+  * gates cannot see:
+  *
+  *  1. the adjacency is a well-formed per-cell kNN graph: out-degree is
+  *     exactly min(R, |cell|−1), no self-loops, every edge closed within
+  *     its quantizer cell (beam search then provably never leaves the
+  *     routed partition);
+  *  2. the walk's cost contract: the visited set — the number of exact
+  *     vector reads the serve pays — respects the 1 + H·B·R construction
+  *     bound and stays inside the routed cell;
+  *  3. the quality claim that justifies the family: the H-hop beam walk
+  *     recovers the routed cell's EXHAUSTIVE top-k (the kmeans nProbe=1
+  *     probe) while reading a fraction of the cell;
+  *  4. the persisted serve is bit-identical to the self-contained form
+  *     and its store reads carry routed-cell PartitionFilters.
+  */
+class GraphAnnSpec extends SparkSpec {
+
+  private lazy val cellOf: Map[Long, Int] =
+    EmbeddingOps.kmeansCells(spark, tiny).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("cell").intValue()).toMap
+
+  test("adjacency: exact out-degree, no self-loops, closed within cells") {
+    val edges = EmbeddingOps.graphEdges(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("cell").intValue()))
+    assert(edges.nonEmpty, "the graph must have edges")
+    assert(edges.forall { case (s, d, _) => s != d }, "no self-loops")
+    assert(edges.forall { case (s, d, c) => cellOf(s) == c && cellOf(d) == c },
+      "every edge must stay within its quantizer cell")
+    val sizes = cellOf.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
+    val bySrc = edges.groupBy(_._1)
+    // every vector in a multi-vector cell is a node with exactly
+    // min(R, |cell|-1) out-edges — nothing silently dropped
+    for ((id, c) <- cellOf if sizes(c) > 1) {
+      val expect = math.min(EmbeddingOps.GRAPH_R, sizes(c) - 1)
+      val got = bySrc.get(id).map(_.length).getOrElse(0)
+      assert(got == expect, s"node $id in cell $c (size ${sizes(c)}): " +
+        s"out-degree $got, expected $expect")
+    }
+  }
+
+  test("beam walk: visited bounded by 1 + H*B*R, inside the routed cell") {
+    val visited = EmbeddingOps.graphVisited(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bound = 1 + EmbeddingOps.GRAPH_H * EmbeddingOps.GRAPH_B * EmbeddingOps.GRAPH_R
+    val per = visited.groupBy(_._1).map { case (q, xs) => q -> xs.length }
+    assert(per.nonEmpty && per.values.forall(_ >= 1))
+    for ((q, n) <- per)
+      assert(n <= bound, s"query $q visited $n > bound $bound")
+    for ((q, v) <- visited)
+      assert(cellOf(v) == cellOf(q),
+        s"query $q (cell ${cellOf(q)}) visited $v in cell ${cellOf(v)} — " +
+          "the walk must never leave the routed cell")
+  }
+
+  test("beam walk recovers the routed-exhaustive top-k, reading a fraction") {
+    val exhaustive = EmbeddingOps.annIvfKmeans(spark, tiny)
+      .select("query_id", "vizinho", "sim", "rank").collect().toSeq
+    val graph = EmbeddingOps.annGraph(spark, tiny)
+      .select("query_id", "vizinho", "sim", "rank").collect().toSeq
+    assert(graph == exhaustive,
+      "the H-hop beam walk must recover the routed cell's exhaustive top-k")
+    // and pay fewer reads than the exhaustive cell scan for every query
+    val reads = EmbeddingOps.graphVisited(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.length }
+    val sizes = cellOf.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
+    for ((q, n) <- reads) {
+      val cell = sizes(cellOf(q))
+      assert(n < cell, s"query $q read $n of a $cell-vector cell — " +
+        "the walk must undercut the exhaustive scan")
+    }
+  }
+
+  test("persisted serve: bit-identical, store reads partition-pruned") {
+    val dir = s"/tmp/graft_graph_spec_${System.nanoTime()}"
+    EmbeddingOps.buildGraphIndex(spark, tiny, dir)
+    val served = EmbeddingOps.annGraphIndexed(spark, tiny, dir).collect().toSeq
+    val self = EmbeddingOps.annGraph(spark, tiny).collect().toSeq
+    assert(served == self, "persisted serve must be bit-identical")
+    // the exact pruned reads the serve walks over must reach the scan as
+    // PartitionFilters (cell is the partition column of both stores)
+    val (vecs, edges) = EmbeddingOps.graphPrunedStore(spark, dir, Seq(0, 3))
+    for ((df, name) <- Seq((vecs, "vectors"), (edges, "edges"))) {
+      df.collect(): Unit
+      val scans = allNodes(df.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+        s"$name scan must carry routed-cell PartitionFilters")
+    }
+  }
+}
