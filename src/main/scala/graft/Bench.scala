@@ -284,6 +284,26 @@ object Bench {
     time("q_bm25_served") {
       graft.text.RetrievalOps.bm25Served(spark, bmIdx).count()
     }
+    // the UPDATE lifecycle's own shapes (r16: the r15 gate-only family
+    // priced): tombstone-fold compaction — rewrites ONLY the (tb, batch)
+    // partitions holding a victim's rows — and the batch-keyed postings
+    // append with its doclens/stats rewrite
+    locally {
+      import org.apache.spark.sql.functions.col
+      val victims = Tables.documents(spark, sfDir)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+        .filter(col("doc_id") % 7 === 3)
+      graft.text.RetrievalOps.deleteBm25Docs(spark,
+        victims.select("doc_id"), bmIdx, batchId = 0L)
+      time("bm25_update_compact") {
+        graft.text.RetrievalOps.compactBm25Index(spark, bmIdx)
+      }
+      time("bm25_update_append") {
+        graft.text.RetrievalOps.appendBm25Docs(spark,
+          victims.selectExpr("doc_id",
+            "concat(text, ' vector scan') AS text"), bmIdx, batchId = 1L)
+      }
+    }
     rmTree(bmIdx)
     // positional-index lifecycle: posexplode + term-bucketed persist is
     // the build; the phrase probe reads only its terms' buckets

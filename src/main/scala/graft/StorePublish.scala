@@ -34,14 +34,35 @@ object StorePublish {
         case e: java.io.IOException =>
           if (marker.exists()) rmTree(tmp) // concurrent builder won
           else {
+            // crash-leftover self-heal. The leftover is REPLACED, never
+            // deleted in place: between this marker re-check and a
+            // delete, a concurrent JVM could publish a COMPLETE store at
+            // this path (its move succeeds the instant the leftover is
+            // gone), and an in-place rmTree would destroy it — a reader
+            // would watch a published store vanish. Renaming the suspect
+            // dir aside is atomic, so whatever occupies the path (the
+            // leftover, or a just-published equivalent store) moves out
+            // in one step and the renamed copy is deleted safely; open
+            // readers keep their handles, new readers re-enter
+            // publishOnce and find our store once the second move lands.
+            val aside =
+              java.nio.file.Paths.get(s"$dir.dead.${System.nanoTime()}")
             try {
-              rmTree(dir)
+              try
+                java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+                  aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+              catch {
+                // someone else already healed or claimed the path
+                case _: java.io.IOException => ()
+              }
               java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
                 java.nio.file.Paths.get(dir),
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
             } catch {
               case _: java.io.IOException =>
                 if (marker.exists()) rmTree(tmp) else throw e
+            } finally {
+              if (java.nio.file.Files.exists(aside)) rmTree(aside.toString)
             }
           }
       }

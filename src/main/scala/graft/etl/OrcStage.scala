@@ -21,15 +21,18 @@ object OrcStage {
   private[graft] val NShards = 4
 
   def stage(s: SparkSession, srcDir: String): String = {
-    val (dir, marker) = StageCache.resolve(srcDir,
+    // fingerprint-keyed location from StageCache, but published through
+    // the ATOMIC temp-build + rename device (StorePublish) instead of
+    // the build-then-marker pattern: a concurrent JVM can never read a
+    // half-staged ORC tree (the streamed twin would ingest partial
+    // shards) and two JVMs never write the same staging dir
+    val (dir, _) = StageCache.resolve(srcDir,
       s"orc|shards=$NShards", "graft_orc_stage")
-    if (!marker.exists()) {
+    graft.StorePublish.publishOnce(dir) { tmp =>
       graft.Tables.documents(s, srcDir)
         .repartition(NShards, col("doc_id"))
-        .write.mode("overwrite").orc(s"$dir/documents.orc")
-      marker.createNewFile(): Unit
+        .write.mode("overwrite").orc(s"$tmp/documents.orc")
     }
-    dir
   }
 
   def ingestQuery(s: SparkSession, d: String): DataFrame =

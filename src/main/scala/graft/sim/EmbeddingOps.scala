@@ -1065,7 +1065,13 @@ object EmbeddingOps {
   private def lifecycleDir(d: String, name: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$h"
+    // keyed per PROCESS as well as per dataset: these dirs are rebuilt
+    // in place on every call (build → append → delete), so two
+    // concurrent JVMs running the same gate would interleave their
+    // mutations on a shared path — unlike the publishOnce stores, which
+    // are immutable-once-published and safely shared
+    val pid = java.lang.ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${h}_p$pid"
   }
 
   private def ivfPqDeletedIndexDir(s: SparkSession, d: String,

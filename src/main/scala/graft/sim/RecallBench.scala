@@ -160,6 +160,19 @@ object RecallBench {
       EmbeddingOps.annIvfSq8(spark, sfDir, nProbe = 2)
     }
 
+    // graph ANN (r16): the H-hop beam walk should hold the routed-cell
+    // exhaustive ceiling (= ivf_kmeans) while paying |visited| exact
+    // reads per query instead of the whole routed cell — the economics
+    // that undercut the refine family's fixed c-deep shortlist.
+    // graph_reads_per_query is that |visited| mean; compare it to the
+    // refine rows' c (20–160 point lookups) and to the mean cell size.
+    row("graph", truthFull) { EmbeddingOps.annGraphIndexedAuto(spark, sfDir) }
+    out("graph_reads_per_query") = {
+      val per = EmbeddingOps.graphVisited(spark, sfDir)
+        .groupBy("query_id").count().collect().map(_.getLong(1))
+      per.sum.toDouble / per.length
+    }
+
     // the refine-depth frontier — the lever that actually climbs on a
     // distance-concentrated corpus (unit vectors; 5th-vs-6th neighbor
     // gaps ~0.003 on distances ~1.1, so compressed-domain ranking is

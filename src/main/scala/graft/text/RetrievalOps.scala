@@ -136,9 +136,15 @@ object RetrievalOps {
   private[graft] def buildBm25Index(s: SparkSession, d: String,
       dir: String): Unit = {
     val (postings, stats) = bm25Index(s, d)
+    // postings carry a second `batch` partition level (-1 = the build),
+    // the same convention as the ANN cell stores: appended document
+    // batches land in their own (tb, batch) partitions that a replayed
+    // append dynamically overwrites instead of duplicating
     postings
       .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("tb", "batch")
+      .parquet(s"$dir/postings")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
     // doc-keyed length sidecar (doc_id, len): what a DELETE needs to
     // adjust the aggregated (nd, sumlen) without scanning term buckets —
@@ -187,7 +193,7 @@ object RetrievalOps {
     val postingsRaw = s.read.parquet(s"$dir/postings")
       // partition-prune to the query terms' buckets BEFORE the term join
       .filter(expr(s"tb IN ($buckets)"))
-      .drop("tb")
+      .drop("tb", "batch")
     val statsRaw = s.read.parquet(s"$dir/stats")
     val (postings, stats) = bm25Tombstones(s, dir) match {
       case Some(t) =>
@@ -245,18 +251,27 @@ object RetrievalOps {
   private[graft] def compactBm25Index(s: SparkSession, dir: String): Unit =
     bm25Tombstones(s, dir).foreach { t =>
       val postings = s.read.parquet(s"$dir/postings")
+      // (tb, batch) pair granularity: only partitions that physically
+      // hold a tombstoned doc's rows are rewritten — an appended batch's
+      // partitions stay untouched unless one of ITS docs died
       val affected = postings.join(broadcast(t), Seq("doc_id"), "left_semi")
-        .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+        .select(col("tb").cast("int"), col("batch").cast("long")).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       if (affected.nonEmpty) {
+        val pairCond = affected
+          .map { case (b, ba) => s"(tb = $b AND batch = ${ba}L)" }
+          .mkString(" OR ")
         val kept = s.read.parquet(s"$dir/postings")
-          .filter(col("tb").isin(affected: _*))
+          .filter(expr(pairCond))
           .join(broadcast(t), Seq("doc_id"), "left_anti")
-        val surviving = kept.select(col("tb").cast("int")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        val surviving = kept
+          .select(col("tb").cast("int"), col("batch").cast("long")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
         kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("tb").parquet(s"$dir/postings")
-        (affected.toSet -- surviving).foreach { b =>
-          val dead = java.nio.file.Paths.get(s"$dir/postings/tb=$b")
+          .partitionBy("tb", "batch").parquet(s"$dir/postings")
+        (affected.toSet -- surviving).foreach { case (b, ba) =>
+          val dead =
+            java.nio.file.Paths.get(s"$dir/postings/tb=$b/batch=$ba")
           if (java.nio.file.Files.exists(dead)) {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(dead).iterator().asScala.toSeq.reverse
@@ -306,24 +321,36 @@ object RetrievalOps {
     * tombstone is still pending would mask the new version too.
     */
   private[graft] def appendBm25Docs(s: SparkSession, docs: DataFrame,
-      dir: String): Unit = {
+      dir: String, batchId: Long): Unit = {
     val postings = docPostings(docs).barrier()
     val lens = postings.select("doc_id", "len").distinct()
+    // batch-keyed dynamic overwrite — the repo's replay-idempotent
+    // append convention (same as the ANN cell stores): a replayed or
+    // retried call replaces its own (tb, batch) partitions instead of
+    // appending a duplicate copy beside them
     postings
       .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
-      .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
-    val add = lens.agg(count(lit(1)).as("n_add"),
-      coalesce(sum("len"), lit(0L)).as("len_add"))
-    val stats = graft.Checkpoint.barrier(
-      s.read.parquet(s"$dir/stats").crossJoin(broadcast(add))
-        .select((col("nd") + col("n_add")).as("nd"),
-          (col("sumlen") + col("len_add")).as("sumlen")))
-    stats.write.mode("overwrite").parquet(s"$dir/stats")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb", "batch").parquet(s"$dir/postings")
+    // doclens: anti-join + union is idempotent under replay (the same
+    // lens replace themselves)
     val doclens = graft.Checkpoint.barrier(
       s.read.parquet(s"$dir/doclens")
         .join(broadcast(lens.select("doc_id")), Seq("doc_id"), "left_anti")
         .unionByName(lens))
     doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    // stats: recomputed FROM the rewritten sidecar rather than
+    // incremented in place — replay-idempotent, and a crash between the
+    // three writes is healed by re-running the same call (each step
+    // converges); integer aggregation over |docs| rows, bit-identical
+    // to the incremental add (stats ≡ agg(doclens) is the store
+    // invariant the lifecycle spec pins)
+    graft.Checkpoint.barrier(
+      s.read.parquet(s"$dir/doclens")
+        .agg(count(lit(1)).cast("long").as("nd"),
+          coalesce(sum("len"), lit(0L)).cast("long").as("sumlen")))
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Document UPDATE gated end to end: tombstone the old versions, fold
@@ -337,7 +364,8 @@ object RetrievalOps {
     val dir = bm25DeletedIndexDir(s, d, "upd")
     compactBm25Index(s, dir)
     appendBm25Docs(s, documents(s, d).filter(Bm25DeleteVictims)
-      .selectExpr("doc_id", "concat(text, ' vector scan') AS text"), dir)
+      .selectExpr("doc_id", "concat(text, ' vector scan') AS text"), dir,
+      batchId = 1L)
     bm25Served(s, dir)
   }
 
@@ -345,7 +373,13 @@ object RetrievalOps {
       tag: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${tag}_$h"
+    // per-process key, same rationale as EmbeddingOps.lifecycleDir: this
+    // dir is rebuilt and mutated in place on every call (build → delete
+    // [→ compact → append]), so concurrent JVMs must not share it — one
+    // appending onto the other's fresh rebuild would serve wrong stats
+    val pid = java.lang.ProcessHandle.current().pid()
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${tag}_${h}_p$pid"
     buildBm25Index(s, d, dir)
     deleteBm25Docs(s,
       documents(s, d).filter(Bm25DeleteVictims).select("doc_id"), dir, 0L)

@@ -21,7 +21,12 @@ import graft.text.TextOps
 class DedupRecallSpec extends SparkSpec {
 
   private val P = 52     // shared prefix tokens → P−2 = 50 shared shingles
-  private val PAIRS = 30 // per level; sd of the rate ≈ 0.09 at p=0.5
+  // per level. At 100 the rate's sd is ≈ 0.05 at p = 0.5, so the ±0.25
+  // mid-curve tolerance sits ≈ 5σ out — across 5 levels the spurious-
+  // failure odds are negligible (the r15-flagged 30-pair version left
+  // the bound at ~2.7σ, a real ~2% flake rate for a deterministic-
+  // looking test)
+  private val PAIRS = 100
 
   test("LSH band-collision rate tracks 1-(1-J^2)^4 across Jaccard levels") {
     // (unique-suffix length q, resulting shingle Jaccard 50/(50+2q))

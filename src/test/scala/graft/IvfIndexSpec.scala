@@ -196,7 +196,7 @@ class IvfIndexSpec extends SparkSpec {
     EmbeddingOps.annIvfKmeansIncr(spark, tiny).collect(): Unit
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val incrDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_incr_$h"
+    val incrDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_incr_${h}_p${java.lang.ProcessHandle.current().pid()}"
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$incrDir/_fingerprint")).endsWith(":incr"))
     val composedDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_incrsrc").toString
@@ -235,8 +235,8 @@ class IvfIndexSpec extends SparkSpec {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val tmp = System.getProperty("java.io.tmpdir")
-    val delDir = s"$tmp/graft_ivfpq_del_$h"     // tombstone-masked run
-    val delcDir = s"$tmp/graft_ivfpq_delc_$h"   // compacted run
+    val delDir = s"$tmp/graft_ivfpq_del_${h}_p${java.lang.ProcessHandle.current().pid()}"     // tombstone-masked run
+    val delcDir = s"$tmp/graft_ivfpq_delc_${h}_p${java.lang.ProcessHandle.current().pid()}"   // compacted run
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$delDir/tombstones")),
       "masked run must still carry its tombstones")

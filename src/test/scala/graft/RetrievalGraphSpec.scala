@@ -98,7 +98,7 @@ class RetrievalGraphSpec extends SparkSpec {
     RetrievalOps.bm25Updated(spark, tiny).count(): Unit
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upd_$h"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upd_${h}_p${java.lang.ProcessHandle.current().pid()}"
     val lens = spark.read.parquet(s"$dir/doclens")
     val dupes = lens.groupBy("doc_id").count().filter(col("count") > 1)
     assert(dupes.isEmpty, s"doclens must be one row per doc: " +
@@ -216,13 +216,13 @@ class RetrievalGraphSpec extends SparkSpec {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(tiny.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val tmp = System.getProperty("java.io.tmpdir")
-    assert(new java.io.File(s"$tmp/graft_bm25_del_$h/tombstones").exists(),
+    assert(new java.io.File(s"$tmp/graft_bm25_del_${h}_p${java.lang.ProcessHandle.current().pid()}/tombstones").exists(),
       "masked run must still carry tombstones")
-    assert(!new java.io.File(s"$tmp/graft_bm25_delc_$h/tombstones").exists(),
+    assert(!new java.io.File(s"$tmp/graft_bm25_delc_${h}_p${java.lang.ProcessHandle.current().pid()}/tombstones").exists(),
       "compaction must clear the tombstone store")
     // no victim doc may survive physically, in postings or the doc-keyed
     // length sidecar; the aggregated stats row must equal the survivors'
-    val delc = s"$tmp/graft_bm25_delc_$h"
+    val delc = s"$tmp/graft_bm25_delc_${h}_p${java.lang.ProcessHandle.current().pid()}"
     assert(spark.read.parquet(s"$delc/postings")
       .filter(col("doc_id") % 7 === 3).count() === 0)
     assert(spark.read.parquet(s"$delc/doclens")
