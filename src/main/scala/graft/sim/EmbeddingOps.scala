@@ -1873,16 +1873,79 @@ object EmbeddingOps {
       java.nio.file.Paths.get(s"$indexDir/_fingerprint"), datasetFingerprint(d))
   }
 
+  /** Clamp-rate retrain trigger: the fraction of appended COORDINATES
+    * that saturate the stored 8-bit range. In-distribution arrivals sit
+    * near zero (an arrival coordinate can exceed the training slice's
+    * range only at the distribution's edge); a shifted arrival
+    * distribution saturates codes wholesale — silently, because clamped
+    * codes are still valid codes and every exactness gate reproduces
+    * them. Past this threshold the maintenance window should RETRAIN
+    * (min/max is ONE aggregate — the cheapest retrain in the engine)
+    * instead of appending: the SQ8 sibling of the k-means store's
+    * mean-distance drift ratio.
+    */
+  private[graft] val SQ8_CLAMP_RETRAIN = 0.05
+
   /** Append an arrival batch: encode ONLY the new rows under the stored
     * min/max (no retraining — the contract every index family here
     * keeps), written as a new batch partition so the write is O(batch).
+    *
+    * Returns the batch's CLAMP RATE (see [[SQ8_CLAMP_RETRAIN]]) — one
+    * extra O(|batch|) pass, the monitor the retrain decision reads.
     */
   private[graft] def appendSq8Index(s: SparkSession, newRows: DataFrame,
-      indexDir: String, batchId: Long): Unit = {
+      indexDir: String, batchId: Long): Double = {
     val mm = s.read.parquet(s"$indexDir/minmax")
     sq8CodesOfBase(newRows, mm).withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$indexDir/codes")
+    val clamped = s"aggregate(transform(sequence(1, $DIM), i -> " +
+      "CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) < element_at(mns, i) " +
+      "OR CAST(element_at(embedding, i) AS DOUBLE) > element_at(mxs, i) " +
+      "THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+    val r = newRows.crossJoin(broadcast(mm))
+      .selectExpr(s"$clamped AS nc")
+      .agg(sum(col("nc")).cast("double").as("c"),
+        count(lit(1)).cast("double").as("n"))
+      .head()
+    if (r.getDouble(1) == 0.0) 0.0 else r.getDouble(0) / (r.getDouble(1) * DIM)
+  }
+
+  /** The drift construction for the retrain gate: arrival vectors
+    * TRANSLATED +2 on every coordinate — a deterministic float
+    * transform the oracle replicates exactly (x + 2 is exact in double
+    * for any float x, so the round-to-float agrees across engines).
+    * Translation, not scaling, on purpose: it saturates every arrival
+    * coordinate far outside the build slice's trained range (the
+    * monitor must fire) while preserving all distances WITHIN the
+    * shifted population — so when the traffic shifts with the data,
+    * the true neighbors of a shifted query are exactly the shifted
+    * arrivals, and serving them off the stale training visibly
+    * collapses recall (RecallBench's sq8_shifted_* rows). A scale-3×
+    * drift also fires the monitor but moves the arrivals AWAY from any
+    * query in L2, hiding the damage.
+    */
+  private def sq8DriftBase(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).select("vec_id", "embedding").withColumn("embedding",
+      when(IncrArrival, expr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 2.0 AS FLOAT))"))
+        .otherwise(col("embedding")))
+
+  /** The retrain-on-drift lifecycle gated end to end: build on the 9/10
+    * slice, append the deliberately-shifted arrivals, read the clamp
+    * monitor, and — because the shifted batch saturates far past the
+    * threshold — RETRAIN on the corpus as modified and re-encode. The
+    * monitor IS the gate: the oracle re-derives min/max over the FULL
+    * modified corpus, so a silent monitor (serve off the stale
+    * training) hash-fails rather than passing quietly.
+    */
+  def annSq8Retrain(s: SparkSession, d: String): DataFrame = {
+    val dir = sq8LifecycleDir(d, "retrain")
+    val base = sq8DriftBase(s, d)
+    buildSq8IndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
+    val clamp = appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L)
+    if (clamp > SQ8_CLAMP_RETRAIN) buildSq8IndexOn(s, base, base, dir)
+    annSq8Indexed(s, d, dir)
   }
 
   /** Serve from the persisted index: read the stored min/max row and
@@ -1914,7 +1977,7 @@ object EmbeddingOps {
     val dir = sq8LifecycleDir(d, "incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildSq8IndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
-    appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L)
+    appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L): Unit
     annSq8Indexed(s, d, dir)
   }
 
@@ -1928,7 +1991,7 @@ object EmbeddingOps {
     val dir = sq8LifecycleDir(d, "del")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildSq8IndexOn(s, base.filter(!IncrArrival), base.filter(!IncrArrival), dir)
-    appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L)
+    appendSq8Index(s, base.filter(IncrArrival), dir, batchId = 0L): Unit
     deleteIvfPq(s, base.filter(DeleteVictims).select("vec_id"), dir, batchId = 1L)
     annSq8Indexed(s, d, dir)
   }
@@ -2360,6 +2423,10 @@ object EmbeddingOps {
     "q_ann_sq8_incr_stream" ->
       (graft.streaming.Streams.sq8IndexStreamed _),
     "q_ann_sq8_delete" -> (annSq8Deleted _),
+    // retrain-on-drift: shifted arrivals saturate the stored range, the
+    // clamp monitor fires, and the store retrains + re-encodes — the
+    // oracle re-derives the NEW training over the modified corpus
+    "q_ann_sq8_retrain" -> (annSq8Retrain _),
     // the composed coarse-route + in-cell SQ8 ranking: cell-pruned
     // search at the near-exact quantizer's recall
     "q_ann_ivfsq8" ->
@@ -3075,6 +3142,7 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_sq8_incr_stream" -> annSq8IncrOracle,
     // slice-trained lifecycle, probe over the tombstone survivors
     "q_ann_sq8_delete" -> annSq8DeleteOracle,
+    "q_ann_sq8_retrain" -> annSq8RetrainOracle,
     // both trainings + assignment + routing + in-cell recon ranking
     "q_ann_ivfsq8" -> annIvfSq8Oracle,
     // the partition-pruned serve must be bit-identical — same oracle
@@ -3163,9 +3231,21 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * slice), uniform codes, bin-center reconstructions — the DuckDB
     * re-derivation of everything [[buildSq8IndexOn]] persists.
     */
-  private def sq8Ctes(trainWhere: String): String =
-    s"""sqbase AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
-  FROM embeddings),
+  /** The drift-gate base in SQL: arrivals translated +2 (exact-in-double
+    * float add, so both engines round to the same float) — the DuckDB
+    * twin of [[sq8DriftBase]].
+    */
+  private def sq8DriftBaseCte: String =
+    s"""sqbase AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  CASE WHEN vec_id % 10 = 9
+    THEN list_transform(embedding, x -> CAST(x::DOUBLE + 2.0 AS FLOAT))
+    ELSE embedding END AS embedding
+  FROM embeddings)"""
+
+  private def sq8Ctes(trainWhere: String,
+      baseCte: String = s"""sqbase AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+  FROM embeddings)"""): String =
+    s"""$baseCte,
 sqdims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
     max(embedding[i]::DOUBLE) AS mx
   FROM (SELECT * FROM sqbase $trainWhere), range(1, ${DIM + 1}) t(i)
@@ -3209,6 +3289,17 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   private def annSq8IncrOracle: String =
     annSq8OracleFrom("WHERE vec_id % 10 <> 9", "TRUE")
+
+  /** Retrain-on-drift oracle: the MODIFIED corpus (arrivals shifted 3×),
+    * min/max re-derived over ALL of it — what the store must serve after
+    * the clamp monitor fires and the retrain re-encodes. A serve off the
+    * stale slice training cannot match this.
+    */
+  private def annSq8RetrainOracle: String =
+    s"""WITH ${sq8Ctes("", sq8DriftBaseCte)}
+SELECT query_id, vizinho, adist, rank FROM (
+${sq8RankedSims("TRUE")})
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   private def annSq8DeleteOracle: String =
     annSq8OracleFrom("WHERE vec_id % 10 <> 9",

@@ -173,6 +173,61 @@ object RecallBench {
       per.sum.toDouble / per.length
     }
 
+    // SQ8 under distribution drift (r16): the whole distribution moves
+    // (arrivals AND the query traffic translated +2 per coordinate —
+    // distance-preserving within the shifted population, so the shifted
+    // queries' true neighbors are exactly the shifted arrivals). Serving the new
+    // traffic off the stale training is the silent failure mode the
+    // clamp monitor exists to catch: the shifted arrivals' codes
+    // saturate at the stored range, their reconstructions collapse to
+    // the range boundary, and the new queries' true (L2) neighbors —
+    // which are those very arrivals — become unrankable. The monitor
+    // fires (rate ≫ 5% threshold) and the retrain (one min/max
+    // aggregate + re-encode) restores recall. Truth here is exact L2
+    // over the modified corpus with the shifted queries.
+    locally {
+      val shiftExpr =
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 2.0 AS FLOAT))"
+      val arrival = col("vec_id") % 10 === 9
+      val shifted = base.withColumn("embedding",
+        when(arrival, expr(shiftExpr)).otherwise(col("embedding")))
+      val qShift = shifted.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          expr(shiftExpr).as("q_emb"))
+      val truthShift = EmbeddingOps.rankViaTopK(spark,
+        broadcast(qShift).crossJoin(shifted)
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"),
+            (-graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("embedding")))
+              .as("sim"),
+            col("vec_id"))).cache()
+      truthShift.count(): Unit
+      def sq8ServeWith(dir: String): DataFrame = {
+        val mm = spark.read.parquet(s"$dir/minmax")
+        val codes = spark.read.parquet(s"$dir/codes").select("vec_id", "codes")
+        EmbeddingOps.rankViaTopK(spark,
+          codes.crossJoin(broadcast(mm)).crossJoin(broadcast(qShift))
+            .filter(col("query_id") =!= col("vec_id"))
+            .select(col("query_id"),
+              (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
+                col("codes"), col("mns"), col("mxs"), 255)).as("sim"),
+              col("vec_id")))
+      }
+      val stale = s"/tmp/graft_recall_sq8_stale_${System.nanoTime()}"
+      row("sq8_shifted_noretrain", truthShift) {
+        EmbeddingOps.buildSq8IndexOn(spark,
+          shifted.filter(!arrival), shifted.filter(!arrival), stale)
+        out("sq8_shifted_clamp_rate") =
+          EmbeddingOps.appendSq8Index(spark, shifted.filter(arrival), stale, 0L)
+        sq8ServeWith(stale)
+      }
+      val retr = s"/tmp/graft_recall_sq8_retrain_${System.nanoTime()}"
+      row("sq8_shifted_retrained", truthShift) {
+        EmbeddingOps.buildSq8IndexOn(spark, shifted, shifted, retr)
+        sq8ServeWith(retr)
+      }
+    }
+
     // the refine-depth frontier — the lever that actually climbs on a
     // distance-concentrated corpus (unit vectors; 5th-vs-6th neighbor
     // gaps ~0.003 on distances ~1.1, so compressed-domain ranking is

@@ -113,4 +113,31 @@ class Sq8Spec extends SparkSpec {
     assert(r >= 0.9, s"SQ8 without refine must stay near-exact vs L2 truth, " +
       s"got recall@5 = $r")
   }
+
+  test("clamp monitor: silent in distribution, fires on a shifted batch") {
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq8_drift").toString
+    EmbeddingOps.buildSq8IndexOn(spark,
+      base.filter(!arrival), base.filter(!arrival), dir)
+    // in-distribution arrivals: a coordinate clamps only when it falls
+    // outside the 9/10 training slice's range — the distribution's edge
+    val inDist = EmbeddingOps.appendSq8Index(spark,
+      base.filter(arrival), dir, batchId = 0L)
+    assert(inDist < EmbeddingOps.SQ8_CLAMP_RETRAIN,
+      s"in-distribution clamp rate $inDist must sit below the retrain " +
+        s"threshold ${EmbeddingOps.SQ8_CLAMP_RETRAIN}")
+    // the same batch translated +2: every coordinate saturates — the
+    // monitor must fire well past the threshold (the retrain gate
+    // depends on it)
+    val shifted = base.filter(arrival).withColumn("embedding",
+      expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 2.0 AS FLOAT))"))
+    val drifted = EmbeddingOps.appendSq8Index(spark, shifted, dir, batchId = 1L)
+    assert(drifted > EmbeddingOps.SQ8_CLAMP_RETRAIN,
+      s"shifted-batch clamp rate $drifted must exceed the retrain " +
+        s"threshold ${EmbeddingOps.SQ8_CLAMP_RETRAIN}")
+    assert(drifted > inDist, "drift must be ordered above in-distribution")
+  }
 }
