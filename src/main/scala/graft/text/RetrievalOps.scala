@@ -128,6 +128,152 @@ object RetrievalOps {
     bm25Serve(s, postings, stats)
   }
 
+  // --------------------------------------------- WAND / MaxScore pruning
+
+  /** Per-term serving metadata for WAND-style pruned top-k (Broder et
+    * al. 2003; the MaxScore batch variant implemented here): each term's
+    * document frequency and its score UPPER BOUND — the max per-posting
+    * BM25 contribution under the build-time stats. |vocab| rows of three
+    * columns, term-bucketed like the postings so a query's serve reads
+    * only its terms' buckets. Derived at BUILD time (a real index stores
+    * this beside the postings); a mutated store (append/delete) must
+    * refresh it before the pruned serve is used — the exhaustive serve
+    * stays correct regardless.
+    */
+  private def termMetaOf(postings: DataFrame, stats: DataFrame): DataFrame = {
+    val dfx = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(dfx, Seq("term")).crossJoin(broadcast(stats))
+      .selectExpr("term", "df",
+        s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+      .groupBy("term", "df").agg(max("sc").as("ub"))
+  }
+
+  /** The MaxScore-pruned serve, bit-equal to the exhaustive ranking by
+    * construction:
+    *
+    *  1. HEAD pass — score every query term's postings EXCEPT the
+    *     query's weakest term (minimum stored upper bound). The k-th
+    *     best per-doc partial SUM is a valid lower bound θ̂ of the true
+    *     k-th best score (every term contribution is positive, so a
+    *     partial sum never exceeds the full score);
+    *  2. TAIL pass — the weakest term's postings are scored only for
+    *     docs the head pass already touched WHEN its upper bound sits
+    *     below θ̂: a doc matching ONLY that term scores ≤ ub < θ̂ and
+    *     cannot rank. (θ̂ absent, or ub ≥ θ̂ ⇒ no pruning — degrades to
+    *     exhaustive, still exact.)
+    *  3. the fold/rank tail runs over head ∪ tail rows — head scores
+    *     are REUSED, never recomputed, so the per-(query, doc, term)
+    *     score evaluations are strictly fewer than exhaustive whenever
+    *     any tail-only doc was pruned ([[bm25WandCounts]], pinned in
+    *     the spec).
+    *
+    * df for scoring is derived at read time exactly as the exhaustive
+    * serve derives it, so matched scores are bit-identical; the stored
+    * meta upper bounds only drive pruning.
+    */
+  private def bm25WandServe(s: SparkSession, raw: DataFrame,
+      stats: DataFrame, meta: DataFrame): DataFrame = {
+    val (head, tail) = bm25WandParts(s, raw, stats, meta)
+    import org.apache.spark.sql.expressions.Window
+    head.unionByName(tail).groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("tsc"))
+      .selectExpr("query_id", "doc_id",
+        "aggregate(transform(tsc, p -> p.sc), CAST(0 AS DOUBLE), (s, v) -> s + v) AS score")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= TOPK)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The pruning pipeline shared by the serve and the counted-postings
+    * audit: (head-pass scored rows, pruned tail-pass scored rows) —
+    * their union is the fold input, their row counts the evaluations
+    * paid.
+    */
+  private def bm25WandParts(s: SparkSession, raw: DataFrame,
+      stats: DataFrame, meta: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val qmeta = broadcast(q).join(meta.select("term", "ub"), Seq("term"))
+    val weakest = qmeta
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("ub"), desc("term"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("term"), col("ub").as("w_ub"))
+    val headTerms = qmeta
+      .join(weakest.select("query_id", "term"),
+        Seq("query_id", "term"), "left_anti")
+      .select("query_id", "term")
+    val dfx = raw.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = raw.join(dfx, Seq("term"))
+    def scoreOf(qt: DataFrame): DataFrame =
+      broadcast(qt).join(postings, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .selectExpr("query_id", "doc_id", "term",
+          s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+    val head = scoreOf(headTerms)
+    val theta = head.groupBy("query_id", "doc_id").agg(sum("sc").as("part"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("part"), asc("doc_id"))))
+      .filter(col("rk") === TOPK)
+      .select(col("query_id"), col("part").as("theta"))
+    // the weakest term's postings, restricted BEFORE the score
+    // expression runs: when θ̂ prunes, only head-touched docs survive
+    val wdec = weakest.join(theta, Seq("query_id"), "left")
+    val headDocs = head.select("query_id", "doc_id").distinct()
+      .withColumn("in_head", lit(true))
+    val tail = broadcast(wdec).join(postings, Seq("term"))
+      .join(headDocs, Seq("query_id", "doc_id"), "left")
+      .filter(col("theta").isNull || col("w_ub") >= col("theta") ||
+        col("in_head"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id", "term",
+        s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+    (head, tail)
+  }
+
+  /** WAND-pruned top-k served from the persisted index — gated against
+    * the SAME oracle as the exhaustive `q_bm25_topk`: the pruning must
+    * be invisible in the answer.
+    */
+  def bm25Wand(s: SparkSession, d: String): DataFrame =
+    bm25WandServed(s, ensureBm25Index(s, d))
+
+  private[graft] def bm25WandServed(s: SparkSession, dir: String): DataFrame = {
+    val (raw, stats, meta) = bm25WandStores(s, dir)
+    bm25WandServe(s, raw, stats, meta)
+  }
+
+  private def bm25WandStores(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val qterms = bmQueries.flatMap(_._2).distinct
+    val buckets = qterms.map(t => s"abs(hash('$t')) % 16").mkString(", ")
+    (s.read.parquet(s"$dir/postings")
+      .filter(expr(s"tb IN ($buckets)")).drop("tb", "batch"),
+      s.read.parquet(s"$dir/stats"),
+      s.read.parquet(s"$dir/termmeta")
+        .filter(expr(s"tb IN ($buckets)")).drop("tb"))
+  }
+
+  /** Postings-scored accounting for the pruning claim: (exhaustive,
+    * wand) counts of per-(query, doc, term) score evaluations on the
+    * gated query set — wand = champion pass + candidate-restricted full
+    * pass. The spec asserts wand < exhaustive strictly.
+    */
+  private[graft] def bm25WandCounts(s: SparkSession, d: String): (Long, Long) = {
+    import s.implicits._
+    val dir = ensureBm25Index(s, d)
+    val (raw, stats, meta) = bm25WandStores(s, dir)
+    val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val exhaustive = broadcast(q).join(raw, Seq("term")).count()
+    val (champScores, scored) = bm25WandParts(s, raw, stats, meta)
+    (exhaustive, champScores.count() + scored.count())
+  }
+
   /** Persist the inverted index: postings parquet PARTITIONED BY a term
     * hash-bucket (so a query's terms prune to their buckets at read
     * time) + the 1-row stats table. The production shape: built once per
@@ -152,6 +298,12 @@ object RetrievalOps {
     // this 2-column table every delete would pay a full index scan
     postings.select("doc_id", "len").distinct()
       .write.mode("overwrite").parquet(s"$dir/doclens")
+    // per-term (df, upper-bound) sidecar for the WAND-pruned serve —
+    // term-bucketed like the postings so the pruned serve's metadata
+    // read is itself partition-pruned to the query's buckets
+    termMetaOf(postings, stats)
+      .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/termmeta")
   }
 
   /** The served form: score against the persisted index (auto-built once
@@ -159,13 +311,20 @@ object RetrievalOps {
     * store) — bit-identical to the end-to-end form, same oracle. The
     * read plan touches only the term-buckets of the query's terms.
     */
-  def bm25Indexed(s: SparkSession, d: String): DataFrame = {
-    // v2: layout version is part of the path — the fingerprint tracks the
-    // DATA, not the index schema, so a layout change (raw postings,
-    // read-time df) must never read a store built by the old writer
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_v2_" +
+  def bm25Indexed(s: SparkSession, d: String): DataFrame =
+    bm25Served(s, ensureBm25Index(s, d))
+
+  /** The fingerprint-keyed auto-index, built once and atomically
+    * published. v3: layout version is part of the path — the fingerprint
+    * tracks the DATA, not the index schema, so a layout change (v2: raw
+    * postings + read-time df; v3: (tb, batch)-partitioned postings +
+    * the WAND termmeta sidecar) must never read a store built by the
+    * old writer.
+    */
+  private def ensureBm25Index(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_v3_" +
       CurationOps.docsFingerprint(d)
-    bm25Served(s, publishOnce(dir)(buildBm25Index(s, d, _)))
+    publishOnce(dir)(buildBm25Index(s, d, _))
   }
 
   /** Build-once with ATOMIC publish: the store is built into a private
@@ -1033,6 +1192,9 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search_stream" ->
       (graft.streaming.Streams.phraseSearchStreamed _),
     "q_bm25_topk" -> (bm25TopK _),
+    // WAND/MaxScore-pruned serve off the persisted index — same oracle
+    // as the exhaustive form: the pruning must be answer-invisible
+    "q_bm25_wand" -> (bm25Wand _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
     // the index lifecycle's delete third: tombstone-masked serve and
@@ -1062,6 +1224,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_near_param" -> nearParamOracle,
     "q_phrase_search_stream" -> phraseOracle,
     "q_bm25_topk" -> bm25Oracle,
+    "q_bm25_wand" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
     "q_bm25_stream" -> bm25Oracle,

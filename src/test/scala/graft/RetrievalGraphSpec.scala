@@ -444,4 +444,20 @@ class RetrievalGraphSpec extends SparkSpec {
       assert(r.getAs[Double]("med") * 2 == math.rint(r.getAs[Double]("med") * 2))
     }
   }
+
+  test("WAND-pruned serve: ranking identical, strictly fewer postings scored") {
+    // answer-invisibility: the MaxScore pruning must reproduce the
+    // exhaustive ranking bit-for-bit (same scores, same tie-breaks)
+    val wand = RetrievalOps.bm25Wand(spark, tiny).collect().toSeq
+    val full = RetrievalOps.bm25TopK(spark, tiny).collect().toSeq
+    assert(wand == full, "pruning must be answer-invisible")
+    // and it must actually prune: per-(query, doc, term) score
+    // evaluations — champion pass + candidate-restricted full pass —
+    // strictly under the exhaustive count on the gated query set
+    val (exhaustive, pruned) = RetrievalOps.bm25WandCounts(spark, tiny)
+    assert(pruned < exhaustive,
+      s"wand scored $pruned postings vs exhaustive $exhaustive — " +
+        "the pruned serve must score strictly fewer")
+    assert(pruned > 0 && exhaustive > 0, "counts must be exercised")
+  }
 }
