@@ -459,6 +459,74 @@ ORDER BY doc_id"""
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"), col("h"))
   }
 
+  /** Exact repeated-substring MATCH PAIRS across documents — the
+    * ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed Spark-first: every
+    * maximal token run of length ≥ k shared verbatim by two documents,
+    * as (doc_a, doc_b, pos_a, pos_b, n_tokens) with doc_a < doc_b.
+    *
+    * Where the paper builds a corpus-wide suffix array (a global sort),
+    * this uses k-token ANCHOR matches chained along the pos_a − pos_b
+    * DIAGONAL: a shared run of length L contributes an anchor match at
+    * every consecutive pos_a in its range, so a maximal consecutive
+    * anchor chain on one diagonal IS a maximal match — the classic
+    * seed-and-extend identity, with the extension itself falling out of
+    * a gaps-and-islands pass instead of pointer chasing. Distinguished
+    * from [[passageDedup]] (the union of duplicated windows per doc,
+    * partner-agnostic): here consecutive windows must continue in the
+    * SAME partner document at the SAME offset, which is what "repeated
+    * substring" means.
+    *
+    * Scale shape: ONE equi-join shuffle on the 60-bit window hash (the
+    * anchor seed — never all-pairs, never a global sort), then a window
+    * over each (pair, diagonal)'s matched anchors — bounded by matched
+    * volume, not corpus size. The hash stands in for window equality
+    * exactly as in the passage family (the oracle applies the identical
+    * hash, so the gate is structurally bit-exact; at corpus scale a
+    * 60-bit collision admits a false anchor at negligible rate).
+    */
+  def substringDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = passageWindows(s, d, k)
+    val a = g.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
+    val b = g.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))
+    val anchors = a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    anchors
+      .withColumn("grp", col("pos_a") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("pos_a").as("pa"), min("pos_b").as("pb"),
+        (count(lit(1)) + (k - 1)).as("n_tokens"))
+      .selectExpr("doc_a", "doc_b", "CAST(pa AS INTEGER) AS pos_a",
+        "CAST(pb AS INTEGER) AS pos_b", "CAST(n_tokens AS INTEGER) AS n_tokens")
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+  }
+
+  /** [[substringDedup]]'s DuckDB twin: same hash, same anchor join, same
+    * diagonal gaps-and-islands — re-derived from the raw text.
+    */
+  private def substringOracle(k: Int = 8): String =
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
+long AS (SELECT * FROM toks WHERE len(toks) >= $k),
+pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
+flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+  ('0x' || substring(md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')), 1, 15))::BIGINT AS h FROM pos),
+anchors AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM flat a JOIN flat b ON a.h = b.h AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM anchors)
+SELECT doc_a, doc_b, CAST(MIN(pos_a) AS INTEGER) AS pos_a,
+  CAST(MIN(pos_b) AS INTEGER) AS pos_b,
+  CAST(COUNT(*) + ${k - 1} AS INTEGER) AS n_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, grp
+ORDER BY doc_a, doc_b, pos_a, pos_b"""
+
   def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = passageWindows(s, d, k)
@@ -992,6 +1060,9 @@ FROM bucketed ORDER BY doc_id"""
     "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_dedup_simhash64" -> (simhashPairs64(_, _)),
     "q_dedup_passage" -> (passageDedup(_, _)),
+    // exact repeated-substring match pairs (Lee et al. ExactSubstr):
+    // anchor join + diagonal extension, never a global suffix array
+    "q_dedup_substring" -> (substringDedup(_, _)),
     "q_passage_clean" -> (passageClean(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
@@ -1201,6 +1272,7 @@ ORDER BY doc_id""",
       "q_split_leakage_safe_stream" -> splitOracle(clusterCtes),
       "q_dedup_simhash64" -> simhash64Oracle,
       "q_dedup_passage" -> passageOracle(),
+      "q_dedup_substring" -> substringOracle(),
       "q_passage_clean" -> passageCleanOracle(),
       // the streamed ownership state must converge to the batch cut set
       "q_dedup_passage_stream" -> passageCutOracle(),

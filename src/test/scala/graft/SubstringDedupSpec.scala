@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Exact-substring match semantics on constructed cases — the
+  * properties the corpus gate (bit-exact vs the independent DuckDB
+  * re-derivation) cannot isolate:
+  *
+  *  1. a single shared run reports as ONE maximal span with the exact
+  *     start positions and length on both sides;
+  *  2. a one-token interruption splits the run into TWO spans (the
+  *     diagonal chain genuinely requires contiguous agreement — a
+  *     partner-agnostic union of duplicated windows would bridge it);
+  *  3. runs shorter than k report nothing; within-document repeats
+  *     report nothing (cross-document contract).
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  private val K = 8
+
+  /** Stage constructed docs as a documents.parquet dir the operator's
+    * normal loader reads — the real code path, no test-only seam.
+    */
+  private def staged(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_substr_spec").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("one shared run, one maximal span, exact positions and length") {
+    // doc 1: 5 unique tokens, then a 12-token shared run, then filler
+    // doc 2: 2 unique tokens, then the same 12-token run, then filler
+    val run = toks(12, "s")
+    val dir = staged(Seq(
+      1L -> s"${toks(5, "a")} $run ${toks(6, "b")}",
+      2L -> s"${toks(2, "c")} $run ${toks(9, "d")}"))
+    val got = TextOps.substringDedup(spark, dir, K).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq((1L, 2L, 6, 3, 12)),
+      s"expected one (1,2) span at pos 6/3 of 12 tokens, got ${got.toSeq}")
+  }
+
+  test("a one-token interruption splits the match into two spans") {
+    // same 21 tokens on both sides except token 11 differs — two maximal
+    // runs of 10 tokens each; a window union would report one island
+    val left = (1 to 21).map(i => s"s$i").mkString(" ")
+    val right = (1 to 21).map(i => if (i == 11) "XX" else s"s$i").mkString(" ")
+    val dir = staged(Seq(1L -> left, 2L -> right))
+    val got = TextOps.substringDedup(spark, dir, K).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1, 1, 10), (1L, 2L, 12, 12, 10)),
+      s"expected two 10-token spans split at the interruption, got ${got.toSeq}")
+  }
+
+  test("short shared runs and within-document repeats report nothing") {
+    val short = toks(K - 1, "s") // k−1 shared tokens: no anchor window
+    val rep = toks(K + 2, "r")
+    val dir = staged(Seq(
+      1L -> s"$short ${toks(4, "a")}",
+      2L -> s"$short ${toks(4, "b")}",
+      3L -> s"$rep ${toks(3, "c")} $rep")) // within-doc repeat only
+    val got = TextOps.substringDedup(spark, dir, K).collect()
+    assert(got.isEmpty, s"expected no spans, got ${got.toSeq}")
+  }
+}
