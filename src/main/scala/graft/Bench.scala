@@ -48,6 +48,22 @@ object Bench {
     // baseline comparison wants, so it is reported separately below.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val times = mutable.LinkedHashMap.empty[String, Double]
+    // executed-plan fingerprints for the star-build rows, emitted INTO
+    // the artifact (r15 verdict #7): the load-vs-plan-flip question a
+    // future out-of-band row raises is then self-adjudicating — compare
+    // the fingerprint, not precedent
+    val plans = mutable.LinkedHashMap.empty[String, String]
+    def fingerprint(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        val p = df.queryExecution.executedPlan.toString
+        val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+        val so = "(?m)^[^\\n]*\\bSort \\[".r.findAllIn(p).length
+        plans(name) = s"exchanges=$ex sorts=$so " +
+          s"smj=${p.contains("SortMergeJoin")} bhj=${p.contains("BroadcastHashJoin")}"
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fingerprint $name failed: ${e.getMessage}")
+      }
     // names whose rep-1 is the measurement of record (see `time` comment)
     val ColdNames = Set("etl_star_build", "ann_ivfpq_index_compact")
     def time(name: String)(f: => Unit): Unit = {
@@ -490,6 +506,8 @@ object Bench {
       }
       val (bx, bs) = nodeCounts(factB())
       val (sx, ss) = nodeCounts(Star.fatoVendas(spark, sfDir))
+      fingerprint("etl_star_build_bucketed", factB())
+      fingerprint("etl_star_build_shuffled", Star.fatoVendas(spark, sfDir))
       System.err.println(s"[bench] fact plan: bucketed Exchanges=$bx Sorts=$bs, " +
         s"shuffled Exchanges=$sx Sorts=$ss (bucketing must remove the " +
         "header⨝detail Exchange AND its two Sorts; remaining nodes belong " +
@@ -554,6 +572,11 @@ object Bench {
         }
         if (spark.catalog.tableExists("orders_bkt10") &&
             spark.catalog.tableExists("lineitem_bkt10")) {
+          fingerprint("etl_star_build_bucketed_10x",
+            Star.fatoVendasFrom(spark, sf1Dir,
+              spark.table("orders_bkt10"), spark.table("lineitem_bkt10")))
+          fingerprint("etl_star_build_shuffled_10x",
+            Star.fatoVendas(spark, sf1Dir))
           interleaved("etl_star_build_bucketed_10x", "etl_star_build_shuffled_10x") {
             graft.sink.Sink.parquet(
               Star.fatoVendasFrom(spark, sf1Dir,
@@ -585,6 +608,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = times.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val pl = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // failures must not shrink the headline total; _cold duplicates would
     // double-count the ETL phase, and the 10×-data scale rows (_sf1/_10x)
     // measure a DIFFERENT corpus — summing two data scales into one
@@ -594,7 +619,7 @@ object Bench {
         !k.endsWith("_sf1") && !k.endsWith("_10x") => v
     }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the line to a file: two rounds of BENCH data were lost to
     // stdout-scrape failures (BENCH_r01/r02 parsed:null). The driver can
