@@ -300,6 +300,12 @@ object Bench {
     time("q_bm25_served") {
       graft.text.RetrievalOps.bm25Served(spark, bmIdx).count()
     }
+    // the WAND/MaxScore-pruned serve beside the exhaustive one — same
+    // answer, fewer postings scored; runs BEFORE the update mutations
+    // below (the stored term upper bounds are build-time metadata)
+    time("q_bm25_wand_served") {
+      graft.text.RetrievalOps.bm25WandServed(spark, bmIdx).count()
+    }
     // the UPDATE lifecycle's own shapes (r16: the r15 gate-only family
     // priced): tombstone-fold compaction — rewrites ONLY the (tb, batch)
     // partitions holding a victim's rows — and the batch-keyed postings
@@ -391,6 +397,17 @@ object Bench {
     }
     time("q_ann_graph_indexed") {
       graft.sim.EmbeddingOps.annGraphIndexed(spark, sfDir, graphIdx).count()
+    }
+    // partition-scoped maintenance: append a 10% arrival batch — the
+    // touched cells' subgraphs rebuild, everything else untouched
+    locally {
+      import org.apache.spark.sql.functions.col
+      val arrivals = Tables.embeddings(spark, sfDir)
+        .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        .filter(col("vec_id") % 10 === 9)
+      time("ann_graph_index_append") {
+        graft.sim.EmbeddingOps.appendGraphIndex(spark, arrivals, graphIdx, 0L)
+      }
     }
     rmTree(graphIdx)
     rmTree(sq8Idx)

@@ -2275,18 +2275,162 @@ object EmbeddingOps {
     * the scan (PartitionFilters), the same layout contract as the
     * IVF-SQ8 store — plus the one-row-per-cell entry-point table.
     */
-  def buildGraphIndex(s: SparkSession, d: String, indexDir: String): Unit = {
-    val base = corpus(s, d).select("vec_id", "embedding")
+  def buildGraphIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    buildGraphIndexOn(s, corpus(s, d).select("vec_id", "embedding"), indexDir)
+
+  private[graft] def buildGraphIndexOn(s: SparkSession, base: DataFrame,
+      indexDir: String): Unit = {
     val cents = kmeansCentroidsOf(base)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    // vectors carry a second `batch` partition level (-1 = the build),
+    // the shared append convention: arrival batches land in their own
+    // (cell, batch) partitions a replay dynamically overwrites
     asg.select("vec_id", "embedding", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(s"$indexDir/vectors")
     graphEdgesOf(s, asg).select("src", "dst", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/edges")
     graphEntriesOf(asg)
       .write.mode("overwrite").parquet(s"$indexDir/entries")
   }
+
+  /** INCREMENTAL graph maintenance — the property that keeps the oracle
+    * (and the mental model) simple: appending a batch re-derives the
+    * adjacency of ONLY the touched cells, over their full post-append
+    * membership. Untouched cells' subgraphs are already identical to a
+    * fresh build's (their membership didn't change), so the post-append
+    * store state EQUALS a full rebuild of the corpus-as-of-now under the
+    * build-time centroids — no stale half-linked arrivals, no
+    * reachability holes (a pure out-edge append would make arrivals
+    * invisible to the walk: nothing points AT them) — while the write
+    * cost is O(touched cells' membership), not O(corpus). Entries of
+    * touched cells are refreshed the same way.
+    */
+  private[graft] def appendGraphIndex(s: SparkSession, newRows: DataFrame,
+      indexDir: String, batchId: Long): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val asg = graft.Checkpoint.barrier(assignCells(s, newRows, cents))
+    asg.select("vec_id", "embedding", "cell")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch").parquet(s"$indexDir/vectors")
+    val touched = asg.select("cell").distinct().collect()
+      .map(_.getAs[Number]("cell").intValue()).toSeq
+    val members = graft.Checkpoint.barrier(
+      s.read.parquet(s"$indexDir/vectors")
+        .filter(col("cell").isin(touched: _*))
+        .select("vec_id", "embedding", "cell")
+        .join(broadcast(cents), Seq("cell"))
+        .withColumn("dist",
+          graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+        .select("vec_id", "embedding", "cell", "dist"))
+    graphEdgesOf(s, members).select("src", "dst", "cell")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$indexDir/edges")
+    val entries = graft.Checkpoint.barrier(
+      s.read.parquet(s"$indexDir/entries")
+        .filter(!col("cell").isin(touched: _*))
+        .unionByName(graphEntriesOf(members)))
+    entries.write.mode("overwrite").parquet(s"$indexDir/entries")
+  }
+
+  /** Tombstone DELETE for the graph store: ids via the shared tombstone
+    * device ([[deleteIvfPq]] writes, [[tombstonesOf]] reads), plus an
+    * O(touched cells) ENTRY refresh — a dead entry point would orphan
+    * its cell's walk, and recomputing the centroid-nearest survivor
+    * costs only the victims' cells' partitions. Adjacency is left
+    * in place and MASKED at serve (either-endpoint anti-join):
+    * holes where dead neighbors sat, the standard transitional state
+    * until [[compactGraphIndex]] re-links.
+    */
+  private[graft] def deleteGraphIndex(s: SparkSession, ids: DataFrame,
+      indexDir: String, batchId: Long): Unit = {
+    deleteIvfPq(s, ids, indexDir, batchId)
+    val t = tombstonesOf(s, indexDir).get
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val touched = s.read.parquet(s"$indexDir/vectors")
+      .join(broadcast(t), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect()
+      .map(_.getAs[Number]("cell").intValue()).toSeq
+    if (touched.nonEmpty) {
+      val members = graft.Checkpoint.barrier(
+        s.read.parquet(s"$indexDir/vectors")
+          .filter(col("cell").isin(touched: _*))
+          .join(broadcast(t), Seq("vec_id"), "left_anti")
+          .select("vec_id", "embedding", "cell")
+          .join(broadcast(cents), Seq("cell"))
+          .withColumn("dist",
+            graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+          .select("vec_id", "embedding", "cell", "dist"))
+      val entries = graft.Checkpoint.barrier(
+        s.read.parquet(s"$indexDir/entries")
+          .filter(!col("cell").isin(touched: _*))
+          .unionByName(graphEntriesOf(members)))
+      entries.write.mode("overwrite").parquet(s"$indexDir/entries")
+    }
+  }
+
+  /** Fold tombstones physically: rewrite only the (cell, batch) vector
+    * partitions holding a victim, REBUILD the touched cells' adjacency
+    * over the survivors (re-linking across the holes the masked state
+    * leaves — which is why the compacted serve is gated by its own
+    * oracle: survivor-kNN edges, not hole-masked build edges), refresh
+    * entries, clear tombstones. All partition-scoped: O(touched), not
+    * O(corpus).
+    */
+  private[graft] def compactGraphIndex(s: SparkSession, indexDir: String): Unit =
+    tombstonesOf(s, indexDir).foreach { t =>
+      val cents = s.read.parquet(s"$indexDir/centroids")
+      val vecs = s.read.parquet(s"$indexDir/vectors")
+      val affected = vecs.join(broadcast(t), Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      if (affected.nonEmpty) {
+        val pairCond = affected
+          .map { case (c, b) => s"(cell = $c AND batch = ${b}L)" }
+          .mkString(" OR ")
+        val kept = graft.Checkpoint.barrier(
+          s.read.parquet(s"$indexDir/vectors").filter(expr(pairCond))
+            .join(broadcast(t), Seq("vec_id"), "left_anti"))
+        val survivingPairs = kept
+          .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "batch").parquet(s"$indexDir/vectors")
+        (affected.toSet -- survivingPairs).foreach { case (c, b) =>
+          val dead =
+            java.nio.file.Paths.get(s"$indexDir/vectors/cell=$c/batch=$b")
+          if (java.nio.file.Files.exists(dead)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dead).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+        val touched = affected.map(_._1).distinct
+        val members = graft.Checkpoint.barrier(
+          s.read.parquet(s"$indexDir/vectors")
+            .filter(col("cell").isin(touched: _*))
+            .select("vec_id", "embedding", "cell")
+            .join(broadcast(cents), Seq("cell"))
+            .withColumn("dist",
+              graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+            .select("vec_id", "embedding", "cell", "dist"))
+        graphEdgesOf(s, members).select("src", "dst", "cell")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$indexDir/edges")
+        val entries = graft.Checkpoint.barrier(
+          s.read.parquet(s"$indexDir/entries")
+            .filter(!col("cell").isin(touched: _*))
+            .unionByName(graphEntriesOf(members)))
+        entries.write.mode("overwrite").parquet(s"$indexDir/entries")
+      }
+      val tdir = java.nio.file.Paths.get(s"$indexDir/tombstones")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tdir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
 
   /** Beam search served from the persisted graph: queries route against
     * the stored centroids (same (dist, cell) tie-break as the build's
@@ -2294,7 +2438,16 @@ object EmbeddingOps {
     * of them — prune the vectors and edges scans to the routed
     * partitions, and the walk itself is the shared [[graphBeamServe]].
     */
-  def annGraphIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+  def annGraphIndexed(s: SparkSession, d: String, indexDir: String): DataFrame =
+    annGraphIndexedMaybeMasked(s, d, indexDir, masked = false)
+
+  /** Tombstone-masked serve: candidates AND edges (either endpoint) are
+    * anti-joined against the tombstone set before the walk — the
+    * transitional hole-y graph state between a delete and its
+    * compaction; entries were refreshed by the delete itself.
+    */
+  private def annGraphIndexedMaybeMasked(s: SparkSession, d: String,
+      indexDir: String, masked: Boolean): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
     val q = corpus(s, d).select("vec_id", "embedding")
       .filter(col("vec_id") < N_QUERIES)
@@ -2307,7 +2460,17 @@ object EmbeddingOps {
       .filter(col("rk") === 1)
       .select(col("query_id"), col("q_emb"), col("cell"))
     val cells = routed.select("cell").distinct().collect().map(_.getInt(0))
-    val (vecs, edges) = graphPrunedStore(s, indexDir, cells.toSeq)
+    val (vecs0, edges0) = graphPrunedStore(s, indexDir, cells.toSeq)
+    val (vecs, edges) =
+      if (masked) tombstonesOf(s, indexDir) match {
+        case Some(t) =>
+          (vecs0.join(broadcast(t), Seq("vec_id"), "left_anti"),
+            edges0
+              .join(broadcast(t.toDF("src")), Seq("src"), "left_anti")
+              .join(broadcast(t.toDF("dst")), Seq("dst"), "left_anti"))
+        case None => (vecs0, edges0)
+      }
+      else (vecs0, edges0)
     val entries = s.read.parquet(s"$indexDir/entries")
     graphBeamServe(s, routed, vecs, edges, entries)
   }
@@ -2326,6 +2489,51 @@ object EmbeddingOps {
     */
   def annGraphIndexedAuto(s: SparkSession, d: String): DataFrame =
     autoIndexed(d, "_graph", buildGraphIndex(s, d, _), annGraphIndexed(s, d, _))
+
+  /** The incremental lifecycle gated: graph built on 9/10 of the
+    * corpus, the arriving 1/10 cell-appended with the touched cells'
+    * subgraphs re-derived — the oracle is the FULL fresh build under
+    * the slice-trained centroids, so a hash match proves the
+    * partition-scoped append leaves no seam (no stale adjacency, no
+    * unreachable arrivals).
+    */
+  def annGraphIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_incr")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    annGraphIndexed(s, d, dir)
+  }
+
+  /** build → append → tombstone-delete → serve MASKED: the walk runs
+    * over the hole-y graph (dead nodes and their edges dropped, no
+    * re-linking), entries already refreshed by the delete.
+    */
+  def annGraphDeleted(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_del")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteGraphIndex(s, base.filter(DeleteVictims).select("vec_id"), dir,
+      batchId = 1L)
+    annGraphIndexedMaybeMasked(s, d, dir, masked = true)
+  }
+
+  /** Same lifecycle + physical compaction: touched cells' adjacency is
+    * REBUILT over the survivors (re-linking across the holes), so this
+    * gate carries its own oracle — survivor-kNN edges, which can
+    * legitimately answer differently from the masked walk.
+    */
+  def annGraphDeletedCompacted(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_delc")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteGraphIndex(s, base.filter(DeleteVictims).select("vec_id"), dir,
+      batchId = 1L)
+    compactGraphIndex(s, dir)
+    annGraphIndexed(s, d, dir)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (annIvf _),
@@ -2444,7 +2652,13 @@ object EmbeddingOps {
     // not with a fixed c-deep shortlist; self-contained and served off
     // the persisted cell-partitioned adjacency
     "q_ann_graph" -> (annGraph _),
-    "q_ann_graph_indexed" -> (annGraphIndexedAuto _))
+    "q_ann_graph_indexed" -> (annGraphIndexedAuto _),
+    // graph lifecycle: partition-scoped append (touched-cell subgraph
+    // rebuild == full fresh build, the seam-free invariant the oracle
+    // checks), tombstone-masked hole-y serve, survivor-kNN compaction
+    "q_ann_graph_incr" -> (annGraphIncr _),
+    "q_ann_graph_delete" -> (annGraphDeleted _),
+    "q_ann_graph_delete_compact" -> (annGraphDeletedCompacted _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
     * (assignment under the previous centroids, exact-integer means), so
@@ -3157,7 +3371,16 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_graph" -> graphOracle,
     // routed against the stored centroids with identical tie-breaks, so
     // the partition-pruned serve gates against the same oracle
-    "q_ann_graph_indexed" -> graphOracle)
+    "q_ann_graph_indexed" -> graphOracle,
+    // the seam-free append: oracle = full fresh build, slice-trained
+    "q_ann_graph_incr" -> graphOracleFrom(graphIncrKCtes, "TRUE", false),
+    // masked walk over the hole-y graph: full-membership kNN edges,
+    // endpoint-masked; candidates/entries/queries from the survivors
+    "q_ann_graph_delete" ->
+      graphOracleFrom(graphIncrKCtes, graphSurvWhere, false),
+    // compacted: adjacency re-derived over survivors (re-linked holes)
+    "q_ann_graph_delete_compact" ->
+      graphOracleFrom(graphIncrKCtes, graphSurvWhere, true))
 
   /** The graph-ANN oracle: full re-derivation in SQL. `fin` is the
     * trained serving assignment (with norms); `edges` the per-cell kNN
@@ -3167,15 +3390,35 @@ FROM embeddings ORDER BY vec_id""",
     * serve loop's anti-join dedupe — and the answer is the top-k of the
     * final visited set, self excluded.
     */
-  private def graphOracle: String = {
+  private def graphOracle: String = graphOracleFrom(kmeansCtes, "TRUE", false)
+
+  /** Slice-trained Lloyd chain shared by the graph lifecycle oracles. */
+  private def graphIncrKCtes: String = kmeansCtesTrainedOn("ktrain",
+    "ktrain AS (SELECT * FROM kbase WHERE vec_id % 10 <> 9),\n")
+
+  /** The delete-victim survivor predicate over a fin row alias. */
+  private def graphSurvWhere: String =
+    s"NOT (vec_id % 5 = 4 AND vec_id >= $N_QUERIES)"
+
+  /** The graph oracle, parameterized for the lifecycle states:
+    * `surviving` filters the candidate/entry/query universe (TRUE for
+    * fresh/incr); `edgesOverSurvivors` picks the adjacency universe —
+    * false = kNN over FULL membership then endpoint-masked (the hole-y
+    * post-delete state), true = kNN re-derived over survivors (the
+    * compacted state). For surviving = TRUE the endpoint mask is an
+    * identity join, so ONE template covers all five gate states.
+    */
+  private def graphOracleFrom(kCtes: String, surviving: String,
+      edgesOverSurvivors: Boolean): String = {
     val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
     val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
+    val edgeBase = if (edgesOverSurvivors) "surv" else "fin"
     val hops = (1 to GRAPH_H).map { h =>
       s"""b${h - 1} AS MATERIALIZED (
   SELECT query_id, vec_id FROM (
     SELECT v.query_id, v.vec_id,
            row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS rk
-    FROM v${h - 1} v JOIN fin f ON v.vec_id = f.vec_id
+    FROM v${h - 1} v JOIN surv f ON v.vec_id = f.vec_id
     JOIN qset q ON v.query_id = q.query_id)
   WHERE rk <= $GRAPH_B
 ),
@@ -3185,7 +3428,7 @@ v$h AS MATERIALIZED (
   SELECT b.query_id, e.dst AS vec_id FROM b${h - 1} b JOIN edges e ON b.vec_id = e.src
 )"""
     }.mkString(",\n")
-    s"""WITH $kmeansCtes,
+    s"""WITH $kCtes,
 fin AS MATERIALIZED (
   SELECT vec_id, embedding, cell,
          ${normDuck("embedding")} AS nrm FROM (
@@ -3195,24 +3438,29 @@ fin AS MATERIALIZED (
     FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
   WHERE rn = 1
 ),
+surv AS MATERIALIZED (SELECT * FROM fin WHERE $surviving),
 edges AS MATERIALIZED (
   SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
-    FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-  WHERE rk <= $GRAPH_R
+    SELECT e.src, e.dst FROM (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
+        FROM $edgeBase a JOIN $edgeBase b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      WHERE rk <= $GRAPH_R) e
+    JOIN surv sa ON e.src = sa.vec_id
+    JOIN surv sb ON e.dst = sb.vec_id)
 ),
 entries AS MATERIALIZED (
   SELECT cell, vec_id FROM (
     SELECT f.cell, f.vec_id,
            row_number() OVER (PARTITION BY f.cell ORDER BY
              ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
-    FROM fin f JOIN cent$KMEANS_ITERS c ON f.cell = c.cell)
+    FROM surv f JOIN cent$KMEANS_ITERS c ON f.cell = c.cell)
   WHERE rk = 1
 ),
 qset AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qnrm, cell
-  FROM fin WHERE vec_id < $N_QUERIES
+  FROM surv WHERE vec_id < $N_QUERIES
 ),
 v0 AS MATERIALIZED (
   SELECT q.query_id, e.vec_id FROM qset q JOIN entries e ON q.cell = e.cell
@@ -3221,7 +3469,7 @@ $hops
 SELECT query_id, vizinho, sim, rank FROM (
   SELECT v.query_id, v.vec_id AS vizinho, $simQ AS sim,
          CAST(row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS INTEGER) AS rank
-  FROM v$GRAPH_H v JOIN fin f ON v.vec_id = f.vec_id
+  FROM v$GRAPH_H v JOIN surv f ON v.vec_id = f.vec_id
   JOIN qset q ON v.query_id = q.query_id
   WHERE v.query_id <> v.vec_id)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""

@@ -172,6 +172,12 @@ object RecallBench {
         .groupBy("query_id").count().collect().map(_.getLong(1))
       per.sum.toDouble / per.length
     }
+    // the churn question, graph edition: the masked hole-y walk and the
+    // compacted re-linked walk, each vs survivor truth
+    row("graph_churned", truthSurv) { EmbeddingOps.annGraphDeleted(spark, sfDir) }
+    row("graph_churned_compacted", truthSurv) {
+      EmbeddingOps.annGraphDeletedCompacted(spark, sfDir)
+    }
 
     // SQ8 under distribution drift (r16): the whole distribution moves
     // (arrivals AND the query traffic translated +2 per coordinate —

@@ -77,6 +77,49 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle: arrivals linked BOTH ways; delete refreshes entries; compact purges") {
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_graph_lc").toString
+    EmbeddingOps.buildGraphIndexOn(spark, base.filter(!arrival), dir)
+    EmbeddingOps.appendGraphIndex(spark, base.filter(arrival), dir, 0L)
+    val arrivals = base.filter(arrival).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val vecIds = spark.read.parquet(s"$dir/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(arrivals.subsetOf(vecIds), "every arrival must be stored")
+    // the reachability prerequisite a pure out-edge append would break:
+    // arrivals must appear as edge DESTINATIONS (something points at
+    // them) as well as sources — the touched-cell rebuild guarantees it
+    val e = spark.read.parquet(s"$dir/edges").select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(arrivals.exists(a => e.exists(_._1 == a)),
+      "arrivals must have out-edges")
+    assert(arrivals.exists(a => e.exists(_._2 == a)),
+      "arrivals must be pointed AT — otherwise the walk can never find them")
+    // delete: entries must never name a victim (a dead entry orphans
+    // its cell's walk)
+    val victims = base.filter(EmbeddingOps.DeleteVictims).select("vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    EmbeddingOps.deleteGraphIndex(spark, victims, dir, 1L)
+    val entryIds = spark.read.parquet(s"$dir/entries").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(entryIds.intersect(victimIds).isEmpty,
+      "delete must refresh entries off the victims")
+    // compact: tombstones cleared, no victim row survives physically
+    EmbeddingOps.compactGraphIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must clear the tombstone store")
+    val vAfter = spark.read.parquet(s"$dir/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(vAfter.intersect(victimIds).isEmpty, "no victim vector survives")
+    val eAfter = spark.read.parquet(s"$dir/edges").select("src", "dst")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(eAfter.intersect(victimIds).isEmpty, "no victim edge survives")
+  }
+
   test("persisted serve: bit-identical, store reads partition-pruned") {
     val dir = s"/tmp/graft_graph_spec_${System.nanoTime()}"
     EmbeddingOps.buildGraphIndex(spark, tiny, dir)
