@@ -2062,6 +2062,59 @@ object EmbeddingOps {
         col("vec_id"))
   }
 
+  /** IVF·SQ8 with PER-CELL min/max training — the per-partition lever
+    * the drift measurement motivates (BENCH.md §SQ8 distribution
+    * drift): a GLOBAL uniform quantizer over a bimodal corpus spans
+    * both populations and pays ~|range|/256 error everywhere, while
+    * per-cell ranges stay tight around each population (the coarse
+    * quantizer separates them — that is what it is for). Same
+    * residual-style idea as per-cell PQ codebooks, at scalar-quantizer
+    * cost: training is one (cell, dim)-keyed min/max aggregate.
+    * Serve routes the query to its cell and ranks candidates through
+    * the fused kernel under THAT cell's row.
+    */
+  def annIvfSq8Cell(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val q = base.filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    ivfSq8CellServeOver(s, base, q)
+  }
+
+  /** The per-cell-trained serve over explicit base/queries — shared by
+    * the gate and RecallBench's drift rows (which feed the shifted
+    * bimodal corpus + shifted traffic through it).
+    */
+  private[graft] def ivfSq8CellServeOver(s: SparkSession, base: DataFrame,
+      q: DataFrame): DataFrame = {
+    val cents = kmeansCentroidsOf(base)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+      .select("vec_id", "embedding", "cell")
+    val mmCell = graft.Checkpoint.barrier(asg
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("a"),
+        array_sort(collect_list(struct(col("i"), col("mx")))).as("b"))
+      .selectExpr("cell", "transform(a, p -> p.mn) AS mns",
+        "transform(b, p -> p.mx) AS mxs"))
+    val codes = asg.join(broadcast(mmCell), Seq("cell"))
+      .withColumn("codes", expr(sq8CodeX("embedding", "mns", "mxs").spark))
+      .select("vec_id", "cell", "codes")
+    val routed = routeToCell(q, cents, 1)
+    val sims = codes.join(broadcast(routed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(mmCell), Seq("cell"))
+      .select(col("query_id"),
+        (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
+          col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"),
+        col("vec_id"))
+    rankViaTopK(s, sims)
+      .select(col("query_id"), col("vizinho"), (-col("sim")).as("adist"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persist the composed IVF·SQ8 index: coarse centroids (tiny), the
     * one-row min/max, and the code table `partitionBy(cell)` — the
     * routed probe's scan prunes to its cell's partitions exactly like
@@ -2647,6 +2700,10 @@ object EmbeddingOps {
     // the probe-width recall knob, same as the kmeans family's
     "q_ann_ivfsq8_probe2" ->
       ((s: SparkSession, d: String) => annIvfSq8(s, d, nProbe = 2)),
+    // per-cell min/max training: the per-partition quantizer the drift
+    // measurement motivates (tight ranges per population on a bimodal
+    // corpus, where one global row pays wide-bin error everywhere)
+    "q_ann_ivfsq8_cell" -> (annIvfSq8Cell _),
     // graph ANN: per-cell navigable kNN graph + H-hop beam search — the
     // serving family whose exact reads scale with the walk (≤ 1+H·B·R),
     // not with a fixed c-deep shortlist; self-contained and served off
@@ -3365,6 +3422,7 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_ivfsq8_refined" -> annIvfSq8RefinedOracle,
     // two routed cells per query, same ranked-candidate subselect
     "q_ann_ivfsq8_probe2" -> annIvfSq8Probe2Oracle,
+    "q_ann_ivfsq8_cell" -> annIvfSq8CellOracle,
     // graph ANN: DuckDB re-derives the Lloyd training, the per-cell kNN
     // adjacency, the entry points, and the H-hop beam walk (unrolled,
     // like every trained oracle in this file) — bit-exact
@@ -3591,6 +3649,50 @@ ivrouted AS (
   JOIN ivrouted r ON r.cell = a.cell
   JOIN sqbase q ON q.vec_id = r.query_id
   WHERE r.query_id <> c.vec_id"""
+
+  /** Per-cell min/max oracle: the (cell, dim)-keyed training, encode,
+    * reconstruction, and routed ranking all re-derived — the per-cell
+    * twin of the global-row chain.
+    */
+  private def annIvfSq8CellOracle: String =
+    s"""WITH $kmeansCtes,
+ivfin AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1),
+cellmm AS MATERIALIZED (
+  SELECT cell, list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+    SELECT cell, i, min(embedding[i]::DOUBLE) AS mn,
+           max(embedding[i]::DOUBLE) AS mx
+    FROM ivfin, range(1, ${DIM + 1}) t(i) GROUP BY cell, i)
+  GROUP BY cell),
+sqcellcodes AS MATERIALIZED (SELECT f.vec_id, f.cell,
+  ${sq8CodeX("f.embedding", "m.mns", "m.mxs").duck} AS codes
+  FROM ivfin f JOIN cellmm m USING (cell)),
+sqcellrecon AS MATERIALIZED (SELECT c.vec_id, c.cell,
+  ${sq8ReconX("c.codes", "m.mns", "m.mxs").duck} AS recon
+  FROM sqcellcodes c JOIN cellmm m USING (cell)),
+ivrouted AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             ${l2sq("q.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rk
+    FROM (SELECT * FROM kbase WHERE vec_id < $N_QUERIES) q
+    CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rk <= 1)
+SELECT query_id, vizinho, adist, rank FROM (
+  SELECT r.query_id, c.vec_id AS vizinho,
+         ${l2sq("q.embedding", "c.recon").duck} AS adist,
+         CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY
+           ${l2sq("q.embedding", "c.recon").duck} ASC, c.vec_id ASC) AS INTEGER) AS rank
+  FROM sqcellrecon c
+  JOIN ivrouted r ON r.cell = c.cell
+  JOIN kbase q ON q.vec_id = r.query_id
+  WHERE r.query_id <> c.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
 
   private def annIvfSq8Oracle: String = annIvfSq8OracleProbe(1)
 

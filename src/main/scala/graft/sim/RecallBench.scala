@@ -232,6 +232,16 @@ object RecallBench {
         EmbeddingOps.buildSq8IndexOn(spark, shifted, shifted, retr)
         sq8ServeWith(retr)
       }
+      // the per-partition lever: retrained GLOBAL min/max spans both
+      // populations (wide bins, the 0.90 residual cost above); PER-CELL
+      // ranges stay tight because the coarse quantizer separates the
+      // populations — q_ann_ivfsq8_cell's training, fed the bimodal
+      // corpus and the shifted traffic. Note the truth here is routed
+      // (IVF) truth territory: the serve scans one cell, so its ceiling
+      // is the routing ceiling, not the full-scan sq8 rows above.
+      row("ivfsq8_cell_shifted_retrained", truthShift) {
+        EmbeddingOps.ivfSq8CellServeOver(spark, shifted, qShift)
+      }
     }
 
     // the refine-depth frontier — the lever that actually climbs on a
