@@ -2714,6 +2714,10 @@ object EmbeddingOps {
     // rebuild == full fresh build, the seam-free invariant the oracle
     // checks), tombstone-masked hole-y serve, survivor-kNN compaction
     "q_ann_graph_incr" -> (annGraphIncr _),
+    // arrivals as micro-batches through the same seam-free append —
+    // answer must be arrival-shape-independent (same oracle)
+    "q_ann_graph_incr_stream" ->
+      (graft.streaming.Streams.graphIndexStreamed _),
     "q_ann_graph_delete" -> (annGraphDeleted _),
     "q_ann_graph_delete_compact" -> (annGraphDeletedCompacted _))
 
@@ -3432,6 +3436,8 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_graph_indexed" -> graphOracle,
     // the seam-free append: oracle = full fresh build, slice-trained
     "q_ann_graph_incr" -> graphOracleFrom(graphIncrKCtes, "TRUE", false),
+    "q_ann_graph_incr_stream" ->
+      graphOracleFrom(graphIncrKCtes, "TRUE", false),
     // masked walk over the hole-y graph: full-membership kNN edges,
     // endpoint-masked; candidates/entries/queries from the survivors
     "q_ann_graph_delete" ->

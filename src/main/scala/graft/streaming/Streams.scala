@@ -1023,6 +1023,43 @@ object Streams {
     * drained index must answer the same oracle as the batch incr gate:
     * how the arrivals were sliced into batches is unobservable.
     */
+  /** The graph index's streamed ingest twin: arrivals land as
+    * micro-batches through the same seam-free append (touched cells'
+    * subgraphs rebuilt over their post-batch membership — the second
+    * batch's rebuild naturally includes the first's arrivals, because
+    * the rebuild reads the store). Every step is replay-idempotent
+    * ((cell, batch) dynamic overwrite for vectors; the per-cell edge
+    * rebuild rewrites the same content; the entries rewrite converges),
+    * so the drained stream must answer the SAME full-fresh-build oracle
+    * as the batch q_ann_graph_incr — arrival shape unobservable.
+    */
+  def graphIndexStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_graph_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
+      emb.filter(!arrival), sub("idx"))
+    val arr = emb.filter(arrival)
+    arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    arr.filter(expr("(vec_id div 10) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sim.EmbeddingOps.appendGraphIndex(spark, batch, sub("idx"),
+          batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annGraphIndexed(spark, dir, sub("idx"))
+  }
+
   def sq8IndexStreamed(spark: SparkSession, dir: String): DataFrame = {
     val base = tempDir("graft_sq8_stream")
     def sub(n: String) = base.resolve(n).toString

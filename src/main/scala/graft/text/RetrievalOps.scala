@@ -243,6 +243,12 @@ object RetrievalOps {
     bm25WandServed(s, ensureBm25Index(s, d))
 
   private[graft] def bm25WandServed(s: SparkSession, dir: String): DataFrame = {
+    // WAND serves tombstone-free stores: a pending delete shifts every
+    // surviving score through the derived globals, so the stored upper
+    // bounds no longer bound — masked serving goes through the
+    // exhaustive path until compaction folds the tombstones
+    require(bm25Tombstones(s, dir).isEmpty,
+      s"$dir carries tombstones; compact before the WAND serve")
     val (raw, stats, meta) = bm25WandStores(s, dir)
     bm25WandServe(s, raw, stats, meta)
   }
@@ -452,6 +458,7 @@ object RetrievalOps {
         s.read.parquet(s"$dir/doclens")
           .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
       keptLens.write.mode("overwrite").parquet(s"$dir/doclens")
+      refreshBm25TermMeta(s, dir)
       val tdir = java.nio.file.Paths.get(s"$dir/tombstones")
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tdir).iterator().asScala.toSeq.reverse
@@ -510,6 +517,23 @@ object RetrievalOps {
         .agg(count(lit(1)).cast("long").as("nd"),
           coalesce(sum("len"), lit(0L)).cast("long").as("sumlen")))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    refreshBm25TermMeta(s, dir)
+  }
+
+  /** Recompute the WAND metadata after a store mutation. Wholesale by
+    * necessity, not laziness: appends move the GLOBAL stats (nd,
+    * sumlen), and BM25's idf grows with nd — so every term's stored
+    * upper bound can become an UNDER-bound, which breaks WAND's
+    * correctness, not just its efficiency. One postings pass at WRITE
+    * time (same cost class as the build's own metadata pass), off the
+    * serve path.
+    */
+  private def refreshBm25TermMeta(s: SparkSession, dir: String): Unit = {
+    val postings = s.read.parquet(s"$dir/postings").drop("tb", "batch")
+    val stats = s.read.parquet(s"$dir/stats")
+    graft.Checkpoint.barrier(termMetaOf(postings, stats))
+      .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/termmeta")
   }
 
   /** Document UPDATE gated end to end: tombstone the old versions, fold
@@ -519,13 +543,25 @@ object RetrievalOps {
     * moved rankings (the update text appends two live QUERY terms, so
     * updated docs genuinely re-rank, not just re-normalize).
     */
-  def bm25Updated(s: SparkSession, d: String): DataFrame = {
-    val dir = bm25DeletedIndexDir(s, d, "upd")
+  def bm25Updated(s: SparkSession, d: String): DataFrame =
+    bm25Served(s, bm25UpdatedDir(s, d, "upd"))
+
+  /** The same UPDATE lifecycle served through the WAND-pruned path —
+    * exercising the termmeta refresh both mutations perform: compaction
+    * and append each recompute the upper bounds, so the pruned serve
+    * stays answer-identical on the modified corpus (same oracle as the
+    * exhaustive update gate).
+    */
+  def bm25WandUpdated(s: SparkSession, d: String): DataFrame =
+    bm25WandServed(s, bm25UpdatedDir(s, d, "updw"))
+
+  private def bm25UpdatedDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = bm25DeletedIndexDir(s, d, tag)
     compactBm25Index(s, dir)
     appendBm25Docs(s, documents(s, d).filter(Bm25DeleteVictims)
       .selectExpr("doc_id", "concat(text, ' vector scan') AS text"), dir,
       batchId = 1L)
-    bm25Served(s, dir)
+    dir
   }
 
   private def bm25DeletedIndexDir(s: SparkSession, d: String,
@@ -1203,6 +1239,9 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_bm25_delete_compact" -> (bm25DeletedCompacted _),
     // the UPDATE lifecycle: tombstone old versions, compact, append new
     "q_bm25_update" -> (bm25Updated _),
+    // the pruned serve over the MUTATED store: refresh-on-write keeps
+    // the upper bounds valid, pruning stays answer-invisible
+    "q_bm25_wand_updated" -> (bm25WandUpdated _),
     // delete requests arriving as a stream (per-batch tombstones,
     // exactly-once) — arrival shape must be unobservable in the answer
     "q_bm25_delete_stream" ->
@@ -1234,6 +1273,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_bm25_delete_compact" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
     // update must equal BM25 over the corpus as modified
     "q_bm25_update" -> bm25UpdateOracle,
+    "q_bm25_wand_updated" -> bm25UpdateOracle,
     // streamed deletes converge to the identical survivor answer
     "q_bm25_delete_stream" -> bm25OracleOver("NOT (doc_id % 7 = 3)"))
 }
