@@ -101,12 +101,21 @@ object RetrievalOps {
     */
   private def bm25Serve(s: SparkSession, raw: DataFrame,
                         stats: DataFrame): DataFrame = {
+    import s.implicits._
+    bm25ServeWith(s, raw, stats,
+      bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+        .toDF("query_id", "term"))
+  }
+
+  /** The serving tail over an EXPLICIT query table — shared by the
+    * fixed-set serve and the data-parameterized probes (query sets
+    * staged from the corpus, read from parquet, never compiled in).
+    */
+  private def bm25ServeWith(s: SparkSession, raw: DataFrame,
+      stats: DataFrame, q: DataFrame): DataFrame = {
     val dfx = raw.groupBy("term").agg(count(lit(1)).as("df"))
     val postings = raw.join(dfx, Seq("term"))
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
-      .toDF("query_id", "term")
     val scored = broadcast(q).join(postings, Seq("term"))
       .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id", "term",
@@ -174,6 +183,11 @@ object RetrievalOps {
   private def bm25WandServe(s: SparkSession, raw: DataFrame,
       stats: DataFrame, meta: DataFrame): DataFrame = {
     val (head, tail) = bm25WandParts(s, raw, stats, meta)
+    bm25WandFold(head, tail)
+  }
+
+  /** The shared fold/rank tail over head ∪ tail scored rows. */
+  private def bm25WandFold(head: DataFrame, tail: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     head.unionByName(tail).groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("tsc"))
@@ -193,10 +207,15 @@ object RetrievalOps {
     */
   private def bm25WandParts(s: SparkSession, raw: DataFrame,
       stats: DataFrame, meta: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
-      .toDF("query_id", "term")
+    bm25WandPartsWith(s, raw, stats, meta,
+      bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+        .toDF("query_id", "term"))
+  }
+
+  private def bm25WandPartsWith(s: SparkSession, raw: DataFrame,
+      stats: DataFrame, meta: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val qmeta = broadcast(q).join(meta.select("term", "ub"), Seq("term"))
     val weakest = qmeta
       .withColumn("rk", row_number().over(
@@ -241,6 +260,74 @@ object RetrievalOps {
     */
   def bm25Wand(s: SparkSession, d: String): DataFrame =
     bm25WandServed(s, ensureBm25Index(s, d))
+
+  // ------------------------------------------ data-parameterized queries
+
+  /** BM25 queries derived FROM the corpus (the r15 phrase/NEAR-param
+    * pattern applied to the ranked-retrieval family): the 5th–12th most
+    * document-frequent terms (skipping the 4 most common — the
+    * near-stopword band where every doc matches), paired into 4
+    * two-term queries in (df DESC, term ASC) order. The top-12 pick is
+    * a TakeOrderedAndProject (distributed top-k, no global sort); the
+    * rank window runs over those 12 rows only.
+    */
+  private[graft] def derivedBm25Queries(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docPostings(documents(s, d))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(12)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("df"), asc("term"))))
+      .filter(col("rk") >= 5)
+      .selectExpr("CAST((rk - 5) DIV 2 AS INT) + 1 AS query_id", "term")
+  }
+
+  /** Stage the derived query set (build-once per corpus fingerprint,
+    * atomic publish) — the probes read queries from THIS file, never
+    * from code.
+    */
+  private def stageBm25Queries(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_queries_v1_" +
+      CurationOps.docsFingerprint(d)
+    publishOnce(dir)(tmp =>
+      derivedBm25Queries(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/queries"))
+  }
+
+  /** The staged query table + the persisted index's stores pruned to
+    * the staged terms' buckets (the bucket IN-list computed by a tiny
+    * Spark job over the query table, so it uses Spark's own hash —
+    * the same PartitionFilters device as the fixed-set serve).
+    */
+  private def stagedBm25Inputs(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dir = ensureBm25Index(s, d)
+    val q = s.read.parquet(s"${stageBm25Queries(s, d)}/queries")
+    val buckets = q.selectExpr("CAST(abs(hash(term)) % 16 AS INT) AS b")
+      .distinct().collect().map(_.getInt(0))
+    (q,
+      s.read.parquet(s"$dir/postings")
+        .filter(col("tb").isin(buckets.toSeq: _*)).drop("tb", "batch"),
+      s.read.parquet(s"$dir/stats"),
+      s.read.parquet(s"$dir/termmeta")
+        .filter(col("tb").isin(buckets.toSeq: _*)).drop("tb"))
+  }
+
+  /** Exhaustive BM25 for the STAGED query set, served from the index. */
+  def bm25Param(s: SparkSession, d: String): DataFrame = {
+    val (q, raw, stats, _) = stagedBm25Inputs(s, d)
+    bm25ServeWith(s, raw, stats, q)
+  }
+
+  /** WAND-pruned serve for the SAME staged set — same oracle as
+    * [[bm25Param]]: pruning stays answer-invisible on a data-derived
+    * workload, not just the compiled demo set.
+    */
+  def bm25WandParam(s: SparkSession, d: String): DataFrame = {
+    val (q, raw, stats, meta) = stagedBm25Inputs(s, d)
+    val (head, tail) = bm25WandPartsWith(s, raw, stats, meta, q)
+    bm25WandFold(head, tail)
+  }
 
   private[graft] def bm25WandServed(s: SparkSession, dir: String): DataFrame = {
     // WAND serves tombstone-free stores: a pending delete shifts every
@@ -799,11 +886,32 @@ ORDER BY query_id, rank"""
     "SELECT doc_id, CASE WHEN doc_id % 7 = 3 " +
       "THEN text || ' vector scan' ELSE text END AS text FROM documents")
 
-  /** The oracle body over an arbitrary (doc_id, text) source. */
+  /** The oracle body over an arbitrary (doc_id, text) source, with the
+    * query CTE swappable (fixed VALUES by default; the param gates
+    * inject the corpus-derived set, re-derived in SQL).
+    */
   private def bm25OracleFrom(docSrc: String): String = {
     val vals = bmQueries
       .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
       .mkString(", ")
+    bm25OracleWith(docSrc, s"q(query_id, term) AS (VALUES $vals)")
+  }
+
+  /** The corpus-derived query CTE: 5th–12th most document-frequent
+    * terms paired into 4 two-term queries — the SQL twin of
+    * [[derivedBm25Queries]] (dfx is already in the oracle chain).
+    */
+  private def bm25ParamQCte: String =
+    s"""q AS (
+  SELECT CAST((rk - 5) // 2 + 1 AS INTEGER) AS query_id, term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+    FROM dfx)
+  WHERE rk >= 5 AND rk <= 12)"""
+
+  private def bm25ParamOracle: String =
+    bm25OracleWith("SELECT doc_id, text FROM documents", bm25ParamQCte)
+
+  private def bm25OracleWith(docSrc: String, qCte: String): String = {
     s"""WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t
   FROM ($docSrc)),
@@ -812,7 +920,7 @@ ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
 dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 stats AS (SELECT count(*) AS nd, sum(len) AS sumlen FROM lens),
-q(query_id, term) AS (VALUES $vals),
+$qCte,
 ts AS (
   SELECT q.query_id, tf.doc_id, q.term,
          ${termScore("tf.tf", "dfx.df", "l.len", "stats.nd", "stats.sumlen")} AS sc
@@ -1231,6 +1339,10 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // WAND/MaxScore-pruned serve off the persisted index — same oracle
     // as the exhaustive form: the pruning must be answer-invisible
     "q_bm25_wand" -> (bm25Wand _),
+    // data-parameterized query set (staged from the corpus, the r15
+    // phrase/NEAR pattern): exhaustive + WAND-pruned, same oracle pair
+    "q_bm25_param" -> (bm25Param _),
+    "q_bm25_wand_param" -> (bm25WandParam _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
     // the index lifecycle's delete third: tombstone-masked serve and
@@ -1264,6 +1376,8 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_phrase_search_stream" -> phraseOracle,
     "q_bm25_topk" -> bm25Oracle,
     "q_bm25_wand" -> bm25Oracle,
+    "q_bm25_param" -> bm25ParamOracle,
+    "q_bm25_wand_param" -> bm25ParamOracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
     "q_bm25_stream" -> bm25Oracle,
