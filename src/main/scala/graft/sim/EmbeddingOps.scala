@@ -1925,7 +1925,7 @@ object EmbeddingOps {
     * drift also fires the monitor but moves the arrivals AWAY from any
     * query in L2, hiding the damage.
     */
-  private def sq8DriftBase(s: SparkSession, d: String): DataFrame =
+  private[graft] def sq8DriftBase(s: SparkSession, d: String): DataFrame =
     corpus(s, d).select("vec_id", "embedding").withColumn("embedding",
       when(IncrArrival, expr(
         "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 2.0 AS FLOAT))"))
@@ -2088,20 +2088,36 @@ object EmbeddingOps {
     val cents = kmeansCentroidsOf(base)
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
       .select("vec_id", "embedding", "cell")
-    val mmCell = graft.Checkpoint.barrier(asg
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("cell", "i")
-      .agg(min(col("x").cast("double")).as("mn"),
-        max(col("x").cast("double")).as("mx"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("a"),
-        array_sort(collect_list(struct(col("i"), col("mx")))).as("b"))
-      .selectExpr("cell", "transform(a, p -> p.mn) AS mns",
-        "transform(b, p -> p.mx) AS mxs"))
-    val codes = asg.join(broadcast(mmCell), Seq("cell"))
+    val mmCell = graft.Checkpoint.barrier(cellMinMaxOf(asg))
+    ivfSq8CellProbe(s, cellCodesOf(asg, mmCell), mmCell,
+      routeToCell(q, cents, 1))
+  }
+
+  /** Per-(cell, dim) min/max rows folded to one broadcastable
+    * (cell, mns, mxs) row per cell — one keyed aggregate.
+    */
+  private def cellMinMaxOf(asg: DataFrame): DataFrame = asg
+    .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+    .groupBy("cell", "i")
+    .agg(min(col("x").cast("double")).as("mn"),
+      max(col("x").cast("double")).as("mx"))
+    .groupBy("cell")
+    .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("a"),
+      array_sort(collect_list(struct(col("i"), col("mx")))).as("b"))
+    .selectExpr("cell", "transform(a, p -> p.mn) AS mns",
+      "transform(b, p -> p.mx) AS mxs")
+
+  /** Encode each assigned vector under ITS cell's min/max row. */
+  private def cellCodesOf(asg: DataFrame, mmCell: DataFrame): DataFrame =
+    asg.join(broadcast(mmCell), Seq("cell"))
       .withColumn("codes", expr(sq8CodeX("embedding", "mns", "mxs").spark))
       .select("vec_id", "cell", "codes")
-    val routed = routeToCell(q, cents, 1)
+
+  /** The routed per-cell ranking tail shared by the self-contained and
+    * persisted forms.
+    */
+  private def ivfSq8CellProbe(s: SparkSession, codes: DataFrame,
+      mmCell: DataFrame, routed: DataFrame): DataFrame = {
     val sims = codes.join(broadcast(routed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(mmCell), Seq("cell"))
@@ -2114,6 +2130,46 @@ object EmbeddingOps {
         col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Persist the per-cell-trained store: centroids, the k-row cellmm
+    * table, the code table partitioned by cell — the serve prunes to
+    * the routed cells' partitions like every composed store here.
+    */
+  def buildIvfSq8CellIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroidsOf(base)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+      .select("vec_id", "embedding", "cell")
+    val mmCell = graft.Checkpoint.barrier(cellMinMaxOf(asg))
+    mmCell.write.mode("overwrite").parquet(s"$indexDir/cellmm")
+    cellCodesOf(asg, mmCell)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** The persisted per-cell serve: route on stored centroids, prune the
+    * code scan to the routed cells, rank under each cell's stored row —
+    * bit-identical to the self-contained form, same oracle.
+    */
+  def annIvfSq8CellIndexed(s: SparkSession, d: String,
+      indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val q = corpus(s, d).select("vec_id", "embedding")
+      .filter(col("vec_id") < N_QUERIES).toDF("query_id", "q_emb")
+    val routed = routeToCell(q, cents, 1)
+    val cells = routed.select("cell").distinct().collect()
+      .map(_.getAs[Number]("cell").intValue()).toSeq
+    val codes = s.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(cells: _*))
+    val mmCell = s.read.parquet(s"$indexDir/cellmm")
+      .filter(col("cell").isin(cells: _*))
+    ivfSq8CellProbe(s, codes, mmCell, routed)
+  }
+
+  /** Driver-contract wrapper (build-once, atomic publish). */
+  def annIvfSq8CellIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_ivfsq8cell", buildIvfSq8CellIndex(s, d, _),
+      annIvfSq8CellIndexed(s, d, _))
 
   /** Persist the composed IVF·SQ8 index: coarse centroids (tiny), the
     * one-row min/max, and the code table `partitionBy(cell)` — the
@@ -2688,6 +2744,11 @@ object EmbeddingOps {
     // clamp monitor fires, and the store retrains + re-encodes — the
     // oracle re-derives the NEW training over the modified corpus
     "q_ann_sq8_retrain" -> (annSq8Retrain _),
+    // the drift monitor INSIDE the stream: the first shifted batch
+    // fires the retrain mid-stream, the second lands in-range under
+    // the new training — final state pinned by its own oracle
+    "q_ann_sq8_retrain_stream" ->
+      (graft.streaming.Streams.sq8RetrainStreamed _),
     // the composed coarse-route + in-cell SQ8 ranking: cell-pruned
     // search at the near-exact quantizer's recall
     "q_ann_ivfsq8" ->
@@ -2704,6 +2765,8 @@ object EmbeddingOps {
     // measurement motivates (tight ranges per population on a bimodal
     // corpus, where one global row pays wide-bin error everywhere)
     "q_ann_ivfsq8_cell" -> (annIvfSq8Cell _),
+    // the persisted per-cell store: routed-cell-pruned scan, same oracle
+    "q_ann_ivfsq8_cell_indexed" -> (annIvfSq8CellIndexedAuto _),
     // graph ANN: per-cell navigable kNN graph + H-hop beam search — the
     // serving family whose exact reads scale with the walk (≤ 1+H·B·R),
     // not with a fixed c-deep shortlist; self-contained and served off
@@ -3418,6 +3481,7 @@ FROM embeddings ORDER BY vec_id""",
     // slice-trained lifecycle, probe over the tombstone survivors
     "q_ann_sq8_delete" -> annSq8DeleteOracle,
     "q_ann_sq8_retrain" -> annSq8RetrainOracle,
+    "q_ann_sq8_retrain_stream" -> annSq8RetrainStreamOracle,
     // both trainings + assignment + routing + in-cell recon ranking
     "q_ann_ivfsq8" -> annIvfSq8Oracle,
     // the partition-pruned serve must be bit-identical — same oracle
@@ -3427,6 +3491,7 @@ FROM embeddings ORDER BY vec_id""",
     // two routed cells per query, same ranked-candidate subselect
     "q_ann_ivfsq8_probe2" -> annIvfSq8Probe2Oracle,
     "q_ann_ivfsq8_cell" -> annIvfSq8CellOracle,
+    "q_ann_ivfsq8_cell_indexed" -> annIvfSq8CellOracle,
     // graph ANN: DuckDB re-derives the Lloyd training, the per-cell kNN
     // adjacency, the entry points, and the H-hop beam walk (unrolled,
     // like every trained oracle in this file) — bit-exact
@@ -3607,6 +3672,23 @@ WHERE rank <= $TOP_K ORDER BY query_id, rank"""
     * the clamp monitor fires and the retrain re-encodes. A serve off the
     * stale slice training cannot match this.
     */
+  /** The STREAMED retrain oracle: the monitor fires on the FIRST
+    * shifted micro-batch (clamp ≈ 1.0), the in-stream retrain trains on
+    * everything indexed so far (build slice + batch 0 — the even-decade
+    * arrivals), and batch 1 then encodes IN-RANGE under the new
+    * training (its clamp rate falls to the in-distribution edge level,
+    * below the trigger) — so the final training the oracle must
+    * re-derive is slice + batch 0, NOT the full corpus. A second firing
+    * (or a missed first one) trains on a different slice and
+    * hash-fails.
+    */
+  private def annSq8RetrainStreamOracle: String =
+    s"""WITH ${sq8Ctes(
+      "WHERE vec_id % 10 <> 9 OR (vec_id // 10) % 2 = 0", sq8DriftBaseCte)}
+SELECT query_id, vizinho, adist, rank FROM (
+${sq8RankedSims("TRUE")})
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+
   private def annSq8RetrainOracle: String =
     s"""WITH ${sq8Ctes("", sq8DriftBaseCte)}
 SELECT query_id, vizinho, adist, rank FROM (

@@ -1023,6 +1023,53 @@ object Streams {
     * drained index must answer the same oracle as the batch incr gate:
     * how the arrivals were sliced into batches is unobservable.
     */
+  /** Drift-triggered retraining INSIDE the stream — the operational
+    * composition of the SQ8 clamp monitor: each micro-batch appends
+    * under the stored training and reads back its clamp rate; a rate
+    * past the threshold retrains on everything indexed so far (the
+    * store's own membership, raw vectors point-looked-up from the
+    * source — the maintenance decision made by measurement, per batch,
+    * not by cadence). On the gated drift corpus the FIRST shifted batch
+    * fires (clamp ≈ 1.0) and the second lands in-range under the new
+    * training (edge-level clamp, below the trigger), so the final
+    * training is build-slice + batch 0 — pinned by its own oracle; a
+    * missed or doubled firing hash-fails. Replay-convergent: the
+    * batch-keyed append overwrites itself, the retrain rebuilds from
+    * membership.
+    */
+  def sq8RetrainStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_sq8_retrain_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.sim.EmbeddingOps.sq8DriftBase(spark, dir)
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildSq8IndexOn(spark,
+      emb.filter(!arrival), emb.filter(!arrival), sub("idx"))
+    val arr = emb.filter(arrival)
+    arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    arr.filter(expr("(vec_id div 10) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rate = graft.sim.EmbeddingOps.appendSq8Index(spark, batch,
+          sub("idx"), batchId)
+        if (rate > graft.sim.EmbeddingOps.SQ8_CLAMP_RETRAIN) {
+          val members = spark.read.parquet(sub("idx") + "/codes")
+            .select("vec_id")
+          val indexed = emb.join(members, Seq("vec_id"), "left_semi")
+          graft.sim.EmbeddingOps.buildSq8IndexOn(spark, indexed, indexed,
+            sub("idx"))
+        }
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annSq8Indexed(spark, dir, sub("idx"))
+  }
+
   /** The graph index's streamed ingest twin: arrivals land as
     * micro-batches through the same seam-free append (touched cells'
     * subgraphs rebuilt over their post-batch membership — the second
