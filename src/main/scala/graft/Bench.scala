@@ -65,7 +65,10 @@ object Bench {
           System.err.println(s"[bench] fingerprint $name failed: ${e.getMessage}")
       }
     // names whose rep-1 is the measurement of record (see `time` comment)
-    val ColdNames = Set("etl_star_build", "ann_ivfpq_index_compact")
+    val ColdNames = Set("etl_star_build", "ann_ivfpq_index_compact",
+      // rep 1 performs the physical tombstone fold; later reps find a
+      // clean store and no-op — the min is a floor, not a measurement
+      "bm25_update_compact")
     def time(name: String)(f: => Unit): Unit = {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
