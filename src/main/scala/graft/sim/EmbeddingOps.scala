@@ -2299,8 +2299,9 @@ object EmbeddingOps {
     * exponentially in H (the label-propagation precedent).
     */
   private def graphBeamServe(s: SparkSession, routed: DataFrame,
-      vecs: DataFrame, edges: DataFrame, entries: DataFrame): DataFrame =
-    rankViaTopK(s, graphBeamVisited(s, routed, vecs, edges, entries)
+      vecs: DataFrame, edges: DataFrame, entries: DataFrame,
+      b: Int = GRAPH_B, h: Int = GRAPH_H): DataFrame =
+    rankViaTopK(s, graphBeamVisited(s, routed, vecs, edges, entries, b, h)
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("sim"), col("vec_id")))
 
@@ -2308,7 +2309,8 @@ object EmbeddingOps {
     * (query_id, vec_id, sim), bounded at 1 + H·B·R rows per query.
     */
   private def graphBeamVisited(s: SparkSession, routed: DataFrame,
-      vecs: DataFrame, edges: DataFrame, entries: DataFrame): DataFrame = {
+      vecs: DataFrame, edges: DataFrame, entries: DataFrame,
+      b: Int = GRAPH_B, h: Int = GRAPH_H): DataFrame = {
     val q = routed.select("query_id", "q_emb")
     def withSims(ids: DataFrame): DataFrame =
       ids.join(vecs.select("vec_id", "embedding"), Seq("vec_id"))
@@ -2318,11 +2320,11 @@ object EmbeddingOps {
             .as("sim"))
     var visited = graft.Checkpoint.barrier(withSims(
       routed.join(entries, Seq("cell")).select("query_id", "vec_id")))
-    for (_ <- 1 to GRAPH_H) {
+    for (_ <- 1 to h) {
       val beam = visited
         .withColumn("rk", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
-        .filter(col("rk") <= GRAPH_B)
+        .filter(col("rk") <= b)
         .select("query_id", "vec_id")
       val frontier = beam
         .join(edges.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
@@ -2356,6 +2358,27 @@ object EmbeddingOps {
     * vector reads the serve paid (entry + every fresh frontier arrival).
     * RecallBench reports its mean beside the recall row.
     */
+  /** The (B, H) frontier point for RecallBench: the gated graph served
+    * at an explicit beam width and hop count, returning (ranked answer,
+    * visited id-set) so recall AND reads/query come from the same walk.
+    * The adjacency (R) is the stored structure and does not vary at
+    * serve time — exactly as deployed.
+    */
+  private[graft] def graphFrontierPoint(s: SparkSession, d: String,
+      b: Int, h: Int): (DataFrame, DataFrame) = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val routed = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    val visited = graphBeamVisited(s, routed, asg, graphEdgesOf(s, asg),
+      graphEntriesOf(asg), b, h)
+    (rankViaTopK(s, visited.filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("sim"), col("vec_id"))),
+      visited.select("query_id", "vec_id"))
+  }
+
   /** The trained adjacency itself — (src, dst, cell) — for structural
     * assertions (degree bound, within-cell closure) and the bench's
     * reads-per-query accounting.

@@ -178,6 +178,18 @@ object RecallBench {
     row("graph_churned_compacted", truthSurv) {
       EmbeddingOps.annGraphDeletedCompacted(spark, sfDir)
     }
+    // the (B, H) frontier — recall and reads/query from the SAME walk
+    // at each knob setting, the graph's analog of the nprobe and
+    // refine-depth sweeps: how few exact reads still hold the ceiling
+    for ((b, h) <- Seq((2, 2), (4, 2), (4, 3), (8, 3), (16, 4))) {
+      val (ranked, visited) = EmbeddingOps.graphFrontierPoint(spark, sfDir, b, h)
+      row(s"graph_b${b}_h$h", truthFull) { ranked }
+      out(s"graph_b${b}_h${h}_reads") = {
+        val per = visited.groupBy("query_id").count().collect()
+          .map(_.getLong(1))
+        per.sum.toDouble / per.length
+      }
+    }
 
     // SQ8 under distribution drift (r16): the whole distribution moves
     // (arrivals AND the query traffic translated +2 per coordinate —
