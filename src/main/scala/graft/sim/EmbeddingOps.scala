@@ -2135,16 +2135,66 @@ object EmbeddingOps {
     * table, the code table partitioned by cell — the serve prunes to
     * the routed cells' partitions like every composed store here.
     */
-  def buildIvfSq8CellIndex(s: SparkSession, d: String, indexDir: String): Unit = {
-    val base = corpus(s, d).select("vec_id", "embedding")
+  def buildIvfSq8CellIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    buildIvfSq8CellIndexOn(s, corpus(s, d).select("vec_id", "embedding"),
+      indexDir)
+
+  private[graft] def buildIvfSq8CellIndexOn(s: SparkSession, base: DataFrame,
+      indexDir: String): Unit = {
     val cents = kmeansCentroidsOf(base)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
       .select("vec_id", "embedding", "cell")
     val mmCell = graft.Checkpoint.barrier(cellMinMaxOf(asg))
     mmCell.write.mode("overwrite").parquet(s"$indexDir/cellmm")
-    cellCodesOf(asg, mmCell)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    cellCodesOf(asg, mmCell).withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Append arrivals to the per-cell store: assign to the stored
+    * centroids, encode each under ITS cell's stored row (no retraining
+    * — the shared index contract), batch-keyed dynamic overwrite.
+    * Returns the WORST per-cell clamp rate — the per-partition drift
+    * monitor matching the per-partition training: a drifted population
+    * lands in its own routed cells and saturates THEIR rows, which a
+    * global average would dilute.
+    */
+  private[graft] def appendIvfSq8CellIndex(s: SparkSession, newRows: DataFrame,
+      indexDir: String, batchId: Long): Double = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val mmCell = s.read.parquet(s"$indexDir/cellmm")
+    val asg = graft.Checkpoint.barrier(assignCells(s, newRows, cents))
+      .select("vec_id", "embedding", "cell")
+    cellCodesOf(asg, mmCell).withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch").parquet(s"$indexDir/codes")
+    val clamped = s"aggregate(transform(sequence(1, $DIM), i -> " +
+      "CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) < element_at(mns, i) " +
+      "OR CAST(element_at(embedding, i) AS DOUBLE) > element_at(mxs, i) " +
+      "THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+    val worst = asg.join(broadcast(mmCell), Seq("cell"))
+      .selectExpr("cell", s"$clamped AS nc")
+      .groupBy("cell")
+      .agg((sum(col("nc")).cast("double") /
+        (count(lit(1)).cast("double") * DIM)).as("rate"))
+      .agg(coalesce(max("rate"), lit(0.0)).as("worst"))
+      .head().getDouble(0)
+    worst
+  }
+
+  /** The per-cell store's incremental lifecycle gated: per-cell rows
+    * trained on the 9/10 slice, arrivals encoded under the STORED rows
+    * and cell-appended, standard routed serve — the oracle re-derives
+    * slice-trained per-cell min/max with the serving encode over the
+    * full corpus, so a hash match proves the append re-trains nothing.
+    */
+  def annIvfSq8CellIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "ivfsq8cell_incr")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildIvfSq8CellIndexOn(s, base.filter(!IncrArrival), dir)
+    appendIvfSq8CellIndex(s, base.filter(IncrArrival), dir, batchId = 0L): Unit
+    annIvfSq8CellIndexed(s, d, dir)
   }
 
   /** The persisted per-cell serve: route on stored centroids, prune the
@@ -2790,6 +2840,9 @@ object EmbeddingOps {
     "q_ann_ivfsq8_cell" -> (annIvfSq8Cell _),
     // the persisted per-cell store: routed-cell-pruned scan, same oracle
     "q_ann_ivfsq8_cell_indexed" -> (annIvfSq8CellIndexedAuto _),
+    // the per-cell store's append path: arrivals encoded under the
+    // stored rows, worst-cell clamp monitored, no retraining
+    "q_ann_ivfsq8_cell_incr" -> (annIvfSq8CellIncr _),
     // graph ANN: per-cell navigable kNN graph + H-hop beam search — the
     // serving family whose exact reads scale with the walk (≤ 1+H·B·R),
     // not with a fixed c-deep shortlist; self-contained and served off
@@ -3515,6 +3568,7 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_ivfsq8_probe2" -> annIvfSq8Probe2Oracle,
     "q_ann_ivfsq8_cell" -> annIvfSq8CellOracle,
     "q_ann_ivfsq8_cell_indexed" -> annIvfSq8CellOracle,
+    "q_ann_ivfsq8_cell_incr" -> annIvfSq8CellIncrOracle,
     // graph ANN: DuckDB re-derives the Lloyd training, the per-cell kNN
     // adjacency, the entry points, and the H-hop beam walk (unrolled,
     // like every trained oracle in this file) — bit-exact
@@ -3766,7 +3820,17 @@ ivrouted AS (
     * twin of the global-row chain.
     */
   private def annIvfSq8CellOracle: String =
-    s"""WITH $kmeansCtes,
+    annIvfSq8CellOracleFrom(kmeansCtes, "")
+
+  /** Slice-trained per-cell rows, full-corpus serving encode — what the
+    * cell-append must be indistinguishable from.
+    */
+  private def annIvfSq8CellIncrOracle: String =
+    annIvfSq8CellOracleFrom(graphIncrKCtes, "WHERE vec_id % 10 <> 9")
+
+  private def annIvfSq8CellOracleFrom(kCtes: String,
+      trainWhere: String): String =
+    s"""WITH $kCtes,
 ivfin AS MATERIALIZED (
   SELECT vec_id, embedding, cell FROM (
     SELECT b.vec_id, b.embedding, c.cell,
@@ -3778,7 +3842,8 @@ cellmm AS MATERIALIZED (
   SELECT cell, list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
     SELECT cell, i, min(embedding[i]::DOUBLE) AS mn,
            max(embedding[i]::DOUBLE) AS mx
-    FROM ivfin, range(1, ${DIM + 1}) t(i) GROUP BY cell, i)
+    FROM (SELECT * FROM ivfin $trainWhere), range(1, ${DIM + 1}) t(i)
+    GROUP BY cell, i)
   GROUP BY cell),
 sqcellcodes AS MATERIALIZED (SELECT f.vec_id, f.cell,
   ${sq8CodeX("f.embedding", "m.mns", "m.mxs").duck} AS codes

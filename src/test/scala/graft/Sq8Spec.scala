@@ -140,4 +140,47 @@ class Sq8Spec extends SparkSpec {
         s"threshold ${EmbeddingOps.SQ8_CLAMP_RETRAIN}")
     assert(drifted > inDist, "drift must be ordered above in-distribution")
   }
+
+  test("per-cell clamp monitor fires where the global average dilutes") {
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cellmm_drift").toString
+    EmbeddingOps.buildIvfSq8CellIndexOn(spark, base.filter(!arrival), dir)
+    // a MIXED batch: one drifted vector among ~49 in-distribution
+    // arrivals — the regime where a single global clamp average stays
+    // under the trigger while the drifted population's own cell
+    // saturates. The per-cell monitor (worst cell) must fire anyway.
+    val mixed = base.filter(arrival).withColumn("embedding",
+      when(col("vec_id") === 9,
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 2.0 AS FLOAT))"))
+        .otherwise(col("embedding")))
+    val worst = EmbeddingOps.appendIvfSq8CellIndex(spark, mixed, dir, 0L)
+    // the equivalent GLOBAL average over the same batch and rows
+    val mm = spark.read.parquet(s"$dir/cellmm")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val clamped = "aggregate(transform(sequence(1, 64), i -> " +
+      "CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) < element_at(mns, i) " +
+      "OR CAST(element_at(embedding, i) AS DOUBLE) > element_at(mxs, i) " +
+      "THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+    val asg = mixed.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cell").as("cell"))
+    val g = asg.join(broadcast(mm), Seq("cell"))
+      .selectExpr(s"$clamped AS nc")
+      .agg((sum(col("nc")).cast("double") /
+        (count(lit(1)).cast("double") * 64)).as("r")).head().getDouble(0)
+    info(s"worst-cell clamp = $worst, global average = $g")
+    assert(worst > EmbeddingOps.SQ8_CLAMP_RETRAIN,
+      s"the drifted vector's cell must fire the monitor, got $worst")
+    assert(worst > g, "the per-cell monitor must dominate the global average")
+    assert(g < worst / 2,
+      s"one drifted vector among ~49 must dilute the global average " +
+        s"well below the worst cell (global $g vs worst $worst)")
+  }
 }
