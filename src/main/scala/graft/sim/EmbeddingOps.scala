@@ -2628,6 +2628,10 @@ object EmbeddingOps {
     * transitional hole-y graph state between a delete and its
     * compaction; entries were refreshed by the delete itself.
     */
+  private[graft] def annGraphIndexedMasked(s: SparkSession, d: String,
+      indexDir: String): DataFrame =
+    annGraphIndexedMaybeMasked(s, d, indexDir, masked = true)
+
   private def annGraphIndexedMaybeMasked(s: SparkSession, d: String,
       indexDir: String, masked: Boolean): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
@@ -2858,6 +2862,10 @@ object EmbeddingOps {
     "q_ann_graph_incr_stream" ->
       (graft.streaming.Streams.graphIndexStreamed _),
     "q_ann_graph_delete" -> (annGraphDeleted _),
+    // the same victims arriving as a micro-batched stream — arrival
+    // shape unobservable (same hole-y-walk oracle)
+    "q_ann_graph_delete_stream" ->
+      (graft.streaming.Streams.graphDeleteStreamed _),
     "q_ann_graph_delete_compact" -> (annGraphDeletedCompacted _))
 
   /** The k-means oracle mirrors each fixed Lloyd round as a CTE pair
@@ -3583,6 +3591,8 @@ FROM embeddings ORDER BY vec_id""",
     // masked walk over the hole-y graph: full-membership kNN edges,
     // endpoint-masked; candidates/entries/queries from the survivors
     "q_ann_graph_delete" ->
+      graphOracleFrom(graphIncrKCtes, graphSurvWhere, false),
+    "q_ann_graph_delete_stream" ->
       graphOracleFrom(graphIncrKCtes, graphSurvWhere, false),
     // compacted: adjacency re-derived over survivors (re-linked holes)
     "q_ann_graph_delete_compact" ->

@@ -1023,6 +1023,45 @@ object Streams {
     * drained index must answer the same oracle as the batch incr gate:
     * how the arrivals were sliced into batches is unobservable.
     */
+  /** The streamed DELETE twin for the graph store: victim ids arrive
+    * as a file stream over two micro-batches, each landing as its own
+    * tombstone partition (replay-idempotent) with the O(touched cells)
+    * entry refresh running per batch off the CUMULATIVE tombstone set —
+    * convergent, so the drained masked serve must answer the same
+    * hole-y-walk oracle as the one-shot q_ann_graph_delete: how the
+    * victims arrived is unobservable.
+    */
+  def graphDeleteStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_graphdel_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
+      emb.filter(!arrival), sub("idx"))
+    graft.sim.EmbeddingOps.appendGraphIndex(spark, emb.filter(arrival),
+      sub("idx"), batchId = 0L)
+    val victims = emb.filter(graft.sim.EmbeddingOps.DeleteVictims)
+      .select("vec_id")
+    victims.filter(expr("(vec_id div 5) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    victims.filter(expr("(vec_id div 5) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sim.EmbeddingOps.deleteGraphIndex(spark, batch, sub("idx"),
+          // tombstone batches live beside the append's batch 0
+          batchId + 1L)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annGraphIndexedMasked(spark, dir, sub("idx"))
+  }
+
   /** Drift-triggered retraining INSIDE the stream — the operational
     * composition of the SQ8 clamp monitor: each micro-batch appends
     * under the stored training and reads back its clamp rate; a rate
