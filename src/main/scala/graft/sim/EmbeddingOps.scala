@@ -2429,6 +2429,68 @@ object EmbeddingOps {
       visited.select("query_id", "vec_id"))
   }
 
+  /** The DiskANN composition proper (Subramanya et al. 2019): the beam
+    * walk is GUIDED by compressed distances — candidates score through
+    * the fused SQ8 kernel off the 4× codes, so the traversal never
+    * touches a full-precision vector — and only the final visited set
+    * is re-ranked exactly (≤ 1+H·B·R point lookups). This is how a
+    * disk-resident deployment actually serves: codes live in memory
+    * beside the adjacency, raw vectors stay on disk and are read once
+    * per ANSWER CANDIDATE, not once per traversal step. Deterministic
+    * end to end (SQ8 distances are exact arithmetic on the codes), so
+    * the oracle unrolls the same compressed-guided walk and the exact
+    * re-rank bit-for-bit.
+    */
+  def annGraphSq8(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val mm = graft.Checkpoint.barrier(sq8MinMaxRowOf(base))
+    val codes = graft.Checkpoint.barrier(sq8CodesOfBase(base, mm))
+    val routed = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    val edges = graphEdgesOf(s, asg)
+    val entries = graphEntriesOf(asg)
+    val q = routed.select("query_id", "q_emb")
+    // the compressed-domain scorer the WALK uses: −adist off the codes
+    def withCodeSims(ids: DataFrame): DataFrame =
+      ids.join(codes, Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .crossJoin(broadcast(mm))
+        .select(col("query_id"), col("vec_id"),
+          (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
+            col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"))
+    var visited = graft.Checkpoint.barrier(withCodeSims(
+      routed.join(entries, Seq("cell")).select("query_id", "vec_id")))
+    for (_ <- 1 to GRAPH_H) {
+      val beam = visited
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= GRAPH_B)
+        .select("query_id", "vec_id")
+      val frontier = beam
+        .join(edges.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+      val fresh = frontier.join(visited.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      visited = graft.Checkpoint.barrier(
+        visited.unionByName(withCodeSims(fresh)))
+    }
+    // the exact re-rank: the visited ids' RAW vectors as point lookups,
+    // ranked by exact cosine — the only full-precision reads of the serve
+    val exact = visited.select("query_id", "vec_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(base, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("sim"),
+        col("vec_id"))
+    rankViaTopK(s, exact)
+  }
+
   /** The trained adjacency itself — (src, dst, cell) — for structural
     * assertions (degree bound, within-cell closure) and the bench's
     * reads-per-query accounting.
@@ -2853,6 +2915,9 @@ object EmbeddingOps {
     // the persisted cell-partitioned adjacency
     "q_ann_graph" -> (annGraph _),
     "q_ann_graph_indexed" -> (annGraphIndexedAuto _),
+    // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
+    // the visited set re-ranked against full-precision vectors
+    "q_ann_graph_sq8" -> (annGraphSq8 _),
     // graph lifecycle: partition-scoped append (touched-cell subgraph
     // rebuild == full fresh build, the seam-free invariant the oracle
     // checks), tombstone-masked hole-y serve, survivor-kNN compaction
@@ -3584,6 +3649,8 @@ FROM embeddings ORDER BY vec_id""",
     // routed against the stored centroids with identical tie-breaks, so
     // the partition-pruned serve gates against the same oracle
     "q_ann_graph_indexed" -> graphOracle,
+    // compressed-guided walk + exact re-rank, both trainings re-derived
+    "q_ann_graph_sq8" -> graphSq8Oracle,
     // the seam-free append: oracle = full fresh build, slice-trained
     "q_ann_graph_incr" -> graphOracleFrom(graphIncrKCtes, "TRUE", false),
     "q_ann_graph_incr_stream" ->
@@ -3607,6 +3674,73 @@ FROM embeddings ORDER BY vec_id""",
     * final visited set, self excluded.
     */
   private def graphOracle: String = graphOracleFrom(kmeansCtes, "TRUE", false)
+
+  /** The DiskANN-composition oracle: the SAME graph structure CTEs, but
+    * every BEAM decision ranks by the SQ8 bin-center reconstruction's
+    * L2² (the compressed metric the walk actually uses) and only the
+    * final answer ranks by exact cosine — both trainings re-derived.
+    */
+  private def graphSq8Oracle: String = {
+    val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
+    val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
+    val distQ = l2sq("q.q_emb", "r.recon").duck
+    val hops = (1 to GRAPH_H).map { h =>
+      s"""b${h - 1} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT v.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY v.query_id ORDER BY $distQ ASC, v.vec_id ASC) AS rk
+    FROM v${h - 1} v JOIN sqrecon r ON v.vec_id = r.vec_id
+    JOIN qset q ON v.query_id = q.query_id)
+  WHERE rk <= $GRAPH_B
+),
+v$h AS MATERIALIZED (
+  SELECT query_id, vec_id FROM v${h - 1}
+  UNION
+  SELECT b.query_id, e.dst AS vec_id FROM b${h - 1} b JOIN edges e ON b.vec_id = e.src
+)"""
+    }.mkString(",\n")
+    s"""WITH $kmeansCtes,
+${sq8Ctes("")},
+fin AS MATERIALIZED (
+  SELECT vec_id, embedding, cell,
+         ${normDuck("embedding")} AS nrm FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN cent$KMEANS_ITERS c)
+  WHERE rn = 1
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
+    FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+  WHERE rk <= $GRAPH_R
+),
+entries AS MATERIALIZED (
+  SELECT cell, vec_id FROM (
+    SELECT f.cell, f.vec_id,
+           row_number() OVER (PARTITION BY f.cell ORDER BY
+             ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
+    FROM fin f JOIN cent$KMEANS_ITERS c ON f.cell = c.cell)
+  WHERE rk = 1
+),
+qset AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qnrm, cell
+  FROM fin WHERE vec_id < $N_QUERIES
+),
+v0 AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id FROM qset q JOIN entries e ON q.cell = e.cell
+),
+$hops
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT v.query_id, v.vec_id AS vizinho, $simQ AS sim,
+         CAST(row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS INTEGER) AS rank
+  FROM v$GRAPH_H v JOIN fin f ON v.vec_id = f.vec_id
+  JOIN qset q ON v.query_id = q.query_id
+  WHERE v.query_id <> v.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+  }
 
   /** Slice-trained Lloyd chain shared by the graph lifecycle oracles. */
   private def graphIncrKCtes: String = kmeansCtesTrainedOn("ktrain",

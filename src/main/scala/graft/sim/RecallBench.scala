@@ -172,6 +172,10 @@ object RecallBench {
         .groupBy("query_id").count().collect().map(_.getLong(1))
       per.sum.toDouble / per.length
     }
+    // the DiskANN composition: the walk guided by 4× SQ8 codes, exact
+    // re-rank only over the visited set — compressed guidance should
+    // cost nothing here (SQ8's per-candidate error ≪ the neighbor gap)
+    row("graph_sq8", truthFull) { EmbeddingOps.annGraphSq8(spark, sfDir) }
     // the churn question, graph edition: the masked hole-y walk and the
     // compacted re-linked walk, each vs survivor truth
     row("graph_churned", truthSurv) { EmbeddingOps.annGraphDeleted(spark, sfDir) }
