@@ -329,16 +329,113 @@ object RetrievalOps {
     bm25WandFold(head, tail)
   }
 
-  private[graft] def bm25WandServed(s: SparkSession, dir: String): DataFrame = {
-    // WAND serves tombstone-free stores: a pending delete shifts every
-    // surviving score through the derived globals, so the stored upper
-    // bounds no longer bound — masked serving goes through the
-    // exhaustive path until compaction folds the tombstones
-    require(bm25Tombstones(s, dir).isEmpty,
-      s"$dir carries tombstones; compact before the WAND serve")
-    val (raw, stats, meta) = bm25WandStores(s, dir)
-    bm25WandServe(s, raw, stats, meta)
+  private[graft] def bm25WandServed(s: SparkSession, dir: String): DataFrame =
+    bm25Tombstones(s, dir) match {
+      case Some(t) => bm25WandServedMasked(s, dir, t)
+      case None =>
+        val (raw, stats, meta) = bm25WandStores(s, dir)
+        bm25WandServe(s, raw, stats, meta)
+    }
+
+  /** WAND over a TOMBSTONED store — pruned serving without forcing a
+    * compaction first (at scale, compaction is the expensive op; a
+    * pending delete should not disable the cheap serve path).
+    *
+    * A pending delete shifts every surviving score through the derived
+    * globals (nd, avgdl shrink; read-time df shrinks for masked terms),
+    * so the STORED upper bounds no longer bound. Rather than recomputing
+    * them from the postings (a full pass over the weakest term's bucket
+    * — exactly the read pruning exists to avoid), the stored bound is
+    * inflated by a provable per-term factor. For any surviving posting p
+    * of term t, with build-time globals (df, nd, avgdl) and masked
+    * globals (df′, nd′, avgdl′):
+    *
+    *   sc′(p) = sc(p) · [idf(df′,nd′)/idf(df,nd)]
+    *                  · [tfnorm(p;avgdl′)/tfnorm(p;avgdl)]
+    *
+    * The idf ratio is term-constant and exactly computable (df is stored
+    * in the term metadata; df′ derives from the masked postings the head
+    * pass reads anyway). The tfnorm ratio is posting-dependent but
+    * bounded: tfnorm = tf(k1+1)/(tf + k1(1−b) + k1·b·len/avgdl), so the
+    * ratio is a quotient of those denominators and its supremum over
+    * tf ≥ 1, len ≥ 1 is max(1, avgdl′/avgdl) (approached only as
+    * len → ∞, giving a real analytic margin over float rounding). Hence
+    *
+    *   ub′(t) = ub(t) · idf(df′,nd′)/idf(df,nd) · max(1, avgdl′/avgdl)
+    *
+    * dominates every surviving posting's masked score: pruning on ub′ is
+    * answer-invisible, bit-equal to the masked exhaustive serve (gated:
+    * `q_bm25_wand_deleted` against the survivors oracle). A term whose
+    * postings are fully tombstoned drops out of the metadata join — it
+    * contributes 0 to every doc in the exhaustive serve, so excluding it
+    * from head/weakest selection is exact.
+    */
+  private def bm25WandServedMasked(s: SparkSession, dir: String,
+      t: DataFrame): DataFrame = {
+    val (postings, stats, meta) = bm25MaskedStores(s, dir, t)
+    bm25WandServe(s, postings, stats, meta)
   }
+
+  /** The masked store triple (surviving postings, adjusted stats,
+    * adjusted term metadata) behind the tombstoned pruned serve — shared
+    * with the spec's evaluation-count audit.
+    */
+  private[graft] def bm25MaskedStores(s: SparkSession, dir: String,
+      t: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (postingsRaw, statsRaw, metaRaw) = bm25WandStores(s, dir)
+    val adj = t.agg(count(lit(1)).as("n_del"),
+      coalesce(sum("len"), lit(0L)).as("len_del"))
+    val postings = postingsRaw
+      .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    val stats = statsRaw.crossJoin(broadcast(adj))
+      .select((col("nd") - col("n_del")).as("nd"),
+        (col("sumlen") - col("len_del")).as("sumlen"))
+    // masked per-term df over the surviving postings — query-term
+    // buckets only (postingsRaw is already bucket-pruned), so this is
+    // the same data volume the head pass reads, not a corpus scan
+    val dfx2 = postings.groupBy("term").agg(count(lit(1)).as("df2"))
+    val meta = metaRaw.join(dfx2, Seq("term"))
+      .crossJoin(broadcast(statsRaw
+        .select(col("nd").as("nd0"), col("sumlen").as("sl0"))))
+      .crossJoin(broadcast(stats
+        .select(col("nd").as("nd1"), col("sumlen").as("sl1"))))
+      .selectExpr("term",
+        "ub * (((CAST(nd1 - df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+          "(CAST(df2 AS DOUBLE) + CAST(0.5 AS DOUBLE))) / " +
+          "((CAST(nd0 - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+          "(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))) * " +
+          "greatest(CAST(1 AS DOUBLE), " +
+          "(CAST(sl1 AS DOUBLE) / CAST(nd1 AS DOUBLE)) / " +
+          "(CAST(sl0 AS DOUBLE) / CAST(nd0 AS DOUBLE))) AS ub")
+    (postings, stats, meta)
+  }
+
+  /** Evaluation accounting for the TOMBSTONED pruned serve (the masked
+    * twin of [[bm25WandCounts]]): (exhaustive, wand) per-(query, doc,
+    * term) score evaluations over the masked store — the spec pins that
+    * adjusted-bound pruning still strictly saves work while tombstones
+    * are pending.
+    */
+  private[graft] def bm25WandDeletedCounts(s: SparkSession,
+      d: String): (Long, Long) = {
+    import s.implicits._
+    val dir = bm25DeletedIndexDir(s, d, "delwc")
+    val t = bm25Tombstones(s, dir).get
+    val (postings, stats, meta) = bm25MaskedStores(s, dir, t)
+    val q = bmQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val exhaustive = broadcast(q).join(postings, Seq("term")).count()
+    val (head, tail) = bm25WandPartsWith(s, postings, stats, meta, q)
+    (exhaustive, head.count() + tail.count())
+  }
+
+  /** The delete lifecycle served through the PRUNED path with tombstones
+    * still pending — same survivors oracle as the exhaustive
+    * `q_bm25_delete`: adjusted-bound pruning must be answer-invisible
+    * on the mutated store, no compaction required.
+    */
+  def bm25WandDeleted(s: SparkSession, d: String): DataFrame =
+    bm25WandServed(s, bm25DeletedIndexDir(s, d, "delw"))
 
   private def bm25WandStores(s: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -1349,6 +1446,10 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // physically-compacted serve, both against the survivors oracle
     "q_bm25_delete" -> (bm25Deleted _),
     "q_bm25_delete_compact" -> (bm25DeletedCompacted _),
+    // the pruned serve over the STILL-TOMBSTONED store: stored bounds
+    // inflated by the provable idf-ratio × avgdl-ratio factor, no
+    // compaction required before pruning
+    "q_bm25_wand_deleted" -> (bm25WandDeleted _),
     // the UPDATE lifecycle: tombstone old versions, compact, append new
     "q_bm25_update" -> (bm25Updated _),
     // the pruned serve over the MUTATED store: refresh-on-write keeps
@@ -1385,6 +1486,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // globals (nd, avgdl, read-time df) included
     "q_bm25_delete" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
     "q_bm25_delete_compact" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
+    "q_bm25_wand_deleted" -> bm25OracleOver("NOT (doc_id % 7 = 3)"),
     // update must equal BM25 over the corpus as modified
     "q_bm25_update" -> bm25UpdateOracle,
     "q_bm25_wand_updated" -> bm25UpdateOracle,

@@ -460,4 +460,19 @@ class RetrievalGraphSpec extends SparkSpec {
         "the pruned serve must score strictly fewer")
     assert(pruned > 0 && exhaustive > 0, "counts must be exercised")
   }
+
+  test("WAND over a tombstoned store: masked serve bit-equal, still prunes") {
+    // the pruned path no longer requires compaction: adjusted upper
+    // bounds (stored ub × exact idf ratio × max(1, avgdl'/avgdl)) keep
+    // pruning answer-invisible over the masked postings
+    val wand = RetrievalOps.bm25WandDeleted(spark, tiny).collect().toSeq
+    val full = RetrievalOps.bm25Deleted(spark, tiny).collect().toSeq
+    assert(wand == full,
+      "masked pruning must reproduce the masked exhaustive serve bit-for-bit")
+    // and the adjusted bounds must still actually prune on this corpus
+    val (exhaustive, pruned) = RetrievalOps.bm25WandDeletedCounts(spark, tiny)
+    assert(pruned < exhaustive,
+      s"masked wand scored $pruned vs exhaustive $exhaustive — " +
+        "adjusted-bound pruning must still save evaluations")
+  }
 }
