@@ -330,6 +330,30 @@ object Bench {
       }
     }
     rmTree(bmIdx)
+    // substring-dedup skew probe (r17): one 32-token boilerplate phrase
+    // injected into 10³ docs — 25 window hashes each carrying 10³ rows.
+    // The capped row prices the shipped default (the hot anchors drop in
+    // the map-combined pre-pass; the join sees only natural-frequency
+    // hashes); the uncapped row prices what the cap prevents (~1.25×10⁷
+    // anchor pairs fanned out of 25 shuffle keys). The RATIO is the
+    // artifact: bounded capped time beside the quadratic detonation.
+    locally {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val skewDir = s"/tmp/graft_bench_substrskew_${System.nanoTime()}"
+      val boiler = (1 to 32).map(i => s"skewtok$i").mkString(" ")
+      Tables.documents(spark, sfDir)
+        .withColumn("text", when(col("doc_id") <= 1000,
+          concat(lit(boiler + " "), col("text"))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      once("dedup_substring_skew_capped") {
+        graft.text.TextOps.substringDedup(spark, skewDir).count(): Unit
+      }
+      once("dedup_substring_skew_uncapped") {
+        graft.text.TextOps.substringDedup(spark, skewDir,
+          maxAnchorFreq = Int.MaxValue).count(): Unit
+      }
+      rmTree(skewDir)
+    }
     // positional-index lifecycle: posexplode + term-bucketed persist is
     // the build; the phrase probe reads only its terms' buckets
     val phIdx = s"/tmp/graft_bench_phrase_${System.nanoTime()}"

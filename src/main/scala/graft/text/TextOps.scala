@@ -484,10 +484,44 @@ ORDER BY doc_id"""
     * exactly as in the passage family (the oracle applies the identical
     * hash, so the gate is structurally bit-exact; at corpus scale a
     * 60-bit collision admits a false anchor at negligible rate).
+    *
+    * HOT-ANCHOR CAP (`maxAnchorFreq`): the anchor self-join's one skew
+    * exposure is a window hash occurring f times corpus-wide — it lands
+    * f rows on ONE shuffle key and fans out O(f²) pairs (a templated
+    * 8-token boilerplate phrase in 10⁵ docs would make a 10¹⁰-pair
+    * bucket — quadratic blow-up on exactly the key the operator exists
+    * to find; Lee et al.'s suffix array is linear there). A pre-pass
+    * therefore DROPS windows whose corpus-wide hash frequency exceeds
+    * the cap before either join side forms, bounding every bucket at
+    * cap² pairs. The frequency count is a map-combined groupBy (the hot
+    * key collapses to one partial per input partition — no hot task),
+    * and the semi-join filter lands on the same h partitioning the
+    * anchor join reuses. Spec-pinned semantics: a maximal run loses the
+    * anchors whose windows are capped, so a run carried ONLY by
+    * over-cap windows vanishes and a run straddling one splits at the
+    * capped positions — ultra-hot boilerplate degrades to the passage
+    * family's partner-agnostic treatment rather than detonating the
+    * shuffle. The oracle applies the identical cap, so the gate stays
+    * bit-exact; the default sits far above any frequency in the gated
+    * corpora (capped ≡ uncapped there) while bounding the worst-case
+    * bucket at ~256k pairs.
     */
-  def substringDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+  def substringDedup(s: SparkSession, d: String, k: Int = 8,
+      maxAnchorFreq: Int = 512): DataFrame =
+    substringPairsOf(passageWindows(s, d, k), k, maxAnchorFreq)
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+
+  /** The capped seed-and-extend pair derivation over any (doc_id, pos,
+    * h) window relation — shared by the gate form, the skew probe, and
+    * the span-removal operator (which must cut exactly the spans the
+    * pair list reports).
+    */
+  private[graft] def substringPairsOf(g0: DataFrame, k: Int,
+      maxAnchorFreq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = passageWindows(s, d, k)
+    val ok = g0.groupBy("h").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= maxAnchorFreq).select("h")
+    val g = g0.join(ok, Seq("h"), "left_semi")
     val a = g.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
     val b = g.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))
     val anchors = a.join(b, Seq("h"))
@@ -501,18 +535,73 @@ ORDER BY doc_id"""
         (count(lit(1)) + (k - 1)).as("n_tokens"))
       .selectExpr("doc_a", "doc_b", "CAST(pa AS INTEGER) AS pos_a",
         "CAST(pb AS INTEGER) AS pos_b", "CAST(n_tokens AS INTEGER) AS n_tokens")
-      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
   }
 
-  /** [[substringDedup]]'s DuckDB twin: same hash, same anchor join, same
-    * diagonal gaps-and-islands — re-derived from the raw text.
+  /** Exact-substring span REMOVAL — the user-facing product of the
+    * ExactSubstr family: the corpus rewritten with every cross-document
+    * repeated token run ≥ k CUT, keep-one policy. [[substringDedup]]
+    * lists the match pairs; this operator applies them: each pair's
+    * doc_b-side span (the occurrence in the LATER document) is removed,
+    * and since pairs are emitted for every (earlier, later) doc
+    * combination sharing a run — exact-match equality is transitive, so
+    * every non-earliest occurrence pairs directly with the corpus-
+    * earliest one — cutting all doc_b coverage keeps exactly the
+    * earliest document's copy. Output mirrors [[passageClean]]:
+    * (doc_id, n_tokens, n_mantidos, texto_limpo), every input document
+    * present, untouched docs passing through verbatim. Within-document
+    * repetitions are out of scope here (the pair list is strictly
+    * cross-document); [[passageClean]] covers those partner-agnostic.
+    *
+    * Scale shape: the pair derivation's capped anchor join, a cut-
+    * coverage explode bounded by duplicated volume ×k, and the same
+    * token-level anti-join rebuild as the passage cut — all keyed on
+    * doc or hash, never all-pairs.
     */
-  private def substringOracle(k: Int = 8): String =
+  def substringRemoved(s: SparkSession, d: String, k: Int = 8,
+      maxAnchorFreq: Int = 512): DataFrame = {
+    val cut = substringPairsOf(passageWindows(s, d, k), k, maxAnchorFreq)
+      .select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(pos_b, pos_b + n_tokens - 1)")).as("i"))
+      .distinct()
+    rebuildWithoutCut(s, d, cut)
+  }
+
+  /** Rebuild each document's text minus a (doc_id, i) token-coverage
+    * relation — the shared cleaning tail of [[passageClean]] and
+    * [[substringRemoved]]: token-level explode + anti-join + per-
+    * document ordered re-aggregation, all linear and doc-keyed.
+    */
+  private def rebuildWithoutCut(s: SparkSession, d: String,
+      cut: DataFrame): DataFrame = {
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .withColumn("i", col("i0") + 1).drop("i0")
+      .join(cut, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, tok))), s -> s.tok), ' ')")
+          .as("txt"))
+    toks.join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "CAST(size(toks) AS INTEGER) AS n_tokens",
+        "CAST(coalesce(n, 0) AS INTEGER) AS n_mantidos",
+        "coalesce(txt, '') AS texto_limpo")
+      .orderBy("doc_id")
+  }
+
+  /** [[substringDedup]]'s DuckDB twin: same hash, same hot-anchor cap,
+    * same anchor join, same diagonal gaps-and-islands — re-derived from
+    * the raw text.
+    */
+  private def substringRunsCte(k: Int, maxAnchorFreq: Int): String =
     s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS toks FROM documents),
 long AS (SELECT * FROM toks WHERE len(toks) >= $k),
 pos AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks FROM long),
-flat AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+flat0 AS MATERIALIZED (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
   ('0x' || substring(md5(array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')), 1, 15))::BIGINT AS h FROM pos),
+ok AS (SELECT h FROM flat0 GROUP BY h HAVING COUNT(*) <= $maxAnchorFreq),
+flat AS (SELECT f.* FROM flat0 f SEMI JOIN ok USING (h)),
 anchors AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
          a.pos - b.pos AS diag
@@ -520,12 +609,38 @@ anchors AS (
 runs AS (
   SELECT doc_a, doc_b, diag, pos_a, pos_b,
          pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-  FROM anchors)
+  FROM anchors)"""
+
+  private def substringOracle(k: Int = 8, maxAnchorFreq: Int = 512): String =
+    s"""${substringRunsCte(k, maxAnchorFreq)}
 SELECT doc_a, doc_b, CAST(MIN(pos_a) AS INTEGER) AS pos_a,
   CAST(MIN(pos_b) AS INTEGER) AS pos_b,
   CAST(COUNT(*) + ${k - 1} AS INTEGER) AS n_tokens
 FROM runs GROUP BY doc_a, doc_b, diag, grp
 ORDER BY doc_a, doc_b, pos_a, pos_b"""
+
+  /** [[substringRemoved]]'s twin: the identical capped run derivation,
+    * then doc_b-side coverage and the passage-clean rebuild tail.
+    */
+  private def substringRemovedOracle(k: Int = 8,
+      maxAnchorFreq: Int = 512): String =
+    s"""${substringRunsCte(k, maxAnchorFreq)},
+spans AS (
+  SELECT doc_b AS doc_id, CAST(MIN(pos_b) AS INTEGER) AS pb,
+         CAST(COUNT(*) + ${k - 1} AS INTEGER) AS n
+  FROM runs GROUP BY doc_a, doc_b, diag, grp),
+cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(pb, pb + n)) AS INTEGER) AS i FROM spans),
+tokix AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i, toks FROM toks),
+tok AS (SELECT doc_id, i, toks[i] AS tok FROM tokix),
+kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t
+         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i)
+SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+  CAST(coalesce(kk.n, 0) AS INTEGER) AS n_mantidos,
+  coalesce(kk.txt, '') AS texto_limpo
+FROM toks d LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
+ORDER BY d.doc_id"""
 
   def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -604,21 +719,7 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
       .filter(col("occ") >= 2 && col("rn") > 1)
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
       .distinct()
-    val toks = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
-    val kept = toks
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
-      .withColumn("i", col("i0") + 1).drop("i0")
-      .join(cut, Seq("doc_id", "i"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"),
-        expr("array_join(transform(array_sort(collect_list(struct(i, tok))), s -> s.tok), ' ')")
-          .as("txt"))
-    toks.join(kept, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "CAST(size(toks) AS INTEGER) AS n_tokens",
-        "CAST(coalesce(n, 0) AS INTEGER) AS n_mantidos",
-        "coalesce(txt, '') AS texto_limpo")
-      .orderBy("doc_id")
+    rebuildWithoutCut(s, d, cut)
   }
 
   private def passageCleanOracle(k: Int = 8): String =
@@ -1063,6 +1164,9 @@ FROM bucketed ORDER BY doc_id"""
     // exact repeated-substring match pairs (Lee et al. ExactSubstr):
     // anchor join + diagonal extension, never a global suffix array
     "q_dedup_substring" -> (substringDedup(_, _)),
+    // the family's user-facing product: the corpus rewritten with every
+    // cross-doc repeated run >= k cut, keep-earliest policy
+    "q_dedup_substring_removed" -> (substringRemoved(_, _)),
     "q_passage_clean" -> (passageClean(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
@@ -1273,6 +1377,7 @@ ORDER BY doc_id""",
       "q_dedup_simhash64" -> simhash64Oracle,
       "q_dedup_passage" -> passageOracle(),
       "q_dedup_substring" -> substringOracle(),
+      "q_dedup_substring_removed" -> substringRemovedOracle(),
       "q_passage_clean" -> passageCleanOracle(),
       // the streamed ownership state must converge to the batch cut set
       "q_dedup_passage_stream" -> passageCutOracle(),

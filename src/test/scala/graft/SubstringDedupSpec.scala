@@ -71,4 +71,59 @@ class SubstringDedupSpec extends SparkSpec {
     val got = TextOps.substringDedup(spark, dir, K).collect()
     assert(got.isEmpty, s"expected no spans, got ${got.toSeq}")
   }
+
+  test("hot-anchor cap: an over-cap window splits the run it straddles") {
+    // docs 1,2 share a 12-token run (anchor windows at run positions
+    // 1..5). The window at position 3 (tokens s3..s10) is made HOT by 8
+    // more docs consisting of exactly those 8 tokens → frequency 10.
+    // cap=8 drops it: the (1,2) run splits into two 9-token spans at
+    // the capped position, and the hot docs pair with nothing at all
+    // (their only window is over-cap) — the spec-pinned degradation.
+    val run = toks(12, "s")
+    val hot = (3 to 10).map(i => s"s$i").mkString(" ")
+    val dir = staged(
+      Seq(1L -> s"$run ${toks(4, "a")}", 2L -> s"$run ${toks(4, "b")}") ++
+        (3L to 10L).map(i => i -> hot))
+    val capped = TextOps.substringDedup(spark, dir, K, maxAnchorFreq = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(capped.toSeq == Seq((1L, 2L, 1, 1, 9), (1L, 2L, 4, 4, 9)),
+      s"expected the run split at the capped window, got ${capped.toSeq}")
+    // above the frequency, the same corpus reports the full runs again
+    val full = TextOps.substringDedup(spark, dir, K, maxAnchorFreq = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(full.contains((1L, 2L, 1, 1, 12)),
+      s"uncapped frequency must restore the maximal run, got ${full.toSeq}")
+  }
+
+  test("skew shape: 10³-doc boilerplate stays bounded and reports nothing") {
+    // 1000 docs sharing a 32-token boilerplate block (25 over-cap
+    // windows each) + unique tails: uncapped this is ~12.5M anchor
+    // pairs on 25 shuffle keys; capped, every boilerplate window drops
+    // in the pre-pass and the join sees only singleton hashes
+    val boiler = toks(32, "b")
+    val dir = staged((1L to 1000L).map(i =>
+      i -> s"$boiler u${i}x1 u${i}x2 u${i}x3 u${i}x4"))
+    val got = TextOps.substringDedup(spark, dir, K).collect()
+    assert(got.isEmpty,
+      s"capped run must drop the boilerplate anchors, got ${got.length} rows")
+  }
+
+  test("span removal: later occurrences cut, earliest copy kept verbatim") {
+    val run = toks(12, "s")
+    val dir = staged(Seq(
+      1L -> s"${toks(3, "a")} $run ${toks(5, "b")}",
+      2L -> s"$run ${toks(9, "c")}",
+      3L -> s"${toks(8, "d")} $run"))
+    val rows = TextOps.substringRemoved(spark, dir, K).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    // doc 1 (earliest occurrence) passes through untouched
+    assert(rows(0) == ((1L, 20, 20,
+      s"${toks(3, "a")} $run ${toks(5, "b")}")))
+    // docs 2 and 3 lose exactly the 12 run tokens, filler survives
+    assert(rows(1) == ((2L, 21, 9, toks(9, "c"))))
+    assert(rows(2) == ((3L, 20, 8, toks(8, "d"))))
+  }
 }
