@@ -330,6 +330,38 @@ object Bench {
       }
     }
     rmTree(bmIdx)
+    // Zipfian WAND crossover (r17): the sf corpora are frequency-flat
+    // (~3% prunable postings — WAND loses on bookkeeping there, priced
+    // above); this staging generates the regime retrieval pruning
+    // exists for — power-law vocabulary, queries pairing a
+    // near-stopword with a rare term. Staged per run (~26M tokens),
+    // then exhaustive vs pruned serve INTERLEAVED off the same
+    // persisted index; the evaluation counts land in stderr beside the
+    // wall-clock rows.
+    locally {
+      val zdir = s"/tmp/graft_bench_zipf_${System.nanoTime()}"
+      once("bm25_zipf_stage") {
+        val (n, l, v) = graft.text.RetrievalOps.ZipfBench
+        graft.text.RetrievalOps.buildBm25IndexOn(spark,
+          graft.text.RetrievalOps.zipfDocs(spark, n, l, v), zdir)
+        graft.text.RetrievalOps.zipfQueriesOf(
+          spark.read.parquet(s"$zdir/postings").drop("tb", "batch"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$zdir/queries")
+      }
+      interleaved("q_bm25_zipf_served", "q_bm25_zipf_wand_served") {
+        graft.text.RetrievalOps.bm25ZipfServed(spark, zdir).count(): Unit
+      } {
+        graft.text.RetrievalOps.bm25ZipfWandServed(spark, zdir).count(): Unit
+      }
+      try {
+        val (ex, pr) = graft.text.RetrievalOps.bm25ZipfCounts(spark, zdir)
+        System.err.println(s"[bench] zipf crossover: exhaustive scored $ex " +
+          s"postings, wand scored $pr (${"%.2f".format(100.0 * pr / ex)}%)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] zipf counts failed: ${e.getMessage}")
+      }
+      rmTree(zdir)
+    }
     // substring-dedup skew probe (r17): one 32-token boilerplate phrase
     // injected into 10³ docs — 25 window hashes each carrying 10³ rows.
     // The capped row prices the shipped default (the hot anchors drop in

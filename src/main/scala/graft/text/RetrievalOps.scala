@@ -88,8 +88,11 @@ object RetrievalOps {
   /** Postings (raw) + corpus stats (nd, sumlen) for the end-to-end form.
     * One tokenize pass behind a barrier feeds tf AND the stats row.
     */
-  private def bm25Index(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val postings = docPostings(documents(s, d)).barrier()
+  private def bm25Index(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bm25IndexOf(documents(s, d))
+
+  private def bm25IndexOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val postings = docPostings(docs).barrier()
     val stats = postings.select("doc_id", "len").distinct()
       .agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
     (postings, stats)
@@ -302,7 +305,16 @@ object RetrievalOps {
   private def stagedBm25Inputs(s: SparkSession,
       d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dir = ensureBm25Index(s, d)
-    val q = s.read.parquet(s"${stageBm25Queries(s, d)}/queries")
+    bucketPrunedInputs(s, dir,
+      s.read.parquet(s"${stageBm25Queries(s, d)}/queries"))
+  }
+
+  /** An index dir's stores pruned to an explicit query table's term
+    * buckets — shared by the corpus-derived probes and the Zipf-staged
+    * crossover serves.
+    */
+  private def bucketPrunedInputs(s: SparkSession, dir: String,
+      q: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val buckets = q.selectExpr("CAST(abs(hash(term)) % 16 AS INT) AS b")
       .distinct().collect().map(_.getInt(0))
     (q,
@@ -327,6 +339,147 @@ object RetrievalOps {
     val (q, raw, stats, meta) = stagedBm25Inputs(s, d)
     val (head, tail) = bm25WandPartsWith(s, raw, stats, meta, q)
     bm25WandFold(head, tail)
+  }
+
+  // ---------------------------------------- Zipfian crossover staging
+
+  /** The corpus shape where postings pruning EARNS its overhead: the
+    * sf documents tables are frequency-flat (every query term matches
+    * ~80% of docs, so ~3% of postings are prunable and the pruned
+    * serve loses on bookkeeping — priced honestly in BENCH.md). Real
+    * web/token corpora are Zipfian: a handful of near-stopwords carry
+    * most postings while the informative terms are rare, and a query
+    * mixing the two is exactly WAND's home game — the rare term's
+    * lower-bound estimate θ̂ towers over the common term's upper bound,
+    * so the common term's (huge) posting list is scored only for docs
+    * the rare term already touched.
+    *
+    * This generator stages that regime DETERMINISTICALLY and
+    * cross-engine: token ranks follow an inverse power-law CDF,
+    * r = floor(1/t²) with t = (1/√V − 1)·u + 1 and u a 60-bit md5
+    * uniform ([[TextExprs.hash60]] — the repo's paired-spelling
+    * device), clamped to [1, V]. Every arithmetic step is +, −, ×, ÷,
+    * sqrt — all IEEE correctly-rounded in both engines, no
+    * transcendentals (the s = 3/2 Zipf exponent is chosen exactly so
+    * the inverse CDF's power is the rational t⁻²) — so Spark and the
+    * DuckDB oracle generate the IDENTICAL corpus and the gates
+    * hash-compare as usual.
+    */
+  private def zipfText(vocab: Int, len: Int): TextExprs.X = {
+    val two60 = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+    def rank(u: String) = {
+      val c = s"(CAST(1 AS DOUBLE) / sqrt(CAST($vocab AS DOUBLE)))"
+      val t = s"(($c - CAST(1 AS DOUBLE)) * $u + CAST(1 AS DOUBLE))"
+      s"least($vocab, greatest(1, CAST(floor(CAST(1 AS DOUBLE) / ($t * $t)) AS INT)))"
+    }
+    val sparkKey = "concat('zipf', CAST(doc_id AS STRING), '_', CAST(j AS STRING))"
+    val duckKey = "'zipf' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)"
+    val uS = s"(CAST(${TextExprs.hash60(sparkKey).spark} AS DOUBLE) / $two60)"
+    val uD = s"(CAST(${TextExprs.hash60(duckKey).duck} AS DOUBLE) / $two60)"
+    TextExprs.X(
+      spark = s"concat_ws(' ', transform(sequence(1, $len), " +
+        s"j -> concat('w', CAST(${rank(uS)} AS STRING))))",
+      duck = s"array_to_string(list_transform(range(1, ${len + 1}), " +
+        s"j -> 'w' || CAST(${rank(uD)} AS VARCHAR)), ' ')")
+  }
+
+  /** (docs, tokens/doc, vocab) for the GATE form (small: the DuckDB
+    * oracle regenerates it per check) and the BENCH staging (large
+    * enough that the pruned/exhaustive crossover is a wall-clock fact,
+    * not a counted abstraction).
+    */
+  private[graft] val ZipfGate = (8000, 40, 4000)
+  private[graft] val ZipfBench = (400000, 64, 30000)
+  private val ZipfTailDf = 50
+
+  private[graft] def zipfDocs(s: SparkSession, n: Int, len: Int,
+      vocab: Int): DataFrame =
+    s.range(1, n + 1L).toDF("doc_id")
+      .selectExpr("doc_id", s"${zipfText(vocab, len).spark} AS text")
+
+  /** The crossover query set, derived FROM the staged corpus: query i
+    * pairs the i-th most document-frequent term (the near-stopword —
+    * low idf, huge postings: the prunable side) with the i-th term by
+    * |df − $ZipfTailDf| (the rare informative term whose top-k partial
+    * sums set θ̂). Both picks are deterministic (df DESC / distance ASC,
+    * term ASC tie-breaks) and re-derived identically by the oracle.
+    */
+  private[graft] def zipfQueriesOf(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfx = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val heads = dfx.orderBy(desc("df"), asc("term")).limit(4)
+      .withColumn("query_id", row_number().over(
+        Window.orderBy(desc("df"), asc("term"))).cast("int"))
+    val tails = dfx
+      .orderBy(abs(col("df") - ZipfTailDf).asc, desc("df"), asc("term"))
+      .limit(4)
+      .withColumn("query_id", row_number().over(
+        Window.orderBy(abs(col("df") - ZipfTailDf).asc, desc("df"),
+          asc("term"))).cast("int"))
+    heads.select("query_id", "term")
+      .unionByName(tails.select("query_id", "term"))
+  }
+
+  /** Exhaustive BM25 over the generated Zipf corpus (gate form — the
+    * corpus, queries and serve all derive in one plan; `d` unused).
+    */
+  def bm25Zipf(s: SparkSession, d: String): DataFrame = {
+    val (n, l, v) = ZipfGate
+    val (postings, stats) = bm25IndexOf(zipfDocs(s, n, l, v))
+    bm25ServeWith(s, postings, stats, zipfQueriesOf(postings))
+  }
+
+  /** WAND over the same generated corpus and query set — same oracle:
+    * pruning must be answer-invisible in the regime built to reward it.
+    */
+  def bm25ZipfWand(s: SparkSession, d: String): DataFrame = {
+    val (n, l, v) = ZipfGate
+    val (postings, stats) = bm25IndexOf(zipfDocs(s, n, l, v))
+    val (head, tail) = bm25WandPartsWith(s, postings, stats,
+      termMetaOf(postings, stats), zipfQueriesOf(postings))
+    bm25WandFold(head, tail)
+  }
+
+  /** The benched pair: exhaustive vs pruned serve off the SAME staged
+    * index (the bench stages `ZipfBench`-scale docs + the query table
+    * per run), both bucket-pruned to the staged queries' terms.
+    */
+  private[graft] def bm25ZipfServed(s: SparkSession, dir: String): DataFrame = {
+    val (q, raw, stats, _) =
+      bucketPrunedInputs(s, dir, s.read.parquet(s"$dir/queries"))
+    bm25ServeWith(s, raw, stats, q)
+  }
+
+  private[graft] def bm25ZipfWandServed(s: SparkSession,
+      dir: String): DataFrame = {
+    val (q, raw, stats, meta) =
+      bucketPrunedInputs(s, dir, s.read.parquet(s"$dir/queries"))
+    val (head, tail) = bm25WandPartsWith(s, raw, stats, meta, q)
+    bm25WandFold(head, tail)
+  }
+
+  /** Evaluation accounting on the GATE-scale generated corpus — the
+    * spec pins that pruning in this regime is dramatic, not marginal.
+    */
+  private[graft] def bm25ZipfGateCounts(s: SparkSession): (Long, Long) = {
+    val (n, l, v) = ZipfGate
+    val (postings, stats) = bm25IndexOf(zipfDocs(s, n, l, v))
+    val q = zipfQueriesOf(postings)
+    val exhaustive = broadcast(q).join(postings, Seq("term")).count()
+    val (head, tail) = bm25WandPartsWith(s, postings, stats,
+      termMetaOf(postings, stats), q)
+    (exhaustive, head.count() + tail.count())
+  }
+
+  /** Evaluation accounting on the staged Zipf index — the counted form
+    * of the crossover story beside the wall-clock rows.
+    */
+  private[graft] def bm25ZipfCounts(s: SparkSession, dir: String): (Long, Long) = {
+    val (q, raw, stats, meta) =
+      bucketPrunedInputs(s, dir, s.read.parquet(s"$dir/queries"))
+    val exhaustive = broadcast(q).join(raw, Seq("term")).count()
+    val (head, tail) = bm25WandPartsWith(s, raw, stats, meta, q)
+    (exhaustive, head.count() + tail.count())
   }
 
   private[graft] def bm25WandServed(s: SparkSession, dir: String): DataFrame =
@@ -470,8 +623,12 @@ object RetrievalOps {
     * corpus version, served many times without touching `text`.
     */
   private[graft] def buildBm25Index(s: SparkSession, d: String,
+      dir: String): Unit =
+    buildBm25IndexOn(s, documents(s, d), dir)
+
+  private[graft] def buildBm25IndexOn(s: SparkSession, docs: DataFrame,
       dir: String): Unit = {
-    val (postings, stats) = bm25Index(s, d)
+    val (postings, stats) = bm25IndexOf(docs)
     // postings carry a second `batch` partition level (-1 = the build),
     // the same convention as the ANN cell stores: appended document
     // batches land in their own (tb, batch) partitions that a replayed
@@ -1008,6 +1165,24 @@ ORDER BY query_id, rank"""
   private def bm25ParamOracle: String =
     bm25OracleWith("SELECT doc_id, text FROM documents", bm25ParamQCte)
 
+  /** The Zipf gates' oracle: DuckDB REGENERATES the corpus from the
+    * identical paired expression, re-derives the same head/tail query
+    * set from dfx, and runs the standard BM25 chain.
+    */
+  private def zipfOracle: String = {
+    val (n, l, v) = ZipfGate
+    val docSrc = s"SELECT doc_id, ${zipfText(v, l).duck} AS text " +
+      s"FROM range(1, ${n + 1}) t(doc_id)"
+    val qCte =
+      s"""q AS (
+  SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INTEGER) AS query_id, term
+  FROM (SELECT term, df FROM dfx ORDER BY df DESC, term ASC LIMIT 4) h
+  UNION ALL
+  SELECT CAST(row_number() OVER (ORDER BY abs(df - $ZipfTailDf) ASC, df DESC, term ASC) AS INTEGER) AS query_id, term
+  FROM (SELECT term, df FROM dfx ORDER BY abs(df - $ZipfTailDf) ASC, df DESC, term ASC LIMIT 4) tl)"""
+    bm25OracleWith(docSrc, qCte)
+  }
+
   private def bm25OracleWith(docSrc: String, qCte: String): String = {
     s"""WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t
@@ -1440,6 +1615,11 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // phrase/NEAR pattern): exhaustive + WAND-pruned, same oracle pair
     "q_bm25_param" -> (bm25Param _),
     "q_bm25_wand_param" -> (bm25WandParam _),
+    // the Zipfian regime (generated deterministically, cross-engine):
+    // near-stopword + rare-term queries — the workload WAND exists for;
+    // exhaustive and pruned forms share the regenerating oracle
+    "q_bm25_zipf" -> (bm25Zipf _),
+    "q_bm25_zipf_wand" -> (bm25ZipfWand _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
     // the index lifecycle's delete third: tombstone-masked serve and
@@ -1479,6 +1659,8 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_bm25_wand" -> bm25Oracle,
     "q_bm25_param" -> bm25ParamOracle,
     "q_bm25_wand_param" -> bm25ParamOracle,
+    "q_bm25_zipf" -> zipfOracle,
+    "q_bm25_zipf_wand" -> zipfOracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
     "q_bm25_stream" -> bm25Oracle,

@@ -461,6 +461,23 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(pruned > 0 && exhaustive > 0, "counts must be exercised")
   }
 
+  test("Zipf regime: WAND bit-equal and pruning is DRAMATIC, not marginal") {
+    // the generated power-law corpus + stopword/rare-term queries are
+    // the workload pruning exists for: the rare term's θ̂ towers over
+    // the common term's upper bound, so nearly all of the common
+    // term's postings skip scoring
+    val wand = RetrievalOps.bm25ZipfWand(spark, tiny).collect().toSeq
+    val full = RetrievalOps.bm25Zipf(spark, tiny).collect().toSeq
+    assert(wand == full, "zipf pruning must be answer-invisible")
+    assert(full.nonEmpty, "the generated corpus must actually serve")
+    // count the evaluations on the gate-scale corpus: the near-stopword
+    // terms' postings must be overwhelmingly pruned, not marginally
+    val (exhaustive, pruned) = RetrievalOps.bm25ZipfGateCounts(spark)
+    assert(pruned * 5 < exhaustive,
+      s"zipf wand scored $pruned of $exhaustive postings — expected a " +
+        "dramatic (>5×) saving in the regime built to reward pruning")
+  }
+
   test("WAND over a tombstoned store: masked serve bit-equal, still prunes") {
     // the pruned path no longer requires compaction: adjusted upper
     // bounds (stored ub × exact idf ratio × max(1, avgdl'/avgdl)) keep
