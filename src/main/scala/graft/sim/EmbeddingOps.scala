@@ -2361,7 +2361,9 @@ object EmbeddingOps {
   private def graphBeamVisited(s: SparkSession, routed: DataFrame,
       vecs: DataFrame, edges: DataFrame, entries: DataFrame,
       b: Int = GRAPH_B, h: Int = GRAPH_H): DataFrame = {
-    val q = routed.select("query_id", "q_emb")
+    // routed may carry one row per PROBED cell (the centroid-layer
+    // route below); the scorer wants one q_emb per query
+    val q = routed.select("query_id", "q_emb").dropDuplicates("query_id")
     def withSims(ids: DataFrame): DataFrame =
       ids.join(vecs.select("vec_id", "embedding"), Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
@@ -2427,6 +2429,163 @@ object EmbeddingOps {
     (rankViaTopK(s, visited.filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("sim"), col("vec_id"))),
       visited.select("query_id", "vec_id"))
+  }
+
+  // ---------------------------------- centroid navigable layer (routing)
+
+  /** Centroid-layer routing parameters: centroid out-degree RC, descent
+    * beam BC, descent hops HC, probed cells PC. Per query the descent
+    * scores at most 1 + HC·BC·deg centroids (deg = RC plus the kNN
+    * in-degree the symmetrization adds) — O(deg·BC·HC), NOT O(cells).
+    * At this repo's 8 cells that is a wash; the design point is the
+    * 100 TB deployment where cells ≈ √N ≈ 10⁵–10⁶ and the flat
+    * route's per-query scan of EVERY centroid is itself the serving
+    * bottleneck (HNSW's upper layers exist for exactly this reason —
+    * Malkov & Yashunin 2018 §4: greedy descent over a sparse graph of
+    * representatives reaches the near-optimal entry region in
+    * logarithmically many hops).
+    */
+  private[graft] val CGRAPH_R = 3
+  private[graft] val CGRAPH_B = 2
+  private[graft] val CGRAPH_H = 3
+  private[graft] val CGRAPH_P = 2
+
+  /** The navigable layer itself: each centroid's RC nearest centroids
+    * by L2 (ties dist ASC, dst cell ASC), SYMMETRIZED — every kNN edge
+    * is inserted in both directions, the NSW/HNSW link discipline
+    * (Malkov & Yashunin 2018: bidirectional connections are what make
+    * greedy search on a kNN-derived graph reach the query region; a
+    * one-way kNN digraph strands descent in sink clusters — observed
+    * directly on this repo's toy layer). Out-degree is RC plus the
+    * cell's kNN in-degree (bounded in practice by the same hubness the
+    * kNN structure has). Built once per index, O(cells²) pairs — with
+    * cells ≈ √N that is O(N), the cost of one corpus scan, and it is a
+    * BUILD cost, never a serve cost. Tiny output (≤ 2·cells·RC rows):
+    * broadcast at serve time.
+    */
+  private[graft] def centroidEdgesOf(cents: DataFrame): DataFrame = {
+    val a = cents.select(col("cell").as("src"), col("centroid").as("s_c"))
+    val b = cents.select(col("cell").as("dst"), col("centroid").as("d_c"))
+    val knn = a.join(b, col("src") =!= col("dst"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("s_c"), col("d_c")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))))
+      .filter(col("rk") <= CGRAPH_R)
+      .select("src", "dst")
+    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Global entry cell for the descent: the most populous cell (ties to
+    * the smaller cell id) — exact-integer counts, so the choice is
+    * deterministic and oracle-re-derivable where a float mean-of-means
+    * would be fold-order-sensitive. One row.
+    */
+  private[graft] def entryCellOf(asg: DataFrame): DataFrame = asg
+    .groupBy("cell").agg(count(lit(1)).as("n"))
+    .orderBy(desc("n"), asc("cell")).limit(1)
+    .select("cell")
+
+  /** Greedy descent over the centroid layer: start every query at the
+    * global entry cell, expand the best-BC visited cells' RC out-edges
+    * for HC hops (fresh arrivals scored by exact L2 to the query), and
+    * return each query's PC best visited cells as its probe set. The
+    * hop loop is the same barriered frontier-join shape as the vector
+    * walk — cells are rows, never a driver structure. Output:
+    * (query_id, cell), PC rows per query.
+    */
+  private[graft] def routeViaCentroidGraph(s: SparkSession, q: DataFrame,
+      cents: DataFrame, entry: DataFrame, cedges: DataFrame,
+      p: Int = CGRAPH_P, b: Int = CGRAPH_B,
+      h: Int = CGRAPH_H): DataFrame = {
+    routeVisitedCells(s, q, cents, entry, cedges, b, h)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= p)
+      .select("query_id", "cell")
+  }
+
+  /** The descent's scored visited-cell set — (query_id, cell, dist),
+    * bounded at 1 + HC·BC·deg rows per query. Split out so RecallBench
+    * can price routing centroid evaluations beside vector reads.
+    */
+  private[graft] def routeVisitedCells(s: SparkSession, q: DataFrame,
+      cents: DataFrame, entry: DataFrame, cedges: DataFrame,
+      b: Int = CGRAPH_B, h: Int = CGRAPH_H): DataFrame = {
+    def scored(cellsDf: DataFrame): DataFrame = cellsDf
+      .join(broadcast(cents), Seq("cell"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        graft.functions.GraftFunctions.l2_sq(col("q_emb"), col("centroid"))
+          .as("dist"))
+    var visited = graft.Checkpoint.barrier(scored(
+      q.select("query_id").crossJoin(broadcast(entry))))
+    for (_ <- 1 to h) {
+      val beam = visited
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+        .filter(col("rk") <= b)
+        .select("query_id", "cell")
+      val frontier = beam
+        .join(broadcast(cedges.select(col("src").as("cell"), col("dst"))),
+          Seq("cell"))
+        .select(col("query_id"), col("dst").as("cell"))
+        .distinct()
+      val fresh = frontier.join(visited.select("query_id", "cell"),
+        Seq("query_id", "cell"), "left_anti")
+      visited = graft.Checkpoint.barrier(visited.unionByName(scored(fresh)))
+    }
+    visited
+  }
+
+  /** Graph ANN with centroid-layer routing (q_ann_graph_routed): the
+    * flat per-query scan of every centroid is replaced by the greedy
+    * descent, and each query walks from its PC probed cells' entry
+    * points — the boundary-straddle repair (a query near a cell seam
+    * gets its neighbor cell probed) at O(RC·HC) centroid evaluations
+    * instead of O(cells·P). Vector-side walk, adjacency, and tie-breaks
+    * are byte-identical to [[annGraph]]; the oracle re-derives the
+    * descent unrolled.
+    */
+  def annGraphRouted(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val q = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = routeViaCentroidGraph(s, q, cents, entryCellOf(asg),
+      centroidEdgesOf(cents))
+    val routed = probes.join(q, Seq("query_id"))
+    graphBeamServe(s, routed, asg, graphEdgesOf(s, asg), graphEntriesOf(asg))
+  }
+
+  /** Frontier point for the ROUTED serve: (ranked answer, visited
+    * vector ids, visited routing cells) from one walk, so RecallBench
+    * reports recall, exact vector reads, AND centroid evaluations for
+    * the same (P, B, H) setting.
+    */
+  private[graft] def graphRoutedFrontierPoint(s: SparkSession, d: String,
+      p: Int, b: Int, h: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val q = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val routeSet = routeVisitedCells(s, q, cents, entryCellOf(asg),
+      centroidEdgesOf(cents))
+    val probes = routeSet
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= p)
+      .select("query_id", "cell")
+    val routed = probes.join(q, Seq("query_id"))
+    val visited = graphBeamVisited(s, routed, asg, graphEdgesOf(s, asg),
+      graphEntriesOf(asg), b, h)
+    (rankViaTopK(s, visited.filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("sim"), col("vec_id"))),
+      visited.select("query_id", "vec_id"),
+      routeSet.select("query_id", "cell"))
   }
 
   /** The DiskANN composition proper (Subramanya et al. 2019): the beam
@@ -2915,6 +3074,11 @@ object EmbeddingOps {
     // the persisted cell-partitioned adjacency
     "q_ann_graph" -> (annGraph _),
     "q_ann_graph_indexed" -> (annGraphIndexedAuto _),
+    // centroid-layer routing: entry cells picked by greedy descent over
+    // the navigable centroid graph (O(RC·HC) centroid evals, not
+    // O(cells)), PC probed cells per query — the boundary-straddle
+    // repair without the flat routing scan
+    "q_ann_graph_routed" -> (annGraphRouted _),
     // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
     // the visited set re-ranked against full-precision vectors
     "q_ann_graph_sq8" -> (annGraphSq8 _),
@@ -3649,6 +3813,9 @@ FROM embeddings ORDER BY vec_id""",
     // routed against the stored centroids with identical tie-breaks, so
     // the partition-pruned serve gates against the same oracle
     "q_ann_graph_indexed" -> graphOracle,
+    // centroid-layer routing: the greedy descent over the centroid kNN
+    // graph unrolls as CTEs exactly like the vector walk
+    "q_ann_graph_routed" -> graphRoutedOracle,
     // compressed-guided walk + exact re-rank, both trainings re-derived
     "q_ann_graph_sq8" -> graphSq8Oracle,
     // the seam-free append: oracle = full fresh build, slice-trained
@@ -3674,6 +3841,118 @@ FROM embeddings ORDER BY vec_id""",
     * final visited set, self excluded.
     */
   private def graphOracle: String = graphOracleFrom(kmeansCtes, "TRUE", false)
+
+  /** The routed-graph oracle: identical fin/edges/entries/walk CTEs to
+    * the fresh graph oracle, with v0 seeded from the PC cells the
+    * centroid-layer descent probes — the descent itself (entry cell by
+    * population, centroid kNN edges, BC-beam HC-hop greedy walk by
+    * exact L2, UNION-deduped) unrolled just like the vector walk.
+    */
+  private def graphRoutedOracle: String = {
+    val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
+    val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
+    val distQC = l2sq("q.q_emb", "c.centroid").duck
+    val cc = s"cent$KMEANS_ITERS"
+    val routeHops = (1 to CGRAPH_H).map { h =>
+      s"""cb${h - 1} AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT v.query_id, v.cell,
+           row_number() OVER (PARTITION BY v.query_id ORDER BY $distQC ASC, v.cell ASC) AS rk
+    FROM c${h - 1} v JOIN $cc c ON v.cell = c.cell
+    JOIN qset q ON v.query_id = q.query_id)
+  WHERE rk <= $CGRAPH_B
+),
+c$h AS MATERIALIZED (
+  SELECT query_id, cell FROM c${h - 1}
+  UNION
+  SELECT b.query_id, e.dst AS cell FROM cb${h - 1} b JOIN cedges e ON b.cell = e.src
+)"""
+    }.mkString(",\n")
+    val hops = (1 to GRAPH_H).map { h =>
+      s"""b${h - 1} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT v.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS rk
+    FROM v${h - 1} v JOIN fin f ON v.vec_id = f.vec_id
+    JOIN qset q ON v.query_id = q.query_id)
+  WHERE rk <= $GRAPH_B
+),
+v$h AS MATERIALIZED (
+  SELECT query_id, vec_id FROM v${h - 1}
+  UNION
+  SELECT b.query_id, e.dst AS vec_id FROM b${h - 1} b JOIN edges e ON b.vec_id = e.src
+)"""
+    }.mkString(",\n")
+    s"""WITH $kmeansCtes,
+fin AS MATERIALIZED (
+  SELECT vec_id, embedding, cell,
+         ${normDuck("embedding")} AS nrm FROM (
+    SELECT b.vec_id, b.embedding, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             ${l2sq("b.embedding", "c.centroid").duck} ASC, c.cell ASC) AS rn
+    FROM kbase b CROSS JOIN $cc c)
+  WHERE rn = 1
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
+    FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+  WHERE rk <= $GRAPH_R
+),
+entries AS MATERIALIZED (
+  SELECT cell, vec_id FROM (
+    SELECT f.cell, f.vec_id,
+           row_number() OVER (PARTITION BY f.cell ORDER BY
+             ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
+    FROM fin f JOIN $cc c ON f.cell = c.cell)
+  WHERE rk = 1
+),
+cknn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.cell AS src, b.cell AS dst,
+           row_number() OVER (PARTITION BY a.cell ORDER BY
+             ${l2sq("a.centroid", "b.centroid").duck} ASC, b.cell ASC) AS rk
+    FROM $cc a JOIN $cc b ON a.cell <> b.cell)
+  WHERE rk <= $CGRAPH_R
+),
+cedges AS MATERIALIZED (
+  SELECT src, dst FROM cknn
+  UNION
+  SELECT dst AS src, src AS dst FROM cknn
+),
+ecell AS MATERIALIZED (
+  SELECT cell FROM (SELECT cell, count(*) AS n FROM fin GROUP BY cell)
+  ORDER BY n DESC, cell ASC LIMIT 1
+),
+qset AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qnrm
+  FROM fin WHERE vec_id < $N_QUERIES
+),
+c0 AS MATERIALIZED (
+  SELECT q.query_id, e.cell FROM qset q CROSS JOIN ecell e
+),
+$routeHops,
+probed AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT v.query_id, v.cell,
+           row_number() OVER (PARTITION BY v.query_id ORDER BY $distQC ASC, v.cell ASC) AS rk
+    FROM c$CGRAPH_H v JOIN $cc c ON v.cell = c.cell
+    JOIN qset q ON v.query_id = q.query_id)
+  WHERE rk <= $CGRAPH_P
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT p.query_id, e.vec_id FROM probed p JOIN entries e ON p.cell = e.cell
+),
+$hops
+SELECT query_id, vizinho, sim, rank FROM (
+  SELECT v.query_id, v.vec_id AS vizinho, $simQ AS sim,
+         CAST(row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS INTEGER) AS rank
+  FROM v$GRAPH_H v JOIN fin f ON v.vec_id = f.vec_id
+  JOIN qset q ON v.query_id = q.query_id
+  WHERE v.query_id <> v.vec_id)
+WHERE rank <= $TOP_K ORDER BY query_id, rank"""
+  }
 
   /** The DiskANN-composition oracle: the SAME graph structure CTEs, but
     * every BEAM decision ranks by the SQ8 bin-center reconstruction's

@@ -182,6 +182,33 @@ object RecallBench {
     row("graph_churned_compacted", truthSurv) {
       EmbeddingOps.annGraphDeletedCompacted(spark, sfDir)
     }
+    // centroid-layer routing (r17): entry cells picked by greedy
+    // descent over the symmetrized centroid kNN graph — PC probed
+    // cells per query at O(deg·BC·HC) centroid evaluations instead of
+    // the flat O(cells) scan. graph_routed_cellevals prices the
+    // routing itself; the (P, B, H) frontier asks whether two probed
+    // cells let a NARROWER walk hold the ceiling the own-cell serve
+    // needs b4_h2's 15.5 reads for.
+    row("graph_routed", truthFull) { EmbeddingOps.annGraphRouted(spark, sfDir) }
+    for ((p, b, h) <- Seq((2, 2, 2), (2, 4, 2), (1, 4, 2), (2, 8, 3),
+        // the narrow end: can TWO routed entry points hold the ceiling
+        // with a walk narrower than the own-cell b2_h2 floor (15.5)?
+        (2, 1, 1), (2, 1, 2), (2, 2, 1), (1, 2, 2))) {
+      val (ranked, visited, routeCells) =
+        EmbeddingOps.graphRoutedFrontierPoint(spark, sfDir, p, b, h)
+      row(s"graph_routed_p${p}_b${b}_h$h", truthFull) { ranked }
+      out(s"graph_routed_p${p}_b${b}_h${h}_reads") = {
+        val per = visited.groupBy("query_id").count().collect()
+          .map(_.getLong(1))
+        per.sum.toDouble / per.length
+      }
+      out(s"graph_routed_p${p}_b${b}_h${h}_cellevals") = {
+        val per = routeCells.groupBy("query_id").count().collect()
+          .map(_.getLong(1))
+        per.sum.toDouble / per.length
+      }
+    }
+
     // the (B, H) frontier — recall and reads/query from the SAME walk
     // at each knob setting, the graph's analog of the nprobe and
     // refine-depth sweeps: how few exact reads still hold the ceiling

@@ -120,6 +120,62 @@ class GraphAnnSpec extends SparkSpec {
     assert(eAfter.intersect(victimIds).isEmpty, "no victim edge survives")
   }
 
+  test("centroid routing: layer well-formed, descent bounded, probes = brute top-PC") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = EmbeddingOps.kmeansCentroids(spark, tiny).cache()
+    val nCells = cents.count().toInt
+    val cedges = EmbeddingOps.centroidEdgesOf(cents)
+    val ce = cedges.collect()
+      .map(r => (r.getAs[Number]("src").intValue(), r.getAs[Number]("dst").intValue()))
+    assert(ce.forall { case (s, d) => s != d }, "no self-loops")
+    assert(ce.toSet == ce.map { case (s, d) => (d, s) }.toSet,
+      "the layer must be symmetric (every link bidirectional)")
+    val expectDeg = math.min(EmbeddingOps.CGRAPH_R, nCells - 1)
+    val bySrc = ce.groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    assert(bySrc.size == nCells, "every cell must be a source")
+    assert(bySrc.values.forall(_ >= expectDeg),
+      s"centroid out-degree must be at least the kNN degree $expectDeg")
+    val maxDeg = bySrc.values.max
+
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val asg = EmbeddingOps.kmeansCells(spark, tiny)
+    // entry = most populous cell, ties to the smaller id
+    val pops = asg.groupBy("cell").count().collect()
+      .map(r => (r.getAs[Number]("cell").intValue(), r.getLong(1)))
+    val expectEntry = pops.minBy { case (c, n) => (-n, c) }._1
+    val entry = EmbeddingOps.entryCellOf(asg)
+    assert(entry.collect().head.getAs[Number]("cell").intValue() == expectEntry,
+      "entry cell must be the most populous (ties smaller id)")
+
+    // descent cost contract: ≤ 1 + HC·BC·maxdeg centroid evaluations
+    // per query — the O(deg·BC·HC) routing that replaces the O(cells)
+    // flat scan (deg = RC + kNN in-degree after symmetrization)
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val visited = EmbeddingOps.routeVisitedCells(spark, q, cents, entry, cedges)
+      .collect().map(_.getLong(0))
+    val bound = 1 +
+      EmbeddingOps.CGRAPH_H * EmbeddingOps.CGRAPH_B * maxDeg
+    for ((qid, xs) <- visited.groupBy(identity))
+      assert(xs.length <= bound, s"query $qid scored ${xs.length} centroids > $bound")
+
+    // routing quality on this corpus: the greedy descent's probe set IS
+    // the brute-force top-PC cells for every query (navigability)
+    val probes = EmbeddingOps.routeViaCentroidGraph(spark, q, cents, entry, cedges)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("cell").intValue())).toSet
+    val brute = q.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.GraftFunctions
+        .l2_sq(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= EmbeddingOps.CGRAPH_P)
+      .select("query_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cell").intValue())).toSet
+    assert(probes == brute,
+      "greedy descent must recover the brute-force top-PC probe cells")
+  }
+
   test("persisted serve: bit-identical, store reads partition-pruned") {
     val dir = s"/tmp/graft_graph_spec_${System.nanoTime()}"
     EmbeddingOps.buildGraphIndex(spark, tiny, dir)
