@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.documents
 import TextExprs._
 import graft.Checkpoint.BarrierOps
@@ -1118,18 +1119,75 @@ FROM bucketed ORDER BY doc_id"""
     * embedding dot template). A plain SUM() over doubles would be
     * partial-aggregation-order dependent and could never hash-match.
     */
-  def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+  def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame =
+    tfidfCosineFinish(s, tfidfCosineCandidates(s, d, threshold), d, threshold)
+
+  /** Candidate pairs via the ALL-PAIRS prefix filter (Bayardo, Ma &
+    * Srikant 2007, "Scaling Up All Pairs Similarity Search"): the naive
+    * term-blocked self-join materializes Σ df² pairs — the r17 sf1
+    * rotation caught it spinning on a 50k-doc corpus where terms UNDER
+    * the df ≤ N/10 stopword cap still form 10⁷-pair blocks, a genuine
+    * 100 TB scale-killer. The exact fix: order terms by ascending
+    * pair-potential (mx = the term's max unit weight anywhere), take
+    * each doc's maximal SUFFIX whose Σ u·mx stays below the threshold —
+    * a pair whose shared terms all lie in one side's suffix has
+    * cos = Σ u_a·u_b ≤ Σ_suffix u_a·mx < t, so every qualifying pair
+    * shares at least one PREFIX (indexed) term of each side. Only
+    * prefix terms enter the blocking join; frequent terms carry low idf
+    * → low mx → land in suffixes, so exactly the blocks that detonate
+    * are the ones never formed. The answer is bit-identical to the
+    * naive plan's (the verify pass below folds the same term-sorted
+    * multiset); the candidate set is a superset of true pairs by the
+    * bound above, with a 1e-9 relative slack so float rounding at the
+    * boundary can never drop a true pair.
+    */
+  private[graft] def tfidfCosineCandidates(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
     val weights = tfidfParts(s, d)
       .filter(col("df") * 10 <= col("n")) // prune df > N/10
       .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
-      .barrier() // feeds norms + both join sides
-    val norms = weights.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
-      .selectExpr("doc_id",
-        "sqrt(aggregate(transform(tw, p -> p.w * p.w), CAST(0 AS DOUBLE), (s, v) -> s + v)) AS nrm")
-    val a = weights.toDF("doc_a", "term", "w_a")
-    val b = weights.toDF("doc_b", "term", "w_b")
-    val dots = a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+      .barrier()
+    val norms = tfidfNorms(weights)
+    val unit = weights.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("u"))
+      .barrier() // feeds mx + the ranked prefix + the probe side
+    val mx = unit.groupBy("term").agg(max("u").as("mx"))
+    val ranked = unit.join(mx, Seq("term"))
+      .withColumn("acc", sum(col("u") * col("mx")).over(
+        Window.partitionBy("doc_id").orderBy(asc("mx"), asc("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val indexed = ranked.filter(col("acc") >= threshold * (1 - 1e-9))
+      .select(col("doc_id").as("doc_a"), col("term"))
+    val probe = unit.select(col("doc_id").as("doc_b"), col("term"))
+    indexed.join(probe, Seq("term"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+  }
+
+  private def tfidfNorms(weights: DataFrame): DataFrame = weights
+    .groupBy("doc_id")
+    .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
+    .selectExpr("doc_id",
+      "sqrt(aggregate(transform(tw, p -> p.w * p.w), CAST(0 AS DOUBLE), (s, v) -> s + v)) AS nrm")
+
+  /** The exact verify pass: per-candidate dot from the shared terms'
+    * raw-weight products, folded term-sorted — the SAME multiset and
+    * fold order the naive all-shared-terms plan produces, so the result
+    * is bit-identical and the DuckDB oracle (which computes the naive
+    * form) still hash-matches. Cost O(candidates × doc length).
+    */
+  private def tfidfCosineFinish(s: SparkSession, candidates: DataFrame,
+      d: String, threshold: Double): DataFrame = {
+    val weights = tfidfParts(s, d)
+      .filter(col("df") * 10 <= col("n"))
+      .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
+      .barrier()
+    val norms = tfidfNorms(weights)
+    val dots = candidates
+      .join(weights.toDF("doc_a", "term", "w_a"), Seq("doc_a"))
+      .join(weights.toDF("doc_b", "term", "w_b"), Seq("doc_b", "term"))
       .groupBy("doc_a", "doc_b")
       .agg(sort_array(collect_list(struct(col("term"),
         (col("w_a") * col("w_b")).as("p")))).as("tp"))
@@ -1142,6 +1200,23 @@ FROM bucketed ORDER BY doc_id"""
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The pre-r17 naive candidate plan (every pair sharing any term),
+    * kept for the spec's answer-equality and candidate-count pins.
+    */
+  private[graft] def tfidfCosinePairsNaive(s: SparkSession, d: String,
+      threshold: Double = 0.3): DataFrame = {
+    val weights = tfidfParts(s, d)
+      .filter(col("df") * 10 <= col("n"))
+      .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
+      .barrier()
+    val naive = weights.toDF("doc_a", "term", "w_a")
+      .join(weights.toDF("doc_b", "term2", "w_b")
+        .withColumnRenamed("term2", "term"), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    tfidfCosineFinish(s, naive, d, threshold)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
