@@ -2560,6 +2560,87 @@ object EmbeddingOps {
     graphBeamServe(s, routed, asg, graphEdgesOf(s, asg), graphEntriesOf(asg))
   }
 
+  /** Cross-cell adjacency (q_ann_graph_xcell): each vector's R nearest
+    * neighbors selected from its OWN cell plus all centroid-ADJACENT
+    * cells (the navigable layer's links double as the candidate-block
+    * relation) — the boundary repair no probed-cell serve can make: a
+    * true neighbor whose cell ranks beyond every probe is reachable
+    * here because the WALK follows vector proximity, not cell ranking
+    * (measured: the brute truth pair that holds every IVF serve at the
+    * 0.975 routing ceiling — nProbe 1–4 all miss it — is recovered,
+    * see RecallBench graph_xcell). Candidate pairs stay blocked:
+    * O(|cell|²·(1+deg)) per cell, never corpus all-pairs; same bounded
+    * TopKByScore selection and (sim DESC, dst ASC) ties as the
+    * per-cell adjacency.
+    */
+  private[graft] def graphEdgesXcellOf(s: SparkSession, asg: DataFrame,
+      cedges: DataFrame): DataFrame = {
+    import s.implicits._
+    val cells = cedges.select(col("src")).distinct()
+    val cpair = cedges.select(col("src").as("a_cell"), col("dst").as("b_cell"))
+      .unionByName(cells.select(col("src").as("a_cell"), col("src").as("b_cell")))
+      .distinct()
+    val a = asg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
+      col("embedding").as("s_emb"))
+    val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
+      col("embedding").as("d_emb"))
+    val cand = a.join(broadcast(cpair), Seq("a_cell"))
+      .join(b, Seq("b_cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"),
+        graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
+          .as("sim"),
+        col("dst"))
+    val agg = graft.functions.TopKByScore(GRAPH_R).toColumn
+    cand.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id) => (sim, id) }
+      .agg(agg.name("top"))
+      .toDF("src", "top")
+      .select(col("src"), explode(col("top")).as("p"))
+      .select(col("src"), col("p._2").as("dst"))
+  }
+
+  /** The full HNSW-analog composition: centroid-layer routing picks the
+    * entry cells AND the adjacency crosses cell seams — layer-0 edges
+    * from own-plus-adjacent-cell candidate blocks, upper-layer greedy
+    * routing. Same walk, same tie-breaks; the oracle swaps only the
+    * edge-universe CTE.
+    */
+  def annGraphXcell(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val cedges = centroidEdgesOf(cents)
+    val q = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = routeViaCentroidGraph(s, q, cents, entryCellOf(asg), cedges)
+    val routed = probes.join(q, Seq("query_id"))
+    graphBeamServe(s, routed, asg, graphEdgesXcellOf(s, asg, cedges),
+      graphEntriesOf(asg))
+  }
+
+  /** Frontier point for the XCELL serve — (ranked, visited vector ids)
+    * so RecallBench prices the boundary-edge walk's reads too.
+    */
+  private[graft] def graphXcellFrontierPoint(s: SparkSession, d: String,
+      p: Int, b: Int, h: Int): (DataFrame, DataFrame) = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroids(s, d)
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    val cedges = centroidEdgesOf(cents)
+    val q = asg.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = routeViaCentroidGraph(s, q, cents, entryCellOf(asg),
+      cedges, p = p)
+    val routed = probes.join(q, Seq("query_id"))
+    val visited = graphBeamVisited(s, routed, asg,
+      graphEdgesXcellOf(s, asg, cedges), graphEntriesOf(asg), b, h)
+    (rankViaTopK(s, visited.filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("sim"), col("vec_id"))),
+      visited.select("query_id", "vec_id"))
+  }
+
   /** Frontier point for the ROUTED serve: (ranked answer, visited
     * vector ids, visited routing cells) from one walk, so RecallBench
     * reports recall, exact vector reads, AND centroid evaluations for
@@ -3079,6 +3160,10 @@ object EmbeddingOps {
     // O(cells)), PC probed cells per query — the boundary-straddle
     // repair without the flat routing scan
     "q_ann_graph_routed" -> (annGraphRouted _),
+    // cross-cell boundary edges: adjacency selected from own-plus-
+    // centroid-adjacent cell blocks, walk crosses seams — recovers
+    // neighbors beyond every probed cell's reach
+    "q_ann_graph_xcell" -> (annGraphXcell _),
     // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
     // the visited set re-ranked against full-precision vectors
     "q_ann_graph_sq8" -> (annGraphSq8 _),
@@ -3816,6 +3901,8 @@ FROM embeddings ORDER BY vec_id""",
     // centroid-layer routing: the greedy descent over the centroid kNN
     // graph unrolls as CTEs exactly like the vector walk
     "q_ann_graph_routed" -> graphRoutedOracle,
+    // same template, edge universe widened to adjacent-cell pairs
+    "q_ann_graph_xcell" -> graphXcellOracle,
     // compressed-guided walk + exact re-rank, both trainings re-derived
     "q_ann_graph_sq8" -> graphSq8Oracle,
     // the seam-free append: oracle = full fresh build, slice-trained
@@ -3848,11 +3935,23 @@ FROM embeddings ORDER BY vec_id""",
     * population, centroid kNN edges, BC-beam HC-hop greedy walk by
     * exact L2, UNION-deduped) unrolled just like the vector walk.
     */
-  private def graphRoutedOracle: String = {
+  private def graphRoutedOracle: String = graphRoutedOracleFrom(false)
+
+  /** The xcell oracle: same template, edge universe widened to
+    * own-plus-centroid-adjacent cell pairs (the cpair CTE).
+    */
+  private def graphXcellOracle: String = graphRoutedOracleFrom(true)
+
+  private def graphRoutedOracleFrom(xcell: Boolean): String = {
     val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
     val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
     val distQC = l2sq("q.q_emb", "c.centroid").duck
     val cc = s"cent$KMEANS_ITERS"
+    val edgeFrom =
+      if (xcell)
+        "fin a JOIN cpair p ON a.cell = p.a_cell " +
+          "JOIN fin b ON b.cell = p.b_cell AND a.vec_id <> b.vec_id"
+      else "fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id"
     val routeHops = (1 to CGRAPH_H).map { h =>
       s"""cb${h - 1} AS MATERIALIZED (
   SELECT query_id, cell FROM (
@@ -3893,21 +3992,6 @@ fin AS MATERIALIZED (
     FROM kbase b CROSS JOIN $cc c)
   WHERE rn = 1
 ),
-edges AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
-    FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-  WHERE rk <= $GRAPH_R
-),
-entries AS MATERIALIZED (
-  SELECT cell, vec_id FROM (
-    SELECT f.cell, f.vec_id,
-           row_number() OVER (PARTITION BY f.cell ORDER BY
-             ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
-    FROM fin f JOIN $cc c ON f.cell = c.cell)
-  WHERE rk = 1
-),
 cknn AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.cell AS src, b.cell AS dst,
@@ -3920,6 +4004,26 @@ cedges AS MATERIALIZED (
   SELECT src, dst FROM cknn
   UNION
   SELECT dst AS src, src AS dst FROM cknn
+),
+cpair AS MATERIALIZED (
+  SELECT src AS a_cell, dst AS b_cell FROM cedges
+  UNION
+  SELECT cell AS a_cell, cell AS b_cell FROM $cc
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
+    FROM $edgeFrom)
+  WHERE rk <= $GRAPH_R
+),
+entries AS MATERIALIZED (
+  SELECT cell, vec_id FROM (
+    SELECT f.cell, f.vec_id,
+           row_number() OVER (PARTITION BY f.cell ORDER BY
+             ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
+    FROM fin f JOIN $cc c ON f.cell = c.cell)
+  WHERE rk = 1
 ),
 ecell AS MATERIALIZED (
   SELECT cell FROM (SELECT cell, count(*) AS n FROM fin GROUP BY cell)

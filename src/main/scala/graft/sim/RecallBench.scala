@@ -209,6 +209,22 @@ object RecallBench {
       }
     }
 
+    // cross-cell boundary edges (r17): the walk follows vector
+    // proximity across cell seams — the only serve that can EXCEED the
+    // 0.975 routing ceiling (the missing truth pair sits beyond every
+    // probed cell: nprobe 1–4 all stall at 0.975 in the frontier below)
+    row("graph_xcell", truthFull) { EmbeddingOps.annGraphXcell(spark, sfDir) }
+    for ((p, b, h) <- Seq((2, 8, 3), (2, 2, 2), (2, 1, 2))) {
+      val (ranked, visited) =
+        EmbeddingOps.graphXcellFrontierPoint(spark, sfDir, p, b, h)
+      row(s"graph_xcell_p${p}_b${b}_h$h", truthFull) { ranked }
+      out(s"graph_xcell_p${p}_b${b}_h${h}_reads") = {
+        val per = visited.groupBy("query_id").count().collect()
+          .map(_.getLong(1))
+        per.sum.toDouble / per.length
+      }
+    }
+
     // the (B, H) frontier — recall and reads/query from the SAME walk
     // at each knob setting, the graph's analog of the nprobe and
     // refine-depth sweeps: how few exact reads still hold the ceiling

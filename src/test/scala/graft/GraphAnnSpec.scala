@@ -176,6 +176,41 @@ class GraphAnnSpec extends SparkSpec {
       "greedy descent must recover the brute-force top-PC probe cells")
   }
 
+  test("xcell edges: cross seams, bounded blocks, recall >= own-cell serve") {
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val cents = EmbeddingOps.kmeansCentroids(spark, tiny)
+    val asg = EmbeddingOps.kmeansCells(spark, tiny)
+      .join(base, Seq("vec_id"))
+      .select("vec_id", "embedding", "cell")
+    val cedges = EmbeddingOps.centroidEdgesOf(cents)
+    val adj = cedges.collect()
+      .map(r => (r.getAs[Number]("src").intValue(), r.getAs[Number]("dst").intValue()))
+      .toSet
+    val xe = EmbeddingOps.graphEdgesXcellOf(spark, asg, cedges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(xe.nonEmpty)
+    assert(xe.forall { case (s, d) => s != d }, "no self-loops")
+    // edges may cross seams — and on this corpus some genuinely do
+    assert(xe.exists { case (s, d) => cellOf(s) != cellOf(d) },
+      "at least one boundary edge must cross cells")
+    // but only into centroid-ADJACENT cells: the candidate universe is
+    // blocked by the navigable layer, never corpus-wide
+    for ((s, d) <- xe if cellOf(s) != cellOf(d))
+      assert(adj((cellOf(s), cellOf(d))),
+        s"edge $s->$d crosses non-adjacent cells ${cellOf(s)}->${cellOf(d)}")
+    // out-degree stays exactly R (the candidate universe only widened)
+    val bySrc = xe.groupBy(_._1).map { case (_, es) => es.length }
+    assert(bySrc.forall(_ == EmbeddingOps.GRAPH_R),
+      "xcell out-degree must be exactly R")
+    // quality: the seam-crossing walk must not lose to the own-cell
+    // serve against brute truth
+    val truth = RecallBench.bruteOver(spark, base)
+    val own = RecallBench.recall(truth, EmbeddingOps.annGraph(spark, tiny))
+    val x = RecallBench.recall(truth, EmbeddingOps.annGraphXcell(spark, tiny))
+    assert(x >= own, s"xcell recall $x must hold the own-cell serve's $own")
+  }
+
   test("persisted serve: bit-identical, store reads partition-pruned") {
     val dir = s"/tmp/graft_graph_spec_${System.nanoTime()}"
     EmbeddingOps.buildGraphIndex(spark, tiny, dir)
