@@ -53,6 +53,25 @@ object Bench {
     // future out-of-band row raises is then self-adjudicating — compare
     // the fingerprint, not precedent
     val plans = mutable.LinkedHashMap.empty[String, String]
+    // per-row JVM health (r16 verdict #6): GC-time delta across the
+    // row's reps and JVM uptime at row end, INTO the artifact — the
+    // phash row flapped four rounds before mid-suite GC/checkpoint
+    // pressure was diagnosed by hand; with these fields an out-of-band
+    // row self-adjudicates (large gc_ms at deep uptime = JVM context,
+    // not a plan or code regression). Row ORDER stays fixed on purpose:
+    // reordering the sensitive rows first would change the mid-suite
+    // context of everything after them and break round-over-round
+    // comparability of the whole artifact.
+    val jvmHealth = mutable.LinkedHashMap.empty[String, String]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def recordHealth(name: String, gc0: Long): Unit = {
+      val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
+      jvmHealth(name) = s"gc_ms=${gcMillis() - gc0} uptime_s=$up"
+    }
     def fingerprint(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       try {
         val p = df.queryExecution.executedPlan.toString
@@ -70,6 +89,7 @@ object Bench {
       // clean store and no-op — the min is a floor, not a measurement
       "bm25_update_compact")
     def time(name: String)(f: => Unit): Unit = {
+      val gc0 = gcMillis()
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -83,6 +103,7 @@ object Bench {
         }
       }
       times(name) = if (runs.contains(-1.0)) -1.0 else runs.min
+      recordHealth(name, gc0)
       // first rep of the ETL phase is the COLD number BASELINE.md compares
       // against (later reps are JVM/page-cache warm); for the index
       // compaction only rep 1 performs the physical fold (later reps find
@@ -94,12 +115,14 @@ object Bench {
     // ONE-rep timing for end-to-end pipeline runs (funnel, scale phase):
     // these are lifecycle measurements, not query noise floors
     def once(name: String)(f: => Unit): Unit = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try { f; times(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         times(name) = -1.0
       }
+      recordHealth(name, gc0)
     }
     // INTERLEAVED A/B reps (a, b, a, b, …) inside one phase, so slow
     // machine-load drift hits both sides alike and the recorded DIRECTION
@@ -113,11 +136,14 @@ object Bench {
           -1.0
         }
       }
+      val gc0 = gcMillis()
       val runs = (1 to reps).map(_ => (oneRep(a), oneRep(b)))
       def minOr(xs: Seq[Double]): Double =
         if (xs.contains(-1.0)) -1.0 else xs.min
       times(aName) = minOr(runs.map(_._1))
       times(bName) = minOr(runs.map(_._2))
+      recordHealth(aName, gc0)
+      recordHealth(bName, gc0)
     }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"
@@ -341,7 +367,11 @@ object Bench {
     locally {
       val zdir = s"/tmp/graft_bench_zipf_${System.nanoTime()}"
       once("bm25_zipf_stage") {
-        val (n, l, v) = graft.text.RetrievalOps.ZipfBench
+        // SPARK_GRAFT_ZIPF_DOCS scales the staging for one-off
+        // crossover measurement (the per-round default keeps the row
+        // inside the bench budget; see BENCH.md §WAND crossover)
+        val (n0, l, v) = graft.text.RetrievalOps.ZipfBench
+        val n = sys.env.getOrElse("SPARK_GRAFT_ZIPF_DOCS", n0.toString).toInt
         graft.text.RetrievalOps.buildBm25IndexOn(spark,
           graft.text.RetrievalOps.zipfDocs(spark, n, l, v), zdir)
         graft.text.RetrievalOps.zipfQueriesOf(
@@ -456,6 +486,18 @@ object Bench {
     }
     time("q_ann_graph_indexed") {
       graft.sim.EmbeddingOps.annGraphIndexed(spark, sfDir, graphIdx).count()
+    }
+    // centroid-layer routing (r17): greedy descent over the symmetrized
+    // centroid kNN graph picks the PC probed cells (O(deg·BC·HC)
+    // centroid evals, not O(cells)) — self-contained form, priced
+    // beside the own-cell serve above
+    time("q_ann_graph_routed") {
+      graft.sim.EmbeddingOps.annGraphRouted(spark, sfDir).count()
+    }
+    // cross-cell boundary edges: adjacency from own-plus-adjacent cell
+    // blocks — the serve that exceeds the IVF routing ceiling
+    time("q_ann_graph_xcell") {
+      graft.sim.EmbeddingOps.annGraphXcell(spark, sfDir).count()
     }
     // partition-scoped maintenance: append a 10% arrival batch — the
     // touched cells' subgraphs rebuild, everything else untouched
@@ -686,6 +728,8 @@ object Bench {
       .mkString("[", ",", "]")
     val pl = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val jh = jvmHealth.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // failures must not shrink the headline total; _cold duplicates would
     // double-count the ETL phase, and the 10×-data scale rows (_sf1/_10x)
     // measure a DIFFERENT corpus — summing two data scales into one
@@ -695,7 +739,7 @@ object Bench {
         !k.endsWith("_sf1") && !k.endsWith("_10x") => v
     }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"jvm":$jh,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the line to a file: two rounds of BENCH data were lost to
     // stdout-scrape failures (BENCH_r01/r02 parsed:null). The driver can
