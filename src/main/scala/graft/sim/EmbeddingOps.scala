@@ -2592,13 +2592,21 @@ object EmbeddingOps {
           .as("sim"),
         col("dst"))
     val agg = graft.functions.TopKByScore(GRAPH_R).toColumn
-    cand.as[(Long, Double, Long)]
+    val knn = cand.as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, sim, id) => (sim, id) }
       .agg(agg.name("top"))
       .toDF("src", "top")
       .select(col("src"), explode(col("top")).as("p"))
       .select(col("src"), col("p._2").as("dst"))
+    // SYMMETRIZED, like the centroid layer (NSW bidirectional links):
+    // a vector nobody selects into their top-R is an ORPHAN of the kNN
+    // digraph — unreachable by any walk at any (B, H); measured
+    // directly: the 0.975-ceiling truth pair stayed invisible to a
+    // B=16, H=6 walk until the reverse links existed. The reversed
+    // edge rides the same blocked candidate universe.
+    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
   }
 
   /** The full HNSW-analog composition: centroid-layer routing picks the
@@ -3952,6 +3960,10 @@ FROM embeddings ORDER BY vec_id""",
         "fin a JOIN cpair p ON a.cell = p.a_cell " +
           "JOIN fin b ON b.cell = p.b_cell AND a.vec_id <> b.vec_id"
       else "fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id"
+    val edgeClose =
+      if (xcell)
+        "SELECT src, dst FROM vknn UNION SELECT dst AS src, src AS dst FROM vknn"
+      else "SELECT src, dst FROM vknn"
     val routeHops = (1 to CGRAPH_H).map { h =>
       s"""cb${h - 1} AS MATERIALIZED (
   SELECT query_id, cell FROM (
@@ -4010,12 +4022,15 @@ cpair AS MATERIALIZED (
   UNION
   SELECT cell AS a_cell, cell AS b_cell FROM $cc
 ),
-edges AS MATERIALIZED (
+vknn AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
     FROM $edgeFrom)
   WHERE rk <= $GRAPH_R
+),
+edges AS MATERIALIZED (
+  $edgeClose
 ),
 entries AS MATERIALIZED (
   SELECT cell, vec_id FROM (

@@ -214,7 +214,11 @@ object RecallBench {
     // 0.975 routing ceiling (the missing truth pair sits beyond every
     // probed cell: nprobe 1–4 all stall at 0.975 in the frontier below)
     row("graph_xcell", truthFull) { EmbeddingOps.annGraphXcell(spark, sfDir) }
-    for ((p, b, h) <- Seq((2, 8, 3), (2, 2, 2), (2, 1, 2))) {
+    // the deep-walk probe: can a longer cross-cell chain reach what NO
+    // probed-cell serve can at any setting? (the missing pair's cell
+    // ranks 5th+ for its query — multiple seams away)
+    for ((p, b, h) <- Seq((2, 8, 3), (2, 2, 2), (2, 1, 2), (2, 8, 5),
+        (2, 16, 6))) {
       val (ranked, visited) =
         EmbeddingOps.graphXcellFrontierPoint(spark, sfDir, p, b, h)
       row(s"graph_xcell_p${p}_b${b}_h$h", truthFull) { ranked }

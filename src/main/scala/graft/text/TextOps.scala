@@ -1156,10 +1156,19 @@ FROM bucketed ORDER BY doc_id"""
       .withColumn("acc", sum(col("u") * col("mx")).over(
         Window.partitionBy("doc_id").orderBy(asc("mx"), asc("term"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // SYMMETRIC indexing (the position-filter corollary): for any pair
+    // with dot ≥ t, its HIGHEST-ordered shared term term* bounds the dot
+    // from both sides — dot ≤ rem_x(term*) = acc_x(term*) for x ∈ {a, b}
+    // since every shared term sits at-or-below term* in the order — so
+    // term* must be prefix-indexed on BOTH sides and the blocking join
+    // can be indexed × indexed, squaring the reduction (indexed × full
+    // still spilled 11 GB on the sf1 replica corpus; this form closes it)
     val indexed = ranked.filter(col("acc") >= threshold * (1 - 1e-9))
-      .select(col("doc_id").as("doc_a"), col("term"))
-    val probe = unit.select(col("doc_id").as("doc_b"), col("term"))
-    indexed.join(probe, Seq("term"))
+      .select(col("doc_id"), col("term"))
+      .barrier()
+    val probe = indexed.select(col("doc_id").as("doc_b"), col("term"))
+    indexed.select(col("doc_id").as("doc_a"), col("term"))
+      .join(probe, Seq("term"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))

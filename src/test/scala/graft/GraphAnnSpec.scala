@@ -199,10 +199,13 @@ class GraphAnnSpec extends SparkSpec {
     for ((s, d) <- xe if cellOf(s) != cellOf(d))
       assert(adj((cellOf(s), cellOf(d))),
         s"edge $s->$d crosses non-adjacent cells ${cellOf(s)}->${cellOf(d)}")
-    // out-degree stays exactly R (the candidate universe only widened)
+    // symmetrized (NSW links): closed under reversal, so no vector is
+    // an unreachable kNN-digraph orphan; out-degree ≥ the kNN degree
+    assert(xe.toSet == xe.map { case (s, d) => (d, s) }.toSet,
+      "xcell edges must be symmetric")
     val bySrc = xe.groupBy(_._1).map { case (_, es) => es.length }
-    assert(bySrc.forall(_ == EmbeddingOps.GRAPH_R),
-      "xcell out-degree must be exactly R")
+    assert(bySrc.forall(_ >= EmbeddingOps.GRAPH_R),
+      "xcell out-degree must be at least the kNN degree R")
     // quality: the seam-crossing walk must not lose to the own-cell
     // serve against brute truth
     val truth = RecallBench.bruteOver(spark, base)
