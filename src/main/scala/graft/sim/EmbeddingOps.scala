@@ -4024,9 +4024,10 @@ cpair AS MATERIALIZED (
 ),
 vknn AS MATERIALIZED (
   SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY $simAB DESC, b.vec_id ASC) AS rk
-    FROM $edgeFrom)
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rk
+    FROM (SELECT a.vec_id AS src, b.vec_id AS dst, $simAB AS s
+          FROM $edgeFrom))
   WHERE rk <= $GRAPH_R
 ),
 edges AS MATERIALIZED (
