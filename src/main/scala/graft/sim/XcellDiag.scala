@@ -53,9 +53,6 @@ object XcellDiag {
       val outE = xe.filter(col("src") === v).collect().map(_.getLong(1))
       println(s"  in-edges to $v: ${inE.length} from cells ${inE.map(cells).distinct.sorted.mkString(",")}")
       println(s"  out-edges of $v: ${outE.map(x => s"$x(c${cells(x)})").mkString(" ")}")
-      // is v among the brute top-20 of qid's cell-mates?
-      val qv = base.filter(col("vec_id") === qid).collect().head.getSeq[Float](1)
-      println(s"  truth rank check: v=$v — where do $v's in-neighbors sit vs query?")
     }
     spark.stop()
   }
