@@ -494,10 +494,29 @@ object Bench {
     time("q_ann_graph_routed") {
       graft.sim.EmbeddingOps.annGraphRouted(spark, sfDir).count()
     }
-    // cross-cell boundary edges: adjacency from own-plus-adjacent cell
-    // blocks — the serve that exceeds the IVF routing ceiling
+    // cross-cell boundary edges: seam-crossing symmetrized adjacency
     time("q_ann_graph_xcell") {
       graft.sim.EmbeddingOps.annGraphXcell(spark, sfDir).count()
+    }
+    // persisted navigable-layer serves: routed reads only the probed
+    // cells' partitions, xcell the probed cells' H-hop closure
+    locally {
+      val rIdx = s"/tmp/graft_bench_graph_routed_${System.nanoTime()}"
+      time("ann_graph_routed_index_build") {
+        graft.sim.EmbeddingOps.buildGraphRoutedIndex(spark, sfDir, rIdx)
+      }
+      time("q_ann_graph_routed_indexed") {
+        graft.sim.EmbeddingOps.annGraphRoutedIndexed(spark, sfDir, rIdx).count()
+      }
+      rmTree(rIdx)
+      val xIdx = s"/tmp/graft_bench_graph_xcell_${System.nanoTime()}"
+      time("ann_graph_xcell_index_build") {
+        graft.sim.EmbeddingOps.buildGraphXcellIndex(spark, sfDir, xIdx)
+      }
+      time("q_ann_graph_xcell_indexed") {
+        graft.sim.EmbeddingOps.annGraphXcellIndexed(spark, sfDir, xIdx).count()
+      }
+      rmTree(xIdx)
     }
     // partition-scoped maintenance: append a 10% arrival batch — the
     // touched cells' subgraphs rebuild, everything else untouched

@@ -2986,6 +2986,114 @@ object EmbeddingOps {
   def annGraphIndexedAuto(s: SparkSession, d: String): DataFrame =
     autoIndexed(d, "_graph", buildGraphIndex(s, d, _), annGraphIndexed(s, d, _))
 
+  /** Persist the navigable routing layer beside a graph store: the
+    * symmetrized centroid kNN edges and the population entry cell —
+    * tiny sidecars (O(cells·RC) rows and one row), broadcast at serve
+    * time. Derived FROM the stored centroids/vectors so the layer can
+    * never drift from the index it routes.
+    */
+  private[graft] def buildGraphLayerOn(s: SparkSession, indexDir: String): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    centroidEdgesOf(cents).write.mode("overwrite")
+      .parquet(s"$indexDir/cedges")
+    entryCellOf(s.read.parquet(s"$indexDir/vectors").select("vec_id", "cell"))
+      .write.mode("overwrite").parquet(s"$indexDir/entrycell")
+  }
+
+  /** The per-cell graph store plus the routing layer. */
+  def buildGraphRoutedIndex(s: SparkSession, d: String,
+      indexDir: String): Unit = {
+    buildGraphIndex(s, d, indexDir)
+    buildGraphLayerOn(s, indexDir)
+  }
+
+  /** Persisted routed serve: queries route through the STORED layer
+    * (no per-query centroid scan), the walk reads only the probed
+    * cells' vector/edge partitions — bit-identical to [[annGraphRouted]]
+    * (same oracle).
+    */
+  def annGraphRoutedIndexed(s: SparkSession, d: String,
+      indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val cedges = s.read.parquet(s"$indexDir/cedges")
+    val entry = s.read.parquet(s"$indexDir/entrycell")
+    val q = corpus(s, d).select("vec_id", "embedding")
+      .filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_emb")
+    // barriered: feeds the pruning cell-list AND the serve's seeds
+    val probes = graft.Checkpoint.barrier(
+      routeViaCentroidGraph(s, q, cents, entry, cedges))
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getAs[Number]("cell").intValue())
+    val (vecs, edges) = graphPrunedStore(s, indexDir, cells.toSeq)
+    graphBeamServe(s, probes.join(q, Seq("query_id")), vecs, edges,
+      s.read.parquet(s"$indexDir/entries"))
+  }
+
+  def annGraphRoutedIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_graph_routed", buildGraphRoutedIndex(s, d, _),
+      annGraphRoutedIndexed(s, d, _))
+
+  /** The cross-cell store: vectors as the per-cell store, plus the
+    * symmetrized xcell adjacency partitioned by the SOURCE vector's
+    * cell, plus the routing layer.
+    */
+  def buildGraphXcellIndex(s: SparkSession, d: String,
+      indexDir: String): Unit = {
+    val base = corpus(s, d).select("vec_id", "embedding")
+    val cents = kmeansCentroidsOf(base)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
+    asg.select("vec_id", "embedding", "cell")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(s"$indexDir/vectors")
+    val cedges = centroidEdgesOf(cents)
+    cedges.write.mode("overwrite").parquet(s"$indexDir/cedges")
+    entryCellOf(asg).write.mode("overwrite").parquet(s"$indexDir/entrycell")
+    graphEdgesXcellOf(s, asg, cedges)
+      .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/xedges")
+    graphEntriesOf(asg).write.mode("overwrite").parquet(s"$indexDir/entries")
+  }
+
+  /** Persisted xcell serve, pruned to the probed cells' H-hop
+    * ADJACENCY CLOSURE — exact, not approximate: edges only cross
+    * centroid-adjacent seams, so an H-hop walk from the probed cells
+    * provably never touches a vector (or needs an out-edge) outside
+    * the closure; pruning both stores to it is answer-invisible while
+    * reading O(P·deg^H) cells instead of the corpus.
+    */
+  def annGraphXcellIndexed(s: SparkSession, d: String,
+      indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val cedges = s.read.parquet(s"$indexDir/cedges")
+    val entry = s.read.parquet(s"$indexDir/entrycell")
+    val q = corpus(s, d).select("vec_id", "embedding")
+      .filter(col("vec_id") < N_QUERIES)
+      .toDF("query_id", "q_emb")
+    val probes = graft.Checkpoint.barrier(
+      routeViaCentroidGraph(s, q, cents, entry, cedges))
+    var closure = probes.select("cell").distinct()
+    for (_ <- 1 to GRAPH_H)
+      closure = closure.unionByName(
+        closure.join(cedges.select(col("src").as("cell"), col("dst")),
+          Seq("cell")).select(col("dst").as("cell"))).distinct()
+    val cells = closure.collect().map(_.getAs[Number]("cell").intValue())
+    val vecs = s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val xedges = s.read.parquet(s"$indexDir/xedges")
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select("src", "dst")
+    graphBeamServe(s, probes.join(q, Seq("query_id")), vecs, xedges,
+      s.read.parquet(s"$indexDir/entries"))
+  }
+
+  def annGraphXcellIndexedAuto(s: SparkSession, d: String): DataFrame =
+    autoIndexed(d, "_graph_xcell", buildGraphXcellIndex(s, d, _),
+      annGraphXcellIndexed(s, d, _))
+
   /** The incremental lifecycle gated: graph built on 9/10 of the
     * corpus, the arriving 1/10 cell-appended with the touched cells'
     * subgraphs re-derived — the oracle is the FULL fresh build under
@@ -3172,6 +3280,11 @@ object EmbeddingOps {
     // centroid-adjacent cell blocks, walk crosses seams — recovers
     // neighbors beyond every probed cell's reach
     "q_ann_graph_xcell" -> (annGraphXcell _),
+    // persisted forms: the routing layer stored beside the index (no
+    // per-query centroid scan), walks over partition-pruned stores —
+    // probed cells (routed) / their H-hop adjacency closure (xcell)
+    "q_ann_graph_routed_indexed" -> (annGraphRoutedIndexedAuto _),
+    "q_ann_graph_xcell_indexed" -> (annGraphXcellIndexedAuto _),
     // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
     // the visited set re-ranked against full-precision vectors
     "q_ann_graph_sq8" -> (annGraphSq8 _),
@@ -3911,6 +4024,9 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_graph_routed" -> graphRoutedOracle,
     // same template, edge universe widened to adjacent-cell pairs
     "q_ann_graph_xcell" -> graphXcellOracle,
+    // the persisted serves must be bit-identical — same oracles
+    "q_ann_graph_routed_indexed" -> graphRoutedOracle,
+    "q_ann_graph_xcell_indexed" -> graphXcellOracle,
     // compressed-guided walk + exact re-rank, both trainings re-derived
     "q_ann_graph_sq8" -> graphSq8Oracle,
     // the seam-free append: oracle = full fresh build, slice-trained

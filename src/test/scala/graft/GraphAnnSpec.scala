@@ -214,6 +214,27 @@ class GraphAnnSpec extends SparkSpec {
     assert(x >= own, s"xcell recall $x must hold the own-cell serve's $own")
   }
 
+  test("persisted routed/xcell serves: bit-identical to self-contained") {
+    val rDir = s"/tmp/graft_graph_routed_spec_${System.nanoTime()}"
+    EmbeddingOps.buildGraphRoutedIndex(spark, tiny, rDir)
+    assert(EmbeddingOps.annGraphRoutedIndexed(spark, tiny, rDir).collect().toSeq
+      == EmbeddingOps.annGraphRouted(spark, tiny).collect().toSeq,
+      "persisted routed serve must be bit-identical")
+    // the stored layer matches the in-plan derivation
+    val storedLayer = spark.read.parquet(s"$rDir/cedges").collect()
+      .map(r => (r.getAs[Number]("src").intValue(), r.getAs[Number]("dst").intValue())).toSet
+    val derived = EmbeddingOps.centroidEdgesOf(
+      EmbeddingOps.kmeansCentroids(spark, tiny)).collect()
+      .map(r => (r.getAs[Number]("src").intValue(), r.getAs[Number]("dst").intValue())).toSet
+    assert(storedLayer == derived, "stored layer must equal the derivation")
+
+    val xDir = s"/tmp/graft_graph_xcell_spec_${System.nanoTime()}"
+    EmbeddingOps.buildGraphXcellIndex(spark, tiny, xDir)
+    assert(EmbeddingOps.annGraphXcellIndexed(spark, tiny, xDir).collect().toSeq
+      == EmbeddingOps.annGraphXcell(spark, tiny).collect().toSeq,
+      "the closure-pruned xcell serve must be bit-identical (exact prune)")
+  }
+
   test("persisted serve: bit-identical, store reads partition-pruned") {
     val dir = s"/tmp/graft_graph_spec_${System.nanoTime()}"
     EmbeddingOps.buildGraphIndex(spark, tiny, dir)
