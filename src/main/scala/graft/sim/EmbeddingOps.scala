@@ -3039,8 +3039,12 @@ object EmbeddingOps {
     * cell, plus the routing layer.
     */
   def buildGraphXcellIndex(s: SparkSession, d: String,
-      indexDir: String): Unit = {
-    val base = corpus(s, d).select("vec_id", "embedding")
+      indexDir: String): Unit =
+    buildGraphXcellIndexOn(s, corpus(s, d).select("vec_id", "embedding"),
+      indexDir)
+
+  private[graft] def buildGraphXcellIndexOn(s: SparkSession,
+      base: DataFrame, indexDir: String): Unit = {
     val cents = kmeansCentroidsOf(base)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
@@ -3093,6 +3097,104 @@ object EmbeddingOps {
   def annGraphXcellIndexedAuto(s: SparkSession, d: String): DataFrame =
     autoIndexed(d, "_graph_xcell", buildGraphXcellIndex(s, d, _),
       annGraphXcellIndexed(s, d, _))
+
+  /** Routed-layer maintenance: arrivals land through the graph append
+    * (touched-cell subgraph rebuild), then the POPULATION entry cell
+    * refreshes — the one layer component arrivals can shift. The
+    * stored centroids are append-invariant, so cedges is too, by
+    * construction.
+    */
+  private[graft] def appendGraphRoutedIndex(s: SparkSession,
+      newRows: DataFrame, indexDir: String, batchId: Long): Unit = {
+    appendGraphIndex(s, newRows, indexDir, batchId)
+    val entry = graft.Checkpoint.barrier(entryCellOf(
+      s.read.parquet(s"$indexDir/vectors").select("vec_id", "cell")))
+    entry.write.mode("overwrite").parquet(s"$indexDir/entrycell")
+  }
+
+  /** Routed lifecycle gated: build on 9/10, append the arriving 1/10
+    * through the layer-refreshing append, serve the persisted routed
+    * form — oracle is the FULL fresh routed build under the
+    * slice-trained centroids, so a hash match proves the append left
+    * no seam in the graph OR the layer.
+    */
+  def annGraphRoutedIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_routed_incr")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphLayerOn(s, dir)
+    appendGraphRoutedIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    annGraphRoutedIndexed(s, d, dir)
+  }
+
+  /** Seam-free XCELL append — the invariant is one seam wider than the
+    * per-cell store's: arrivals into cell c change the candidate
+    * universe of every source in c AND in cells centroid-adjacent to c
+    * (their top-R may now include an arrival), so the AFFECTED set is
+    * touched ∪ adjacent(touched), and re-deriving an affected source's
+    * adjacency needs membership one seam further out
+    * (affected ∪ adjacent(affected)). Untouched cells' adjacency is
+    * already identical to a fresh build's; write cost is O(affected
+    * cells' membership), not O(corpus). Entries refresh for touched
+    * cells; the entry cell re-derives from the new populations.
+    */
+  private[graft] def appendGraphXcellIndex(s: SparkSession,
+      newRows: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val cedges = s.read.parquet(s"$indexDir/cedges")
+    val asg = graft.Checkpoint.barrier(assignCells(s, newRows, cents))
+    asg.select("vec_id", "embedding", "cell")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch").parquet(s"$indexDir/vectors")
+    val adj = cedges.select(col("src").as("cell"), col("dst"))
+    val touchedDf = asg.select("cell").distinct()
+    val affectedDf = touchedDf.unionByName(
+      touchedDf.join(adj, Seq("cell")).select(col("dst").as("cell")))
+      .distinct()
+    val universeDf = affectedDf.unionByName(
+      affectedDf.join(adj, Seq("cell")).select(col("dst").as("cell")))
+      .distinct()
+    val touched = touchedDf.collect()
+      .map(_.getAs[Number]("cell").intValue()).toSeq
+    val affected = affectedDf.collect()
+      .map(_.getAs[Number]("cell").intValue()).toSeq
+    val universe = universeDf.collect()
+      .map(_.getAs[Number]("cell").intValue()).toSeq
+    val members = graft.Checkpoint.barrier(
+      s.read.parquet(s"$indexDir/vectors")
+        .filter(col("cell").isin(universe: _*))
+        .select("vec_id", "embedding", "cell"))
+    graphEdgesXcellOf(s, members, cedges)
+      .join(members.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+      .filter(col("cell").isin(affected: _*))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$indexDir/xedges")
+    val tMembers = members.filter(col("cell").isin(touched: _*))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+    val entries = graft.Checkpoint.barrier(
+      s.read.parquet(s"$indexDir/entries")
+        .filter(!col("cell").isin(touched: _*))
+        .unionByName(graphEntriesOf(tMembers)))
+    entries.write.mode("overwrite").parquet(s"$indexDir/entries")
+    val entry = graft.Checkpoint.barrier(entryCellOf(
+      s.read.parquet(s"$indexDir/vectors").select("vec_id", "cell")))
+    entry.write.mode("overwrite").parquet(s"$indexDir/entrycell")
+  }
+
+  /** XCELL lifecycle gated against the fresh-build oracle (slice-
+    * trained centroids): a hash match proves the one-seam-wider
+    * affected-set rebuild is exactly seam-free.
+    */
+  def annGraphXcellIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_xcell_incr")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir)
+    appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    annGraphXcellIndexed(s, d, dir)
+  }
 
   /** The incremental lifecycle gated: graph built on 9/10 of the
     * corpus, the arriving 1/10 cell-appended with the touched cells'
@@ -3285,6 +3387,10 @@ object EmbeddingOps {
     // probed cells (routed) / their H-hop adjacency closure (xcell)
     "q_ann_graph_routed_indexed" -> (annGraphRoutedIndexedAuto _),
     "q_ann_graph_xcell_indexed" -> (annGraphXcellIndexedAuto _),
+    // lifecycle: appends through the layer-refreshing maintenance —
+    // oracles are FULL fresh builds (slice-trained), the seam-free pin
+    "q_ann_graph_routed_incr" -> (annGraphRoutedIncr _),
+    "q_ann_graph_xcell_incr" -> (annGraphXcellIncr _),
     // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
     // the visited set re-ranked against full-precision vectors
     "q_ann_graph_sq8" -> (annGraphSq8 _),
@@ -4027,6 +4133,12 @@ FROM embeddings ORDER BY vec_id""",
     // the persisted serves must be bit-identical — same oracles
     "q_ann_graph_routed_indexed" -> graphRoutedOracle,
     "q_ann_graph_xcell_indexed" -> graphXcellOracle,
+    // seam-free appends: oracle = fresh build under slice-trained
+    // centroids (the graph-incr convention)
+    "q_ann_graph_routed_incr" ->
+      graphRoutedOracleFrom(graphIncrKCtes, xcell = false),
+    "q_ann_graph_xcell_incr" ->
+      graphRoutedOracleFrom(graphIncrKCtes, xcell = true),
     // compressed-guided walk + exact re-rank, both trainings re-derived
     "q_ann_graph_sq8" -> graphSq8Oracle,
     // the seam-free append: oracle = full fresh build, slice-trained
@@ -4059,14 +4171,16 @@ FROM embeddings ORDER BY vec_id""",
     * population, centroid kNN edges, BC-beam HC-hop greedy walk by
     * exact L2, UNION-deduped) unrolled just like the vector walk.
     */
-  private def graphRoutedOracle: String = graphRoutedOracleFrom(false)
+  private def graphRoutedOracle: String =
+    graphRoutedOracleFrom(kmeansCtes, xcell = false)
 
   /** The xcell oracle: same template, edge universe widened to
     * own-plus-centroid-adjacent cell pairs (the cpair CTE).
     */
-  private def graphXcellOracle: String = graphRoutedOracleFrom(true)
+  private def graphXcellOracle: String =
+    graphRoutedOracleFrom(kmeansCtes, xcell = true)
 
-  private def graphRoutedOracleFrom(xcell: Boolean): String = {
+  private def graphRoutedOracleFrom(kCtes: String, xcell: Boolean): String = {
     val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
     val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
     val distQC = l2sq("q.q_emb", "c.centroid").duck
@@ -4110,7 +4224,7 @@ v$h AS MATERIALIZED (
   SELECT b.query_id, e.dst AS vec_id FROM b${h - 1} b JOIN edges e ON b.vec_id = e.src
 )"""
     }.mkString(",\n")
-    s"""WITH $kmeansCtes,
+    s"""WITH $kCtes,
 fin AS MATERIALIZED (
   SELECT vec_id, embedding, cell,
          ${normDuck("embedding")} AS nrm FROM (

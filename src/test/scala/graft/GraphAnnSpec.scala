@@ -235,6 +235,40 @@ class GraphAnnSpec extends SparkSpec {
       "the closure-pruned xcell serve must be bit-identical (exact prune)")
   }
 
+  test("xcell append: one-seam-wider rebuild equals a fresh build") {
+    val base = Tables.embeddings(spark, tiny)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    val incDir = s"/tmp/graft_xcell_incr_spec_${System.nanoTime()}"
+    EmbeddingOps.buildGraphXcellIndexOn(spark, base.filter(!arrival), incDir)
+    val preEdges = spark.read.parquet(s"$incDir/xedges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    EmbeddingOps.appendGraphXcellIndex(spark, base.filter(arrival), incDir, 0L)
+    val postEdges = spark.read.parquet(s"$incDir/xedges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the seam-free invariant, pinned on the WHOLE store (the gate
+    // pins only the served top-k): post-append adjacency must equal
+    // the fresh derivation over full membership under the stored
+    // (slice-trained) centroids
+    val asgFull = spark.read.parquet(s"$incDir/vectors")
+      .select("vec_id", "embedding", "cell")
+    val freshEdges = EmbeddingOps.graphEdgesXcellOf(spark, asgFull,
+      spark.read.parquet(s"$incDir/cedges")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postEdges == freshEdges,
+      "post-append xcell adjacency must equal the fresh derivation")
+    // and the seam is REAL: some pre-existing source's adjacency
+    // changed across a cell boundary (a touched-cells-only rebuild
+    // would have missed it) — arrivals entered a neighbor's top-R
+    val arrivals = base.filter(arrival).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val changedSrcs = (postEdges -- preEdges).map(_._1) -- arrivals
+    assert(changedSrcs.nonEmpty,
+      "pre-existing sources must have re-linked to arrivals")
+  }
+
   test("persisted serve: bit-identical, store reads partition-pruned") {
     val dir = s"/tmp/graft_graph_spec_${System.nanoTime()}"
     EmbeddingOps.buildGraphIndex(spark, tiny, dir)
