@@ -3391,6 +3391,10 @@ object EmbeddingOps {
     // oracles are FULL fresh builds (slice-trained), the seam-free pin
     "q_ann_graph_routed_incr" -> (annGraphRoutedIncr _),
     "q_ann_graph_xcell_incr" -> (annGraphXcellIncr _),
+    // micro-batched arrivals through the same maintenance — arrival
+    // shape unobservable (same fresh-build oracle)
+    "q_ann_graph_xcell_incr_stream" ->
+      (graft.streaming.Streams.graphXcellIndexStreamed _),
     // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
     // the visited set re-ranked against full-precision vectors
     "q_ann_graph_sq8" -> (annGraphSq8 _),
@@ -4138,6 +4142,8 @@ FROM embeddings ORDER BY vec_id""",
     "q_ann_graph_routed_incr" ->
       graphRoutedOracleFrom(graphIncrKCtes, xcell = false),
     "q_ann_graph_xcell_incr" ->
+      graphRoutedOracleFrom(graphIncrKCtes, xcell = true),
+    "q_ann_graph_xcell_incr_stream" ->
       graphRoutedOracleFrom(graphIncrKCtes, xcell = true),
     // compressed-guided walk + exact re-rank, both trainings re-derived
     "q_ann_graph_sq8" -> graphSq8Oracle,
