@@ -3070,7 +3070,20 @@ object EmbeddingOps {
     * reading O(P·deg^H) cells instead of the corpus.
     */
   def annGraphXcellIndexed(s: SparkSession, d: String,
-      indexDir: String): DataFrame = {
+      indexDir: String): DataFrame =
+    annGraphXcellIndexedMaybeMasked(s, d, indexDir, masked = false)
+
+  /** Tombstone-masked xcell serve — the hole-y transitional state:
+    * candidates and either-endpoint edges anti-joined against the
+    * tombstones; entries and the entry cell were refreshed by the
+    * delete itself.
+    */
+  private[graft] def annGraphXcellIndexedMasked(s: SparkSession, d: String,
+      indexDir: String): DataFrame =
+    annGraphXcellIndexedMaybeMasked(s, d, indexDir, masked = true)
+
+  private def annGraphXcellIndexedMaybeMasked(s: SparkSession, d: String,
+      indexDir: String, masked: Boolean): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
     val cedges = s.read.parquet(s"$indexDir/cedges")
     val entry = s.read.parquet(s"$indexDir/entrycell")
@@ -3085,13 +3098,146 @@ object EmbeddingOps {
         closure.join(cedges.select(col("src").as("cell"), col("dst")),
           Seq("cell")).select(col("dst").as("cell"))).distinct()
     val cells = closure.collect().map(_.getAs[Number]("cell").intValue())
-    val vecs = s.read.parquet(s"$indexDir/vectors")
+    val vecs0 = s.read.parquet(s"$indexDir/vectors")
       .filter(col("cell").isin(cells.toSeq: _*))
-    val xedges = s.read.parquet(s"$indexDir/xedges")
+    val xedges0 = s.read.parquet(s"$indexDir/xedges")
       .filter(col("cell").isin(cells.toSeq: _*))
       .select("src", "dst")
+    val (vecs, xedges) =
+      if (masked) tombstonesOf(s, indexDir) match {
+        case Some(t) =>
+          (vecs0.join(broadcast(t), Seq("vec_id"), "left_anti"),
+            xedges0
+              .join(broadcast(t.toDF("src")), Seq("src"), "left_anti")
+              .join(broadcast(t.toDF("dst")), Seq("dst"), "left_anti"))
+        case None => (vecs0, xedges0)
+      }
+      else (vecs0, xedges0)
     graphBeamServe(s, probes.join(q, Seq("query_id")), vecs, xedges,
       s.read.parquet(s"$indexDir/entries"))
+  }
+
+  /** DELETE for the xcell store: the shared graph delete (tombstones +
+    * O(touched) entry refresh) plus the layer's population entry-cell
+    * refresh over survivors. Adjacency is left in place and masked at
+    * serve until [[compactGraphXcellIndex]] re-links.
+    */
+  private[graft] def deleteGraphXcellIndex(s: SparkSession, ids: DataFrame,
+      indexDir: String, batchId: Long): Unit = {
+    deleteGraphIndex(s, ids, indexDir, batchId)
+    val t = tombstonesOf(s, indexDir).get
+    val entry = graft.Checkpoint.barrier(entryCellOf(
+      s.read.parquet(s"$indexDir/vectors")
+        .join(broadcast(t), Seq("vec_id"), "left_anti")
+        .select("vec_id", "cell")))
+    entry.write.mode("overwrite").parquet(s"$indexDir/entrycell")
+  }
+
+  /** COMPACTION for the xcell store — the re-link is ONE SEAM WIDER
+    * than the per-cell store's, mirroring the append: a victim in cell
+    * c leaves top-R holes in sources of c AND its adjacent cells, so
+    * the affected set is touched ∪ adjacent(touched), re-derived over
+    * survivor membership one seam further out. Vectors fold physically
+    * (the shared (cell, batch) partition rewrite), tombstones clear.
+    */
+  private[graft] def compactGraphXcellIndex(s: SparkSession,
+      indexDir: String): Unit =
+    tombstonesOf(s, indexDir).foreach { t =>
+      val cents = s.read.parquet(s"$indexDir/centroids")
+      val cedges = s.read.parquet(s"$indexDir/cedges")
+      val vecs = s.read.parquet(s"$indexDir/vectors")
+      val affectedPairs = vecs.join(broadcast(t), Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      if (affectedPairs.nonEmpty) {
+        val pairCond = affectedPairs
+          .map { case (c, b) => s"(cell = $c AND batch = ${b}L)" }
+          .mkString(" OR ")
+        val kept = graft.Checkpoint.barrier(
+          s.read.parquet(s"$indexDir/vectors").filter(expr(pairCond))
+            .join(broadcast(t), Seq("vec_id"), "left_anti"))
+        val survivingPairs = kept
+          .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "batch").parquet(s"$indexDir/vectors")
+        (affectedPairs.toSet -- survivingPairs).foreach { case (c, b) =>
+          val dead =
+            java.nio.file.Paths.get(s"$indexDir/vectors/cell=$c/batch=$b")
+          if (java.nio.file.Files.exists(dead)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dead).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+        val adj = cedges.select(col("src").as("cell"), col("dst"))
+        val touchedDf = s.createDataFrame(
+          s.sparkContext.parallelize(
+            affectedPairs.map(_._1).distinct.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType))))
+        val affCells = touchedDf.unionByName(
+          touchedDf.join(adj, Seq("cell")).select(col("dst").as("cell")))
+          .distinct()
+        val affected = affCells.collect()
+          .map(_.getAs[Number]("cell").intValue()).toSeq
+        val universe = affCells.unionByName(
+          affCells.join(adj, Seq("cell")).select(col("dst").as("cell")))
+          .distinct().collect()
+          .map(_.getAs[Number]("cell").intValue()).toSeq
+        val members = graft.Checkpoint.barrier(
+          s.read.parquet(s"$indexDir/vectors")
+            .filter(col("cell").isin(universe: _*))
+            .select("vec_id", "embedding", "cell"))
+        graphEdgesXcellOf(s, members, cedges)
+          .join(members.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+          .filter(col("cell").isin(affected: _*))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$indexDir/xedges")
+        val touched = affectedPairs.map(_._1).distinct
+        val tMembers = members.filter(col("cell").isin(touched: _*))
+          .join(broadcast(cents), Seq("cell"))
+          .withColumn("dist",
+            graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
+        val entries = graft.Checkpoint.barrier(
+          s.read.parquet(s"$indexDir/entries")
+            .filter(!col("cell").isin(touched: _*))
+            .unionByName(graphEntriesOf(tMembers)))
+        entries.write.mode("overwrite").parquet(s"$indexDir/entries")
+        val entry = graft.Checkpoint.barrier(entryCellOf(
+          s.read.parquet(s"$indexDir/vectors").select("vec_id", "cell")))
+        entry.write.mode("overwrite").parquet(s"$indexDir/entrycell")
+      }
+      val tdir = java.nio.file.Paths.get(s"$indexDir/tombstones")
+      if (java.nio.file.Files.exists(tdir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tdir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+
+  /** build → append → tombstone-delete → MASKED serve (hole-y state). */
+  def annGraphXcellDeleted(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_xcell_del")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir)
+    appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteGraphXcellIndex(s, base.filter(DeleteVictims).select("vec_id"),
+      dir, batchId = 1L)
+    annGraphXcellIndexedMasked(s, d, dir)
+  }
+
+  /** …then compacted: survivor-kNN re-linked one seam wide (own oracle). */
+  def annGraphXcellDeletedCompacted(s: SparkSession, d: String): DataFrame = {
+    val dir = lifecycleDir(d, "graph_xcell_delc")
+    val base = corpus(s, d).select("vec_id", "embedding")
+    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir)
+    appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
+    deleteGraphXcellIndex(s, base.filter(DeleteVictims).select("vec_id"),
+      dir, batchId = 1L)
+    compactGraphXcellIndex(s, dir)
+    annGraphXcellIndexed(s, d, dir)
   }
 
   def annGraphXcellIndexedAuto(s: SparkSession, d: String): DataFrame =
@@ -3395,6 +3541,10 @@ object EmbeddingOps {
     // shape unobservable (same fresh-build oracle)
     "q_ann_graph_xcell_incr_stream" ->
       (graft.streaming.Streams.graphXcellIndexStreamed _),
+    // delete: tombstone-masked hole-y seam-crossing walk; compact:
+    // survivor re-link one seam wide (own oracle)
+    "q_ann_graph_xcell_delete" -> (annGraphXcellDeleted _),
+    "q_ann_graph_xcell_delete_compact" -> (annGraphXcellDeletedCompacted _),
     // the DiskANN composition: the walk GUIDED by 4x SQ8 codes, only
     // the visited set re-ranked against full-precision vectors
     "q_ann_graph_sq8" -> (annGraphSq8 _),
@@ -4145,6 +4295,14 @@ FROM embeddings ORDER BY vec_id""",
       graphRoutedOracleFrom(graphIncrKCtes, xcell = true),
     "q_ann_graph_xcell_incr_stream" ->
       graphRoutedOracleFrom(graphIncrKCtes, xcell = true),
+    // full-membership edges, endpoint-masked; survivors everywhere else
+    "q_ann_graph_xcell_delete" ->
+      graphRoutedOracleFrom(graphIncrKCtes, xcell = true,
+        surviving = graphSurvWhere, edgesOverSurvivors = false),
+    // adjacency re-derived over survivors (the re-linked state)
+    "q_ann_graph_xcell_delete_compact" ->
+      graphRoutedOracleFrom(graphIncrKCtes, xcell = true,
+        surviving = graphSurvWhere, edgesOverSurvivors = true),
     // compressed-guided walk + exact re-rank, both trainings re-derived
     "q_ann_graph_sq8" -> graphSq8Oracle,
     // the seam-free append: oracle = full fresh build, slice-trained
@@ -4186,16 +4344,26 @@ FROM embeddings ORDER BY vec_id""",
   private def graphXcellOracle: String =
     graphRoutedOracleFrom(kmeansCtes, xcell = true)
 
-  private def graphRoutedOracleFrom(kCtes: String, xcell: Boolean): String = {
+  /** `surviving` filters the candidate/entry/query universe (TRUE for
+    * fresh/incr); `edgesOverSurvivors` picks the adjacency universe —
+    * false = kNN over FULL membership then endpoint-masked (the hole-y
+    * post-delete state), true = re-derived over survivors (compacted).
+    * The same one-template-covers-all-states device as
+    * [[graphOracleFrom]].
+    */
+  private def graphRoutedOracleFrom(kCtes: String, xcell: Boolean,
+      surviving: String = "TRUE",
+      edgesOverSurvivors: Boolean = false): String = {
     val simAB = s"${dot("a.embedding", "b.embedding", DIM).duck} / (a.nrm * b.nrm)"
     val simQ = s"${dot("q.q_emb", "f.embedding", DIM).duck} / (q.qnrm * f.nrm)"
     val distQC = l2sq("q.q_emb", "c.centroid").duck
     val cc = s"cent$KMEANS_ITERS"
+    val eb = if (edgesOverSurvivors) "surv" else "fin"
     val edgeFrom =
       if (xcell)
-        "fin a JOIN cpair p ON a.cell = p.a_cell " +
-          "JOIN fin b ON b.cell = p.b_cell AND a.vec_id <> b.vec_id"
-      else "fin a JOIN fin b ON a.cell = b.cell AND a.vec_id <> b.vec_id"
+        s"$eb a JOIN cpair p ON a.cell = p.a_cell " +
+          s"JOIN $eb b ON b.cell = p.b_cell AND a.vec_id <> b.vec_id"
+      else s"$eb a JOIN $eb b ON a.cell = b.cell AND a.vec_id <> b.vec_id"
     val edgeClose =
       if (xcell)
         "SELECT src, dst FROM vknn UNION SELECT dst AS src, src AS dst FROM vknn"
@@ -4220,7 +4388,7 @@ c$h AS MATERIALIZED (
   SELECT query_id, vec_id FROM (
     SELECT v.query_id, v.vec_id,
            row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS rk
-    FROM v${h - 1} v JOIN fin f ON v.vec_id = f.vec_id
+    FROM v${h - 1} v JOIN surv f ON v.vec_id = f.vec_id
     JOIN qset q ON v.query_id = q.query_id)
   WHERE rk <= $GRAPH_B
 ),
@@ -4240,6 +4408,7 @@ fin AS MATERIALIZED (
     FROM kbase b CROSS JOIN $cc c)
   WHERE rn = 1
 ),
+surv AS MATERIALIZED (SELECT * FROM fin WHERE $surviving),
 cknn AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.cell AS src, b.cell AS dst,
@@ -4267,23 +4436,25 @@ vknn AS MATERIALIZED (
   WHERE rk <= $GRAPH_R
 ),
 edges AS MATERIALIZED (
-  $edgeClose
+  SELECT e.src, e.dst FROM ($edgeClose) e
+  JOIN surv sa ON e.src = sa.vec_id
+  JOIN surv sb ON e.dst = sb.vec_id
 ),
 entries AS MATERIALIZED (
   SELECT cell, vec_id FROM (
     SELECT f.cell, f.vec_id,
            row_number() OVER (PARTITION BY f.cell ORDER BY
              ${l2sq("f.embedding", "c.centroid").duck} ASC, f.vec_id ASC) AS rk
-    FROM fin f JOIN $cc c ON f.cell = c.cell)
+    FROM surv f JOIN $cc c ON f.cell = c.cell)
   WHERE rk = 1
 ),
 ecell AS MATERIALIZED (
-  SELECT cell FROM (SELECT cell, count(*) AS n FROM fin GROUP BY cell)
+  SELECT cell FROM (SELECT cell, count(*) AS n FROM surv GROUP BY cell)
   ORDER BY n DESC, cell ASC LIMIT 1
 ),
 qset AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qnrm
-  FROM fin WHERE vec_id < $N_QUERIES
+  FROM surv WHERE vec_id < $N_QUERIES
 ),
 c0 AS MATERIALIZED (
   SELECT q.query_id, e.cell FROM qset q CROSS JOIN ecell e
@@ -4304,7 +4475,7 @@ $hops
 SELECT query_id, vizinho, sim, rank FROM (
   SELECT v.query_id, v.vec_id AS vizinho, $simQ AS sim,
          CAST(row_number() OVER (PARTITION BY v.query_id ORDER BY $simQ DESC, v.vec_id ASC) AS INTEGER) AS rank
-  FROM v$GRAPH_H v JOIN fin f ON v.vec_id = f.vec_id
+  FROM v$GRAPH_H v JOIN surv f ON v.vec_id = f.vec_id
   JOIN qset q ON v.query_id = q.query_id
   WHERE v.query_id <> v.vec_id)
 WHERE rank <= $TOP_K ORDER BY query_id, rank"""
