@@ -229,6 +229,16 @@ object RecallBench {
       }
     }
 
+    // churn, xcell edition: the hole-y masked walk vs the one-seam-wide
+    // compacted re-link, each against survivor truth — the seam-crossing
+    // links should route around holes the per-cell walk cannot
+    row("graph_xcell_churned", truthSurv) {
+      EmbeddingOps.annGraphXcellDeleted(spark, sfDir)
+    }
+    row("graph_xcell_churned_compacted", truthSurv) {
+      EmbeddingOps.annGraphXcellDeletedCompacted(spark, sfDir)
+    }
+
     // the (B, H) frontier — recall and reads/query from the SAME walk
     // at each knob setting, the graph's analog of the nprobe and
     // refine-depth sweeps: how few exact reads still hold the ceiling
