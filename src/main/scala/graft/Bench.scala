@@ -128,22 +128,29 @@ object Bench {
     // machine-load drift hits both sides alike and the recorded DIRECTION
     // is load-invariant; each side still reports its min across reps
     def interleaved(aName: String, bName: String)(a: => Unit)(b: => Unit): Unit = {
-      def oneRep(f: => Unit): Double = {
+      // GC accumulated PER SIDE (snapshot around each rep): the shared
+      // artifact gc_ms field must not double-count the pair's combined
+      // delta on both rows, or it can't adjudicate which side paid
+      var gcA = 0L
+      var gcB = 0L
+      def oneRep(f: => Unit, addGc: Long => Unit): Double = {
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try { f; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] interleaved rep failed: ${e.getMessage}")
           -1.0
         }
+        finally addGc(gcMillis() - g0)
       }
-      val gc0 = gcMillis()
-      val runs = (1 to reps).map(_ => (oneRep(a), oneRep(b)))
+      val runs = (1 to reps).map(_ =>
+        (oneRep(a, gcA += _), oneRep(b, gcB += _)))
       def minOr(xs: Seq[Double]): Double =
         if (xs.contains(-1.0)) -1.0 else xs.min
       times(aName) = minOr(runs.map(_._1))
       times(bName) = minOr(runs.map(_._2))
-      recordHealth(aName, gc0)
-      recordHealth(bName, gc0)
+      recordHealth(aName, gcMillis() - gcA)
+      recordHealth(bName, gcMillis() - gcB)
     }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"

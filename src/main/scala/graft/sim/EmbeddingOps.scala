@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.embeddings
@@ -360,10 +360,11 @@ object EmbeddingOps {
     * end still guarantees every downstream consumer reads a materialized
     * table instead of re-running the training.
     */
-  private def kmeansCentroidsOf(base: DataFrame): DataFrame = {
+  private[graft] def kmeansCentroidsOf(base: DataFrame,
+      k: Int = KMEANS_K): DataFrame = {
     val quant = "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
       "* 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
-    var cents = base.filter(col("vec_id") < KMEANS_K)
+    var cents = base.filter(col("vec_id") < k)
       .selectExpr("CAST(vec_id AS INT) AS cell", s"$quant AS centroid")
     for (i <- 1 to KMEANS_ITERS) {
       val next = recomputeCentroids(assignCells(base.sparkSession, base, cents))
@@ -2573,16 +2574,25 @@ object EmbeddingOps {
     * TopKByScore selection and (sim DESC, dst ASC) ties as the
     * per-cell adjacency.
     */
-  private[graft] def graphEdgesXcellOf(s: SparkSession, asg: DataFrame,
-      cedges: DataFrame): DataFrame = {
+  /** Forward (pre-symmetrization) xcell kNN: every source in `srcAsg`
+    * links to its top-R among `candAsg` members of the source's own +
+    * centroid-adjacent cells. Factored out of [[graphEdgesXcellOf]] so
+    * the maintenance paths can recompute JUST the affected sources'
+    * forward lists and merge them with the stored forward set before
+    * symmetrizing: the reverse of a forward edge lands in the
+    * DESTINATION's partition, so a symmetrized store cannot be patched
+    * per-source without the forward rows (the r17 one-seam-short flaw).
+    */
+  private[graft] def forwardKnnXcellOf(s: SparkSession, srcAsg: DataFrame,
+      candAsg: DataFrame, cedges: DataFrame): DataFrame = {
     import s.implicits._
     val cells = cedges.select(col("src")).distinct()
     val cpair = cedges.select(col("src").as("a_cell"), col("dst").as("b_cell"))
       .unionByName(cells.select(col("src").as("a_cell"), col("src").as("b_cell")))
       .distinct()
-    val a = asg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
+    val a = srcAsg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
       col("embedding").as("s_emb"))
-    val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
+    val b = candAsg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
       col("embedding").as("d_emb"))
     val cand = a.join(broadcast(cpair), Seq("a_cell"))
       .join(b, Seq("b_cell"))
@@ -2592,22 +2602,28 @@ object EmbeddingOps {
           .as("sim"),
         col("dst"))
     val agg = graft.functions.TopKByScore(GRAPH_R).toColumn
-    val knn = cand.as[(Long, Double, Long)]
+    cand.as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, sim, id) => (sim, id) }
       .agg(agg.name("top"))
       .toDF("src", "top")
       .select(col("src"), explode(col("top")).as("p"))
       .select(col("src"), col("p._2").as("dst"))
+  }
+
+  private[graft] def symmetrized(knn: DataFrame): DataFrame =
+    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  private[graft] def graphEdgesXcellOf(s: SparkSession, asg: DataFrame,
+      cedges: DataFrame): DataFrame =
     // SYMMETRIZED, like the centroid layer (NSW bidirectional links):
     // a vector nobody selects into their top-R is an ORPHAN of the kNN
     // digraph — unreachable by any walk at any (B, H); measured
     // directly: the 0.975-ceiling truth pair stayed invisible to a
     // B=16, H=6 walk until the reverse links existed. The reversed
     // edge rides the same blocked candidate universe.
-    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-  }
+    symmetrized(forwardKnnXcellOf(s, asg, asg, cedges))
 
   /** The full HNSW-analog composition: centroid-layer routing picks the
     * entry cells AND the adjacency crosses cell seams — layer-0 edges
@@ -2872,6 +2888,16 @@ object EmbeddingOps {
     * entries, clear tombstones. All partition-scoped: O(touched), not
     * O(corpus).
     */
+  /** Predicate selecting exactly the given (cell, batch) partitions:
+    * ONE InSet over a derived key — constant expression-tree size at
+    * any partition count (the r17 OR-chain grew a parse/codegen node
+    * per pair, a real ceiling at 10^5 batches) — referencing only
+    * partition columns, so the scan still prunes statically.
+    */
+  private def partitionPairPredicate(pairs: Seq[(Int, Long)]): Column =
+    concat_ws("#", col("cell").cast("string"), col("batch").cast("string"))
+      .isin(pairs.map { case (c, b) => s"$c#$b" }: _*)
+
   private[graft] def compactGraphIndex(s: SparkSession, indexDir: String): Unit =
     tombstonesOf(s, indexDir).foreach { t =>
       val cents = s.read.parquet(s"$indexDir/centroids")
@@ -2880,11 +2906,9 @@ object EmbeddingOps {
         .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       if (affected.nonEmpty) {
-        val pairCond = affected
-          .map { case (c, b) => s"(cell = $c AND batch = ${b}L)" }
-          .mkString(" OR ")
         val kept = graft.Checkpoint.barrier(
-          s.read.parquet(s"$indexDir/vectors").filter(expr(pairCond))
+          s.read.parquet(s"$indexDir/vectors")
+            .filter(partitionPairPredicate(affected))
             .join(broadcast(t), Seq("vec_id"), "left_anti"))
         val survivingPairs = kept
           .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
@@ -3044,8 +3068,8 @@ object EmbeddingOps {
       indexDir)
 
   private[graft] def buildGraphXcellIndexOn(s: SparkSession,
-      base: DataFrame, indexDir: String): Unit = {
-    val cents = kmeansCentroidsOf(base)
+      base: DataFrame, indexDir: String, k: Int = KMEANS_K): Unit = {
+    val cents = kmeansCentroidsOf(base, k)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     asg.select("vec_id", "embedding", "cell")
@@ -3055,8 +3079,16 @@ object EmbeddingOps {
     val cedges = centroidEdgesOf(cents)
     cedges.write.mode("overwrite").parquet(s"$indexDir/cedges")
     entryCellOf(asg).write.mode("overwrite").parquet(s"$indexDir/entrycell")
-    graphEdgesXcellOf(s, asg, cedges)
-      .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+    // the FORWARD set is stored beside the symmetrized serve set: it is
+    // the only representation maintenance can patch per-source (a
+    // symmetrized store mixes each partition's own forward rows with
+    // reverses owned by OTHER cells' sources)
+    val srcCell = asg.select(col("vec_id").as("src"), col("cell"))
+    val fwd = graft.Checkpoint.barrier(
+      forwardKnnXcellOf(s, asg, asg, cedges).join(srcCell, Seq("src")))
+    fwd.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/fedges")
+    symmetrized(fwd.select("src", "dst"))
+      .join(srcCell, Seq("src"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/xedges")
     graphEntriesOf(asg).write.mode("overwrite").parquet(s"$indexDir/entries")
@@ -3133,28 +3165,25 @@ object EmbeddingOps {
     entry.write.mode("overwrite").parquet(s"$indexDir/entrycell")
   }
 
-  /** COMPACTION for the xcell store — the re-link is ONE SEAM WIDER
-    * than the per-cell store's, mirroring the append: a victim in cell
-    * c leaves top-R holes in sources of c AND its adjacent cells, so
-    * the affected set is touched ∪ adjacent(touched), re-derived over
-    * survivor membership one seam further out. Vectors fold physically
-    * (the shared (cell, batch) partition rewrite), tombstones clear.
+  /** COMPACTION for the xcell store: vectors fold physically (the
+    * shared (cell, batch) partition rewrite), the adjacency re-links
+    * through the seam-correct [[relinkXcellIndex]] over survivor
+    * membership, entries refresh for the victims' cells, tombstones
+    * clear. All partition-scoped: O(victim neighborhood), not
+    * O(corpus).
     */
   private[graft] def compactGraphXcellIndex(s: SparkSession,
       indexDir: String): Unit =
     tombstonesOf(s, indexDir).foreach { t =>
       val cents = s.read.parquet(s"$indexDir/centroids")
-      val cedges = s.read.parquet(s"$indexDir/cedges")
       val vecs = s.read.parquet(s"$indexDir/vectors")
       val affectedPairs = vecs.join(broadcast(t), Seq("vec_id"), "left_semi")
         .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       if (affectedPairs.nonEmpty) {
-        val pairCond = affectedPairs
-          .map { case (c, b) => s"(cell = $c AND batch = ${b}L)" }
-          .mkString(" OR ")
         val kept = graft.Checkpoint.barrier(
-          s.read.parquet(s"$indexDir/vectors").filter(expr(pairCond))
+          s.read.parquet(s"$indexDir/vectors")
+            .filter(partitionPairPredicate(affectedPairs))
             .join(broadcast(t), Seq("vec_id"), "left_anti"))
         val survivingPairs = kept
           .select(col("cell").cast("int"), col("batch").cast("long")).distinct()
@@ -3170,33 +3199,11 @@ object EmbeddingOps {
               .foreach(java.nio.file.Files.delete)
           }
         }
-        val adj = cedges.select(col("src").as("cell"), col("dst"))
-        val touchedDf = s.createDataFrame(
-          s.sparkContext.parallelize(
-            affectedPairs.map(_._1).distinct.map(org.apache.spark.sql.Row(_)), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cell",
-              org.apache.spark.sql.types.IntegerType))))
-        val affCells = touchedDf.unionByName(
-          touchedDf.join(adj, Seq("cell")).select(col("dst").as("cell")))
-          .distinct()
-        val affected = affCells.collect()
-          .map(_.getAs[Number]("cell").intValue()).toSeq
-        val universe = affCells.unionByName(
-          affCells.join(adj, Seq("cell")).select(col("dst").as("cell")))
-          .distinct().collect()
-          .map(_.getAs[Number]("cell").intValue()).toSeq
-        val members = graft.Checkpoint.barrier(
-          s.read.parquet(s"$indexDir/vectors")
-            .filter(col("cell").isin(universe: _*))
-            .select("vec_id", "embedding", "cell"))
-        graphEdgesXcellOf(s, members, cedges)
-          .join(members.select(col("vec_id").as("src"), col("cell")), Seq("src"))
-          .filter(col("cell").isin(affected: _*))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(s"$indexDir/xedges")
         val touched = affectedPairs.map(_._1).distinct
-        val tMembers = members.filter(col("cell").isin(touched: _*))
+        relinkXcellIndex(s, indexDir, touched)
+        val tMembers = s.read.parquet(s"$indexDir/vectors")
+          .filter(col("cell").isin(touched: _*))
+          .select("vec_id", "embedding", "cell")
           .join(broadcast(cents), Seq("cell"))
           .withColumn("dist",
             graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
@@ -3273,50 +3280,86 @@ object EmbeddingOps {
     annGraphRoutedIndexed(s, d, dir)
   }
 
-  /** Seam-free XCELL append — the invariant is one seam wider than the
-    * per-cell store's: arrivals into cell c change the candidate
-    * universe of every source in c AND in cells centroid-adjacent to c
-    * (their top-R may now include an arrival), so the AFFECTED set is
-    * touched ∪ adjacent(touched), and re-deriving an affected source's
-    * adjacency needs membership one seam further out
-    * (affected ∪ adjacent(affected)). Untouched cells' adjacency is
-    * already identical to a fresh build's; write cost is O(affected
-    * cells' membership), not O(corpus). Entries refresh for touched
-    * cells; the entry cell re-derives from the new populations.
+  /** Seam-correct XCELL re-link, shared by append and compaction (the
+    * r17 append/compact rewrote only `affected` partitions, which is
+    * ONE SEAM SHORT for a symmetrized store — ADVICE r18 high).
+    * Membership changed in `touched` cells, so:
+    *   - the FORWARD top-R changes exactly for sources in
+    *     affected = touched ∪ adjacent(touched) (their candidate
+    *     universe gained/lost members); every other source's forward
+    *     list is provably unchanged (no touched cell is in its
+    *     candidate set);
+    *   - a symmetrized partition c also holds REVERSE rows of forward
+    *     edges from sources in adjacent(c), so the xedge partitions
+    *     whose content can change are universe = affected ∪
+    *     adjacent(affected), and rebuilding them needs the forward
+    *     rows of sources one seam wider still (universe2).
+    * Affected sources' forward lists are recomputed over candidate
+    * membership in universe (their FULL candidate set — never the
+    * truncated universe the r17 code scored, which promoted spurious
+    * picks); unchanged sources' forward lists are read back from the
+    * stored forward set. Cell-id sets are O(cells) driver lists; the
+    * isin filters optimize to single InSet nodes (constant expression
+    * size at any cell count) and prune the partitioned scans
+    * statically; both writes are dynamic partition overwrites scoped
+    * to affected / universe.
+    */
+  private def relinkXcellIndex(s: SparkSession, indexDir: String,
+      touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    val cedges = s.read.parquet(s"$indexDir/cedges")
+    val adjMap = cedges.collect()
+      .map(r => (r.getAs[Number]("src").intValue(),
+        r.getAs[Number]("dst").intValue()))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def widen(cs: Set[Int]): Set[Int] =
+      cs ++ cs.flatMap(c => adjMap.getOrElse(c, Set.empty[Int]))
+    val affected = widen(touched.toSet)
+    val universe = widen(affected)
+    val universe2 = widen(universe)
+    def inCells(df: DataFrame, cs: Set[Int]): DataFrame =
+      df.filter(col("cell").isin(cs.toSeq: _*))
+    val vecs = s.read.parquet(s"$indexDir/vectors")
+      .select("vec_id", "embedding", "cell")
+    val membersU = graft.Checkpoint.barrier(inCells(vecs, universe))
+    val fwdAff = graft.Checkpoint.barrier(
+      forwardKnnXcellOf(s, inCells(membersU, affected), membersU, cedges)
+        .join(membersU.select(col("vec_id").as("src"), col("cell")),
+          Seq("src")))
+    fwdAff.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$indexDir/fedges")
+    // merged forward set (recomputed affected + stored unchanged),
+    // symmetrized, then only the partitions that can differ rewritten
+    val fwdU2 = inCells(s.read.parquet(s"$indexDir/fedges"), universe2)
+      .select("src", "dst")
+    val srcCellU2 = inCells(
+      s.read.parquet(s"$indexDir/vectors").select("vec_id", "cell"),
+      universe2).select(col("vec_id").as("src"), col("cell"))
+    inCells(symmetrized(fwdU2).join(srcCellU2, Seq("src")), universe)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$indexDir/xedges")
+  }
+
+  /** Seam-free XCELL append: arrival batches land in their own
+    * (cell, batch) partitions, the adjacency re-links through the
+    * shared seam-correct [[relinkXcellIndex]], entries refresh for
+    * touched cells, the entry cell re-derives from the new populations.
+    * Write cost is O(neighborhood membership), not O(corpus).
     */
   private[graft] def appendGraphXcellIndex(s: SparkSession,
       newRows: DataFrame, indexDir: String, batchId: Long): Unit = {
     val cents = s.read.parquet(s"$indexDir/centroids")
-    val cedges = s.read.parquet(s"$indexDir/cedges")
     val asg = graft.Checkpoint.barrier(assignCells(s, newRows, cents))
     asg.select("vec_id", "embedding", "cell")
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch").parquet(s"$indexDir/vectors")
-    val adj = cedges.select(col("src").as("cell"), col("dst"))
-    val touchedDf = asg.select("cell").distinct()
-    val affectedDf = touchedDf.unionByName(
-      touchedDf.join(adj, Seq("cell")).select(col("dst").as("cell")))
-      .distinct()
-    val universeDf = affectedDf.unionByName(
-      affectedDf.join(adj, Seq("cell")).select(col("dst").as("cell")))
-      .distinct()
-    val touched = touchedDf.collect()
+    val touched = asg.select("cell").distinct().collect()
       .map(_.getAs[Number]("cell").intValue()).toSeq
-    val affected = affectedDf.collect()
-      .map(_.getAs[Number]("cell").intValue()).toSeq
-    val universe = universeDf.collect()
-      .map(_.getAs[Number]("cell").intValue()).toSeq
-    val members = graft.Checkpoint.barrier(
-      s.read.parquet(s"$indexDir/vectors")
-        .filter(col("cell").isin(universe: _*))
-        .select("vec_id", "embedding", "cell"))
-    graphEdgesXcellOf(s, members, cedges)
-      .join(members.select(col("vec_id").as("src"), col("cell")), Seq("src"))
-      .filter(col("cell").isin(affected: _*))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$indexDir/xedges")
-    val tMembers = members.filter(col("cell").isin(touched: _*))
+    relinkXcellIndex(s, indexDir, touched)
+    val tMembers = s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(touched: _*))
+      .select("vec_id", "embedding", "cell")
       .join(broadcast(cents), Seq("cell"))
       .withColumn("dist",
         graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))

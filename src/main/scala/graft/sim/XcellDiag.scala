@@ -45,10 +45,12 @@ object XcellDiag {
       EmbeddingOps.entryCellOf(asg), EmbeddingOps.centroidEdgesOf(cents))
       .collect().map(r => (r.getLong(0), r.getAs[Number]("cell").intValue()))
     println(s"probed cells: ${probes.sortBy(_._1).mkString(" ")}")
+    // the adjacency derivation (a blocked self-join over the corpus) is
+    // the expensive part — derive once, cache, reuse per missing pair
+    val xe = EmbeddingOps.graphEdgesXcellOf(spark, asg,
+      EmbeddingOps.centroidEdgesOf(cents)).cache()
     for ((qid, v) <- missing) {
       println(s"query $qid cell=${cells(qid)}  missing neighbor $v cell=${cells(v)}")
-      val xe = EmbeddingOps.graphEdgesXcellOf(spark, asg,
-        EmbeddingOps.centroidEdgesOf(cents))
       val inE = xe.filter(col("dst") === v).collect().map(_.getLong(0))
       val outE = xe.filter(col("src") === v).collect().map(_.getLong(1))
       println(s"  in-edges to $v: ${inE.length} from cells ${inE.map(cells).distinct.sorted.mkString(",")}")

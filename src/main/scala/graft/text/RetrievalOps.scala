@@ -764,11 +764,14 @@ object RetrievalOps {
         .select(col("tb").cast("int"), col("batch").cast("long")).distinct()
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       if (affected.nonEmpty) {
-        val pairCond = affected
-          .map { case (b, ba) => s"(tb = $b AND batch = ${ba}L)" }
-          .mkString(" OR ")
+        // one InSet over a derived key — constant expression-tree size
+        // at any partition count (an OR-chain grows a node per pair),
+        // still a statically-pruning partition predicate
+        val pairCond = concat_ws("#",
+          col("tb").cast("string"), col("batch").cast("string"))
+          .isin(affected.map { case (b, ba) => s"$b#$ba" }: _*)
         val kept = s.read.parquet(s"$dir/postings")
-          .filter(expr(pairCond))
+          .filter(pairCond)
           .join(broadcast(t), Seq("doc_id"), "left_anti")
         val surviving = kept
           .select(col("tb").cast("int"), col("batch").cast("long")).distinct()

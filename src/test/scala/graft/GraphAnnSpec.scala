@@ -286,4 +286,110 @@ class GraphAnnSpec extends SparkSpec {
         s"$name scan must carry routed-cell PartitionFilters")
     }
   }
+
+  /** 16 clusters on a circle, one k-means seed (vec_id 0..15) per
+    * cluster center, so Lloyd converges to one stable cell per cluster
+    * and the centroid layer is a RING (adjacency reach ≤ 2 cells) —
+    * cells genuinely 3+ hops from any touched cell. This is the regime
+    * where an affected-only partition rewrite goes wrong: reverse rows
+    * of re-linked sources land one seam beyond `affected`, and sources
+    * recomputed over a truncated candidate universe write spurious
+    * reverses INTO the rewritten partitions. The sf0.001 corpus cannot
+    * catch it (its 8 cells are all mutually within two seams of
+    * anything touched). Odd clusters hold only their seed, so an even
+    * cell's sources must fill their top-R across the ±2 seams — the
+    * cross-seam links whose maintenance the test pins.
+    */
+  private def ringBase(rows: Seq[(Long, Int, Double)]) = {
+    import spark.implicits._
+    rows.map { case (id, cluster, jitter) =>
+      val theta = 2 * math.Pi * cluster / 16 + jitter
+      (id, Seq((10 * math.cos(theta)).toFloat, (10 * math.sin(theta)).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Seeds 0..15 at the 16 cluster centers; 5 extra points on each EVEN
+    * cluster with small deterministic angular jitter (±0.02 rad vs the
+    * 0.39 rad cluster spacing — assignments never wander).
+    */
+  private def ringPts: Seq[(Long, Int, Double)] =
+    (0 until 16).map(c => (c.toLong, c, 0.0)) ++
+      (16L until 56L).map(id =>
+        (id, (2 * ((id - 16) % 8)).toInt, ((id * 37) % 11 - 5) * 0.004))
+
+  /** Four points crowding cell 0's rim (±2°): near enough to the ±2
+    * seams that sources two cells away (cells 2 and 14) link to them —
+    * adding OR removing them changes adjacency in partitions the r17
+    * affected-only rewrite never touched (proven: the r17 emulation
+    * fails both ring tests).
+    */
+  private def rimPts: Seq[(Long, Int, Double)] =
+    Seq((100L, 0, 0.035), (101L, 0, 0.025), (102L, 0, -0.030),
+      (103L, 0, -0.020))
+
+  private def xedgeSet(dir: String): Set[(Long, Long)] =
+    spark.read.parquet(s"$dir/xedges").select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def ringAdj(dir: String): Map[Int, Set[Int]] =
+    spark.read.parquet(s"$dir/cedges").collect()
+      .map(r => (r.getAs[Number]("src").intValue(),
+        r.getAs[Number]("dst").intValue()))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  test("xcell append on a ring cell-graph: seam-correct beyond adjacent(affected)") {
+    val arrivals = rimPts
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xcell_ring").toString
+    EmbeddingOps.buildGraphXcellIndexOn(spark, ringBase(ringPts), dir, k = 16)
+    EmbeddingOps.appendGraphXcellIndex(spark, ringBase(arrivals), dir, 0L)
+    // precondition: the scenario exercises the seam — touched ∪
+    // adjacent(touched) must NOT cover the ring, else the test is the
+    // same vacuous shape as the sf0.001 one
+    val adj = ringAdj(dir)
+    val touched = spark.read.parquet(s"$dir/vectors")
+      .filter(col("batch") === 0L).select("cell").distinct().collect()
+      .map(_.getAs[Number]("cell").intValue()).toSet
+    val affected = touched ++ touched.flatMap(adj.getOrElse(_, Set.empty[Int]))
+    assert((adj.keySet -- affected).nonEmpty,
+      s"ring setup broke: affected $affected covers every cell")
+    // the invariant itself: post-append whole-store adjacency equals
+    // the fresh derivation over full membership under stored centroids
+    val asgFull = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "embedding", "cell")
+    val fresh = EmbeddingOps.graphEdgesXcellOf(spark, asgFull,
+      spark.read.parquet(s"$dir/cedges")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xedgeSet(dir) == fresh,
+      "post-append xcell adjacency must equal the fresh derivation " +
+        "even on cells 2+ hops from touched")
+  }
+
+  test("xcell delete+compact on a ring cell-graph: seam-correct re-link") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xcell_ring_c").toString
+    // build WITH the rim points, then delete exactly them: removal must
+    // undo the cross-seam links the append test proves they create —
+    // re-picks land in partitions beyond adjacent(affected)
+    EmbeddingOps.buildGraphXcellIndexOn(spark, ringBase(ringPts ++ rimPts),
+      dir, k = 16)
+    val victims = ringBase(rimPts).select("vec_id")
+    EmbeddingOps.deleteGraphXcellIndex(spark, victims, dir, 1L)
+    EmbeddingOps.compactGraphXcellIndex(spark, dir)
+    val adj = ringAdj(dir)
+    val affected = Set(0) ++ adj.getOrElse(0, Set.empty[Int])
+    assert((adj.keySet -- affected).nonEmpty,
+      s"ring setup broke: affected $affected covers every cell")
+    val survivors = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "embedding", "cell")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(survivors.collect().map(_.getLong(0)).toSet
+      .intersect(victimIds).isEmpty, "compaction must fold victims")
+    val fresh = EmbeddingOps.graphEdgesXcellOf(spark, survivors,
+      spark.read.parquet(s"$dir/cedges")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xedgeSet(dir) == fresh,
+      "post-compact xcell adjacency must equal the fresh derivation " +
+        "over survivors even on cells 2+ hops from touched")
+  }
 }
