@@ -3582,6 +3582,8 @@ object EmbeddingOps {
     "q_ann_graph_xcell_incr" -> (annGraphXcellIncr _),
     // micro-batched arrivals through the same maintenance — arrival
     // shape unobservable (same fresh-build oracle)
+    "q_ann_graph_routed_incr_stream" ->
+      (graft.streaming.Streams.graphRoutedIndexStreamed _),
     "q_ann_graph_xcell_incr_stream" ->
       (graft.streaming.Streams.graphXcellIndexStreamed _),
     // delete: tombstone-masked hole-y seam-crossing walk; compact:
@@ -4333,6 +4335,8 @@ FROM embeddings ORDER BY vec_id""",
     // seam-free appends: oracle = fresh build under slice-trained
     // centroids (the graph-incr convention)
     "q_ann_graph_routed_incr" ->
+      graphRoutedOracleFrom(graphIncrKCtes, xcell = false),
+    "q_ann_graph_routed_incr_stream" ->
       graphRoutedOracleFrom(graphIncrKCtes, xcell = false),
     "q_ann_graph_xcell_incr" ->
       graphRoutedOracleFrom(graphIncrKCtes, xcell = true),

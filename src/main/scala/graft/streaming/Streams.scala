@@ -1179,6 +1179,41 @@ object Streams {
     graft.sim.EmbeddingOps.annGraphXcellIndexed(spark, dir, sub("idx"))
   }
 
+  /** Streamed twin of the ROUTED append: arrival micro-batches land
+    * through the layer-refreshing maintenance (graph append + population
+    * entry-cell refresh) — the served answer must be arrival-shape-
+    * independent (same fresh-build oracle as the batch routed_incr
+    * gate). Completes the lifecycle symmetry: every other persisted
+    * family already had its streamed maintenance twin.
+    */
+  def graphRoutedIndexStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_graph_routed_stream")
+    def sub(n: String) = base.resolve(n).toString
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    val arrival = col("vec_id") % 10 === 9
+    graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
+      emb.filter(!arrival), sub("idx"))
+    graft.sim.EmbeddingOps.buildGraphLayerOn(spark, sub("idx"))
+    val arr = emb.filter(arrival)
+    arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
+      .write.parquet(sub("in"))
+    arr.filter(expr("(vec_id div 10) % 2 = 1")).coalesce(1)
+      .write.mode("append").parquet(sub("in"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sub("in")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sub("in"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sim.EmbeddingOps.appendGraphRoutedIndex(spark, batch,
+          sub("idx"), batchId)
+      }
+      .option("checkpointLocation", sub("cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sim.EmbeddingOps.annGraphRoutedIndexed(spark, dir, sub("idx"))
+  }
+
   def sq8IndexStreamed(spark: SparkSession, dir: String): DataFrame = {
     val base = tempDir("graft_sq8_stream")
     def sub(n: String) = base.resolve(n).toString
