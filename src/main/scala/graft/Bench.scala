@@ -423,6 +423,37 @@ object Bench {
       }
       rmTree(skewDir)
     }
+    // hot-removal probe (r18): a 32-token phrase duplicated 10⁴ times
+    // (twice in every sf0.1 doc) — far over the anchor cap, so the
+    // exact pair path drops it by design; the composed operator must
+    // still CUT it (passage-ownership path, linear in duplicated
+    // volume) within a bounded runtime. The keeper check beside the
+    // timing is the "actually removed" evidence: exactly one copy of
+    // the phrase survives the whole corpus.
+    locally {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val hotDir = s"/tmp/graft_bench_substrhot_${System.nanoTime()}"
+      val boiler = (1 to 32).map(i => s"hotskew$i").mkString(" ")
+      Tables.documents(spark, sfDir)
+        .withColumn("text",
+          concat(lit(boiler + " " + boiler + " "), col("text")))
+        .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+      once("dedup_substring_hot_removed") {
+        graft.text.TextOps.substringRemovedHot(spark, hotDir)
+          .write.mode("overwrite").parquet(s"$hotDir/out")
+      }
+      try {
+        val resid = spark.read.parquet(s"$hotDir/out")
+          .filter(col("texto_limpo").contains("hotskew1 hotskew2")).count()
+        System.err.println(
+          s"[bench] dedup_substring_hot_removed: $resid doc(s) still carry " +
+            "the 10^4-duplicated phrase (expect 1 keeper)")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] hot residual check failed: ${e.getMessage}")
+      }
+      rmTree(hotDir)
+    }
     // positional-index lifecycle: posexplode + term-bucketed persist is
     // the build; the phrase probe reads only its terms' buckets
     val phIdx = s"/tmp/graft_bench_phrase_${System.nanoTime()}"

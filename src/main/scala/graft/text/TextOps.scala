@@ -567,6 +567,44 @@ ORDER BY doc_id"""
     rebuildWithoutCut(s, d, cut)
   }
 
+  /** FULL-COVERAGE span removal — [[substringRemoved]] composed with
+    * the passage-family treatment of the windows the anchor cap drops.
+    * The cap's pinned semantics exclude over-cap (ultra-hot) windows
+    * from the exact pair path to bound the anchor join at cap² pairs —
+    * but at corpus scale those are exactly the templated boilerplate a
+    * user most wants cut. Composition: under-cap runs cut through the
+    * pair list's keep-earliest rule (doc_b-side spans), over-cap
+    * windows cut PARTNER-AGNOSTICALLY through [[passageClean]]'s
+    * ownership rule (the first (doc_id, pos) occurrence of each hash
+    * keeps its copy, every other occurrence's k-token coverage is
+    * removed), coverages merged before the shared rebuild.
+    *
+    * Scale shape: the hot path replaces the f²-pair detonation with ONE
+    * row_number window over the hot hash's f occurrences — linear in
+    * duplicated volume, the degradation the cap was designed to buy —
+    * while keep-one coverage is preserved for BOTH regimes. The probe
+    * row (`dedup_substring_hot_removed`, 10⁴-duplicated phrase) prices
+    * it; the gate pins the composition bit-exactly at a cap low enough
+    * that the sf0.01 corpus genuinely exercises both paths.
+    */
+  def substringRemovedHot(s: SparkSession, d: String, k: Int = 8,
+      maxAnchorFreq: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g0 = passageWindows(s, d, k)
+    val pairCut = substringPairsOf(g0, k, maxAnchorFreq)
+      .select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(pos_b, pos_b + n_tokens - 1)")).as("i"))
+    val hot = g0.groupBy("h").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxAnchorFreq).select("h")
+    val byHash = Window.partitionBy("h")
+    val hotCut = g0.join(hot, Seq("h"), "left_semi")
+      .withColumn("rn", row_number().over(byHash.orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
+    rebuildWithoutCut(s, d, pairCut.unionByName(hotCut).distinct())
+  }
+
   /** Rebuild each document's text minus a (doc_id, i) token-coverage
     * relation — the shared cleaning tail of [[passageClean]] and
     * [[substringRemoved]]: token-level explode + anti-join + per-
@@ -631,6 +669,37 @@ spans AS (
          CAST(COUNT(*) + ${k - 1} AS INTEGER) AS n
   FROM runs GROUP BY doc_a, doc_b, diag, grp),
 cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(pb, pb + n)) AS INTEGER) AS i FROM spans),
+tokix AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i, toks FROM toks),
+tok AS (SELECT doc_id, i, toks[i] AS tok FROM tokix),
+kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t
+         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i)
+SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+  CAST(coalesce(kk.n, 0) AS INTEGER) AS n_mantidos,
+  coalesce(kk.txt, '') AS texto_limpo
+FROM toks d LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
+ORDER BY d.doc_id"""
+
+  /** [[substringRemovedHot]]'s twin: the identical capped pair path
+    * PLUS the passage-ownership cut over the over-cap windows, merged
+    * coverage, same rebuild tail.
+    */
+  private def substringRemovedHotOracle(k: Int = 8,
+      maxAnchorFreq: Int = 512): String =
+    s"""${substringRunsCte(k, maxAnchorFreq)},
+spans AS (
+  SELECT doc_b AS doc_id, CAST(MIN(pos_b) AS INTEGER) AS pb,
+         CAST(COUNT(*) + ${k - 1} AS INTEGER) AS n
+  FROM runs GROUP BY doc_a, doc_b, diag, grp),
+cov_pair AS (SELECT DISTINCT doc_id, CAST(unnest(range(pb, pb + n)) AS INTEGER) AS i FROM spans),
+hot AS (SELECT h FROM flat0 GROUP BY h HAVING COUNT(*) > $maxAnchorFreq),
+hotocc AS (SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM flat0 SEMI JOIN hot USING (h)),
+cov_hot AS (SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + $k)) AS INTEGER) AS i
+  FROM hotocc WHERE rn > 1),
+cov AS (SELECT * FROM cov_pair UNION SELECT * FROM cov_hot),
 tokix AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i, toks FROM toks),
 tok AS (SELECT doc_id, i, toks[i] AS tok FROM tokix),
 kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t
@@ -1251,6 +1320,12 @@ FROM bucketed ORDER BY doc_id"""
     // the family's user-facing product: the corpus rewritten with every
     // cross-doc repeated run >= k cut, keep-earliest policy
     "q_dedup_substring_removed" -> (substringRemoved(_, _)),
+    // cap low enough that the sf0.01 corpus exercises BOTH regimes
+    // (its window-freq histogram tops out at 3 — cap 2 splits it):
+    // under-cap runs through the exact pair path, over-cap boilerplate
+    // through the partner-agnostic passage ownership cut
+    "q_dedup_substring_removed_hot" ->
+      (substringRemovedHot(_, _, maxAnchorFreq = 2)),
     "q_passage_clean" -> (passageClean(_, _)),
     "q_dedup_jaccard" -> (jaccardPairs(_, _)))
 
@@ -1462,6 +1537,8 @@ ORDER BY doc_id""",
       "q_dedup_passage" -> passageOracle(),
       "q_dedup_substring" -> substringOracle(),
       "q_dedup_substring_removed" -> substringRemovedOracle(),
+      "q_dedup_substring_removed_hot" ->
+        substringRemovedHotOracle(maxAnchorFreq = 2),
       "q_passage_clean" -> passageCleanOracle(),
       // the streamed ownership state must converge to the batch cut set
       "q_dedup_passage_stream" -> passageCutOracle(),

@@ -126,4 +126,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rows(1) == ((2L, 21, 9, toks(9, "c"))))
     assert(rows(2) == ((3L, 20, 8, toks(8, "d"))))
   }
+
+  test("hot composition: over-cap boilerplate cut to one keeper, plain form leaves it") {
+    // a 16-token block repeated in 40 docs: every one of its windows is
+    // over a cap of 8, so the capped PAIR path drops them entirely —
+    // substringRemoved leaves all 40 copies in place (the r17 pinned
+    // degradation), while substringRemovedHot routes them through the
+    // passage ownership cut and keeps exactly the earliest copy
+    val boiler = toks(16, "h")
+    val dir = staged((1L to 40L).map(i =>
+      i -> s"$boiler w${i}y1 w${i}y2 w${i}y3"))
+    val plain = TextOps.substringRemoved(spark, dir, K, maxAnchorFreq = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(plain.forall { case (_, kept) => kept == 19 },
+      s"plain capped removal must leave every over-cap copy, got ${plain.toSeq}")
+    val hot = TextOps.substringRemovedHot(spark, dir, K, maxAnchorFreq = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(hot.head == ((1L, 19, s"$boiler w1y1 w1y2 w1y3")),
+      s"keeper must retain the boilerplate, got ${hot.head}")
+    assert(hot.tail.forall { case (i, kept, txt) =>
+      kept == 3 && txt == s"w${i}y1 w${i}y2 w${i}y3" },
+      "every later copy must lose exactly the boilerplate block")
+  }
 }
