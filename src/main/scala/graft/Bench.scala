@@ -390,6 +390,20 @@ object Bench {
       } {
         graft.text.RetrievalOps.bm25ZipfWandServed(spark, zdir).count(): Unit
       }
+      // the EXPENSIVE-scorer pair (r18): same staged index, every
+      // posting re-scored through a depth-64 md5 chain (a learned
+      // re-ranker's cost profile). Plain BM25 measured to an honest
+      // negative in r17 — scoring is ~free, so pruning loses to the
+      // codegen scan; THIS is the regime where the postings saving is
+      // the wall-clock saving, and the row pair prices it.
+      interleaved("q_bm25_zipf_expensive_served",
+        "q_bm25_zipf_expensive_wand_served") {
+        graft.text.RetrievalOps.bm25ZipfExpensiveServed(spark, zdir)
+          .count(): Unit
+      } {
+        graft.text.RetrievalOps.bm25ZipfExpensiveWandServed(spark, zdir)
+          .count(): Unit
+      }
       try {
         val (ex, pr) = graft.text.RetrievalOps.bm25ZipfCounts(spark, zdir)
         System.err.println(s"[bench] zipf crossover: exhaustive scored $ex " +

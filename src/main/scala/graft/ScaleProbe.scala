@@ -39,6 +39,12 @@ object ScaleProbe {
     if (args.contains("--stage-sf1")) {
       stageSf1(args.filterNot(_ == "--stage-sf1")); return
     }
+    if (args.contains("--stage-sf10")) {
+      stageSf10(args.filterNot(_ == "--stage-sf10")); return
+    }
+    if (args.contains("--sf10")) {
+      sf10Bench(args.filterNot(_ == "--sf10")); return
+    }
     val n = if (args.length > 0) args(0).toInt else 10
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val src = "/root/testdata/sf0.1"
@@ -221,9 +227,17 @@ object ScaleProbe {
     * then:  runMain graft.Verify <workDir> <outDir> <heavy,query,list>
     *        python3 tools/check.py <workDir> <outDir> --only <same list>
     */
-  private def stageSf1(rest: Array[String]): Unit = {
-    val work = if (rest.length > 0) rest(0) else "/tmp/graft_sf1"
-    val n = 10
+  private def stageSf1(rest: Array[String]): Unit =
+    stageReplicas(if (rest.length > 0) rest(0) else "/tmp/graft_sf1", 10)
+
+  /** sf10: the same replication schemes at 100× sf0.1 — 60M-row fact,
+    * 500k docs, 200k vectors. First staging above sf1; feeds the
+    * [[sf10Bench]] rows and the sf10 gate rotation.
+    */
+  private def stageSf10(rest: Array[String]): Unit =
+    stageReplicas(if (rest.length > 0) rest(0) else "/tmp/graft_sf10", 100)
+
+  private def stageReplicas(work: String, n: Int): Unit = {
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -282,7 +296,91 @@ object ScaleProbe {
       Tables.table(spark, src, t).write.mode("overwrite")
         .parquet(s"$work/$t.parquet")
     }
-    println(s"[stage-sf1] staged 10x sf0.1 at $work")
+    println(s"[stage] staged ${n}x sf0.1 at $work")
+    spark.stop()
+  }
+
+  /** sf10 bench: the star build, the 10-KPI suite, and the three
+    * hottest extension index builds over the staged sf10 dir (100×
+    * sf0.1 — a 60M-row fact, ~500× the reference's data), each with a
+    * plan fingerprint so scale-up is provably a data change, not a plan
+    * change. Prints one JSON line mirroring graft.Bench's shape.
+    *
+    * Usage: runMain graft.ScaleProbe --stage-sf10 [dir]
+    *        runMain graft.ScaleProbe --sf10 [dir]
+    */
+  private def sf10Bench(rest: Array[String]): Unit = {
+    val work = if (rest.nonEmpty) rest(0) else "/tmp/graft_sf10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; times(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[sf10] $name failed: ${e.getMessage}")
+        times(name) = -1.0
+      }
+    }
+    def fingerprint(name: String, df: => DataFrame): Unit =
+      try {
+        val p = df.queryExecution.executedPlan.toString
+        val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+        val so = "(?m)^[^\\n]*\\bSort \\[".r.findAllIn(p).length
+        plans(name) = s"exchanges=$ex sorts=$so " +
+          s"smj=${p.contains("SortMergeJoin")} bhj=${p.contains("BroadcastHashJoin")}"
+      } catch { case e: Throwable =>
+        plans(name) = s"fingerprint failed: ${e.getMessage}"
+      }
+
+    val dw = s"$work/dw_sf10"
+    time("etl_star_build_sf10") { StarBench.starBuildTo(spark, work, dw) }
+    rows("fato") = spark.read.parquet(s"$dw/fato_vendas").count()
+    fingerprint("etl_star_build", etl.Star.fatoVendas(spark, work))
+    time("kpi_suite_sf10") {
+      StarBench.kpiSuite(spark, dw).foreach { case (_, q) => q().collect() }
+    }
+    StarBench.kpiSuite(spark, dw).take(2).foreach { case (n2, q) =>
+      fingerprint(n2, q())
+    }
+
+    // the three hottest extension builds (the r18 directive's picks)
+    time("dedup_minhash_lsh_sf10") {
+      rows("minhash_pairs") = graft.text.TextOps.minhashLsh(spark, work).count()
+    }
+    fingerprint("dedup_minhash_lsh", graft.text.TextOps.minhashLsh(spark, work))
+    val bmDir = s"$work/bm25_idx"
+    time("bm25_index_build_sf10") {
+      graft.text.RetrievalOps.buildBm25Index(spark, work, bmDir)
+    }
+    time("bm25_topk_served_sf10") {
+      rows("bm25_topk") = graft.text.RetrievalOps.bm25Indexed(spark, work).count()
+    }
+    val gDir = s"$work/graph_idx"
+    time("ann_graph_index_build_sf10") {
+      graft.sim.EmbeddingOps.buildGraphIndex(spark, work, gDir)
+    }
+    time("ann_graph_served_sf10") {
+      rows("graph_topk") =
+        graft.sim.EmbeddingOps.annGraphIndexed(spark, work, gDir).count()
+    }
+
+    val tj = times.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")
+    val pj = plans.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val rj = rows.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"sf10_bench","unit":"sec","queries":{$tj},"rows":{$rj},"plans":{$pj}}""")
     spark.stop()
   }
 

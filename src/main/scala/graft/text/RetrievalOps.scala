@@ -70,6 +70,40 @@ object RetrievalOps {
       s"(CAST($tf AS DOUBLE) + $K1 * $norm)))"
   }
 
+  /** A deliberately EXPENSIVE per-posting scorer — the regime the r17
+    * crossover measurement repositioned WAND's value onto: plain BM25
+    * is a handful of flops, so an exhaustive codegen scan beats pruning
+    * at any corpus size; a learned re-ranker (cross-encoder distill,
+    * feature-heavy LTR) costs 10²–10³× per posting, and there pruning's
+    * postings saving IS the wall-clock saving. Modeled portably as a
+    * depth-[[ExpensiveDepth]] md5 chain over (term, doc_id, tf) folded
+    * into a boost in [0.5, 1) that MULTIPLIES the BM25 contribution —
+    * so every stored per-term upper bound still bounds the boosted
+    * contribution (boost < 1) and MaxScore pruning stays answer-exact
+    * with zero changes to the pruning algebra. Deterministic and
+    * engine-portable (the md5-hex chain is bit-identical in Spark and
+    * DuckDB), so the gate oracle re-derives the same ranking.
+    */
+  private[graft] val ExpensiveDepth = 64
+  private def md5Chain(seed: String, depth: Int): String =
+    (1 to depth).foldLeft(seed)((e, _) => s"md5($e)")
+  private def expensiveScoreSpark(tf: String, df: String, len: String,
+      nd: String, sumlen: String): String = {
+    val seed = s"concat(term, '#', CAST(doc_id AS STRING), '#', CAST($tf AS STRING))"
+    val boost = s"(CAST(0.5 AS DOUBLE) + CAST(conv(substring(" +
+      s"${md5Chain(seed, ExpensiveDepth)}, 1, 8), 16, 10) AS DOUBLE) / " +
+      "CAST(8589934592 AS DOUBLE))"
+    s"(${termScore(tf, df, len, nd, sumlen)} * $boost)"
+  }
+  private def expensiveScoreDuck(tf: String, df: String, len: String,
+      nd: String, sumlen: String): String = {
+    val seed = s"(q.term || '#' || CAST(tf.doc_id AS VARCHAR) || '#' || CAST($tf AS VARCHAR))"
+    val boost = s"(CAST(0.5 AS DOUBLE) + CAST(('0x' || substring(" +
+      s"${md5Chain(seed, ExpensiveDepth)}, 1, 8))::BIGINT AS DOUBLE) / " +
+      "CAST(8589934592 AS DOUBLE))"
+    s"(${termScore(tf, df, len, nd, sumlen)} * $boost)"
+  }
+
   /** Raw postings (term, doc_id, tf, len) from any document batch — the
     * append-only unit of the inverted index. df is NOT baked in: it is
     * derived at read time by a per-term count over the postings, which
@@ -115,14 +149,15 @@ object RetrievalOps {
     * staged from the corpus, read from parquet, never compiled in).
     */
   private def bm25ServeWith(s: SparkSession, raw: DataFrame,
-      stats: DataFrame, q: DataFrame): DataFrame = {
+      stats: DataFrame, q: DataFrame,
+      scoreSql: String = termScore("tf", "df", "len", "nd", "sumlen"))
+      : DataFrame = {
     val dfx = raw.groupBy("term").agg(count(lit(1)).as("df"))
     val postings = raw.join(dfx, Seq("term"))
     import org.apache.spark.sql.expressions.Window
     val scored = broadcast(q).join(postings, Seq("term"))
       .crossJoin(broadcast(stats))
-      .selectExpr("query_id", "doc_id", "term",
-        s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+      .selectExpr("query_id", "doc_id", "term", s"$scoreSql AS sc")
     scored.groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("tsc"))
       .selectExpr("query_id", "doc_id",
@@ -217,7 +252,9 @@ object RetrievalOps {
   }
 
   private def bm25WandPartsWith(s: SparkSession, raw: DataFrame,
-      stats: DataFrame, meta: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
+      stats: DataFrame, meta: DataFrame, q: DataFrame,
+      scoreSql: String = termScore("tf", "df", "len", "nd", "sumlen"))
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val qmeta = broadcast(q).join(meta.select("term", "ub"), Seq("term"))
     val weakest = qmeta
@@ -234,8 +271,7 @@ object RetrievalOps {
     def scoreOf(qt: DataFrame): DataFrame =
       broadcast(qt).join(postings, Seq("term"))
         .crossJoin(broadcast(stats))
-        .selectExpr("query_id", "doc_id", "term",
-          s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+        .selectExpr("query_id", "doc_id", "term", s"$scoreSql AS sc")
     val head = scoreOf(headTerms)
     val theta = head.groupBy("query_id", "doc_id").agg(sum("sc").as("part"))
       .withColumn("rk", row_number().over(
@@ -252,8 +288,7 @@ object RetrievalOps {
       .filter(col("theta").isNull || col("w_ub") >= col("theta") ||
         col("in_head"))
       .crossJoin(broadcast(stats))
-      .selectExpr("query_id", "doc_id", "term",
-        s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
+      .selectExpr("query_id", "doc_id", "term", s"$scoreSql AS sc")
     (head, tail)
   }
 
@@ -455,6 +490,50 @@ object RetrievalOps {
     val (q, raw, stats, meta) =
       bucketPrunedInputs(s, dir, s.read.parquet(s"$dir/queries"))
     val (head, tail) = bm25WandPartsWith(s, raw, stats, meta, q)
+    bm25WandFold(head, tail)
+  }
+
+  /** Exhaustive EXPENSIVE-scorer serve on the generated Zipf corpus
+    * (gate form): every matched posting pays the depth-64 re-scorer.
+    */
+  def bm25ZipfExpensive(s: SparkSession, d: String): DataFrame = {
+    val (n, l, v) = ZipfGate
+    val (postings, stats) = bm25IndexOf(zipfDocs(s, n, l, v))
+    bm25ServeWith(s, postings, stats, zipfQueriesOf(postings),
+      expensiveScoreSpark("tf", "df", "len", "nd", "sumlen"))
+  }
+
+  /** MaxScore-pruned expensive serve, same oracle: the boost is < 1, so
+    * the stored BM25 bounds still dominate every boosted contribution —
+    * pruning stays answer-invisible while skipping exactly the postings
+    * whose re-scoring cost it exists to avoid.
+    */
+  def bm25ZipfExpensiveWand(s: SparkSession, d: String): DataFrame = {
+    val (n, l, v) = ZipfGate
+    val (postings, stats) = bm25IndexOf(zipfDocs(s, n, l, v))
+    val (head, tail) = bm25WandPartsWith(s, postings, stats,
+      termMetaOf(postings, stats), zipfQueriesOf(postings),
+      expensiveScoreSpark("tf", "df", "len", "nd", "sumlen"))
+    bm25WandFold(head, tail)
+  }
+
+  /** The benched expensive pair off the SAME staged Zipf index — the
+    * priced form of the r17 "asserted, not measured" claim.
+    */
+  private[graft] def bm25ZipfExpensiveServed(s: SparkSession,
+      dir: String): DataFrame = {
+    val (q, raw, stats, _) =
+      bucketPrunedInputs(s, dir, s.read.parquet(s"$dir/queries"))
+    bm25ServeWith(s, raw, stats, q,
+      expensiveScoreSpark("tf", "df", "len", "nd", "sumlen"))
+  }
+
+  private[graft] def bm25ZipfExpensiveWandServed(s: SparkSession,
+      dir: String): DataFrame = {
+    val (q, raw, stats, meta) =
+      bucketPrunedInputs(s, dir, s.read.parquet(s"$dir/queries"))
+    val (head, tail) = bm25WandPartsWith(s, raw, stats, meta, q,
+      expensiveScoreSpark("tf", "df", "len", "nd", "sumlen"))
     bm25WandFold(head, tail)
   }
 
@@ -1173,6 +1252,21 @@ ORDER BY query_id, rank"""
     * set from dfx, and runs the standard BM25 chain.
     */
   private def zipfOracle: String = {
+    val (docSrc, qCte) = zipfOracleParts
+    bm25OracleWith(docSrc, qCte)
+  }
+
+  /** The expensive-scorer twin: identical corpus/query derivation, the
+    * ts CTE scored through the same depth-64 md5-chain boost (the hex
+    * chain is bit-identical across engines).
+    */
+  private def zipfExpensiveOracle: String = {
+    val (docSrc, qCte) = zipfOracleParts
+    bm25OracleWith(docSrc, qCte, expensiveScoreDuck("tf.tf", "dfx.df",
+      "l.len", "stats.nd", "stats.sumlen"))
+  }
+
+  private def zipfOracleParts: (String, String) = {
     val (n, l, v) = ZipfGate
     val docSrc = s"SELECT doc_id, ${zipfText(v, l).duck} AS text " +
       s"FROM range(1, ${n + 1}) t(doc_id)"
@@ -1183,10 +1277,12 @@ ORDER BY query_id, rank"""
   UNION ALL
   SELECT CAST(row_number() OVER (ORDER BY abs(df - $ZipfTailDf) ASC, df DESC, term ASC) AS INTEGER) AS query_id, term
   FROM (SELECT term, df FROM dfx ORDER BY abs(df - $ZipfTailDf) ASC, df DESC, term ASC LIMIT 4) tl)"""
-    bm25OracleWith(docSrc, qCte)
+    (docSrc, qCte)
   }
 
-  private def bm25OracleWith(docSrc: String, qCte: String): String = {
+  private def bm25OracleWith(docSrc: String, qCte: String,
+      scoreSql: String = termScore("tf.tf", "dfx.df", "l.len",
+        "stats.nd", "stats.sumlen")): String = {
     s"""WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t
   FROM ($docSrc)),
@@ -1198,7 +1294,7 @@ stats AS (SELECT count(*) AS nd, sum(len) AS sumlen FROM lens),
 $qCte,
 ts AS (
   SELECT q.query_id, tf.doc_id, q.term,
-         ${termScore("tf.tf", "dfx.df", "l.len", "stats.nd", "stats.sumlen")} AS sc
+         $scoreSql AS sc
   FROM q
   JOIN tf ON q.term = tf.term
   JOIN dfx ON q.term = dfx.term
@@ -1623,6 +1719,11 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     // exhaustive and pruned forms share the regenerating oracle
     "q_bm25_zipf" -> (bm25Zipf _),
     "q_bm25_zipf_wand" -> (bm25ZipfWand _),
+    // the expensive-scorer pair: same corpus/queries, every posting
+    // re-scored through the depth-64 chain; pruning must stay
+    // answer-invisible (boost < 1 keeps the stored bounds valid)
+    "q_bm25_zipf_expensive" -> (bm25ZipfExpensive _),
+    "q_bm25_zipf_expensive_wand" -> (bm25ZipfExpensiveWand _),
     // the persisted-inverted-index serving path; same oracle
     "q_bm25_indexed" -> (bm25Indexed _),
     // the index lifecycle's delete third: tombstone-masked serve and
@@ -1664,6 +1765,8 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_bm25_wand_param" -> bm25ParamOracle,
     "q_bm25_zipf" -> zipfOracle,
     "q_bm25_zipf_wand" -> zipfOracle,
+    "q_bm25_zipf_expensive" -> zipfExpensiveOracle,
+    "q_bm25_zipf_expensive_wand" -> zipfExpensiveOracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridOracle,
     "q_bm25_stream" -> bm25Oracle,
