@@ -326,7 +326,14 @@ object ScaleProbe {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
-    def time(name: String)(f: => Unit): Unit = {
+    // SPARK_GRAFT_SF10_ONLY=substr,substr re-runs a subset (the graph
+    // row costs minutes; iterating on one section shouldn't re-pay all)
+    val only = sys.env.get("SPARK_GRAFT_SF10_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def want(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
+    def time(name: String)(f: => Unit): Unit = if (want(name)) {
       val t0 = System.nanoTime()
       try { f; times(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
@@ -347,20 +354,23 @@ object ScaleProbe {
 
     val dw = s"$work/dw_sf10"
     time("etl_star_build_sf10") { StarBench.starBuildTo(spark, work, dw) }
-    rows("fato") = spark.read.parquet(s"$dw/fato_vendas").count()
-    fingerprint("etl_star_build", etl.Star.fatoVendas(spark, work))
+    if (want("etl")) {
+      rows("fato") = spark.read.parquet(s"$dw/fato_vendas").count()
+      fingerprint("etl_star_build", etl.Star.fatoVendas(spark, work))
+    }
     time("kpi_suite_sf10") {
       StarBench.kpiSuite(spark, dw).foreach { case (_, q) => q().collect() }
     }
-    StarBench.kpiSuite(spark, dw).take(2).foreach { case (n2, q) =>
-      fingerprint(n2, q())
+    if (want("kpi")) StarBench.kpiSuite(spark, dw).take(2).foreach {
+      case (n2, q) => fingerprint(n2, q())
     }
 
     // the three hottest extension builds (the r18 directive's picks)
     time("dedup_minhash_lsh_sf10") {
       rows("minhash_pairs") = graft.text.TextOps.minhashLsh(spark, work).count()
     }
-    fingerprint("dedup_minhash_lsh", graft.text.TextOps.minhashLsh(spark, work))
+    if (want("minhash"))
+      fingerprint("dedup_minhash_lsh", graft.text.TextOps.minhashLsh(spark, work))
     val bmDir = s"$work/bm25_idx"
     time("bm25_index_build_sf10") {
       graft.text.RetrievalOps.buildBm25Index(spark, work, bmDir)

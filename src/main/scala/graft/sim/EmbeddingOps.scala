@@ -360,6 +360,24 @@ object EmbeddingOps {
     * end still guarantees every downstream consumer reads a materialized
     * table instead of re-running the training.
     */
+  /** Build-time quantizer size for the graph family's PERSISTED stores:
+    * cells target constant membership at any corpus size. The graph
+    * adjacency derivation is a per-cell kNN self-join, so a FIXED K
+    * makes cell populations grow with the corpus and the candidate
+    * block quadratic — measured at sf10 (200k vectors, K=8): 1227 s
+    * build, ~5×10⁹ scored pairs; K=N/4000 bounds every cell block at
+    * ~1.6×10⁷ pairs and the total at ~N·4000 (linear). Every gated
+    * corpus (sf0.001 → sf1, ≤ 32k vectors) resolves to KMEANS_K, so
+    * the oracle kmeans unrolls are unchanged where oracles run. (At
+    * 10⁶+ cells the centroid layer's own kNN inherits the same shape
+    * and would cell-partition recursively — the HNSW upper-layer
+    * analog the routed family already documents.)
+    */
+  private def adaptiveK(base: DataFrame): Int = {
+    val n = base.count()
+    math.max(KMEANS_K, math.ceil(n / 4000.0).toInt)
+  }
+
   private[graft] def kmeansCentroidsOf(base: DataFrame,
       k: Int = KMEANS_K): DataFrame = {
     val quant = "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) " +
@@ -2788,7 +2806,7 @@ object EmbeddingOps {
 
   private[graft] def buildGraphIndexOn(s: SparkSession, base: DataFrame,
       indexDir: String): Unit = {
-    val cents = kmeansCentroidsOf(base)
+    val cents = kmeansCentroidsOf(base, adaptiveK(base))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     // vectors carry a second `batch` partition level (-1 = the build),
@@ -3068,8 +3086,9 @@ object EmbeddingOps {
       indexDir)
 
   private[graft] def buildGraphXcellIndexOn(s: SparkSession,
-      base: DataFrame, indexDir: String, k: Int = KMEANS_K): Unit = {
-    val cents = kmeansCentroidsOf(base, k)
+      base: DataFrame, indexDir: String, k: Int = -1): Unit = {
+    val cents = kmeansCentroidsOf(base,
+      if (k > 0) k else adaptiveK(base))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     asg.select("vec_id", "embedding", "cell")

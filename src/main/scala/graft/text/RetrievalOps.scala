@@ -400,7 +400,7 @@ object RetrievalOps {
     * DuckDB oracle generate the IDENTICAL corpus and the gates
     * hash-compare as usual.
     */
-  private def zipfText(vocab: Int, len: Int): TextExprs.X = {
+  private[graft] def zipfText(vocab: Int, len: Int): TextExprs.X = {
     val two60 = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
     def rank(u: String) = {
       val c = s"(CAST(1 AS DOUBLE) / sqrt(CAST($vocab AS DOUBLE)))"

@@ -1145,8 +1145,11 @@ FROM bucketed ORDER BY doc_id"""
     * pipeline feeding both the keyword and the cosine surfaces so the
     * tokenization/weight definition cannot drift between them.
     */
-  private def tfidfParts(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+  private def tfidfParts(s: SparkSession, d: String): DataFrame =
+    tfidfPartsOf(documents(s, d))
+
+  private def tfidfPartsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
     val ex = toks.select(col("doc_id"), size(col("t")).as("len"),
       explode(col("t")).as("term"))
@@ -1189,7 +1192,16 @@ FROM bucketed ORDER BY doc_id"""
     * partial-aggregation-order dependent and could never hash-match.
     */
   def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame =
-    tfidfCosineFinish(s, tfidfCosineCandidates(s, d, threshold), d, threshold)
+    tfidfCosinePairsOf(s, documents(s, d), threshold)
+
+  /** The same pairs path over an EXPLICIT (doc_id, text) source — the
+    * staged/generated-corpus forms (the Zipf gate, the scale probe)
+    * share every operator stage with the table form.
+    */
+  private[graft] def tfidfCosinePairsOf(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.3): DataFrame =
+    tfidfCosineFinishOf(s, tfidfCosineCandidatesOf(s, docs, threshold),
+      docs, threshold)
 
   /** Candidate pairs via the ALL-PAIRS prefix filter (Bayardo, Ma &
     * Srikant 2007, "Scaling Up All Pairs Similarity Search"): the naive
@@ -1211,8 +1223,12 @@ FROM bucketed ORDER BY doc_id"""
     * boundary can never drop a true pair.
     */
   private[graft] def tfidfCosineCandidates(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    val weights = tfidfParts(s, d)
+      threshold: Double): DataFrame =
+    tfidfCosineCandidatesOf(s, documents(s, d), threshold)
+
+  private[graft] def tfidfCosineCandidatesOf(s: SparkSession,
+      docs: DataFrame, threshold: Double): DataFrame = {
+    val weights = tfidfPartsOf(docs)
       .filter(col("df") * 10 <= col("n")) // prune df > N/10
       .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
       .barrier()
@@ -1256,9 +1272,9 @@ FROM bucketed ORDER BY doc_id"""
     * is bit-identical and the DuckDB oracle (which computes the naive
     * form) still hash-matches. Cost O(candidates × doc length).
     */
-  private def tfidfCosineFinish(s: SparkSession, candidates: DataFrame,
-      d: String, threshold: Double): DataFrame = {
-    val weights = tfidfParts(s, d)
+  private def tfidfCosineFinishOf(s: SparkSession, candidates: DataFrame,
+      docs: DataFrame, threshold: Double): DataFrame = {
+    val weights = tfidfPartsOf(docs)
       .filter(col("df") * 10 <= col("n"))
       .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
       .barrier()
@@ -1294,12 +1310,48 @@ FROM bucketed ORDER BY doc_id"""
         .withColumnRenamed("term2", "term"), Seq("term"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    tfidfCosineFinish(s, naive, d, threshold)
+    tfidfCosineFinishOf(s, naive, documents(s, d), threshold)
   }
+
+  /** The naive tfidf-cosine oracle body over any CTE chain (the table
+    * form and the generated-Zipf form share it verbatim).
+    */
+  private def tfidfCosineOracleFrom(ctes: String, wDuck: String): String =
+    s"""WITH $ctes,
+weights AS (
+  SELECT tf.doc_id, tf.term,
+         $wDuck AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df.df * 10 <= n.n),
+norms AS (
+  SELECT doc_id, sqrt(list_sum(list_transform(list(w ORDER BY term), x -> x * x))) AS nrm
+  FROM weights GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         list_sum(list(a.w * b.w ORDER BY a.term)) AS dp
+  FROM weights a JOIN weights b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, sim FROM (
+  SELECT d.doc_a, d.doc_b, d.dp / (na.nrm * nb.nrm) AS sim
+  FROM dots d JOIN norms na ON d.doc_a = na.doc_id
+              JOIN norms nb ON d.doc_b = nb.doc_id)
+WHERE sim >= 0.3 ORDER BY doc_a, doc_b"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_keywords" -> (tfidfKeywords(_, _)),
     "q_tfidf_cosine" -> (tfidfCosinePairs(_, _)),
+    // the prefix filter on a REALISTIC power-law vocabulary (generated
+    // in-plan, like the bm25 zipf pair): sparse true pairs, so the
+    // candidate undercut is exercised where it can win — the corpus
+    // regime the 40-term synthetic documents table cannot express
+    "q_tfidf_cosine_zipf" -> ((s, d) => tfidfCosinePairsOf(s, {
+      val (n, l, v) = RetrievalOps.ZipfGate
+      // barrier the generated corpus: the pairs path references docs
+      // from many subplans, and re-inlining the generator expression
+      // into each drives the optimizer into a multi-minute analysis
+      // spin (measured: 9 s barriered vs >500 s inlined at this size)
+      graft.Checkpoint.barrier(RetrievalOps.zipfDocs(s, n, l, v))
+    })),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_quality_gopher" -> (qualityGopher _),
@@ -1393,12 +1445,13 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
   val oracle: Map[String, String] = {
     // shared TF-IDF CTE prefix + weight expression (one source for both
     // TF-IDF oracles, mirroring tfidfParts/tfidfWeight on the Spark side)
-    val tfidfCtes =
-      s"""toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM documents),
+    def tfidfCtesFrom(docSrc: String) =
+      s"""toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${T.duck} AS t FROM ($docSrc)),
 ex AS (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
 tf AS (SELECT doc_id, term, len, COUNT(*) AS tf FROM ex GROUP BY doc_id, term, len),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
 n AS (SELECT COUNT(*) AS n FROM toks)"""
+    val tfidfCtes = tfidfCtesFrom("SELECT doc_id, text FROM documents")
     val tfidfWDuck =
       "(CAST(tf.tf AS DOUBLE) / CAST(tf.len AS DOUBLE)) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))"
     val stops = markerCount(T.duck, stopwords).duck
@@ -1436,26 +1489,12 @@ SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, w, ra
            tf.term) AS INTEGER) AS rank
   FROM tf JOIN df USING (term) CROSS JOIN n)
 WHERE rank <= 5 ORDER BY doc_id, rank""",
-      "q_tfidf_cosine" ->
-        s"""WITH $tfidfCtes,
-weights AS (
-  SELECT tf.doc_id, tf.term,
-         $tfidfWDuck AS w
-  FROM tf JOIN df USING (term) CROSS JOIN n
-  WHERE df.df * 10 <= n.n),
-norms AS (
-  SELECT doc_id, sqrt(list_sum(list_transform(list(w ORDER BY term), x -> x * x))) AS nrm
-  FROM weights GROUP BY doc_id),
-dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         list_sum(list(a.w * b.w ORDER BY a.term)) AS dp
-  FROM weights a JOIN weights b ON a.term = b.term AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b, sim FROM (
-  SELECT d.doc_a, d.doc_b, d.dp / (na.nrm * nb.nrm) AS sim
-  FROM dots d JOIN norms na ON d.doc_a = na.doc_id
-              JOIN norms nb ON d.doc_b = nb.doc_id)
-WHERE sim >= 0.3 ORDER BY doc_a, doc_b""",
+      "q_tfidf_cosine" -> tfidfCosineOracleFrom(tfidfCtes, tfidfWDuck),
+      "q_tfidf_cosine_zipf" -> tfidfCosineOracleFrom(tfidfCtesFrom {
+        val (zn, zl, zv) = RetrievalOps.ZipfGate
+        s"SELECT doc_id, ${RetrievalOps.zipfText(zv, zl).duck} AS text " +
+          s"FROM range(1, ${zn + 1}) t(doc_id)"
+      }, tfidfWDuck),
       "q_text_tokens" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 CAST(len(${T.duck}) AS INTEGER) AS n_tokens,
