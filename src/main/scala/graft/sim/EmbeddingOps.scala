@@ -2506,6 +2506,46 @@ object EmbeddingOps {
     .orderBy(desc("n"), asc("cell")).limit(1)
     .select("cell")
 
+  /** Multi-entry descent seeds (the residual-confirmation knob): entry
+    * #1 is the population pick ([[entryCellOf]]); entries 2..E are
+    * greedy farthest-point picks over the centroid table — max-min L2
+    * to the already-picked set, ties to the smaller cell id, so the
+    * seed set is deterministic and maximally spread. Restarting greedy
+    * descent from well-separated entries is the standard answer to
+    * local minima; this knob exists to MEASURE whether the 0.975
+    * routed-recall ceiling is a walk artifact or corpus truth
+    * (XcellDiag's diagnosis: the missing truth pair is
+    * greedy-unreachable from ANY entry — RecallBench's
+    * `graph_routed_e*` rows price the confirmation). Driver-side
+    * O(cells·E) over the collected centroid list — the same O(cells)
+    * budget the serve's centroid broadcast already spends.
+    */
+  private[graft] def entryCellsOf(asg: DataFrame, cents: DataFrame,
+      e: Int): DataFrame = {
+    if (e <= 1) return entryCellOf(asg)
+    val s = asg.sparkSession
+    import s.implicits._
+    val first = entryCellOf(asg).collect().head.getAs[Number]("cell").intValue()
+    val cs = cents.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val byCell = cs.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    var picked = Vector(first)
+    while (picked.size < math.min(e, cs.length)) {
+      val next = cs.iterator.filterNot(c => picked.contains(c._1))
+        .map { case (cell, v) => (cell, picked.map(p => l2(byCell(p), v)).min) }
+        .reduceLeft((x, y) =>
+          if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      picked = picked :+ next._1
+    }
+    picked.toDF("cell")
+  }
+
   /** Greedy descent over the centroid layer: start every query at the
     * global entry cell, expand the best-BC visited cells' RC out-edges
     * for HC hops (fresh arrivals scored by exact L2 to the query), and
@@ -2689,13 +2729,13 @@ object EmbeddingOps {
     * the same (P, B, H) setting.
     */
   private[graft] def graphRoutedFrontierPoint(s: SparkSession, d: String,
-      p: Int, b: Int, h: Int): (DataFrame, DataFrame, DataFrame) = {
+      p: Int, b: Int, h: Int, e: Int = 1): (DataFrame, DataFrame, DataFrame) = {
     val base = corpus(s, d).select("vec_id", "embedding")
     val cents = kmeansCentroids(s, d)
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     val q = asg.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val routeSet = routeVisitedCells(s, q, cents, entryCellOf(asg),
+    val routeSet = routeVisitedCells(s, q, cents, entryCellsOf(asg, cents, e),
       centroidEdgesOf(cents))
     val probes = routeSet
       .withColumn("rk", row_number().over(
@@ -2912,7 +2952,7 @@ object EmbeddingOps {
     * per pair, a real ceiling at 10^5 batches) — referencing only
     * partition columns, so the scan still prunes statically.
     */
-  private def partitionPairPredicate(pairs: Seq[(Int, Long)]): Column =
+  private[graft] def partitionPairPredicate(pairs: Seq[(Int, Long)]): Column =
     concat_ws("#", col("cell").cast("string"), col("batch").cast("string"))
       .isin(pairs.map { case (c, b) => s"$c#$b" }: _*)
 

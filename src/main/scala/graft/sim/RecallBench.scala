@@ -209,6 +209,28 @@ object RecallBench {
       }
     }
 
+    // multi-entry restarts (r18, the residual confirmation): descent
+    // seeded from the population pick PLUS E-1 farthest-point centroids
+    // — if the 0.975 ceiling were a greedy-local-minimum artifact, a
+    // restart from the far side of centroid space would break it; if it
+    // holds at E=2..4 (with the extra cellevals priced beside it), the
+    // ceiling is corpus truth, as XcellDiag diagnosed.
+    for ((e, p, b, h) <- Seq((2, 2, 2, 2), (2, 2, 4, 2), (4, 2, 4, 2))) {
+      val (ranked, visited, routeCells) =
+        EmbeddingOps.graphRoutedFrontierPoint(spark, sfDir, p, b, h, e)
+      row(s"graph_routed_e${e}_p${p}_b${b}_h$h", truthFull) { ranked }
+      out(s"graph_routed_e${e}_p${p}_b${b}_h${h}_reads") = {
+        val per = visited.groupBy("query_id").count().collect()
+          .map(_.getLong(1))
+        per.sum.toDouble / per.length
+      }
+      out(s"graph_routed_e${e}_p${p}_b${b}_h${h}_cellevals") = {
+        val per = routeCells.groupBy("query_id").count().collect()
+          .map(_.getLong(1))
+        per.sum.toDouble / per.length
+      }
+    }
+
     // cross-cell boundary edges (r17): the walk follows vector
     // proximity across cell seams — the only serve that can EXCEED the
     // 0.975 routing ceiling (the missing truth pair sits beyond every
