@@ -391,7 +391,7 @@ object Bench {
         graft.text.RetrievalOps.bm25ZipfWandServed(spark, zdir).count(): Unit
       }
       // the EXPENSIVE-scorer pair (r18): same staged index, every
-      // posting re-scored through a depth-64 md5 chain (a learned
+      // posting re-scored through a depth-ExpensiveDepth md5 chain (a learned
       // re-ranker's cost profile). Plain BM25 measured to an honest
       // negative in r17 — scoring is ~free, so pruning loses to the
       // codegen scan; THIS is the regime where the postings saving is

@@ -84,14 +84,22 @@ object RetrievalOps {
     * engine-portable (the md5-hex chain is bit-identical in Spark and
     * DuckDB), so the gate oracle re-derives the same ranking.
     */
-  private[graft] val ExpensiveDepth = 64
-  private def md5Chain(seed: String, depth: Int): String =
-    (1 to depth).foldLeft(seed)((e, _) => s"md5($e)")
+  private[graft] val ExpensiveDepth = 512
+  // the chain is a RUNTIME fold (one shallow higher-order expression),
+  // not syntactic nesting: a depth-512 nested md5(md5(...)) overflows
+  // both engines' parser/analyzer stacks, while aggregate/list_reduce
+  // loop at evaluation time with a constant-size tree
+  private def md5ChainSpark(seed: String, depth: Int): String =
+    s"aggregate(sequence(1, $depth), $seed, (acc, x) -> md5(acc))"
+  private def md5ChainDuck(seed: String, depth: Int): String =
+    s"list_reduce(list_prepend($seed, " +
+      s"list_transform(range(1, ${depth + 1}), x -> '')), " +
+      "(acc, x) -> md5(acc))"
   private def expensiveScoreSpark(tf: String, df: String, len: String,
       nd: String, sumlen: String): String = {
     val seed = s"concat(term, '#', CAST(doc_id AS STRING), '#', CAST($tf AS STRING))"
     val boost = s"(CAST(0.5 AS DOUBLE) + CAST(conv(substring(" +
-      s"${md5Chain(seed, ExpensiveDepth)}, 1, 8), 16, 10) AS DOUBLE) / " +
+      s"${md5ChainSpark(seed, ExpensiveDepth)}, 1, 8), 16, 10) AS DOUBLE) / " +
       "CAST(8589934592 AS DOUBLE))"
     s"(${termScore(tf, df, len, nd, sumlen)} * $boost)"
   }
@@ -99,7 +107,7 @@ object RetrievalOps {
       nd: String, sumlen: String): String = {
     val seed = s"(q.term || '#' || CAST(tf.doc_id AS VARCHAR) || '#' || CAST($tf AS VARCHAR))"
     val boost = s"(CAST(0.5 AS DOUBLE) + CAST(('0x' || substring(" +
-      s"${md5Chain(seed, ExpensiveDepth)}, 1, 8))::BIGINT AS DOUBLE) / " +
+      s"${md5ChainDuck(seed, ExpensiveDepth)}, 1, 8))::BIGINT AS DOUBLE) / " +
       "CAST(8589934592 AS DOUBLE))"
     s"(${termScore(tf, df, len, nd, sumlen)} * $boost)"
   }
@@ -494,7 +502,7 @@ object RetrievalOps {
   }
 
   /** Exhaustive EXPENSIVE-scorer serve on the generated Zipf corpus
-    * (gate form): every matched posting pays the depth-64 re-scorer.
+    * (gate form): every matched posting pays the depth-ExpensiveDepth re-scorer.
     */
   def bm25ZipfExpensive(s: SparkSession, d: String): DataFrame = {
     val (n, l, v) = ZipfGate
@@ -1257,7 +1265,7 @@ ORDER BY query_id, rank"""
   }
 
   /** The expensive-scorer twin: identical corpus/query derivation, the
-    * ts CTE scored through the same depth-64 md5-chain boost (the hex
+    * ts CTE scored through the same depth-ExpensiveDepth md5-chain boost (the hex
     * chain is bit-identical across engines).
     */
   private def zipfExpensiveOracle: String = {
@@ -1720,7 +1728,7 @@ WHERE n_ocorrencias > 0 ORDER BY frase_id, doc_id"""
     "q_bm25_zipf" -> (bm25Zipf _),
     "q_bm25_zipf_wand" -> (bm25ZipfWand _),
     // the expensive-scorer pair: same corpus/queries, every posting
-    // re-scored through the depth-64 chain; pruning must stay
+    // re-scored through the depth-ExpensiveDepth chain; pruning must stay
     // answer-invisible (boost < 1 keeps the stored bounds valid)
     "q_bm25_zipf_expensive" -> (bm25ZipfExpensive _),
     "q_bm25_zipf_expensive_wand" -> (bm25ZipfExpensiveWand _),

@@ -44,9 +44,19 @@ object ZipfCrossover {
       (rep(RetrievalOps.bm25ZipfServed(spark, zdir).count(): Unit),
         rep(RetrievalOps.bm25ZipfWandServed(spark, zdir).count(): Unit))
     }
+    // the EXPENSIVE-scorer pair off the same index: per-posting cost at
+    // a learned-re-ranker profile (depth-ExpensiveDepth md5 chain) —
+    // the regime where the postings saving IS the wall-clock saving
+    val eruns = (1 to reps).map { _ =>
+      (rep(RetrievalOps.bm25ZipfExpensiveServed(spark, zdir).count(): Unit),
+        rep(RetrievalOps.bm25ZipfExpensiveWandServed(spark, zdir).count(): Unit))
+    }
     val (ex, pr) = RetrievalOps.bm25ZipfCounts(spark, zdir)
     println(s"""{"metric":"zipf_crossover","docs":$docs,"stage_sec":$stageSec,""" +
       s""""exhaustive_sec":${runs.map(_._1).min},"wand_sec":${runs.map(_._2).min},""" +
+      s""""expensive_exhaustive_sec":${eruns.map(_._1).min},""" +
+      s""""expensive_wand_sec":${eruns.map(_._2).min},""" +
+      s""""expensive_depth":${RetrievalOps.ExpensiveDepth},""" +
       s""""exhaustive_postings":$ex,"wand_postings":$pr,"reps":$reps}""")
 
     def rm(f: java.io.File): Unit = {

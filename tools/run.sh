@@ -2,7 +2,7 @@
 # Direct JVM launcher for graft mains (avoids the sbt project lock).
 # Usage: tools/run.sh <mainClass> [args...]
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java -Xmx96g -XX:+UseG1GC \
+exec java -Xmx28g -XX:+UseG1GC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
