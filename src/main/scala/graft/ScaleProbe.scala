@@ -42,6 +42,9 @@ object ScaleProbe {
     if (args.contains("--stage-sf10")) {
       stageSf10(args.filterNot(_ == "--stage-sf10")); return
     }
+    if (args.contains("--stage-nx")) {
+      stageNx(args.filterNot(_ == "--stage-nx")); return
+    }
     if (args.contains("--sf10")) {
       sf10Bench(args.filterNot(_ == "--sf10")); return
     }
@@ -237,6 +240,13 @@ object ScaleProbe {
   private def stageSf10(rest: Array[String]): Unit =
     stageReplicas(if (rest.length > 0) rest(0) else "/tmp/graft_sf10", 100)
 
+  /** Arbitrary-N staging (`--stage-nx <n> <dir>`): the same replication
+    * schemes at any multiple of sf0.1 — the sf100 (1000×) probe stages
+    * through this.
+    */
+  private def stageNx(rest: Array[String]): Unit =
+    stageReplicas(rest(1), rest(0).toInt)
+
   private def stageReplicas(work: String, n: Int): Unit = {
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -311,9 +321,17 @@ object ScaleProbe {
     */
   private def sf10Bench(rest: Array[String]): Unit = {
     val work = if (rest.nonEmpty) rest(0) else "/tmp/graft_sf10"
+    // the mandate's partition-sizing lever, exposed: shuffle partitions
+    // must grow with the data so sort/agg state fits in executor memory
+    // (32 is right up to sf10; the 600M-row sf100 fact at 32 puts ~19M
+    // rows in one sort task). A deployment sets this from data volume;
+    // the probe surfaces it as an env knob so the sf100 row documents
+    // the setting it ran at.
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -162,18 +162,43 @@ object RetrievalOps {
       : DataFrame = {
     val dfx = raw.groupBy("term").agg(count(lit(1)).as("df"))
     val postings = raw.join(dfx, Seq("term"))
-    import org.apache.spark.sql.expressions.Window
     val scored = broadcast(q).join(postings, Seq("term"))
       .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id", "term", s"$scoreSql AS sc")
-    scored.groupBy("query_id", "doc_id")
+    rankTopDocs(scored.groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("tsc"))
       .selectExpr("query_id", "doc_id",
-        "aggregate(transform(tsc, p -> p.sc), CAST(0 AS DOUBLE), (s, v) -> s + v) AS score")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
-      .filter(col("rank") <= TOPK)
-      .withColumn("rank", col("rank").cast("int"))
+        "aggregate(transform(tsc, p -> p.sc), CAST(0 AS DOUBLE), (s, v) -> s + v) AS score"))
+  }
+
+  /** Bounded top-k rank over per-(query, doc) scores — shared by the
+    * exhaustive and WAND serve tails. The former window form
+    * (`row_number() OVER (PARTITION BY query_id ORDER BY …)`) sorts
+    * each query's ENTIRE matched-doc set in one task: parallelism =
+    * |queries|, per-task state = |matched docs| — fine on gated
+    * corpora, a cliff at scale (the sf100 probe measured the serve at
+    * 2.9 s over 500k docs → 327 s over 5M: near-stopword query terms
+    * match most of the corpus, so eight single-task multi-million-row
+    * sorts spill). [[graft.functions.TopKByScore]] keeps the k best in
+    * the aggregation buffer itself — partial+final HashAggregate, O(k)
+    * state per group, below-threshold docs never shuffle — with the
+    * window's exact tie discipline (score DESC, doc_id ASC), so the
+    * output is bit-identical and every oracle is unchanged.
+    */
+  private def rankTopDocs(perDoc: DataFrame): DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    val agg = graft.functions.TopKByScore(TOPK).toColumn
+    perDoc.select(col("query_id").cast("int"), col("score"),
+        col("doc_id").cast("long"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sc, id) => (sc, id) }
+      .agg(agg.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -233,18 +258,11 @@ object RetrievalOps {
   }
 
   /** The shared fold/rank tail over head ∪ tail scored rows. */
-  private def bm25WandFold(head: DataFrame, tail: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    head.unionByName(tail).groupBy("query_id", "doc_id")
+  private def bm25WandFold(head: DataFrame, tail: DataFrame): DataFrame =
+    rankTopDocs(head.unionByName(tail).groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("tsc"))
       .selectExpr("query_id", "doc_id",
-        "aggregate(transform(tsc, p -> p.sc), CAST(0 AS DOUBLE), (s, v) -> s + v) AS score")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
-      .filter(col("rank") <= TOPK)
-      .withColumn("rank", col("rank").cast("int"))
-      .orderBy("query_id", "rank")
-  }
+        "aggregate(transform(tsc, p -> p.sc), CAST(0 AS DOUBLE), (s, v) -> s + v) AS score"))
 
   /** The pruning pipeline shared by the serve and the counted-postings
     * audit: (head-pass scored rows, pruned tail-pass scored rows) —
