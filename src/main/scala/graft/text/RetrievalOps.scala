@@ -299,11 +299,26 @@ object RetrievalOps {
         .crossJoin(broadcast(stats))
         .selectExpr("query_id", "doc_id", "term", s"$scoreSql AS sc")
     val head = scoreOf(headTerms)
+    // θ̂ = the TOPK-th best per-doc partial sum — the same bounded
+    // aggregation as the serve tail (rankTopDocs), NOT a rank window:
+    // the head pass scores every non-weakest posting, so a per-query
+    // sort window here re-creates the sf100 serve cliff in the
+    // estimator. θ̂ exists only when ≥ TOPK docs scored (the filter the
+    // window's rk === TOPK expressed); ties (part DESC, doc_id ASC)
+    // identical.
+    val aggK = graft.functions.TopKByScore(TOPK).toColumn
+    import s.implicits._
     val theta = head.groupBy("query_id", "doc_id").agg(sum("sc").as("part"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("part"), asc("doc_id"))))
-      .filter(col("rk") === TOPK)
-      .select(col("query_id"), col("part").as("theta"))
+      .select(col("query_id").cast("int"), col("part"),
+        col("doc_id").cast("long"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, p, id) => (p, id) }
+      .agg(aggK.name("top"))
+      .toDF("query_id", "top")
+      .filter(size(col("top")) === TOPK)
+      .select(col("query_id"),
+        element_at(col("top"), TOPK).getField("_1").as("theta"))
     // the weakest term's postings, restricted BEFORE the score
     // expression runs: when θ̂ prunes, only head-touched docs survive
     val wdec = weakest.join(theta, Seq("query_id"), "left")

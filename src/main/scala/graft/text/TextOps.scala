@@ -589,17 +589,24 @@ ORDER BY doc_id"""
     */
   def substringRemovedHot(s: SparkSession, d: String, k: Int = 8,
       maxAnchorFreq: Int = 512): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g0 = passageWindows(s, d, k)
     val pairCut = substringPairsOf(g0, k, maxAnchorFreq)
       .select(col("doc_b").as("doc_id"),
         explode(expr("sequence(pos_b, pos_b + n_tokens - 1)")).as("i"))
-    val hot = g0.groupBy("h").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") > maxAnchorFreq).select("h")
-    val byHash = Window.partitionBy("h")
-    val hotCut = g0.join(hot, Seq("h"), "left_semi")
-      .withColumn("rn", row_number().over(byHash.orderBy("doc_id", "pos")))
-      .filter(col("rn") > 1)
+    // keep-earliest over a hot group via the group-min join, NOT a rank
+    // window: the hot groups are BY DEFINITION the skewed ones (freq >
+    // cap — at 100 TB a boilerplate phrase can repeat 10⁸×), and a
+    // per-hash sort window materializes the whole group in one task
+    // where min(struct) partial-aggregates map-side; "not the earliest
+    // (doc_id, pos)" ≡ rn > 1 exactly (struct ordering is
+    // lexicographic)
+    val hotMin = g0.groupBy("h").agg(count(lit(1)).as("freq"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("freq") > maxAnchorFreq)
+      .select("h", "keep")
+    val hotCut = g0.join(hotMin, Seq("h"))
+      .filter(col("doc_id") =!= col("keep.doc_id") ||
+        col("pos") =!= col("keep.pos"))
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
     rebuildWithoutCut(s, d, pairCut.unionByName(hotCut).distinct())
@@ -715,15 +722,17 @@ ORDER BY d.doc_id"""
   def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = passageWindows(s, d, k)
-    // ONE shuffle flags duplicated windows: a full-partition count window
-    // over the content hash replaces the groupBy + join-back (two
-    // shuffles + a materialization barrier) — same partitioning a groupBy
-    // on h would use, so the scale posture is unchanged and the flagged
-    // row simply keeps its pos
+    // duplicated windows flagged by a map-combined count + semi-join,
+    // not a count-over-window: the window form shares the groupBy's
+    // PARTITIONING but not its skew posture — it materializes each
+    // hash group in one task, and the duplicated groups are exactly
+    // where 10⁸×-boilerplate skew lives at 100 TB, while the partial
+    // aggregate collapses a hot key map-side to one row per task
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     wins
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("occ") >= 2)
+      .join(dupH, Seq("h"), "left_semi")
       .select("doc_id", "pos")
       .withColumn("prev", lag("pos", 1).over(byPos))
       // windows at p and p' (p < p') overlap or touch iff p' − p ≤ k;
@@ -781,12 +790,19 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
     * re-aggregation — all linear, all keyed on doc or hash.
     */
   def passageClean(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byHash = Window.partitionBy("h")
-    val cut = passageWindows(s, d, k)
-      .withColumn("occ", count(lit(1)).over(byHash))
-      .withColumn("rn", row_number().over(byHash.orderBy("doc_id", "pos")))
-      .filter(col("occ") >= 2 && col("rn") > 1)
+    // keep-earliest via the group-min join (see substringRemovedHot):
+    // duplicated-window groups are exactly where boilerplate skew
+    // lives, so the per-hash sort window (whole group in one task) is
+    // replaced by a map-combinable (count, min(struct)) aggregate +
+    // join-back; occ >= 2 ∧ not-the-earliest ≡ the old occ/rn filter
+    val wins = passageWindows(s, d, k)
+    val dupMin = wins.groupBy("h").agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("occ") >= 2)
+      .select("h", "keep")
+    val cut = wins.join(dupMin, Seq("h"))
+      .filter(col("doc_id") =!= col("keep.doc_id") ||
+        col("pos") =!= col("keep.pos"))
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
       .distinct()
     rebuildWithoutCut(s, d, cut)
