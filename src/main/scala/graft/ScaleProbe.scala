@@ -329,8 +329,15 @@ object ScaleProbe {
     // the setting it ran at.
     val shuffleParts =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    // the scan-side sibling of the shuffle lever: a 60M-row fact lands
+    // in ~12 default (128 MB) splits — under-parallelized on 32 cores
+    // and each split's partial-agg state oversized; smaller splits
+    // trade task overhead for parallelism + bounded state
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+      "134217728")
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
