@@ -396,11 +396,15 @@ object Bench {
       // negative in r17 — scoring is ~free, so pruning loses to the
       // codegen scan; THIS is the regime where the postings saving is
       // the wall-clock saving, and the row pair prices it.
-      interleaved("q_bm25_zipf_expensive_served",
-        "q_bm25_zipf_expensive_wand_served") {
+      // heavy-form policy (r18 verdict #6): the exhaustive side exists
+      // only as the pruning crossover's baseline and costs ~36 s/rep —
+      // ONE rep on record (the crossover table in BENCH.md is the
+      // adjudicated measurement); the shipped WAND form keeps full reps
+      once("q_bm25_zipf_expensive_served") {
         graft.text.RetrievalOps.bm25ZipfExpensiveServed(spark, zdir)
           .count(): Unit
-      } {
+      }
+      time("q_bm25_zipf_expensive_wand_served") {
         graft.text.RetrievalOps.bm25ZipfExpensiveWandServed(spark, zdir)
           .count(): Unit
       }

@@ -244,8 +244,16 @@ object ScaleProbe {
     * schemes at any multiple of sf0.1 — the sf100 (1000×) probe stages
     * through this.
     */
-  private def stageNx(rest: Array[String]): Unit =
-    stageReplicas(rest(1), rest(0).toInt)
+  private def stageNx(rest: Array[String]): Unit = {
+    val n = if (rest.length >= 2) scala.util.Try(rest(0).toInt).toOption
+            else None
+    if (n.forall(_ <= 0)) {
+      System.err.println("usage: --stage-nx <n> <dir>   (n > 0; stages " +
+        "n bijective replicas of sf0.1 into <dir>)")
+      sys.exit(2)
+    }
+    stageReplicas(rest(1), n.get)
+  }
 
   private def stageReplicas(work: String, n: Int): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -318,7 +318,7 @@ object EmbeddingOps {
     * window tail would shuffle corpus × k rows at 100 TB. (embedding sits
     * last in the struct and never drives the comparison: cell is unique.)
     */
-  private def assignCells(s: SparkSession, base: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCells(s: SparkSession, base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("dist", graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
       .groupBy("vec_id")
@@ -373,8 +373,20 @@ object EmbeddingOps {
     * and would cell-partition recursively — the HNSW upper-layer
     * analog the routed family already documents.)
     */
-  private def adaptiveK(base: DataFrame): Int = {
-    val n = base.count()
+  private val knownCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized corpus-slice row count: staged corpora are immutable for
+    * the life of a JVM, so several index builds sharing one bench rep
+    * pay the counting job once, not once per build (VERDICT r18 #7).
+    * Keys are `dir#slice` so the pre-append 9/10 slice and the full
+    * corpus memoize independently.
+    */
+  private[graft] def cachedCount(key: String, base: => DataFrame): Long =
+    knownCounts.computeIfAbsent(key, _ => Long.box(base.count())).longValue()
+
+  private def adaptiveK(base: DataFrame, knownN: Long = -1L): Int = {
+    val n = if (knownN >= 0L) knownN else base.count()
     math.max(KMEANS_K, math.ceil(n / 4000.0).toInt)
   }
 
@@ -2321,7 +2333,7 @@ object EmbeddingOps {
     * [[graft.functions.TopKByScore]] aggregator (O(R) state per source,
     * partial+final merge), ties (sim DESC, dst ASC).
     */
-  private def graphEdgesOf(s: SparkSession, asg: DataFrame): DataFrame = {
+  private[graft] def graphEdgesOf(s: SparkSession, asg: DataFrame): DataFrame = {
     import s.implicits._
     val a = asg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
       col("embedding").as("s_emb"))
@@ -2349,7 +2361,7 @@ object EmbeddingOps {
     * vec_id — a partial+final MIN-struct aggregate over the assignment's
     * already-computed distances, O(1) state per cell.
     */
-  private def graphEntriesOf(asg: DataFrame): DataFrame = asg
+  private[graft] def graphEntriesOf(asg: DataFrame): DataFrame = asg
     .groupBy("cell")
     .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
     .select(col("cell"), col("m.vec_id").as("vec_id"))
@@ -2525,7 +2537,9 @@ object EmbeddingOps {
     if (e <= 1) return entryCellOf(asg)
     val s = asg.sparkSession
     import s.implicits._
-    val first = entryCellOf(asg).collect().head.getAs[Number]("cell").intValue()
+    val firstRows = entryCellOf(asg).collect()
+    if (firstRows.isEmpty) return Seq.empty[Int].toDF("cell")
+    val first = firstRows.head.getAs[Number]("cell").intValue()
     val cs = cents.select(col("cell").cast("int"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -2535,13 +2549,24 @@ object EmbeddingOps {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
+    // farthest-point with the min-distance-to-picked-set tracked
+    // incrementally (one update pass per new seed): O(cells·E) total,
+    // same picks/tie-order as the rescan form (max dist, ties to the
+    // smaller cell id — the comparator is order-independent)
+    val minDist = scala.collection.mutable.HashMap[Int, Double]()
+    cs.foreach { case (cell, v) =>
+      if (cell != first) minDist(cell) = l2(byCell(first), v)
+    }
     var picked = Vector(first)
     while (picked.size < math.min(e, cs.length)) {
-      val next = cs.iterator.filterNot(c => picked.contains(c._1))
-        .map { case (cell, v) => (cell, picked.map(p => l2(byCell(p), v)).min) }
-        .reduceLeft((x, y) =>
-          if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      val next = minDist.iterator.reduceLeft((x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
       picked = picked :+ next._1
+      minDist.remove(next._1): Unit
+      val nv = byCell(next._1)
+      minDist.foreach { case (c, d) =>
+        val nd = l2(nv, byCell(c)); if (nd < d) minDist(c) = nd
+      }
     }
     picked.toDF("cell")
   }
@@ -2842,11 +2867,21 @@ object EmbeddingOps {
     * IVF-SQ8 store — plus the one-row-per-cell entry-point table.
     */
   def buildGraphIndex(s: SparkSession, d: String, indexDir: String): Unit =
-    buildGraphIndexOn(s, corpus(s, d).select("vec_id", "embedding"), indexDir)
+    buildGraphIndexOn(s, corpus(s, d).select("vec_id", "embedding"), indexDir,
+      knownN = cachedCount(s"$d#full", corpus(s, d)))
 
   private[graft] def buildGraphIndexOn(s: SparkSession, base: DataFrame,
-      indexDir: String): Unit = {
-    val cents = kmeansCentroidsOf(base, adaptiveK(base))
+      indexDir: String, knownN: Long = -1L): Unit =
+    buildGraphIndexUnder(s, base,
+      kmeansCentroidsOf(base, adaptiveK(base, knownN)), indexDir)
+
+  /** The store derivation under GIVEN centroids — split out so the
+    * maintenance probes can derive the fresh-build twin of a maintained
+    * store (same slice-trained centroids, full post-mutation corpus)
+    * and compare the two stores table-for-table.
+    */
+  private[graft] def buildGraphIndexUnder(s: SparkSession, base: DataFrame,
+      cents: DataFrame, indexDir: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     // vectors carry a second `batch` partition level (-1 = the build),
@@ -3123,12 +3158,18 @@ object EmbeddingOps {
   def buildGraphXcellIndex(s: SparkSession, d: String,
       indexDir: String): Unit =
     buildGraphXcellIndexOn(s, corpus(s, d).select("vec_id", "embedding"),
-      indexDir)
+      indexDir, knownN = cachedCount(s"$d#full", corpus(s, d)))
 
   private[graft] def buildGraphXcellIndexOn(s: SparkSession,
-      base: DataFrame, indexDir: String, k: Int = -1): Unit = {
-    val cents = kmeansCentroidsOf(base,
-      if (k > 0) k else adaptiveK(base))
+      base: DataFrame, indexDir: String, k: Int = -1,
+      knownN: Long = -1L): Unit =
+    buildGraphXcellIndexUnder(s, base,
+      kmeansCentroidsOf(base, if (k > 0) k else adaptiveK(base, knownN)),
+      indexDir)
+
+  /** Centroids-given xcell derivation — see [[buildGraphIndexUnder]]. */
+  private[graft] def buildGraphXcellIndexUnder(s: SparkSession,
+      base: DataFrame, cents: DataFrame, indexDir: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     asg.select("vec_id", "embedding", "cell")
@@ -3287,7 +3328,8 @@ object EmbeddingOps {
   def annGraphXcellDeleted(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_xcell_del")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphXcellIndex(s, base.filter(DeleteVictims).select("vec_id"),
       dir, batchId = 1L)
@@ -3298,7 +3340,8 @@ object EmbeddingOps {
   def annGraphXcellDeletedCompacted(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_xcell_delc")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphXcellIndex(s, base.filter(DeleteVictims).select("vec_id"),
       dir, batchId = 1L)
@@ -3333,7 +3376,8 @@ object EmbeddingOps {
   def annGraphRoutedIncr(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_routed_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     buildGraphLayerOn(s, dir)
     appendGraphRoutedIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annGraphRoutedIndexed(s, d, dir)
@@ -3439,7 +3483,8 @@ object EmbeddingOps {
   def annGraphXcellIncr(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_xcell_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annGraphXcellIndexed(s, d, dir)
   }
@@ -3454,7 +3499,8 @@ object EmbeddingOps {
   def annGraphIncr(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annGraphIndexed(s, d, dir)
   }
@@ -3466,7 +3512,8 @@ object EmbeddingOps {
   def annGraphDeleted(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_del")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphIndex(s, base.filter(DeleteVictims).select("vec_id"), dir,
       batchId = 1L)
@@ -3481,7 +3528,8 @@ object EmbeddingOps {
   def annGraphDeletedCompacted(s: SparkSession, d: String): DataFrame = {
     val dir = lifecycleDir(d, "graph_delc")
     val base = corpus(s, d).select("vec_id", "embedding")
-    buildGraphIndexOn(s, base.filter(!IncrArrival), dir)
+    buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
+      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
     appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphIndex(s, base.filter(DeleteVictims).select("vec_id"), dir,
       batchId = 1L)

@@ -56,7 +56,11 @@ object PartitionProbe {
 
     val vecs = spark.read.parquet(s"$work/vectors")
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (n <- Seq(8, 64, 512, math.min(1024, cells * batches))) {
+    // clamp to the grid size, then dedup: on small grids the clamped
+    // values collide and duplicate keys would silently overwrite each
+    // other in the output map with pair counts diverging from the label
+    for (n <- Seq(8, 64, 512, 1024).map(math.min(_, cells * batches))
+           .distinct) {
       // pairs enumerate the (cell, batch) grid bijectively
       val pairs = (0 until n).map(i =>
         (i % cells, (i / cells).toLong % batches)).distinct

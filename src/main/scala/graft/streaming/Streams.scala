@@ -1038,7 +1038,9 @@ object Streams {
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
-      emb.filter(!arrival), sub("idx"))
+      emb.filter(!arrival), sub("idx"),
+      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+        emb.filter(!arrival)))
     graft.sim.EmbeddingOps.appendGraphIndex(spark, emb.filter(arrival),
       sub("idx"), batchId = 0L)
     val victims = emb.filter(graft.sim.EmbeddingOps.DeleteVictims)
@@ -1126,7 +1128,9 @@ object Streams {
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
-      emb.filter(!arrival), sub("idx"))
+      emb.filter(!arrival), sub("idx"),
+      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+        emb.filter(!arrival)))
     val arr = emb.filter(arrival)
     arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
       .write.parquet(sub("in"))
@@ -1159,7 +1163,9 @@ object Streams {
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphXcellIndexOn(spark,
-      emb.filter(!arrival), sub("idx"))
+      emb.filter(!arrival), sub("idx"),
+      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+        emb.filter(!arrival)))
     val arr = emb.filter(arrival)
     arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
       .write.parquet(sub("in"))
@@ -1193,7 +1199,9 @@ object Streams {
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
-      emb.filter(!arrival), sub("idx"))
+      emb.filter(!arrival), sub("idx"),
+      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+        emb.filter(!arrival)))
     graft.sim.EmbeddingOps.buildGraphLayerOn(spark, sub("idx"))
     val arr = emb.filter(arrival)
     arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)

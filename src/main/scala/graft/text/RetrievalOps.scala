@@ -188,6 +188,16 @@ object RetrievalOps {
   private def rankTopDocs(perDoc: DataFrame): DataFrame = {
     val s = perDoc.sparkSession
     import s.implicits._
+    // the typed-aggregator path casts query_id→int / doc_id→long; on a
+    // non-numeric id column that cast yields nulls and silently corrupts
+    // tie-ordering — fail loudly instead (a string-id pipeline must map
+    // ids to integers before serving)
+    val tps = perDoc.schema.fields.map(f => f.name -> f.dataType).toMap
+    def numeric(c: String) = tps.get(c).exists(
+      _.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    require(numeric("query_id") && numeric("doc_id"),
+      s"rankTopDocs requires numeric query_id/doc_id, got " +
+        s"query_id=${tps.get("query_id")}, doc_id=${tps.get("doc_id")}")
     val agg = graft.functions.TopKByScore(TOPK).toColumn
     perDoc.select(col("query_id").cast("int"), col("score"),
         col("doc_id").cast("long"))

@@ -1,8 +1,11 @@
 #!/bin/bash
 # Direct JVM launcher for graft mains (avoids the sbt project lock).
 # Usage: tools/run.sh <mainClass> [args...]
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java -Xmx28g -XX:+UseG1GC \
+# Heap defaults to 28g (compressed-oops territory); override with
+# GRAFT_HEAP=96g etc. Repo root is derived from this script's location.
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+CP="$ROOT/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+exec java -Xmx"${GRAFT_HEAP:-28g}" -XX:+UseG1GC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
