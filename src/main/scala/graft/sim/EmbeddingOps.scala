@@ -2481,6 +2481,24 @@ object EmbeddingOps {
   private[graft] val CGRAPH_H = 3
   private[graft] val CGRAPH_P = 2
 
+  /** Serve-knob scaling for the layered walks — the r19 finding: the
+    * centroid-layer descent's (P, B, H) were tuned at the gated
+    * KMEANS_K = 8 cells, and at `adaptiveK` scale they stall — at 50
+    * cells (200k vectors) the fixed knobs route 25% of truth pairs
+    * into unprobed cells (recall@5 0.75 on the routed AND xcell serves
+    * while the own-cell walk holds 1.0 — the routing is what misses,
+    * not the in-cell walk; RecallAtScale, SCALE_VERIFY_r19.md). The
+    * layer's diameter and its local-minimum depth both grow ~log in
+    * the cell count, so every knob gains ONE step per doubling of
+    * cells beyond the gated K: probes, beam and hops all stay
+    * O(log K) per query — the HNSW economics — and at K ≤ 8 the steps
+    * are 0, so every gated corpus serves with the pinned constants and
+    * no oracle changes.
+    */
+  private[graft] def cgraphSteps(cells: Long): Int =
+    if (cells <= KMEANS_K) 0
+    else math.ceil(math.log(cells.toDouble / KMEANS_K) / math.log(2.0)).toInt
+
   /** The navigable layer itself: each centroid's RC nearest centroids
     * by L2 (ties dist ASC, dst cell ASC), SYMMETRIZED — every kNN edge
     * is inserted in both directions, the NSW/HNSW link discipline
@@ -3132,6 +3150,7 @@ object EmbeddingOps {
   def annGraphRoutedIndexed(s: SparkSession, d: String,
       indexDir: String): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
+    val st = cgraphSteps(cents.count())
     val cedges = s.read.parquet(s"$indexDir/cedges")
     val entry = s.read.parquet(s"$indexDir/entrycell")
     val q = corpus(s, d).select("vec_id", "embedding")
@@ -3139,7 +3158,8 @@ object EmbeddingOps {
       .toDF("query_id", "q_emb")
     // barriered: feeds the pruning cell-list AND the serve's seeds
     val probes = graft.Checkpoint.barrier(
-      routeViaCentroidGraph(s, q, cents, entry, cedges))
+      routeViaCentroidGraph(s, q, cents, entry, cedges,
+        p = CGRAPH_P + st, b = CGRAPH_B + st, h = CGRAPH_H + st))
     val cells = probes.select("cell").distinct().collect()
       .map(_.getAs[Number]("cell").intValue())
     val (vecs, edges) = graphPrunedStore(s, indexDir, cells.toSeq)
@@ -3217,15 +3237,18 @@ object EmbeddingOps {
   private def annGraphXcellIndexedMaybeMasked(s: SparkSession, d: String,
       indexDir: String, masked: Boolean): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
+    val st = cgraphSteps(cents.count())
     val cedges = s.read.parquet(s"$indexDir/cedges")
     val entry = s.read.parquet(s"$indexDir/entrycell")
     val q = corpus(s, d).select("vec_id", "embedding")
       .filter(col("vec_id") < N_QUERIES)
       .toDF("query_id", "q_emb")
     val probes = graft.Checkpoint.barrier(
-      routeViaCentroidGraph(s, q, cents, entry, cedges))
+      routeViaCentroidGraph(s, q, cents, entry, cedges,
+        p = CGRAPH_P + st, b = CGRAPH_B + st, h = CGRAPH_H + st))
+    // the closure must cover the WALK's reach — both scale together
     var closure = probes.select("cell").distinct()
-    for (_ <- 1 to GRAPH_H)
+    for (_ <- 1 to GRAPH_H + st)
       closure = closure.unionByName(
         closure.join(cedges.select(col("src").as("cell"), col("dst")),
           Seq("cell")).select(col("dst").as("cell"))).distinct()
@@ -3245,8 +3268,10 @@ object EmbeddingOps {
         case None => (vecs0, xedges0)
       }
       else (vecs0, xedges0)
+    // the vector walk gains the same step budget: crossing more seams
+    // (more, smaller cells) needs proportionally more hops
     graphBeamServe(s, probes.join(q, Seq("query_id")), vecs, xedges,
-      s.read.parquet(s"$indexDir/entries"))
+      s.read.parquet(s"$indexDir/entries"), h = GRAPH_H + st)
   }
 
   /** DELETE for the xcell store: the shared graph delete (tombstones +

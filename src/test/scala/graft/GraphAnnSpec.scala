@@ -25,6 +25,17 @@ class GraphAnnSpec extends SparkSpec {
     EmbeddingOps.kmeansCells(spark, tiny).collect()
       .map(r => r.getLong(0) -> r.getAs[Number]("cell").intValue()).toMap
 
+  test("serve-knob scaling: 0 steps at gated K, +1 per cell doubling") {
+    // every gated corpus resolves to K <= 8 → pinned constants, no
+    // oracle drift; adaptive-K stores gain one step per doubling
+    assert(EmbeddingOps.cgraphSteps(1) == 0)
+    assert(EmbeddingOps.cgraphSteps(8) == 0)
+    assert(EmbeddingOps.cgraphSteps(9) == 1)
+    assert(EmbeddingOps.cgraphSteps(16) == 1)
+    assert(EmbeddingOps.cgraphSteps(50) == 3)   // the sf10 store
+    assert(EmbeddingOps.cgraphSteps(1024) == 7)
+  }
+
   test("adjacency: exact out-degree, no self-loops, closed within cells") {
     val edges = EmbeddingOps.graphEdges(spark, tiny).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("cell").intValue()))
