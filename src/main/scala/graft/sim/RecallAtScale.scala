@@ -51,11 +51,19 @@ object RecallAtScale {
     def work = java.nio.file.Files
       .createTempDirectory("graft_recall_scale").toString
 
+    // SPARK_GRAFT_RECALL_ONLY=substr,substr runs a subset — the xcell
+    // build is ~5× the graph build's cost, and the sf100 (2M-vector)
+    // point is only tractable family-by-family
+    val only = sys.env.get("SPARK_GRAFT_RECALL_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
     /** build once (timed), serve twice (second serve timed warm),
       * recall of the served ranking vs brute truth.
       */
     def family(name: String)(build: String => Unit)(
         serve: String => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       try {
         val dir = work
         val t0 = System.nanoTime()
