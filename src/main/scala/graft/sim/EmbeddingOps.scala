@@ -3149,8 +3149,17 @@ object EmbeddingOps {
     */
   def annGraphRoutedIndexed(s: SparkSession, d: String,
       indexDir: String): DataFrame = {
+    val st = cgraphSteps(s.read.parquet(s"$indexDir/centroids").count())
+    annGraphRoutedIndexedAt(s, d, indexDir,
+      CGRAPH_P + st, CGRAPH_B + st, CGRAPH_H + st)
+  }
+
+  /** The routed serve at EXPLICIT knobs over an existing store — the
+    * sweep entry [[RoutedProbeSweep]] diagnoses recall residuals with.
+    */
+  private[graft] def annGraphRoutedIndexedAt(s: SparkSession, d: String,
+      indexDir: String, p: Int, b: Int, h: Int): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/centroids")
-    val st = cgraphSteps(cents.count())
     val cedges = s.read.parquet(s"$indexDir/cedges")
     val entry = s.read.parquet(s"$indexDir/entrycell")
     val q = corpus(s, d).select("vec_id", "embedding")
@@ -3159,7 +3168,7 @@ object EmbeddingOps {
     // barriered: feeds the pruning cell-list AND the serve's seeds
     val probes = graft.Checkpoint.barrier(
       routeViaCentroidGraph(s, q, cents, entry, cedges,
-        p = CGRAPH_P + st, b = CGRAPH_B + st, h = CGRAPH_H + st))
+        p = p, b = b, h = h))
     val cells = probes.select("cell").distinct().collect()
       .map(_.getAs[Number]("cell").intValue())
     val (vecs, edges) = graphPrunedStore(s, indexDir, cells.toSeq)

@@ -30,9 +30,24 @@ object RecallAtScale {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // The graph builds' kNN tails aggregate through bounded typed
+    // states (TopKByScore); Spark's ObjectHashAggregate falls back to
+    // SORT-BASED aggregation after 128 distinct groups per task, which
+    // re-sorts the un-aggregated candidate stream — 8×10⁹ rows ≈
+    // 300 GB of local sort spill at 2M vectors, more than this box's
+    // disk (measured: the sf100 graph build dies in
+    // UnsafeExternalSorter with disk-full). On a 1000-executor cluster
+    // that spill is ~300 MB/executor and the default is the robust
+    // choice; on one box the hash path (states stay O(R) per src, a
+    // few hundred thousand per task) is the only one that completes —
+    // at a measured ~1.4× sf10 build cost. The knob prices the trade.
+    val fallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK_THRESHOLD",
+      "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        fallback)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
