@@ -22,7 +22,11 @@ object Bench {
     val wh = s"/tmp/graft_bench_wh_${System.nanoTime()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // stats-driven initial shuffle partitions (Tuning): derives the
+      // cores count at the gated sf0.1, grows with the staged bytes —
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
+      .config("spark.sql.shuffle.partitions",
+        Tuning.sessionShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -811,8 +815,43 @@ object Bench {
       case (k, v) if v >= 0 && !k.endsWith("_cold") &&
         !k.endsWith("_sf1") && !k.endsWith("_10x") => v
     }.sum
+    // band annotation (r19 verdict #4): rows in this repo flap 2–4× under
+    // in-bench context with no code change (r3 kpi, r15 phash, r18 PQ,
+    // r19 xcell/agg_stats — every one adjudicated context by idle
+    // re-measure). BENCH_BANDS.json carries the adjudicated [lo, hi]
+    // steady-state band per row; any measured value >1.5× off its band
+    // lands in `band_flags` WITH the band, so a committed close can never
+    // silently contradict the adjudication history — the artifact reads
+    // standalone. Bands are sf0.1 numbers; other scales skip annotation.
+    val bandFlags: Map[String, (Double, Double, Double)] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS",
+        new java.io.File(sys.props.getOrElse("user.dir", "."),
+          "BENCH_BANDS.json").getPath)
+      val f = new java.io.File(path)
+      if (!f.isFile || !sfDir.endsWith("sf0.1")) Map.empty
+      else try {
+        // the band file is flat {"row": [lo, hi], ...}: a 30-line regex
+        // pull keeps the bench dependency-free
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val entry = """"([^"]+)"\s*:\s*\[\s*([-0-9.eE]+)\s*,\s*([-0-9.eE]+)\s*\]""".r
+        val bands = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+          .toMap
+        times.toMap.collect {
+          case (k, v) if v >= 0 && bands.contains(k) &&
+              (v > bands(k)._2 * 1.5 || v * 1.5 < bands(k)._1) =>
+            k -> (v, bands(k)._1, bands(k)._2)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] band file unreadable: ${e.getMessage}")
+        Map.empty[String, (Double, Double, Double)]
+      }
+    }
+    val bf = bandFlags.map { case (k, (v, lo, hi)) =>
+      "\"" + k + "\":{\"sec\":" + v + ",\"band\":[" + lo + "," + hi + "]}"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"jvm":$jh,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"jvm":$jh,"band_flags":$bf,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the line to a file: two rounds of BENCH data were lost to
     // stdout-scrape failures (BENCH_r01/r02 parsed:null). The driver can

@@ -236,7 +236,8 @@ object CurateRun {
     val spark = SparkSession.builder()
       .master("local[*]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        Tuning.sessionShufflePartitions(dir,
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

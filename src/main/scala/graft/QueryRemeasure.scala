@@ -20,12 +20,23 @@ object QueryRemeasure {
         System.err.println("usage: QueryRemeasure q_a,q_b [reps]"); sys.exit(2)
       }
     val reps = if (args.length > 1) args(1).toInt.max(1) else 5
+    // validate BEFORE the session exists: a typo in a multi-name
+    // invocation must not lose the timings of rows already measured
+    // (r19 ADVICE) — unknown names get the usage error with the names
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown query row(s): ${unknown.mkString(", ")} — " +
+          "names must be SparkEntry.queries keys")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        Tuning.sessionShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -339,9 +339,7 @@ object ScaleProbe {
     // staged tables' physical size ([[Tuning.shufflePartitions]]), so
     // the sf100 run needs no hand-set knob; the env var remains as an
     // explicit override
-    val shuffleParts =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        Tuning.shufflePartitions(work, 32).toString)
+    val shuffleParts = Tuning.sessionShufflePartitions(work, 32).toString
     // the scan-side sibling of the shuffle lever: a 60M-row fact lands
     // in ~12 default (128 MB) splits — under-parallelized on 32 cores
     // and each split's partial-agg state oversized; smaller splits

@@ -23,6 +23,18 @@ object Tuning {
 
   val TargetParquetBytesPerPartition: Long = 28L << 20
 
+  /** The session-builder entry: every main that opens a SparkSession
+    * over a data dir sizes its initial shuffle partitions from that
+    * dir's physical stats (r19 verdict #3 — the stats-driven posture is
+    * the ENGINE's, not one probe's). `SPARK_GRAFT_SHUFFLE_PARTITIONS`
+    * stays as the explicit override. At the gated sf0.1 the derived
+    * value IS the cores count, so gated artifacts are unchanged.
+    */
+  def sessionShufflePartitions(dir: String, cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.trim)
+      .filter(_.nonEmpty).map(_.toInt)
+      .getOrElse(math.max(cores, shufflePartitions(dir, cores)))
+
   /** Initial shuffle-partition count for a session working over `dir`'s
     * top-level tables (the `<table>.parquet` children — derived stores
     * and DW output under the same root are deliberately excluded: they
@@ -42,13 +54,18 @@ object Tuning {
   def tableBytes(dir: String): Long = {
     val root = new java.io.File(dir)
     if (!root.isDirectory) return 0L
-    root.listFiles().filter(_.getName.endsWith(".parquet"))
+    // listFiles() returns null on IO/permission errors: an unreadable
+    // entry counts as 0 bytes rather than NPE-ing the sizing heuristic
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
       .map(dataBytes).sum
   }
 
   private def dataBytes(f: java.io.File): Long =
     if (f.getName.startsWith("_")) 0L
     else if (f.isFile) f.length
-    else if (f.isDirectory) f.listFiles().map(dataBytes).sum
+    else if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(dataBytes).sum
     else 0L
 }

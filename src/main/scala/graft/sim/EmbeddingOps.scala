@@ -379,11 +379,15 @@ object EmbeddingOps {
   /** Memoized corpus-slice row count: staged corpora are immutable for
     * the life of a JVM, so several index builds sharing one bench rep
     * pay the counting job once, not once per build (VERDICT r18 #7).
-    * Keys are `dir#slice` so the pre-append 9/10 slice and the full
-    * corpus memoize independently.
+    * Keyed on the dir's [[datasetFingerprint]] (file lengths + mtimes)
+    * plus the slice tag, so a dir restaged WITHIN one long-lived JVM
+    * (a probe that stages then builds) invalidates naturally instead
+    * of training adaptiveK at a stale K (r19 ADVICE).
     */
-  private[graft] def cachedCount(key: String, base: => DataFrame): Long =
-    knownCounts.computeIfAbsent(key, _ => Long.box(base.count())).longValue()
+  private[graft] def cachedCount(d: String, slice: String,
+      base: => DataFrame): Long =
+    knownCounts.computeIfAbsent(s"${datasetFingerprint(d)}#$slice",
+      _ => Long.box(base.count())).longValue()
 
   private def adaptiveK(base: DataFrame, knownN: Long = -1L): Int = {
     val n = if (knownN >= 0L) knownN else base.count()
@@ -1715,7 +1719,9 @@ object EmbeddingOps {
     */
   private[graft] def datasetFingerprint(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val src = new java.io.File(s"$d/embeddings.parquet")
     val sig = walk(src).map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
@@ -2333,19 +2339,34 @@ object EmbeddingOps {
     * [[graft.functions.TopKByScore]] aggregator (O(R) state per source,
     * partial+final merge), ties (sim DESC, dst ASC).
     */
-  private[graft] def graphEdgesOf(s: SparkSession, asg: DataFrame): DataFrame = {
+  /** Adjacency degree at quantizer scale — the r19 2M finding: recall@5
+    * at 500 cells reads 0.875 FLAT in probe width (RoutedProbeSweep,
+    * p=8→64), i.e. the missing truth pairs are greedy-unreachable in
+    * the fixed-R per-cell kNN adjacency, not routed into wrong cells.
+    * A kNN digraph's greedy-reachable fraction falls as the corpus
+    * grows around a fixed degree (HNSW grows M with corpus size for
+    * exactly this reason — Malkov & Yashunin 2018 §4.1); like the walk
+    * knobs ([[cgraphSteps]]), R gains ONE edge per doubling of cells
+    * beyond the gated K — O(log K) build/serve growth — and is 0 at
+    * K ≤ 8, so every gated corpus builds at the pinned GRAPH_R and no
+    * oracle changes.
+    */
+  private[graft] def graphR(cells: Long): Int = GRAPH_R + cgraphSteps(cells)
+
+  /** Coarse shortlist width of the compressed-guided build, as a
+    * multiple of the final degree R (DiskANN builds prune from a
+    * candidate pool a small multiple of the target degree).
+    */
+  private[graft] val GRAPH_BUILD_POOL = 4
+
+  /** The bounded top-k edge selection every adjacency build funnels
+    * through: partial+final [[graft.functions.TopKByScore]] fold over
+    * (src, sim, dst) — O(k) state per source, ties (sim DESC, dst ASC)
+    * — output (src, dst).
+    */
+  private def topEdges(s: SparkSession, cand: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    val a = asg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
-      col("embedding").as("s_emb"))
-    val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
-      col("embedding").as("d_emb"))
-    val cand = a.join(b, col("a_cell") === col("b_cell") &&
-        col("src") =!= col("dst"))
-      .select(col("src"),
-        graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
-          .as("sim"),
-        col("dst"))
-    val agg = graft.functions.TopKByScore(GRAPH_R).toColumn
+    val agg = graft.functions.TopKByScore(k).toColumn
     cand.as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, sim, id) => (sim, id) }
@@ -2353,7 +2374,160 @@ object EmbeddingOps {
       .toDF("src", "top")
       .select(col("src"), explode(col("top")).as("p"))
       .select(col("src"), col("p._2").as("dst"))
-      .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+  }
+
+  /** Stats-driven hash-vs-sort aggregation posture for the build kNN
+    * tails (r19 verdict #8): Spark's ObjectHashAggregate falls back to
+    * sort-based aggregation after 128 distinct groups per task, which
+    * re-sorts the UN-aggregated candidate stream — ~24 B × N × |cell|
+    * of local spill. Measured both ways at two scales (r19): when that
+    * spill fits the box the sort path is the FASTER one (98.8 vs
+    * 138.9 s at 200k), and when it doesn't the build dies in
+    * UnsafeExternalSorter (300 GB at 2M). So the decision is the
+    * estimated spill against a disk budget: keep Spark's default
+    * (sort fallback) while the spill fits, raise the threshold so the
+    * bounded O(R)-state TopK groups stay hashed when it would not.
+    * On a 1000-executor cluster the spill divides by the fleet and the
+    * default wins at any corpus — which is exactly what the estimate
+    * derives there. `SPARK_GRAFT_AGG_FALLBACK_THRESHOLD` (the r19
+    * single-box hatch) still overrides when set.
+    */
+  private def hashAggHeadroom(s: SparkSession, estSrcs: Long, k: Int): Unit =
+    if (!sys.env.contains("SPARK_GRAFT_AGG_FALLBACK_THRESHOLD")) {
+      val spillBudget = sys.env.getOrElse("SPARK_GRAFT_SORT_SPILL_BUDGET",
+        (64L << 30).toString).toLong
+      // candidate rows ≈ srcs × target cell membership; 24 B per
+      // (src, sim, dst) row of pre-aggregation sort spill
+      val estSpill = estSrcs * 4000L * 24L
+      if (estSpill > spillBudget) {
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val groupsPerTask = math.max(129L, estSrcs / math.max(1, parts) * 2L)
+        val cur = s.conf.getOption(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+          .map(_.toLong).getOrElse(128L)
+        if (groupsPerTask > cur)
+          s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            groupsPerTask.toString)
+      }
+    }
+
+  /** Diagnostic-only A/B override for the at-scale build path
+    * (`SPARK_GRAFT_GRAPH_BUILD=exact` forces the full-precision scan at
+    * any scale, `coarse` is the shipped default above the gated K).
+    * Never flip it between a store's build and its maintenance — the
+    * two paths select near-identical but not provably identical edges.
+    */
+  private def forceExactBuild: Boolean =
+    sys.env.get("SPARK_GRAFT_GRAPH_BUILD").contains("exact")
+
+  private[graft] def graphEdgesOf(s: SparkSession, asg: DataFrame,
+      cells: Long = KMEANS_K): DataFrame = {
+    val r = graphR(cells)
+    hashAggHeadroom(s, cells * 4000L, GRAPH_BUILD_POOL * r)
+    val edges =
+      if (cells <= KMEANS_K || forceExactBuild) {
+        // gated shape: exact cosine over the in-cell pairs. Each
+        // unordered pair is scored ONCE (src < dst) and mirrored —
+        // cosine(a,b) ≡ cosine(b,a) bit-exactly (the kernel's dot walks
+        // the same index order and IEEE-754 multiplication commutes),
+        // so the adjacency is identical to the both-directions scan at
+        // half the kernel evaluations
+        val a = asg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
+          col("embedding").as("s_emb"))
+        val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
+          col("embedding").as("d_emb"))
+        val half = a.join(b, col("a_cell") === col("b_cell") &&
+            col("src") < col("dst"))
+          .select(col("src"),
+            graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
+              .as("sim"),
+            col("dst"))
+        // both directions from ONE kernel evaluation: the pair row is
+        // exploded in-pipeline (a union of two projections over the join
+        // would re-execute the join + kernel subtree per branch — Spark
+        // reuses exchanges, not arbitrary identical subtrees)
+        val cand = half.select(explode(array(
+            struct(col("src"), col("sim"), col("dst")),
+            struct(col("dst").as("src"), col("sim"), col("src").as("dst"))))
+          .as("e"))
+          .select(col("e.src").as("src"), col("e.sim").as("sim"),
+            col("e.dst").as("dst"))
+        topEdges(s, cand, r)
+      } else {
+        // adaptiveK scale (no DuckDB oracle re-derives these builds):
+        // the serve side's DiskANN composition applied INSIDE the build
+        // (r19 verdict #2) — candidates coarse-score through the fused
+        // SQ8 kernel off each cell's OWN 4× codes, exact cosine touches
+        // only the top GRAPH_BUILD_POOL·R shortlist per source. The
+        // quantizer is CELL-LOCAL ([[cellMinMaxOf]]) on purpose: per-cell
+        // min/max is a pure function of cell membership, so a maintenance
+        // recompute over a touched cell's full post-mutation membership
+        // derives bit-identical coarse scores to a fresh rebuild's — the
+        // rebuilt-twin exactness MaintainAtScale gates survives the
+        // compressed path. Ties stay (sim DESC, dst ASC) at both stages:
+        // deterministic end to end.
+        coarseExactEdges(s, asg, r)
+      }
+    edges.join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+  }
+
+  /** Dimension-agnostic cell-local SQ8 encode for the compressed-guided
+    * builds — same arithmetic as the oracle-paired [[sq8CodeX]] with the
+    * dimension read off the min/max row instead of the pinned corpus
+    * DIM (the build path also runs over spec geometries of other
+    * dimensionalities; [[graft.functions.Kernels.sq8Adist]] is already
+    * length-driven).
+    */
+  private def cellCodesDynOf(asg: DataFrame, mmCell: DataFrame): DataFrame =
+    asg.join(broadcast(mmCell), Seq("cell"))
+      .withColumn("codes", expr(
+        s"transform(sequence(1, size(mns)), i -> " +
+        s"CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0 " +
+        s"ELSE CAST(least(CAST($SQ8_LEVELS AS DOUBLE), " +
+        s"greatest(CAST(0 AS DOUBLE), " +
+        s"floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i)) " +
+        s"/ (element_at(mxs, i) - element_at(mns, i)) * ${SQ8_LEVELS}.0))) " +
+        s"AS INT) END)"))
+      .select("vec_id", "cell", "codes")
+
+  /** The compressed-guided candidate selection + exact re-rank of the
+    * at-scale adjacency builds (own-cell candidate universe).
+    */
+  private def coarseExactEdges(s: SparkSession, asg: DataFrame,
+      r: Int): DataFrame = {
+    import s.implicits._
+    val mm = graft.Checkpoint.barrier(cellMinMaxOf(asg))
+    val a = asg.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("s_emb"))
+    val b = cellCodesDynOf(asg, mm).select(col("cell").as("b_cell"),
+      col("vec_id").as("dst"), col("codes"))
+    val pool = a.join(b, col("cell") === col("b_cell") &&
+        col("src") =!= col("dst"))
+      .join(broadcast(mm), Seq("cell"))
+      .select(col("src"),
+        (-graft.functions.GraftFunctions.sq8_adist(col("s_emb"),
+          col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"),
+        col("dst"))
+    val agg = graft.functions.TopKByScore(GRAPH_BUILD_POOL * r).toColumn
+    // shortlist kept UNEXPLODED through the src-embedding join so the
+    // wide s_emb rides one row per source, not one per candidate
+    val short = pool.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id) => (sim, id) }
+      .agg(agg.name("top"))
+      .toDF("src", "top")
+      .join(asg.select(col("vec_id").as("src"),
+        col("embedding").as("s_emb")), Seq("src"))
+      .select(col("src"), col("s_emb"),
+        explode(expr("transform(top, p -> p._2)")).as("dst"))
+    val exact = short
+      .join(asg.select(col("vec_id").as("dst"),
+        col("embedding").as("d_emb")), Seq("dst"))
+      .select(col("src"),
+        graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
+          .as("sim"),
+        col("dst"))
+    topEdges(s, exact, r)
   }
 
   /** One entry point per cell: the vector nearest its cell's centroid
@@ -2582,8 +2756,11 @@ object EmbeddingOps {
       picked = picked :+ next._1
       minDist.remove(next._1): Unit
       val nv = byCell(next._1)
-      minDist.foreach { case (c, d) =>
-        val nd = l2(nv, byCell(c)); if (nd < d) minDist(c) = nd
+      // value updates during HashMap iteration are unspecified for
+      // Scala mutable maps: iterate a key snapshot (O(cells), same
+      // budget) so the in-place relaxation is contract-safe
+      minDist.keys.toArray.foreach { c =>
+        val nd = l2(nv, byCell(c)); if (nd < minDist(c)) minDist(c) = nd
       }
     }
     picked.toDF("cell")
@@ -2685,31 +2862,68 @@ object EmbeddingOps {
     * per-source without the forward rows (the r17 one-seam-short flaw).
     */
   private[graft] def forwardKnnXcellOf(s: SparkSession, srcAsg: DataFrame,
-      candAsg: DataFrame, cedges: DataFrame): DataFrame = {
-    import s.implicits._
+      candAsg: DataFrame, cedges: DataFrame,
+      nCells: Long = KMEANS_K): DataFrame = {
+    val r = graphR(nCells)
+    hashAggHeadroom(s, nCells * 4000L, GRAPH_BUILD_POOL * r)
     val cells = cedges.select(col("src")).distinct()
     val cpair = cedges.select(col("src").as("a_cell"), col("dst").as("b_cell"))
       .unionByName(cells.select(col("src").as("a_cell"), col("src").as("b_cell")))
       .distinct()
     val a = srcAsg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
       col("embedding").as("s_emb"))
-    val b = candAsg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
-      col("embedding").as("d_emb"))
-    val cand = a.join(broadcast(cpair), Seq("a_cell"))
-      .join(b, Seq("b_cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"),
-        graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
-          .as("sim"),
-        col("dst"))
-    val agg = graft.functions.TopKByScore(GRAPH_R).toColumn
-    cand.as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, sim, id) => (sim, id) }
-      .agg(agg.name("top"))
-      .toDF("src", "top")
-      .select(col("src"), explode(col("top")).as("p"))
-      .select(col("src"), col("p._2").as("dst"))
+    if (nCells <= KMEANS_K || forceExactBuild) {
+      // gated shape: exact cosine over the own-plus-adjacent-cell
+      // candidate universe (srcAsg may be a strict subset of candAsg on
+      // the maintenance paths, so no pair-mirroring here)
+      val b = candAsg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
+        col("embedding").as("d_emb"))
+      val cand = a.join(broadcast(cpair), Seq("a_cell"))
+        .join(b, Seq("b_cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"),
+          graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
+            .as("sim"),
+          col("dst"))
+      topEdges(s, cand, r)
+    } else {
+      // the compressed-guided selection of [[coarseExactEdges]], over
+      // the xcell candidate universe. The coarse quantizer is cell-local
+      // and trained on candAsg — the maintenance relink passes the FULL
+      // current membership of every candidate cell, so the coarse scores
+      // (hence the forward lists) are bit-identical to a fresh rebuild's.
+      import s.implicits._
+      val mm = graft.Checkpoint.barrier(cellMinMaxOf(
+        candAsg.select("cell", "embedding")))
+      val b = cellCodesDynOf(candAsg, mm).select(col("cell").as("b_cell"),
+        col("vec_id").as("dst"), col("codes"))
+      val pool = a.join(broadcast(cpair), Seq("a_cell"))
+        .join(b, Seq("b_cell"))
+        .filter(col("src") =!= col("dst"))
+        .join(broadcast(mm.withColumnRenamed("cell", "b_cell")), Seq("b_cell"))
+        .select(col("src"),
+          (-graft.functions.GraftFunctions.sq8_adist(col("s_emb"),
+            col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"),
+          col("dst"))
+      val agg = graft.functions.TopKByScore(GRAPH_BUILD_POOL * r).toColumn
+      val short = pool.as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, sim, id) => (sim, id) }
+        .agg(agg.name("top"))
+        .toDF("src", "top")
+        .join(srcAsg.select(col("vec_id").as("src"),
+          col("embedding").as("s_emb")), Seq("src"))
+        .select(col("src"), col("s_emb"),
+          explode(expr("transform(top, p -> p._2)")).as("dst"))
+      val exact = short
+        .join(candAsg.select(col("vec_id").as("dst"),
+          col("embedding").as("d_emb")), Seq("dst"))
+        .select(col("src"),
+          graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
+            .as("sim"),
+          col("dst"))
+      topEdges(s, exact, r)
+    }
   }
 
   private[graft] def symmetrized(knn: DataFrame): DataFrame =
@@ -2717,14 +2931,14 @@ object EmbeddingOps {
       .distinct()
 
   private[graft] def graphEdgesXcellOf(s: SparkSession, asg: DataFrame,
-      cedges: DataFrame): DataFrame =
+      cedges: DataFrame, nCells: Long = KMEANS_K): DataFrame =
     // SYMMETRIZED, like the centroid layer (NSW bidirectional links):
     // a vector nobody selects into their top-R is an ORPHAN of the kNN
     // digraph — unreachable by any walk at any (B, H); measured
     // directly: the 0.975-ceiling truth pair stayed invisible to a
     // B=16, H=6 walk until the reverse links existed. The reversed
     // edge rides the same blocked candidate universe.
-    symmetrized(forwardKnnXcellOf(s, asg, asg, cedges))
+    symmetrized(forwardKnnXcellOf(s, asg, asg, cedges, nCells))
 
   /** The full HNSW-analog composition: centroid-layer routing picks the
     * entry cells AND the adjacency crosses cell seams — layer-0 edges
@@ -2886,12 +3100,13 @@ object EmbeddingOps {
     */
   def buildGraphIndex(s: SparkSession, d: String, indexDir: String): Unit =
     buildGraphIndexOn(s, corpus(s, d).select("vec_id", "embedding"), indexDir,
-      knownN = cachedCount(s"$d#full", corpus(s, d)))
+      knownN = cachedCount(d, "full", corpus(s, d)))
 
   private[graft] def buildGraphIndexOn(s: SparkSession, base: DataFrame,
-      indexDir: String, knownN: Long = -1L): Unit =
-    buildGraphIndexUnder(s, base,
-      kmeansCentroidsOf(base, adaptiveK(base, knownN)), indexDir)
+      indexDir: String, knownN: Long = -1L): Unit = {
+    val k = adaptiveK(base, knownN)
+    buildGraphIndexUnder(s, base, kmeansCentroidsOf(base, k), indexDir, k)
+  }
 
   /** The store derivation under GIVEN centroids — split out so the
     * maintenance probes can derive the fresh-build twin of a maintained
@@ -2899,7 +3114,7 @@ object EmbeddingOps {
     * and compare the two stores table-for-table.
     */
   private[graft] def buildGraphIndexUnder(s: SparkSession, base: DataFrame,
-      cents: DataFrame, indexDir: String): Unit = {
+      cents: DataFrame, indexDir: String, nCells: Long = KMEANS_K): Unit = {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     // vectors carry a second `batch` partition level (-1 = the build),
@@ -2909,11 +3124,18 @@ object EmbeddingOps {
       .withColumn("batch", lit(-1L))
       .write.mode("overwrite").partitionBy("cell", "batch")
       .parquet(s"$indexDir/vectors")
-    graphEdgesOf(s, asg).select("src", "dst", "cell")
+    graphEdgesOf(s, asg, nCells).select("src", "dst", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/edges")
     graphEntriesOf(asg)
       .write.mode("overwrite").parquet(s"$indexDir/entries")
   }
+
+  /** The stored quantizer's cell count — the scaling laws' input on
+    * every maintenance path (the store, not the mutation, owns the K).
+    * One tiny-parquet count.
+    */
+  private def storedCells(s: SparkSession, indexDir: String): Long =
+    s.read.parquet(s"$indexDir/centroids").count()
 
   /** INCREMENTAL graph maintenance — the property that keeps the oracle
     * (and the mental model) simple: appending a batch re-derives the
@@ -2945,7 +3167,8 @@ object EmbeddingOps {
         .withColumn("dist",
           graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
         .select("vec_id", "embedding", "cell", "dist"))
-    graphEdgesOf(s, members).select("src", "dst", "cell")
+    graphEdgesOf(s, members, storedCells(s, indexDir))
+      .select("src", "dst", "cell")
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$indexDir/edges")
     val entries = graft.Checkpoint.barrier(
@@ -3044,7 +3267,8 @@ object EmbeddingOps {
             .withColumn("dist",
               graft.functions.GraftFunctions.l2_sq(col("embedding"), col("centroid")))
             .select("vec_id", "embedding", "cell", "dist"))
-        graphEdgesOf(s, members).select("src", "dst", "cell")
+        graphEdgesOf(s, members, storedCells(s, indexDir))
+          .select("src", "dst", "cell")
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("cell").parquet(s"$indexDir/edges")
         val entries = graft.Checkpoint.barrier(
@@ -3187,18 +3411,20 @@ object EmbeddingOps {
   def buildGraphXcellIndex(s: SparkSession, d: String,
       indexDir: String): Unit =
     buildGraphXcellIndexOn(s, corpus(s, d).select("vec_id", "embedding"),
-      indexDir, knownN = cachedCount(s"$d#full", corpus(s, d)))
+      indexDir, knownN = cachedCount(d, "full", corpus(s, d)))
 
   private[graft] def buildGraphXcellIndexOn(s: SparkSession,
       base: DataFrame, indexDir: String, k: Int = -1,
-      knownN: Long = -1L): Unit =
-    buildGraphXcellIndexUnder(s, base,
-      kmeansCentroidsOf(base, if (k > 0) k else adaptiveK(base, knownN)),
-      indexDir)
+      knownN: Long = -1L): Unit = {
+    val kk = if (k > 0) k else adaptiveK(base, knownN)
+    buildGraphXcellIndexUnder(s, base, kmeansCentroidsOf(base, kk),
+      indexDir, kk)
+  }
 
   /** Centroids-given xcell derivation — see [[buildGraphIndexUnder]]. */
   private[graft] def buildGraphXcellIndexUnder(s: SparkSession,
-      base: DataFrame, cents: DataFrame, indexDir: String): Unit = {
+      base: DataFrame, cents: DataFrame, indexDir: String,
+      nCells: Long = KMEANS_K): Unit = {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val asg = graft.Checkpoint.barrier(assignCells(s, base, cents))
     asg.select("vec_id", "embedding", "cell")
@@ -3214,7 +3440,7 @@ object EmbeddingOps {
     // reverses owned by OTHER cells' sources)
     val srcCell = asg.select(col("vec_id").as("src"), col("cell"))
     val fwd = graft.Checkpoint.barrier(
-      forwardKnnXcellOf(s, asg, asg, cedges).join(srcCell, Seq("src")))
+      forwardKnnXcellOf(s, asg, asg, cedges, nCells).join(srcCell, Seq("src")))
     fwd.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/fedges")
     symmetrized(fwd.select("src", "dst"))
       .join(srcCell, Seq("src"))
@@ -3363,7 +3589,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_xcell_del")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphXcellIndex(s, base.filter(DeleteVictims).select("vec_id"),
       dir, batchId = 1L)
@@ -3375,7 +3601,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_xcell_delc")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphXcellIndex(s, base.filter(DeleteVictims).select("vec_id"),
       dir, batchId = 1L)
@@ -3411,7 +3637,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_routed_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     buildGraphLayerOn(s, dir)
     appendGraphRoutedIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annGraphRoutedIndexed(s, d, dir)
@@ -3460,7 +3686,8 @@ object EmbeddingOps {
       .select("vec_id", "embedding", "cell")
     val membersU = graft.Checkpoint.barrier(inCells(vecs, universe))
     val fwdAff = graft.Checkpoint.barrier(
-      forwardKnnXcellOf(s, inCells(membersU, affected), membersU, cedges)
+      forwardKnnXcellOf(s, inCells(membersU, affected), membersU, cedges,
+        storedCells(s, indexDir))
         .join(membersU.select(col("vec_id").as("src"), col("cell")),
           Seq("src")))
     fwdAff.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -3518,7 +3745,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_xcell_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphXcellIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     appendGraphXcellIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annGraphXcellIndexed(s, d, dir)
   }
@@ -3534,7 +3761,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_incr")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     annGraphIndexed(s, d, dir)
   }
@@ -3547,7 +3774,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_del")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphIndex(s, base.filter(DeleteVictims).select("vec_id"), dir,
       batchId = 1L)
@@ -3563,7 +3790,7 @@ object EmbeddingOps {
     val dir = lifecycleDir(d, "graph_delc")
     val base = corpus(s, d).select("vec_id", "embedding")
     buildGraphIndexOn(s, base.filter(!IncrArrival), dir,
-      knownN = cachedCount(s"$d#pre", base.filter(!IncrArrival)))
+      knownN = cachedCount(d, "pre", base.filter(!IncrArrival)))
     appendGraphIndex(s, base.filter(IncrArrival), dir, batchId = 0L)
     deleteGraphIndex(s, base.filter(DeleteVictims).select("vec_id"), dir,
       batchId = 1L)

@@ -31,7 +31,8 @@ object MaintainAtScale {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        graft.Tuning.sessionShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -41,6 +42,13 @@ object MaintainAtScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // SPARK_GRAFT_MAINTAIN_ONLY=substr,substr runs a lifecycle subset —
+    // at the 2M-vector staging only one family fits a session's budget
+    val only = sys.env.get("SPARK_GRAFT_MAINTAIN_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def wanted(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     def work = java.nio.file.Files
       .createTempDirectory("graft_maintain").toString
     def timed[T](name: String)(body: => T): T = {
@@ -77,7 +85,7 @@ object MaintainAtScale {
     out("pre_n") = preN.toDouble
 
     // ---- graph-routed: build 9/10, layer, append 1/10 ----------------
-    locally {
+    if (wanted("graph_routed")) locally {
       val dirM = work
       timed("graph_routed_build") {
         EmbeddingOps.buildGraphIndexOn(spark, base.filter(!arrival), dirM,
@@ -94,8 +102,12 @@ object MaintainAtScale {
       // (slice-trained) centroids — what the gate-scale oracle computes
       val dirF = work
       timed("graph_routed_twin_build") {
-        EmbeddingOps.buildGraphIndexUnder(spark, base,
-          spark.read.parquet(s"$dirM/centroids"), dirF)
+        val cents = spark.read.parquet(s"$dirM/centroids")
+        // the twin must derive under the STORE's quantizer scale — the
+        // adjacency-degree law and the compressed-guided build path both
+        // key on the cell count
+        EmbeddingOps.buildGraphIndexUnder(spark, base, cents, dirF,
+          cents.count())
         EmbeddingOps.buildGraphLayerOn(spark, dirF)
       }
       timed("graph_routed_compare") {
@@ -118,7 +130,7 @@ object MaintainAtScale {
     }
 
     // ---- xcell: build 9/10, append 1/10, delete, compact -------------
-    locally {
+    if (wanted("xcell")) locally {
       val dirM = work
       timed("xcell_build") {
         EmbeddingOps.buildGraphXcellIndexOn(spark, base.filter(!arrival),
@@ -129,9 +141,11 @@ object MaintainAtScale {
           dirM, batchId = 0L)
       }
       val cents = spark.read.parquet(s"$dirM/centroids")
+      val nCells = cents.count()
       val dirF = work
       timed("xcell_twin_build") {
-        EmbeddingOps.buildGraphXcellIndexUnder(spark, base, cents, dirF)
+        EmbeddingOps.buildGraphXcellIndexUnder(spark, base, cents, dirF,
+          nCells)
       }
       def cmp(tag: String, m: String, f: String): Unit = {
         setEq(s"xcell_${tag}_vectors",
@@ -158,13 +172,13 @@ object MaintainAtScale {
       val dirF2 = work
       timed("xcell_compact_twin_build") {
         EmbeddingOps.buildGraphXcellIndexUnder(spark,
-          base.filter(!EmbeddingOps.DeleteVictims), cents, dirF2)
+          base.filter(!EmbeddingOps.DeleteVictims), cents, dirF2, nCells)
       }
       timed("xcell_compact_compare") { cmp("compact", dirM, dirF2) }
     }
 
     // ---- BM25: build 9/10, append 1/10, delete mod-7, compact --------
-    locally {
+    if (wanted("bm25")) locally {
       import graft.text.RetrievalOps
       val docs = graft.Tables.documents(spark, sfDir)
       val dArr = col("doc_id") % 10 === 9

@@ -45,7 +45,8 @@ object RecallAtScale {
       "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        graft.Tuning.sessionShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         fallback)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1039,7 +1039,7 @@ object Streams {
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
       emb.filter(!arrival), sub("idx"),
-      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+      knownN = graft.sim.EmbeddingOps.cachedCount(dir, "pre",
         emb.filter(!arrival)))
     graft.sim.EmbeddingOps.appendGraphIndex(spark, emb.filter(arrival),
       sub("idx"), batchId = 0L)
@@ -1129,7 +1129,7 @@ object Streams {
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
       emb.filter(!arrival), sub("idx"),
-      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+      knownN = graft.sim.EmbeddingOps.cachedCount(dir, "pre",
         emb.filter(!arrival)))
     val arr = emb.filter(arrival)
     arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
@@ -1164,7 +1164,7 @@ object Streams {
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphXcellIndexOn(spark,
       emb.filter(!arrival), sub("idx"),
-      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+      knownN = graft.sim.EmbeddingOps.cachedCount(dir, "pre",
         emb.filter(!arrival)))
     val arr = emb.filter(arrival)
     arr.filter(expr("(vec_id div 10) % 2 = 0")).coalesce(1)
@@ -1200,7 +1200,7 @@ object Streams {
     val arrival = col("vec_id") % 10 === 9
     graft.sim.EmbeddingOps.buildGraphIndexOn(spark,
       emb.filter(!arrival), sub("idx"),
-      knownN = graft.sim.EmbeddingOps.cachedCount(s"$dir#pre",
+      knownN = graft.sim.EmbeddingOps.cachedCount(dir, "pre",
         emb.filter(!arrival)))
     graft.sim.EmbeddingOps.buildGraphLayerOn(spark, sub("idx"))
     val arr = emb.filter(arrival)

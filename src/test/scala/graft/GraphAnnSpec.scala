@@ -36,6 +36,17 @@ class GraphAnnSpec extends SparkSpec {
     assert(EmbeddingOps.cgraphSteps(1024) == 7)
   }
 
+  test("graphR adjacency-degree law: pinned at gate scale, +1 per cell doubling") {
+    // at K ≤ 8 every gated corpus builds at the pinned GRAPH_R — no
+    // oracle changes; beyond, one extra edge per doubling of cells
+    // (the HNSW grow-M-with-corpus economics, sibling of cgraphSteps)
+    assert(EmbeddingOps.graphR(1) == EmbeddingOps.GRAPH_R)
+    assert(EmbeddingOps.graphR(8) == EmbeddingOps.GRAPH_R)
+    assert(EmbeddingOps.graphR(13) == EmbeddingOps.GRAPH_R + 1)  // sf0.1
+    assert(EmbeddingOps.graphR(50) == EmbeddingOps.GRAPH_R + 3)  // sf10
+    assert(EmbeddingOps.graphR(500) == EmbeddingOps.GRAPH_R + 6) // sf100
+  }
+
   test("adjacency: exact out-degree, no self-loops, closed within cells") {
     val edges = EmbeddingOps.graphEdges(spark, tiny).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("cell").intValue()))
@@ -368,8 +379,11 @@ class GraphAnnSpec extends SparkSpec {
     // the fresh derivation over full membership under stored centroids
     val asgFull = spark.read.parquet(s"$dir/vectors")
       .select("vec_id", "embedding", "cell")
+    // nCells = 16: the fresh derivation must run at the STORE's
+    // quantizer scale (adjacency-degree law + compressed-guided path
+    // both key on it) — exactly what the maintenance relink derives
     val fresh = EmbeddingOps.graphEdgesXcellOf(spark, asgFull,
-      spark.read.parquet(s"$dir/cedges")).collect()
+      spark.read.parquet(s"$dir/cedges"), 16L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(xedgeSet(dir) == fresh,
       "post-append xcell adjacency must equal the fresh derivation " +
@@ -397,7 +411,7 @@ class GraphAnnSpec extends SparkSpec {
     assert(survivors.collect().map(_.getLong(0)).toSet
       .intersect(victimIds).isEmpty, "compaction must fold victims")
     val fresh = EmbeddingOps.graphEdgesXcellOf(spark, survivors,
-      spark.read.parquet(s"$dir/cedges")).collect()
+      spark.read.parquet(s"$dir/cedges"), 16L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(xedgeSet(dir) == fresh,
       "post-compact xcell adjacency must equal the fresh derivation " +
