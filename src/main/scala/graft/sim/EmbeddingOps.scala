@@ -2392,13 +2392,16 @@ object EmbeddingOps {
     * derives there. `SPARK_GRAFT_AGG_FALLBACK_THRESHOLD` (the r19
     * single-box hatch) still overrides when set.
     */
-  private def hashAggHeadroom(s: SparkSession, estSrcs: Long, k: Int): Unit =
+  private def hashAggHeadroom(s: SparkSession, estSrcs: Long, k: Int,
+      universeCells: Long = 1L): Unit =
     if (!sys.env.contains("SPARK_GRAFT_AGG_FALLBACK_THRESHOLD")) {
       val spillBudget = sys.env.getOrElse("SPARK_GRAFT_SORT_SPILL_BUDGET",
         (64L << 30).toString).toLong
-      // candidate rows ≈ srcs × target cell membership; 24 B per
-      // (src, sim, dst) row of pre-aggregation sort spill
-      val estSpill = estSrcs * 4000L * 24L
+      // candidate rows ≈ srcs × target cell membership × candidate
+      // universe width (1 for the own-cell adjacency, 1 + the layer
+      // degree for xcell); 24 B per (src, sim, dst) row of
+      // pre-aggregation sort spill
+      val estSpill = estSrcs * 4000L * universeCells * 24L
       if (estSpill > spillBudget) {
         val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
         val groupsPerTask = math.max(129L, estSrcs / math.max(1, parts) * 2L)
@@ -2411,21 +2414,30 @@ object EmbeddingOps {
       }
     }
 
-  /** Diagnostic-only A/B override for the at-scale build path
-    * (`SPARK_GRAFT_GRAPH_BUILD=exact` forces the full-precision scan at
-    * any scale, `coarse` is the shipped default above the gated K).
-    * Never flip it between a store's build and its maintenance — the
-    * two paths select near-identical but not provably identical edges.
+  /** Build-path selector. The r19 verdict suggested composing the
+    * serve's SQ8-guided scoring INSIDE the build's kNN ("cut the
+    * candidate stream's width"); implemented and MEASURED at 200k/50
+    * cells it is 1.31× SLOWER than the exact scan with pair-mirroring
+    * (148.8 vs 113.2 s build, recall 1.0 both): this corpus's
+    * embeddings are float32 and SQ8 codes int32 — the compressed
+    * stream is not actually narrower — and the ADC decode kernel does
+    * strictly more arithmetic per pair than the cosine it replaces,
+    * while mirroring halves the cosine count outright. The exact
+    * build is therefore the shipped default at every scale;
+    * `SPARK_GRAFT_GRAPH_BUILD=coarse` keeps the compressed-guided
+    * variant runnable for A/B. Never flip it between a store's build
+    * and its maintenance — the two paths select near-identical but
+    * not provably identical edges.
     */
-  private def forceExactBuild: Boolean =
-    sys.env.get("SPARK_GRAFT_GRAPH_BUILD").contains("exact")
+  private def coarseBuild: Boolean =
+    sys.env.get("SPARK_GRAFT_GRAPH_BUILD").contains("coarse")
 
   private[graft] def graphEdgesOf(s: SparkSession, asg: DataFrame,
       cells: Long = KMEANS_K): DataFrame = {
     val r = graphR(cells)
     hashAggHeadroom(s, cells * 4000L, GRAPH_BUILD_POOL * r)
     val edges =
-      if (cells <= KMEANS_K || forceExactBuild) {
+      if (cells <= KMEANS_K || !coarseBuild) {
         // gated shape: exact cosine over the in-cell pairs. Each
         // unordered pair is scored ONCE (src < dst) and mirrored —
         // cosine(a,b) ≡ cosine(b,a) bit-exactly (the kernel's dot walks
@@ -2863,28 +2875,44 @@ object EmbeddingOps {
     */
   private[graft] def forwardKnnXcellOf(s: SparkSession, srcAsg: DataFrame,
       candAsg: DataFrame, cedges: DataFrame,
-      nCells: Long = KMEANS_K): DataFrame = {
+      nCells: Long = KMEANS_K, mirror: Boolean = false): DataFrame = {
     val r = graphR(nCells)
-    hashAggHeadroom(s, nCells * 4000L, GRAPH_BUILD_POOL * r)
+    hashAggHeadroom(s, nCells * 4000L, GRAPH_BUILD_POOL * r,
+      universeCells = 1L + 2L * CGRAPH_R)
     val cells = cedges.select(col("src")).distinct()
     val cpair = cedges.select(col("src").as("a_cell"), col("dst").as("b_cell"))
       .unionByName(cells.select(col("src").as("a_cell"), col("src").as("b_cell")))
       .distinct()
     val a = srcAsg.select(col("cell").as("a_cell"), col("vec_id").as("src"),
       col("embedding").as("s_emb"))
-    if (nCells <= KMEANS_K || forceExactBuild) {
-      // gated shape: exact cosine over the own-plus-adjacent-cell
-      // candidate universe (srcAsg may be a strict subset of candAsg on
-      // the maintenance paths, so no pair-mirroring here)
+    if (nCells <= KMEANS_K || !coarseBuild) {
+      // exact cosine over the own-plus-adjacent-cell candidate universe.
+      // `mirror` (build sites only, where srcAsg IS candAsg and the cell
+      // relation is symmetric+reflexive) scores each unordered pair once
+      // and explodes both directions from the one kernel evaluation —
+      // invalid on the maintenance paths, where srcAsg is a strict
+      // subset of candAsg and pair (cand, src) must NOT be emitted
       val b = candAsg.select(col("cell").as("b_cell"), col("vec_id").as("dst"),
         col("embedding").as("d_emb"))
-      val cand = a.join(broadcast(cpair), Seq("a_cell"))
-        .join(b, Seq("b_cell"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"),
-          graft.functions.GraftFunctions.cosine_sim(col("s_emb"), col("d_emb"))
-            .as("sim"),
-          col("dst"))
+      val joined = a.join(broadcast(cpair), Seq("a_cell")).join(b, Seq("b_cell"))
+      val cand =
+        if (mirror) {
+          val half = joined.filter(col("src") < col("dst"))
+            .select(col("src"),
+              graft.functions.GraftFunctions.cosine_sim(col("s_emb"),
+                col("d_emb")).as("sim"),
+              col("dst"))
+          half.select(explode(array(
+              struct(col("src"), col("sim"), col("dst")),
+              struct(col("dst").as("src"), col("sim"),
+                col("src").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.sim").as("sim"),
+              col("e.dst").as("dst"))
+        } else joined.filter(col("src") =!= col("dst"))
+          .select(col("src"),
+            graft.functions.GraftFunctions.cosine_sim(col("s_emb"),
+              col("d_emb")).as("sim"),
+            col("dst"))
       topEdges(s, cand, r)
     } else {
       // the compressed-guided selection of [[coarseExactEdges]], over
@@ -2938,7 +2966,8 @@ object EmbeddingOps {
     // directly: the 0.975-ceiling truth pair stayed invisible to a
     // B=16, H=6 walk until the reverse links existed. The reversed
     // edge rides the same blocked candidate universe.
-    symmetrized(forwardKnnXcellOf(s, asg, asg, cedges, nCells))
+    symmetrized(forwardKnnXcellOf(s, asg, asg, cedges, nCells,
+      mirror = true))
 
   /** The full HNSW-analog composition: centroid-layer routing picks the
     * entry cells AND the adjacency crosses cell seams — layer-0 edges
@@ -3440,7 +3469,8 @@ object EmbeddingOps {
     // reverses owned by OTHER cells' sources)
     val srcCell = asg.select(col("vec_id").as("src"), col("cell"))
     val fwd = graft.Checkpoint.barrier(
-      forwardKnnXcellOf(s, asg, asg, cedges, nCells).join(srcCell, Seq("src")))
+      forwardKnnXcellOf(s, asg, asg, cedges, nCells, mirror = true)
+        .join(srcCell, Seq("src")))
     fwd.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/fedges")
     symmetrized(fwd.select("src", "dst"))
       .join(srcCell, Seq("src"))
