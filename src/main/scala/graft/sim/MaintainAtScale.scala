@@ -127,6 +127,42 @@ object MaintainAtScale {
           EmbeddingOps.annGraphRoutedIndexed(spark, sfDir, dirM),
           EmbeddingOps.annGraphRoutedIndexed(spark, sfDir, dirF))
       }
+      // the delete+compact half of the routed lifecycle (r19 verdict
+      // #6 names append AND compact at 2M): tombstone the mod-5
+      // victims, fold them physically, re-link the touched cells —
+      // twin is the fresh build over survivors under the same stored
+      // centroids (layer refreshed the same way)
+      val victims = base.filter(EmbeddingOps.DeleteVictims).select("vec_id")
+      timed("graph_routed_delete_compact") {
+        EmbeddingOps.deleteGraphIndex(spark, victims, dirM, batchId = 1L)
+        EmbeddingOps.compactGraphIndex(spark, dirM)
+        EmbeddingOps.buildGraphLayerOn(spark, dirM)
+      }
+      val dirF2 = work
+      timed("graph_routed_compact_twin_build") {
+        val cents = spark.read.parquet(s"$dirM/centroids")
+        EmbeddingOps.buildGraphIndexUnder(spark,
+          base.filter(!EmbeddingOps.DeleteVictims), cents, dirF2,
+          cents.count())
+        EmbeddingOps.buildGraphLayerOn(spark, dirF2)
+      }
+      timed("graph_routed_compact_compare") {
+        setEq("graph_routed_compact_vectors",
+          spark.read.parquet(s"$dirM/vectors"),
+          spark.read.parquet(s"$dirF2/vectors"),
+          Seq("vec_id", "cell"))
+        setEq("graph_routed_compact_edges",
+          spark.read.parquet(s"$dirM/edges"),
+          spark.read.parquet(s"$dirF2/edges"),
+          Seq("src", "dst", "cell"))
+        setEq("graph_routed_compact_entries",
+          spark.read.parquet(s"$dirM/entries"),
+          spark.read.parquet(s"$dirF2/entries"),
+          spark.read.parquet(s"$dirM/entries").columns.toSeq)
+        serveEq("graph_routed_compact_serve",
+          EmbeddingOps.annGraphRoutedIndexed(spark, sfDir, dirM),
+          EmbeddingOps.annGraphRoutedIndexed(spark, sfDir, dirF2))
+      }
     }
 
     // ---- xcell: build 9/10, append 1/10, delete, compact -------------
