@@ -2403,14 +2403,21 @@ object EmbeddingOps {
       // pre-aggregation sort spill
       val estSpill = estSrcs * 4000L * universeCells * 24L
       if (estSpill > spillBudget) {
-        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val groupsPerTask = math.max(129L, estSrcs / math.max(1, parts) * 2L)
+        // a partial-aggregation task's distinct groups are NOT
+        // srcs/parts — candidate rows arrive partitioned by the JOIN
+        // key (cell), so one task holds every src with a candidate in
+        // its cells (measured the hard way: a derived per-task
+        // threshold of srcs/parts×2 still fell back at 2M/xcell and
+        // sorted 2×10⁸ rows/task to disk-full). The states are bounded
+        // O(R) per src by construction — worst-case ALL of them hashed
+        // is ~GBs against a 28 g heap — so when the sort spill cannot
+        // fit, the correct setting is "never fall back"
         val cur = s.conf.getOption(
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
           .map(_.toLong).getOrElse(128L)
-        if (groupsPerTask > cur)
+        if (cur < Int.MaxValue)
           s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-            groupsPerTask.toString)
+            Int.MaxValue.toString)
       }
     }
 
