@@ -26,7 +26,7 @@ import graft.text.TextExprs._
 object EmbeddingOps {
 
   private val DIM = 64
-  private val N_QUERIES = 8  // vec_id < 8 are the demo query vectors
+  private[graft] val N_QUERIES = 8  // vec_id < 8 are the demo query vectors
   private val TOP_K = 5
 
   private def norm(v: String) = s"sqrt(${dot(v, v, DIM).spark})"
