@@ -21,11 +21,14 @@ import org.apache.spark.sql.SparkSession
   * isometric copy of the sf0.1 point cloud), while cross-replica
   * similarities randomize — the embedding analog of the documents'
   * bijective token prefix. Replica 0 stays verbatim, so the demo
-  * queries (vec_id < 8) are unchanged. The 64 rotations × sign
-  * patterns leave residual exact-duplicate families of ≤ ~8 at
-  * 1000× — below any gated R, so kNN lists no longer saturate.
-  * Non-embedding tables are not rewritten: pass --link to symlink
-  * them from the source staging.
+  * queries (vec_id < 8) are unchanged. The sign pattern is
+  * xxhash64(rep, i) parity — per-replica DISTINCT with overwhelming
+  * probability, so no residual exact-duplicate families survive (the
+  * first cut used a parity-coupled sign that repeated every 64 reps
+  * and left families of ~16 > R — measured as the same clique
+  * pathology; SCALE_VERIFY_r20.md part 2). Non-embedding tables are
+  * not rewritten: pass --link to symlink them from the source
+  * staging.
   *
   * Usage: `tools/run.sh graft.sim.DiversifyStage <srcDir> <outDir> [--link]`
   */
@@ -46,7 +49,7 @@ object DiversifyStage {
     val dim = 64
     // rep = vec_id / 1e9 (the stager's id offset); i is 1-based
     val rot = s"1 + pmod(i - 1 + CAST(rep AS INT), $dim)"
-    val sign = s"CASE WHEN pmod(CAST(rep AS INT) * 31 + i * 17, 2) = 0 " +
+    val sign = "CASE WHEN pmod(xxhash64(rep, i), 2) = 0 " +
       "THEN CAST(-1.0 AS FLOAT) ELSE CAST(1.0 AS FLOAT) END"
     graft.Tables.embeddings(spark, src)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding", "label",
