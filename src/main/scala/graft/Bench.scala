@@ -383,10 +383,13 @@ object Bench {
         // inside the bench budget; see BENCH.md §WAND crossover)
         val (n0, l, v) = graft.text.RetrievalOps.ZipfBench
         val n = sys.env.getOrElse("SPARK_GRAFT_ZIPF_DOCS", n0.toString).toInt
-        graft.text.RetrievalOps.buildBm25IndexOn(spark,
-          graft.text.RetrievalOps.zipfDocs(spark, n, l, v), zdir)
-        graft.text.RetrievalOps.zipfQueriesOf(
-          spark.read.parquet(s"$zdir/postings").drop("tb", "batch"))
+        // r21: token-form staging (identical index bytes, no
+        // string-build + regex-split round trip) and the query set
+        // derived from the just-written termmeta (term, df) sidecar
+        // instead of a third full-postings aggregation
+        graft.text.RetrievalOps.buildBm25ZipfIndex(spark, n, l, v, zdir)
+        graft.text.RetrievalOps.zipfQueriesOfDf(
+          spark.read.parquet(s"$zdir/termmeta").select("term", "df"))
           .coalesce(1).write.mode("overwrite").parquet(s"$zdir/queries")
       }
       interleaved("q_bm25_zipf_served", "q_bm25_zipf_wand_served") {

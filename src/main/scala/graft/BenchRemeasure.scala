@@ -26,15 +26,19 @@ object BenchRemeasure {
     "bm25_zipf_stage" -> { () =>
       // the Bench row times the whole staging: corpus synthesis +
       // index build + query derivation (Bench.scala `once("bm25_zipf_stage")`)
+      // — but NOT the scratch-dir teardown, which Bench runs outside its
+      // timed window; the inner-window publish keeps the replica honest
+      // (r20 ADVICE: the wall-to-wall form read systematically high)
       val zdir = s"/tmp/graft_remeasure_zipf_${System.nanoTime()}"
       try {
         val (n0, l, v) = graft.text.RetrievalOps.ZipfBench
         val n = sys.env.getOrElse("SPARK_GRAFT_ZIPF_DOCS", n0.toString).toInt
-        graft.text.RetrievalOps.buildBm25IndexOn(spark,
-          graft.text.RetrievalOps.zipfDocs(spark, n, l, v), zdir)
-        graft.text.RetrievalOps.zipfQueriesOf(
-          spark.read.parquet(s"$zdir/postings").drop("tb", "batch"))
+        val t0 = System.nanoTime()
+        graft.text.RetrievalOps.buildBm25ZipfIndex(spark, n, l, v, zdir)
+        graft.text.RetrievalOps.zipfQueriesOfDf(
+          spark.read.parquet(s"$zdir/termmeta").select("term", "df"))
           .coalesce(1).write.mode("overwrite").parquet(s"$zdir/queries")
+        lastInnerSec = Some((System.nanoTime() - t0) / 1e9)
       } finally rmTree(zdir)
     },
     "dedup_substring_hot_removed" -> { () =>

@@ -290,7 +290,13 @@ object Multimodal {
     */
   def decodeGifQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = ingestSyntheticGif(graft.Tables.documents(spark, dir))
+    // eager barrier (r21): the payload table feeds BOTH the decode branch
+    // and the magic branch — unbarriered, the per-row codec ENCODE (the
+    // dominant cost of this query) ran once per branch; the same
+    // materialize-once discipline phashDedupQuery already applies
+    val mediaDf = graft.Checkpoint.barrier(
+      ingestSyntheticGif(graft.Tables.documents(spark, dir)).toDF())
+    val media = mediaDf.as[Media]
     val meta = media.mapPartitions { it =>
       it.flatMap { m =>
         DecodeStub.decodeVideoFrames(m.payload).map { case (w, h, frames) =>
@@ -310,7 +316,7 @@ object Multimodal {
       }
     }.toDF("media_id", "n_frames", "largura", "altura", "checksum")
     meta
-      .join(media.toDF().select(col("media_id"),
+      .join(mediaDf.select(col("media_id"),
         upper(substring(hex(col("payload")), 1, 12)).as("magic")),
         Seq("media_id"))
       .selectExpr("media_id", "CAST(n_frames AS INT) AS n_frames",
@@ -428,9 +434,12 @@ object Multimodal {
     * oracle's arithmetic.
     */
   def decodePngQuery(spark: SparkSession, dir: String): DataFrame = {
-    val media = ingestSyntheticPng(graft.Tables.documents(spark, dir))
-    extractMeta(media).toDF()
-      .join(media.toDF().select(col("media_id"),
+    import spark.implicits._
+    // eager barrier (r21): decode + magic branches share one encode pass
+    val mediaDf = graft.Checkpoint.barrier(
+      ingestSyntheticPng(graft.Tables.documents(spark, dir)).toDF())
+    extractMeta(mediaDf.as[Media]).toDF()
+      .join(mediaDf.select(col("media_id"),
         upper(substring(hex(col("payload")), 1, 16)).as("magic")), Seq("media_id"))
       .selectExpr("media_id", "CAST(width AS INT) AS largura",
         "CAST(height AS INT) AS altura", "magic")
@@ -540,9 +549,12 @@ object Multimodal {
     * oracle's arithmetic re-derivation.
     */
   def phashQuery(spark: SparkSession, dir: String): DataFrame = {
-    val media = ingestSyntheticPngNear(graft.Tables.documents(spark, dir))
-    aHashBands(media)
-      .join(media.toDF().select(col("media_id"),
+    import spark.implicits._
+    // eager barrier (r21): hash + magic branches share one encode pass
+    val mediaDf = graft.Checkpoint.barrier(
+      ingestSyntheticPngNear(graft.Tables.documents(spark, dir)).toDF())
+    aHashBands(mediaDf.as[Media])
+      .join(mediaDf.select(col("media_id"),
         upper(substring(hex(col("payload")), 1, 16)).as("magic")), Seq("media_id"))
       .selectExpr("media_id", "CAST(largura AS INT) AS largura",
         "CAST(altura AS INT) AS altura",
@@ -789,6 +801,10 @@ object Multimodal {
         }
       }
     }.toDF("media_id", "feature")
+      // eager barrier (r21): the feature table is read by the query side
+      // AND the corpus side of the crossJoin — unbarriered, the WAV
+      // encode+decode+feature pass ran once per side
+      .transform(graft.Checkpoint.barrier)
     val q = base.filter(col("media_id") < N_QUERIES).toDF("query_id", "q_f")
     val sims = broadcast(q).crossJoin(base)
       .filter(col("query_id") =!= col("media_id"))

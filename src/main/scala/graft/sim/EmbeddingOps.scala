@@ -391,7 +391,7 @@ object EmbeddingOps {
 
   private def adaptiveK(base: DataFrame, knownN: Long = -1L): Int = {
     val n = if (knownN >= 0L) knownN else base.count()
-    math.max(KMEANS_K, math.ceil(n / 4000.0).toInt)
+    math.max(KMEANS_K, math.ceil(n.toDouble / CellMembership).toInt)
   }
 
   private[graft] def kmeansCentroidsOf(base: DataFrame,
@@ -2351,6 +2351,15 @@ object EmbeddingOps {
     * K ≤ 8, so every gated corpus builds at the pinned GRAPH_R and no
     * oracle changes.
     */
+  /** COMPATIBILITY NOTE (r20 ADVICE): the stored adjacency does not
+    * record which degree it was built at; maintenance re-derives it as
+    * graphR(storedCells). A store staged by a pre-graphR writer (edges
+    * at the pinned GRAPH_R with > 8 cells) must therefore be REBUILT
+    * before maintenance — relinking it would mix degrees and fail the
+    * rebuilt-twin exactness gates. Every gated store (8 cells) and
+    * every store built since the graphR commit derives the same degree
+    * on both paths.
+    */
   private[graft] def graphR(cells: Long): Int = GRAPH_R + cgraphSteps(cells)
 
   /** Coarse shortlist width of the compressed-guided build, as a
@@ -2392,16 +2401,48 @@ object EmbeddingOps {
     * derives there. `SPARK_GRAFT_AGG_FALLBACK_THRESHOLD` (the r19
     * single-box hatch) still overrides when set.
     */
-  private def hashAggHeadroom(s: SparkSession, estSrcs: Long, k: Int,
+  private val AggFallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Session-keyed memory of the conf value [[hashAggHeadroom]] replaced,
+    * so [[restoreAggFallback]] can scope the override to the build that
+    * asked for it (r20 ADVICE: the pin used to outlive the graph build
+    * and strip the sort-spill safety net from every LATER aggregation in
+    * the same long-lived session — e.g. the BM25 lifecycle stages of a
+    * MaintainAtScale run, whose per-group state is NOT bounded O(R)).
+    * `None` = the key was unset before the pin.
+    */
+  private val savedAggFallback =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Option[String]]()
+
+  /** Restore the pre-[[hashAggHeadroom]] fallback threshold. Call after
+    * the build's terminal action (the edge aggregation has run by then —
+    * every caller either writes the edges or materializes them through a
+    * checkpoint barrier). No-op when no pin is outstanding.
+    */
+  private def restoreAggFallback(s: SparkSession): Unit =
+    Option(savedAggFallback.remove(s)).foreach {
+      case Some(v) => s.conf.set(AggFallbackKey, v)
+      case None => s.conf.unset(AggFallbackKey)
+    }
+
+  /** Target cell membership of the adaptive quantizer (K = N / this) —
+    * shared by [[adaptiveK]] and the spill estimate below so the two
+    * can never drift.
+    */
+  private val CellMembership = 4000L
+
+  private def hashAggHeadroom(s: SparkSession, cells: Long,
       universeCells: Long = 1L): Unit =
     if (!sys.env.contains("SPARK_GRAFT_AGG_FALLBACK_THRESHOLD")) {
       val spillBudget = sys.env.getOrElse("SPARK_GRAFT_SORT_SPILL_BUDGET",
         (64L << 30).toString).toLong
-      // candidate rows ≈ srcs × target cell membership × candidate
-      // universe width (1 for the own-cell adjacency, 1 + the layer
-      // degree for xcell); 24 B per (src, sim, dst) row of
-      // pre-aggregation sort spill
-      val estSpill = estSrcs * 4000L * universeCells * 24L
+      // candidate rows ≈ srcs (cells × membership) × target cell
+      // membership × candidate universe width (1 for the own-cell
+      // adjacency, 1 + the layer degree for xcell); 24 B per
+      // (src, sim, dst) row of pre-aggregation sort spill
+      val estSpill =
+        cells * CellMembership * CellMembership * universeCells * 24L
       if (estSpill > spillBudget) {
         // a partial-aggregation task's distinct groups are NOT
         // srcs/parts — candidate rows arrive partitioned by the JOIN
@@ -2411,13 +2452,13 @@ object EmbeddingOps {
         // sorted 2×10⁸ rows/task to disk-full). The states are bounded
         // O(R) per src by construction — worst-case ALL of them hashed
         // is ~GBs against a 28 g heap — so when the sort spill cannot
-        // fit, the correct setting is "never fall back"
-        val cur = s.conf.getOption(
-          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
-          .map(_.toLong).getOrElse(128L)
-        if (cur < Int.MaxValue)
-          s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-            Int.MaxValue.toString)
+        // fit, the correct setting is "never fall back" FOR THIS BUILD
+        // (saved here, restored by [[restoreAggFallback]])
+        val cur = s.conf.getOption(AggFallbackKey)
+        if (cur.forall(_.toLong < Int.MaxValue)) {
+          savedAggFallback.putIfAbsent(s, cur)
+          s.conf.set(AggFallbackKey, Int.MaxValue.toString)
+        }
       }
     }
 
@@ -2442,7 +2483,7 @@ object EmbeddingOps {
   private[graft] def graphEdgesOf(s: SparkSession, asg: DataFrame,
       cells: Long = KMEANS_K): DataFrame = {
     val r = graphR(cells)
-    hashAggHeadroom(s, cells * 4000L, GRAPH_BUILD_POOL * r)
+    hashAggHeadroom(s, cells)
     val edges =
       if (cells <= KMEANS_K || !coarseBuild) {
         // gated shape: exact cosine over the in-cell pairs. Each
@@ -2586,8 +2627,27 @@ object EmbeddingOps {
       vecs: DataFrame, edges: DataFrame, entries: DataFrame,
       b: Int = GRAPH_B, h: Int = GRAPH_H): DataFrame = {
     // routed may carry one row per PROBED cell (the centroid-layer
-    // route below); the scorer wants one q_emb per query
-    val q = routed.select("query_id", "q_emb").dropDuplicates("query_id")
+    // route below); the scorer wants one q_emb per query. Materialized
+    // (r21): it is broadcast once per hop, and `routed` can hang off the
+    // whole centroid-graph routing subtree — unbarriered, that routing
+    // re-ran on every hop's broadcast build (measured ~1.4 s/hop on the
+    // routed/xcell serves). O(queries) rows.
+    val q = graft.Checkpoint.barrier(
+      routed.select("query_id", "q_emb").dropDuplicates("query_id"))
+    // materialize the (src, dst) projection ONCE (r21): every hop joins
+    // the beam against `edges`, and each hop's plan is cut from the
+    // previous one by the per-hop barrier — so an UN-materialized edge
+    // relation re-executes its whole derivation subtree once per hop
+    // (measured on q_ann_graph_xcell: the ~2.4 s cross-cell adjacency
+    // build ran 3×, two of them pure waste). Self-contained serves pay
+    // the adjacency once; indexed serves trade h parquet scans for one
+    // checkpointed read. 16 B/row × N·R rows — the same order as the
+    // shuffle each hop's join would otherwise redo.
+    val e = graft.Checkpoint.barrier(
+      edges.select(col("src").as("vec_id"), col("dst")))
+    // the edge aggregation has run (barrier above): un-pin the agg
+    // fallback threshold a derived-edge caller's hashAggHeadroom set
+    restoreAggFallback(s)
     def withSims(ids: DataFrame): DataFrame =
       ids.join(vecs.select("vec_id", "embedding"), Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
@@ -2603,7 +2663,7 @@ object EmbeddingOps {
         .filter(col("rk") <= b)
         .select("query_id", "vec_id")
       val frontier = beam
-        .join(edges.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
+        .join(e, Seq("vec_id"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .distinct()
       val fresh = frontier.join(visited.select("query_id", "vec_id"),
@@ -2884,8 +2944,7 @@ object EmbeddingOps {
       candAsg: DataFrame, cedges: DataFrame,
       nCells: Long = KMEANS_K, mirror: Boolean = false): DataFrame = {
     val r = graphR(nCells)
-    hashAggHeadroom(s, nCells * 4000L, GRAPH_BUILD_POOL * r,
-      universeCells = 1L + 2L * CGRAPH_R)
+    hashAggHeadroom(s, nCells, universeCells = 1L + 2L * CGRAPH_R)
     val cells = cedges.select(col("src")).distinct()
     val cpair = cedges.select(col("src").as("a_cell"), col("dst").as("b_cell"))
       .unionByName(cells.select(col("src").as("a_cell"), col("src").as("b_cell")))
@@ -3076,6 +3135,10 @@ object EmbeddingOps {
         .select(col("query_id"), col("vec_id"),
           (-graft.functions.GraftFunctions.sq8_adist(col("q_emb"),
             col("codes"), col("mns"), col("mxs"), SQ8_LEVELS)).as("sim"))
+    // same per-hop edge-materialization discipline as [[graphBeamVisited]]
+    val e = graft.Checkpoint.barrier(
+      edges.select(col("src").as("vec_id"), col("dst")))
+    restoreAggFallback(s)
     var visited = graft.Checkpoint.barrier(withCodeSims(
       routed.join(entries, Seq("cell")).select("query_id", "vec_id")))
     for (_ <- 1 to GRAPH_H) {
@@ -3085,7 +3148,7 @@ object EmbeddingOps {
         .filter(col("rk") <= GRAPH_B)
         .select("query_id", "vec_id")
       val frontier = beam
-        .join(edges.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
+        .join(e, Seq("vec_id"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .distinct()
       val fresh = frontier.join(visited.select("query_id", "vec_id"),
@@ -3162,6 +3225,7 @@ object EmbeddingOps {
       .parquet(s"$indexDir/vectors")
     graphEdgesOf(s, asg, nCells).select("src", "dst", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/edges")
+    restoreAggFallback(s)
     graphEntriesOf(asg)
       .write.mode("overwrite").parquet(s"$indexDir/entries")
   }
@@ -3207,6 +3271,7 @@ object EmbeddingOps {
       .select("src", "dst", "cell")
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$indexDir/edges")
+    restoreAggFallback(s)
     val entries = graft.Checkpoint.barrier(
       s.read.parquet(s"$indexDir/entries")
         .filter(!col("cell").isin(touched: _*))
@@ -3307,6 +3372,7 @@ object EmbeddingOps {
           .select("src", "dst", "cell")
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("cell").parquet(s"$indexDir/edges")
+        restoreAggFallback(s)
         val entries = graft.Checkpoint.barrier(
           s.read.parquet(s"$indexDir/entries")
             .filter(!col("cell").isin(touched: _*))
@@ -3478,6 +3544,7 @@ object EmbeddingOps {
     val fwd = graft.Checkpoint.barrier(
       forwardKnnXcellOf(s, asg, asg, cedges, nCells, mirror = true)
         .join(srcCell, Seq("src")))
+    restoreAggFallback(s)
     fwd.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/fedges")
     symmetrized(fwd.select("src", "dst"))
       .join(srcCell, Seq("src"))
@@ -3727,6 +3794,7 @@ object EmbeddingOps {
         storedCells(s, indexDir))
         .join(membersU.select(col("vec_id").as("src"), col("cell")),
           Seq("src")))
+    restoreAggFallback(s)
     fwdAff.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$indexDir/fedges")
     // merged forward set (recomputed affected + stored unchanged),

@@ -61,13 +61,28 @@ object RetrievalOps {
     * rounding happens.
     */
   private def termScore(tf: String, df: String, len: String,
-                        nd: String, sumlen: String): String = {
-    val avgdl = s"(CAST($sumlen AS DOUBLE) / CAST($nd AS DOUBLE))"
-    val idf = s"((CAST($nd - $df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+                        nd: String, sumlen: String): String =
+    s"(${termIdfPart(df, nd)} * ${termTfPart(tf, len, nd, sumlen)})"
+
+  /** The df-only factor of [[termScore]] — strictly positive (df ≤ nd),
+    * so max over a term's postings commutes with this multiplication:
+    * max(idf·tfn) = idf·max(tfn) bit-exactly (multiplying by a positive
+    * double is monotone non-decreasing in IEEE-754). [[termMetaOf]]
+    * leans on exactly that identity.
+    */
+  private def termIdfPart(df: String, nd: String): String =
+    s"((CAST($nd - $df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
       s"(CAST($df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+
+  /** The per-posting tf-normalization factor of [[termScore]] — df-free,
+    * so it can be aggregated per term BEFORE df exists.
+    */
+  private def termTfPart(tf: String, len: String,
+      nd: String, sumlen: String): String = {
+    val avgdl = s"(CAST($sumlen AS DOUBLE) / CAST($nd AS DOUBLE))"
     val norm = s"(CAST(1 AS DOUBLE) - $B + $B * (CAST($len AS DOUBLE) / $avgdl))"
-    s"($idf * ((CAST($tf AS DOUBLE) * ($K1 + CAST(1 AS DOUBLE))) / " +
-      s"(CAST($tf AS DOUBLE) + $K1 * $norm)))"
+    s"((CAST($tf AS DOUBLE) * ($K1 + CAST(1 AS DOUBLE))) / " +
+      s"(CAST($tf AS DOUBLE) + $K1 * $norm))"
   }
 
   /** A deliberately EXPENSIVE per-posting scorer — the regime the r17
@@ -121,9 +136,17 @@ object RetrievalOps {
     * every posting of a term lives in that term's bucket.
     */
   private def docPostings(docs: DataFrame): DataFrame =
-    docs
+    docTokenPostings(docs
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS t")
-      .select(col("doc_id"), size(col("t")).as("len"), explode(col("t")).as("term"))
+      .select(col("doc_id"), size(col("t")).as("len"), explode(col("t")).as("term")))
+
+  /** The tf-fold tail of [[docPostings]] over an explicit (doc_id, len,
+    * term) token relation — the entry point for generators that can emit
+    * token rows directly (the Zipf staging), skipping the
+    * build-a-string-then-regex-split round trip.
+    */
+  private def docTokenPostings(tokRows: DataFrame): DataFrame =
+    tokRows
       .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "len")
 
@@ -230,13 +253,20 @@ object RetrievalOps {
     * refresh it before the pruned serve is used — the exhaustive serve
     * stays correct regardless.
     */
-  private def termMetaOf(postings: DataFrame, stats: DataFrame): DataFrame = {
-    val dfx = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings.join(dfx, Seq("term")).crossJoin(broadcast(stats))
-      .selectExpr("term", "df",
-        s"${termScore("tf", "df", "len", "nd", "sumlen")} AS sc")
-      .groupBy("term", "df").agg(max("sc").as("ub"))
-  }
+  private def termMetaOf(postings: DataFrame, stats: DataFrame): DataFrame =
+    // ONE pass over the postings (r21 optimization): df and the max
+    // tf-normalization aggregate together per term, and the df-only idf
+    // factor multiplies the max afterwards — bit-identical to maxing the
+    // full per-posting score (idf > 0 is constant per term, see
+    // [[termIdfPart]]), at one corpus-wide aggregation instead of a df
+    // aggregation PLUS a full-postings join + re-aggregation (the former
+    // shape shuffled the 10⁷-row posting stream twice).
+    postings.crossJoin(broadcast(stats))
+      .selectExpr("term",
+        s"${termTfPart("tf", "len", "nd", "sumlen")} AS tfn")
+      .groupBy("term").agg(count(lit(1)).as("df"), max("tfn").as("mtfn"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("term", "df", s"(${termIdfPart("df", "nd")} * mtfn) AS ub")
 
   /** The MaxScore-pruned serve, bit-equal to the exhaustive ranking by
     * construction:
@@ -308,7 +338,15 @@ object RetrievalOps {
       broadcast(qt).join(postings, Seq("term"))
         .crossJoin(broadcast(stats))
         .selectExpr("query_id", "doc_id", "term", s"$scoreSql AS sc")
-    val head = scoreOf(headTerms)
+    // materialized ONCE (r21): the scored head pass — the expensive side
+    // of the algorithm (it scores every non-weakest posting; under the
+    // expensive re-ranker each row pays the depth-512 md5 chain) — is
+    // consumed by THREE differently-keyed subtrees (the θ̂ top-k, the
+    // head-docs distinct feeding the tail prune, and the final fold), and
+    // none of their exchanges are reusable, so the un-materialized form
+    // re-ran the scoring scan once per consumer. O(matched head
+    // postings) rows — exactly what the fold must shuffle anyway.
+    val head = graft.Checkpoint.barrier(scoreOf(headTerms))
     // θ̂ = the TOPK-th best per-doc partial sum — the same bounded
     // aggregation as the serve tail (rankTopDocs), NOT a rank window:
     // the head pass scores every non-weakest posting, so a per-query
@@ -451,6 +489,21 @@ object RetrievalOps {
     * DuckDB oracle generate the IDENTICAL corpus and the gates
     * hash-compare as usual.
     */
+  /** The per-token Zipf draw (Spark spelling) — the lambda body shared
+    * by the text generator and the direct token generator; `j` is the
+    * position variable bound by the enclosing transform.
+    */
+  private def zipfTokExprSpark(vocab: Int): String = {
+    val two60 = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+    val sparkKey = "concat('zipf', CAST(doc_id AS STRING), '_', CAST(j AS STRING))"
+    val uS = s"(CAST(${TextExprs.hash60(sparkKey).spark} AS DOUBLE) / $two60)"
+    val c = s"(CAST(1 AS DOUBLE) / sqrt(CAST($vocab AS DOUBLE)))"
+    val t = s"(($c - CAST(1 AS DOUBLE)) * $uS + CAST(1 AS DOUBLE))"
+    val rank =
+      s"least($vocab, greatest(1, CAST(floor(CAST(1 AS DOUBLE) / ($t * $t)) AS INT)))"
+    s"concat('w', CAST($rank AS STRING))"
+  }
+
   private[graft] def zipfText(vocab: Int, len: Int): TextExprs.X = {
     val two60 = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
     def rank(u: String) = {
@@ -458,13 +511,11 @@ object RetrievalOps {
       val t = s"(($c - CAST(1 AS DOUBLE)) * $u + CAST(1 AS DOUBLE))"
       s"least($vocab, greatest(1, CAST(floor(CAST(1 AS DOUBLE) / ($t * $t)) AS INT)))"
     }
-    val sparkKey = "concat('zipf', CAST(doc_id AS STRING), '_', CAST(j AS STRING))"
     val duckKey = "'zipf' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)"
-    val uS = s"(CAST(${TextExprs.hash60(sparkKey).spark} AS DOUBLE) / $two60)"
     val uD = s"(CAST(${TextExprs.hash60(duckKey).duck} AS DOUBLE) / $two60)"
     TextExprs.X(
       spark = s"concat_ws(' ', transform(sequence(1, $len), " +
-        s"j -> concat('w', CAST(${rank(uS)} AS STRING))))",
+        s"j -> ${zipfTokExprSpark(vocab)}))",
       duck = s"array_to_string(list_transform(range(1, ${len + 1}), " +
         s"j -> 'w' || CAST(${rank(uD)} AS VARCHAR)), ' ')")
   }
@@ -483,6 +534,30 @@ object RetrievalOps {
     s.range(1, n + 1L).toDF("doc_id")
       .selectExpr("doc_id", s"${zipfText(vocab, len).spark} AS text")
 
+  /** The staging-side token generator: the IDENTICAL per-token draws as
+    * [[zipfDocs]] (same hash, same rank arithmetic, same 'w'-prefix
+    * spelling), emitted as (doc_id, len, term) rows directly — the
+    * concat_ws-then-regex-split round trip of text-form staging does no
+    * work here (every generated doc has exactly `len` whitespace-free
+    * tokens), so the bench staging skips it. Gate forms keep the text
+    * shape (the oracle re-derives them from text).
+    */
+  private[graft] def zipfTokens(s: SparkSession, n: Int, len: Int,
+      vocab: Int): DataFrame =
+    s.range(1, n + 1L).toDF("doc_id")
+      .selectExpr("doc_id", s"CAST($len AS INT) AS len",
+        s"explode(transform(sequence(1, $len), " +
+          s"j -> ${zipfTokExprSpark(vocab)})) AS term")
+
+  /** The staged-bench build off the token generator — postings, stats,
+    * doclens and termmeta byte-identical to
+    * `buildBm25IndexOn(s, zipfDocs(...), dir)`.
+    */
+  private[graft] def buildBm25ZipfIndex(s: SparkSession, n: Int, len: Int,
+      vocab: Int, dir: String): Unit =
+    buildBm25IndexOnPostings(s,
+      docTokenPostings(zipfTokens(s, n, len, vocab)).barrier(), dir)
+
   /** The crossover query set, derived FROM the staged corpus: query i
     * pairs the i-th most document-frequent term (the near-stopword —
     * low idf, huge postings: the prunable side) with the i-th term by
@@ -490,9 +565,17 @@ object RetrievalOps {
     * sums set θ̂). Both picks are deterministic (df DESC / distance ASC,
     * term ASC tie-breaks) and re-derived identically by the oracle.
     */
-  private[graft] def zipfQueriesOf(postings: DataFrame): DataFrame = {
+  private[graft] def zipfQueriesOf(postings: DataFrame): DataFrame =
+    zipfQueriesOfDf(postings.groupBy("term").agg(count(lit(1)).as("df")))
+
+  /** The query derivation over an explicit per-term df table — what the
+    * bench staging feeds from the just-written termmeta sidecar (term,
+    * df) instead of re-aggregating the full postings a third time; df
+    * values are identical by construction ([[termMetaOf]] counts the
+    * same rows), so the derived query set is too.
+    */
+  private[graft] def zipfQueriesOfDf(dfx: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfx = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val heads = dfx.orderBy(desc("df"), asc("term")).limit(4)
       .withColumn("query_id", row_number().over(
         Window.orderBy(desc("df"), asc("term"))).cast("int"))
@@ -757,8 +840,19 @@ object RetrievalOps {
     buildBm25IndexOn(s, documents(s, d), dir)
 
   private[graft] def buildBm25IndexOn(s: SparkSession, docs: DataFrame,
-      dir: String): Unit = {
-    val (postings, stats) = bm25IndexOf(docs)
+      dir: String): Unit =
+    buildBm25IndexOnPostings(s, docPostings(docs).barrier(), dir)
+
+  /** The persist tail over an already-materialized postings relation —
+    * shared by the document-table build and the token-relation build
+    * ([[buildBm25ZipfIndex]]). r21 pass-count discipline: the barriered
+    * postings are read exactly three times (postings write, doclens
+    * distinct, termmeta aggregation); `stats` is derived from the
+    * 2-column doclens sidecar just written instead of a second
+    * corpus-wide distinct — identical values (doclens IS that distinct).
+    */
+  private[graft] def buildBm25IndexOnPostings(s: SparkSession,
+      postings: DataFrame, dir: String): Unit = {
     // postings carry a second `batch` partition level (-1 = the build),
     // the same convention as the ANN cell stores: appended document
     // batches land in their own (tb, batch) partitions that a replayed
@@ -768,17 +862,19 @@ object RetrievalOps {
       .withColumn("batch", lit(-1L))
       .write.mode("overwrite").partitionBy("tb", "batch")
       .parquet(s"$dir/postings")
-    stats.write.mode("overwrite").parquet(s"$dir/stats")
     // doc-keyed length sidecar (doc_id, len): what a DELETE needs to
     // adjust the aggregated (nd, sumlen) without scanning term buckets —
     // a doc's postings are scattered across buckets by term, so without
     // this 2-column table every delete would pay a full index scan
     postings.select("doc_id", "len").distinct()
       .write.mode("overwrite").parquet(s"$dir/doclens")
+    val stats = s.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
     // per-term (df, upper-bound) sidecar for the WAND-pruned serve —
     // term-bucketed like the postings so the pruned serve's metadata
     // read is itself partition-pruned to the query's buckets
-    termMetaOf(postings, stats)
+    termMetaOf(postings, s.read.parquet(s"$dir/stats"))
       .withColumn("tb", (abs(hash(col("term"))) % 16).cast("int"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/termmeta")
   }

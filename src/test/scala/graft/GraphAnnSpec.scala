@@ -42,9 +42,11 @@ class GraphAnnSpec extends SparkSpec {
     // (the HNSW grow-M-with-corpus economics, sibling of cgraphSteps)
     assert(EmbeddingOps.graphR(1) == EmbeddingOps.GRAPH_R)
     assert(EmbeddingOps.graphR(8) == EmbeddingOps.GRAPH_R)
-    assert(EmbeddingOps.graphR(13) == EmbeddingOps.GRAPH_R + 1)  // sf0.1
-    assert(EmbeddingOps.graphR(50) == EmbeddingOps.GRAPH_R + 3)  // sf10
-    assert(EmbeddingOps.graphR(500) == EmbeddingOps.GRAPH_R + 6) // sf100
+    assert(EmbeddingOps.graphR(13) == EmbeddingOps.GRAPH_R + 1)  // ~50k staged vectors
+    assert(EmbeddingOps.graphR(50) == EmbeddingOps.GRAPH_R + 3)  // ~200k staged vectors
+    assert(EmbeddingOps.graphR(500) == EmbeddingOps.GRAPH_R + 6) // ~2M staged vectors
+    // (cell counts resolve from adaptiveK over STAGED corpora; the gated
+    // /root/testdata dirs are all <= 32k vectors -> 8 cells -> pinned R)
   }
 
   test("adjacency: exact out-degree, no self-loops, closed within cells") {
