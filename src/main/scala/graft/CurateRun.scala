@@ -183,7 +183,11 @@ object CurateRun {
     }
     var kept = tbl.where(allSignalsOk).select("doc_id")
     dedupGates(spark, dir, kept).foreach { case (name, gate, anti) =>
-      kept = applyGate(kept, gate, anti)
+      // materialize after each gate: the funnel count, every LATER gate,
+      // and writeFinal all consume `kept` — unbarriered, each consumer
+      // re-executed every earlier gate's derivation (the exact-keeper
+      // aggregate ran 4×, the near-dup components 3×, decontaminate 2×)
+      kept = graft.Checkpoint.barrier(applyGate(kept, gate, anti))
       funnel += name -> kept.count()
     }
     funnel += "passage-clean nonempty" -> writeFinal(spark, dir, kept, out)

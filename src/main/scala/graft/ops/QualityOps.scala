@@ -390,10 +390,12 @@ object QualityOps {
     // near-dup pair rank their grams under the SAME order, which is
     // what the prefix theorem needs
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val sig = grams.join(freq, Seq("g"))
+    // materialized: the signature projection (gram explode + df join +
+    // rarity window) otherwise re-runs once per self-join side
+    val sig = graft.Checkpoint.barrier(grams.join(freq, Seq("g"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy("df", "g", "pos")))
-      .filter(col("rn") <= 5) // q·τ + 1
+      .filter(col("rn") <= 5)) // q·τ + 1
     val gramCand = sig.as("x").join(sig.as("y"),
         col("x.g") === col("y.g") &&
           col("x.bloco") === col("y.bloco") &&
@@ -462,6 +464,10 @@ object QualityOps {
     // which at 100 TB beats dragging an L-char string through an
     // L²/2-amplified shuffle). Hash collisions only add candidates; the
     // DP verify removes them.
+    // NOT barriered (measured r21): the self-join's sides do each re-run
+    // the variant kernel, but the kernel is a tight native pass that
+    // streams straight into the join exchange — materializing the
+    // L²/2-amplified rows cost ~1.2× MORE task time than recomputing
     val vars = c.select(col("id"), col("bloco"),
       explode(graft.functions.GraftFunctions
         .deletion_neighborhood(col("nome"), 2)).as("v"))

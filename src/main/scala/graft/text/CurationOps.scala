@@ -246,12 +246,19 @@ object CurationOps {
     * aggregation ever ran. The candidate collect is O(k), the same
     * class as the k-means centroid collect.
     */
-  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
     // the MG pass and the verify recount both consume the full 3-shingle
     // explosion; unbarriered, each pass re-reads the docs and re-runs the
     // tokenize+shingle projection (the explosion was the dominant cost of
     // the whole query, paid twice) — one materialization serves both
-    val sh = graft.Checkpoint.barrier(hhShingles(documents(s, d)))
+    heavyHittersOf(s, graft.Checkpoint.barrier(hhShingles(documents(s, d))))
+
+  /** MG candidates + exact verify over an already-materialized (or
+    * cheaply re-derivable) shingle stream — shared with
+    * [[boilerplateFrac]], whose shingle arrays are materialized upstream
+    * so no consumer pays the tokenize twice.
+    */
+  private[graft] def heavyHittersOf(s: SparkSession, sh: DataFrame): DataFrame = {
     val row = sh.agg(
       graft.functions.MisraGries.udafCol(hhK)(col("shingle")).as("mg"),
       count(lit(1)).as("n")).head()
@@ -337,10 +344,17 @@ object CurationOps {
     * aggregation beyond the sketch pass already inside heavyHitters.
     */
   def boilerplateFrac(s: SparkSession, d: String): DataFrame = {
-    val heavy = heavyHitters(s, d).select("shingle")
-    val docs = documents(s, d)
+    // ONE tokenize+shingle pass for the whole query: the (doc_id,
+    // shingles) projection is materialized and the heavy-hitter
+    // derivation, the per-doc hit count, and the final n_shingles all
+    // derive from it (re-exploding in-memory arrays, never re-tokenizing
+    // — this query previously paid the corpus tokenize three times:
+    // heavyHitters' own pass plus both docs consumers)
+    val docs = graft.Checkpoint.barrier(documents(s, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
-        s"${SH.spark} AS shingles")
+        s"${SH.spark} AS shingles"))
+    val heavy = heavyHittersOf(s,
+      docs.select(explode(col("shingles")).as("shingle"))).select("shingle")
     val hits = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .join(broadcast(heavy), Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))

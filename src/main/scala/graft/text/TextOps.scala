@@ -509,7 +509,8 @@ ORDER BY doc_id"""
     */
   def substringDedup(s: SparkSession, d: String, k: Int = 8,
       maxAnchorFreq: Int = 512): DataFrame =
-    substringPairsOf(passageWindows(s, d, k), k, maxAnchorFreq)
+    substringPairsOf(graft.Checkpoint.barrier(passageWindows(s, d, k)),
+        k, maxAnchorFreq)
       .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
 
   /** The capped seed-and-extend pair derivation over any (doc_id, pos,
@@ -560,7 +561,8 @@ ORDER BY doc_id"""
     */
   def substringRemoved(s: SparkSession, d: String, k: Int = 8,
       maxAnchorFreq: Int = 512): DataFrame = {
-    val cut = substringPairsOf(passageWindows(s, d, k), k, maxAnchorFreq)
+    val cut = substringPairsOf(graft.Checkpoint.barrier(passageWindows(s, d, k)),
+        k, maxAnchorFreq)
       .select(col("doc_b").as("doc_id"),
         explode(expr("sequence(pos_b, pos_b + n_tokens - 1)")).as("i"))
       .distinct()
@@ -589,7 +591,10 @@ ORDER BY doc_id"""
     */
   def substringRemovedHot(s: SparkSession, d: String, k: Int = 8,
       maxAnchorFreq: Int = 512): DataFrame = {
-    val g0 = passageWindows(s, d, k)
+    // the window projection (tokenize + per-window md5) feeds FOUR
+    // subtrees here (pair freq-cap, anchor self-join, hotMin, hotCut) —
+    // materialized once, like every fan-out frame in the engine
+    val g0 = graft.Checkpoint.barrier(passageWindows(s, d, k))
     val pairCut = substringPairsOf(g0, k, maxAnchorFreq)
       .select(col("doc_b").as("doc_id"),
         explode(expr("sequence(pos_b, pos_b + n_tokens - 1)")).as("i"))
@@ -619,8 +624,10 @@ ORDER BY doc_id"""
     */
   private def rebuildWithoutCut(s: SparkSession, d: String,
       cut: DataFrame): DataFrame = {
-    val toks = documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
+    // the token projection is read by the kept-token rebuild AND the
+    // final pass-through join — tokenize once
+    val toks = graft.Checkpoint.barrier(documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks"))
     val kept = toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
       .withColumn("i", col("i0") + 1).drop("i0")
@@ -721,7 +728,9 @@ ORDER BY d.doc_id"""
 
   def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = passageWindows(s, d, k)
+    // consumed by the dup-count aggregate AND the flag semi-join —
+    // materialized so the window projection runs once
+    val wins = graft.Checkpoint.barrier(passageWindows(s, d, k))
     // duplicated windows flagged by a map-combined count + semi-join,
     // not a count-over-window: the window form shares the groupBy's
     // PARTITIONING but not its skew posture — it materializes each
@@ -795,7 +804,7 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
     // lives, so the per-hash sort window (whole group in one task) is
     // replaced by a map-combinable (count, min(struct)) aggregate +
     // join-back; occ >= 2 ∧ not-the-earliest ≡ the old occ/rn filter
-    val wins = passageWindows(s, d, k)
+    val wins = graft.Checkpoint.barrier(passageWindows(s, d, k))
     val dupMin = wins.groupBy("h").agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
       .filter(col("occ") >= 2)
@@ -1215,9 +1224,25 @@ FROM bucketed ORDER BY doc_id"""
     * share every operator stage with the table form.
     */
   private[graft] def tfidfCosinePairsOf(s: SparkSession, docs: DataFrame,
-      threshold: Double = 0.3): DataFrame =
-    tfidfCosineFinishOf(s, tfidfCosineCandidatesOf(s, docs, threshold),
-      docs, threshold)
+      threshold: Double = 0.3): DataFrame = {
+    // ONE weights pass (tokenize + tf-idf parts) and ONE norms aggregate
+    // shared by the candidate generator and the exact verify — the
+    // composed form previously materialized each stage's own copy
+    val weights = tfidfCosineWeightsOf(docs)
+    val norms = tfidfNorms(weights).barrier()
+    tfidfCosineFinishFrom(s,
+      tfidfCosineCandidatesFrom(s, weights, norms, threshold),
+      weights, norms, threshold)
+  }
+
+  /** The shared capped tf-idf weight projection, materialized: the
+    * expensive tokenize+parts pass every cosine stage reads.
+    */
+  private def tfidfCosineWeightsOf(docs: DataFrame): DataFrame =
+    tfidfPartsOf(docs)
+      .filter(col("df") * 10 <= col("n")) // prune df > N/10
+      .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
+      .barrier()
 
   /** Candidate pairs via the ALL-PAIRS prefix filter (Bayardo, Ma &
     * Srikant 2007, "Scaling Up All Pairs Similarity Search"): the naive
@@ -1244,11 +1269,12 @@ FROM bucketed ORDER BY doc_id"""
 
   private[graft] def tfidfCosineCandidatesOf(s: SparkSession,
       docs: DataFrame, threshold: Double): DataFrame = {
-    val weights = tfidfPartsOf(docs)
-      .filter(col("df") * 10 <= col("n")) // prune df > N/10
-      .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
-      .barrier()
-    val norms = tfidfNorms(weights)
+    val weights = tfidfCosineWeightsOf(docs)
+    tfidfCosineCandidatesFrom(s, weights, tfidfNorms(weights), threshold)
+  }
+
+  private def tfidfCosineCandidatesFrom(s: SparkSession, weights: DataFrame,
+      norms: DataFrame, threshold: Double): DataFrame = {
     val unit = weights.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("u"))
       .barrier() // feeds mx + the ranked prefix + the probe side
@@ -1290,11 +1316,13 @@ FROM bucketed ORDER BY doc_id"""
     */
   private def tfidfCosineFinishOf(s: SparkSession, candidates: DataFrame,
       docs: DataFrame, threshold: Double): DataFrame = {
-    val weights = tfidfPartsOf(docs)
-      .filter(col("df") * 10 <= col("n"))
-      .select(col("doc_id"), col("term"), tfidfWeight.as("w"))
-      .barrier()
-    val norms = tfidfNorms(weights)
+    val weights = tfidfCosineWeightsOf(docs)
+    tfidfCosineFinishFrom(s, candidates, weights, tfidfNorms(weights),
+      threshold)
+  }
+
+  private def tfidfCosineFinishFrom(s: SparkSession, candidates: DataFrame,
+      weights: DataFrame, norms: DataFrame, threshold: Double): DataFrame = {
     val dots = candidates
       .join(weights.toDF("doc_a", "term", "w_a"), Seq("doc_a"))
       .join(weights.toDF("doc_b", "term", "w_b"), Seq("doc_b", "term"))
