@@ -758,7 +758,19 @@ object Bench {
         // sf0.1 rows above (star ~2.3×-per-10×-data is the story)
         once("etl_star_build_sf1") { starBuildTo(sf1Dir, dw1) }
         once("kpi_suite_sf1") {
-          kpiSuite(dw1).foreach { case (_, q) => q().collect(): Unit }
+          // the 13 KPI queries are independent reads over the same DW —
+          // submit them from a small pool so each query's straggler tail
+          // back-fills with the next query's tasks (the suite is the
+          // measured unit here, unlike the per-query sf0.1 rows above;
+          // each query still computes its full result)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(kpiSuite(dw1).map { case (_, q) =>
+            Future(q().collect(): Unit) }), Duration.Inf): Unit
+          finally pool.shutdown()
         }
         // bucketed vs shuffled at 10×, same discipline as phase 4:
         // broadcast off for the timed builds, one file per bucket,

@@ -270,12 +270,18 @@ object QualityOps {
     * — split out so the oriented algorithm is property-testable on
     * generated graphs, not just the one events-derived instance.
     */
-  private[graft] def triangleCensus(e: DataFrame): DataFrame = {
+  private[graft] def triangleCensus(e0: DataFrame): DataFrame = {
+    // the canonical edge set feeds FIVE subtrees (both degree
+    // projections, the orientation join-back, the closing join, the edge
+    // count) — materialized once so the window+distinct derivation
+    // behind it runs once
+    val e = graft.Checkpoint.barrier(e0)
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-    // orient low (deg, id) -> high (deg, id)
-    val ed = e
+    // orient low (deg, id) -> high (deg, id); materialized — the wedge
+    // self-join otherwise re-runs the two degree joins per side
+    val ed = graft.Checkpoint.barrier(e
       .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
       .select(
@@ -283,7 +289,7 @@ object QualityOps {
           (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     // wedges at the orientation source; close against the canonical set
     val wedgePairs = ed.as("e1").join(ed.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))

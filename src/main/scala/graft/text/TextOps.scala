@@ -625,9 +625,14 @@ ORDER BY doc_id"""
   private def rebuildWithoutCut(s: SparkSession, d: String,
       cut: DataFrame): DataFrame = {
     // the token projection is read by the kept-token rebuild AND the
-    // final pass-through join — tokenize once
-    val toks = graft.Checkpoint.barrier(documents(s, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks"))
+    // final pass-through join. NOT barriered: tokenize is a cheap
+    // narrow map over an already-pruned scan, and its output (the
+    // token arrays) is LARGER than its input — materializing it trades
+    // one cheap recompute for a corpus-sized memory/disk copy (guide
+    // §2.3: shuffle/materialize fewer bytes). Measured r21: the barrier
+    // cost ~0.1-0.15 s per gate row and bought nothing.
+    val toks = documents(s, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", s"${T.spark} AS toks")
     val kept = toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
       .withColumn("i", col("i0") + 1).drop("i0")
@@ -729,7 +734,11 @@ ORDER BY d.doc_id"""
   def passageDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // consumed by the dup-count aggregate AND the flag semi-join —
-    // materialized so the window projection runs once
+    // materialized so the window projection runs once. Unlike
+    // passageClean (where the count action prunes the unbarriered tail
+    // and the barrier loses), the island window downstream forces full
+    // computation here, and the interleaved r21 A/B had the barrier
+    // winning both windows (1.7-1.8 s vs 2.2-2.4 s; taskTime 1.0 vs 1.5)
     val wins = graft.Checkpoint.barrier(passageWindows(s, d, k))
     // duplicated windows flagged by a map-combined count + semi-join,
     // not a count-over-window: the window form shares the groupBy's
@@ -803,8 +812,14 @@ FROM islands GROUP BY doc_id, ilha ORDER BY doc_id, span_id"""
     // duplicated-window groups are exactly where boilerplate skew
     // lives, so the per-hash sort window (whole group in one task) is
     // replaced by a map-combinable (count, min(struct)) aggregate +
-    // join-back; occ >= 2 ∧ not-the-earliest ≡ the old occ/rn filter
-    val wins = graft.Checkpoint.barrier(passageWindows(s, d, k))
+    // join-back; occ >= 2 ∧ not-the-earliest ≡ the old occ/rn filter.
+    // NOT barriered: both consumers shuffle by the same key h (agg +
+    // join-back), so ReusedExchange computes the window pass once at
+    // SMJ scale, and at gate scale the barrier defeats pruning under
+    // the count action besides its fixed localCheckpoint jobs —
+    // interleaved r21 A/B: barrier 1.6 s / taskTime 0.8 s vs none
+    // 0.85 s / 0.1 s, both windows
+    val wins = passageWindows(s, d, k)
     val dupMin = wins.groupBy("h").agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
       .filter(col("occ") >= 2)
