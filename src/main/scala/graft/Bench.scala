@@ -72,9 +72,37 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    def recordHealth(name: String, gc0: Long): Unit = {
+    // per-row executor telemetry (r21 verdict #1): summed task run time is
+    // load-invariant-ish (ambient tenant bursts inflate wall-clock, not
+    // task CPU), so a row whose wall is over band but whose task_s matches
+    // history self-adjudicates as ambient; peak_mb (max per-task execution
+    // memory) and store_mb (block-manager RDD footprint at row end)
+    // adjudicate the memory-pressure alternative. All three land in the
+    // artifact's `jvm` map beside gc_ms.
+    val taskMsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskMsTotal.addAndGet(m.executorRunTime)
+          var cur = peakTaskMem.get()
+          while (m.peakExecutionMemory > cur &&
+            !peakTaskMem.compareAndSet(cur, m.peakExecutionMemory))
+            cur = peakTaskMem.get()
+        }
+      }
+    })
+    def storeMb(): Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum >> 20
+    def recordHealth(name: String, gc0: Long, task0: Long): Unit = {
       val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
-      jvmHealth(name) = s"gc_ms=${gcMillis() - gc0} uptime_s=$up"
+      val taskS = (taskMsTotal.get() - task0) / 1000.0
+      jvmHealth(name) = s"gc_ms=${gcMillis() - gc0} uptime_s=$up " +
+        f"task_s=$taskS%.1f peak_mb=${peakTaskMem.get() >> 20} " +
+        s"store_mb=${storeMb()}"
     }
     def fingerprint(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       try {
@@ -94,6 +122,8 @@ object Bench {
       "bm25_update_compact")
     def time(name: String)(f: => Unit): Unit = {
       val gc0 = gcMillis()
+      val task0 = taskMsTotal.get()
+      peakTaskMem.set(0L)
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -104,10 +134,17 @@ object Bench {
           // suspiciously-fast timing
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
+        } finally {
+          // barrier-block hygiene BETWEEN reps, outside the timed region:
+          // the rep's action has fully materialized, its frames are
+          // discarded, so its localCheckpoint blocks are dead weight —
+          // without this a 1000 s session accumulates every row's
+          // barriers in the block manager (the r21 32-core anomaly)
+          Checkpoint.releaseAll()
         }
       }
       times(name) = if (runs.contains(-1.0)) -1.0 else runs.min
-      recordHealth(name, gc0)
+      recordHealth(name, gc0, task0)
       // first rep of the ETL phase is the COLD number BASELINE.md compares
       // against (later reps are JVM/page-cache warm); for the index
       // compaction only rep 1 performs the physical fold (later reps find
@@ -120,13 +157,16 @@ object Bench {
     // these are lifecycle measurements, not query noise floors
     def once(name: String)(f: => Unit): Unit = {
       val gc0 = gcMillis()
+      val task0 = taskMsTotal.get()
+      peakTaskMem.set(0L)
       val t0 = System.nanoTime()
       try { f; times(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         times(name) = -1.0
       }
-      recordHealth(name, gc0)
+      finally Checkpoint.releaseAll() // between-rows hygiene (see time)
+      recordHealth(name, gc0, task0)
     }
     // INTERLEAVED A/B reps (a, b, a, b, …) inside one phase, so slow
     // machine-load drift hits both sides alike and the recorded DIRECTION
@@ -137,24 +177,32 @@ object Bench {
       // delta on both rows, or it can't adjudicate which side paid
       var gcA = 0L
       var gcB = 0L
-      def oneRep(f: => Unit, addGc: Long => Unit): Double = {
+      var tkA = 0L
+      var tkB = 0L
+      peakTaskMem.set(0L) // shared across the pair: both rows report the pair's max
+      def oneRep(f: => Unit, addGc: Long => Unit, addTk: Long => Unit): Double = {
         val g0 = gcMillis()
+        val k0 = taskMsTotal.get()
         val t0 = System.nanoTime()
         try { f; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] interleaved rep failed: ${e.getMessage}")
           -1.0
         }
-        finally addGc(gcMillis() - g0)
+        finally {
+          addGc(gcMillis() - g0)
+          addTk(taskMsTotal.get() - k0)
+          Checkpoint.releaseAll() // between-reps hygiene (see time)
+        }
       }
       val runs = (1 to reps).map(_ =>
-        (oneRep(a, gcA += _), oneRep(b, gcB += _)))
+        (oneRep(a, gcA += _, tkA += _), oneRep(b, gcB += _, tkB += _)))
       def minOr(xs: Seq[Double]): Double =
         if (xs.contains(-1.0)) -1.0 else xs.min
       times(aName) = minOr(runs.map(_._1))
       times(bName) = minOr(runs.map(_._2))
-      recordHealth(aName, gcMillis() - gcA)
-      recordHealth(bName, gcMillis() - gcB)
+      recordHealth(aName, gcMillis() - gcA, taskMsTotal.get() - tkA)
+      recordHealth(bName, gcMillis() - gcB, taskMsTotal.get() - tkB)
     }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"
@@ -768,9 +816,23 @@ object Bench {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
-          try Await.result(Future.sequence(kpiSuite(dw1).map { case (_, q) =>
-            Future(q().collect(): Unit) }), Duration.Inf): Unit
-          finally pool.shutdown()
+          // each future swallows its own failure so Future.sequence is
+          // NOT fail-fast: Await returns only after every query finished
+          // (a fail-fast Await left in-flight queries bleeding executor
+          // work into the next timed phase); failures rethrow after all
+          // complete so the row still records -1
+          try {
+            val done = Await.result(Future.sequence(
+              kpiSuite(dw1).map { case (n, q) =>
+                Future(q().collect(): Unit)
+                  .map(_ => None: Option[String])
+                  .recover { case e => Some(s"$n: ${e.getMessage}") }
+              }), Duration.Inf)
+            done.flatten.headOption.foreach(m => sys.error(s"kpi pool: $m"))
+          } finally {
+            pool.shutdown()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+          }
         }
         // bucketed vs shuffled at 10×, same discipline as phase 4:
         // broadcast off for the timed builds, one file per bucket,
@@ -865,8 +927,20 @@ object Bench {
     val bf = bandFlags.map { case (k, (v, lo, hi)) =>
       "\"" + k + "\":{\"sec\":" + v + ",\"band\":[" + lo + "," + hi + "]}"
     }.mkString("{", ",", "}")
+    def line(jvmField: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"jvm":$jvmField,"band_flags":$bf,"reps":$reps,"sf":"$sfDir"}"""
+    // driver-parse contract (r21 verdict #8): the ONE stdout line must
+    // stay inside the driver's tail-capture budget — r18–r20 lost their
+    // round-over-round comparison to unparsed bench output. If the line
+    // outgrows the budget, the per-row jvm telemetry (the biggest block)
+    // moves to the BENCH_OUT sidecar and the line says where it went;
+    // queries/errors/band_flags always stay in-line.
+    val lineBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE_BUDGET",
+      "49152").toInt
+    val full = line(jh)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$pl,"jvm":$jh,"band_flags":$bf,"reps":$reps,"sf":"$sfDir"}"""
+      if (full.length <= lineBudget) full
+      else line("\"in sidecar (line budget)\"")
     println(json)
     // ALSO write the line to a file: two rounds of BENCH data were lost to
     // stdout-scrape failures (BENCH_r01/r02 parsed:null). The driver can
@@ -874,7 +948,8 @@ object Bench {
     // parseable artifact always exists.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(sys.props.getOrElse("user.dir", "."), "BENCH_OUT.json").getPath)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    // the sidecar always carries the FULL line (jvm telemetry included)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -109,7 +109,9 @@ object BenchRemeasure {
         lastInnerSec = None
         val t0 = System.nanoTime()
         registry(n)()
-        lastInnerSec.getOrElse((System.nanoTime() - t0) / 1e9)
+        val dt = lastInnerSec.getOrElse((System.nanoTime() - t0) / 1e9)
+        Checkpoint.releaseAll() // between-reps hygiene, matching Bench
+        dt
       }
       s""""$n":{"runs":${runs.map("%.3f".format(_)).mkString("[", ",", "]")},"min":${runs.min}}"""
     }

@@ -111,8 +111,12 @@ object CurateRun {
     * barrier: both dedup gates read it, and behind it sits the whole
     * stage-1 semi-join chain.
     */
+  /** Returns the gate list AND the materialized survivor relation the
+    * first two gates read, so the caller can release its blocks once the
+    * last gate's output has materialized.
+    */
   private def dedupGates(s: SparkSession, d: String,
-      kept: DataFrame): Seq[(String, DataFrame, Boolean)] = {
+      kept: DataFrame): (Seq[(String, DataFrame, Boolean)], DataFrame) = {
     val surv = graft.Checkpoint.barrier(
       Tables.documents(s, d)
         .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
@@ -123,11 +127,12 @@ object CurateRun {
     // label = component minimum, which is by construction a survivor
     val nearDupDropped = TextOps.dedupClustersOf(s, surv)
       .filter(col("doc_id") =!= col("cluster"))
-    Seq(
+    (Seq(
       ("exact keeper", exactKeepers.select("doc_id"), false),
       ("near-dup canonical", nearDupDropped.select("doc_id"), true),
       ("not contaminated",
-        CurationOps.decontaminate(s, d).where("contaminado = 1"), true))
+        CurationOps.decontaminate(s, d).where("contaminado = 1"), true)),
+      surv)
   }
 
   private def cleaned(s: SparkSession, d: String): DataFrame =
@@ -182,14 +187,23 @@ object CurateRun {
       funnel += name -> tbl.where(conj.mkString(" AND ")).count()
     }
     var kept = tbl.where(allSignalsOk).select("doc_id")
-    dedupGates(spark, dir, kept).foreach { case (name, gate, anti) =>
+    val (gates, surv) = dedupGates(spark, dir, kept)
+    gates.foreach { case (name, gate, anti) =>
       // materialize after each gate: the funnel count, every LATER gate,
       // and writeFinal all consume `kept` — unbarriered, each consumer
       // re-executed every earlier gate's derivation (the exact-keeper
-      // aggregate ran 4×, the near-dup components 3×, decontaminate 2×)
-      kept = graft.Checkpoint.barrier(applyGate(kept, gate, anti))
+      // aggregate ran 4×, the near-dup components 3×, decontaminate 2×).
+      // Rotation (r22): each gate's checkpoint supersedes the previous
+      // one's blocks (the first `kept` is a plain select, release no-ops)
+      val next = graft.Checkpoint.barrierReplacing(
+        applyGate(kept, gate, anti), kept)
+      kept = next
       funnel += name -> kept.count()
     }
+    // every gate has materialized: the signal table and the survivor
+    // relation fed them only — writeFinal reads raw tables + final kept
+    graft.Checkpoint.release(tbl)
+    graft.Checkpoint.release(surv)
     funnel += "passage-clean nonempty" -> writeFinal(spark, dir, kept, out)
     funnel.result()
   }
@@ -205,10 +219,12 @@ object CurateRun {
       spark.read.parquet(s"$out/keep_signals").count()
     case "dedup" =>
       var kept = spark.read.parquet(s"$out/keep_signals")
-      dedupGates(spark, dir, kept).foreach { case (_, gate, anti) =>
+      val (gates, surv) = dedupGates(spark, dir, kept)
+      gates.foreach { case (_, gate, anti) =>
         kept = applyGate(kept, gate, anti)
       }
       kept.write.mode("overwrite").parquet(s"$out/keep_dedup")
+      graft.Checkpoint.release(surv)
       spark.read.parquet(s"$out/keep_dedup").count()
     case "final" =>
       writeFinal(spark, dir, spark.read.parquet(s"$out/keep_dedup"), out)

@@ -48,7 +48,9 @@ object QueryRemeasure {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count(): Unit
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Checkpoint.releaseAll() // between-reps hygiene, matching Bench
+        dt
       }
       s""""$n":{"runs":${runs.map("%.3f".format(_)).mkString("[", ",", "]")},"min":${runs.min}}"""
     }

@@ -43,7 +43,10 @@ object ScaleRemeasure {
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def rep(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      Checkpoint.releaseAll() // between-reps hygiene, matching Bench
+      dt
     }
     def rmTree(p: String): Unit = {
       val d = java.nio.file.Paths.get(p)

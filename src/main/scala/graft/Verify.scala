@@ -38,6 +38,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the query's output is fully written: its barrier blocks are dead,
+      // and a 305-query session must not accumulate them (r22 lifecycle)
+      finally Checkpoint.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

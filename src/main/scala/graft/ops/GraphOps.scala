@@ -81,14 +81,18 @@ object GraphOps {
         .agg(sort_array(collect_list(struct(col("node"), col("r")))).as("ds"))
         .selectExpr(
           "aggregate(transform(ds, p -> p.r), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dm")
-      r = nodes
+      // truncate lineage (plan stays O(1) per iteration) and rotate:
+      // the superseded iteration's blocks are dead once the new
+      // checkpoint has materialized from them
+      r = graft.Checkpoint.barrierReplacing(nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nn)).crossJoin(broadcast(dang))
         .selectExpr("node",
           s"CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) + $D * " +
-            "(coalesce(cin, CAST(0 AS DOUBLE)) + dm / CAST(n AS DOUBLE)) AS r")
-        .barrier() // truncate lineage: plan stays O(1) per iteration
+            "(coalesce(cin, CAST(0 AS DOUBLE)) + dm / CAST(n AS DOUBLE)) AS r"),
+        r)
     }
+    graft.Checkpoint.release(outw) // fed the iterations only
     r.orderBy("node")
   }
 
@@ -133,14 +137,17 @@ object GraphOps {
         .agg(sort_array(collect_list(struct(col("node"), col("r")))).as("ds"))
         .selectExpr(
           "aggregate(transform(ds, p -> p.r), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dm")
-      r = pvec
+      // rotate superseded iterations (see pagerank)
+      r = graft.Checkpoint.barrierReplacing(pvec
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .selectExpr("node",
           s"CAST(0.15 AS DOUBLE) * p + $D * " +
-            "(coalesce(cin, CAST(0 AS DOUBLE)) + dm * p) AS r")
-        .barrier()
+            "(coalesce(cin, CAST(0 AS DOUBLE)) + dm * p) AS r"),
+        r)
     }
+    graft.Checkpoint.release(outw)
+    graft.Checkpoint.release(pvec)
     r.orderBy("node")
   }
 

@@ -803,7 +803,9 @@ object QualityOps {
         .filter(col("rk") % 2 === 1)
         .select(col("did"), col("pos"))
         .barrier()
-      tk = m
+      // the new round's token table is checkpointed FROM the old round's
+      // blocks and the accept list; both are dead once it materializes
+      tk = graft.Checkpoint.barrierReplacing(m
         .join(accept.withColumn("isacc", lit(true)), Seq("did", "pos"), "left")
         .join(accept.select(col("did"), (col("pos") + 1).as("pos"))
           .withColumn("isprev", lit(true)), Seq("did", "pos"), "left")
@@ -811,8 +813,9 @@ object QualityOps {
         .withColumn("t", when(col("isacc"),
           concat(col("t"), lit(BPE_SEP), lit(y))).otherwise(col("t")))
         .withColumn("pos", row_number().over(w))
-        .select("did", "pos", "t")
-        .barrier()
+        .select("did", "pos", "t"),
+        tk)
+      graft.Checkpoint.release(accept)
       }
     }
     val s2 = s

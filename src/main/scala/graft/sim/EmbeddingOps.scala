@@ -2668,8 +2668,16 @@ object EmbeddingOps {
         .distinct()
       val fresh = frontier.join(visited.select("query_id", "vec_id"),
         Seq("query_id", "vec_id"), "left_anti")
-      visited = graft.Checkpoint.barrier(visited.unionByName(withSims(fresh)))
+      // rotate: the new hop's checkpoint is computed FROM the old hop's
+      // blocks, after which they are dead — without the release a serve
+      // leaves h superseded frontier copies in the block manager
+      visited = graft.Checkpoint.barrierReplacing(
+        visited.unionByName(withSims(fresh)), visited)
     }
+    // q and e fed the hops only; the returned frame is the final
+    // checkpointed visited set and no longer references them
+    graft.Checkpoint.release(q)
+    graft.Checkpoint.release(e)
     visited
   }
 
@@ -2892,7 +2900,9 @@ object EmbeddingOps {
         .distinct()
       val fresh = frontier.join(visited.select("query_id", "cell"),
         Seq("query_id", "cell"), "left_anti")
-      visited = graft.Checkpoint.barrier(visited.unionByName(scored(fresh)))
+      // rotate superseded descent rounds (see graphBeamVisited)
+      visited = graft.Checkpoint.barrierReplacing(
+        visited.unionByName(scored(fresh)), visited)
     }
     visited
   }
@@ -3153,9 +3163,15 @@ object EmbeddingOps {
         .distinct()
       val fresh = frontier.join(visited.select("query_id", "vec_id"),
         Seq("query_id", "vec_id"), "left_anti")
-      visited = graft.Checkpoint.barrier(
-        visited.unionByName(withCodeSims(fresh)))
+      // rotate superseded hops (see graphBeamVisited)
+      visited = graft.Checkpoint.barrierReplacing(
+        visited.unionByName(withCodeSims(fresh)), visited)
     }
+    // the compressed-domain walk is done: the codes/minmax/edge barriers
+    // fed the hops only — the exact re-rank below reads raw vectors
+    graft.Checkpoint.release(e)
+    graft.Checkpoint.release(codes)
+    graft.Checkpoint.release(mm)
     // the exact re-rank: the visited ids' RAW vectors as point lookups,
     // ranked by exact cosine — the only full-precision reads of the serve
     val exact = visited.select("query_id", "vec_id")

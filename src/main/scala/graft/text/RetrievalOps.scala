@@ -554,9 +554,14 @@ object RetrievalOps {
     * `buildBm25IndexOn(s, zipfDocs(...), dir)`.
     */
   private[graft] def buildBm25ZipfIndex(s: SparkSession, n: Int, len: Int,
-      vocab: Int, dir: String): Unit =
-    buildBm25IndexOnPostings(s,
-      docTokenPostings(zipfTokens(s, n, len, vocab)).barrier(), dir)
+      vocab: Int, dir: String): Unit = {
+    val p = docTokenPostings(zipfTokens(s, n, len, vocab)).barrier()
+    buildBm25IndexOnPostings(s, p, dir)
+    // the staged postings barrier (~26M rows) fed the three index writes,
+    // all materialized to parquet above — release the corpus-sized blocks
+    // at staging exit instead of holding them through the serves
+    graft.Checkpoint.release(p)
+  }
 
   /** The crossover query set, derived FROM the staged corpus: query i
     * pairs the i-th most document-frequent term (the near-stopword —

@@ -980,6 +980,7 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
     // a lost executor makes local blocks unrecoverable.
     var changed = 1L
     var iter = 0
+    var prevStepped: DataFrame = null
     while (changed > 0 && iter < 25) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
@@ -1002,10 +1003,15 @@ SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1 ORDER BY doc_id, pos"""
       // stays O(1) per iteration, and the old pinned-cache/every-5-
       // barrier bookkeeping is no longer needed.
       val half = st.select(col("doc").as("ldoc"), col("lbl1").as("llbl"))
-      val stepped = st.join(half, st("lbl1") === half("ldoc"), "left")
-        .select(col("doc"), col("lbl"),
-          least(col("lbl1"), coalesce(col("llbl"), col("lbl1"))).as("lbl2"))
-        .barrier() // eager: materializes the frontier AND truncates lineage
+      // eager: materializes the frontier AND truncates lineage; rotating
+      // out the previous round's checkpoint (its blocks fed this one and
+      // are now dead) keeps exactly one frontier copy live per round
+      val stepped = graft.Checkpoint.barrierReplacing(
+        st.join(half, st("lbl1") === half("ldoc"), "left")
+          .select(col("doc"), col("lbl"),
+            least(col("lbl1"), coalesce(col("llbl"), col("lbl1"))).as("lbl2")),
+        prevStepped)
+      prevStepped = stepped
       changed = stepped.filter(col("lbl2") < col("lbl")).count()
       st.unpersist()
       labels = stepped.select(col("doc"), col("lbl2").as("lbl"))

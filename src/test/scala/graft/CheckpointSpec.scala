@@ -51,4 +51,53 @@ class CheckpointSpec extends SparkSpec {
       spark.conf.unset(Checkpoint.DirConf)
     }
   }
+
+  // ------------------------------------------------ r22 block lifecycle
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("local barrier registers its blocks and release drops them") {
+    Checkpoint.releaseAll() // clean slate: the registry is JVM-global
+    val before = persistedIds
+    val df = Checkpoint.barrier(spark.range(1000).toDF("id"))
+    assert(df.count() === 1000L)
+    val added = persistedIds -- before
+    assert(added.nonEmpty, "eager local barrier must persist blocks")
+    assert(Checkpoint.liveCount >= 1)
+    Checkpoint.release(df)
+    assert((persistedIds intersect added).isEmpty,
+      "release must unpersist the barrier's RDD")
+    // releasing again (or releasing a non-barrier frame) must no-op
+    Checkpoint.release(df)
+    Checkpoint.release(spark.range(5).toDF("id"))
+  }
+
+  test("barrierReplacing keeps the new round's data and drops the old round's blocks") {
+    Checkpoint.releaseAll()
+    val before = persistedIds
+    val a = Checkpoint.barrier(spark.range(100).toDF("id"))
+    val aIds = persistedIds -- before
+    assert(aIds.nonEmpty)
+    val b = Checkpoint.barrierReplacing(a.selectExpr("id + 1 AS id"), a)
+    assert((persistedIds intersect aIds).isEmpty,
+      "superseded round's blocks must be gone after rotation")
+    // the rotated frame is intact and correct (computed BEFORE the drop)
+    assert(b.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      === (1L to 100L).sum)
+    Checkpoint.release(b)
+  }
+
+  test("releaseAll empties the registry and the persisted-RDD map of barrier blocks") {
+    Checkpoint.releaseAll()
+    val before = persistedIds
+    val a = Checkpoint.barrier(spark.range(10).toDF("id"))
+    val c = Checkpoint.barrier(spark.range(20).toDF("id"))
+    assert(a.count() + c.count() === 30L)
+    assert(Checkpoint.liveCount >= 2)
+    Checkpoint.releaseAll()
+    assert(Checkpoint.liveCount === 0)
+    assert(persistedIds === before,
+      "releaseAll must return the persisted-RDD map to its prior state")
+  }
 }
