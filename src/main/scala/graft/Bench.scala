@@ -42,6 +42,7 @@ object Bench {
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tuning.applyProductionIo(spark) // no-op unless SPARK_GRAFT_PARQUET_CODEC set
     spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_BENCH_REPS > 1 repeats each query and reports the MIN —

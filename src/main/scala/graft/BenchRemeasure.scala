@@ -95,6 +95,7 @@ object BenchRemeasure {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tuning.applyProductionIo(spark) // no-op unless SPARK_GRAFT_PARQUET_CODEC set
     spark.sparkContext.setLogLevel("ERROR")
     val registry = rows(spark, sfDir)
     val unknown = names.filterNot(registry.keySet)

@@ -177,14 +177,21 @@ object CurateRun {
   def run(spark: SparkSession, dir: String, out: String): Seq[(String, Long)] = {
     val funnel = Seq.newBuilder[(String, Long)]
     val tbl = signalTable(spark, dir)
-    funnel += "ingest" -> tbl.count()
-    // per-gate funnel counts are cumulative conjunctions over the ONE
-    // materialized signal table — identical values to the old
-    // semi-join-per-gate sequence, zero additional corpus scans
-    var conj = List.empty[String]
-    signalGateCols.foreach { case (name, col) =>
-      conj = s"$col = 1" :: conj
-      funnel += name -> tbl.where(conj.mkString(" AND ")).count()
+    // ingest + the seven cumulative-conjunction gate counts in ONE
+    // aggregation pass over the materialized signal table (r22, §2.4):
+    // previously 8 separate count jobs each re-read the corpus-sized
+    // materialization. sum(c1*…*ck) over the 0/1 verdict columns equals
+    // the old `WHERE c1=1 AND … AND ck=1` count exactly (a NULL verdict
+    // nulls the product and sum skips it, just as `= 1` excluded it).
+    val cumCols = signalGateCols.map(_._2)
+      .scanLeft("CAST(1 AS BIGINT)")((acc, c) => s"$acc * $c").tail
+    val oneRow = tbl.selectExpr(
+      Seq("COUNT(1) AS n_ingest") ++
+        cumCols.zipWithIndex.map { case (e, i) => s"SUM($e) AS n_g$i" }: _*)
+      .head()
+    funnel += "ingest" -> oneRow.getLong(0)
+    signalGateCols.zipWithIndex.foreach { case ((name, _), i) =>
+      funnel += name -> oneRow.getLong(i + 1)
     }
     var kept = tbl.where(allSignalsOk).select("doc_id")
     val (gates, surv) = dedupGates(spark, dir, kept)

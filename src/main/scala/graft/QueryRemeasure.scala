@@ -43,6 +43,7 @@ object QueryRemeasure {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tuning.applyProductionIo(spark) // no-op unless SPARK_GRAFT_PARQUET_CODEC set
     spark.sparkContext.setLogLevel("ERROR")
     val out = names.map { n =>
       val runs = (1 to reps).map { _ =>

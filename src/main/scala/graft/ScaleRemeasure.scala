@@ -39,6 +39,7 @@ object ScaleRemeasure {
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tuning.applyProductionIo(spark) // no-op unless SPARK_GRAFT_PARQUET_CODEC set
     spark.sparkContext.setLogLevel("ERROR")
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]

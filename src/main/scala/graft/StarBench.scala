@@ -33,9 +33,25 @@ object StarBench {
     // shuffle buys nothing here because AQE already coalesces output to
     // ~2 files per year partition (measured: no improvement, within
     // run-to-run noise at this scale).
+    // r22: the fact joins the JUST-WRITTEN dims read back from the DW
+    // ((sk, business key) projections) instead of re-deriving all four
+    // dim pipelines in-plan — the reference's own SK-map read-back
+    // (dags/etl_fato_vendas.py:21-24). Interleaved A/B at the 10× point:
+    // jobs 72→46, summed task time 23.3→18.9 s, wall ~0.85×, fact
+    // byte-identical (exceptAll symdiff 0/0 over 6M rows) — the SK
+    // assignment is deterministic, so read-back dims carry exactly the
+    // values the in-plan derivation would.
+    def rd(t: String, sk: String, bk: String) =
+      spark.read.parquet(s"$dwDir/$t").select(sk, bk)
     val ano = (org.apache.spark.sql.functions.col("sk_tempo") / 10000).cast("int")
     graft.sink.Sink.parquet(
-      Star.fatoVendas(spark, srcDir).withColumn("ano", ano),
+      Star.fatoVendasFromDims(
+        graft.Tables.orders(spark, srcDir), graft.Tables.lineitem(spark, srcDir),
+        rd("dim_produto", "sk_produto", "id_produto_original"),
+        rd("dim_cliente", "sk_cliente", "id_cliente_original"),
+        rd("dim_vendedor", "sk_vendedor", "id_vendedor_original"),
+        rd("dim_localidade", "sk_localidade", "id_localidade_original"))
+        .withColumn("ano", ano),
       s"$dwDir/fato_vendas", partitionBy = Seq("ano"))
   }
 

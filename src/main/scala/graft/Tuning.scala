@@ -35,6 +35,24 @@ object Tuning {
       .filter(_.nonEmpty).map(_.toInt)
       .getOrElse(math.max(cores, shufflePartitions(dir, cores)))
 
+  /** Production parquet codec posture (guide §6; r21 measured zstd at
+    * 0.61× the bytes of the default with serve-time parity on the zipf
+    * store — `plans/r21/probes/ZipfCodecAb.scala`). At 100 TB the codec
+    * is a storage/IO decision, not a bench knob: deployments set
+    * `SPARK_GRAFT_PARQUET_CODEC=zstd`; the gated bench leaves it UNSET
+    * so every artifact stays byte- and band-comparable with prior
+    * rounds. Session builders apply it when present.
+    */
+  def parquetCodec: Option[String] =
+    sys.env.get("SPARK_GRAFT_PARQUET_CODEC").map(_.trim).filter(_.nonEmpty)
+
+  /** Apply the flag-gated production I/O posture to a freshly-built
+    * session (no-op when the flags are unset, as in the gated bench).
+    */
+  def applyProductionIo(spark: org.apache.spark.sql.SparkSession): Unit =
+    parquetCodec.foreach(c =>
+      spark.conf.set("spark.sql.parquet.compression.codec", c))
+
   /** Initial shuffle-partition count for a session working over `dir`'s
     * top-level tables (the `<table>.parquet` children — derived stores
     * and DW output under the same root are deliberately excluded: they
