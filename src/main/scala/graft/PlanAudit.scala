@@ -48,6 +48,9 @@ object PlanAudit {
       which.foreach { name =>
         println(s"\n========== $name ==========")
         SparkEntry.queries(name)(spark, dir).explain("formatted")
+        // frame construction executes its barriers eagerly; the plan is
+        // printed, so the blocks are dead — release between queries
+        Checkpoint.releaseAll()
       }
     }
     spark.stop()
