@@ -82,6 +82,23 @@ object Bench {
     // artifact's `jvm` map beside gc_ms.
     val taskMsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
     val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    // host-level vCPU steal (r22, second pass): task_s is task WALL time
+    // (executorRunTime), so hypervisor steal inflates it exactly like a
+    // code regression would — the one ambient signature the r21/r22
+    // telemetry could not separate. /proc/stat's steal counter (jiffies a
+    // vCPU was runnable but the host ran another tenant) is the direct
+    // measurement: steal_s high across unrelated rows = host contention,
+    // not code. USER_HZ is fixed at 100 for the /proc ABI. Returns -1
+    // where unreadable (non-Linux), rendering steal_s=-0.0… never 0-vs-
+    // missing ambiguity.
+    def stealJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+"))
+          .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -98,12 +115,15 @@ object Bench {
     def storeMb(): Long =
       spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum >> 20
-    def recordHealth(name: String, gc0: Long, task0: Long): Unit = {
+    def recordHealth(name: String, gc0: Long, task0: Long,
+        steal0: Long = -1L): Unit = {
       val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
       val taskS = (taskMsTotal.get() - task0) / 1000.0
+      val stealS = // USER_HZ = 100 (fixed /proc ABI)
+        if (steal0 < 0) -1.0 else (stealJiffies() - steal0) / 100.0
       jvmHealth(name) = s"gc_ms=${gcMillis() - gc0} uptime_s=$up " +
         f"task_s=$taskS%.1f peak_mb=${peakTaskMem.get() >> 20} " +
-        s"store_mb=${storeMb()}"
+        s"store_mb=${storeMb()} steal_s=$stealS%.1f"
     }
     def fingerprint(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       try {
@@ -124,6 +144,7 @@ object Bench {
     def time(name: String)(f: => Unit): Unit = {
       val gc0 = gcMillis()
       val task0 = taskMsTotal.get()
+      val steal0 = stealJiffies()
       peakTaskMem.set(0L)
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -145,7 +166,7 @@ object Bench {
         }
       }
       times(name) = if (runs.contains(-1.0)) -1.0 else runs.min
-      recordHealth(name, gc0, task0)
+      recordHealth(name, gc0, task0, steal0)
       // first rep of the ETL phase is the COLD number BASELINE.md compares
       // against (later reps are JVM/page-cache warm); for the index
       // compaction only rep 1 performs the physical fold (later reps find
@@ -159,6 +180,7 @@ object Bench {
     def once(name: String)(f: => Unit): Unit = {
       val gc0 = gcMillis()
       val task0 = taskMsTotal.get()
+      val steal0 = stealJiffies()
       peakTaskMem.set(0L)
       val t0 = System.nanoTime()
       try { f; times(name) = (System.nanoTime() - t0) / 1e9 }
@@ -167,7 +189,7 @@ object Bench {
         times(name) = -1.0
       }
       finally Checkpoint.releaseAll() // between-rows hygiene (see time)
-      recordHealth(name, gc0, task0)
+      recordHealth(name, gc0, task0, steal0)
     }
     // INTERLEAVED A/B reps (a, b, a, b, …) inside one phase, so slow
     // machine-load drift hits both sides alike and the recorded DIRECTION
@@ -180,10 +202,14 @@ object Bench {
       var gcB = 0L
       var tkA = 0L
       var tkB = 0L
+      var stA = 0L
+      var stB = 0L
       peakTaskMem.set(0L) // shared across the pair: both rows report the pair's max
-      def oneRep(f: => Unit, addGc: Long => Unit, addTk: Long => Unit): Double = {
+      def oneRep(f: => Unit, addGc: Long => Unit, addTk: Long => Unit,
+          addSt: Long => Unit): Double = {
         val g0 = gcMillis()
         val k0 = taskMsTotal.get()
+        val s0 = stealJiffies()
         val t0 = System.nanoTime()
         try { f; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -193,17 +219,23 @@ object Bench {
         finally {
           addGc(gcMillis() - g0)
           addTk(taskMsTotal.get() - k0)
+          addSt(stealJiffies() - s0) // 0 when unreadable (-1 minus -1)
           Checkpoint.releaseAll() // between-reps hygiene (see time)
         }
       }
       val runs = (1 to reps).map(_ =>
-        (oneRep(a, gcA += _, tkA += _), oneRep(b, gcB += _, tkB += _)))
+        (oneRep(a, gcA += _, tkA += _, stA += _),
+          oneRep(b, gcB += _, tkB += _, stB += _)))
       def minOr(xs: Seq[Double]): Double =
         if (xs.contains(-1.0)) -1.0 else xs.min
       times(aName) = minOr(runs.map(_._1))
       times(bName) = minOr(runs.map(_._2))
-      recordHealth(aName, gcMillis() - gcA, taskMsTotal.get() - tkA)
-      recordHealth(bName, gcMillis() - gcB, taskMsTotal.get() - tkB)
+      // baseline = current − side's accumulated delta, the same snapshot
+      // trick as gc/task; an unreadable counter (−1, stX 0) renders −1.0
+      recordHealth(aName, gcMillis() - gcA, taskMsTotal.get() - tkA,
+        stealJiffies() - stA)
+      recordHealth(bName, gcMillis() - gcB, taskMsTotal.get() - tkB,
+        stealJiffies() - stB)
     }
 
     val dw = s"/tmp/graft_bench_dw_${System.nanoTime()}"
